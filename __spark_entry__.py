@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The real implementations live in ``otel_arrow_collector_spark``; this module
+only adapts them to the driver contract.  NOTE: the engine needs
+``spark.sql.legacy.parquet.nanosAsLong=true`` and session timezone UTC (set
+in ``otel_arrow_collector_spark.session.get_spark``); ``entry``/``queries``
+assert/repair what they can on a caller-provided session.
 """
 
 from __future__ import annotations
@@ -13,26 +18,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from otel_arrow_collector_spark.operators import collect_registry
+
+_QUERIES, _ORACLES = collect_registry()
+
+
+def _prepare(spark: SparkSession) -> SparkSession:
+    """Assert engine-required session settings on a driver-provided session.
+
+    ``nanosAsLong`` is a startup conf (cannot be set post-JVM-start); if the
+    driver's session lacks it, events.ts loading falls back to the
+    timestamp branch of the loader (sources/tables.py handles both).
+    Timezone IS runtime-settable and must be UTC for calendar parity.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already-started JVM without the flag; loader copes
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Q05: grouped event counters — the reference's
+    receive->count->export loop) on /root/testdata/sf0.001."""
+    _prepare(spark)
+    return _QUERIES["q05_groupby"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_prepare(spark), sf_dir)
+        return run
+    return {name: wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (omitted for non-SQL ops)."""
+    return {name: sql.strip() for name, sql in _ORACLES.items()}

@@ -1,0 +1,35 @@
+"""Operator surface of the engine.
+
+- ``relational``  — SURVEY.md §2.8 declared queries (the executable spec of
+  the reference's operator inventory), DataFrame-first.
+- ``dedup``       — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+  fingerprint deduplication over ``documents``.
+- ``similarity``  — embedding ANN: brute-force cosine top-k, LSH buckets, IVF.
+- ``text``        — language-ID, quality scoring, token counting.
+- ``multimodal``  — binary-column decode/feature plumbing (mapInPandas).
+- ``batching``    — batch processor semantics (size/time/split) in batch mode.
+
+Each module exposes ``QUERIES`` (name -> callable(spark, sf_dir) ->
+DataFrame) and ``ORACLES`` (name -> DuckDB SQL) consumed by
+``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def collect_registry() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """Gather every operator module's queries + oracles into one registry."""
+    from . import dedup, multimodal, relational, similarity, text
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, dedup, similarity, text, multimodal):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

@@ -1,0 +1,633 @@
+"""Declared relational queries (SURVEY.md §2.8) — the executable spec of the
+reference's operator inventory, implemented DataFrame-first.
+
+Each query maps to a concrete reference mechanism (citations inline, into
+/root/reference/).  The DuckDB oracle strings are the verified §2.8 texts
+(hash-identical Spark-vs-DuckDB on sf0.001 and sf0.01, 2026-08-13).
+
+Scale notes (100 TB stance):
+- Dimension joins (nation/region/customer at bench SF) are broadcast —
+  Catalyst picks this under ``autoBroadcastJoinThreshold``; dims stay tiny
+  while facts scale.
+- Aggregations are partial (map-side combine) automatically; no
+  ``collect()`` in any operator.
+- All filters/projections are plain Column expressions so they push into
+  the parquet scan (``PushedFilters`` / ``ReadSchema``).
+- Window functions partition by high-cardinality keys (user_id), not
+  global ORDER BY without PARTITION BY (except where the query semantics
+  demand a global top-k, which Spark executes as TakeOrderedAndProject —
+  no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+Q = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Q] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: Q) -> Q:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans, projection, predicate filter
+# (receiver decode + Slice.RemoveIf / OTTL drop-where:
+#  pdata/pcommon/slice.go:115-132, docs/processing.md:205-208)
+# ---------------------------------------------------------------------------
+
+@_register("q01_scan_project", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100
+""")
+def q01(spark, sf_dir):
+    """Scan + project (pdata field access, ptrace/generated_span.go:48-173)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_quantity")
+              .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+              .limit(100))
+
+
+@_register("q02_filter", """
+SELECT event_id, event_type, ROUND(value,2) AS value FROM events
+WHERE event_type = 'error' AND value > 100
+ORDER BY event_id
+""")
+def q02(spark, sf_dir):
+    """Predicate filter (Slice.RemoveIf slice.go:115; OTTL drop() where)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter((F.col("event_type") == "error") & (F.col("value") > 100))
+              .select("event_id", "event_type", F.round("value", 2).alias("value"))
+              .orderBy("event_id"))
+
+
+@_register("q03_compound_filter", """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice,2) AS tp FROM orders
+WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 50000
+ORDER BY o_orderkey
+""")
+def q03(spark, sf_dir):
+    """Compound predicate + IN (filter semantics over record slices)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus").isin("F", "O")
+                     & F.col("o_totalprice").between(1000, 50000))
+             .select("o_orderkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("tp"))
+             .orderBy("o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation — hash agg, grouped counters (obsreport counters §2.7,
+# batch-processor metrics processor/batchprocessor/metrics.go)
+# ---------------------------------------------------------------------------
+
+@_register("q04_global_agg", """
+SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS s,
+       ROUND(AVG(l_discount),4) AS a, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+FROM lineitem
+""")
+def q04(spark, sf_dir):
+    """Global aggregate (SpanCount/DataPointCount, ptrace/traces.go:33-45)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        F.round(F.avg("l_discount"), 4).alias("a"),
+        F.min("l_orderkey").alias("mn"),
+        F.max("l_orderkey").alias("mx"),
+    )
+
+
+@_register("q05_groupby", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value),2) AS sum_v,
+       ROUND(MIN(value),2) AS min_v, ROUND(MAX(value),2) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def q05(spark, sf_dir):
+    """Group-by counters (metadata-keyed sharding, batch_processor.go:277-330).
+
+    The engine's flagship query — the reference's receive -> count -> export
+    loop as a grouped aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_v"),
+                   F.round(F.min("value"), 2).alias("min_v"),
+                   F.round(F.max("value"), 2).alias("max_v"))
+              .orderBy("event_type"))
+
+
+@_register("q06_multikey_having", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS q
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10 ORDER BY l_returnflag, l_linestatus
+""")
+def q06(spark, sf_dir):
+    """Multi-key group-by + HAVING (shard cardinality limit analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("q"))
+              .filter(F.col("n") > 10)
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+@_register("q07_count_distinct", """
+SELECT COUNT(DISTINCT user_id) AS users, COUNT(DISTINCT event_type) AS types FROM events
+""")
+def q07(spark, sf_dir):
+    """Exact distinct count (stream dedup analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("users"),
+                  F.countDistinct("event_type").alias("types"))
+
+
+@_register("q08_rollup", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""")
+def q08(spark, sf_dir):
+    """Rollup (dimension hierarchy resource -> scope -> record, §1.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("l_returnflag").asc_nulls_last(),
+                       F.col("l_linestatus").asc_nulls_last()))
+
+
+@_register("q09_grouping_sets", """
+SELECT event_type, user_id, COUNT(*) AS n
+FROM events GROUP BY GROUPING SETS ((event_type),(user_id))
+ORDER BY event_type NULLS LAST, user_id NULLS LAST
+""")
+def q09(spark, sf_dir):
+    """Grouping sets (per-signal × per-component telemetry matrix, §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupingSets([["event_type"], ["user_id"]],
+                            "event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("event_type").asc_nulls_last(),
+                       F.col("user_id").asc_nulls_last()))
+
+
+@_register("q10_histogram_buckets", """
+SELECT CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+            WHEN value < 200 THEN 2 ELSE 3 END AS bucket,
+       COUNT(*) AS bucket_count
+FROM events GROUP BY 1 ORDER BY bucket
+""")
+def q10(spark, sf_dir):
+    """Explicit-bounds histogram bucketing (HistogramDataPoint,
+    pmetric/generated_histogramdatapoint.go:102-107)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.when(F.col("value") < 50, 0)
+               .when(F.col("value") < 100, 1)
+               .when(F.col("value") < 200, 2)
+               .otherwise(3)).alias("bucket")
+    return (ev.groupBy(bucket)
+              .agg(F.count(F.lit(1)).alias("bucket_count"))
+              .orderBy("bucket"))
+
+
+@_register("q11_quantiles", """
+SELECT event_type,
+       ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE),2) AS p50,
+       ROUND(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS DOUBLE),2) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def q11(spark, sf_dir):
+    """Quantile summary (SummaryDataPoint quantiles,
+    pmetric/generated_summarydatapoint.go:91)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+                           .cast("double"), 2).alias("p50"),
+                   F.round(F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)")
+                           .cast("double"), 2).alias("p95"))
+              .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (enrichment: resource->record attachment docs/processing.md:210-214;
+# router/connector correlation)
+# ---------------------------------------------------------------------------
+
+@_register("q12_inner_join", """
+SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(o.o_totalprice),2) AS rev
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""")
+def q12(spark, sf_dir):
+    """Equi inner join (enrichment join). Customer is the broadcast side at
+    fact >> dim scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("rev"))
+             .orderBy("c_mktsegment"))
+
+
+@_register("q13_star_join", """
+SELECT r_name, n_name, COUNT(*) AS suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+""")
+def q13(spark, sf_dir):
+    """Multi-way star join over broadcast-size dims (star enrichment)."""
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name", "n_name")
+             .agg(F.count(F.lit(1)).alias("suppliers"))
+             .orderBy("r_name", "n_name"))
+
+
+@_register("q14_left_join", """
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey LIMIT 100
+""")
+def q14(spark, sf_dir):
+    """Left outer join (missing-dimension tolerance)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("n_orders"))
+             .orderBy(F.col("n_orders").desc(), F.col("c_custkey"))
+             .limit(100))
+
+
+@_register("q15_semi_join", """
+SELECT COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q15(spark, sf_dir):
+    """Left semi join (router pipeline-subset selection,
+    internal/fanoutconsumer/logs.go:103-134)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@_register("q16_anti_join", """
+SELECT COUNT(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q16(spark, sf_dir):
+    """Left anti join (refused/dropped difference, obsmetrics §2.7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@_register("q17_self_join", """
+SELECT COUNT(*) AS pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+""")
+def q17(spark, sf_dir):
+    """Self equi-join on key+sequence (span parent->child linkage,
+    ptrace/generated_span.go:73-78)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1))
+             .agg(F.count(F.lit(1)).alias("pairs")))
+
+
+@_register("q18_interval_join", """
+SELECT e1.event_type, COUNT(*) AS n
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+ AND e1.event_type = 'signup' AND e2.event_type = 'purchase'
+GROUP BY e1.event_type ORDER BY e1.event_type
+""")
+def q18(spark, sf_dir):
+    """Range/interval theta join on the µs-derived timestamp (Timestamp ns,
+    pdata/pcommon/timestamp.go:15).  The equi-key (user_id) carries the
+    shuffle; the interval predicate is a post-join filter — at scale this is
+    a SortMergeJoin on user_id, not a cartesian."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    e1 = ev.filter(F.col("event_type") == "signup").alias("e1")
+    e2 = ev.filter(F.col("event_type") == "purchase").alias("e2")
+    cond = ((F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")))
+    return (e1.join(e2, cond)
+              .groupBy(F.col("e1.event_type").alias("event_type"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (batching sequence, split-first-N, as-of attribution)
+# ---------------------------------------------------------------------------
+
+@_register("q19_first_n_per_group", """
+SELECT * FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn <= 3 ORDER BY user_id, rn
+""")
+def q19(spark, sf_dir):
+    """Ranking: first N per group (splitTraces first-N semantics,
+    processor/batchprocessor/splittraces.go:11-66)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id",
+                      F.row_number().over(w).alias("rn"))
+              .filter(F.col("rn") <= 3)
+              .orderBy("user_id", "rn"))
+
+
+@_register("q20_lag_lead", """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv,
+       ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 2) AS dn
+FROM events ORDER BY user_id, event_id LIMIT 500
+""")
+def q20(spark, sf_dir):
+    """Analytic lag/lead (batch timeout trigger, batch_processor.go:216-224)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id",
+                      F.round(F.col("value") - F.lag("value").over(w), 2).alias("dv"),
+                      F.round(F.lead("value").over(w) - F.col("value"), 2).alias("dn"))
+              .orderBy("user_id", "event_id")
+              .limit(500))
+
+
+@_register("q21_running_sum", """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_value
+FROM events ORDER BY user_id, event_id LIMIT 500
+""")
+def q21(spark, sf_dir):
+    """Frame spec: delta -> cumulative running sum (AggregationTemporality,
+    pmetric/aggregation_temporality.go:14-21)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select("user_id", "event_id",
+                      F.round(F.sum("value").over(w), 2).alias("cum_value"))
+              .orderBy("user_id", "event_id")
+              .limit(500))
+
+
+@_register("q22_dense_rank", """
+SELECT o_orderpriority, o_orderkey, rnk FROM (
+  SELECT o_orderpriority, o_orderkey,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t WHERE rnk <= 5
+ORDER BY o_orderpriority, rnk, o_orderkey
+""")
+def q22(spark, sf_dir):
+    """Rank/dense_rank (stream priority ordering,
+    exporter/otlpexporter/internal/arrow/prioritizer.go:17-80)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.select("o_orderpriority", "o_orderkey",
+                     F.dense_rank().over(w).alias("rnk"))
+             .filter(F.col("rnk") <= 5)
+             .orderBy("o_orderpriority", "rnk", "o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+@_register("q23_topk", """
+SELECT o_orderkey, ROUND(o_totalprice,2) AS tp FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""")
+def q23(spark, sf_dir):
+    """Global top-k (largest batches).  Spark executes ORDER BY + LIMIT as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", F.round("o_totalprice", 2).alias("tp"),
+                     "o_totalprice")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .limit(25)
+             .select("o_orderkey", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (fan-in union, pipeline diff)
+# ---------------------------------------------------------------------------
+
+@_register("q24_union_all", """
+SELECT COUNT(*) AS n FROM (
+  SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey AS k FROM customer) t
+""")
+def q24(spark, sf_dir):
+    """Union all (fan-in; Slice.MoveAndAppendTo, pdata/pcommon/slice.go:103)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionAll(c).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register("q25_intersect", """
+SELECT COUNT(*) AS n FROM
+  (SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t
+""")
+def q25(spark, sf_dir):
+    """Intersect (router subset selection)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return o.intersect(c).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register("q26_except", """
+SELECT COUNT(*) AS n FROM
+  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t
+""")
+def q26(spark, sf_dir):
+    """Except (router complement; refused-vs-accepted diff)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (OTTL set/replace/keep_keys analogues,
+# docs/processing.md:147-214)
+# ---------------------------------------------------------------------------
+
+@_register("q27_string_fns", """
+SELECT p_partkey, UPPER(p_brand) AS b, LENGTH(p_name) AS ln,
+       SUBSTR(p_type,1,5) AS t5, REPLACE(p_mfgr_like,'x','y') AS r
+FROM (SELECT p_partkey, p_brand, p_name, p_type, p_name AS p_mfgr_like FROM part) t
+ORDER BY p_partkey LIMIT 100
+""")
+def q27(spark, sf_dir):
+    """String functions (replace_match / case-normalization analogues)."""
+    p = _t(spark, sf_dir, "part")
+    return (p.select("p_partkey",
+                     F.upper("p_brand").alias("b"),
+                     F.length("p_name").alias("ln"),
+                     F.substring("p_type", 1, 5).alias("t5"),
+                     F.replace(F.col("p_name"), F.lit("x"), F.lit("y")).alias("r"))
+             .orderBy("p_partkey")
+             .limit(100))
+
+
+@_register("q28_datetime_fns", """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+       COUNT(*) AS n
+FROM orders GROUP BY 1,2 ORDER BY y, m
+""")
+def q28(spark, sf_dir):
+    """Date/time functions (Timestamp ns -> calendar, timestamp.go:15)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("y"),
+                      F.month("o_orderdate").alias("m"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("y", "m"))
+
+
+@_register("q29_math_fns", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+       ROUND(ABS(l_discount - 0.05), 4) AS dd,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS fq, CAST(CEIL(l_quantity) AS BIGINT) AS cq
+FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, dd, fq LIMIT 200
+""")
+def q29(spark, sf_dir):
+    """Math functions (charge formula; FLOOR/CEIL cast to BIGINT because
+    DuckDB returns DOUBLE while Spark returns LONG)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(
+                "l_orderkey", "l_linenumber",
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax")), 2).alias("charge"),
+                F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("dd"),
+                F.floor("l_quantity").cast("bigint").alias("fq"),
+                F.ceil("l_quantity").cast("bigint").alias("cq"))
+              .orderBy("l_orderkey", "l_linenumber", "charge", "dd", "fq")
+              .limit(200))
+
+
+@_register("q30_conditional", """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 17
+            WHEN event_type = 'purchase' THEN 9 ELSE 5 END AS severity_number
+FROM events ORDER BY event_id LIMIT 200
+""")
+def q30(spark, sf_dir):
+    """Conditional expression (severity mapping, plog/severity_number.go)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.when(F.col("event_type") == "error", 17)
+                       .when(F.col("event_type") == "purchase", 9)
+                       .otherwise(5).alias("severity_number"))
+              .orderBy("event_id")
+              .limit(200))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shape queries (batch twins; streaming versions in ../streaming)
+# ---------------------------------------------------------------------------
+
+@_register("q31_tumbling_window", """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS w, COUNT(*) AS n, ROUND(SUM(value),2) AS s
+FROM events GROUP BY 1 ORDER BY w
+""")
+def q31(spark, sf_dir):
+    """Tumbling window (batch-timeout trigger analogue,
+    batch_processor.go:183-250)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").cast("string").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("s"))
+              .orderBy("w"))
+
+
+@_register("q32_sessionization", """
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events) x) y
+GROUP BY user_id ORDER BY user_id
+""")
+def q32(spark, sf_dir):
+    """Sessionization, 30-min gap (session windows; stateful ops §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTE")) | lag_ts.isNull(),
+        1).otherwise(0)
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = (ev.select("user_id", "ts", "event_id",
+                          new_session.alias("new_session"))
+                  .select("user_id",
+                          F.sum("new_session").over(cum).alias("session_id")))
+    return (sessions.groupBy("user_id")
+                    .agg(F.countDistinct("session_id").alias("n_sessions"))
+                    .orderBy("user_id"))
+
+
+@_register("q33_exact_dedup_count", """
+SELECT COUNT(*) AS distinct_docs FROM (
+  SELECT DISTINCT lang, source, n_chars FROM documents) t
+""")
+def q33(spark, sf_dir):
+    """Exact dedup count (persistent-queue idempotency analogue,
+    exporter/exporterhelper/internal/persistent_storage.go:278-345)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", "source", "n_chars").distinct()
+             .agg(F.count(F.lit(1)).alias("distinct_docs")))
+
+
+@_register("q34_text_groupstats", """
+SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars,
+       MAX(LENGTH(text)) AS max_len
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def q34(spark, sf_dir):
+    """Text analysis group stats (logging exporter text surface,
+    exporter/loggingexporter/logging_exporter.go:20-90)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("docs"),
+                  F.sum("n_chars").alias("chars"),
+                  F.max(F.length("text")).alias("max_len"))
+             .orderBy("lang"))

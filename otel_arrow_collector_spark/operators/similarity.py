@@ -1,0 +1,4 @@
+"""similarity operators — filled in M7 (see tasks)."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}

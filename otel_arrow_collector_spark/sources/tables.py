@@ -1,0 +1,71 @@
+"""Relational table loader for the driver's synthetic star schema.
+
+The tables (TESTDATA.md / FIXTURES.md §A) are plain parquet; the only
+special case is ``events.ts`` — parquet ``timestamp[ns]``.  The reference's
+time type is uint64 nanoseconds (pdata/pcommon/timestamp.go:15); Spark's
+TimestampType is microseconds.  Verified recipe (SURVEY.md §2.8 note): read
+nanos as longs (``spark.sql.legacy.parquet.nanosAsLong=true``, set by
+``session.get_spark``) and derive the µs timestamp with
+``timestamp_micros(cast(ts/1000 as long))``; keep the ns long as the source
+of truth in ``ts_ns``.
+
+Scale note: at 100 TB these reads are partitioned parquet scans; every
+declared query selects specific columns and filters early so Catalyst pushes
+predicates/projection into the scan (verify with ``PushedFilters`` /
+``ReadSchema`` in ``.explain``).  No ``.collect()`` anywhere in the load
+path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing types to the engine schema."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts: ns-long (via nanosAsLong) -> TimestampType µs + ts_ns long.
+
+    If the column already arrived as a timestamp (a future Spark reading
+    nanos natively), keep it and derive ts_ns from it instead.
+    """
+    ts_field = df.schema["ts"]
+    if isinstance(ts_field.dataType, LongType):
+        return (
+            df.withColumn("ts_ns", F.col("ts"))
+              .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        )
+    return df.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * 1000).cast("long"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (for spark.sql access)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
