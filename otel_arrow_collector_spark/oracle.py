@@ -1,0 +1,68 @@
+"""Oracle-comparison utilities (driver correctness-gate replica).
+
+The driver compares each engine query against its DuckDB oracle by
+row-count + column names + order-insensitive value multiset with columns
+sorted by name.  These helpers implement that comparison for local tests
+(tools/check_parity.py and tests/).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+
+def norm_value(v) -> str:
+    """Normalize one cell to a comparison string (engine-agnostic)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 12.0 -> "12": float/decimal width agnostic
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
+    """Sort columns by name, stringify values, sort rows -> comparable form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def register_duckdb_views(con, sf_dir: str) -> None:
+    """Mirror the driver's pre-registered DuckDB views over the sf tables."""
+    from .sources.tables import TABLE_NAMES
+    for t in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def compare(spark_df, con, oracle: str) -> dict:
+    """Run one engine DataFrame vs one DuckDB oracle; return match report."""
+    srows = [tuple(r) for r in spark_df.collect()]
+    scols = list(spark_df.columns)
+    cur = con.execute(oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    return {
+        "cols_match": sorted(scols) == sorted(dcols),
+        "rowcount_match": len(srows) == len(drows),
+        "values_match": norm_rows(scols, srows) == norm_rows(dcols, drows),
+        "spark_rows": len(srows),
+        "duck_rows": len(drows),
+        "spark_cols": sorted(scols),
+        "duck_cols": sorted(dcols),
+    }
