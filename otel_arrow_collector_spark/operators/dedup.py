@@ -1,4 +1,277 @@
-"""dedup operators — filled in M7 (see tasks)."""
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, and n-gram-Jaccard near-dup detection.
+
+Reference parity: the reference's dedup surface is idempotent redelivery
+handling (persistent queue, exporter/exporterhelper/internal/
+persistent_storage.go:278-345); these operators extend it to content-level
+dedup for training-data pipelines (driver north-star).
+
+Cross-engine determinism (so every op carries a DuckDB oracle):
+- word hash  = md5 (bit-identical in Spark and DuckDB)
+- MinHash_j  = lexicographic MIN of md5("j:" || shingle) — a string-valued
+  min-hash; ordering on hex strings is a total order, so it has the same
+  collision semantics as integer min-hash without needing a portable
+  hex->int cast.
+- LSH band   = md5(band_idx || "|" || sig_2b || sig_2b+1)  (r=2, b=4, k=8);
+  the band index is baked into the hash so buckets join on one column.
+- SimHash    = 16-bit: bit i is the majority vote over words of
+  (i-th hex nibble of md5(word) >= '8') — i.e. the high bit of each nibble.
+
+Scale stance: candidate generation is explode -> shuffle-join on the band
+hash (the standard distributed LSH plan); verification joins are bounded by
+candidate count, not n^2.  At 100 TB: band-hash join keys are uniform md5
+strings — no skew; `spark.sql.adaptive` handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+K_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (r = K_HASHES / N_BANDS = 2)
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# shared expression builders (Spark SQL fragments; arrays are 0-based)
+# ---------------------------------------------------------------------------
+
+def _spark_shingles(words_col: str = "ws") -> str:
+    """3-word shingles; guarded so <3-word docs yield an empty array
+    (Spark's sequence() would descend on a negative stop)."""
+    w = words_col
+    return (f"CASE WHEN size({w}) >= 3 THEN "
+            f"transform(sequence(0, size({w})-3), "
+            f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2])) "
+            f"ELSE array() END")
+
+
+def _duck_shingles(words_col: str = "ws") -> str:
+    w = words_col
+    return (f"list_transform(range(1, len({w})-1), "
+            f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))")
+
+
+def _spark_sig(j: int) -> str:
+    return f"array_min(transform(shs, s -> md5(concat('{j}:', s))))"
+
+
+def _duck_sig(j: int) -> str:
+    return f"list_min(list_transform(shs, s -> md5(concat('{j}:', s))))"
+
+
+def _spark_bands() -> str:
+    parts = [f"md5(concat('{b}|', sig[{2 * b}], sig[{2 * b + 1}]))"
+             for b in range(N_BANDS)]
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _duck_bands() -> str:
+    parts = [f"md5(concat('{b}|', sig[{2 * b + 1}], sig[{2 * b + 2}]))"
+             for b in range(N_BANDS)]
+    return "[" + ", ".join(parts) + "]"
+
+
+#: DuckDB CTE producing LSH candidate pairs (d1 < d2) — reused by oracles.
+_DUCK_PAIR_CTE = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (SELECT doc_id, {_duck_shingles()} AS shs FROM docs),
+sig AS (SELECT doc_id, [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig FROM sh),
+bands AS (SELECT doc_id, unnest({_duck_bands()}) AS band FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+"""
+
+
+def _lsh_candidate_pairs(spark, sf_dir):
+    """Spark side of _DUCK_PAIR_CTE: distinct LSH-bucket-sharing pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = (d.select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+             .select("doc_id", F.array(*[F.expr(_spark_sig(j))
+                                         for j in range(K_HASHES)]).alias("sig")))
+    bands = sig.select("doc_id", F.explode(F.expr(_spark_bands())).alias("band"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+             .distinct())
+
+
+def _doc_shingle_sets(spark, sf_dir):
+    """(doc_id, shingle) exploded over the DISTINCT shingle set per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id",
+                     F.explode(F.array_distinct(F.expr(_spark_shingles()))).alias("sh")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark, sf_dir):
+    """Corpus-level exact-duplicate accounting by content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+QUERIES["dedup_exact_stats"] = dedup_exact_stats
+ORACLES["dedup_exact_stats"] = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+
+def dedup_exact_groups(spark, sf_dir):
+    """Exact-duplicate groups with keep-first representative selection."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("fp"))
+             .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id"))
+             .filter(F.col("n") > 1)
+             .orderBy("fp"))
+
+
+QUERIES["dedup_exact_groups"] = dedup_exact_groups
+ORACLES["dedup_exact_groups"] = """
+SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing >=1 of the 4 (r=2) minhash bands."""
+    return (_lsh_candidate_pairs(spark, sf_dir)
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
+ORACLES["dedup_minhash_lsh"] = _DUCK_PAIR_CTE + """
+SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 500
+"""
+
+
+def _jaccard_verified(spark, sf_dir):
+    """(d1, d2, n_common, j): exact 3-gram Jaccard over LSH candidates —
+    the standard two-stage plan (cheap recall stage, exact precision stage
+    bounded by candidate count, never n^2)."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (pairs
+              .join(shd.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+              .join(shd.alias("s2"), (F.col("d2") == F.col("s2.doc_id"))
+                    & (F.col("s1.sh") == F.col("s2.sh")))
+              .groupBy("d1", "d2")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
+            .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+            .select("d1", "d2", "n_common",
+                    (F.col("n_common").cast("double")
+                     / (F.col("z1.n_sh") + F.col("z2.n_sh") - F.col("n_common"))
+                     ).alias("j")))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs: exact 3-gram Jaccard verification of LSH candidates."""
+    return (_jaccard_verified(spark, sf_dir)
+            .filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("d1", "d2", "n_common", F.round("j", 4).alias("jaccard"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+ORACLES["dedup_ngram_jaccard"] = _DUCK_PAIR_CTE + f""",
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common), 4) AS jaccard
+FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+WHERE CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2 LIMIT 500
+"""
+
+
+def dedup_minhash_keep(spark, sf_dir):
+    """Greedy near-dup removal: drop every doc that appears as the higher
+    id of a verified (Jaccard >= threshold) pair; count survivors.
+    (Greedy, not transitive-closure — documented engine semantics.)"""
+    d = load_table(spark, sf_dir, "documents")
+    drop_ids = (_jaccard_verified(spark, sf_dir)
+                .filter(F.col("j") >= JACCARD_THRESHOLD)
+                .select(F.col("d2").alias("doc_id")).distinct())
+    return (d.join(drop_ids, "doc_id", "left_anti")
+             .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+QUERIES["dedup_minhash_keep"] = dedup_minhash_keep
+ORACLES["dedup_minhash_keep"] = _DUCK_PAIR_CTE + f""",
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2),
+dropped AS (SELECT DISTINCT d2 AS doc_id
+            FROM common JOIN sizes z1 ON z1.doc_id = d1
+                        JOIN sizes z2 ON z2.doc_id = d2
+            WHERE CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common)
+                  >= {JACCARD_THRESHOLD})
+SELECT COUNT(*) AS n_kept FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc: bit i = majority over words of the high bit
+    of md5(word)'s i-th hex nibble."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(ws, w -> substring(md5(w), {i + 1}, 1) >= '8')) "
+        f">= size(ws) THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return (d.select("doc_id", ws.alias("ws"))
+             .select("doc_id", F.expr(terms).alias("simhash"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["dedup_simhash"] = dedup_simhash
+ORACLES["dedup_simhash"] = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+SELECT doc_id, (
+""" + " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(ws, w -> substr(md5(w), {i + 1}, 1) >= '8')) "
+    f">= len(ws) THEN {1 << i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+) + """
+) AS simhash
+FROM t ORDER BY doc_id LIMIT 200
+"""

@@ -1,4 +1,220 @@
-"""similarity operators — filled in M7 (see tasks)."""
+"""Similarity-search operators over ``embeddings`` (array<float>, 64-dim):
+brute-force cosine top-k (the baseline), random-hyperplane LSH bucketing,
+and IVF (inverted-file) cell assignment + probe — the scale paths.
+
+Cross-engine determinism: dot products are sequential double
+accumulation in both engines (verified bit-exact); LSH hyperplanes are
+deterministic small-integer vectors (no RNG — plane_j[d] = ((j*31+d*17)%7)-3)
+so bucket bits are exact; IVF "training" picks the first K vectors as
+centroids (deterministic stand-in for k-means — swap in real training at
+production scale).
+
+Scale stance (100 TB / billions of vectors):
+- brute-force top-k: broadcast the query set, one scan of the corpus,
+  per-partition heaps via window rank — no shuffle of the corpus itself.
+- LSH: one narrow map -> groupBy bucket; bucket ids are near-uniform.
+- IVF: centroid set broadcast; assignment is a map; probe touches only
+  matching cells (partition-prune by cell id when the corpus is written
+  bucketed/partitioned by cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+N_QUERY = 5          # brute-force query vectors: vec_id < N_QUERY
+TOP_K = 5
+N_PLANES = 8         # LSH hyperplanes -> 256 buckets
+N_CENTROIDS = 8      # IVF cells: centroids = first N_CENTROIDS vectors
+PROBE_IDS = (42, 123, 321)
+PROBE_K = 3
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic integer hyperplanes in [-3, 3]^64 (no RNG)."""
+    return [[float(((j * 31 + d * 17) % 7) - 3) for d in range(64)]
+            for j in range(N_PLANES)]
+
+
+# --- Spark SQL expression fragments (mirrored 1:1 in the DuckDB oracles) ---
+
+def _s_dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _s_cos(a: str, b: str) -> str:
+    return f"({_s_dot(a, b)} / (sqrt({_s_dot(a, a)}) * sqrt({_s_dot(b, b)})))"
+
+
+def _d_dot(a: str, b: str) -> str:
+    return (f"list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            f"list_transform({b}, x -> CAST(x AS DOUBLE)))")
+
+
+def _d_cos(a: str, b: str) -> str:
+    return f"({_d_dot(a, b)} / (sqrt({_d_dot(a, a)}) * sqrt({_d_dot(b, b)})))"
+
+
+def _s_plane_literal(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({c:.1f} AS DOUBLE)" for c in plane) + ")"
+
+
+def _d_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{c:.1f}" for c in plane) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (the correctness baseline)
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark, sf_dir):
+    """Exact top-k neighbors for each query vector (vec_id < N_QUERY).
+    Query side is broadcast; corpus is scanned once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cand = e.select("vec_id", "embedding")
+    cos = F.expr(_s_cos("q_emb", "embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (F.broadcast(q).join(cand, F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"), "rk")
+            .orderBy("q_id", "rk"))
+
+
+QUERIES["ann_cosine_topk"] = ann_cosine_topk
+ORACLES["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY}),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_d_cos("q.q_emb", "e.embedding")} AS cos_raw
+  FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rk
+  FROM scored)
+SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos, rk
+FROM ranked WHERE rk <= {TOP_K} ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH bucketing (ANN recall stage)
+# ---------------------------------------------------------------------------
+
+def ann_lsh_buckets(spark, sf_dir):
+    """Sign-of-projection LSH: 8 deterministic hyperplanes -> 256 buckets;
+    bucket histogram (candidate generation joins on the bucket id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = " + ".join(
+        f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes()))
+    return (e.select(F.expr(bucket).alias("bucket"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("bucket"))
+
+
+QUERIES["ann_lsh_buckets"] = ann_lsh_buckets
+ORACLES["ann_lsh_buckets"] = """
+WITH t AS (SELECT (
+""" + " + ".join(
+    f"(CASE WHEN {_d_dot('embedding', _d_plane_literal(p))} >= 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_planes())
+) + """
+) AS bucket FROM embeddings)
+SELECT bucket, COUNT(*) AS n FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF: centroid assignment + cell-local probe
+# ---------------------------------------------------------------------------
+
+def _assignments(spark, sf_dir):
+    """(vec_id, embedding, cid): nearest-centroid assignment by cosine,
+    tie-break on centroid id.  Centroid set is broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS) \
+             .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    cos = F.expr(_s_cos("embedding", "c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    return (load_table(spark, sf_dir, "embeddings")
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", cos.alias("c_cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cid"))
+
+
+_DUCK_ASSIGN_CTE = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+               WHERE vec_id < {N_CENTROIDS}),
+scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                  {_d_cos("e.embedding", "c.c_emb")} AS c_cos
+           FROM embeddings e CROSS JOIN cents c),
+assign AS (SELECT vec_id, embedding, cid FROM (
+             SELECT vec_id, embedding, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY c_cos DESC, cid) AS rk
+             FROM scored) WHERE rk = 1)
+"""
+
+
+def ann_ivf_assign(spark, sf_dir):
+    """IVF cell histogram (deterministic first-K centroids)."""
+    return (_assignments(spark, sf_dir)
+            .groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cid"))
+
+
+QUERIES["ann_ivf_assign"] = ann_ivf_assign
+ORACLES["ann_ivf_assign"] = _DUCK_ASSIGN_CTE + """
+SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid ORDER BY cid
+"""
+
+
+def ann_ivf_probe(spark, sf_dir):
+    """IVF search: for each probe query, rank only vectors in the query's
+    own cell (nprobe=1) — the partition-pruned scale path."""
+    a = _assignments(spark, sf_dir)
+    q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("cid").alias("q_cid")))
+    cos = F.expr(_s_cos("q_emb", "embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (F.broadcast(q)
+            .join(a, (F.col("q_cid") == F.col("cid"))
+                  & (F.col("q_id") != F.col("vec_id")))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PROBE_K)
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"), "rk")
+            .orderBy("q_id", "rk"))
+
+
+QUERIES["ann_ivf_probe"] = ann_ivf_probe
+_probe_list = ", ".join(str(i) for i in PROBE_IDS)
+ORACLES["ann_ivf_probe"] = _DUCK_ASSIGN_CTE + f""",
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS q_cid
+      FROM assign WHERE vec_id IN ({_probe_list})),
+probed AS (SELECT q.q_id, a.vec_id, {_d_cos("q.q_emb", "a.embedding")} AS cos_raw
+           FROM q JOIN assign a ON a.cid = q.q_cid AND a.vec_id != q.q_id),
+ranked AS (SELECT q_id, vec_id, cos_raw,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_raw DESC, vec_id) AS rk
+           FROM probed)
+SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos, rk
+FROM ranked WHERE rk <= {PROBE_K} ORDER BY q_id, rk
+"""

@@ -1,4 +1,188 @@
-"""text operators — filled in M7 (see tasks)."""
+"""Text-analysis operators over the ``documents`` table — the LLM-data-
+pipeline surface (language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Reference parity: the logging exporter's text surface
+(exporter/loggingexporter/internal/otlptext/databuffer.go:21-280) is the
+reference's only text op; these operators extend it to what a training-data
+pipeline needs (driver north-star).
+
+Cross-engine determinism: every computation is expressed with functions
+that are bit-identical in Spark and DuckDB — md5, whitespace split,
+higher-order array ops, sequential double arithmetic — so every operator
+here carries a full DuckDB oracle.
+
+Scale stance: all ops are per-row Column expressions (no UDF, no shuffle
+except final ORDER BY/LIMIT for display); at 100 TB they are a single
+whole-stage-codegen map over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+#: Tiny per-language lexicons for the language-ID heuristic.  The synthetic
+#: corpus vocabulary is English-ish; the lexicon assignment is a
+#: deterministic placeholder — swap for real stopword lists in production.
+LEXICON = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "table", "line", "sort"),
+    "zh": ("spark", "hash", "scan", "big"),
+}
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def _sql_in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counts + type-token ratio + mean token length.
+
+    BPE-ish subword proxy: alpha-runs per word are counted with a regex
+    split — the synthetic vocab is single-run so n_subtokens == n_tokens
+    here, but the expression is the real thing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    sum_len = F.aggregate(F.transform(words, F.length),
+                          F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + x)
+    return (d.select(
+                "doc_id",
+                n_tokens.alias("n_tokens"),
+                n_distinct.alias("n_distinct"),
+                F.round(n_distinct.cast("double") / n_tokens, 4).alias("ttr"),
+                F.round(sum_len.cast("double") / n_tokens, 4).alias("avg_token_len"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_token_stats"] = text_token_stats
+ORACLES["text_token_stats"] = """
+SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       len(list_distinct(string_split(text,' '))) AS n_distinct,
+       ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS ttr,
+       ROUND(CAST(list_sum(list_transform(string_split(text,' '), w -> len(w))) AS DOUBLE)
+             / len(string_split(text,' ')), 4) AS avg_token_len
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("a", "the")
+
+
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality score: stopword ratio, long-word ratio, length cap.
+
+    score = 0.5*stop_ratio + 0.3*(1 - long_ratio) + 0.2*min(n_tokens/50, 1)
+    (weights arbitrary but fixed; all-double arithmetic, oracle-identical).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    longw = F.size(F.filter(words, lambda w: F.length(w) >= 7))
+    stop_ratio = stop.cast("double") / n
+    long_ratio = longw.cast("double") / n
+    len_cap = F.least(n.cast("double") / 50, F.lit(1.0))
+    score = 0.5 * stop_ratio + 0.3 * (1 - long_ratio) + 0.2 * len_cap
+    return (d.select("doc_id",
+                     F.round(stop_ratio, 4).alias("stop_ratio"),
+                     F.round(long_ratio, 4).alias("long_ratio"),
+                     F.round(score, 4).alias("quality"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_quality_score"] = text_quality_score
+ORACLES["text_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+SELECT doc_id,
+       ROUND(CAST(len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)})) AS DOUBLE) / len(ws), 4) AS stop_ratio,
+       ROUND(CAST(len(list_filter(ws, w -> len(w) >= 7)) AS DOUBLE) / len(ws), 4) AS long_ratio,
+       ROUND(0.5 * (CAST(len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)})) AS DOUBLE) / len(ws))
+             + 0.3 * (1 - CAST(len(list_filter(ws, w -> len(w) >= 7)) AS DOUBLE) / len(ws))
+             + 0.2 * LEAST(CAST(len(ws) AS DOUBLE) / 50, 1.0), 4) AS quality
+FROM t ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# language identification
+# ---------------------------------------------------------------------------
+
+def text_langid(spark, sf_dir):
+    """Lexicon-hit language-ID heuristic: argmax of per-language stopword
+    hits, deterministic tie-break en > es > zh."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    def hits(lex):
+        return F.size(F.filter(words, lambda w: w.isin(*lex)))
+
+    scores = {lang: hits(lex) for lang, lex in LEXICON.items()}
+    pred = (F.when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["zh"]), "en")
+             .when(scores["es"] >= scores["zh"], "es")
+             .otherwise("zh"))
+    return (d.select("doc_id", "lang",
+                     scores["en"].alias("s_en"),
+                     scores["es"].alias("s_es"),
+                     scores["zh"].alias("s_zh"),
+                     pred.alias("predicted"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_langid"] = text_langid
+ORACLES["text_langid"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text,' '), w -> w IN {_sql_in_list(LEXICON['en'])})) AS s_en,
+         len(list_filter(string_split(text,' '), w -> w IN {_sql_in_list(LEXICON['es'])})) AS s_es,
+         len(list_filter(string_split(text,' '), w -> w IN {_sql_in_list(LEXICON['zh'])})) AS s_zh
+  FROM documents)
+SELECT doc_id, lang, s_en, s_es, s_zh,
+       CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted
+FROM t ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprints: exact (md5 of text) and bag-of-words
+    (md5 of sorted token multiset — word-order-insensitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(
+                "doc_id",
+                F.md5("text").alias("fp_exact"),
+                F.md5(F.array_join(F.array_sort(_words()), " ")).alias("fp_bow"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_fingerprint"] = text_fingerprint
+ORACLES["text_fingerprint"] = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_bow
+FROM documents ORDER BY doc_id LIMIT 200
+"""

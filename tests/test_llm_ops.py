@@ -1,0 +1,70 @@
+"""LLM-pipeline operator tests beyond the oracle gate: semantic properties
+the hash-compare can't express (recall of planted dups, stub behavior,
+batch plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from otel_arrow_collector_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_finds_real_near_dups(spark):
+    """Every verified-jaccard pair must actually share >= threshold of
+    distinct 3-gram shingles (recompute in python on the pair docs)."""
+    pairs = dedup.dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    assert len(pairs) > 0, "synthetic corpus plants near-dups; none found"
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()}
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    for p in pairs:
+        s1, s2 = shingles(docs[p.d1]), shingles(docs[p.d2])
+        j = len(s1 & s2) / len(s1 | s2)
+        assert abs(j - p.jaccard) < 1e-3, (p, j)
+        assert j >= dedup.JACCARD_THRESHOLD
+
+
+def test_minhash_keep_drops_only_pair_members(spark):
+    kept = dedup.dedup_minhash_keep(spark, SF_SMALL).first().n_kept
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    n_d2 = (dedup._jaccard_verified(spark, SF_SMALL)
+            .filter("j >= 0.5").select("d2").distinct().count())
+    assert kept == total - n_d2
+
+
+def test_ann_topk_is_exact(spark):
+    """Brute-force top-k must match a numpy recomputation."""
+    import numpy as np
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    embs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = similarity.ann_cosine_topk(spark, SF_SMALL).collect()
+    for q_id in range(similarity.N_QUERY):
+        q = embs[q_id]
+        sims = sorted(
+            ((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), vid)
+             for vid, v in embs.items() if vid != q_id),
+            key=lambda t: (-t[0], t[1]))[:similarity.TOP_K]
+        mine = [(r.vec_id, r.rk) for r in got if r.q_id == q_id]
+        assert mine == [(vid, i + 1) for i, (_, vid) in enumerate(sims)]
+
+
+def test_multimodal_decode_refuses_real_media(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal._fake_decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_multimodal_decode_plumbing(spark):
+    """mapInPandas path: schema + row preservation + determinism."""
+    feats = multimodal.decode_features(
+        multimodal._binary_docs(spark, SF_SMALL))
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    rows = feats.collect()
+    assert len(rows) == n_docs
+    assert feats.schema == multimodal.DECODED_SCHEMA
+    r0 = sorted(rows, key=lambda r: r.doc_id)[0]
+    assert r0.format == "fake/deterministic" and r0.n_bytes > 0
