@@ -1,0 +1,345 @@
+"""YAML pipeline spec -> DAG -> compiled Spark plan.
+
+Reference parity (/root/reference/service/internal/graph/graph.go):
+- config declares receivers / processors / exporters / connectors by
+  ``type/name`` component IDs, composed into typed pipelines
+  (graph.go:69-165 createNodes, :200-221 createEdges)
+- processors are per-pipeline instances; receivers and exporters are shared
+  across pipelines (internal/sharedcomponent/sharedcomponent.go:17-73)
+- connectors bridge the exporter end of one pipeline to the receiver end of
+  another (connector/forwardconnector/forward.go:19-66); a router connector
+  sends each batch to a chosen subset of downstream pipelines
+  (internal/fanoutconsumer/logs.go:77-134)
+- the graph is topologically sorted; cycles are rejected with an error
+  listing the cycle (graph.go:386-424 cycleErr)
+- fan-out to multiple exporters clones for mutating consumers
+  (internal/fanoutconsumer/logs.go:24-75) — a no-op here: DataFrames are
+  immutable, so the capabilities analysis (nodes.go:348-370) is vacuous
+
+Spark mapping: each pipeline compiles to ONE DataFrame (receiver fan-in =
+unionAll, processors = chained transforms); exporters materialize it.  A
+shared receiver is the same DataFrame object reused — Catalyst reuses the
+scan; no cache() is forced (at 100 TB, caching a source is wrong; exchange
+reuse + scan sharing are the scale-safe defaults).
+
+Batch-mode processor semantics:
+- ``filter``         — OTTL drop-where (docs/processing.md:205-208)
+- ``transform``      — OTTL-lite set/delete/keep/rename column ops
+- ``project``        — explicit selectExpr
+- ``batch``          — size-capped re-chunk: repartitions so no output
+  partition exceeds send_batch_size rows (splittraces.go:11-66 semantics);
+  time-based triggering only exists in streaming mode (../streaming)
+- ``memory_limiter`` — admission refusal above a row budget
+  (memorylimiterprocessor/memorylimiter.go:170-224: refuse, do not drop)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConfigError(ValueError):
+    """Invalid pipeline configuration (unknown reference, bad shape)."""
+
+
+class CycleError(ConfigError):
+    """Pipeline graph contains a cycle (graph.go:386-424 semantics)."""
+
+
+class DataRefusedError(RuntimeError):
+    """Admission control refused the batch (memorylimiter errDataRefused)."""
+
+
+def _ids(section: Any, what: str) -> list[str]:
+    if section is None:
+        return []
+    if not isinstance(section, list):
+        raise ConfigError(f"{what} must be a list, got {type(section).__name__}")
+    return [str(x) for x in section]
+
+
+@dataclass
+class Pipeline:
+    name: str
+    receivers: list[str]
+    processors: list[str]
+    exporters: list[str]
+
+
+@dataclass
+class CompiledPlan:
+    """Compiled DAG: one DataFrame per pipeline + runnable exporters."""
+    spark: SparkSession
+    pipeline_dfs: dict[str, DataFrame]
+    _sinks: list[tuple[str, str, Callable[[], Any]]] = field(default_factory=list)
+
+    def df(self, pipeline: str) -> DataFrame:
+        return self.pipeline_dfs[pipeline]
+
+    def run(self) -> dict[str, Any]:
+        """Materialize every exporter; returns {pipeline/exporter: result}.
+
+        Mirrors graph start order semantics loosely: exporters are the only
+        effectful nodes in batch mode, so running them is running the graph.
+        """
+        results: dict[str, Any] = {}
+        for pipeline, exporter, thunk in self._sinks:
+            results[f"{pipeline}/{exporter}"] = thunk()
+        return results
+
+
+class PipelineGraph:
+    """Validated pipeline graph, compilable to Spark DataFrames."""
+
+    def __init__(self, cfg: dict):
+        self.receivers: dict[str, dict] = dict(cfg.get("receivers") or {})
+        self.processors: dict[str, dict] = dict(cfg.get("processors") or {})
+        self.exporters: dict[str, dict] = dict(cfg.get("exporters") or {})
+        self.connectors: dict[str, dict] = dict(cfg.get("connectors") or {})
+        pipes = cfg.get("pipelines") or {}
+        if not pipes:
+            raise ConfigError("config must declare at least one pipeline")
+        self.pipelines: dict[str, Pipeline] = {}
+        for name, p in pipes.items():
+            p = p or {}
+            self.pipelines[name] = Pipeline(
+                name=name,
+                receivers=_ids(p.get("receivers"), f"pipelines.{name}.receivers"),
+                processors=_ids(p.get("processors"), f"pipelines.{name}.processors"),
+                exporters=_ids(p.get("exporters"), f"pipelines.{name}.exporters"),
+            )
+        self._validate()
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "PipelineGraph":
+        import yaml
+        cfg = yaml.safe_load(text)
+        if not isinstance(cfg, dict):
+            raise ConfigError("top-level config must be a mapping")
+        return cls(cfg)
+
+    # -- validation (graph.go:50-66 Build + createNodes reference checks) --
+
+    def _validate(self) -> None:
+        for name, p in self.pipelines.items():
+            if not p.receivers:
+                raise ConfigError(f"pipeline {name!r} must have at least one receiver")
+            if not p.exporters:
+                raise ConfigError(f"pipeline {name!r} must have at least one exporter")
+            for r in p.receivers:
+                if r not in self.receivers and r not in self.connectors:
+                    raise ConfigError(
+                        f"pipeline {name!r} references unknown receiver {r!r}")
+            for pr in p.processors:
+                if pr not in self.processors:
+                    raise ConfigError(
+                        f"pipeline {name!r} references unknown processor {pr!r}")
+            for e in p.exporters:
+                if e not in self.exporters and e not in self.connectors:
+                    raise ConfigError(
+                        f"pipeline {name!r} references unknown exporter {e!r}")
+        # connectors must be used on BOTH ends (connector/connector.go factory
+        # build fails when a connector has no matching receiver/exporter use)
+        for c in self.connectors:
+            as_exp = any(c in p.exporters for p in self.pipelines.values())
+            as_rcv = any(c in p.receivers for p in self.pipelines.values())
+            if as_exp != as_rcv:
+                side = "exporter" if as_exp else "receiver"
+                raise ConfigError(
+                    f"connector {c!r} is used as {side} only; it must appear on "
+                    f"both the exporter end of one pipeline and the receiver "
+                    f"end of another")
+        self._topo_order()  # raises CycleError
+
+    def _pipeline_edges(self) -> dict[str, set[str]]:
+        """pipeline -> downstream pipelines (via connectors)."""
+        consumers_of: dict[str, list[str]] = {}
+        for name, p in self.pipelines.items():
+            for r in p.receivers:
+                if r in self.connectors:
+                    consumers_of.setdefault(r, []).append(name)
+        edges: dict[str, set[str]] = {n: set() for n in self.pipelines}
+        for name, p in self.pipelines.items():
+            for e in p.exporters:
+                if e in self.connectors:
+                    edges[name].update(consumers_of.get(e, ()))
+        return edges
+
+    def _topo_order(self) -> list[str]:
+        """Kahn topo-sort over pipelines; on failure, DFS extracts one cycle
+        and names it in the error (cycleErr, graph.go:386-424)."""
+        edges = self._pipeline_edges()
+        indeg = {n: 0 for n in edges}
+        for dsts in edges.values():
+            for d in dsts:
+                indeg[d] += 1
+        queue = sorted(n for n, k in indeg.items() if k == 0)
+        order: list[str] = []
+        while queue:
+            n = queue.pop(0)
+            order.append(n)
+            for d in sorted(edges[n]):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    queue.append(d)
+        if len(order) == len(edges):
+            return order
+        # extract one cycle for the error message
+        in_cycle = {n for n, k in indeg.items() if k > 0 and n not in order}
+        start = sorted(in_cycle)[0]
+        path, node = [start], start
+        while True:
+            node = sorted(d for d in edges[node] if d in in_cycle)[0]
+            if node in path:
+                cyc = path[path.index(node):] + [node]
+                raise CycleError(
+                    "cycle detected in pipeline graph: "
+                    + " -> ".join(f"pipeline {p!r}" for p in cyc))
+            path.append(node)
+
+    # ------------------------- compilation -------------------------------
+
+    def compile(self, spark: SparkSession,
+                sources: dict[str, DataFrame] | None = None,
+                sf_dir: str | None = None) -> CompiledPlan:
+        """Build every pipeline's DataFrame in topological order.
+
+        ``sources`` feeds ``kind: memory`` receivers; ``sf_dir`` is the base
+        dir for ``kind: table`` receivers.
+        """
+        sources = sources or {}
+        receiver_df: dict[str, DataFrame] = {}   # shared instances
+        connector_inputs: dict[str, list[tuple[str, DataFrame]]] = {}
+        plan = CompiledPlan(spark=spark, pipeline_dfs={})
+
+        for name in self._topo_order():
+            p = self.pipelines[name]
+            inputs: list[DataFrame] = []
+            for r in p.receivers:
+                if r in self.connectors:
+                    inputs.extend(self._connector_out(r, name, connector_inputs))
+                else:
+                    if r not in receiver_df:
+                        receiver_df[r] = self._build_receiver(
+                            spark, r, sources, sf_dir)
+                    inputs.append(receiver_df[r])
+            if not inputs:
+                raise ConfigError(f"pipeline {name!r} has no live inputs")
+            df = inputs[0]
+            for other in inputs[1:]:   # fan-in (MoveAndAppendTo, slice.go:103)
+                df = df.unionByName(other)
+            for pr in p.processors:    # per-pipeline processor instances
+                df = self._apply_processor(df, pr)
+            plan.pipeline_dfs[name] = df
+            for e in p.exporters:      # fan-out (fanoutconsumer; clone-free)
+                if e in self.connectors:
+                    connector_inputs.setdefault(e, []).append((name, df))
+                else:
+                    plan._sinks.append(
+                        (name, e, self._build_sink(df, self.exporters[e], e)))
+        return plan
+
+    # -- component builders ------------------------------------------------
+
+    def _build_receiver(self, spark, rid: str, sources, sf_dir) -> DataFrame:
+        cfg = self.receivers[rid]
+        kind = cfg.get("kind", "table")
+        if kind == "memory":
+            if rid not in sources:
+                raise ConfigError(f"memory receiver {rid!r} needs a sources[{rid!r}] DataFrame")
+            return sources[rid]
+        if kind == "table":
+            from ..sources.tables import load_table
+            base = cfg.get("sf_dir") or sf_dir
+            if base is None:
+                raise ConfigError(f"table receiver {rid!r} needs sf_dir")
+            return load_table(spark, base, cfg["table"])
+        if kind == "parquet":
+            return spark.read.parquet(cfg["path"])
+        if kind == "json":
+            from ..sources.otlp_json import read_otlp_json
+            return read_otlp_json(spark, cfg["path"], cfg.get("signal", "logs"))
+        raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
+
+    def _apply_processor(self, df: DataFrame, pid: str) -> DataFrame:
+        cfg = self.processors[pid]
+        kind = cfg.get("kind")
+        if kind == "filter":
+            return df.filter(cfg["where"])
+        if kind == "project":
+            return df.selectExpr(*cfg["exprs"])
+        if kind == "transform":
+            from ..functions.ottl import apply_ottl
+            return apply_ottl(df, cfg)
+        if kind == "batch":
+            size = int(cfg.get("send_batch_size", 8192))
+            # size-capped re-chunk: bound rows per output partition.  count()
+            # is one cheap aggregate per compile; the repartition keys on
+            # nothing (round-robin) so downstream writes see uniform chunks.
+            n = df.count()
+            return df.repartition(max(1, math.ceil(n / size)))
+        if kind == "memory_limiter":
+            max_rows = int(cfg["max_rows"])
+
+            def gate(d: DataFrame, limit: int = max_rows) -> DataFrame:
+                # refusal (not truncation): errDataRefused semantics
+                if d.limit(limit + 1).count() > limit:
+                    raise DataRefusedError(
+                        f"memory_limiter {pid!r}: input exceeds {limit} rows; "
+                        f"data refused (retry upstream)")
+                return d
+            return gate(df)
+        raise ConfigError(f"processor {pid!r}: unknown kind {kind!r}")
+
+    def _build_sink(self, df: DataFrame, cfg: dict, eid: str):
+        kind = cfg.get("kind", "memory")
+        if kind == "console":
+            n = int(cfg.get("rows", 20))
+
+            def console() -> str:
+                # logging exporter (logging_exporter.go:20-90): textual dump
+                return df._jdf.showString(n, 40, False)
+            return console
+        if kind == "parquet":
+            path = cfg["path"]
+            mode = cfg.get("mode", "overwrite")
+            return lambda: (df.write.mode(mode).parquet(path), path)[1]
+        if kind == "memory":
+            # consumertest.Sink analogue (consumer/consumertest/sink.go:28-56)
+            return lambda: df.collect()
+        if kind == "null":
+            return lambda: df.count()
+        raise ConfigError(f"exporter {eid!r}: unknown kind {kind!r}")
+
+    def _connector_out(self, cid: str, pipeline: str,
+                       connector_inputs) -> list[DataFrame]:
+        cfg = self.connectors[cid]
+        kind = cfg.get("kind", "forward")
+        inputs = connector_inputs.get(cid, [])
+        if not inputs:
+            raise ConfigError(
+                f"connector {cid!r} feeding pipeline {pipeline!r} has no "
+                f"upstream output (check pipeline ordering)")
+        if kind == "forward":
+            return [df for _, df in inputs]
+        if kind == "router":
+            # route rows by predicate to named downstream pipelines
+            routes = cfg.get("routes", [])
+            preds = [r["where"] for r in routes
+                     if pipeline in _ids(r.get("pipelines"), "router.pipelines")]
+            if preds:
+                return [df.filter(" OR ".join(f"({p})" for p in preds))
+                        for _, df in inputs]
+            default = _ids(cfg.get("default"), "router.default")
+            if pipeline in default:
+                neg = " AND ".join(f"NOT ({r['where']})" for r in routes)
+                return [df.filter(neg) if neg else df for _, df in inputs]
+            raise ConfigError(
+                f"router {cid!r}: pipeline {pipeline!r} matches no route and "
+                f"is not in default")
+        raise ConfigError(f"connector {cid!r}: unknown kind {kind!r}")

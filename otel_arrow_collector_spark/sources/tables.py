@@ -32,6 +32,14 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing types to the engine schema."""
+    if name == "events":
+        # Without this (runtime-settable) conf, Spark refuses parquet
+        # timestamp[ns] outright (PARQUET_TYPE_ILLEGAL) — repair any
+        # caller-provided session before the read.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events(df)

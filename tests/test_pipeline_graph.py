@@ -1,0 +1,166 @@
+"""Pipeline DAG compiler tests — graph topology matrix mirroring the
+reference's graph tests (service/internal/graph/graph_test.go:82-201:
+pipeline matrix incl. connectors, cycle detection, error propagation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from otel_arrow_collector_spark.plans import (ConfigError, CycleError,
+                                              DataRefusedError, PipelineGraph)
+from tests.conftest import SF_SMALL
+
+BASE = """
+receivers:
+  table/events: {kind: table, table: events}
+processors:
+  filter/errors: {kind: filter, where: "event_type = 'error'"}
+  transform/sev:
+    kind: transform
+    set: {severity: "CASE WHEN event_type = 'error' THEN 17 ELSE 9 END"}
+exporters:
+  sink/mem: {kind: memory}
+  sink/count: {kind: "null"}
+"""
+
+
+def test_linear_pipeline(spark):
+    g = PipelineGraph.from_yaml(BASE + """
+pipelines:
+  events: {receivers: [table/events], processors: [filter/errors, transform/sev],
+           exporters: [sink/mem]}
+""")
+    plan = g.compile(spark, sf_dir=SF_SMALL)
+    rows = plan.run()["events/sink/mem"]
+    assert rows and all(r.event_type == "error" and r.severity == 17 for r in rows)
+
+
+def test_fanout_multi_exporter_and_shared_receiver(spark):
+    """Fan-out writes the same DF to all exporters; the receiver is built
+    once and shared across pipelines (sharedcomponent semantics)."""
+    g = PipelineGraph.from_yaml(BASE + """
+pipelines:
+  a: {receivers: [table/events], processors: [filter/errors], exporters: [sink/mem, sink/count]}
+  b: {receivers: [table/events], exporters: [sink/count]}
+""")
+    plan = g.compile(spark, sf_dir=SF_SMALL)
+    res = plan.run()
+    assert len(res["a/sink/mem"]) == res["a/sink/count"]
+    assert res["b/sink/count"] > res["a/sink/count"]
+
+
+def test_forward_connector_fan_in(spark):
+    """Connector bridges two upstream pipelines into one downstream —
+    forwardconnector + fan-in union (forward.go:19-66)."""
+    g = PipelineGraph.from_yaml(BASE + """
+connectors:
+  forward: {kind: forward}
+pipelines:
+  errs: {receivers: [table/events], processors: [filter/errors], exporters: [forward]}
+  all:  {receivers: [table/events], exporters: [forward]}
+  out:  {receivers: [forward], exporters: [sink/count]}
+""")
+    plan = g.compile(spark, sf_dir=SF_SMALL)
+    res = plan.run()
+    n_evt = plan.df("all").count()
+    n_err = plan.df("errs").count()
+    assert res["out/sink/count"] == n_evt + n_err
+
+
+def test_router_connector(spark):
+    """Router sends each row to the matching downstream pipeline subset
+    (fanoutconsumer router, logs.go:77-134)."""
+    g = PipelineGraph.from_yaml(BASE + """
+connectors:
+  route:
+    kind: router
+    routes:
+      - {where: "event_type = 'error'", pipelines: [errors_out]}
+    default: [rest_out]
+pipelines:
+  ingest:     {receivers: [table/events], exporters: [route]}
+  errors_out: {receivers: [route], exporters: [sink/count]}
+  rest_out:   {receivers: [route], exporters: [sink/count]}
+""")
+    res = g.compile(spark, sf_dir=SF_SMALL).run()
+    total = res["errors_out/sink/count"] + res["rest_out/sink/count"]
+    g2 = PipelineGraph.from_yaml(BASE + """
+pipelines:
+  all: {receivers: [table/events], exporters: [sink/count]}
+""")
+    assert total == g2.compile(spark, sf_dir=SF_SMALL).run()["all/sink/count"]
+
+
+def test_cycle_detection():
+    with pytest.raises(CycleError, match="cycle detected.*'a'.*'b'"):
+        PipelineGraph.from_yaml(BASE + """
+connectors:
+  c1: {kind: forward}
+  c2: {kind: forward}
+pipelines:
+  a: {receivers: [c2], exporters: [c1]}
+  b: {receivers: [c1], exporters: [c2]}
+""")
+
+
+@pytest.mark.parametrize("snippet,err", [
+    ("pipelines:\n  p: {receivers: [nope], exporters: [sink/mem]}\n",
+     "unknown receiver"),
+    ("pipelines:\n  p: {receivers: [table/events], processors: [nope], exporters: [sink/mem]}\n",
+     "unknown processor"),
+    ("pipelines:\n  p: {receivers: [table/events], exporters: [nope]}\n",
+     "unknown exporter"),
+    ("pipelines:\n  p: {receivers: [table/events], exporters: []}\n",
+     "at least one exporter"),
+    ("pipelines:\n  p: {exporters: [sink/mem]}\n",
+     "at least one receiver"),
+    ("connectors:\n  c: {kind: forward}\npipelines:\n"
+     "  p: {receivers: [table/events], exporters: [c, sink/mem]}\n",
+     "both the exporter end"),
+])
+def test_validation_errors(snippet, err):
+    with pytest.raises(ConfigError, match=err):
+        PipelineGraph.from_yaml(BASE + snippet)
+
+
+def test_memory_limiter_refusal(spark):
+    g = PipelineGraph.from_yaml(BASE + """
+processors:
+  limiter: {kind: memory_limiter, max_rows: 10}
+pipelines:
+  p: {receivers: [table/events], processors: [limiter], exporters: [sink/count]}
+""")
+    with pytest.raises(DataRefusedError, match="data refused"):
+        g.compile(spark, sf_dir=SF_SMALL)
+
+
+def test_batch_processor_rechunk(spark):
+    g = PipelineGraph.from_yaml(BASE + """
+processors:
+  batch: {kind: batch, send_batch_size: 100}
+pipelines:
+  p: {receivers: [table/events], processors: [batch], exporters: [sink/count]}
+""")
+    plan = g.compile(spark, sf_dir=SF_SMALL)
+    df = plan.df("p")
+    n = df.count()
+    parts = df.rdd.getNumPartitions()
+    assert parts >= n // 100  # no chunk above send_batch_size on average
+    assert plan.run()["p/sink/count"] == n
+
+
+def test_memory_receiver_and_ottl_transform(spark):
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph as PG
+    src = spark.createDataFrame([(1, "x" * 100), (2, "ok")], ["id", "msg"])
+    g = PG({
+        "receivers": {"mem/in": {"kind": "memory"}},
+        "processors": {"t": {"kind": "transform",
+                             "truncate": {"msg": 5},
+                             "set": {"flag": "id * 10"}}},
+        "exporters": {"out": {"kind": "memory"}},
+        "pipelines": {"p": {"receivers": ["mem/in"], "processors": ["t"],
+                            "exporters": ["out"]}},
+    })
+    rows = g.compile(spark, sources={"mem/in": src}).run()["p/out"]
+    assert [(r.id, r.msg, r.flag) for r in sorted(rows)] == \
+        [(1, "xxxxx", 10), (2, "ok", 20)]
