@@ -1,0 +1,52 @@
+"""Self-telemetry counters — the reference's observability surface (§2.7):
+receiver accepted/refused (internal/obsreportconfig/obsmetrics/
+obs_receiver.go:20-34), processor dropped (obs_processor.go:16-22),
+exporter sent/send_failed (obs_exporter.go:16-28), recorded at operation
+boundaries (obsreport/obsreport_receiver.go:153-310).
+
+Counters are dimensioned by (component_id, signal, metric) — monotonic
+sums.  ``as_dataframe`` exposes them as a queryable table so the §2.7
+"telemetry matrix" queries (grouping sets over component × signal) run on
+the engine's own telemetry.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+METRICS = ("accepted", "refused", "sent", "send_failed", "dropped",
+           "enqueued", "dequeued")
+
+
+class ObsReport:
+    """Thread-safe monotonic counters per (component, signal, metric)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counts: dict[tuple[str, str, str], int] = defaultdict(int)
+
+    def record(self, component: str, signal: str, metric: str,
+               count: int = 1) -> None:
+        if metric not in METRICS:
+            raise ValueError(f"unknown obs metric {metric!r}")
+        if count < 0:
+            raise ValueError("counters are monotonic")
+        with self._lock:
+            self._counts[(component, signal, metric)] += count
+
+    def get(self, component: str, signal: str, metric: str) -> int:
+        with self._lock:
+            return self._counts.get((component, signal, metric), 0)
+
+    def snapshot(self) -> dict[tuple[str, str, str], int]:
+        with self._lock:
+            return dict(self._counts)
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        rows = [(c, s, m, n) for (c, s, m), n in self.snapshot().items()]
+        return spark.createDataFrame(
+            rows or [("", "", "", 0)][:0],
+            "component string, signal string, metric string, value long")

@@ -1,0 +1,290 @@
+"""OTLP/JSON codec: flattened telemetry rows <-> OTLP/JSON export requests
+(the reference's JSON wire dialect, pdata/ptrace/json.go:18-27 /
+pdata/plog/json.go — protobuf JSON mapping: camelCase fields, uint64 nanos
+as strings, attribute values as ``{"key": k, "value": {"stringValue": ...}}``
+tagged objects).
+
+Both directions are pure Column expressions (from_json / to_json +
+higher-order array ops) — the codec runs inside codegen, one pass per
+direction, no Python in the loop.  Files are JSON-lines: one export request
+object per line (one resource+scope group per request on the write side —
+any grouping is valid OTLP; readers must merge, and ours does).
+
+Supported signals: traces, logs.  Metrics JSON (the 5-way datapoint oneof)
+is not yet wired -> NotImplementedError (the row model itself fully covers
+metrics; see model/telemetry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.telemetry import LOG_SCHEMA, SPAN_SCHEMA
+
+# ---------------------------------------------------------------------------
+# shared attribute-codec expressions
+# ---------------------------------------------------------------------------
+
+#: OTLP AnyValue (scalar arms) as read from JSON.
+_OTLP_VALUE = ("struct<stringValue:string, intValue:string, "
+               "doubleValue:double, boolValue:boolean>")
+_OTLP_ATTRS = f"array<struct<key:string, value:{_OTLP_VALUE}>>"
+
+
+def _attrs_to_otlp(col: str) -> str:
+    """map<k, {s,i,d,b,json}> -> OTLP attribute list (sorted by key for
+    deterministic output)."""
+    return f"""
+    transform(array_sort(map_entries({col}), (a, b) ->
+                  CASE WHEN a.key < b.key THEN -1
+                       WHEN a.key > b.key THEN 1 ELSE 0 END),
+              e -> named_struct(
+                  'key', e.key,
+                  'value', named_struct(
+                      'stringValue', e.value.s,
+                      'intValue', CAST(e.value.i AS STRING),
+                      'doubleValue', e.value.d,
+                      'boolValue', e.value.b)))
+    """
+
+
+def _attrs_from_otlp(col: str) -> str:
+    """OTLP attribute list -> tagged variant map."""
+    return f"""
+    map_from_entries(transform(coalesce({col}, array()),
+        a -> struct(a.key, named_struct(
+            's', a.value.stringValue,
+            'i', CAST(a.value.intValue AS BIGINT),
+            'd', a.value.doubleValue,
+            'b', a.value.boolValue,
+            'json', CAST(NULL AS STRING)))))
+    """
+
+
+def _ns_str(col: str) -> str:
+    return f"CAST({col} AS STRING)"   # uint64 nanos -> JSON string
+
+
+# ---------------------------------------------------------------------------
+# traces
+# ---------------------------------------------------------------------------
+
+_SPAN_TO_OTLP = f"""
+named_struct(
+  'traceId', trace_id, 'spanId', span_id,
+  'parentSpanId', parent_span_id, 'traceState', trace_state,
+  'name', name, 'kind', kind,
+  'startTimeUnixNano', {_ns_str('start_time_unix_nano')},
+  'endTimeUnixNano', {_ns_str('end_time_unix_nano')},
+  'attributes', {_attrs_to_otlp('attributes')},
+  'droppedAttributesCount', dropped_attributes_count,
+  'events', transform(events, ev -> named_struct(
+      'timeUnixNano', CAST(ev.time_unix_nano AS STRING),
+      'name', ev.name,
+      'attributes', {_attrs_to_otlp('ev.attributes')},
+      'droppedAttributesCount', ev.dropped_attributes_count)),
+  'droppedEventsCount', dropped_events_count,
+  'links', transform(links, ln -> named_struct(
+      'traceId', ln.trace_id, 'spanId', ln.span_id,
+      'traceState', ln.trace_state,
+      'attributes', {_attrs_to_otlp('ln.attributes')},
+      'droppedAttributesCount', ln.dropped_attributes_count)),
+  'droppedLinksCount', dropped_links_count,
+  'status', named_struct('code', status_code, 'message', status_message))
+"""
+
+_OTLP_SPAN_SCHEMA = f"""
+array<struct<
+  resource: struct<attributes: {_OTLP_ATTRS}>,
+  scopeSpans: array<struct<
+    scope: struct<name: string, version: string>,
+    spans: array<struct<
+      traceId: string, spanId: string, parentSpanId: string,
+      traceState: string, name: string, kind: int,
+      startTimeUnixNano: string, endTimeUnixNano: string,
+      attributes: {_OTLP_ATTRS}, droppedAttributesCount: int,
+      events: array<struct<timeUnixNano: string, name: string,
+                           attributes: {_OTLP_ATTRS},
+                           droppedAttributesCount: int>>,
+      droppedEventsCount: int,
+      links: array<struct<traceId: string, spanId: string,
+                          traceState: string, attributes: {_OTLP_ATTRS},
+                          droppedAttributesCount: int>>,
+      droppedLinksCount: int,
+      status: struct<code: int, message: string>>>>>>>
+"""
+
+
+def spans_to_otlp_json(spans: DataFrame) -> DataFrame:
+    """Span rows -> one OTLP/JSON export-request line per resource+scope
+    group (marshal direction of ptrace/json.go:18)."""
+    grouped = (spans
+               .withColumn("__res_key", F.expr(
+                   "to_json(array_sort(map_entries(resource_attributes)))"))
+               .withColumn("__span", F.expr(_SPAN_TO_OTLP))
+               .groupBy("__res_key", "scope_name", "scope_version")
+               .agg(F.first("resource_attributes").alias("resource_attributes"),
+                    F.collect_list("__span").alias("spans")))
+    req = F.expr(f"""
+    named_struct('resourceSpans', array(named_struct(
+        'resource', named_struct('attributes',
+                                 {_attrs_to_otlp('resource_attributes')}),
+        'scopeSpans', array(named_struct(
+            'scope', named_struct('name', scope_name,
+                                  'version', scope_version),
+            'spans', spans)))))
+    """)
+    return grouped.select(F.to_json(req).alias("json"))
+
+
+def spans_from_otlp_json(df: DataFrame) -> DataFrame:
+    """OTLP/JSON lines -> span rows (unmarshal, ptrace/json.go:22-27)."""
+    parsed = df.select(
+        F.from_json("json", f"struct<resourceSpans: {_OTLP_SPAN_SCHEMA}>")
+         .alias("r"))
+    rs = parsed.select(F.explode("r.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.expr(_attrs_from_otlp("rs.resource.attributes"))
+         .alias("resource_attributes"),
+        F.explode("rs.scopeSpans").alias("ss"))
+    sp = ss.select(
+        "resource_attributes",
+        F.coalesce(F.col("ss.scope.name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("ss.scope.version"), F.lit("")).alias("scope_version"),
+        F.explode("ss.spans").alias("sp"))
+    flat = sp.selectExpr(
+        "sp.traceId AS trace_id", "sp.spanId AS span_id",
+        "sp.parentSpanId AS parent_span_id",
+        "coalesce(sp.traceState, '') AS trace_state",
+        "sp.name AS name", "coalesce(sp.kind, 0) AS kind",
+        "CAST(sp.startTimeUnixNano AS BIGINT) AS start_time_unix_nano",
+        "CAST(sp.endTimeUnixNano AS BIGINT) AS end_time_unix_nano",
+        _attrs_from_otlp("sp.attributes") + " AS attributes",
+        "coalesce(sp.droppedAttributesCount, 0) AS dropped_attributes_count",
+        f"""transform(coalesce(sp.events, array()), ev -> named_struct(
+            'time_unix_nano', CAST(ev.timeUnixNano AS BIGINT),
+            'name', ev.name,
+            'attributes', {_attrs_from_otlp('ev.attributes')},
+            'dropped_attributes_count',
+            coalesce(ev.droppedAttributesCount, 0))) AS events""",
+        "coalesce(sp.droppedEventsCount, 0) AS dropped_events_count",
+        f"""transform(coalesce(sp.links, array()), ln -> named_struct(
+            'trace_id', ln.traceId, 'span_id', ln.spanId,
+            'trace_state', coalesce(ln.traceState, ''),
+            'attributes', {_attrs_from_otlp('ln.attributes')},
+            'dropped_attributes_count',
+            coalesce(ln.droppedAttributesCount, 0))) AS links""",
+        "coalesce(sp.droppedLinksCount, 0) AS dropped_links_count",
+        "coalesce(sp.status.code, 0) AS status_code",
+        "coalesce(sp.status.message, '') AS status_message",
+        "resource_attributes", "scope_name", "scope_version",
+    )
+    return flat.to(SPAN_SCHEMA)   # normalize nullability to the contract
+
+
+# ---------------------------------------------------------------------------
+# logs
+# ---------------------------------------------------------------------------
+
+_OTLP_LOG_SCHEMA = f"""
+array<struct<
+  resource: struct<attributes: {_OTLP_ATTRS}>,
+  scopeLogs: array<struct<
+    scope: struct<name: string, version: string>,
+    logRecords: array<struct<
+      timeUnixNano: string, observedTimeUnixNano: string,
+      traceId: string, spanId: string, flags: int,
+      severityNumber: int, severityText: string,
+      body: {_OTLP_VALUE},
+      attributes: {_OTLP_ATTRS}, droppedAttributesCount: int>>>>>>
+"""
+
+_LOG_TO_OTLP = f"""
+named_struct(
+  'timeUnixNano', {_ns_str('time_unix_nano')},
+  'observedTimeUnixNano', {_ns_str('observed_time_unix_nano')},
+  'traceId', trace_id, 'spanId', span_id, 'flags', flags,
+  'severityNumber', severity_number, 'severityText', severity_text,
+  'body', named_struct('stringValue', body.s,
+                       'intValue', CAST(body.i AS STRING),
+                       'doubleValue', body.d, 'boolValue', body.b),
+  'attributes', {_attrs_to_otlp('attributes')},
+  'droppedAttributesCount', dropped_attributes_count)
+"""
+
+
+def logs_to_otlp_json(logs: DataFrame) -> DataFrame:
+    grouped = (logs
+               .withColumn("__res_key", F.expr(
+                   "to_json(array_sort(map_entries(resource_attributes)))"))
+               .withColumn("__lr", F.expr(_LOG_TO_OTLP))
+               .groupBy("__res_key", "scope_name", "scope_version")
+               .agg(F.first("resource_attributes").alias("resource_attributes"),
+                    F.collect_list("__lr").alias("logRecords")))
+    req = F.expr(f"""
+    named_struct('resourceLogs', array(named_struct(
+        'resource', named_struct('attributes',
+                                 {_attrs_to_otlp('resource_attributes')}),
+        'scopeLogs', array(named_struct(
+            'scope', named_struct('name', scope_name,
+                                  'version', scope_version),
+            'logRecords', logRecords)))))
+    """)
+    return grouped.select(F.to_json(req).alias("json"))
+
+
+def logs_from_otlp_json(df: DataFrame) -> DataFrame:
+    parsed = df.select(
+        F.from_json("json", f"struct<resourceLogs: {_OTLP_LOG_SCHEMA}>")
+         .alias("r"))
+    rl = parsed.select(F.explode("r.resourceLogs").alias("rl"))
+    sl = rl.select(
+        F.expr(_attrs_from_otlp("rl.resource.attributes"))
+         .alias("resource_attributes"),
+        F.explode("rl.scopeLogs").alias("sl"))
+    lr = sl.select(
+        "resource_attributes",
+        F.coalesce(F.col("sl.scope.name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("sl.scope.version"), F.lit("")).alias("scope_version"),
+        F.explode("sl.logRecords").alias("lr"))
+    flat = lr.selectExpr(
+        "CAST(lr.timeUnixNano AS BIGINT) AS time_unix_nano",
+        "coalesce(CAST(lr.observedTimeUnixNano AS BIGINT), 0) AS observed_time_unix_nano",
+        "lr.traceId AS trace_id", "lr.spanId AS span_id",
+        "coalesce(lr.flags, 0) AS flags",
+        "coalesce(lr.severityNumber, 0) AS severity_number",
+        "coalesce(lr.severityText, '') AS severity_text",
+        """named_struct('s', lr.body.stringValue,
+                        'i', CAST(lr.body.intValue AS BIGINT),
+                        'd', lr.body.doubleValue, 'b', lr.body.boolValue,
+                        'json', CAST(NULL AS STRING)) AS body""",
+        _attrs_from_otlp("lr.attributes") + " AS attributes",
+        "coalesce(lr.droppedAttributesCount, 0) AS dropped_attributes_count",
+        "resource_attributes", "scope_name", "scope_version",
+    )
+    return flat.to(LOG_SCHEMA)   # normalize nullability to the contract
+
+
+# ---------------------------------------------------------------------------
+# file-level API (used by the pipeline compiler's kind: json receiver)
+# ---------------------------------------------------------------------------
+
+_READERS = {"traces": spans_from_otlp_json, "logs": logs_from_otlp_json}
+_WRITERS = {"traces": spans_to_otlp_json, "logs": logs_to_otlp_json}
+
+
+def read_otlp_json(spark: SparkSession, path: str,
+                   signal: str = "logs") -> DataFrame:
+    if signal not in _READERS:
+        raise NotImplementedError(
+            f"OTLP/JSON for signal {signal!r} not wired (traces/logs only)")
+    raw = spark.read.text(path).withColumnRenamed("value", "json")
+    return _READERS[signal](raw)
+
+
+def write_otlp_json(df: DataFrame, path: str, signal: str) -> None:
+    if signal not in _WRITERS:
+        raise NotImplementedError(
+            f"OTLP/JSON for signal {signal!r} not wired (traces/logs only)")
+    _WRITERS[signal](df).write.mode("overwrite").text(path)

@@ -1,0 +1,117 @@
+"""Codec + data-model tests: OTLP/JSON and Arrow IPC round-trips over the
+canonical fixtures, count invariants (SURVEY.md §5 / FIXTURES.md §B)."""
+
+from __future__ import annotations
+
+import pytest
+
+from otel_arrow_collector_spark.model import (generate_logs, generate_metrics,
+                                              generate_traces,
+                                              log_record_count,
+                                              metric_point_count, span_count)
+from otel_arrow_collector_spark.sources.arrow_ipc import (encode_ipc,
+                                                          roundtrip_ipc,
+                                                          wire_stats)
+from otel_arrow_collector_spark.sources.otlp_json import (logs_from_otlp_json,
+                                                          logs_to_otlp_json,
+                                                          read_otlp_json,
+                                                          spans_from_otlp_json,
+                                                          spans_to_otlp_json,
+                                                          write_otlp_json)
+
+
+def _norm(v):
+    """Recursive canonical form: Rows/dicts -> sorted tuples, None-safe."""
+    if hasattr(v, "asDict"):
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return repr(v)
+
+
+def _canon(df, order_cols):
+    return sorted(_norm(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_golden_trace_fixture(spark):
+    """GenerateTraces golden values (internal/testdata/trace.go:35-71)."""
+    td = generate_traces(spark, 2)
+    a, b = td.collect()
+    assert a.name == "operationA"
+    assert a.trace_id == "0102030405060708090a0b0c0d0e0f10"
+    assert a.span_id == "1112131415161718"
+    assert a.status_code == 2 and a.status_message == "status-cancelled"
+    assert [e.name for e in a.events] == ["event", "event-with-attr"]
+    assert a.events[1].attributes["span-event-attr"].s == "span-event-attr-val"
+    assert b.name == "operationB"
+    assert len(b.links) == 2 and b.dropped_links_count == 3
+    assert a.resource_attributes["resource-attr"].s == "resource-attr-val-1"
+
+
+def test_count_invariants(spark):
+    """SpanCount / DataPointCount / LogRecordCount semantics
+    (traces.go:33-45, metrics.go:39-65, logs.go:34-47)."""
+    assert span_count(generate_traces(spark, 7)) == 7
+    assert log_record_count(generate_logs(spark, 5)) == 5
+    # each metric contributes 2 datapoints (metric.go init* add 2 dps)
+    assert metric_point_count(generate_metrics(spark, 7)) == 14
+
+
+def test_otlp_json_trace_roundtrip(spark):
+    td = generate_traces(spark, 4)
+    back = spans_from_otlp_json(spans_to_otlp_json(td))
+    assert back.schema.simpleString() == td.schema.simpleString()
+    assert _canon(back, ["name"]) == _canon(td, ["name"])
+
+
+def test_otlp_json_log_roundtrip(spark):
+    ld = generate_logs(spark, 6)
+    back = logs_from_otlp_json(logs_to_otlp_json(ld))
+    assert back.schema.simpleString() == ld.schema.simpleString()
+    assert _canon(back, []) == _canon(ld, [])
+    # typed attributes survive: int stays int-armed (log.go:43 PutInt)
+    one = [r for r in back.collect() if r.attributes.get("instance_num")][0]
+    assert one.attributes["instance_num"].i == 1
+    assert one.attributes["instance_num"].s is None
+
+
+def test_otlp_json_is_valid_json_with_otlp_fields(spark):
+    import json
+    line = spans_to_otlp_json(generate_traces(spark, 2)).first().json
+    obj = json.loads(line)
+    spans = obj["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    assert {s["name"] for s in spans} == {"operationA", "operationB"}
+    assert spans[0]["startTimeUnixNano"].isdigit()   # uint64-as-string
+    res_attrs = obj["resourceSpans"][0]["resource"]["attributes"]
+    assert res_attrs == [{"key": "resource-attr",
+                          "value": {"stringValue": "resource-attr-val-1"}}]
+
+
+def test_otlp_json_file_api(spark, tmp_path):
+    p = str(tmp_path / "logs_json")
+    ld = generate_logs(spark, 4)
+    write_otlp_json(ld, p, "logs")
+    back = read_otlp_json(spark, p, "logs")
+    assert back.count() == 4
+    with pytest.raises(NotImplementedError, match="metrics"):
+        write_otlp_json(ld, p, "metrics")
+
+
+@pytest.mark.parametrize("gen,n", [(generate_traces, 8),
+                                   (generate_logs, 8),
+                                   (generate_metrics, 4)])
+def test_arrow_ipc_roundtrip(spark, gen, n):
+    df = gen(spark, n)
+    back = roundtrip_ipc(df)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert _canon(back, []) == _canon(df, [])
+
+
+def test_arrow_ipc_wire_stats(spark):
+    df = generate_traces(spark, 10).repartition(3)
+    stats = wire_stats(encode_ipc(df))
+    assert stats["rows"] == 10
+    assert stats["batches"] >= 1
+    assert stats["wire_bytes"] > 0
