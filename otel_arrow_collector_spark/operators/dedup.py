@@ -89,8 +89,27 @@ pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 """
 
 
+_PAIRS_CACHE: dict = {}
+
+
 def _lsh_candidate_pairs(spark, sf_dir):
-    """Spark side of _DUCK_PAIR_CTE: distinct LSH-bucket-sharing pairs."""
+    """Spark side of _DUCK_PAIR_CTE: distinct LSH-bucket-sharing pairs.
+
+    The pair set is persisted per (session, dir): it is tiny (candidates,
+    not corpus — safe at any scale) and three downstream operators (lsh /
+    jaccard / keep) reuse it, so persisting removes two recomputations of
+    the shingle->signature->band pipeline.
+    """
+    import os as _os
+    key = (id(spark), _os.path.abspath(sf_dir))
+    if key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
+    pairs = _build_lsh_candidate_pairs(spark, sf_dir).persist()
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def _build_lsh_candidate_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sig = (d.select("doc_id", F.split("text", " ").alias("ws"))
              .select("doc_id", F.expr(_spark_shingles()).alias("shs"))

@@ -79,10 +79,14 @@ def ann_cosine_topk(spark, sf_dir):
     """Exact top-k neighbors for each query vector (vec_id < N_QUERY).
     Query side is broadcast; corpus is scanned once."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY) \
-         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    cand = e.select("vec_id", "embedding")
-    cos = F.expr(_s_cos("q_emb", "embedding"))
+    # Precompute per-row norms: 1 dot per pair instead of 3.  Bit-identical
+    # to the inline oracle formula (same ops, same order), just hoisted.
+    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
+    q = (e.filter(F.col("vec_id") < N_QUERY)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"), norm.alias("q_nrm")))
+    cand = e.select("vec_id", "embedding", norm.alias("c_nrm"))
+    cos = F.expr(_s_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (F.broadcast(q).join(cand, F.col("q_id") != F.col("vec_id"))
             .select("q_id", "vec_id", cos.alias("cos_raw"))
@@ -145,11 +149,14 @@ def _assignments(spark, sf_dir):
     """(vec_id, embedding, cid): nearest-centroid assignment by cosine,
     tie-break on centroid id.  Centroid set is broadcast."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS) \
-             .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
-    cos = F.expr(_s_cos("embedding", "c_emb"))
+    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
+    cents = (e.filter(F.col("vec_id") < N_CENTROIDS)
+              .select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").alias("c_emb"), norm.alias("c_nrm")))
+    cos = (F.expr(_s_dot("embedding", "c_emb"))
+           / (F.col("v_nrm") * F.col("c_nrm")))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    return (load_table(spark, sf_dir, "embeddings")
+    return (e.withColumn("v_nrm", norm)
             .crossJoin(F.broadcast(cents))
             .select("vec_id", "embedding", "cid", cos.alias("c_cos"))
             .withColumn("rk", F.row_number().over(w))

@@ -31,7 +31,25 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing types to the engine schema."""
+    """Load one synthetic table, normalizing types to the engine schema.
+
+    The built DataFrame (a logical plan, not data) is memoized per
+    (session, dir, table) so repeated operator calls skip file listing +
+    footer schema reads — pure plan-build overhead, not a data cache.
+    """
+    cache = getattr(spark, "_oacs_tables", None)
+    if cache is None:
+        cache = {}
+        spark._oacs_tables = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Without this (runtime-settable) conf, Spark refuses parquet
         # timestamp[ns] outright (PARQUET_TYPE_ILLEGAL) — repair any
