@@ -1,0 +1,145 @@
+"""Metric-semantics operators over the datapoint row model — the
+aggregation semantics the reference's data model mandates (SURVEY.md §2.7):
+Delta <-> Cumulative temporality conversion
+(pdata/pmetric/aggregation_temporality.go:14-21), monotonic-sum roll-ups,
+histogram merges (bucket-wise addition with identical bounds), and
+min/max/sum/count roll-ups (§1.3).
+
+All operators take/return METRIC_POINT_SCHEMA-shaped DataFrames (one row
+per datapoint) and are pure DataFrame ops:
+
+- temporality: order-sensitive per-series window arithmetic (the batch
+  twin of the stateful streaming conversion; series key = metric name +
+  attribute set + resource)
+- histogram merge: element-wise array addition via ``zip_with`` after
+  grouping on identical ``explicit_bounds`` — merging across *different*
+  bounds is rejected (the reference's merge precondition)
+
+Scale: series keys are (name, attrs-fingerprint) — high cardinality is the
+partitioning dimension, windows never span series; merges are ordinary
+hash aggregations with array columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Series identity: metric + dimension set + resource (the reference keys
+#: stream state the same way conceptually: §2.7 dimensioned counters).
+SERIES_KEY = ["metric_name", "__attrs_fp", "__res_fp"]
+
+
+def _with_series_key(df: DataFrame) -> DataFrame:
+    return (df.withColumn("__attrs_fp", F.expr(
+                "to_json(array_sort(map_entries(attributes)))"))
+              .withColumn("__res_fp", F.expr(
+                "to_json(array_sort(map_entries(resource_attributes)))")))
+
+
+def delta_to_cumulative(points: DataFrame) -> DataFrame:
+    """Delta -> Cumulative: running sum per series ordered by time.
+
+    Mirrors AggregationTemporality semantics: the cumulative value at T is
+    the sum of all deltas with time <= T; start_time becomes the series'
+    first start_time (aggregation_temporality.go:14-21 definitions).
+    """
+    w = (Window.partitionBy(*SERIES_KEY)
+               .orderBy("time_unix_nano")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    first_w = Window.partitionBy(*SERIES_KEY).orderBy("time_unix_nano")
+    return (_with_series_key(points)
+            .withColumn("value_int", F.sum("value_int").over(w))
+            .withColumn("value_double", F.sum("value_double").over(w))
+            .withColumn("start_time_unix_nano",
+                        F.first("start_time_unix_nano").over(first_w))
+            .withColumn("aggregation_temporality", F.lit(2))
+            .drop("__attrs_fp", "__res_fp"))
+
+
+def cumulative_to_delta(points: DataFrame) -> DataFrame:
+    """Cumulative -> Delta: successive differences per series.
+
+    The first point of a series has no predecessor -> its delta is the
+    value itself (reset-detection: a cumulative DROP means the source
+    restarted; the post-reset value is emitted as-is, matching standard
+    OTel delta-conversion semantics)."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("time_unix_nano")
+    prev_i = F.lag("value_int").over(w)
+    prev_d = F.lag("value_double").over(w)
+    prev_t = F.lag("time_unix_nano").over(w)
+
+    def delta(cur, prev):
+        return (F.when(prev.isNull(), cur)                # first point
+                 .when(cur < prev, cur)                   # reset detected
+                 .otherwise(cur - prev))
+
+    return (_with_series_key(points)
+            .withColumn("__di", delta(F.col("value_int"), prev_i))
+            .withColumn("__dd", delta(F.col("value_double"), prev_d))
+            .withColumn("start_time_unix_nano",
+                        F.coalesce(prev_t, F.col("start_time_unix_nano")))
+            .withColumn("value_int", F.col("__di"))
+            .withColumn("value_double", F.col("__dd"))
+            .withColumn("aggregation_temporality", F.lit(1))
+            .drop("__di", "__dd", "__attrs_fp", "__res_fp"))
+
+
+class BoundsMismatchError(ValueError):
+    """Histogram merge across differing explicit_bounds is undefined."""
+
+
+def merge_histograms(points: DataFrame,
+                     check_bounds: bool = True) -> DataFrame:
+    """Roll up histogram datapoints per series: bucket-wise addition with
+    identical bounds + min/max/sum/count merge
+    (HistogramDataPoint semantics, generated_histogramdatapoint.go:102-107).
+    """
+    df = _with_series_key(points).filter(F.col("metric_type") == 3)
+    if check_bounds:
+        n_bounds = (df.groupBy(*SERIES_KEY)
+                      .agg(F.countDistinct(F.to_json("explicit_bounds"))
+                            .alias("nb"))
+                      .filter(F.col("nb") > 1).count())
+        if n_bounds:
+            raise BoundsMismatchError(
+                f"{n_bounds} series mix differing explicit_bounds; "
+                f"re-bucket before merging")
+    merged = (df.groupBy("metric_name", "__attrs_fp", "__res_fp")
+                .agg(F.first("attributes").alias("attributes"),
+                     F.first("resource_attributes").alias("resource_attributes"),
+                     F.min("start_time_unix_nano").alias("start_time_unix_nano"),
+                     F.max("time_unix_nano").alias("time_unix_nano"),
+                     F.sum("count").alias("count"),
+                     F.sum("sum").alias("sum"),
+                     F.min("min").alias("min"),
+                     F.max("max").alias("max"),
+                     F.first("explicit_bounds").alias("explicit_bounds"),
+                     # bucket-wise addition: reduce the per-point arrays
+                     F.reduce(
+                         F.collect_list("bucket_counts"),
+                         F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+                         lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                             F.zip_with(acc, x, lambda a, b: a + b)))
+                      .alias("bucket_counts")))
+    return merged.drop("__attrs_fp", "__res_fp")
+
+
+def sum_rollup(points: DataFrame) -> DataFrame:
+    """Monotonic-sum roll-up per series (obsreport counter semantics §2.7):
+    cumulative series take the LAST value per series; delta series add."""
+    df = _with_series_key(points).filter(F.col("metric_type") == 2)
+    w = Window.partitionBy(*SERIES_KEY).orderBy(F.col("time_unix_nano").desc())
+    cumulative = (df.filter(F.col("aggregation_temporality") == 2)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .groupBy("metric_name", "__attrs_fp")
+                    .agg(F.sum(F.coalesce(F.col("value_int"),
+                                          F.col("value_double").cast("long")))
+                          .alias("total")))
+    delta = (df.filter(F.col("aggregation_temporality") == 1)
+               .groupBy("metric_name", "__attrs_fp")
+               .agg(F.sum(F.coalesce(F.col("value_int"),
+                                     F.col("value_double").cast("long")))
+                     .alias("total")))
+    return cumulative.unionByName(delta).drop("__attrs_fp")

@@ -45,6 +45,28 @@ def size_capped_chunks(batch_df: DataFrame, max_size: int) -> list[DataFrame]:
             for i in range(n_chunks)]
 
 
+def split_first_n(batch_df: DataFrame, n: int,
+                  order_cols: list[str]) -> tuple[DataFrame, DataFrame]:
+    """splitTraces/splitLogs semantics (splittraces.go:11-66): take the
+    first N records out of a batch, returning (head, tail).
+
+    The reference splits in batch arrival order; a DataFrame has no
+    intrinsic order, so the caller names the ordering columns.  Envelope
+    preservation (resource/scope per record) is automatic in the flattened
+    row model — every row carries its own envelope columns.
+
+    Scale note: the row_number here is a single global window — correct for
+    batch-splitting (batches are bounded by send_batch_max_size), wrong for
+    unbounded tables; use q19-style per-key windows there.
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy(*order_cols)
+    numbered = batch_df.withColumn("__rn", F.row_number().over(w))
+    head = numbered.filter(F.col("__rn") <= n).drop("__rn")
+    tail = numbered.filter(F.col("__rn") > n).drop("__rn")
+    return head, tail
+
+
 def stream_in_batches(stream_df: DataFrame, sink: Callable[[DataFrame, int, int], Any],
                       send_batch_max_size: int = 8192,
                       timeout: str | None = "200 milliseconds",

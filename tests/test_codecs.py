@@ -21,14 +21,16 @@ from otel_arrow_collector_spark.sources.otlp_json import (logs_from_otlp_json,
 
 
 def _norm(v):
-    """Recursive canonical form: Rows/dicts -> sorted tuples, None-safe."""
+    """Recursive canonical form: Rows/dicts -> sorted tagged tuples.
+    Every value is a ('tag', ...) tuple so mixed None/list positions stay
+    comparable."""
     if hasattr(v, "asDict"):
-        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
+        return ("D", tuple(sorted((k, _norm(x)) for k, x in v.asDict().items())))
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        return ("D", tuple(sorted((k, _norm(x)) for k, x in v.items())))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return repr(v)
+        return ("L", tuple(_norm(x) for x in v))
+    return ("S", repr(v))
 
 
 def _canon(df, order_cols):
@@ -95,8 +97,19 @@ def test_otlp_json_file_api(spark, tmp_path):
     write_otlp_json(ld, p, "logs")
     back = read_otlp_json(spark, p, "logs")
     assert back.count() == 4
-    with pytest.raises(NotImplementedError, match="metrics"):
-        write_otlp_json(ld, p, "metrics")
+    with pytest.raises(NotImplementedError, match="profiles"):
+        write_otlp_json(ld, p, "profiles")
+
+
+def test_otlp_json_metrics_roundtrip(spark, tmp_path):
+    """All 5 metric types round-trip through OTLP/JSON files, incl.
+    exemplars, quantiles, exponential buckets (pmetric JSON dialect)."""
+    md = generate_metrics(spark, 7)
+    p = str(tmp_path / "metrics_json")
+    write_otlp_json(md, p, "metrics")
+    back = read_otlp_json(spark, p, "metrics")
+    assert back.schema.simpleString() == md.schema.simpleString()
+    assert _canon(back, []) == _canon(md, [])
 
 
 @pytest.mark.parametrize("gen,n", [(generate_traces, 8),
