@@ -111,25 +111,50 @@ def _lsh_candidate_pairs(spark, sf_dir):
 
 def _build_lsh_candidate_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # Small corpora arrive as one parquet split; spread the md5-heavy
+    # signature map across cores (at real scale the scan is already split).
+    n_parts = spark.sparkContext.defaultParallelism
     sig = (d.select("doc_id", F.split("text", " ").alias("ws"))
+             .repartition(n_parts)
              .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
              .select("doc_id", F.array(*[F.expr(_spark_sig(j))
                                          for j in range(K_HASHES)]).alias("sig")))
-    bands = sig.select("doc_id", F.explode(F.expr(_spark_bands())).alias("band"))
+    bands = (sig.select("doc_id",
+                        F.explode(F.expr(_spark_bands())).alias("band"))
+                .persist())
+    bands.count()   # materialize so the self-join reads the cache, not
+    # two fresh runs of the shingle->signature pipeline
     a = bands.alias("a")
     b = bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-             .distinct())
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+              .distinct())
+    return pairs
+
+
+_SHINGLE_CACHE: dict = {}
 
 
 def _doc_shingle_sets(spark, sf_dir):
-    """(doc_id, shingle) exploded over the DISTINCT shingle set per doc."""
+    """(doc_id, shingle) exploded over the DISTINCT shingle set per doc.
+    Persisted per (session, dir): the verification stage references it
+    three times (both pair sides + per-doc sizes)."""
+    import os as _os
+    key = (id(spark), _os.path.abspath(sf_dir))
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", F.split("text", " ").alias("ws"))
-             .select("doc_id",
-                     F.explode(F.array_distinct(F.expr(_spark_shingles()))).alias("sh")))
+    shd = (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                     .alias("sh"))
+            .persist())
+    shd.count()   # materialize before the multi-reference join
+    _SHINGLE_CACHE[key] = shd
+    return shd
 
 
 # ---------------------------------------------------------------------------
@@ -186,10 +211,24 @@ SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 500
 """
 
 
+_VERIFIED_CACHE: dict = {}
+
+
 def _jaccard_verified(spark, sf_dir):
     """(d1, d2, n_common, j): exact 3-gram Jaccard over LSH candidates —
     the standard two-stage plan (cheap recall stage, exact precision stage
-    bounded by candidate count, never n^2)."""
+    bounded by candidate count, never n^2).  Persisted per (session, dir):
+    bounded by candidate count and reused by jaccard + keep operators."""
+    import os as _os
+    key = (id(spark), _os.path.abspath(sf_dir))
+    if key in _VERIFIED_CACHE:
+        return _VERIFIED_CACHE[key]
+    out = _build_jaccard_verified(spark, sf_dir).persist()
+    _VERIFIED_CACHE[key] = out
+    return out
+
+
+def _build_jaccard_verified(spark, sf_dir):
     pairs = _lsh_candidate_pairs(spark, sf_dir)
     shd = _doc_shingle_sets(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -270,25 +309,31 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per doc: bit i = majority over words of the high bit
-    of md5(word)'s i-th hex nibble."""
+    of md5(word)'s i-th hex nibble.  One md5 per word (hashes precomputed
+    into an array; the 16 bit-votes are substring tests over it — not 16
+    md5 passes)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
     terms = " + ".join(
-        f"(CASE WHEN 2 * size(filter(ws, w -> substring(md5(w), {i + 1}, 1) >= '8')) "
-        f">= size(ws) THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN 2 * size(filter(hs, h -> substring(h, {i + 1}, 1) >= '8')) "
+        f">= size(hs) THEN {1 << i} ELSE 0 END)"
         for i in range(SIMHASH_BITS))
-    return (d.select("doc_id", ws.alias("ws"))
+    return (d.select("doc_id",
+                     F.expr("transform(split(text, ' '), w -> md5(w))")
+                      .alias("hs"))
+             .repartition(spark.sparkContext.defaultParallelism)
              .select("doc_id", F.expr(terms).alias("simhash"))
              .orderBy("doc_id").limit(200))
 
 
 QUERIES["dedup_simhash"] = dedup_simhash
 ORACLES["dedup_simhash"] = """
-WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+WITH t AS (SELECT doc_id,
+                  list_transform(string_split(text,' '), w -> md5(w)) AS hs
+           FROM documents)
 SELECT doc_id, (
 """ + " + ".join(
-    f"(CASE WHEN 2 * len(list_filter(ws, w -> substr(md5(w), {i + 1}, 1) >= '8')) "
-    f">= len(ws) THEN {1 << i} ELSE 0 END)"
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> substr(h, {i + 1}, 1) >= '8')) "
+    f">= len(hs) THEN {1 << i} ELSE 0 END)"
     for i in range(SIMHASH_BITS)
 ) + """
 ) AS simhash

@@ -493,13 +493,16 @@ ORDER BY p_partkey LIMIT 100
 def q27(spark, sf_dir):
     """String functions (replace_match / case-normalization analogues)."""
     p = _t(spark, sf_dir, "part")
-    return (p.select("p_partkey",
+    # p_partkey is unique, so limit-before-project is equivalent and the
+    # string work runs on 100 rows instead of the full table.
+    return (p.select("p_partkey", "p_brand", "p_name", "p_type")
+             .orderBy("p_partkey")
+             .limit(100)
+             .select("p_partkey",
                      F.upper("p_brand").alias("b"),
                      F.length("p_name").alias("ln"),
                      F.substring("p_type", 1, 5).alias("t5"),
-                     F.replace(F.col("p_name"), F.lit("x"), F.lit("y")).alias("r"))
-             .orderBy("p_partkey")
-             .limit(100))
+                     F.replace(F.col("p_name"), F.lit("x"), F.lit("y")).alias("r")))
 
 
 @_register("q28_datetime_fns", """
