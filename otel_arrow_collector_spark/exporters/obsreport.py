@@ -18,7 +18,11 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 
 METRICS = ("accepted", "refused", "sent", "send_failed", "dropped",
-           "enqueued", "dequeued")
+           "enqueued", "dequeued",
+           # scraper surface (obsreport/obsreport_scraper.go)
+           "scraped_metric_points", "errored_metric_points",
+           # arrow exporter path accounting (netstats-adjacent)
+           "sent_arrow_batches", "sent_unary_batches")
 
 
 class ObsReport:

@@ -325,6 +325,63 @@ def dedup_simhash(spark, sf_dir):
              .orderBy("doc_id").limit(200))
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: block by the 8-hyperplane LSH
+    bucket (similarity.py planes), compute exact cosine inside each bucket,
+    report pairs over threshold ranked most-similar-first.
+
+    The synthetic embeddings are random (max pairwise cosine ~0.5), so the
+    production threshold (~0.95) is exercised by unit tests with planted
+    dups; the declared query uses 0.3 so the oracle checks real pairs.
+
+    Scale stance: the bucket join is the standard near-dup blocking plan —
+    candidates ~ n^2/256 per bucket, uniform bucket ids, no skew.
+    """
+    from .similarity import _planes, _s_dot, _s_plane_literal
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = " + ".join(
+        f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes()))
+    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
+    t = e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"),
+                 norm.alias("nrm"))
+    a, b = t.alias("a"), t.alias("b")
+    cos = (F.expr(_s_dot("a.embedding", "b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("v1"),
+                     F.col("b.vec_id").alias("v2"), cos.alias("cos_raw"))
+             .filter(F.col("cos_raw") >= 0.3)
+             .select("v1", "v2", F.round("cos_raw", 6).alias("cos"))
+             .orderBy(F.col("cos").desc(), "v1", "v2").limit(100))
+
+
+QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
+
+
+def _duck_embedding_cosine_oracle() -> str:
+    from .similarity import _d_dot, _d_plane_literal, _planes
+    bucket = " + ".join(
+        f"(CASE WHEN {_d_dot('embedding', _d_plane_literal(p))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes()))
+    return f"""
+WITH t AS (SELECT vec_id, embedding, ({bucket}) AS bucket,
+                  sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+           FROM embeddings),
+pairs AS (SELECT a.vec_id v1, b.vec_id v2,
+                 {_d_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
+          FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM pairs
+WHERE cos_raw >= 0.3 ORDER BY cos DESC, v1, v2 LIMIT 100
+"""
+
+
+ORACLES["dedup_embedding_cosine"] = _duck_embedding_cosine_oracle()
+
+
 QUERIES["dedup_simhash"] = dedup_simhash
 ORACLES["dedup_simhash"] = """
 WITH t AS (SELECT doc_id,
