@@ -26,39 +26,64 @@ from ..model.telemetry import LOG_SCHEMA, SPAN_SCHEMA
 # shared attribute-codec expressions
 # ---------------------------------------------------------------------------
 
-#: OTLP AnyValue (scalar arms) as read from JSON.
+#: OTLP AnyValue as read from JSON.  Scalar arms are native; structured
+#: (Map/Slice) values ride in ``kvlistValue`` as a single ``__raw_json``
+#: string entry — structurally valid OTLP (a kvlist of one string value)
+#: with bounded schema depth, so ``from_json``/``to_json`` stay symmetric
+#: without recursive schemas.  Documented divergence: a foreign OTLP
+#: writer's deeply-nested kvlists are not decoded beyond this convention.
+_OTLP_SCALAR = ("struct<stringValue:string, intValue:string, "
+                "doubleValue:double, boolValue:boolean>")
 _OTLP_VALUE = ("struct<stringValue:string, intValue:string, "
-               "doubleValue:double, boolValue:boolean>")
+               "doubleValue:double, boolValue:boolean, "
+               f"kvlistValue:struct<values:array<struct<key:string, value:{_OTLP_SCALAR}>>>>")
 _OTLP_ATTRS = f"array<struct<key:string, value:{_OTLP_VALUE}>>"
+
+#: writer: tagged variant {s,i,d,b,json} -> OTLP AnyValue struct
+_VAL_TO_OTLP = """named_struct(
+    'stringValue', {v}.s,
+    'intValue', CAST({v}.i AS STRING),
+    'doubleValue', {v}.d,
+    'boolValue', {v}.b,
+    'kvlistValue', CASE WHEN {v}.json IS NOT NULL THEN named_struct(
+        'values', array(named_struct(
+            'key', '__raw_json',
+            'value', named_struct(
+                'stringValue', {v}.json,
+                'intValue', CAST(NULL AS STRING),
+                'doubleValue', CAST(NULL AS DOUBLE),
+                'boolValue', CAST(NULL AS BOOLEAN))))) END)"""
+
+#: reader: OTLP AnyValue struct -> tagged variant
+_VAL_FROM_OTLP = """named_struct(
+    's', {v}.stringValue,
+    'i', CAST({v}.intValue AS BIGINT),
+    'd', {v}.doubleValue,
+    'b', {v}.boolValue,
+    'json', CASE WHEN {v}.kvlistValue IS NOT NULL
+                  AND size({v}.kvlistValue.values) = 1
+                  AND {v}.kvlistValue.values[0].key = '__raw_json'
+                 THEN {v}.kvlistValue.values[0].value.stringValue END)"""
 
 
 def _attrs_to_otlp(col: str) -> str:
     """map<k, {s,i,d,b,json}> -> OTLP attribute list (sorted by key for
     deterministic output)."""
+    val = _VAL_TO_OTLP.format(v="e.value")
     return f"""
     transform(array_sort(map_entries({col}), (a, b) ->
                   CASE WHEN a.key < b.key THEN -1
                        WHEN a.key > b.key THEN 1 ELSE 0 END),
-              e -> named_struct(
-                  'key', e.key,
-                  'value', named_struct(
-                      'stringValue', e.value.s,
-                      'intValue', CAST(e.value.i AS STRING),
-                      'doubleValue', e.value.d,
-                      'boolValue', e.value.b)))
+              e -> named_struct('key', e.key, 'value', {val}))
     """
 
 
 def _attrs_from_otlp(col: str) -> str:
     """OTLP attribute list -> tagged variant map."""
+    val = _VAL_FROM_OTLP.format(v="a.value")
     return f"""
     map_from_entries(transform(coalesce({col}, array()),
-        a -> struct(a.key, named_struct(
-            's', a.value.stringValue,
-            'i', CAST(a.value.intValue AS BIGINT),
-            'd', a.value.doubleValue,
-            'b', a.value.boolValue,
-            'json', CAST(NULL AS STRING)))))
+        a -> struct(a.key, {val})))
     """
 
 
@@ -206,9 +231,7 @@ named_struct(
   'observedTimeUnixNano', {_ns_str('observed_time_unix_nano')},
   'traceId', trace_id, 'spanId', span_id, 'flags', flags,
   'severityNumber', severity_number, 'severityText', severity_text,
-  'body', named_struct('stringValue', body.s,
-                       'intValue', CAST(body.i AS STRING),
-                       'doubleValue', body.d, 'boolValue', body.b),
+  'body', {_VAL_TO_OTLP.format(v='body')},
   'attributes', {_attrs_to_otlp('attributes')},
   'droppedAttributesCount', dropped_attributes_count)
 """
@@ -255,10 +278,7 @@ def logs_from_otlp_json(df: DataFrame) -> DataFrame:
         "coalesce(lr.flags, 0) AS flags",
         "coalesce(lr.severityNumber, 0) AS severity_number",
         "coalesce(lr.severityText, '') AS severity_text",
-        """named_struct('s', lr.body.stringValue,
-                        'i', CAST(lr.body.intValue AS BIGINT),
-                        'd', lr.body.doubleValue, 'b', lr.body.boolValue,
-                        'json', CAST(NULL AS STRING)) AS body""",
+        _VAL_FROM_OTLP.format(v="lr.body") + " AS body",
         _attrs_from_otlp("lr.attributes") + " AS attributes",
         "coalesce(lr.droppedAttributesCount, 0) AS dropped_attributes_count",
         "resource_attributes", "scope_name", "scope_version",

@@ -1,0 +1,158 @@
+"""Property-based codec roundtrips (hypothesis): arbitrary canonical
+metric datapoints and log records must survive rows -> OTLP/JSON -> rows
+bit-exactly.  Mirrors the reference's per-type round-trip tests
+(pdata/ptrace/json_test.go strategy) with generated rather than golden
+inputs.
+
+Canonical-form constraints the generators respect (what the codec
+guarantees for its own output): value oneof has exactly one arm set,
+repeated fields are NULL when absent (never []), description/unit/scope
+default to ''.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from otel_arrow_collector_spark.model.telemetry import (LOG_SCHEMA,
+                                                        METRIC_POINT_SCHEMA,
+                                                        attr)
+from otel_arrow_collector_spark.sources.otlp_json import (
+    logs_from_otlp_json, logs_to_otlp_json, metrics_from_otlp_json,
+    metrics_to_otlp_json)
+
+_SPARK = [None]   # session injected by the autouse fixture below
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    _SPARK[0] = spark
+    yield
+
+
+def _norm(v):
+    if hasattr(v, "asDict"):
+        return ("D", tuple(sorted((k, _norm(x)) for k, x in v.asDict().items())))
+    if isinstance(v, dict):
+        return ("D", tuple(sorted((k, _norm(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple)):
+        return ("L", tuple(_norm(x) for x in v))
+    return ("S", repr(v))
+
+
+def _canon(df):
+    return sorted(_norm(r) for r in df.collect())
+
+
+# --------------------------- strategies ------------------------------------
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           whitelist_characters="_.-"),
+    min_size=1, max_size=12)
+_ts = st.integers(min_value=1, max_value=2**62)
+_finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+_attrs = st.dictionaries(
+    _name, st.one_of(st.booleans(), st.integers(-2**53, 2**53),
+                     _finite, _name,
+                     # structured values -> the json arm of the variant
+                     st.lists(st.integers(0, 9), max_size=3),
+                     st.dictionaries(_name, _name, max_size=2)).map(attr),
+    max_size=3)
+
+
+@st.composite
+def metric_point(draw):
+    mtype = draw(st.integers(1, 5))
+    base = dict(
+        metric_name=draw(_name), description=draw(st.sampled_from(["", "d"])),
+        unit=draw(st.sampled_from(["", "1", "ms"])), metric_type=mtype,
+        aggregation_temporality=(draw(st.integers(0, 2))
+                                 if mtype in (2, 3, 4) else 0),
+        is_monotonic=draw(st.booleans()) if mtype == 2 else None,
+        start_time_unix_nano=draw(_ts), time_unix_nano=draw(_ts),
+        attributes=draw(_attrs), value_int=None, value_double=None,
+        count=None, sum=None, min=None, max=None, bucket_counts=None,
+        explicit_bounds=None, scale=None, zero_count=None,
+        positive_offset=None, positive_bucket_counts=None,
+        negative_offset=None, negative_bucket_counts=None,
+        quantile_values=None, exemplars=None, flags=draw(st.integers(0, 1)),
+        resource_attributes=draw(_attrs),
+        scope_name=draw(st.sampled_from(["", "scope"])), scope_version="")
+    if mtype in (1, 2):   # number point: exactly one value arm
+        if draw(st.booleans()):
+            base["value_int"] = draw(st.integers(-2**53, 2**53))
+        else:
+            base["value_double"] = draw(_finite)
+    elif mtype == 3:      # histogram
+        n = draw(st.integers(1, 4))
+        base.update(count=draw(st.integers(0, 10**9)), sum=draw(_finite),
+                    bucket_counts=[draw(st.integers(0, 10**6))
+                                   for _ in range(n + 1)],
+                    explicit_bounds=sorted(
+                        draw(st.lists(_finite, min_size=n, max_size=n,
+                                      unique=True))))
+    elif mtype == 4:      # exponential histogram
+        base.update(count=draw(st.integers(0, 10**9)),
+                    scale=draw(st.integers(-4, 20)),
+                    zero_count=draw(st.integers(0, 10**6)),
+                    positive_offset=draw(st.integers(-10, 10)),
+                    positive_bucket_counts=[draw(st.integers(0, 100))
+                                            for _ in range(draw(st.integers(1, 3)))])
+    else:                 # summary
+        base.update(count=draw(st.integers(0, 10**9)), sum=draw(_finite),
+                    quantile_values=[
+                        {"quantile": q, "value": draw(_finite)}
+                        for q in (0.5, 0.99)[:draw(st.integers(1, 2))]])
+    return base
+
+
+@st.composite
+def log_record(draw):
+    body_kind = draw(st.integers(0, 3))
+    body = {"s": None, "i": None, "d": None, "b": None, "json": None}
+    if body_kind == 0:
+        body["s"] = draw(_name)
+    elif body_kind == 1:
+        body["i"] = draw(st.integers(-2**53, 2**53))
+    elif body_kind == 2:
+        body["d"] = draw(_finite)
+    else:
+        body["json"] = '{"k":1}'
+    return dict(
+        time_unix_nano=draw(_ts), observed_time_unix_nano=draw(_ts),
+        trace_id=draw(st.sampled_from(["", "0102030405060708090a0b0c0d0e0f10"])),
+        span_id=draw(st.sampled_from(["", "1112131415161718"])),
+        flags=draw(st.integers(0, 1)),
+        severity_number=draw(st.integers(0, 24)),
+        severity_text=draw(st.sampled_from(["", "Info", "Error"])),
+        body=body, attributes=draw(_attrs),
+        dropped_attributes_count=draw(st.integers(0, 3)),
+        resource_attributes=draw(_attrs), scope_name="", scope_version="")
+
+
+# ----------------------------- properties ----------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(metric_point(), min_size=1, max_size=6))
+def test_metrics_roundtrip_property(points):
+    spark = _SPARK[0]
+    df = spark.createDataFrame(points, METRIC_POINT_SCHEMA)
+    back = metrics_from_otlp_json(metrics_to_otlp_json(df))
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert _canon(back) == _canon(df)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(log_record(), min_size=1, max_size=6))
+def test_logs_roundtrip_property(records):
+    spark = _SPARK[0]
+    df = spark.createDataFrame(records, LOG_SCHEMA)
+    back = logs_from_otlp_json(logs_to_otlp_json(df))
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert _canon(back) == _canon(df)
