@@ -1,0 +1,92 @@
+"""Collector lifecycle — the reference's ``otelcol.Collector`` run cycle
+(otelcol/collector.go:144-268): resolve config URIs -> validate ->
+build the pipeline graph -> run; ``DryRun`` validates without starting
+(collector.go:209-219); a config-watch event re-runs the whole cycle
+(hot reload, collector.go:194-208,236-252).
+
+Batch-mode semantics: "running" the graph is materializing its exporters
+(CompiledPlan.run); a reload recompiles from freshly-resolved config and
+replaces the plan atomically — an invalid new config fails the reload and
+the collector transitions to ``Closed`` (the reference treats a failed
+apply as fatal: asyncErrorChannel -> shutdown).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .confmap import resolve
+from .pipeline import CompiledPlan, ConfigError, PipelineGraph
+
+
+class State(Enum):
+    """collector.go State machine (Starting/Running/Closing/Closed)."""
+    STARTING = "Starting"
+    RUNNING = "Running"
+    CLOSED = "Closed"
+
+
+class Collector:
+    """Config-driven engine instance with dry-run and hot-reload."""
+
+    def __init__(self, spark: SparkSession, *config_uris: str,
+                 sources: dict[str, DataFrame] | None = None,
+                 sf_dir: str | None = None):
+        self.spark = spark
+        self.config_uris = list(config_uris)
+        self.sources = sources or {}
+        self.sf_dir = sf_dir
+        self.state = State.STARTING
+        self.plan: CompiledPlan | None = None
+
+    # -- DryRun: parse + validate + compile, never materialize -------------
+
+    @staticmethod
+    def dry_run(spark: SparkSession, *config_uris: str,
+                sources: dict[str, DataFrame] | None = None,
+                sf_dir: str | None = None) -> PipelineGraph:
+        """Validate config end-to-end without running any exporter
+        (collector.go:209-219).  Raises ConfigError/ResolveError on any
+        defect; returns the validated graph."""
+        graph = PipelineGraph(resolve(*config_uris))
+        graph.compile(spark, sources=sources or {}, sf_dir=sf_dir)
+        return graph
+
+    # -- run cycle ----------------------------------------------------------
+
+    def _setup(self) -> CompiledPlan:
+        graph = PipelineGraph(resolve(*self.config_uris))
+        return graph.compile(self.spark, sources=self.sources,
+                             sf_dir=self.sf_dir)
+
+    def start(self) -> dict[str, Any]:
+        """Resolve + compile + materialize; returns exporter results."""
+        if self.state is State.CLOSED:
+            raise RuntimeError("collector is closed")
+        self.plan = self._setup()
+        self.state = State.RUNNING
+        return self.plan.run()
+
+    def reload(self, *new_uris: str) -> dict[str, Any]:
+        """Hot reload: re-run the whole resolve->compile->run cycle with
+        the (optionally new) config.  A failed apply closes the collector
+        (collector.go: asyncErrorChannel -> shutdown)."""
+        if self.state is not State.RUNNING:
+            raise RuntimeError(f"cannot reload in state {self.state.value}")
+        if new_uris:
+            self.config_uris = list(new_uris)
+        try:
+            new_plan = self._setup()
+        except (ConfigError, ValueError):
+            self.state = State.CLOSED
+            self.plan = None
+            raise
+        self.plan = new_plan
+        return self.plan.run()
+
+    def shutdown(self) -> None:
+        self.state = State.CLOSED
+        self.plan = None

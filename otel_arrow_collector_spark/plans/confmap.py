@@ -111,7 +111,7 @@ def resolve(*uris: str) -> dict:
         raise ResolveError("at least one config URI required")
     merged: dict = {}
     for u in uris:
-        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(.*)$", u)
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(.*)$", u, re.DOTALL)
         scheme, rest = (m.group(1), m.group(2)) if m else ("file", u)
         doc = _fetch(scheme, rest)
         if doc is None:
