@@ -132,3 +132,76 @@ def multimodal_decode_stub(spark, sf_dir):
 
 QUERIES["multimodal_decode_stub"] = multimodal_decode_stub
 # no oracle: mapInPandas decode is not SQL-expressible -> rows-only check
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample plumbing (STUB compute, real Spark shape)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumbnail", BinaryType()),
+])
+
+
+def resize_images(df, width: int = 32, height: int = 32):
+    """mapInPandas resize: one thumbnail per payload.
+
+    STUB: the 'resize' is a deterministic byte fold to width*height bytes
+    (replace with PIL ``Image.resize`` in production — the plan shape,
+    schema and Arrow batching are what this exercises).  1:1 row mapping,
+    bounded output size: thumbnails are fixed-width columns, so the
+    downstream shuffle carries W*H bytes per row regardless of source
+    payload size — the property that makes resize-before-shuffle the
+    correct plan order at scale.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                # deterministic fold of the payload onto n_out bytes
+                acc = bytearray(n_out)
+                for i, by in enumerate(b):
+                    acc[i % n_out] = (acc[i % n_out] + by) % 256
+                thumbs.append(bytes(acc))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "width": width, "height": height,
+                "thumbnail": thumbs})
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(df, every_n: int = 2):
+    """mapInPandas frame sampling: payload -> one row per sampled frame
+    (row-expanding, the flatMap shape).
+
+    STUB: 'frames' are equal slices of the payload, count from the fake
+    decoder's ``n_frames``; replace the slicer with pyav keyframe
+    extraction in production.  Output rows = ceil(n_frames / every_n) per
+    input — the schema and expansion plumbing are real and tested.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = _fake_decode(b)["n_frames"]
+                size = max(1, len(b) // n_frames)
+                for idx in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(b[idx * size:(idx + 1) * size])
+            yield pd.DataFrame(out)
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -68,3 +68,31 @@ def test_multimodal_decode_plumbing(spark):
     assert feats.schema == multimodal.DECODED_SCHEMA
     r0 = sorted(rows, key=lambda r: r.doc_id)[0]
     assert r0.format == "fake/deterministic" and r0.n_bytes > 0
+
+
+def test_multimodal_resize_fixed_width_output(spark):
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _binary_docs, resize_images)
+    from tests.conftest import SF_SMALL
+    b = _binary_docs(spark, SF_SMALL).limit(20)
+    out = resize_images(b, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.thumbnail) == 32 for r in rows)      # fixed W*H bytes
+    # deterministic: same input -> same thumbnail
+    again = {r.doc_id: r.thumbnail for r in resize_images(
+        b, width=8, height=4).collect()}
+    assert all(again[r.doc_id] == r.thumbnail for r in rows)
+
+
+def test_multimodal_frame_sampling_expands_rows(spark):
+    import math
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _binary_docs, _fake_decode, sample_frames)
+    from tests.conftest import SF_SMALL
+    b = _binary_docs(spark, SF_SMALL).limit(10)
+    out = sample_frames(b, every_n=2).collect()
+    want = sum(math.ceil(_fake_decode(bytes(r.payload))["n_frames"] / 2)
+               for r in b.collect())
+    assert len(out) == want
+    assert all(r.frame_idx % 2 == 0 for r in out)
