@@ -103,8 +103,12 @@ def text_quality_score(spark, sf_dir):
     longw = F.size(F.filter(words, lambda w: F.length(w) >= 7))
     stop_ratio = stop.cast("double") / n
     long_ratio = longw.cast("double") / n
-    len_cap = F.least(n.cast("double") / 50, F.lit(1.0))
-    score = 0.5 * stop_ratio + 0.3 * (1 - long_ratio) + 0.2 * len_cap
+    # Exact-rational form of 0.5*stop/n + 0.3*(1-long/n) + 0.2*min(n/50,1):
+    # an integer numerator and ONE double division, so both engines produce
+    # the same bit pattern before ROUND (a 3-term float sum differs in the
+    # last ulp across engines and flips round-half cases — seen at sf0.1).
+    num = (125 * stop + 75 * (n - longw) + F.least(n, F.lit(50)) * n)
+    score = num.cast("double") / (250 * n)
     return (d.select("doc_id",
                      F.round(stop_ratio, 4).alias("stop_ratio"),
                      F.round(long_ratio, 4).alias("long_ratio"),
@@ -119,9 +123,10 @@ WITH t AS (
 SELECT doc_id,
        ROUND(CAST(len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)})) AS DOUBLE) / len(ws), 4) AS stop_ratio,
        ROUND(CAST(len(list_filter(ws, w -> len(w) >= 7)) AS DOUBLE) / len(ws), 4) AS long_ratio,
-       ROUND(0.5 * (CAST(len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)})) AS DOUBLE) / len(ws))
-             + 0.3 * (1 - CAST(len(list_filter(ws, w -> len(w) >= 7)) AS DOUBLE) / len(ws))
-             + 0.2 * LEAST(CAST(len(ws) AS DOUBLE) / 50, 1.0), 4) AS quality
+       ROUND(CAST(125 * len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)}))
+                  + 75 * (len(ws) - len(list_filter(ws, w -> len(w) >= 7)))
+                  + LEAST(len(ws), 50) * len(ws) AS DOUBLE)
+             / (250 * len(ws)), 4) AS quality
 FROM t ORDER BY doc_id LIMIT 200
 """
 
