@@ -337,15 +337,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     Scale stance: the bucket join is the standard near-dup blocking plan —
     candidates ~ n^2/256 per bucket, uniform bucket ids, no skew.
     """
-    from .similarity import _planes, _s_dot, _s_plane_literal
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = " + ".join(
-        f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(_planes()))
-    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
-    t = e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"),
-                 norm.alias("nrm"))
+    from .similarity import _s_dot, bucketed_embeddings
+    t = bucketed_embeddings(spark, sf_dir)
     a, b = t.alias("a"), t.alias("b")
     cos = (F.expr(_s_dot("a.embedding", "b.embedding"))
            / (F.col("a.nrm") * F.col("b.nrm")))

@@ -125,6 +125,26 @@ def merge_histograms(points: DataFrame,
     return merged.drop("__attrs_fp", "__res_fp")
 
 
+def explode_exemplars(points: DataFrame) -> DataFrame:
+    """One row per exemplar, with datapoint context — the trace↔metric
+    correlation surface (Exemplar: filtered_attributes, timestamp, value,
+    span_id, trace_id; generated_exemplar.go:96-101)."""
+    return (points
+            .filter(F.col("exemplars").isNotNull())
+            .select("metric_name", "metric_type", "time_unix_nano",
+                    "attributes",
+                    F.posexplode("exemplars").alias("exemplar_idx", "x"))
+            .select("metric_name", "metric_type",
+                    F.col("time_unix_nano").alias("point_time_unix_nano"),
+                    "attributes", "exemplar_idx",
+                    F.col("x.time_unix_nano").alias("exemplar_time_unix_nano"),
+                    F.col("x.value_double").alias("value_double"),
+                    F.col("x.value_int").alias("value_int"),
+                    F.col("x.span_id").alias("span_id"),
+                    F.col("x.trace_id").alias("trace_id"),
+                    F.col("x.filtered_attributes").alias("filtered_attributes")))
+
+
 def sum_rollup(points: DataFrame) -> DataFrame:
     """Monotonic-sum roll-up per series (obsreport counter semantics §2.7):
     cumulative series take the LAST value per series; delta series add."""

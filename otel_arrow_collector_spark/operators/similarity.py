@@ -119,17 +119,37 @@ FROM ranked WHERE rk <= {TOP_K} ORDER BY q_id, rk
 # random-hyperplane LSH bucketing (ANN recall stage)
 # ---------------------------------------------------------------------------
 
-def ann_lsh_buckets(spark, sf_dir):
-    """Sign-of-projection LSH: 8 deterministic hyperplanes -> 256 buckets;
-    bucket histogram (candidate generation joins on the bucket id)."""
+_BUCKETED_CACHE: dict = {}
+
+
+def bucketed_embeddings(spark, sf_dir):
+    """(vec_id, embedding, bucket, nrm): sign-of-projection LSH bucket +
+    norm per vector.  Persisted per (session, dir) — shared by the bucket
+    histogram and the embedding near-dup blocking join
+    (operators/dedup.py)."""
+    import os as _os
+    key = (id(spark), _os.path.abspath(sf_dir))
+    if key in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings")
     bucket = " + ".join(
         f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_planes()))
-    return (e.select(F.expr(bucket).alias("bucket"))
-             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-             .orderBy("bucket"))
+    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
+    out = (e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"),
+                    norm.alias("nrm"))
+            .persist())
+    _BUCKETED_CACHE[key] = out
+    return out
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    """Sign-of-projection LSH: 8 deterministic hyperplanes -> 256 buckets;
+    bucket histogram (candidate generation joins on the bucket id)."""
+    return (bucketed_embeddings(spark, sf_dir)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
 
 
 QUERIES["ann_lsh_buckets"] = ann_lsh_buckets

@@ -120,3 +120,17 @@ def test_split_matches_batch_chunks(spark):
     chunks = size_capped_chunks(td, 4)
     assert sum(c.count() for c in chunks) == 10
     assert max(c.count() for c in chunks) <= 4
+
+
+def test_explode_exemplars_keeps_context(spark):
+    """Exemplars explode with datapoint context and hex trace/span ids
+    (Exemplar semantics, generated_exemplar.go:96-101)."""
+    from otel_arrow_collector_spark.operators.metrics import explode_exemplars
+    md = generate_metrics(spark, 7)
+    ex = explode_exemplars(md)
+    n_ex = md.select(F.sum(F.size(F.coalesce("exemplars",
+                                             F.array())))).first()[0]
+    assert ex.count() == n_ex and n_ex > 0
+    r = ex.first()
+    assert r.metric_name and r.point_time_unix_nano is not None
+    assert {"span_id", "trace_id", "filtered_attributes"} <= set(ex.columns)
