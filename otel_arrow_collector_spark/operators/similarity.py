@@ -82,14 +82,15 @@ def _d_plane_literal(plane: list[float]) -> str:
 def ann_cosine_topk(spark, sf_dir):
     """Exact top-k neighbors for each query vector (vec_id < N_QUERY).
     Query side is broadcast; corpus is scanned once."""
-    e = load_table(spark, sf_dir, "embeddings")
-    # Precompute per-row norms: 1 dot per pair instead of 3.  Bit-identical
-    # to the inline oracle formula (same ops, same order), just hoisted.
-    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
-    q = (e.filter(F.col("vec_id") < N_QUERY)
-          .select(F.col("vec_id").alias("q_id"),
-                  F.col("embedding").alias("q_emb"), norm.alias("q_nrm")))
-    cand = e.select("vec_id", "embedding", norm.alias("c_nrm"))
+    # Norms come precomputed from the persisted per-(session,dir) corpus
+    # (1 dot per pair instead of 3; bit-identical to the inline oracle
+    # formula — same ops, same order, just hoisted and cached).
+    be = bucketed_embeddings(spark, sf_dir)
+    q = (be.filter(F.col("vec_id") < N_QUERY)
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"),
+                   F.col("nrm").alias("q_nrm")))
+    cand = be.select("vec_id", "embedding", F.col("nrm").alias("c_nrm"))
     cos = F.expr(_s_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (F.broadcast(q).join(cand, F.col("q_id") != F.col("vec_id"))
@@ -187,15 +188,15 @@ def _assignments(spark, sf_dir):
 
 
 def _build_assignments(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
-    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
-    cents = (e.filter(F.col("vec_id") < N_CENTROIDS)
-              .select(F.col("vec_id").alias("cid"),
-                      F.col("embedding").alias("c_emb"), norm.alias("c_nrm")))
+    be = bucketed_embeddings(spark, sf_dir)
+    cents = (be.filter(F.col("vec_id") < N_CENTROIDS)
+               .select(F.col("vec_id").alias("cid"),
+                       F.col("embedding").alias("c_emb"),
+                       F.col("nrm").alias("c_nrm")))
     cos = (F.expr(_s_dot("embedding", "c_emb"))
            / (F.col("v_nrm") * F.col("c_nrm")))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    return (e.withColumn("v_nrm", norm)
+    return (be.select("vec_id", "embedding", F.col("nrm").alias("v_nrm"))
             .crossJoin(F.broadcast(cents))
             .select("vec_id", "embedding", "v_nrm", "cid", cos.alias("c_cos"))
             .withColumn("rk", F.row_number().over(w))
