@@ -1,0 +1,71 @@
+"""Plan audit: print the physical-plan quality indicators for
+representative queries — pushed filters, read schemas, join strategies,
+shuffle counts.
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.1 and a representative set.  This is the
+reproducible form of README's "Design for 100 TB" audit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
+           "q18_interval_join", "q23_topk", "dedup_minhash_lsh",
+           "ann_cosine_topk"]
+
+
+def audit(spark, fn, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    jpe = df._jdf.queryExecution()
+    plan = jpe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    return {
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffles": len(re.findall(r"\bExchange\b(?! *Broadcast)", plan)),
+        "top_k": "TakeOrderedAndProject" in plan,
+        "pushed_filters": [p for p in
+                           re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+                           if p],
+        "read_schemas": re.findall(r"ReadSchema: (\S+)", plan),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
+        else "/root/testdata/sf0.1"
+    names = [a for a in args if not os.path.isdir(a)] or DEFAULT
+
+    from otel_arrow_collector_spark.operators import collect_registry
+    from otel_arrow_collector_spark.session import get_spark
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = collect_registry()
+
+    for name in names:
+        if name not in queries:
+            print(f"== {name}: NOT REGISTERED")
+            continue
+        a = audit(spark, queries[name], sf_dir)
+        print(f"== {name}")
+        print(f"   joins: {a['broadcast_joins']} broadcast / "
+              f"{a['sortmerge_joins']} sort-merge; "
+              f"shuffles: {a['shuffles']}; "
+              f"top-k op: {a['top_k']}")
+        for p in a["pushed_filters"][:4]:
+            print(f"   pushed: [{p}]")
+        for r in a["read_schemas"][:4]:
+            print(f"   reads:  {r[:100]}")
+
+
+if __name__ == "__main__":
+    main()
