@@ -200,7 +200,7 @@ def generate_traces(spark: SparkSession, span_count: int) -> DataFrame:
                                      attr("span-event-attr-val")},
                          dropped_attributes_count=2),
                 ],
-                dropped_events_count=1, links=[], dropped_links_count=0,
+                dropped_events_count=1, links=None, dropped_links_count=0,
                 status_code=2, status_message="status-cancelled",
                 **_envelope()))
         else:            # fillSpanTwo (trace.go:60-71)
@@ -210,7 +210,7 @@ def generate_traces(spark: SparkSession, span_count: int) -> DataFrame:
                 start_time_unix_nano=SPAN_START_NS,
                 end_time_unix_nano=SPAN_END_NS,
                 attributes={}, dropped_attributes_count=0,
-                events=[], dropped_events_count=0,
+                events=None, dropped_events_count=0,
                 links=[
                     dict(trace_id="", span_id="", trace_state="",
                          attributes={"span-link-attr":

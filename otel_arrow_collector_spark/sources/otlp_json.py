@@ -187,19 +187,21 @@ def spans_from_otlp_json(df: DataFrame) -> DataFrame:
         "CAST(sp.endTimeUnixNano AS BIGINT) AS end_time_unix_nano",
         _attrs_from_otlp("sp.attributes") + " AS attributes",
         "coalesce(sp.droppedAttributesCount, 0) AS dropped_attributes_count",
-        f"""transform(coalesce(sp.events, array()), ev -> named_struct(
+        f"""CASE WHEN size(sp.events) > 0 THEN
+            transform(sp.events, ev -> named_struct(
             'time_unix_nano', CAST(ev.timeUnixNano AS BIGINT),
             'name', ev.name,
             'attributes', {_attrs_from_otlp('ev.attributes')},
             'dropped_attributes_count',
-            coalesce(ev.droppedAttributesCount, 0))) AS events""",
+            coalesce(ev.droppedAttributesCount, 0))) END AS events""",
         "coalesce(sp.droppedEventsCount, 0) AS dropped_events_count",
-        f"""transform(coalesce(sp.links, array()), ln -> named_struct(
+        f"""CASE WHEN size(sp.links) > 0 THEN
+            transform(sp.links, ln -> named_struct(
             'trace_id', ln.traceId, 'span_id', ln.spanId,
             'trace_state', coalesce(ln.traceState, ''),
             'attributes', {_attrs_from_otlp('ln.attributes')},
             'dropped_attributes_count',
-            coalesce(ln.droppedAttributesCount, 0))) AS links""",
+            coalesce(ln.droppedAttributesCount, 0))) END AS links""",
         "coalesce(sp.droppedLinksCount, 0) AS dropped_links_count",
         "coalesce(sp.status.code, 0) AS status_code",
         "coalesce(sp.status.message, '') AS status_message",

@@ -156,3 +156,39 @@ def test_logs_roundtrip_property(records):
     back = logs_from_otlp_json(logs_to_otlp_json(df))
     assert back.schema.simpleString() == df.schema.simpleString()
     assert _canon(back) == _canon(df)
+
+
+@st.composite
+def span_row(draw):
+    has_status = draw(st.booleans())
+    t0 = draw(_ts)
+    return dict(
+        trace_id=draw(st.sampled_from(
+            ["0102030405060708090a0b0c0d0e0f10",
+             "ffeeddccbbaa99887766554433221100"])),
+        span_id=draw(st.sampled_from(["1112131415161718", "a1a2a3a4a5a6a7a8"])),
+        parent_span_id=draw(st.sampled_from(["", "0a0b0c0d0e0f0102"])),
+        trace_state=draw(st.sampled_from(["", "k=v"])),
+        name=draw(_name), kind=draw(st.integers(0, 5)),
+        start_time_unix_nano=t0,
+        end_time_unix_nano=t0 + draw(st.integers(0, 10**9)),
+        attributes=draw(_attrs), dropped_attributes_count=draw(st.integers(0, 2)),
+        events=None, dropped_events_count=0,
+        links=None, dropped_links_count=0,
+        status_code=draw(st.integers(0, 2)) if has_status else 0,
+        status_message=draw(st.sampled_from(["", "cancelled"])),
+        resource_attributes=draw(_attrs), scope_name="", scope_version="")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(span_row(), min_size=1, max_size=6))
+def test_traces_roundtrip_property(rows):
+    from otel_arrow_collector_spark.model.telemetry import SPAN_SCHEMA
+    from otel_arrow_collector_spark.sources.otlp_json import (
+        spans_from_otlp_json, spans_to_otlp_json)
+    spark = _SPARK[0]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    back = spans_from_otlp_json(spans_to_otlp_json(df))
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert _canon(back) == _canon(df)
