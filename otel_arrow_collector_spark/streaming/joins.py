@@ -44,3 +44,19 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     return (lw.join(rw, cond)
               .select(F.col("l_key").alias(key),
                       "l_ts", "r_ts", "l_event_id", "r_event_id"))
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join — the streaming form of attaching
+    resource/dimension attributes to records
+    (docs/processing.md:210-214 ``set(attributes[...],
+    resource.attributes[...])``; Q12's enrichment join).
+
+    The static side is broadcast to every task of every micro-batch: no
+    stream state at all, and the dimension may be refreshed between
+    batches (Spark re-resolves the static plan per micro-batch).  Default
+    LEFT join: an unknown key must not drop telemetry
+    (missing-dimension tolerance, Q14).
+    """
+    return stream.join(F.broadcast(dim), key, how)

@@ -70,3 +70,28 @@ def test_operator_always_bounds_state_with_watermarks(spark,
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2   # both sides bounded
     assert joined.isStreaming
+
+
+def test_stream_static_enrichment(spark, event_stream_dir, tmp_path):
+    """Stream-static broadcast enrichment: every streamed event carries
+    its dimension row; unknown keys survive (left join)."""
+    from otel_arrow_collector_spark.streaming.joins import enrich_stream
+    ev = _stream(spark, event_stream_dir)
+    dim = (load_table(spark, SF_SMALL, "events")
+           .select("user_id").distinct()
+           .withColumn("segment",
+                       (F.col("user_id") % 3).cast("string")))
+    # drop some keys from the dim to exercise missing-dimension tolerance
+    dim_partial = dim.filter(F.col("user_id") % 5 != 0)
+    out = enrich_stream(ev, dim_partial, "user_id")
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("enriched")
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert got.count() == total                      # nothing dropped
+    assert got.filter("segment IS NULL").count() == \
+        load_table(spark, SF_SMALL, "events") \
+        .filter("user_id % 5 = 0").count()           # unknowns null-padded
