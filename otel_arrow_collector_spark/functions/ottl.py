@@ -55,6 +55,80 @@ def truncate_all(attrs: Column, limit: int) -> Column:
     return F.transform_values(attrs, lambda _, v: F.substring(v, 1, limit))
 
 
+# --------------------------- path compiler --------------------------------
+#
+# OTTL field paths (processing.md:147-165) against the flattened row model:
+#   attributes["http.target"]          -> attributes map entry
+#   resource.attributes["host.name"]   -> resource_attributes map entry
+#   status.code / status.message       -> status_code / status_message cols
+#   scope.name / scope.version         -> scope_name / scope_version cols
+#   name, kind, trace_id, ...          -> plain columns
+
+import re as _re
+
+_ATTR_PATH = _re.compile(
+    r'^(?:(resource)\.)?attributes\["((?:[^"\\]|\\.)*)"\]$')
+_DOTTED = {"status.code": "status_code", "status.message": "status_message",
+           "scope.name": "scope_name", "scope.version": "scope_version"}
+
+
+class PathError(ValueError):
+    """Unparseable OTTL field path."""
+
+
+def _parse_path(path: str) -> tuple[str, str, str | None]:
+    """-> (kind, column, map_key): kind 'attr' or 'column'."""
+    m = _ATTR_PATH.match(path.strip())
+    if m:
+        col = "resource_attributes" if m.group(1) else "attributes"
+        return "attr", col, m.group(2).replace('\\"', '"')
+    p = path.strip()
+    if p in _DOTTED:
+        return "column", _DOTTED[p], None
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p):
+        return "column", p, None
+    raise PathError(f"cannot parse OTTL path {path!r}")
+
+
+def get_path(path: str) -> Column:
+    """Read a field path as a Column.  Attribute entries resolve to their
+    string arm (`.s`) — the common OTTL comparison/assignment type; use
+    the raw map column directly for typed access."""
+    kind, col, key = _parse_path(path)
+    if kind == "column":
+        return F.col(col)
+    return F.col(col)[key]["s"]
+
+
+def _attr_struct(value: Column) -> Column:
+    """Wrap a string-valued Column as the engine's tagged attr struct."""
+    return F.struct(
+        value.cast("string").alias("s"),
+        F.lit(None).cast("bigint").alias("i"),
+        F.lit(None).cast("double").alias("d"),
+        F.lit(None).cast("boolean").alias("b"),
+        F.lit(None).cast("string").alias("json"))
+
+
+def set_path(df: DataFrame, path: str, value) -> DataFrame:
+    """OTTL ``set(path, value)``: value is a Column or SQL expr string.
+    Attribute-map targets upsert (last-write-wins, map.go:98-186)."""
+    v = F.expr(value) if isinstance(value, str) else value
+    kind, col, key = _parse_path(path)
+    if kind == "column":
+        return df.withColumn(col, v)
+    return df.withColumn(col, map_put(F.col(col), key, _attr_struct(v)))
+
+
+def delete_path(df: DataFrame, path: str) -> DataFrame:
+    """OTTL ``delete(path)`` for attribute entries; whole columns are
+    dropped."""
+    kind, col, key = _parse_path(path)
+    if kind == "column":
+        return df.drop(col)
+    return df.withColumn(col, map_delete(F.col(col), key))
+
+
 # --------------------------- statement block ------------------------------
 
 def apply_ottl(df: DataFrame, cfg: dict) -> DataFrame:
@@ -73,6 +147,10 @@ def apply_ottl(df: DataFrame, cfg: dict) -> DataFrame:
         df = df.filter(cfg["where"])
     for col, expr in (cfg.get("set") or {}).items():
         df = df.withColumn(col, F.expr(expr))
+    for path, expr in (cfg.get("set_path") or {}).items():
+        df = set_path(df, path, expr)      # OTTL set() on field paths
+    for path in cfg.get("delete_path") or []:
+        df = delete_path(df, path)         # OTTL delete() on field paths
     for old, new in (cfg.get("rename") or {}).items():
         df = df.withColumnRenamed(old, new)
     if cfg.get("delete"):

@@ -44,3 +44,44 @@ def test_truncate_all(spark):
     m = _attrs_df(spark).select(
         truncate_all(F.col("attrs"), 1).alias("a")).first().a
     assert m == {"a": "1", "http.target": "/", "drop.me": "y"}
+
+
+def test_path_compiler_attribute_set_get_delete(spark):
+    """OTTL field paths (processing.md:147-165): set/read/delete on
+    attribute maps and resource attributes by path."""
+    from otel_arrow_collector_spark.functions.ottl import (PathError,
+                                                           delete_path,
+                                                           get_path,
+                                                           set_path)
+    from otel_arrow_collector_spark.model import generate_traces
+    import pytest as _pytest
+    td = generate_traces(spark, 4)
+
+    out = set_path(td, 'attributes["http.target"]', F.lit("/api/v1"))
+    assert out.select(get_path('attributes["http.target"]'))\
+              .first()[0] == "/api/v1"
+    # enrichment copy: resource attr -> record attr (processing.md:210-214)
+    out2 = set_path(td, 'attributes["res.copy"]',
+                    get_path('resource.attributes["resource-attr"]'))
+    assert out2.select(get_path('attributes["res.copy"]'))\
+               .first()[0] == "resource-attr-val-1"
+    gone = delete_path(out, 'attributes["http.target"]')
+    assert gone.select(get_path('attributes["http.target"]'))\
+               .first()[0] is None
+    # dotted structural fields map to flat columns
+    assert out.select(get_path("status.message")).distinct().count() >= 1
+    with _pytest.raises(PathError):
+        set_path(td, 'attributes[unquoted]', F.lit("x"))
+
+
+def test_apply_ottl_with_paths(spark):
+    from otel_arrow_collector_spark.functions.ottl import apply_ottl, get_path
+    from otel_arrow_collector_spark.model import generate_traces
+    td = generate_traces(spark, 4)
+    out = apply_ottl(td, {
+        "set_path": {'attributes["env"]': "'prod'"},
+        "delete_path": ['resource.attributes["resource-attr"]'],
+    })
+    assert out.select(get_path('attributes["env"]')).first()[0] == "prod"
+    assert out.select(get_path('resource.attributes["resource-attr"]'))\
+              .first()[0] is None
