@@ -55,6 +55,31 @@ def truncate_all(attrs: Column, limit: int) -> Column:
     return F.transform_values(attrs, lambda _, v: F.substring(v, 1, limit))
 
 
+def explode_attributes(df: DataFrame, col: str = "attributes",
+                       keep: list[str] | None = None) -> DataFrame:
+    """Map.Range analogue (pdata/pcommon/map.go:199-207): one row per
+    attribute entry with its type tag — the queryable form of the dynamic
+    attribute surface (``SELECT ... WHERE key='http.status' AND i >= 500``).
+
+    ``keep`` names identity columns to carry along (default: none).
+    """
+    keep = keep or []
+    typed = F.expr(
+        "CASE WHEN e.value.s IS NOT NULL THEN 'str' "
+        "WHEN e.value.i IS NOT NULL THEN 'int' "
+        "WHEN e.value.d IS NOT NULL THEN 'double' "
+        "WHEN e.value.b IS NOT NULL THEN 'bool' "
+        "WHEN e.value.json IS NOT NULL THEN 'json' ELSE 'empty' END")
+    return (df.select(*keep, F.explode(F.map_entries(F.col(col))).alias("e"))
+              .select(*keep,
+                      F.col("e.key").alias("key"), typed.alias("value_type"),
+                      F.col("e.value.s").alias("s"),
+                      F.col("e.value.i").alias("i"),
+                      F.col("e.value.d").alias("d"),
+                      F.col("e.value.b").alias("b"),
+                      F.col("e.value.json").alias("json")))
+
+
 # --------------------------- path compiler --------------------------------
 #
 # OTTL field paths (processing.md:147-165) against the flattened row model:

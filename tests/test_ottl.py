@@ -85,3 +85,25 @@ def test_apply_ottl_with_paths(spark):
     assert out.select(get_path('attributes["env"]')).first()[0] == "prod"
     assert out.select(get_path('resource.attributes["resource-attr"]'))\
               .first()[0] is None
+
+
+def test_explode_attributes_typed_rows(spark):
+    """Map.Range analogue: every attribute entry becomes a typed row."""
+    from otel_arrow_collector_spark.functions.ottl import (explode_attributes,
+                                                           map_put)
+    from otel_arrow_collector_spark.model import generate_logs
+    from otel_arrow_collector_spark.model.telemetry import attr
+    ld = generate_logs(spark, 2)
+    enriched = ld.withColumn(
+        "attributes",
+        map_put(F.col("attributes"), "retries",
+                F.expr("named_struct('s', CAST(NULL AS STRING), 'i', 3L, "
+                       "'d', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS BOOLEAN),"
+                       "'json', CAST(NULL AS STRING))")))
+    rows = explode_attributes(enriched, keep=["time_unix_nano"]).collect()
+    assert all(r.time_unix_nano is not None for r in rows)
+    tags = {(r.key, r.value_type) for r in rows}
+    assert ("retries", "int") in tags
+    assert any(t == "str" for _, t in tags)
+    ints = [r for r in rows if r.key == "retries"]
+    assert all(r.i == 3 and r.s is None for r in ints)
