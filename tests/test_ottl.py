@@ -107,3 +107,33 @@ def test_explode_attributes_typed_rows(spark):
     assert any(t == "str" for _, t in tags)
     ints = [r for r in rows if r.key == "retries"]
     assert all(r.i == 3 and r.s is None for r in ints)
+
+
+def test_map_ops_laws(spark):
+    """Map op laws (pdata/pcommon/map.go semantics): put-get identity,
+    last-write-wins, delete removes, keep_keys intersects."""
+    from otel_arrow_collector_spark.functions.ottl import (keep_keys,
+                                                           map_delete,
+                                                           map_put)
+    from otel_arrow_collector_spark.model import generate_logs
+    ld = generate_logs(spark, 1).select("attributes")
+
+    def val(s):
+        return F.expr(f"named_struct('s', '{s}', 'i', CAST(NULL AS BIGINT), "
+                      "'d', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS BOOLEAN), "
+                      "'json', CAST(NULL AS STRING))")
+
+    a = F.col("attributes")
+    put_twice = map_put(map_put(a, "k", val("v1")), "k", val("v2"))
+    row = ld.select(
+        map_put(a, "k", val("v1"))["k"]["s"].alias("put_get"),
+        put_twice["k"]["s"].alias("lww"),
+        map_delete(map_put(a, "k", val("v1")), "k")["k"].alias("del_get"),
+        F.map_keys(keep_keys(map_put(a, "k", val("v1")), "k")).alias("kept"),
+        F.size(F.map_keys(keep_keys(a, "definitely-absent"))).alias("none_kept"),
+    ).first()
+    assert row.put_get == "v1"
+    assert row.lww == "v2"              # last-write-wins (map.go:98-186)
+    assert row.del_get is None
+    assert list(row.kept) == ["k"]
+    assert row.none_kept == 0
