@@ -54,3 +54,37 @@ class ObsReport:
         return spark.createDataFrame(
             rows or [("", "", "", 0)][:0],
             "component string, signal string, metric string, value long")
+
+
+def instrumented_sink(obsreport: ObsReport, component: str, signal: str,
+                      push):
+    """Wrap a foreachBatch sink with exporter-boundary accounting
+    (obsreport/obsreport_exporter.go: sent on success, send_failed on
+    error; counts are record counts, recorded AFTER the outcome is known).
+    Returns a (batch_df, batch_id) callable for ``foreachBatch``."""
+    def sink(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        try:
+            push(batch_df, batch_id)
+        except Exception:
+            obsreport.record(component, signal, "send_failed", n)
+            raise
+        obsreport.record(component, signal, "sent", n)
+    return sink
+
+
+def instrumented_ingest(obsreport: ObsReport, component: str, signal: str,
+                        consume):
+    """Receiver-boundary accounting (obsreport_receiver.go:153-310):
+    accepted on successful consume, refused when the pipeline rejects
+    (e.g. DataRefusedError from the memory limiter)."""
+    def ingest(batch_df):
+        n = batch_df.count()
+        try:
+            out = consume(batch_df)
+        except Exception:
+            obsreport.record(component, signal, "refused", n)
+            raise
+        obsreport.record(component, signal, "accepted", n)
+        return out
+    return ingest

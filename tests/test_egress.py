@@ -122,3 +122,52 @@ def test_obsreport_dataframe_surface(spark):
     assert got[("otlp/in", "refused")] == 2
     with pytest.raises(ValueError):
         obs.record("x", "traces", "nope")
+
+
+def test_instrumented_sink_streaming_counts(spark, tmp_path):
+    """Streaming foreachBatch sink records sent per micro-batch; a failing
+    push records send_failed (obsreport exporter boundaries)."""
+    from otel_arrow_collector_spark.exporters.obsreport import (
+        ObsReport, instrumented_sink)
+    from otel_arrow_collector_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+    import shutil, tempfile
+    d = tempfile.mkdtemp(prefix="obs_stream_")
+    try:
+        events = load_table(spark, SF_SMALL, "events") \
+            .select("event_id", "user_id")
+        events.repartition(2).write.mode("overwrite").parquet(d)
+        obs = ObsReport()
+        stream = (spark.readStream.schema("event_id bigint, user_id bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stream.writeStream
+             .foreachBatch(instrumented_sink(obs, "exp0", "events",
+                                             lambda df, bid: None))
+             .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert obs.get("exp0", "events", "sent") == events.count()
+        assert obs.get("exp0", "events", "send_failed") == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_instrumented_ingest_refusal_counts(spark):
+    from otel_arrow_collector_spark.exporters.obsreport import (
+        ObsReport, instrumented_ingest)
+    from otel_arrow_collector_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+    obs = ObsReport()
+    events = load_table(spark, SF_SMALL, "events").limit(10)
+
+    ok = instrumented_ingest(obs, "recv0", "events", lambda df: df)
+    assert ok(events).count() == 10
+    assert obs.get("recv0", "events", "accepted") == 10
+
+    def refuse(df):
+        raise RuntimeError("over limit")
+    bad = instrumented_ingest(obs, "recv0", "events", refuse)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        bad(events)
+    assert obs.get("recv0", "events", "refused") == 10
