@@ -54,7 +54,7 @@ def multimodal_binary_meta(spark, sf_dir):
     b = _binary_docs(spark, sf_dir)
     return (b.select(
                 "doc_id",
-                F.length("payload").alias("n_bytes"),
+                F.length("payload").cast("long").alias("n_bytes"),
                 F.substring(F.hex("payload"), 1, 8).alias("magic"),
                 F.md5("payload").alias("content_hash"))
              .orderBy("doc_id").limit(200))

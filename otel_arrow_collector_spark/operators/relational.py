@@ -364,7 +364,7 @@ def q19(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.select("user_id", "event_id",
-                      F.row_number().over(w).alias("rn"))
+                      F.row_number().over(w).cast("long").alias("rn"))
               .filter(F.col("rn") <= 3)
               .orderBy("user_id", "rn"))
 
@@ -418,7 +418,7 @@ def q22(spark, sf_dir):
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (o.select("o_orderpriority", "o_orderkey",
-                     F.dense_rank().over(w).alias("rnk"))
+                     F.dense_rank().over(w).cast("long").alias("rnk"))
              .filter(F.col("rnk") <= 5)
              .orderBy("o_orderpriority", "rnk", "o_orderkey"))
 
@@ -500,7 +500,7 @@ def q27(spark, sf_dir):
              .limit(100)
              .select("p_partkey",
                      F.upper("p_brand").alias("b"),
-                     F.length("p_name").alias("ln"),
+                     F.length("p_name").cast("long").alias("ln"),
                      F.substring("p_type", 1, 5).alias("t5"),
                      F.replace(F.col("p_name"), F.lit("x"), F.lit("y")).alias("r")))
 
@@ -513,8 +513,8 @@ FROM orders GROUP BY 1,2 ORDER BY y, m
 def q28(spark, sf_dir):
     """Date/time functions (Timestamp ns -> calendar, timestamp.go:15)."""
     o = _t(spark, sf_dir, "orders")
-    return (o.groupBy(F.year("o_orderdate").alias("y"),
-                      F.month("o_orderdate").alias("m"))
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("y"),
+                      F.month("o_orderdate").cast("long").alias("m"))
              .agg(F.count(F.lit(1)).alias("n"))
              .orderBy("y", "m"))
 
@@ -621,16 +621,20 @@ def q33(spark, sf_dir):
 
 
 @_register("q34_text_groupstats", """
-SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars,
-       MAX(LENGTH(text)) AS max_len
+SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
 FROM documents GROUP BY lang ORDER BY lang
 """)
 def q34(spark, sf_dir):
     """Text analysis group stats (logging exporter text surface,
-    exporter/loggingexporter/logging_exporter.go:20-90)."""
+    exporter/loggingexporter/logging_exporter.go:20-90).
+
+    Output integer widths are pinned to 64-bit on both sides: DuckDB's
+    SUM(int) is HUGEINT and LENGTH is BIGINT, while Spark's are LONG and
+    INT — value-identical but hash-different without the casts."""
     d = _t(spark, sf_dir, "documents")
     return (d.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("docs"),
-                  F.sum("n_chars").alias("chars"),
-                  F.max(F.length("text")).alias("max_len"))
+                  F.sum("n_chars").cast("long").alias("chars"),
+                  F.max(F.length("text")).cast("long").alias("max_len"))
              .orderBy("lang"))

@@ -97,7 +97,8 @@ def ann_cosine_topk(spark, sf_dir):
             .select("q_id", "vec_id", cos.alias("cos_raw"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= TOP_K)
-            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"), "rk")
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"),
+                    F.col("rk").cast("long").alias("rk"))
             .orderBy("q_id", "rk"))
 
 
@@ -249,7 +250,8 @@ def ann_ivf_probe(spark, sf_dir):
             .select("q_id", "vec_id", cos.alias("cos_raw"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= PROBE_K)
-            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"), "rk")
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"),
+                    F.col("rk").cast("long").alias("rk"))
             .orderBy("q_id", "rk"))
 
 

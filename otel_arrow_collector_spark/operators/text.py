@@ -63,8 +63,8 @@ def text_token_stats(spark, sf_dir):
                           lambda acc, x: acc + x)
     return (d.select(
                 "doc_id",
-                n_tokens.alias("n_tokens"),
-                n_distinct.alias("n_distinct"),
+                n_tokens.cast("long").alias("n_tokens"),
+                n_distinct.cast("long").alias("n_distinct"),
                 F.round(n_distinct.cast("double") / n_tokens, 4).alias("ttr"),
                 F.round(sum_len.cast("double") / n_tokens, 4).alias("avg_token_len"))
              .orderBy("doc_id").limit(200))
@@ -148,9 +148,9 @@ def text_langid(spark, sf_dir):
              .when(scores["es"] >= scores["zh"], "es")
              .otherwise("zh"))
     return (d.select("doc_id", "lang",
-                     scores["en"].alias("s_en"),
-                     scores["es"].alias("s_es"),
-                     scores["zh"].alias("s_zh"),
+                     scores["en"].cast("long").alias("s_en"),
+                     scores["es"].cast("long").alias("s_es"),
+                     scores["zh"].cast("long").alias("s_zh"),
                      pred.alias("predicted"))
              .orderBy("doc_id").limit(200))
 

@@ -34,6 +34,64 @@ def norm_value(v) -> str:
     return str(v)
 
 
+#: integer widths are compared EXACTLY (the driver's value-hash is
+#: width-sensitive there — DuckDB HUGEINT vs Spark LONG broke q34 in r01);
+#: non-integer types collapse to a family so float/decimal/timestamp
+#: flavor differences that the driver tolerates don't false-fail locally.
+_INT_WIDTHS = {
+    # Spark simpleString names
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "integer": "int32", "bigint": "int64",
+    # DuckDB DESCRIBE names
+    "utinyint": "uint8", "usmallint": "uint16", "uinteger": "uint32",
+    "ubigint": "uint64", "hugeint": "int128", "uhugeint": "uint128",
+}
+
+
+def canon_type(t: str) -> str:
+    """Canonicalize a Spark dtype / DuckDB column_type string.
+
+    Integer widths stay distinct; everything else becomes a coarse
+    family tag (float, decimal, str, ...)."""
+    s = t.strip().lower()
+    if s in _INT_WIDTHS:
+        return _INT_WIDTHS[s]
+    if s.startswith(("array<", "list<")) or s.endswith("[]"):
+        return "list"
+    if s.startswith(("struct", "row", "map")):
+        return "nested"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("float", "real", "float4"):
+        return "float"
+    if s in ("double", "float8"):
+        return "float"
+    if s in ("varchar", "string", "text"):
+        return "str"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in ("blob", "binary", "bytea", "varbinary"):
+        return "bytes"
+    if s in ("boolean", "bool"):
+        return "bool"
+    return s
+
+
+def dtype_report(spark_df, con, oracle: str) -> dict:
+    """Per-column canonical-type comparison between engine and oracle."""
+    stypes = {name: canon_type(t) for name, t in spark_df.dtypes}
+    dtypes = {}
+    try:
+        for row in con.execute(f"DESCRIBE {oracle}").fetchall():
+            dtypes[row[0]] = canon_type(row[1])
+    except Exception:  # DESCRIBE unsupported for this statement shape
+        return {"dtype_match": True, "dtype_diff": {}}
+    diff = {c: (stypes.get(c), dtypes.get(c))
+            for c in set(stypes) | set(dtypes)
+            if stypes.get(c) != dtypes.get(c)}
+    return {"dtype_match": not diff, "dtype_diff": diff}
+
+
 def norm_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
     """Sort columns by name, stringify values, sort rows -> comparable form."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -57,7 +115,7 @@ def compare(spark_df, con, oracle: str) -> dict:
     cur = con.execute(oracle)
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
-    return {
+    rep = {
         "cols_match": sorted(scols) == sorted(dcols),
         "rowcount_match": len(srows) == len(drows),
         "values_match": norm_rows(scols, srows) == norm_rows(dcols, drows),
@@ -66,3 +124,5 @@ def compare(spark_df, con, oracle: str) -> dict:
         "spark_cols": sorted(scols),
         "duck_cols": sorted(dcols),
     }
+    rep.update(dtype_report(spark_df, con, oracle))
+    return rep

@@ -41,7 +41,8 @@ def main() -> int:
             n_weak += 1
             continue
         r = compare(sdf, con, oracles[name])
-        if r["cols_match"] and r["rowcount_match"] and r["values_match"]:
+        if (r["cols_match"] and r["rowcount_match"] and r["values_match"]
+                and r["dtype_match"]):
             print(f"  PASS  {name} ({r['spark_rows']} rows)")
             n_pass += 1
         else:
@@ -49,10 +50,12 @@ def main() -> int:
             print(f"  FAIL  {name}: cols={r['cols_match']} "
                   f"rowcount={r['rowcount_match']} "
                   f"({r['spark_rows']} vs {r['duck_rows']}) "
-                  f"values={r['values_match']}")
+                  f"values={r['values_match']} dtypes={r['dtype_match']}")
             if not r["cols_match"]:
                 print(f"        spark cols: {r['spark_cols']}")
                 print(f"        duck  cols: {r['duck_cols']}")
+            if not r["dtype_match"]:
+                print(f"        dtype diff (spark, duck): {r['dtype_diff']}")
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak ({sf_dir})")
     return 1 if n_fail else 0
 
