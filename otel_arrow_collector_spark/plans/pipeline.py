@@ -26,16 +26,23 @@ Batch-mode processor semantics:
 - ``filter``         — OTTL drop-where (docs/processing.md:205-208)
 - ``transform``      — OTTL-lite set/delete/keep/rename column ops
 - ``project``        — explicit selectExpr
-- ``batch``          — size-capped re-chunk: repartitions so no output
-  partition exceeds send_batch_size rows (splittraces.go:11-66 semantics);
-  time-based triggering only exists in streaming mode (../streaming)
+- ``batch``          — size-capped re-chunk (splittraces.go:11-66 semantics).
+  Two layers, neither of which executes an extra job: in-plan, a REBALANCE
+  hint lets AQE size partitions from runtime shuffle statistics (approximate,
+  byte-targeted); at the sink boundary — where the reference's splitTraces
+  caps the export request — ``maxRecordsPerFile`` enforces the HARD row cap
+  per emitted file.  Time-based triggering only exists in streaming mode
+  (../streaming, where ``size_capped_chunks`` does exact row chunking).
 - ``memory_limiter`` — admission refusal above a row budget
-  (memorylimiterprocessor/memorylimiter.go:170-224: refuse, do not drop)
+  (memorylimiterprocessor/memorylimiter.go:170-224: refuse, do not drop).
+  The check is deferred to ``run()`` (compile/dry_run stay metadata-only)
+  and the checked DataFrame is persisted for the duration of the sink
+  materialization, so admission + export share one execution of the
+  upstream plan instead of scanning it twice.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -233,15 +240,19 @@ class PipelineGraph:
             df = inputs[0]
             for other in inputs[1:]:   # fan-in (MoveAndAppendTo, slice.go:103)
                 df = df.unionByName(other)
+            # per-pipeline compile context: batch size cap for the sink
+            # boundary + deferred memory-limiter gates (run-time admission)
+            ctx = {"batch_size": None, "gates": []}
             for pr in p.processors:    # per-pipeline processor instances
-                df = self._apply_processor(df, pr)
+                df = self._apply_processor(df, pr, ctx)
             plan.pipeline_dfs[name] = df
             for e in p.exporters:      # fan-out (fanoutconsumer; clone-free)
                 if e in self.connectors:
                     connector_inputs.setdefault(e, []).append((name, df))
                 else:
                     plan._sinks.append(
-                        (name, e, self._build_sink(df, self.exporters[e], e)))
+                        (name, e,
+                         self._build_sink(df, self.exporters[e], e, ctx)))
         return plan
 
     # -- component builders ------------------------------------------------
@@ -266,7 +277,7 @@ class PipelineGraph:
             return read_otlp_json(spark, cfg["path"], cfg.get("signal", "logs"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
 
-    def _apply_processor(self, df: DataFrame, pid: str) -> DataFrame:
+    def _apply_processor(self, df: DataFrame, pid: str, ctx: dict) -> DataFrame:
         cfg = self.processors[pid]
         kind = cfg.get("kind")
         if kind == "filter":
@@ -277,26 +288,53 @@ class PipelineGraph:
             from ..functions.ottl import apply_ottl
             return apply_ottl(df, cfg)
         if kind == "batch":
-            size = int(cfg.get("send_batch_size", 8192))
-            # size-capped re-chunk: bound rows per output partition.  count()
-            # is one cheap aggregate per compile; the repartition keys on
-            # nothing (round-robin) so downstream writes see uniform chunks.
-            n = df.count()
-            return df.repartition(max(1, math.ceil(n / size)))
+            # No count(), no extra job: AQE rebalances partitions from
+            # runtime shuffle stats; the hard per-request row cap lands at
+            # the sink boundary via maxRecordsPerFile (ctx["batch_size"]),
+            # which is where splitTraces caps export requests.
+            ctx["batch_size"] = int(cfg.get("send_batch_size", 8192))
+            return df.hint("rebalance")
         if kind == "memory_limiter":
-            max_rows = int(cfg["max_rows"])
-
-            def gate(d: DataFrame, limit: int = max_rows) -> DataFrame:
-                # refusal (not truncation): errDataRefused semantics
-                if d.limit(limit + 1).count() > limit:
-                    raise DataRefusedError(
-                        f"memory_limiter {pid!r}: input exceeds {limit} rows; "
-                        f"data refused (retry upstream)")
-                return d
-            return gate(df)
+            # Deferred: recorded here, checked at run() against the chain
+            # position the limiter occupies (not the final sink plan).
+            ctx["gates"].append((pid, int(cfg["max_rows"]), df))
+            return df
         raise ConfigError(f"processor {pid!r}: unknown kind {kind!r}")
 
-    def _build_sink(self, df: DataFrame, cfg: dict, eid: str):
+    @staticmethod
+    def _gated(thunk, gates):
+        """Wrap a sink thunk with run-time memory-limiter admission.
+
+        The gate DataFrame is persisted across admission + export so the
+        upstream plan executes once: the limit(n+1) admission scan fills
+        the cache, and the sink's materialization (whose plan contains the
+        same subtree) reads it back via InMemoryRelation substitution."""
+        if not gates:
+            return thunk
+
+        def run():
+            for _, _, gdf in gates:
+                gdf.persist()
+            try:
+                for pid, limit, gdf in gates:
+                    # refusal (not truncation): errDataRefused semantics
+                    if gdf.limit(limit + 1).count() > limit:
+                        raise DataRefusedError(
+                            f"memory_limiter {pid!r}: input exceeds {limit} "
+                            f"rows; data refused (retry upstream)")
+                return thunk()
+            finally:
+                for _, _, gdf in gates:
+                    gdf.unpersist()
+        return run
+
+    def _build_sink(self, df: DataFrame, cfg: dict, eid: str,
+                    ctx: dict | None = None):
+        ctx = ctx or {"batch_size": None, "gates": []}
+        thunk = self._sink_thunk(df, cfg, eid, ctx)
+        return self._gated(thunk, ctx["gates"])
+
+    def _sink_thunk(self, df: DataFrame, cfg: dict, eid: str, ctx: dict):
         kind = cfg.get("kind", "memory")
         if kind == "console":
             n = int(cfg.get("rows", 20))
@@ -308,7 +346,15 @@ class PipelineGraph:
         if kind == "parquet":
             path = cfg["path"]
             mode = cfg.get("mode", "overwrite")
-            return lambda: (df.write.mode(mode).parquet(path), path)[1]
+            cap = ctx.get("batch_size")
+
+            def write() -> str:
+                w = df.write.mode(mode)
+                if cap:   # batch processor's hard per-file row cap
+                    w = w.option("maxRecordsPerFile", cap)
+                w.parquet(path)
+                return path
+            return write
         if kind == "memory":
             # consumertest.Sink analogue (consumer/consumertest/sink.go:28-56)
             return lambda: df.collect()

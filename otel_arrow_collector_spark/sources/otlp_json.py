@@ -300,7 +300,8 @@ def read_otlp_json(spark: SparkSession, path: str,
                    signal: str = "logs") -> DataFrame:
     if signal not in _READERS:
         raise NotImplementedError(
-            f"OTLP/JSON for signal {signal!r} not wired (traces/logs only)")
+            f"OTLP/JSON for signal {signal!r} not wired "
+            f"(supported: {sorted(_READERS)})")
     raw = spark.read.text(path).withColumnRenamed("value", "json")
     return _READERS[signal](raw)
 
@@ -308,7 +309,8 @@ def read_otlp_json(spark: SparkSession, path: str,
 def write_otlp_json(df: DataFrame, path: str, signal: str) -> None:
     if signal not in _WRITERS:
         raise NotImplementedError(
-            f"OTLP/JSON for signal {signal!r} not wired (traces/logs only)")
+            f"OTLP/JSON for signal {signal!r} not wired "
+            f"(supported: {sorted(_WRITERS)})")
     _WRITERS[signal](df).write.mode("overwrite").text(path)
 
 

@@ -21,28 +21,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def size_capped_chunks(batch_df: DataFrame, max_size: int) -> list[DataFrame]:
-    """Split one (micro-)batch into chunks of <= max_size rows.
+class ChunkSet(list):
+    """List of chunk DataFrames backed by one persisted parent.
 
-    splitTraces semantics (first-N item budget per emitted batch); chunk
-    membership is round-robin rather than arrival-ordered — the reference
-    orders within a batch, but exporters treat batches as unordered sets.
-    At scale, chunk count tracks data volume and each chunk is a uniform
-    unit of sink work.
+    Call :meth:`release` (or use as a context manager) after the chunks
+    have been consumed to drop the cache; chunks remain valid afterwards
+    but recompute from source if re-used.
     """
-    n = batch_df.count()
-    if n == 0:
-        return []
-    if n <= max_size:
-        return [batch_df]
-    n_chunks = math.ceil(n / max_size)
-    chunked = batch_df.repartition(n_chunks)
-    # repartition bounds the AVERAGE; enforce the hard cap per chunk with a
-    # row_number cut inside each partition (cheap: partition-local sort-free
-    # monotonically increasing ids).
-    with_part = chunked.withColumn("__chunk", F.spark_partition_id())
-    return [with_part.filter(F.col("__chunk") == i).drop("__chunk")
-            for i in range(n_chunks)]
+
+    def __init__(self, chunks, parent=None):
+        super().__init__(chunks)
+        self._parent = parent
+
+    def release(self) -> None:
+        if self._parent is not None:
+            self._parent.unpersist()
+            self._parent = None
+
+    def __enter__(self) -> "ChunkSet":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def size_capped_chunks(batch_df: DataFrame, max_size: int) -> ChunkSet:
+    """Split one (micro-)batch into exactly ``ceil(n/max_size)`` chunks of
+    <= max_size rows each (hard cap — splitTraces' send_batch_max_size
+    guarantee, splittraces.go:11-66), preserving partition arrival order.
+
+    Single-pass: the batch is persisted with a per-row global position
+    (``monotonically_increasing_id`` decomposed into (partition, local pos)
+    + driver-side per-partition offsets — the zipWithIndex scheme, no
+    global sort, no extra scan of the source).  The count job materializes
+    the cache; every chunk filter and the sink reads reuse it.  Caller
+    releases the cache via the returned :class:`ChunkSet`.
+    """
+    # mid = partition_id << 33 | local_row_position (stable per plan)
+    keyed = (batch_df
+             .withColumn("__mid", F.monotonically_increasing_id())
+             .persist())
+    # one small job over the (now cached) batch: rows per input partition
+    per_part = sorted(
+        (r["pid"], r["n"]) for r in
+        keyed.select(F.shiftright("__mid", 33).alias("pid"))
+             .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect())
+    if not per_part:
+        keyed.unpersist()
+        return ChunkSet([])
+    offsets, total = {}, 0
+    for pid, n in per_part:
+        offsets[pid] = total
+        total += n
+    if total <= max_size:
+        return ChunkSet([keyed.drop("__mid")], parent=keyed)
+    # global position = offset[partition] + local position -> exact chunks
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x).cast("long")
+                       for kv in offsets.items() for x in kv]),
+        F.shiftright("__mid", 33))
+    pos = off_expr + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    chunked = keyed.withColumn("__chunk", (pos / max_size).cast("long"))
+    n_chunks = math.ceil(total / max_size)
+    return ChunkSet(
+        [chunked.filter(F.col("__chunk") == i).drop("__chunk", "__mid")
+         for i in range(n_chunks)],
+        parent=keyed)
 
 
 def split_first_n(batch_df: DataFrame, n: int,
@@ -78,8 +122,9 @@ def stream_in_batches(stream_df: DataFrame, sink: Callable[[DataFrame, int, int]
     (exporterhelper pushTraces analogue).  Returns the StreamingQuery.
     """
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        for i, chunk in enumerate(size_capped_chunks(batch_df, send_batch_max_size)):
-            sink(chunk, batch_id, i)
+        with size_capped_chunks(batch_df, send_batch_max_size) as chunks:
+            for i, chunk in enumerate(chunks):
+                sink(chunk, batch_id, i)
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint:

@@ -102,11 +102,41 @@ def test_stream_dedup_drops_redelivered(spark, tmp_path):
 
 def test_size_capped_chunks(spark):
     ev = load_table(spark, SF_SMALL, "events").limit(950)
-    chunks = size_capped_chunks(ev, 300)
-    sizes = [c.count() for c in chunks]
+    with size_capped_chunks(ev, 300) as chunks:
+        sizes = [c.count() for c in chunks]
     assert sum(sizes) == 950
-    assert max(sizes) <= 300
-    assert len(chunks) == 4
+    assert max(sizes) <= 300          # HARD cap (splitTraces guarantee)
+    assert len(chunks) == 4           # exactly ceil(950/300) chunks
+
+
+def test_size_capped_chunks_hard_cap_skewed_partitions(spark):
+    """The cap holds for any input partitioning (round-robin repartition
+    only bounds the average — this is the regression ADVICE flagged)."""
+    base = spark.range(0, 20, 1, 8).toDF("id")   # 20 rows over 8 partitions
+    with size_capped_chunks(base, 7) as chunks:
+        sizes = sorted(c.count() for c in chunks)
+    assert sum(sizes) == 20
+    assert max(sizes) <= 7
+    assert sizes == [6, 7, 7]
+
+
+def test_size_capped_chunks_single_source_pass(spark, tmp_path):
+    """Chunking + consuming all chunks executes the source exactly once
+    (the count job materializes the cache; chunk filters read it back)."""
+    marker = tmp_path / "passes"
+    marker.mkdir()
+
+    def tag(batches):
+        import uuid
+        (marker / uuid.uuid4().hex).touch()
+        for b in batches:
+            yield b
+
+    base = spark.range(0, 1000, 1, 8).mapInPandas(tag, "id long")
+    with size_capped_chunks(base, 300) as chunks:
+        total = sum(c.count() for c in chunks)
+    assert total == 1000
+    assert len(list(marker.iterdir())) == 8   # 8 partitions, one pass each
 
 
 def test_stream_in_batches_size_cap(spark, stream_dir, tmp_path):
