@@ -25,6 +25,8 @@ is where throttle-awareness lives, SURVEY.md §4).
 
 from __future__ import annotations
 
+import inspect
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FutTimeout
@@ -71,10 +73,60 @@ class RetryConfig:
     sleep: Callable[[float], None] = time.sleep      # injectable for tests
 
 
-class RetrySender:
-    """Throttle-aware retry loop around a push function."""
+class CancelToken:
+    """Cooperative attempt-cancellation handle (timeoutSender's context:
+    common.go:183-198 cancels the in-flight RPC on deadline).  Python
+    threads cannot be force-killed, so cancellation is cooperative: a push
+    that accepts the token should poll ``cancelled`` / call
+    ``raise_if_cancelled`` at I/O boundaries and abort its side effects."""
 
-    def __init__(self, push: Callable[[Any], PartialSuccess | None],
+    def __init__(self, timeout_s: float):
+        self._ev = threading.Event()
+        self.deadline = time.monotonic() + timeout_s
+
+    def cancel(self) -> None:
+        self._ev.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._ev.is_set()
+
+    def remaining(self) -> float:
+        return self.deadline - time.monotonic()
+
+    def raise_if_cancelled(self) -> None:
+        if self.cancelled:
+            raise TransientError("attempt cancelled (timeout)")
+
+
+def _accepts_token(push: Callable) -> bool:
+    try:
+        params = list(inspect.signature(push).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    pos = [p for p in params
+           if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    var = any(p.kind is p.VAR_POSITIONAL for p in params)
+    return len(pos) >= 2 or var
+
+
+class RetrySender:
+    """Throttle-aware retry loop around a push function.
+
+    Delivery semantics: the push receives a :class:`CancelToken` as a
+    second argument when its signature accepts one; a cooperative push
+    aborts on cancel, giving (effectively) at-most-once per attempt.  A
+    push that ignores the token may still complete AFTER its attempt timed
+    out and a retry was issued — at-least-once overall; pair the sink with
+    ``streaming.dedup_stream`` when the downstream is not idempotent.
+
+    Each attempt runs on its own single-thread executor: a hung attempt
+    never queues later attempts behind it (so a later attempt's timeout
+    measures push time, not queue wait), and the executor is torn down as
+    soon as its push returns.
+    """
+
+    def __init__(self, push: Callable[..., PartialSuccess | None],
                  config: RetryConfig | None = None,
                  obsreport: ObsReport | None = None,
                  component: str = "exporter", signal: str = "traces"):
@@ -83,16 +135,41 @@ class RetrySender:
         self.obs = obsreport or ObsReport()
         self.component = component
         self.signal = signal
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._push_takes_token = _accepts_token(push)
+        self._zombies: list = []   # timed-out, still-running attempt futures
+
+    def close(self) -> None:
+        """Cancel any timed-out attempts still running (cooperative)."""
+        self._zombies = [f for f in self._zombies if not f.done()]
+
+    def __enter__(self) -> "RetrySender":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _attempt(self, batch, count: int):
-        fut = self._pool.submit(self.push, batch)
+        self._zombies = [f for f in self._zombies if not f.done()]
+        token = CancelToken(self.cfg.attempt_timeout_s)
+        ex = ThreadPoolExecutor(max_workers=1)
+        if self._push_takes_token:
+            fut = ex.submit(self.push, batch, token)
+        else:
+            fut = ex.submit(self.push, batch)
         try:
-            return fut.result(timeout=self.cfg.attempt_timeout_s)
+            res = fut.result(timeout=max(0.0, token.remaining()))
         except FutTimeout:
-            fut.cancel()
+            token.cancel()   # the reference cancels the RPC context here
+            # the worker thread frees itself when the push finally returns
+            fut.add_done_callback(lambda _f: ex.shutdown(wait=False))
+            self._zombies.append(fut)
             raise TransientError(
                 f"attempt timed out after {self.cfg.attempt_timeout_s}s")
+        except BaseException:
+            ex.shutdown(wait=False)
+            raise
+        ex.shutdown(wait=False)
+        return res
 
     def send(self, batch, count: int | None = None) -> PartialSuccess | None:
         """Deliver one batch; raises the final error after retries are

@@ -26,10 +26,15 @@ from pyspark.sql import functions as F
 
 def map_put(attrs: Column, key: str, value: Column) -> Column:
     """Upsert one key (last-write-wins, Map.PutStr/PutInt...,
-    pdata/pcommon/map.go:98-186)."""
-    return F.map_concat(
-        F.map_filter(attrs, lambda k, _: k != F.lit(key)),
-        F.create_map(F.lit(key), value))
+    pdata/pcommon/map.go:98-186).
+
+    A NULL map behaves like the reference's zero-value Map: Put creates
+    the entry (map_filter/map_concat would otherwise propagate NULL and
+    silently drop the write)."""
+    entry = F.create_map(F.lit(key), value)
+    return F.when(attrs.isNull(), entry).otherwise(
+        F.map_concat(F.map_filter(attrs, lambda k, _: k != F.lit(key)),
+                     entry))
 
 
 def map_delete(attrs: Column, *keys: str) -> Column:

@@ -101,7 +101,7 @@ def _lsh_candidate_pairs(spark, sf_dir):
     the shingle->signature->band pipeline.
     """
     import os as _os
-    key = (id(spark), _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     pairs = _build_lsh_candidate_pairs(spark, sf_dir).persist()
@@ -142,7 +142,7 @@ def _doc_shingle_sets(spark, sf_dir):
     Persisted per (session, dir): the verification stage references it
     three times (both pair sides + per-doc sizes)."""
     import os as _os
-    key = (id(spark), _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
@@ -220,7 +220,7 @@ def _jaccard_verified(spark, sf_dir):
     bounded by candidate count, never n^2).  Persisted per (session, dir):
     bounded by candidate count and reused by jaccard + keep operators."""
     import os as _os
-    key = (id(spark), _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _VERIFIED_CACHE:
         return _VERIFIED_CACHE[key]
     out = _build_jaccard_verified(spark, sf_dir).persist()

@@ -130,7 +130,7 @@ def bucketed_embeddings(spark, sf_dir):
     histogram and the embedding near-dup blocking join
     (operators/dedup.py)."""
     import os as _os
-    key = (id(spark), _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _BUCKETED_CACHE:
         return _BUCKETED_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings")
@@ -180,7 +180,7 @@ def _assignments(spark, sf_dir):
     Persisted per (session, dir): the assign histogram and the probe both
     consume it (probe references it twice)."""
     import os as _os
-    key = (id(spark), _os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _ASSIGN_CACHE:
         return _ASSIGN_CACHE[key]
     out = _build_assignments(spark, sf_dir).persist()

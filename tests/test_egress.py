@@ -171,3 +171,43 @@ def test_instrumented_ingest_refusal_counts(spark):
     with _pytest.raises(RuntimeError):
         bad(events)
     assert obs.get("recv0", "events", "refused") == 10
+
+
+def test_timeout_cancels_cooperative_push_no_duplicate():
+    """A push that honors the CancelToken aborts its delivery after the
+    attempt times out — no duplicate of the batch reaches the wire
+    (timeoutSender context-cancel semantics, common.go:183-198)."""
+    delivered, attempts = [], []
+
+    def push(b, token):
+        attempts.append(1)
+        if len(attempts) == 1:
+            time.sleep(0.5)                  # exceeds attempt budget
+            token.raise_if_cancelled()       # cooperative abort point
+        delivered.append(b)
+
+    s, sleeps, _ = _sender(push, attempt_timeout_s=0.1)
+    with s:
+        s.send([1])
+    time.sleep(0.6)                          # let the zombie finish
+    assert len(attempts) == 2
+    assert len(delivered) == 1               # zombie aborted; one delivery
+
+
+def test_hung_push_does_not_queue_later_attempts():
+    """A token-ignoring hung attempt must not serialize retries behind it:
+    each attempt gets its own worker, so timeouts measure push time."""
+    attempts = []
+
+    def push(b):                             # ignores the token entirely
+        attempts.append(1)
+        if len(attempts) < 3:
+            time.sleep(2.0)                  # hang past several timeouts
+
+    s, sleeps, _ = _sender(push, attempt_timeout_s=0.1)
+    t0 = time.monotonic()
+    s.send([1])
+    # 3 attempts x 0.1s timeout + instant sleeps; well under one hang
+    assert time.monotonic() - t0 < 1.5
+    assert len(attempts) == 3
+    s.close()

@@ -96,3 +96,16 @@ def test_multimodal_frame_sampling_expands_rows(spark):
                for r in b.collect())
     assert len(out) == want
     assert all(r.frame_idx % 2 == 0 for r in out)
+
+
+def test_shared_caches_keyed_by_application_id(spark):
+    """Persisted per-session corpus caches key on applicationId, not
+    id(session): a dead session's id() can be reused by a new object,
+    silently returning another session's persisted DataFrames."""
+    import os
+    from otel_arrow_collector_spark.operators import similarity
+    a = similarity.bucketed_embeddings(spark, SF_SMALL)
+    b = similarity.bucketed_embeddings(spark, SF_SMALL)
+    assert a is b   # cache hit within one session
+    key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMALL))
+    assert key in similarity._BUCKETED_CACHE

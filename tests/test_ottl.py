@@ -137,3 +137,25 @@ def test_map_ops_laws(spark):
     assert row.del_get is None
     assert list(row.kept) == ["k"]
     assert row.none_kept == 0
+
+
+def test_map_put_on_null_map_creates_entry(spark):
+    """Put on a NULL map creates the entry (zero-value Map semantics,
+    pdata/pcommon/map.go:98-186) — a null-attributes record must not
+    silently drop an OTTL set()."""
+    df = spark.createDataFrame([(1, None), (2, {"a": "1"})],
+                               "id int, attrs map<string,string>")
+    out = {r.id: r.a for r in df.select(
+        "id", map_put(F.col("attrs"), "k", F.lit("v")).alias("a")).collect()}
+    assert out[1] == {"k": "v"}
+    assert out[2] == {"a": "1", "k": "v"}
+
+
+def test_set_path_on_null_attributes_creates_entry(spark):
+    from otel_arrow_collector_spark.functions.ottl import set_path
+    df = spark.createDataFrame(
+        [(1, None)],
+        "id int, attributes map<string,struct<s:string,i:bigint,d:double,"
+        "b:boolean,json:string>>")
+    row = set_path(df, 'attributes["svc"]', F.lit("api")).first()
+    assert row.attributes["svc"]["s"] == "api"
