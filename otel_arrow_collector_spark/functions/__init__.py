@@ -3,7 +3,9 @@
 transformations so they stay inside Catalyst/codegen."""
 
 from .ottl import (apply_ottl, keep_keys, map_delete, map_put, replace_match,
+                   trace_state_delete, trace_state_get, trace_state_put,
                    truncate_all)
 
 __all__ = ["apply_ottl", "keep_keys", "map_delete", "map_put",
-           "replace_match", "truncate_all"]
+           "replace_match", "trace_state_delete", "trace_state_get",
+           "trace_state_put", "truncate_all"]

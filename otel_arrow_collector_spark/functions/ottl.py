@@ -85,6 +85,48 @@ def explode_attributes(df: DataFrame, col: str = "attributes",
                       F.col("e.value.json").alias("json")))
 
 
+# --------------------------- W3C tracestate -------------------------------
+#
+# The reference stores tracestate as an opaque string with raw get/set
+# (pdata/pcommon/trace_state.go:17-44); these helpers add W3C list-member
+# operations (https://www.w3.org/TR/trace-context/#tracestate-header):
+# comma-separated `key=value` members, most-recently-updated first.
+
+def _ts_members(ts: Column) -> Column:
+    """tracestate -> array of trimmed non-empty `key=value` members."""
+    return F.filter(F.transform(F.split(ts, ","), lambda m: F.trim(m)),
+                    lambda m: m != "")
+
+
+def trace_state_get(ts: Column, key: str) -> Column:
+    """Value of a tracestate member, NULL when absent (W3C lookup)."""
+    entry = F.element_at(
+        F.filter(_ts_members(ts), lambda m: m.startswith(key + "=")), 1)
+    return F.substring(entry, len(key) + 2, 2147483647)
+
+
+def trace_state_put(ts: Column, key: str, value) -> Column:
+    """Upsert a member: W3C mutation semantics — the updated member moves
+    to the FRONT of the list; other members keep relative order.  Works on
+    NULL/empty tracestate (creates the list)."""
+    val = F.lit(value) if isinstance(value, str) else value
+    others = F.filter(_ts_members(ts), lambda m: ~m.startswith(key + "="))
+    return F.array_join(
+        F.concat(F.array(F.concat(F.lit(key + "="), val)),
+                 F.coalesce(others, F.array().cast("array<string>"))),
+        ",")
+
+
+def trace_state_delete(ts: Column, key: str) -> Column:
+    """Remove a member; remaining members keep order.  Empty result is the
+    empty string (an absent tracestate header)."""
+    return F.coalesce(
+        F.array_join(
+            F.filter(_ts_members(ts), lambda m: ~m.startswith(key + "=")),
+            ","),
+        F.lit(""))
+
+
 # --------------------------- path compiler --------------------------------
 #
 # OTTL field paths (processing.md:147-165) against the flattened row model:

@@ -125,6 +125,101 @@ def merge_histograms(points: DataFrame,
     return merged.drop("__attrs_fp", "__res_fp")
 
 
+def _downscale_sql(off: str, counts: str, shift: str) -> str:
+    """SQL for base-2 downscale of one exponential bucket set by ``shift``
+    levels: value in bucket index i lands in index i >> shift (arithmetic
+    shift = floor division, correct for negative indexes; the reference's
+    downscale does idx >> shift the same way,
+    generated_exponentialhistogramdatapointbuckets.go:46-56).
+    Returns struct<off:int, counts:array<bigint>>."""
+    return f"""
+    CASE WHEN size({counts}) = 0 OR {shift} = 0
+         THEN named_struct('off', {off}, 'counts', {counts})
+         ELSE named_struct(
+           'off', shiftright({off}, {shift}),
+           'counts', transform(
+              sequence(shiftright({off}, {shift}),
+                       shiftright({off} + size({counts}) - 1, {shift})),
+              j -> aggregate(sequence(0, size({counts}) - 1),
+                             CAST(0 AS BIGINT),
+                             (a2, k) -> a2 + IF(shiftright({off} + k, {shift}) = j,
+                                                element_at({counts}, k + 1),
+                                                CAST(0 AS BIGINT)))))
+    END"""
+
+
+#: pairwise merge of two equal-scale bucket sets (offset-aligned addition)
+_BUCKET_MERGE_SQL = """
+aggregate(
+  {lst},
+  CAST(named_struct('off', 0, 'counts', array()) AS
+       STRUCT<off: INT, counts: ARRAY<BIGINT>>),
+  (acc, x) -> CASE
+    WHEN size(acc.counts) = 0 THEN x
+    WHEN size(x.counts) = 0 THEN acc
+    ELSE named_struct(
+      'off', least(acc.off, x.off),
+      'counts', transform(
+        sequence(least(acc.off, x.off),
+                 greatest(acc.off + size(acc.counts),
+                          x.off + size(x.counts)) - 1),
+        j -> IF(j >= acc.off AND j < acc.off + size(acc.counts),
+                element_at(acc.counts, j - acc.off + 1), CAST(0 AS BIGINT))
+           + IF(j >= x.off AND j < x.off + size(x.counts),
+                element_at(x.counts, j - x.off + 1), CAST(0 AS BIGINT))))
+  END)"""
+
+
+def merge_exp_histograms(points: DataFrame) -> DataFrame:
+    """Roll up exponential-histogram datapoints (metric_type == 4) per
+    series with base-2 scale renegotiation
+    (generated_exponentialhistogramdatapoint.go:105-125): the merged scale
+    is the COARSEST scale in the series; finer points are downscaled
+    bucket-wise (index >> shift) before offset-aligned addition; zero
+    counts and count/sum/min/max accumulate.
+
+    Plan shape (100 TB stance): one window min for the target scale, one
+    narrow per-row downscale projection, one hash aggregation — each point
+    is downscaled exactly once (no per-pair re-downscaling inside the
+    reduce), everything whole-stage-codegen SQL.
+    """
+    df = _with_series_key(points).filter(F.col("metric_type") == 4)
+    win = Window.partitionBy(*SERIES_KEY)
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    df = (df.withColumn("__ts", F.min("scale").over(win))
+            .withColumn("__shift", F.col("scale") - F.col("__ts"))
+            .withColumn("__pos", F.expr(_downscale_sql(
+                "coalesce(positive_offset, 0)",
+                f"coalesce(positive_bucket_counts, {empty})", "__shift")))
+            .withColumn("__neg", F.expr(_downscale_sql(
+                "coalesce(negative_offset, 0)",
+                f"coalesce(negative_bucket_counts, {empty})", "__shift"))))
+    merged = (df.groupBy("metric_name", "__attrs_fp", "__res_fp")
+                .agg(F.first("attributes").alias("attributes"),
+                     F.first("resource_attributes").alias("resource_attributes"),
+                     F.min("start_time_unix_nano").alias("start_time_unix_nano"),
+                     F.max("time_unix_nano").alias("time_unix_nano"),
+                     F.first("__ts").alias("scale"),
+                     F.sum("zero_count").alias("zero_count"),
+                     F.sum("count").alias("count"),
+                     F.sum("sum").alias("sum"),
+                     F.min("min").alias("min"),
+                     F.max("max").alias("max"),
+                     F.collect_list("__pos").alias("__plist"),
+                     F.collect_list("__neg").alias("__nlist")))
+    for side, lst in (("positive", "__plist"), ("negative", "__nlist")):
+        merged = merged.withColumn(
+            f"__{side}", F.expr(_BUCKET_MERGE_SQL.format(lst=lst)))
+    return (merged.select(
+        "metric_name", "attributes", "resource_attributes",
+        "start_time_unix_nano", "time_unix_nano", "scale", "zero_count",
+        "count", "sum", "min", "max",
+        F.col("__positive.off").alias("positive_offset"),
+        F.col("__positive.counts").alias("positive_bucket_counts"),
+        F.col("__negative.off").alias("negative_offset"),
+        F.col("__negative.counts").alias("negative_bucket_counts")))
+
+
 def explode_exemplars(points: DataFrame) -> DataFrame:
     """One row per exemplar, with datapoint context — the trace↔metric
     correlation surface (Exemplar: filtered_attributes, timestamp, value,

@@ -8,6 +8,9 @@ Providers mirrored (each is a tiny function, registered by scheme):
 - ``env:``   read an environment variable, parsed as YAML scalar/doc
   (confmap/provider/envprovider)
 - ``yaml:``  inline YAML document (confmap/provider/yamlprovider)
+- ``http:`` / ``https:``  GET a YAML config from a URL; non-2xx is a
+  ResolveError (confmap/provider/httpprovider/provider.go,
+  httpsprovider/provider.go)
 
 Semantics honored from the reference:
 - merge: later URIs override earlier ones key-by-key, maps merged deep
@@ -53,10 +56,41 @@ def _yaml_provider(uri: str):
     return yaml.safe_load(uri)
 
 
+def _http_provider_for(scheme: str) -> Callable[[str], object]:
+    """GET a YAML document over HTTP(S) (httpprovider/provider.go: fetch,
+    reject non-2xx, unmarshal YAML).  ``uri`` arrives scheme-stripped
+    (``//host:port/path``) and is reassembled here."""
+    def fetch(uri: str):
+        import urllib.error
+        import urllib.request
+        url = f"{scheme}:{uri}"
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                status = getattr(resp, "status", 200)
+                body = resp.read()
+        except urllib.error.HTTPError as e:
+            raise ResolveError(
+                f"{scheme} provider: GET {url} returned HTTP {e.code}") from e
+        except (urllib.error.URLError, OSError) as e:
+            raise ResolveError(
+                f"{scheme} provider: cannot fetch {url}: {e}") from e
+        if not 200 <= status < 300:
+            raise ResolveError(
+                f"{scheme} provider: GET {url} returned HTTP {status}")
+        try:
+            return yaml.safe_load(body.decode("utf-8"))
+        except (UnicodeDecodeError, yaml.YAMLError) as e:
+            raise ResolveError(
+                f"{scheme} provider: {url} is not valid YAML: {e}") from e
+    return fetch
+
+
 PROVIDERS: dict[str, Callable[[str], object]] = {
     "file": _file_provider,
     "env": _env_provider,
     "yaml": _yaml_provider,
+    "http": _http_provider_for("http"),
+    "https": _http_provider_for("https"),
 }
 
 

@@ -77,3 +77,65 @@ pipelines:
     graph = PipelineGraph(resolve(str(cfg)))
     assert graph.receivers["table_reader"]["table"] == "events"
     assert "metrics_flow" in graph.pipelines
+
+
+# --- http/https providers (httpprovider/provider.go) ----------------------
+
+@pytest.fixture()
+def http_yaml_server():
+    """Local HTTP server: /good.yaml -> config doc, anything else -> 404."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/good.yaml":
+                body = b"receivers:\n  r: {kind: table, table: events}\nanswer: 42\n"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/yaml")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/bad.yaml":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"\x00\xff not: [valid")
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_provider_fetches_yaml(http_yaml_server):
+    cfg = resolve(f"{http_yaml_server}/good.yaml")
+    assert cfg["answer"] == 42
+    assert cfg["receivers"]["r"]["table"] == "events"
+
+
+def test_http_provider_merges_with_file(tmp_path, http_yaml_server):
+    local = tmp_path / "override.yaml"
+    local.write_text("answer: 7\n")
+    cfg = resolve(f"{http_yaml_server}/good.yaml", str(local))
+    assert cfg["answer"] == 7                      # later URI wins
+    assert "receivers" in cfg                      # deep merge kept the rest
+
+
+def test_http_provider_non_2xx_raises(http_yaml_server):
+    with pytest.raises(ResolveError, match="HTTP 404"):
+        resolve(f"{http_yaml_server}/missing.yaml")
+
+
+def test_http_provider_invalid_yaml_raises(http_yaml_server):
+    with pytest.raises(ResolveError, match="not valid YAML"):
+        resolve(f"{http_yaml_server}/bad.yaml")
+
+
+def test_http_provider_connection_refused_raises():
+    with pytest.raises(ResolveError, match="cannot fetch"):
+        resolve("http://127.0.0.1:1/nope.yaml")

@@ -134,3 +134,85 @@ def test_explode_exemplars_keeps_context(spark):
     r = ex.first()
     assert r.metric_name and r.point_time_unix_nano is not None
     assert {"span_id", "trace_id", "filtered_attributes"} <= set(ex.columns)
+
+
+def _exp_point(name="exp", t=1010, scale=0, zero=0, pos=None, neg=None,
+               count=0, s=None, mn=None, mx=None):
+    pos_off, pos_counts = pos if pos else (None, None)
+    neg_off, neg_counts = neg if neg else (None, None)
+    return dict(
+        metric_name=name, description="", unit="1", metric_type=4,
+        aggregation_temporality=1, is_monotonic=None,
+        start_time_unix_nano=1000, time_unix_nano=t,
+        attributes={"host": attr("a")}, value_int=None, value_double=None,
+        count=count, sum=s, min=mn, max=mx, bucket_counts=None,
+        explicit_bounds=None, scale=scale, zero_count=zero,
+        positive_offset=pos_off, positive_bucket_counts=pos_counts,
+        negative_offset=neg_off, negative_bucket_counts=neg_counts,
+        quantile_values=None, exemplars=None, flags=0,
+        resource_attributes={}, scope_name="", scope_version="")
+
+
+def _exp_df(spark, points):
+    return spark.createDataFrame(points, METRIC_POINT_SCHEMA)
+
+
+def test_exp_histogram_merge_equal_scales(spark):
+    """Equal scales: offset-aligned bucket addition, no downscaling
+    (generated_exponentialhistogramdatapoint.go:105-125)."""
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    df = _exp_df(spark, [
+        _exp_point(t=1010, scale=2, zero=1, pos=(0, [1, 2]), count=4, s=1.5),
+        _exp_point(t=1020, scale=2, zero=2, pos=(2, [3]), count=6, s=2.5)])
+    r = merge_exp_histograms(df).first()
+    assert r.scale == 2
+    assert r.zero_count == 3 and r["count"] == 10 and r["sum"] == 4.0
+    assert r.positive_offset == 0
+    assert list(r.positive_bucket_counts) == [1, 2, 3]
+    assert r.time_unix_nano == 1020 and r.start_time_unix_nano == 1000
+
+
+def test_exp_histogram_merge_downscales_to_coarser(spark):
+    """Unequal scales: the finer point is downscaled (index >> shift) to
+    the coarser scale before merging."""
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    df = _exp_df(spark, [
+        # scale 2, indexes 2,3,4 -> at scale 1: 1,1,2 -> off 1, [2,1]
+        _exp_point(t=1010, scale=2, pos=(2, [1, 1, 1]), count=3),
+        # already at scale 1, index 0
+        _exp_point(t=1020, scale=1, pos=(0, [5]), count=5)])
+    r = merge_exp_histograms(df).first()
+    assert r.scale == 1
+    assert r.positive_offset == 0
+    assert list(r.positive_bucket_counts) == [5, 2, 1]
+    assert r["count"] == 8
+
+
+def test_exp_histogram_merge_negative_indexes_floor(spark):
+    """Arithmetic shift floors negative indexes: -3,-2,-1 >> 1 -> -2,-1,-1
+    (negative-range buckets downscale the same way)."""
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    df = _exp_df(spark, [
+        _exp_point(t=1010, scale=1, neg=(-3, [1, 1, 1]), count=3),
+        _exp_point(t=1020, scale=0, zero=7, count=7)])
+    r = merge_exp_histograms(df).first()
+    assert r.scale == 0
+    assert r.negative_offset == -2
+    assert list(r.negative_bucket_counts) == [1, 2]
+    assert r.zero_count == 7
+    assert list(r.positive_bucket_counts) == []
+
+
+def test_exp_histogram_merge_zero_only_accumulates(spark):
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    df = _exp_df(spark, [
+        _exp_point(t=1010, scale=3, zero=5, count=5),
+        _exp_point(t=1020, scale=3, zero=7, count=7, mn=0.0, mx=0.0)])
+    r = merge_exp_histograms(df).first()
+    assert r.zero_count == 12 and r["count"] == 12 and r.scale == 3
+    assert list(r.positive_bucket_counts) == []
+    assert r["min"] == 0.0 and r["max"] == 0.0

@@ -159,3 +159,52 @@ def test_set_path_on_null_attributes_creates_entry(spark):
         "b:boolean,json:string>>")
     row = set_path(df, 'attributes["svc"]', F.lit("api")).first()
     assert row.attributes["svc"]["s"] == "api"
+
+
+# --- W3C tracestate ops (pdata/pcommon/trace_state.go:17-44 + W3C list
+# mutation semantics) -------------------------------------------------------
+
+def _ts_df(spark):
+    from otel_arrow_collector_spark.functions import (trace_state_delete,
+                                                      trace_state_get,
+                                                      trace_state_put)
+    df = spark.createDataFrame(
+        [(1, "congo=t61rcWkgMzE,rojo=00f067aa0ba902b7"),
+         (2, ""), (3, None)], "id int, ts string")
+    return df, trace_state_get, trace_state_put, trace_state_delete
+
+
+def test_trace_state_get(spark):
+    df, get, _, _ = _ts_df(spark)
+    out = {r.id: r.v for r in df.select(
+        "id", get(F.col("ts"), "rojo").alias("v")).collect()}
+    assert out[1] == "00f067aa0ba902b7"
+    assert out[2] is None and out[3] is None
+
+
+def test_trace_state_put_moves_member_to_front(spark):
+    df, _, put, _ = _ts_df(spark)
+    v = df.filter("id = 1").select(
+        put(F.col("ts"), "rojo", "new").alias("v")).first().v
+    assert v == "rojo=new,congo=t61rcWkgMzE"    # W3C: updated member first
+
+
+def test_trace_state_put_creates_on_empty_and_null(spark):
+    df, _, put, _ = _ts_df(spark)
+    out = {r.id: r.v for r in df.select(
+        "id", put(F.col("ts"), "k", "v").alias("v")).collect()}
+    assert out[2] == "k=v" and out[3] == "k=v"
+
+
+def test_trace_state_delete_preserves_others(spark):
+    df, _, _, delete = _ts_df(spark)
+    out = {r.id: r.v for r in df.select(
+        "id", delete(F.col("ts"), "congo").alias("v")).collect()}
+    assert out[1] == "rojo=00f067aa0ba902b7"
+    assert out[2] == "" and out[3] == ""
+
+
+def test_trace_state_put_get_roundtrip_law(spark):
+    df, get, put, _ = _ts_df(spark)
+    v = df.select(get(put(F.col("ts"), "k", "xyz"), "k").alias("v")).collect()
+    assert all(r.v == "xyz" for r in v)
