@@ -5,17 +5,24 @@ and IVF (inverted-file) cell assignment + probe — the scale paths.
 Cross-engine determinism: dot products are sequential double
 accumulation in both engines (verified bit-exact); LSH hyperplanes are
 deterministic small-integer vectors (no RNG — plane_j[d] = ((j*31+d*17)%7)-3)
-so bucket bits are exact; IVF "training" picks the first K vectors as
-centroids (deterministic stand-in for k-means — swap in real training at
-production scale).
+so bucket bits are exact; IVF training is a REAL deterministic k-means
+(Lloyd's, fixed init = first K vectors, KMEANS_ITERS iterations, trained on
+the vec_id % KMEANS_SAMPLE_MOD == 0 sample) whose per-dimension means are
+sequential double folds over vec_id-ordered lists — bit-identical between
+Spark (``aggregate`` over ``array_sort(collect_list(...))``) and DuckDB
+(``list_reduce`` over ``list(... ORDER BY vec_id)``), so both engines
+derive the same centroids and hence the same cell assignments with no
+float-tolerance handwaving.
 
 Scale stance (100 TB / billions of vectors):
 - brute-force top-k: broadcast the query set, one scan of the corpus,
   per-partition heaps via window rank — no shuffle of the corpus itself.
 - LSH: one narrow map -> groupBy bucket; bucket ids are near-uniform.
-- IVF: centroid set broadcast; assignment is a map; probe touches only
-  matching cells (partition-prune by cell id when the corpus is written
-  bucketed/partitioned by cell).
+- IVF: k-means trains on a fixed-modulus sample (at 100 TB you train on a
+  sample, never the corpus); the centroid set is broadcast; assignment is
+  one map over the corpus; the assigned corpus is materialized
+  hive-partitioned by cell id so the probe scan partition-prunes to the
+  probed cells (PartitionFilters, no full-corpus I/O).
 """
 
 from __future__ import annotations
@@ -31,7 +38,9 @@ ORACLES: dict = {}
 N_QUERY = 5          # brute-force query vectors: vec_id < N_QUERY
 TOP_K = 5
 N_PLANES = 8         # LSH hyperplanes -> 256 buckets
-N_CENTROIDS = 8      # IVF cells: centroids = first N_CENTROIDS vectors
+N_CENTROIDS = 8      # IVF cells: k-means k, init = first N_CENTROIDS vecs
+KMEANS_ITERS = 2     # fixed Lloyd's iterations (determinism > convergence)
+KMEANS_SAMPLE_MOD = 4  # train on vec_id % MOD == 0 (the at-scale sample)
 PROBE_IDS = (42, 123, 321)
 PROBE_K = 3
 
@@ -188,39 +197,119 @@ def _assignments(spark, sf_dir):
     return out
 
 
+def _nearest_centroid(vecs, cents):
+    """Assign each vector to its max-cosine centroid (tie-break on cid).
+    ``vecs``: (vec_id, embedding[, ...]); ``cents``: (cid, c_emb) —
+    centroid set is broadcast (ivf_flat assignment shape)."""
+    cos = (F.expr(_s_dot("embedding", "c_emb"))
+           / (F.sqrt(F.expr(_s_dot("embedding", "embedding")))
+              * F.sqrt(F.expr(_s_dot("c_emb", "c_emb")))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                             F.col("cid"))
+    return (vecs.crossJoin(F.broadcast(cents))
+                .withColumn("c_cos", cos)
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .drop("c_cos", "rk", "c_emb"))
+
+
+#: per-(cell, dim) mean as a sequential double fold over vec_id-ordered
+#: values — the cross-engine-exact aggregation (see module docstring)
+_S_DIM_MEAN = """aggregate(
+  transform(array_sort(collect_list(struct(vec_id, val))),
+            p -> CAST(p.val AS DOUBLE)),
+  CAST(0 AS DOUBLE), (a, v) -> a + v)"""
+
+
+def _kmeans_centroids(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the training sample: fixed init
+    (first K vectors), KMEANS_ITERS iterations, order-pinned exact means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") < N_CENTROIDS)
+              .select(F.col("vec_id").alias("cid"),
+                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                       .alias("c_emb")))
+    sample = (e.filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
+               .select("vec_id", "embedding"))
+    for _ in range(KMEANS_ITERS):
+        assign = _nearest_centroid(sample, cents)
+        cents = (assign
+                 .select("cid", "vec_id",
+                         F.posexplode("embedding").alias("dim", "val"))
+                 .groupBy("cid", "dim")
+                 .agg((F.expr(_S_DIM_MEAN) / F.count(F.lit(1))).alias("mu"))
+                 .groupBy("cid")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(dim, mu))), x -> x.mu)").alias("c_emb")))
+    return cents
+
+
 def _build_assignments(spark, sf_dir):
     be = bucketed_embeddings(spark, sf_dir)
-    cents = (be.filter(F.col("vec_id") < N_CENTROIDS)
-               .select(F.col("vec_id").alias("cid"),
-                       F.col("embedding").alias("c_emb"),
-                       F.col("nrm").alias("c_nrm")))
-    cos = (F.expr(_s_dot("embedding", "c_emb"))
-           / (F.col("v_nrm") * F.col("c_nrm")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    return (be.select("vec_id", "embedding", F.col("nrm").alias("v_nrm"))
-            .crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "v_nrm", "cid", cos.alias("c_cos"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "v_nrm", "cid"))
+    cents = _kmeans_centroids(spark, sf_dir)
+    vecs = be.select("vec_id", "embedding", F.col("nrm").alias("v_nrm"))
+    return _nearest_centroid(vecs, cents).select(
+        "vec_id", "embedding", "v_nrm", "cid")
 
 
-_DUCK_ASSIGN_CTE = f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
-               WHERE vec_id < {N_CENTROIDS}),
-scored AS (SELECT e.vec_id, e.embedding, c.cid,
-                  {_d_cos("e.embedding", "c.c_emb")} AS c_cos
-           FROM embeddings e CROSS JOIN cents c),
-assign AS (SELECT vec_id, embedding, cid FROM (
-             SELECT vec_id, embedding, cid,
-                    ROW_NUMBER() OVER (PARTITION BY vec_id
-                                       ORDER BY c_cos DESC, cid) AS rk
-             FROM scored) WHERE rk = 1)
-"""
+def _duck_kmeans_ctes() -> str:
+    """The oracle twin of _kmeans_centroids + final full-corpus assignment:
+    unrolled KMEANS_ITERS iterations; per-dim means via list_reduce over
+    vec_id-ordered lists (bit-identical to the Spark fold)."""
+    ctes = [f"""c0 AS (SELECT vec_id AS cid,
+      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS})"""]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"""a{i} AS (SELECT vec_id, embedding, cid FROM (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {_d_cos("e.embedding", "c.c_emb")} DESC, c.cid) AS rk
+      FROM embeddings e CROSS JOIN c{i} c
+      WHERE e.vec_id % {KMEANS_SAMPLE_MOD} = 0) WHERE rk = 1)""")
+        ctes.append(f"""m{i} AS (SELECT cid, dim,
+      list_reduce(list(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+                       ORDER BY vec_id), (a, v) -> a + v) / COUNT(*) AS mu
+      FROM a{i} CROSS JOIN (SELECT UNNEST(range(1, 65)) AS dim) d
+      GROUP BY cid, dim)""")
+        ctes.append(f"""c{i + 1} AS (SELECT cid, list(mu ORDER BY dim) AS c_emb
+      FROM m{i} GROUP BY cid)""")
+    ctes.append(f"""assign AS (SELECT vec_id, embedding, cid FROM (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {_d_cos("e.embedding", "c.c_emb")} DESC, c.cid) AS rk
+      FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c) WHERE rk = 1)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+_DUCK_ASSIGN_CTE = _duck_kmeans_ctes()
+
+
+_CELL_STORE_CACHE: dict = {}
+
+
+def ivf_cell_store(spark, sf_dir) -> str:
+    """Materialize the assigned corpus hive-partitioned by cell id, once
+    per (application, sf_dir); returns the store path.
+
+    This is the IVF index build: at 100 TB the probe must read only the
+    probed cells' directories (PartitionFilters), never the whole corpus.
+    """
+    import os as _os
+    import tempfile
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key in _CELL_STORE_CACHE:
+        return _CELL_STORE_CACHE[key]
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{key[0]}_{_os.path.basename(key[1])}")
+    (_assignments(spark, sf_dir)
+        .write.mode("overwrite").partitionBy("cid").parquet(path))
+    _CELL_STORE_CACHE[key] = path
+    return path
 
 
 def ann_ivf_assign(spark, sf_dir):
-    """IVF cell histogram (deterministic first-K centroids)."""
+    """IVF cell histogram (deterministic sample-trained k-means cells)."""
     return (_assignments(spark, sf_dir)
             .groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("cid"))
@@ -234,18 +323,27 @@ SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid ORDER BY cid
 
 def ann_ivf_probe(spark, sf_dir):
     """IVF search: for each probe query, rank only vectors in the query's
-    own cell (nprobe=1) — the partition-pruned scale path."""
+    own cell (nprobe=1), read from the cell-partitioned store so the scan
+    partition-prunes to the probed cells (PartitionFilters on cid).
+
+    The probed cell ids are collected first — a <= len(PROBE_IDS)-row read
+    of the persisted assignments — so the candidate filter is a LITERAL
+    ``cid IN (...)``: static directory pruning, no reliance on runtime DPP.
+    """
     a = _assignments(spark, sf_dir)
     q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb"),
                   F.col("v_nrm").alias("q_nrm"),
                   F.col("cid").alias("q_cid")))
+    probe_cells = sorted({r.q_cid for r in q.select("q_cid").collect()})
+    cand = (load_cell_store(spark, sf_dir)
+            .filter(F.col("cid").isin(*probe_cells)))
     # norms hoisted from _assignments: one dot per candidate pair, not 3
     cos = F.expr(_s_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("v_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (F.broadcast(q)
-            .join(a, (F.col("q_cid") == F.col("cid"))
+            .join(cand, (F.col("q_cid") == F.col("cid"))
                   & (F.col("q_id") != F.col("vec_id")))
             .select("q_id", "vec_id", cos.alias("cos_raw"))
             .withColumn("rk", F.row_number().over(w))
@@ -253,6 +351,11 @@ def ann_ivf_probe(spark, sf_dir):
             .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"),
                     F.col("rk").cast("long").alias("rk"))
             .orderBy("q_id", "rk"))
+
+
+def load_cell_store(spark, sf_dir):
+    """The cell-partitioned assigned corpus as a DataFrame."""
+    return spark.read.parquet(ivf_cell_store(spark, sf_dir))
 
 
 QUERIES["ann_ivf_probe"] = ann_ivf_probe

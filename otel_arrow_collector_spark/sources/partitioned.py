@@ -37,10 +37,12 @@ def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 
 def scan_partition_filters(df: DataFrame) -> str:
-    """The PartitionFilters clause of the plan's file scan — assertion
-    hook: a time-bounded query must show its bound here, not in a
-    post-scan Filter."""
+    """The non-empty PartitionFilters clauses of the plan's file scans
+    (joined with ``;``) — assertion hook: a partition-bounded query must
+    show its bound here, not in a post-scan Filter.  A plan may contain
+    several scans (e.g. an unpartitioned dimension side with an empty
+    clause); only populated clauses are reported."""
     import re
     plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    return m.group(1) if m else ""
+    return "; ".join(
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m)

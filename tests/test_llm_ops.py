@@ -109,3 +109,26 @@ def test_shared_caches_keyed_by_application_id(spark):
     assert a is b   # cache hit within one session
     key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMALL))
     assert key in similarity._BUCKETED_CACHE
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark):
+    """The probe's candidate scan reads only the probed cells' directories:
+    PartitionFilters on cid (the IVF 100 TB contract — cell-local I/O)."""
+    from otel_arrow_collector_spark.operators import similarity
+    from otel_arrow_collector_spark.sources.partitioned import \
+        scan_partition_filters
+    probe = similarity.ann_ivf_probe(spark, SF_SMALL)
+    pf = scan_partition_filters(probe)
+    assert "cid" in pf and " IN " in pf.upper()
+
+
+def test_ivf_kmeans_centroids_deterministic(spark):
+    """Two builds of the k-means centroids are bit-identical (fixed init,
+    fixed iterations, order-pinned exact means — no RNG anywhere)."""
+    from otel_arrow_collector_spark.operators.similarity import \
+        _kmeans_centroids
+    a = {r.cid: list(r.c_emb) for r in
+         _kmeans_centroids(spark, SF_SMALL).collect()}
+    b = {r.cid: list(r.c_emb) for r in
+         _kmeans_centroids(spark, SF_SMALL).collect()}
+    assert a == b and len(a) == 8
