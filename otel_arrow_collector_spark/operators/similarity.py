@@ -40,7 +40,7 @@ TOP_K = 5
 N_PLANES = 8         # LSH hyperplanes -> 256 buckets
 N_CENTROIDS = 8      # IVF cells: k-means k, init = first N_CENTROIDS vecs
 KMEANS_ITERS = 2     # fixed Lloyd's iterations (determinism > convergence)
-KMEANS_SAMPLE_MOD = 4  # train on vec_id % MOD == 0 (the at-scale sample)
+KMEANS_SAMPLE_MOD = 10  # train on vec_id % MOD == 0 (the at-scale sample)
 PROBE_IDS = (42, 123, 321)
 PROBE_K = 3
 
@@ -199,18 +199,31 @@ def _assignments(spark, sf_dir):
 
 def _nearest_centroid(vecs, cents):
     """Assign each vector to its max-cosine centroid (tie-break on cid).
-    ``vecs``: (vec_id, embedding[, ...]); ``cents``: (cid, c_emb) —
-    centroid set is broadcast (ivf_flat assignment shape)."""
+    ``vecs``: (vec_id, embedding, nrm[, ...]); ``cents``: (cid, c_emb,
+    c_nrm) — centroid set is broadcast (ivf_flat assignment shape).  Norms
+    are hoisted but computed by the SAME fold as the oracle's inline
+    sqrt(dot(x,x)), so the quotient is bit-identical."""
     cos = (F.expr(_s_dot("embedding", "c_emb"))
-           / (F.sqrt(F.expr(_s_dot("embedding", "embedding")))
-              * F.sqrt(F.expr(_s_dot("c_emb", "c_emb")))))
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
-                                             F.col("cid"))
+           / (F.col("nrm") * F.col("c_nrm")))
+    # argmax as a hash-agg max(struct(cos, -cid)): identical to the
+    # oracle's ROW_NUMBER ... ORDER BY c_cos DESC, cid (highest cosine,
+    # lowest cid on ties) without the window's sort shuffle
+    best = F.max(F.struct(F.col("c_cos").alias("c"),
+                          (-F.col("cid")).alias("neg"))).alias("b")
     return (vecs.crossJoin(F.broadcast(cents))
                 .withColumn("c_cos", cos)
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") == 1)
-                .drop("c_cos", "rk", "c_emb"))
+                .groupBy("vec_id")
+                .agg(F.first("embedding").alias("embedding"),
+                     F.first("nrm").alias("nrm"), best)
+                .select("vec_id", "embedding", "nrm",
+                        (-F.col("b.neg")).alias("cid")))
+
+
+def _cents_df(spark, rows):
+    """(cid, c_emb) literal rows -> broadcastable centroid DataFrame with
+    the fold-computed norm attached."""
+    df = spark.createDataFrame(rows, "cid long, c_emb array<double>")
+    return df.withColumn("c_nrm", F.sqrt(F.expr(_s_dot("c_emb", "c_emb"))))
 
 
 #: per-(cell, dim) mean as a sequential double fold over vec_id-ordered
@@ -223,33 +236,44 @@ _S_DIM_MEAN = """aggregate(
 
 def _kmeans_centroids(spark, sf_dir):
     """Deterministic Lloyd's k-means over the training sample: fixed init
-    (first K vectors), KMEANS_ITERS iterations, order-pinned exact means."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = (e.filter(F.col("vec_id") < N_CENTROIDS)
-              .select(F.col("vec_id").alias("cid"),
+    (first K vectors), KMEANS_ITERS iterations, order-pinned exact means.
+
+    The 8x64 centroid model is collected to the driver between iterations
+    (MLlib-style iterative training: per-dim mean AGGREGATION stays
+    distributed over the sample, only the model parameters round-trip).
+    Doubles pass through the driver bit-exactly, so parity with the
+    oracle's unrolled CTE chain is preserved.  Returns the literal
+    (cid, c_emb, c_nrm) centroid DataFrame."""
+    be = bucketed_embeddings(spark, sf_dir)
+    init = (be.filter(F.col("vec_id") < N_CENTROIDS)
+              .select("vec_id",
                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                       .alias("c_emb")))
-    sample = (e.filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
-               .select("vec_id", "embedding"))
+                       .alias("c_emb")).collect())
+    cents = _cents_df(spark, [(r.vec_id, list(r.c_emb)) for r in init])
+    sample = (be.filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
+                .select("vec_id", "embedding", "nrm"))
     for _ in range(KMEANS_ITERS):
         assign = _nearest_centroid(sample, cents)
-        cents = (assign
-                 .select("cid", "vec_id",
-                         F.posexplode("embedding").alias("dim", "val"))
-                 .groupBy("cid", "dim")
-                 .agg((F.expr(_S_DIM_MEAN) / F.count(F.lit(1))).alias("mu"))
-                 .groupBy("cid")
-                 .agg(F.expr("transform(array_sort(collect_list("
-                             "struct(dim, mu))), x -> x.mu)").alias("c_emb")))
+        new = (assign
+               .select("cid", "vec_id",
+                       F.posexplode("embedding").alias("dim", "val"))
+               .groupBy("cid", "dim")
+               .agg((F.expr(_S_DIM_MEAN) / F.count(F.lit(1))).alias("mu"))
+               .groupBy("cid")
+               .agg(F.expr("transform(array_sort(collect_list("
+                           "struct(dim, mu))), x -> x.mu)").alias("c_emb"))
+               .collect())
+        cents = _cents_df(spark, [(r.cid, list(r.c_emb)) for r in new])
     return cents
 
 
 def _build_assignments(spark, sf_dir):
     be = bucketed_embeddings(spark, sf_dir)
     cents = _kmeans_centroids(spark, sf_dir)
-    vecs = be.select("vec_id", "embedding", F.col("nrm").alias("v_nrm"))
-    return _nearest_centroid(vecs, cents).select(
-        "vec_id", "embedding", "v_nrm", "cid")
+    vecs = be.select("vec_id", "embedding", "nrm")
+    return (_nearest_centroid(vecs, cents)
+            .select("vec_id", "embedding", F.col("nrm").alias("v_nrm"),
+                    "cid"))
 
 
 def _duck_kmeans_ctes() -> str:
@@ -302,7 +326,10 @@ def ivf_cell_store(spark, sf_dir) -> str:
     path = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivf_{key[0]}_{_os.path.basename(key[1])}")
+    # repartition by cell first: one task/file per cell directory instead
+    # of (tasks x cells) fragments — faster commit, faster probe scans
     (_assignments(spark, sf_dir)
+        .repartition("cid")
         .write.mode("overwrite").partitionBy("cid").parquet(path))
     _CELL_STORE_CACHE[key] = path
     return path
