@@ -275,6 +275,9 @@ class PipelineGraph:
         if kind == "json":
             from ..sources.otlp_json import read_otlp_json
             return read_otlp_json(spark, cfg["path"], cfg.get("signal", "logs"))
+        if kind == "pb":
+            from ..sources.otlp_pb import read_otlp_pb
+            return read_otlp_pb(spark, cfg["path"], cfg.get("signal", "traces"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
 
     def _apply_processor(self, df: DataFrame, pid: str, ctx: dict) -> DataFrame:
@@ -355,6 +358,9 @@ class PipelineGraph:
                 w.parquet(path)
                 return path
             return write
+        if kind == "pb":
+            from ..sources.otlp_pb import write_otlp_pb
+            return lambda: write_otlp_pb(df, cfg["path"], cfg["signal"])
         if kind == "memory":
             # consumertest.Sink analogue (consumer/consumertest/sink.go:28-56)
             return lambda: df.collect()

@@ -238,3 +238,33 @@ pipelines:
     assert len(rows) == md.count()
     assert {r.metric_name for r in rows} == \
         {r.metric_name for r in md.collect()}
+
+
+def test_pb_receiver_and_exporter(spark, tmp_path):
+    """kind: pb end-to-end: protobuf files in -> filter -> protobuf files
+    out (the reference's primary wire format as pipeline source and sink,
+    ptrace/pb.go)."""
+    from otel_arrow_collector_spark.model import generate_traces
+    from otel_arrow_collector_spark.sources.otlp_pb import (read_otlp_pb,
+                                                            write_otlp_pb)
+    src = str(tmp_path / "in_pb")
+    dst = str(tmp_path / "out_pb")
+    td = generate_traces(spark, 6)
+    write_otlp_pb(td, src, "traces")
+    g = PipelineGraph.from_yaml(f"""
+receivers:
+  pb/in: {{kind: pb, path: "{src}", signal: traces}}
+processors:
+  only_a: {{kind: filter, where: "name = 'operationA'"}}
+exporters:
+  pb/out: {{kind: pb, path: "{dst}", signal: traces}}
+  sink/mem: {{kind: memory}}
+pipelines:
+  t: {{receivers: [pb/in], processors: [only_a],
+       exporters: [pb/out, sink/mem]}}
+""")
+    res = g.compile(spark).run()
+    assert len(res["t/sink/mem"]) == 3
+    back = read_otlp_pb(spark, dst, "traces")
+    assert back.count() == 3
+    assert {r.name for r in back.collect()} == {"operationA"}
