@@ -638,3 +638,112 @@ def q34(spark, sf_dir):
                   F.sum("n_chars").cast("long").alias("chars"),
                   F.max(F.length("text")).cast("long").alias("max_len"))
              .orderBy("lang"))
+
+
+@_register("q35_tracestate", """
+WITH t AS (
+  SELECT event_id,
+         'congo=' || event_type || ',rojo=r' || CAST(event_id AS VARCHAR) AS ts0
+  FROM events)
+SELECT event_id,
+       array_to_string(list_prepend(
+         'seq=' || CAST(event_id % 7 AS VARCHAR),
+         list_filter(string_split(ts0, ','),
+                     m -> NOT starts_with(m, 'seq='))), ',') AS ts_put,
+       substring(list_filter(string_split(ts0, ','),
+                             m -> starts_with(m, 'rojo='))[1], 6) AS rojo_v,
+       array_to_string(list_filter(string_split(ts0, ','),
+                                   m -> NOT starts_with(m, 'congo=')),
+                       ',') AS ts_del
+FROM t ORDER BY event_id LIMIT 500
+""")
+def q35(spark, sf_dir):
+    """W3C tracestate list-member ops as Column expressions
+    (pdata/pcommon/trace_state.go:17-44 + W3C mutation semantics): put
+    prepends the updated member, get reads one value, delete drops it."""
+    from ..functions.ottl import (trace_state_delete, trace_state_get,
+                                  trace_state_put)
+    ev = _t(spark, sf_dir, "events")
+    ts0 = F.concat(F.lit("congo="), F.col("event_type"),
+                   F.lit(",rojo=r"), F.col("event_id").cast("string"))
+    return (ev.select(
+                "event_id",
+                trace_state_put(ts0, "seq",
+                                (F.col("event_id") % 7).cast("string"))
+                    .alias("ts_put"),
+                trace_state_get(ts0, "rojo").alias("rojo_v"),
+                trace_state_delete(ts0, "congo").alias("ts_del"))
+              .orderBy("event_id")
+              .limit(500))
+
+
+@_register("q36_exp_histogram_merge", """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(user_id % 2 AS INT) AS s,
+         CAST(floor(value / 100) AS INT) AS o,
+         CAST(floor(value) AS DOUBLE) AS sv, event_id
+  FROM events),
+tgt AS (SELECT grp, MIN(s) AS ts FROM pts GROUP BY grp),
+expl AS (
+  SELECT p.grp,
+         CAST(floor((p.o + b.k) / pow(2.0, p.s - t.ts)) AS INT) AS idx,
+         CAST(b.k + 1 AS BIGINT) AS cnt
+  FROM pts p JOIN tgt t USING (grp)
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) b),
+rng AS (SELECT grp, MIN(idx) AS mn, MAX(idx) AS mx FROM expl GROUP BY grp),
+dense AS (SELECT r.grp, r.mn, t.j FROM rng r
+          JOIN range(-4096, 8192) t(j) ON t.j BETWEEN r.mn AND r.mx),
+cnts AS (SELECT d.grp, d.mn, d.j,
+                CAST(COALESCE(SUM(e.cnt), 0) AS BIGINT) AS c
+         FROM dense d LEFT JOIN expl e ON e.grp = d.grp AND e.idx = d.j
+         GROUP BY d.grp, d.mn, d.j),
+buckets AS (SELECT grp, CAST(MIN(mn) AS INT) AS positive_offset,
+                   list(c ORDER BY j) AS positive_bucket_counts
+            FROM cnts GROUP BY grp),
+stats AS (SELECT grp, CAST(MIN(s) AS INT) AS scale,
+                 CAST(COUNT(*) AS BIGINT) AS zero_count,
+                 CAST(SUM(3) AS BIGINT) AS n, SUM(sv) AS s_sum,
+                 CAST(MAX(event_id) AS BIGINT) AS t_max
+          FROM pts GROUP BY grp)
+SELECT s.grp, s.scale, s.zero_count, s.n, s.s_sum, s.t_max,
+       b.positive_offset, b.positive_bucket_counts
+FROM stats s JOIN buckets b USING (grp) ORDER BY s.grp
+""")
+def q36(spark, sf_dir):
+    """Exponential-histogram merge with base-2 scale renegotiation as a
+    declared, oracle-gated query: synthesize one exp-histogram datapoint
+    per event (scale = user_id %% 2, positive buckets [1,2] at offset
+    floor(value/100), zero_count 1, count 3, integer-valued (floored) sum
+    so double
+    addition is order-independent), then roll up per event_type via
+    operators/metrics.merge_exp_histograms
+    (generated_exponentialhistogramdatapoint.go:105-125 semantics)."""
+    from .metrics import merge_exp_histograms
+    ev = _t(spark, sf_dir, "events")
+    empty_attrs = F.expr("map()")
+    pts = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.lit(4).alias("metric_type"),
+        F.lit(1000).cast("long").alias("start_time_unix_nano"),
+        F.col("event_id").cast("long").alias("time_unix_nano"),
+        empty_attrs.alias("attributes"),
+        empty_attrs.alias("resource_attributes"),
+        (F.col("user_id") % 2).cast("int").alias("scale"),
+        F.lit(1).cast("long").alias("zero_count"),
+        F.lit(3).cast("long").alias("count"),
+        F.floor(F.col("value")).cast("double").alias("sum"),
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        F.floor(F.col("value") / 100).cast("int").alias("positive_offset"),
+        F.expr("array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+         .alias("positive_bucket_counts"),
+        F.lit(None).cast("int").alias("negative_offset"),
+        F.expr("CAST(NULL AS ARRAY<BIGINT>)")
+         .alias("negative_bucket_counts"))
+    m = merge_exp_histograms(pts)
+    return (m.select(F.col("metric_name").alias("grp"), "scale",
+                     "zero_count", F.col("count").alias("n"),
+                     F.col("sum").alias("s_sum"),
+                     F.col("time_unix_nano").alias("t_max"),
+                     "positive_offset", "positive_bucket_counts")
+             .orderBy("grp"))
