@@ -19,7 +19,17 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from .confmap import resolve
+from .featuregate import global_registry
 from .pipeline import CompiledPlan, ConfigError, PipelineGraph
+
+
+def _resolve_with_gates(*uris: str) -> dict:
+    """Resolve config and apply its ``feature_gates`` section (flag.go
+    syntax: "gate", "+gate", "-gate") against the global registry before
+    graph build — unknown gates / stage violations fail validation."""
+    cfg = resolve(*uris)
+    global_registry().apply_flags(cfg.pop("feature_gates", None))
+    return cfg
 
 
 class State(Enum):
@@ -51,14 +61,14 @@ class Collector:
         """Validate config end-to-end without running any exporter
         (collector.go:209-219).  Raises ConfigError/ResolveError on any
         defect; returns the validated graph."""
-        graph = PipelineGraph(resolve(*config_uris))
+        graph = PipelineGraph(_resolve_with_gates(*config_uris))
         graph.compile(spark, sources=sources or {}, sf_dir=sf_dir)
         return graph
 
     # -- run cycle ----------------------------------------------------------
 
     def _setup(self) -> CompiledPlan:
-        graph = PipelineGraph(resolve(*self.config_uris))
+        graph = PipelineGraph(_resolve_with_gates(*self.config_uris))
         return graph.compile(self.spark, sources=self.sources,
                              sf_dir=self.sf_dir)
 

@@ -132,3 +132,62 @@ def test_ivf_kmeans_centroids_deterministic(spark):
     b = {r.cid: list(r.c_emb) for r in
          _kmeans_centroids(spark, SF_SMALL).collect()}
     assert a == b and len(a) == 8
+
+
+# --- real stdlib media codecs (BMP 24-bit, WAV PCM16) ----------------------
+
+def test_bmp_golden_roundtrip():
+    """Hand-checked 2x2 BMP: encode -> parse headers -> exact pixel stats."""
+    from otel_arrow_collector_spark.operators.multimodal import (decode_bmp,
+                                                                 encode_bmp)
+    # pixels row-major: (B,G,R) = (10,20,30), (40,50,60), (1,2,3), (4,5,6)
+    pix = bytes([10, 20, 30, 40, 50, 60, 1, 2, 3, 4, 5, 6])
+    bmp = encode_bmp(pix, 2, 2)
+    assert bmp[:2] == b"BM"
+    import struct
+    assert struct.unpack_from("<I", bmp, 10)[0] == 54     # pixel offset
+    f = decode_bmp(bmp)
+    assert f["format"] == "image/bmp"
+    assert (f["width"], f["height"]) == (2, 2)
+    # luma per pixel: 60//3=20, 150//3=50, 6//3=2, 15//3=5 -> mean 77//4=19
+    assert f["mean_luma"] == (20 + 50 + 2 + 5) // 4
+
+
+def test_wav_golden_roundtrip():
+    from otel_arrow_collector_spark.operators.multimodal import (decode_wav,
+                                                                 encode_wav)
+    wav = encode_wav([100, -200, 300, -400], sample_rate=4000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    f = decode_wav(wav)
+    assert f["format"] == "audio/wav"
+    assert f["sample_rate"] == 4000 and f["n_samples"] == 4
+    assert f["duration_ms"] == 1   # 4 samples at 4 kHz
+    assert f["mean_luma"] == (100 + 200 + 300 + 400) // 4
+
+
+def test_decode_media_end_to_end(spark):
+    """synthesize -> decode over the corpus: every row decodes, formats
+    split by doc_id parity, geometry/rate match the synthesizer."""
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_media, synthesize_media)
+    from otel_arrow_collector_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    feats = decode_media(synthesize_media(docs)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        if r.doc_id % 2 == 0:
+            assert r.format == "image/bmp" and (r.width, r.height) == (8, 8)
+        else:
+            assert r.format == "audio/wav" and r.sample_rate == 8000
+            assert r.n_samples == 64
+
+
+def test_decode_media_raises_on_compressed_magic(spark):
+    import pandas as pd
+    import pyspark.errors
+    import pytest as _pytest
+    from otel_arrow_collector_spark.operators.multimodal import decode_media
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n"))],
+                               "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="PIL|pyav|PythonException"):
+        decode_media(df).collect()
