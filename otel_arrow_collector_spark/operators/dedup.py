@@ -375,6 +375,152 @@ WHERE cos_raw >= 0.3 ORDER BY cos DESC, v1, v2 LIMIT 100
 ORACLES["dedup_embedding_cosine"] = _duck_embedding_cosine_oracle()
 
 
+# ---------------------------------------------------------------------------
+# connected-components near-dup clustering (transitive closure)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges, src: str = "d1", dst: str = "d2"):
+    """Deterministic connected components over an undirected edge set:
+    every node is labelled with the MIN node id reachable from it.
+
+    Plan: iterative min-label propagation with pointer jumping —
+    each round (a) takes the min label over the node's neighbours and
+    (b) hops to the label of its current label (path doubling), so
+    convergence is O(log diameter) rounds, not O(diameter).  Each round
+    is two shuffle joins bounded by |edges| (candidate pairs, never the
+    corpus) plus one convergence-count action.  This is the standard
+    distributed CC recipe (cf. the large-star/small-star family); at
+    100 TB the edge set is the LSH candidate output, which is orders of
+    magnitude smaller than the corpus, so the loop stays cheap.
+
+    Returns (node, cluster_id), one row per distinct endpoint.
+    Raises if the label fixpoint is not reached in CC_MAX_ITERS rounds.
+    """
+    bidir = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+             .distinct().persist())
+    labels = (bidir.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).persist())
+    labels.count()
+    try:
+        for _ in range(CC_MAX_ITERS):
+            nbr = (bidir.join(labels.withColumnRenamed("node", "bn"),
+                              F.col("b") == F.col("bn"))
+                        .groupBy("a").agg(F.min("lbl").alias("nbr_lbl")))
+            stepped = (labels.join(nbr, labels["node"] == nbr["a"], "left")
+                             .select("node",
+                                     F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                                      .alias("lbl")))
+            # pointer jump: follow lbl -> label(lbl) to halve chain depth
+            hop = labels.select(F.col("node").alias("hn"),
+                                F.col("lbl").alias("hl"))
+            new = (stepped.join(hop, stepped["lbl"] == hop["hn"], "left")
+                          .select("node",
+                                  F.least("lbl", F.coalesce("hl", "lbl"))
+                                   .alias("lbl"))
+                          .persist())
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                return labels.select("node", F.col("lbl").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {CC_MAX_ITERS} rounds")
+    finally:
+        bidir.unpersist()
+
+
+#: DuckDB CTE chain: verified (Jaccard >= threshold) near-dup pairs.
+#: Same text as the dedup_ngram_jaccard oracle's precision stage.
+_DUCK_VERIFIED_CTE = _DUCK_PAIR_CTE + f""",
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2),
+verified AS (SELECT d1, d2
+             FROM common JOIN sizes z1 ON z1.doc_id = d1
+                         JOIN sizes z2 ON z2.doc_id = d2
+             WHERE CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common)
+                   >= {JACCARD_THRESHOLD})
+"""
+
+#: Recursive closure over the verified pairs (min-reachable-id labels).
+#: DuckDB requires RECURSIVE on the first WITH of the whole chain.
+_DUCK_CC_CTE = _DUCK_VERIFIED_CTE.replace(
+    "WITH docs", "WITH RECURSIVE docs", 1) + """,
+bidir AS (SELECT d1 AS a, d2 AS b FROM verified
+          UNION SELECT d2, d1 FROM verified),
+walk(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) t
+    UNION
+    SELECT e.b, w.r FROM walk w JOIN bidir e ON e.a = w.node
+),
+cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node)
+"""
+
+_CC_CACHE: dict = {}
+
+
+def _cc_labels(spark, sf_dir):
+    import os as _os
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key in _CC_CACHE:
+        return _CC_CACHE[key]
+    edges = (_jaccard_verified(spark, sf_dir)
+             .filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2"))
+    labels = connected_components(edges).persist()
+    _CC_CACHE[key] = labels
+    return labels
+
+
+def dedup_cc_labels(spark, sf_dir):
+    """Transitive near-dup clusters: (doc_id, cluster_id) for every doc in
+    a verified pair; cluster_id = min doc_id of the component.  Unlike
+    dedup_minhash_keep's greedy drop, A~B and B~C place A,B,C in ONE
+    cluster even when A!~C."""
+    return (_cc_labels(spark, sf_dir)
+            .select(F.col("node").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
+
+
+QUERIES["dedup_cc_labels"] = dedup_cc_labels
+ORACLES["dedup_cc_labels"] = _DUCK_CC_CTE + """
+SELECT doc_id, cluster_id FROM cc ORDER BY doc_id
+"""
+
+
+def dedup_cc_keep(spark, sf_dir):
+    """Transitive-closure dedup accounting: keep one representative per
+    component; n_kept = n_docs - (clustered docs - clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = _cc_labels(spark, sf_dir)
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.countDistinct("cluster_id").alias("n_clusters"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (total.crossJoin(stats)
+            .select("n_clusters", "n_clustered",
+                    (F.col("n_docs") - F.col("n_clustered")
+                     + F.col("n_clusters")).alias("n_kept")))
+
+
+QUERIES["dedup_cc_keep"] = dedup_cc_keep
+ORACLES["dedup_cc_keep"] = _DUCK_CC_CTE + """
+SELECT (SELECT COUNT(DISTINCT cluster_id) FROM cc) AS n_clusters,
+       (SELECT COUNT(*) FROM cc) AS n_clustered,
+       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cc)
+           + (SELECT COUNT(DISTINCT cluster_id) FROM cc) AS n_kept
+"""
+
+
 QUERIES["dedup_simhash"] = dedup_simhash
 ORACLES["dedup_simhash"] = """
 WITH t AS (SELECT doc_id,

@@ -191,3 +191,38 @@ def test_decode_media_raises_on_compressed_magic(spark):
                                "doc_id long, payload binary")
     with _pytest.raises(Exception, match="PIL|pyav|PythonException"):
         decode_media(df).collect()
+
+
+def test_connected_components_path_graph(spark):
+    # 1-2-3-...-8 path: one component labelled by min id, converges via
+    # pointer jumping well inside CC_MAX_ITERS
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long")
+    got = {(r.node, r.cluster_id)
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {(i, 1) for i in range(1, 9)}
+
+
+def test_connected_components_multiple_components(spark):
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        "d1 long, d2 long")
+    got = {(r.node, r.cluster_id)
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {(10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20), (30, 30), (31, 30)}
+
+
+def test_cc_transitive_vs_greedy_keep(spark):
+    # every clustered doc except one representative per cluster is dropped;
+    # transitive closure can only merge clusters vs the greedy pair drop
+    row = dedup.dedup_cc_keep(spark, SF_SMALL).first()
+    assert row.n_kept + row.n_clustered - row.n_clusters == \
+        dedup.load_table(spark, SF_SMALL, "documents").count()
+    labels = dedup.dedup_cc_labels(spark, SF_SMALL).collect()
+    by_cluster = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert len(members) >= 2
