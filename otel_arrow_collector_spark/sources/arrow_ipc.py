@@ -27,13 +27,25 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
-ENCODED_DDL = "payload binary, n_rows bigint, n_bytes bigint"
+from .hpack import HpackDecoder, HpackEncoder
+
+ENCODED_DDL = ("payload binary, n_rows bigint, n_bytes bigint, "
+               "headers binary")
 
 
-def encode_ipc(df: DataFrame) -> DataFrame:
+def encode_ipc(df: DataFrame, headers: dict | None = None) -> DataFrame:
     """DataFrame -> one row per Arrow record batch: (payload, n_rows,
-    n_bytes).  The payload is a self-contained IPC stream."""
+    n_bytes, headers).  The payload is a self-contained IPC stream.
+
+    ``headers`` (per-request gRPC metadata, BatchArrowRecords.headers) is
+    hpack-encoded with one stateful encoder per partition — the partition
+    plays the reference's per-stream role, so the first frame carries the
+    literal-with-indexing block and subsequent frames the 1-byte indexed
+    form (exporter side of arrow.go:85-131's headerReceiver contract)."""
+    items = sorted((headers or {}).items())
+
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        hp = HpackEncoder()
         for b in batches:
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, b.schema) as w:
@@ -43,8 +55,29 @@ def encode_ipc(df: DataFrame) -> DataFrame:
                 "payload": [buf.to_pybytes()],
                 "n_rows": [b.num_rows],
                 "n_bytes": [buf.size],
+                "headers": [hp.encode(items) if items else b""],
             })
     return df.mapInArrow(enc, ENCODED_DDL)
+
+
+def frame_headers(encoded: DataFrame) -> DataFrame:
+    """Decode each frame's hpack header block -> (n_rows, headers map).
+
+    One stateful HpackDecoder per partition, mirroring the reference's
+    one-decoder-per-stream rule (arrow.go:131): indexed fields in later
+    frames resolve against the dynamic table built by earlier ones."""
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        hp = HpackDecoder()
+        for b in batches:
+            rows = b.column("n_rows").to_pylist()
+            hdrs = [dict(hp.decode(h)) if h else {}
+                    for h in b.column("headers").to_pylist()]
+            yield pa.RecordBatch.from_pydict(
+                {"n_rows": rows, "headers": hdrs},
+                schema=pa.schema([
+                    ("n_rows", pa.int64()),
+                    ("headers", pa.map_(pa.string(), pa.string()))]))
+    return encoded.mapInArrow(dec, "n_rows bigint, headers map<string,string>")
 
 
 def decode_ipc(encoded: DataFrame, schema_ddl: str) -> DataFrame:
