@@ -92,6 +92,106 @@ def decode_ipc(encoded: DataFrame, schema_ddl: str) -> DataFrame:
     return encoded.mapInArrow(dec, schema_ddl)
 
 
+# ---------------------------------------------------------------------------
+# stateful stream mode: cross-batch delta dictionaries
+# (exporter/otlpexporter/internal/arrow/stream.go per-stream producer state;
+# the reference re-sends only dictionary DELTAS after the first batch)
+# ---------------------------------------------------------------------------
+
+STREAM_DDL = ("payload binary, frame_seq bigint, n_rows bigint, "
+              "n_bytes bigint, headers binary")
+
+
+def encode_ipc_stream(df: DataFrame, dict_cols: tuple = (),
+                      headers: dict | None = None) -> DataFrame:
+    """DataFrame -> per-partition Arrow IPC *stream* frames with stateful
+    dictionaries: every partition writes ONE logical stream (schema once,
+    then per-batch frames), and `dict_cols` are dictionary-encoded against
+    a dictionary that only ever grows, so pyarrow's
+    ``emit_dictionary_deltas`` sends just the new values after frame 0.
+
+    Frames must be replayed to the decoder in partition order without
+    reshuffling — the same contract as a gRPC stream.  A zero-row trailer
+    frame carries the stream's EOS marker."""
+    import io
+
+    items = sorted((headers or {}).items())
+    cols = tuple(dict_cols)
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        hp = HpackEncoder()
+        sink = io.BytesIO()
+        writer = None
+        last = 0
+        seq = 0
+        vocab: dict = {c: {} for c in cols}
+
+        def frame(payload: bytes, n_rows: int) -> pa.RecordBatch:
+            nonlocal seq
+            b = pa.RecordBatch.from_pydict({
+                "payload": [payload], "frame_seq": [seq],
+                "n_rows": [n_rows], "n_bytes": [len(payload)],
+                "headers": [hp.encode(items) if items else b""]})
+            seq += 1
+            return b
+
+        for b in batches:
+            arrays, fields = [], []
+            for i, name in enumerate(b.schema.names):
+                col = b.column(i)
+                if name in vocab:
+                    m = vocab[name]
+                    vals = col.to_pylist()
+                    for v in vals:
+                        if v is not None and v not in m:
+                            m[v] = len(m)
+                    idx = pa.array(
+                        [None if v is None else m[v] for v in vals],
+                        pa.int32())
+                    col = pa.DictionaryArray.from_arrays(
+                        idx, pa.array(list(m), col.type))
+                arrays.append(col)
+                fields.append(pa.field(name, col.type))
+            nb = pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+            if writer is None:
+                writer = pa.ipc.new_stream(
+                    sink, nb.schema,
+                    options=pa.ipc.IpcWriteOptions(
+                        emit_dictionary_deltas=True))
+            writer.write_batch(nb)
+            pos = sink.tell()
+            yield frame(bytes(sink.getbuffer()[last:pos]), nb.num_rows)
+            last = pos
+        if writer is not None:
+            writer.close()                    # EOS marker -> trailer frame
+            pos = sink.tell()
+            if pos > last:
+                yield frame(bytes(sink.getbuffer()[last:pos]), 0)
+
+    return df.mapInArrow(enc, STREAM_DDL)
+
+
+def decode_ipc_stream(encoded: DataFrame, schema_ddl: str) -> DataFrame:
+    """Reassemble per-partition stream frames (receiver side of the
+    stateful-dictionary contract, arrow.go:361-433's per-stream consumer):
+    frames concatenate into one IPC stream, dictionary columns decode back
+    to plain values."""
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        chunks: list[bytes] = []
+        for b in batches:
+            chunks.extend(b.column("payload").to_pylist())
+        if not chunks:
+            return
+        with pa.ipc.open_stream(pa.BufferReader(b"".join(chunks))) as r:
+            for batch in r:
+                arrays = [c.dictionary_decode()
+                          if pa.types.is_dictionary(c.type) else c
+                          for c in batch.columns]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=batch.schema.names)
+    return encoded.mapInArrow(dec, schema_ddl)
+
+
 def roundtrip_ipc(df: DataFrame) -> DataFrame:
     """encode |> decode — wire-format identity (codec conformance)."""
     return decode_ipc(encode_ipc(df), df._jdf.schema().toDDL())

@@ -128,3 +128,79 @@ def test_arrow_ipc_wire_stats(spark):
     assert stats["rows"] == 10
     assert stats["batches"] >= 1
     assert stats["wire_bytes"] > 0
+
+
+def test_ipc_stream_delta_dictionaries(spark):
+    """Stream mode: one IPC stream per partition; dictionary columns are
+    encoded against a grow-only vocabulary so later frames ship only
+    dictionary DELTAS (the reference's per-stream producer state)."""
+    from otel_arrow_collector_spark.sources.arrow_ipc import (
+        decode_ipc_stream, encode_ipc, encode_ipc_stream)
+    df = spark.range(0, 1200, 1, 1).selectExpr(
+        "id", "concat('svc-', cast(id % 5 as string)) AS service")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "300")
+    try:
+        frames = encode_ipc_stream(df, dict_cols=("service",)).collect()
+        back = decode_ipc_stream(
+            encode_ipc_stream(df, dict_cols=("service",)),
+            "id bigint, service string")
+        assert sorted((r.id, r.service) for r in back.collect()) == \
+            sorted((r.id, r.service) for r in df.collect())
+        data = [f for f in frames if f.n_rows > 0]
+        assert len(data) == 4                       # 1200 rows / 300
+        assert [f.frame_seq for f in frames] == list(range(len(frames)))
+        # frame 0 carries schema + full dictionary; later frames must be
+        # leaner than re-sending a self-contained stream every batch
+        per_batch = encode_ipc(df).collect()
+        self_contained = sum(r.n_bytes for r in per_batch)
+        streamed = sum(f.n_bytes for f in frames)
+        assert streamed < self_contained
+        assert max(f.n_bytes for f in data[1:]) < data[0].n_bytes
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ipc_stream_delta_message_structure():
+    """Pure-pyarrow check of the wire: frame 0 = schema + dictionary +
+    batch; a frame introducing new dictionary values = delta dictionary +
+    batch; a frame with no new values = batch only."""
+    import io
+
+    import pyarrow as pa
+    from otel_arrow_collector_spark.sources import arrow_ipc as ai
+
+    def msgs(payload):
+        out = []
+        rd = pa.ipc.MessageReader.open_stream(io.BytesIO(payload))
+        while True:
+            try:
+                out.append(rd.read_next_message().type)
+            except (StopIteration, pa.ArrowInvalid):
+                break
+        return out
+
+    batches = [
+        pa.RecordBatch.from_pydict({"k": ["a", "b", "a"]}),
+        pa.RecordBatch.from_pydict({"k": ["c", "a"]}),     # new value: delta
+        pa.RecordBatch.from_pydict({"k": ["b", "c"]}),     # no new values
+    ]
+    # drive the partition generator directly through a local harness
+    captured = {}
+
+    class FakeDF:
+        def mapInArrow(self, f, ddl):
+            captured["f"] = f
+            return None
+    ai.encode_ipc_stream(FakeDF(), dict_cols=("k",))
+    frames = [f.column("payload").to_pylist()[0]
+              for f in captured["f"](iter(batches))]
+    assert msgs(frames[0])[:1] == ["schema"]
+    assert "dictionary" in msgs(frames[0])
+    assert "record batch" in msgs(frames[0])
+    assert msgs(frames[1]) == ["dictionary", "record batch"]
+    assert msgs(frames[2]) == ["record batch"]
+    # the three frames concatenate into one valid stream
+    with pa.ipc.open_stream(pa.BufferReader(b"".join(frames))) as r:
+        got = [b.column(0).dictionary_decode().to_pylist() for b in r]
+    assert got == [["a", "b", "a"], ["c", "a"], ["b", "c"]]
