@@ -6,6 +6,7 @@
   fingerprint deduplication over ``documents``.
 - ``similarity``  — embedding ANN: brute-force cosine top-k, LSH buckets, IVF.
 - ``text``        — language-ID, quality scoring, token counting.
+- ``sampling``    — deterministic stratified sampling + train/val/test splits.
 - ``multimodal``  — binary-column decode/feature plumbing (mapInPandas).
 - ``batching``    — batch processor semantics (size/time/split) in batch mode.
 
@@ -25,11 +26,11 @@ def collect_registry() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     """Gather every operator module's queries + oracles into one registry."""
-    from . import dedup, multimodal, relational, similarity, text
+    from . import dedup, multimodal, relational, sampling, similarity, text
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, dedup, similarity, text, multimodal):
+    for mod in (relational, dedup, similarity, text, sampling, multimodal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,98 @@
+"""Deterministic sampling operators over ``documents`` — the corpus-
+curation surface of a training-data pipeline (stratified subsampling,
+reproducible train/val/test splits).
+
+Reference parity: the reference's probabilistic surface is head-based
+trace sampling decisions (span flags, pdata/ptrace); these operators
+extend the idea to corpus curation (driver north-star).
+
+Cross-engine determinism: selection is a pure function of md5 over stable
+keys — no RNG, no seed state — so membership is identical in Spark,
+DuckDB, and any future engine, and re-running a pipeline never reshuffles
+the split.  The first 4 md5 hex chars are compared lexicographically
+(fixed-width lowercase hex == numeric order), giving 16-bit resolution
+(~0.002% rate granularity).
+
+Scale stance: both operators are a codegen map (hash + compare) followed
+by one hash aggregation — no window, no join; at 100 TB the filter runs
+inside the scan and the aggregate is map-side-combined per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: keep-threshold on the first 4 md5 hex chars: 0x4000/0x10000 = 25%
+SAMPLE_HEX = "4000"
+#: train/val/test boundaries: 80% / 10% / 10%
+TRAIN_HEX, VAL_HEX = "cccc", "e666"
+
+
+def _key(salt: str):
+    return F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit(salt),
+                       F.col("doc_id").cast("string"))), 1, 4)
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-language deterministic ~25% subsample: keep iff the first
+    16 bits of md5(lang:doc_id) fall under the rate threshold.  Output is
+    the per-stratum accounting (totals, sampled, realized rate)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (_key(":") < SAMPLE_HEX).cast("int")
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(keep).cast("long").alias("n_sampled"))
+             .select("lang", "n_total", "n_sampled",
+                     F.round(F.col("n_sampled").cast("double")
+                             / F.col("n_total"), 4).alias("rate"))
+             .orderBy("lang"))
+
+
+QUERIES["sample_stratified"] = sample_stratified
+ORACLES["sample_stratified"] = f"""
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 4) < '{SAMPLE_HEX}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN substr(md5(lang || ':' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 4)
+                               < '{SAMPLE_HEX}' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS rate
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def sample_split(spark, sf_dir):
+    """Reproducible 80/10/10 train/val/test assignment per document —
+    hash-range buckets over md5(lang|doc_id), reported per (lang, split).
+    A document's split never changes as the corpus grows (pure function
+    of its key), the property training pipelines need for incremental
+    ingestion without leakage."""
+    d = load_table(spark, sf_dir, "documents")
+    key = _key("|")
+    split = (F.when(key < TRAIN_HEX, "train")
+              .when(key < VAL_HEX, "val").otherwise("test"))
+    return (d.groupBy("lang", split.alias("split"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("first_doc"))
+             .orderBy("lang", "split"))
+
+
+QUERIES["sample_split"] = sample_split
+ORACLES["sample_split"] = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
+  FROM documents)
+SELECT lang,
+       CASE WHEN k < '{TRAIN_HEX}' THEN 'train'
+            WHEN k < '{VAL_HEX}' THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM t GROUP BY 1, 2 ORDER BY lang, split
+"""

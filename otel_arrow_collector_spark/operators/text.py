@@ -171,6 +171,91 @@ FROM t ORDER BY doc_id LIMIT 200
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: Patterns kept inside the Java-regex/RE2 common subset (no backrefs, no
+#: lookaround) so Spark and DuckDB match identically.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+]?[0-9][0-9]{2}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+
+def scrub_pii(col):
+    """Redact emails then phone numbers (Column -> Column)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII accounting + redaction fingerprint per document: match counts
+    for email/phone patterns and the md5 of the scrubbed text (so the
+    oracle verifies the exact redacted bytes without shipping them)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (d.select(
+                "doc_id",
+                F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+                F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+                F.md5(scrub_pii(t)).alias("scrubbed_fp"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_pii_scrub"] = text_pii_scrub
+ORACLES["text_pii_scrub"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (quality signal)
+# ---------------------------------------------------------------------------
+
+def text_repetition(spark, sf_dir):
+    """Repetition ratios: 1 - distinct/total over words and 2-grams —
+    the standard boilerplate/spam signal for corpus filtering."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    bg = F.when(n >= 2, F.expr(
+        "transform(sequence(0, size(split(text,' '))-2), "
+        "i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))")
+    ).otherwise(F.expr("array()"))
+    word_rep = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    bg_rep = F.when(
+        F.size(bg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    return (d.select("doc_id", n.cast("long").alias("n_tokens"),
+                     F.round(word_rep, 4).alias("word_rep"),
+                     F.round(bg_rep, 4).alias("bigram_rep"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_repetition"] = text_repetition
+ORACLES["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)),
+                        i -> concat(ws[i], ' ', ws[i+1])) AS bg
+  FROM t)
+SELECT doc_id, len(ws) AS n_tokens,
+       ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+           AS word_rep,
+       CASE WHEN len(bg) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+            ELSE 0.0 END AS bigram_rep
+FROM b ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -226,3 +226,64 @@ def test_cc_transitive_vs_greedy_keep(spark):
     for cid, members in by_cluster.items():
         assert cid == min(members)
         assert len(members) >= 2
+
+
+def test_pii_scrub_planted_fixtures(spark, duck):
+    from otel_arrow_collector_spark.operators.text import (
+        EMAIL_RE, PHONE_RE, scrub_pii)
+    from pyspark.sql import functions as F
+    rows = [
+        ("contact me at jane.doe+x@example.co.uk today", 1, 0),
+        ("call +1 555-867-5309 or 212-555-0123 now", 0, 2),
+        ("a@b.io and 310 555-1234 mixed", 1, 1),
+        ("no pii here at all", 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text string")
+    got = df.select(
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("p"),
+        scrub_pii(F.col("text")).alias("s")).collect()
+    for (txt, e, p), r in zip(rows, got):
+        assert (r.e, r.p) == (e, p), txt
+        assert "@" not in r.s and "555" not in r.s or (e, p) == (0, 0)
+    # cross-engine: DuckDB scrubs to the identical bytes
+    for (txt, _, _), r in zip(rows, got):
+        dd = duck.execute(
+            "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<PHONE>', 'g')", [txt, EMAIL_RE, PHONE_RE]).fetchone()[0]
+        assert dd == r.s
+
+
+def test_stratified_sampling_laws(spark):
+    from otel_arrow_collector_spark.operators.sampling import (
+        sample_split, sample_stratified)
+    strat = {r.lang: r for r in sample_stratified(spark, SF_SMALL).collect()}
+    split = sample_split(spark, SF_SMALL).collect()
+    # realized rates land near 25% (16-bit hash, small-n tolerance)
+    for lang, r in strat.items():
+        assert 0 <= r.n_sampled <= r.n_total
+    total = sum(r.n_total for r in strat.values())
+    assert sum(r.n_docs for r in split) == total      # split partitions corpus
+    by_lang = {}
+    for r in split:
+        by_lang.setdefault(r.lang, set()).add(r.split)
+        assert r.split in ("train", "val", "test")
+    # determinism: same result on re-run (pure hash, no RNG)
+    again = {r.lang: r.n_sampled
+             for r in sample_stratified(spark, SF_SMALL).collect()}
+    assert again == {k: v.n_sampled for k, v in strat.items()}
+
+
+def test_repetition_detects_planted_boilerplate(spark):
+    from otel_arrow_collector_spark.operators import text as T
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all words here are fully distinct tokens")],
+        "doc_id long, text string")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    word_rep = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    got = {r.doc_id: r.wr for r in
+           df.select("doc_id", F.round(word_rep, 4).alias("wr")).collect()}
+    assert got[1] > 0.8 and got[2] == 0.0
