@@ -380,31 +380,64 @@ ORACLES["dedup_embedding_cosine"] = _duck_embedding_cosine_oracle()
 # ---------------------------------------------------------------------------
 
 CC_MAX_ITERS = 20
+#: Edge sets below this run as driver-side union-find — the LSH candidate
+#: output is normally orders of magnitude smaller than the corpus, so even
+#: at 100 TB most runs take the exact single-pass path; above it, the
+#: distributed label-propagation loop takes over.
+CC_DRIVER_MAX_EDGES = 1_000_000
 
 
-def connected_components(edges, src: str = "d1", dst: str = "d2"):
+def connected_components(edges, src: str = "d1", dst: str = "d2",
+                         force_distributed: bool = False):
     """Deterministic connected components over an undirected edge set:
     every node is labelled with the MIN node id reachable from it.
 
-    Plan: iterative min-label propagation with pointer jumping —
-    each round (a) takes the min label over the node's neighbours and
-    (b) hops to the label of its current label (path doubling), so
-    convergence is O(log diameter) rounds, not O(diameter).  Each round
-    is two shuffle joins bounded by |edges| (candidate pairs, never the
-    corpus) plus one convergence-count action.  This is the standard
-    distributed CC recipe (cf. the large-star/small-star family); at
-    100 TB the edge set is the LSH candidate output, which is orders of
-    magnitude smaller than the corpus, so the loop stays cheap.
+    Adaptive plan (the GraphFrames-style recipe):
+    - |edges| <= CC_DRIVER_MAX_EDGES: collect the (candidate-bounded) edge
+      list and run exact union-find on the driver — one job, no loop.
+    - larger: iterative min-label propagation with pointer jumping — each
+      round (a) takes the min label over the node's neighbours and (b)
+      hops to the label of its current label (path doubling), so
+      convergence is O(log diameter) rounds.  Each round is two shuffle
+      joins bounded by |edges| plus one monotone-sum convergence action
+      (labels only ever decrease, so fixpoint <=> sum(lbl) unchanged).
 
-    Returns (node, cluster_id), one row per distinct endpoint.
-    Raises if the label fixpoint is not reached in CC_MAX_ITERS rounds.
+    Both paths produce identical labels.  Returns (node, cluster_id), one
+    row per distinct endpoint.  Raises if the distributed loop hits
+    CC_MAX_ITERS without reaching the fixpoint.
     """
-    bidir = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-             .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not force_distributed:
+        n_edges = e.limit(CC_DRIVER_MAX_EDGES + 1).count()
+        if n_edges <= CC_DRIVER_MAX_EDGES:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:       # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            seen: set = set()
+            for row in e.collect():
+                seen.add(row.a)
+                seen.add(row.b)
+                ra, rb = find(row.a), find(row.b)
+                if ra != rb:                       # union by min id
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            rows = sorted((x, find(x)) for x in seen)
+            return spark.createDataFrame(
+                rows, "node long, cluster_id long")
+
+    bidir = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
              .distinct().persist())
     labels = (bidir.select(F.col("a").alias("node")).distinct()
               .withColumn("lbl", F.col("node")).persist())
-    labels.count()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     try:
         for _ in range(CC_MAX_ITERS):
             nbr = (bidir.join(labels.withColumnRenamed("node", "bn"),
@@ -422,13 +455,12 @@ def connected_components(edges, src: str = "d1", dst: str = "d2"):
                                   F.least("lbl", F.coalesce("hl", "lbl"))
                                    .alias("lbl"))
                           .persist())
-            changed = (new.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+            new_sum = new.agg(F.sum("lbl")).first()[0]
             labels.unpersist()
             labels = new
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select("node", F.col("lbl").alias("cluster_id"))
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components: no fixpoint in {CC_MAX_ITERS} rounds")
     finally:

@@ -226,12 +226,13 @@ def _cents_df(spark, rows):
     return df.withColumn("c_nrm", F.sqrt(F.expr(_s_dot("c_emb", "c_emb"))))
 
 
-#: per-(cell, dim) mean as a sequential double fold over vec_id-ordered
-#: values — the cross-engine-exact aggregation (see module docstring)
-_S_DIM_MEAN = """aggregate(
-  transform(array_sort(collect_list(struct(vec_id, val))),
-            p -> CAST(p.val AS DOUBLE)),
-  CAST(0 AS DOUBLE), (a, v) -> a + v)"""
+#: per-cell centroid as 64 sequential double folds over the cell's
+#: vec_id-ordered members — ONE hash aggregation per iteration (no
+#: posexplode row blowup, no second shuffle), summation order identical
+#: to the oracle's list_reduce-over-ordered-list, so bit-exact.
+_S_CELL_MEAN = """transform(sequence(0, 63), d ->
+  aggregate(vs, CAST(0 AS DOUBLE),
+            (a, p) -> a + CAST(p.embedding[d] AS DOUBLE)) / CAST(n AS DOUBLE))"""
 
 
 def _kmeans_centroids(spark, sf_dir):
@@ -255,13 +256,11 @@ def _kmeans_centroids(spark, sf_dir):
     for _ in range(KMEANS_ITERS):
         assign = _nearest_centroid(sample, cents)
         new = (assign
-               .select("cid", "vec_id",
-                       F.posexplode("embedding").alias("dim", "val"))
-               .groupBy("cid", "dim")
-               .agg((F.expr(_S_DIM_MEAN) / F.count(F.lit(1))).alias("mu"))
                .groupBy("cid")
-               .agg(F.expr("transform(array_sort(collect_list("
-                           "struct(dim, mu))), x -> x.mu)").alias("c_emb"))
+               .agg(F.expr("array_sort(collect_list(struct(vec_id, embedding)))")
+                     .alias("vs"),
+                    F.count(F.lit(1)).alias("n"))
+               .select("cid", F.expr(_S_CELL_MEAN).alias("c_emb"))
                .collect())
         cents = _cents_df(spark, [(r.cid, list(r.c_emb)) for r in new])
     return cents

@@ -219,18 +219,22 @@ def text_repetition(spark, sf_dir):
     """Repetition ratios: 1 - distinct/total over words and 2-grams —
     the standard boilerplate/spam signal for corpus filtering."""
     d = load_table(spark, sf_dir, "documents")
-    ws = _words()
-    n = F.size(ws)
+    # bind the split ONCE: referencing split(text,' ') inside a transform
+    # lambda re-evaluates the split per element (O(n^2) allocations)
+    t = d.select("doc_id", _words().alias("ws"))
+    n = F.size(F.col("ws"))
     bg = F.when(n >= 2, F.expr(
-        "transform(sequence(0, size(split(text,' '))-2), "
-        "i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))")
-    ).otherwise(F.expr("array()"))
-    word_rep = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+        "transform(sequence(0, size(ws)-2), "
+        "i -> concat(ws[i], ' ', ws[i+1]))")).otherwise(F.expr("array()"))
+    word_rep = (F.lit(1.0)
+                - F.size(F.array_distinct(F.col("ws"))).cast("double") / n)
+    t = t.withColumn("bg", bg)
     bg_rep = F.when(
-        F.size(bg) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+        F.size("bg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct(F.col("bg"))).cast("double")
+        / F.size("bg")
     ).otherwise(F.lit(0.0))
-    return (d.select("doc_id", n.cast("long").alias("n_tokens"),
+    return (t.select("doc_id", n.cast("long").alias("n_tokens"),
                      F.round(word_rep, 4).alias("word_rep"),
                      F.round(bg_rep, 4).alias("bigram_rep"))
              .orderBy("doc_id").limit(200))

@@ -193,22 +193,29 @@ def test_decode_media_raises_on_compressed_magic(spark):
         decode_media(df).collect()
 
 
-def test_connected_components_path_graph(spark):
-    # 1-2-3-...-8 path: one component labelled by min id, converges via
-    # pointer jumping well inside CC_MAX_ITERS
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_path_graph(spark, force_distributed):
+    # 1-2-3-...-8 path: one component labelled by min id; the distributed
+    # path converges via pointer jumping well inside CC_MAX_ITERS
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long")
     got = {(r.node, r.cluster_id)
-           for r in dedup.connected_components(edges).collect()}
+           for r in dedup.connected_components(
+               edges, force_distributed=force_distributed).collect()}
     assert got == {(i, 1) for i in range(1, 9)}
 
 
-def test_connected_components_multiple_components(spark):
+@_pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_multiple_components(spark, force_distributed):
     edges = spark.createDataFrame(
         [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
         "d1 long, d2 long")
     got = {(r.node, r.cluster_id)
-           for r in dedup.connected_components(edges).collect()}
+           for r in dedup.connected_components(
+               edges, force_distributed=force_distributed).collect()}
     assert got == {(10, 10), (11, 10), (12, 10),
                    (20, 20), (21, 20), (30, 30), (31, 30)}
 
