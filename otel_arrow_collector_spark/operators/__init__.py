@@ -7,6 +7,7 @@
 - ``similarity``  — embedding ANN: brute-force cosine top-k, LSH buckets, IVF.
 - ``text``        — language-ID, quality scoring, token counting.
 - ``sampling``    — deterministic stratified sampling + train/val/test splits.
+- ``curation``    — sequence packing, contamination screen, shuffle layout.
 - ``multimodal``  — binary-column decode/feature plumbing (mapInPandas).
 - ``batching``    — batch processor semantics (size/time/split) in batch mode.
 
@@ -26,11 +27,13 @@ def collect_registry() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     """Gather every operator module's queries + oracles into one registry."""
-    from . import dedup, multimodal, relational, sampling, similarity, text
+    from . import (curation, dedup, multimodal, relational, sampling,
+                   similarity, text)
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, dedup, similarity, text, sampling, multimodal):
+    for mod in (relational, dedup, similarity, text, sampling, curation,
+                multimodal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,205 @@
+"""Corpus-assembly operators over ``documents`` — the last mile of a
+training-data pipeline: pack curated text into fixed-length training
+sequences, screen the corpus for eval-benchmark contamination, and lay the
+result out in a deterministic global shuffle order.
+
+Reference parity: the reference's batch processor re-chunks telemetry into
+size-capped batches (processor/batchprocessor/splittraces.go:11-66) and its
+persistent queue fixes a deterministic replay order
+(exporter/exporterhelper/internal/persistent_storage.go:203-276); these
+operators extend both ideas to corpus assembly (driver north-star).
+
+Cross-engine determinism: ordering keys and shard assignment are md5-based
+(bit-identical in Spark and DuckDB) or natural keys (doc_id); token counts
+are whitespace-split word counts, identical in both engines on the
+space-separated `documents.text`.
+
+Scale stance — each op avoids the global-coordination trap:
+- Packing runs per shard (hash-partitioned), never as one global cumsum:
+  the window is PARTITIONed by shard, so at 100 TB each of the N shards
+  packs independently in its own task tree — exactly how production
+  packers shard work across writers.  No single-partition window exists
+  in this module.
+- Contamination broadcasts the benchmark shingle set (eval suites are
+  tiny relative to the corpus) and the corpus-side explode feeds a
+  map-side-combinable hash aggregation — one shuffle, no n^2.
+- Shuffle-shard is a codegen map (md5) + per-shard window; the output
+  layout (shard, pos) is the write-partitioning a 1000-executor job
+  would use directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: training sequence length in tokens (whitespace words)
+SEQ_LEN = 512
+#: number of independent packing / shuffle shards (one md5 hex char)
+N_SHARDS = 16
+#: benchmark overlap ratio above which a doc is flagged contaminated
+CONTAM_THRESHOLD = 0.5
+
+_SHARD = "substring(md5(cast(doc_id as string)), 1, 1)"
+_DUCK_SHARD = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing accounting: documents are concatenated in
+    (shard, doc_id) order and cut into SEQ_LEN-token training sequences;
+    report per shard how many sequences result, the tail fill ratio, and
+    how many documents straddle a sequence boundary (the cross-document
+    attention-contamination count packers try to minimize).
+
+    Per-shard running sum via a PARTITIONed window — no global cumsum, so
+    the plan holds at any corpus size (see module scale stance).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(_SHARD).alias("shard"), "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = toks.withColumn("cum", F.sum("n_tok").over(w))
+    straddle = (F.floor((F.col("cum") - 1) / SEQ_LEN)
+                > F.floor((F.col("cum") - F.col("n_tok")) / SEQ_LEN))
+    return (cum
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.ceil(F.max("cum") / SEQ_LEN).cast("long").alias("n_seqs"),
+                 F.sum(straddle.cast("int")).cast("long").alias("n_straddlers"))
+            .select("shard", "n_docs", "total_tokens", "n_seqs", "n_straddlers",
+                    F.round(F.col("total_tokens").cast("double")
+                            / (F.col("n_seqs") * SEQ_LEN), 4).alias("fill"))
+            .orderBy("shard"))
+
+
+QUERIES["pack_sequences"] = pack_sequences
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT {_DUCK_SHARD} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / {SEQ_LEN}) AS BIGINT) AS n_seqs,
+       CAST(SUM(CASE WHEN (cum - 1) // {SEQ_LEN}
+                          > (cum - n_tok) // {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / (CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / {SEQ_LEN}) AS BIGINT)
+                * {SEQ_LEN}), 4) AS fill
+FROM c GROUP BY shard ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination screen
+# ---------------------------------------------------------------------------
+
+def contamination_screen(spark, sf_dir):
+    """Eval-set contamination screen: treating `source = 'src0'` documents
+    as the held-out benchmark, flag corpus documents whose distinct 3-gram
+    shingles overlap the benchmark shingle set above CONTAM_THRESHOLD.
+
+    Plan: the benchmark's distinct shingle set is broadcast (eval suites
+    are tiny vs the corpus); the corpus side explodes shingles once and
+    hash-aggregates matches per doc — one shuffle on doc_id, candidate
+    work bounded by corpus size x shingle count, never pairwise.
+    """
+    from .dedup import _spark_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", "source",
+                   F.split("text", " ").alias("ws"))
+            .select("doc_id", "source",
+                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                     .alias("sh")))
+    bench = (sh.filter(F.col("source") == "src0")
+               .select("sh").distinct())
+    corpus = sh.filter(F.col("source") != "src0")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (corpus.join(F.broadcast(bench), "sh")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_hit")))
+    ratio = F.col("n_hit").cast("double") / F.col("n_sh")
+    return (sizes.join(hits, "doc_id")
+            .filter(ratio >= CONTAM_THRESHOLD)
+            .select("doc_id", "n_sh", "n_hit",
+                    F.round(ratio, 4).alias("overlap"))
+            .orderBy("doc_id").limit(500))
+
+
+QUERIES["contamination_screen"] = contamination_screen
+ORACLES["contamination_screen"] = f"""
+WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS sh
+       FROM docs),
+bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+corpus AS (SELECT doc_id, sh FROM sh WHERE source != 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+hits AS (SELECT c.doc_id, COUNT(*) AS n_hit
+         FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+SELECT s.doc_id, s.n_sh, h.n_hit,
+       ROUND(CAST(h.n_hit AS DOUBLE) / s.n_sh, 4) AS overlap
+FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+WHERE CAST(h.n_hit AS DOUBLE) / s.n_sh >= {CONTAM_THRESHOLD}
+ORDER BY s.doc_id LIMIT 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle -> sharded layout
+# ---------------------------------------------------------------------------
+
+def shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training-data layout: every doc
+    gets a shard (first md5 hex char) and a position within the shard
+    (rank of md5('shuf:' || doc_id)); emit the head of each shard's
+    reading order.  Rerunning the pipeline reproduces the exact order —
+    no RNG state — and the (shard, pos) layout is directly the
+    write-partitioning of a distributed shuffle job.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.expr(_SHARD).alias("shard"), "doc_id", "lang",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+         .alias("k"))
+    w = Window.partitionBy("shard").orderBy("k")
+    return (keyed
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .filter(F.col("pos") <= 10)
+            .select("shard", "pos", "doc_id", "lang")
+            .orderBy("shard", "pos"))
+
+
+QUERIES["shuffle_shards"] = shuffle_shards
+ORACLES["shuffle_shards"] = f"""
+WITH t AS (
+  SELECT {_DUCK_SHARD} AS shard, doc_id, lang,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS BIGINT)
+         AS pos,
+       doc_id, lang
+FROM t QUALIFY pos <= 10 ORDER BY shard, pos
+"""

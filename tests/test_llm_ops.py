@@ -294,3 +294,52 @@ def test_repetition_detects_planted_boilerplate(spark):
     got = {r.doc_id: r.wr for r in
            df.select("doc_id", F.round(word_rep, 4).alias("wr")).collect()}
     assert got[1] > 0.8 and got[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# curation operators (packing / contamination / shuffle layout)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_laws(spark):
+    import math
+    from otel_arrow_collector_spark.operators.curation import (SEQ_LEN,
+                                                               pack_sequences)
+    from otel_arrow_collector_spark.sources.tables import load_table
+    rows = pack_sequences(spark, SF_SMALL).collect()
+    n_docs_total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        # n sequences is exactly the token total chunked at SEQ_LEN
+        assert r.n_seqs == math.ceil(r.total_tokens / SEQ_LEN)
+        assert 0 < r.fill <= 1.0
+        # each of the n_seqs-1 interior boundaries is crossed by <= 1 doc
+        assert 0 <= r.n_straddlers <= r.n_seqs - 1
+
+
+def test_contamination_screen_planted(spark, tmp_path):
+    from otel_arrow_collector_spark.operators.curation import \
+        contamination_screen
+    # benchmark doc (src0) + a verbatim copy in the corpus (src1) + one
+    # disjoint doc: only the copy must be flagged, with overlap 1.0
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "src0", 30),
+         (2, "alpha beta gamma delta epsilon", "en", "src1", 30),
+         (3, "one two three four five six", "en", "src1", 27)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = contamination_screen(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in got] == [2]
+    assert got[0].overlap == 1.0 and got[0].n_hit == got[0].n_sh
+
+
+def test_shuffle_shards_layout(spark):
+    from otel_arrow_collector_spark.operators.curation import shuffle_shards
+    rows = shuffle_shards(spark, SF_SMALL).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        # per-shard positions are a contiguous 1..k prefix of the order
+        assert [x.pos for x in rs] == list(range(1, len(rs) + 1))
+    # deterministic: identical on re-run (pure md5 keys, no RNG)
+    assert rows == shuffle_shards(spark, SF_SMALL).collect()
