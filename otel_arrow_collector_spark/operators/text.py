@@ -49,11 +49,7 @@ def _sql_in_list(words) -> str:
 
 def text_token_stats(spark, sf_dir):
     """Whitespace token counts + type-token ratio + mean token length.
-
-    BPE-ish subword proxy: alpha-runs per word are counted with a regex
-    split — the synthetic vocab is single-run so n_subtokens == n_tokens
-    here, but the expression is the real thing.
-    """
+    (The BPE-ish regex token count is its own query: text_bpe_tokens.)"""
     d = load_table(spark, sf_dir, "documents")
     words = _words()
     n_tokens = F.size(words)
@@ -79,6 +75,43 @@ SELECT doc_id,
              / len(string_split(text,' ')), 4) AS ttr,
        ROUND(CAST(list_sum(list_transform(string_split(text,' '), w -> len(w))) AS DOUBLE)
              / len(string_split(text,' ')), 4) AS avg_token_len
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+#: GPT-2-style pre-tokenizer classes in the Java/RE2 common regex subset:
+#: alpha runs | digit runs | single non-alphanumeric non-space marks.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: whitespace tokens vs regex pre-tokenizer
+    matches (alpha runs / digit runs / punctuation marks — the GPT-2
+    pre-split classes).  The fertility ratio (regex tokens per whitespace
+    word) is the cheap corpus-level token-budget estimator training
+    pipelines use before running a real subword tokenizer.
+
+    Pure codegen map (regexp_count + split) — scale-safe anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " "))
+    n_bpe = F.expr(f"regexp_count(text, '{_BPE_PATTERN}')")
+    return (d.select(
+                "doc_id",
+                n_ws.cast("long").alias("n_ws_tokens"),
+                n_bpe.cast("long").alias("n_bpe_tokens"),
+                F.round(n_bpe.cast("double") / n_ws, 4).alias("fertility"))
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_bpe_tokens"] = text_bpe_tokens
+ORACLES["text_bpe_tokens"] = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS fertility
 FROM documents ORDER BY doc_id LIMIT 200
 """
 

@@ -343,3 +343,18 @@ def test_shuffle_shards_layout(spark):
         assert [x.pos for x in rs] == list(range(1, len(rs) + 1))
     # deterministic: identical on re-run (pure md5 keys, no RNG)
     assert rows == shuffle_shards(spark, SF_SMALL).collect()
+
+
+def test_bpe_tokens_planted_punctuation(spark, duck):
+    # engine and oracle agree on a text where regex tokens != ws tokens
+    from otel_arrow_collector_spark.operators.text import _BPE_PATTERN
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "don't stop me now, it's 2024!")],
+                               "doc_id long, text string")
+    n = df.select(F.expr(f"regexp_count(text, '{_BPE_PATTERN}')").alias("n")
+                  ).first().n
+    d = duck.execute(
+        "SELECT len(regexp_extract_all(?, ?))",
+        ["don't stop me now, it's 2024!", _BPE_PATTERN]).fetchone()[0]
+    # don|'|t stop me now|,| it|'|s 2024|! -> 12 regex tokens, 6 ws tokens
+    assert n == d == 12
