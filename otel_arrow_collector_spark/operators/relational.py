@@ -747,3 +747,70 @@ def q36(spark, sf_dir):
                      F.col("time_unix_nano").alias("t_max"),
                      "positive_offset", "positive_bucket_counts")
              .orderBy("grp"))
+
+
+@_register("q37_asof_join", """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, 0 AS kind,
+         event_id AS s_id, epoch_us(ts) AS s_us
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS us, event_id, 1 AS kind,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM events WHERE event_type = 'purchase'),
+f AS (
+  SELECT user_id, us, event_id, kind,
+         LAST_VALUE(s_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls_id,
+         LAST_VALUE(s_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls_us
+  FROM u)
+SELECT event_id AS purchase_id, ls_id AS signup_id,
+       us - ls_us AS gap_us
+FROM f WHERE kind = 1 AND ls_id IS NOT NULL
+ORDER BY purchase_id LIMIT 500
+""")
+def q37(spark, sf_dir):
+    """As-of join — each purchase matched to the same user's most recent
+    at-or-before signup (timestamp correlation like Q18's interval join,
+    Timestamp ns pdata/pcommon/timestamp.go:15; Spark has no ASOF JOIN
+    primitive, so this is the engine's composition).
+
+    Plan choice for 100 TB: NOT a range theta-join (quadratic per user) —
+    the merge-sort as-of plan: union both sides tagged, ONE shuffle on
+    user_id, one ordered window pass carrying the last-seen signup
+    forward.  Cost is O(n log n) in partition size, state is one row.
+    Ties at equal ts resolve signup-before-purchase (kind orders 0 < 1),
+    i.e. at-or-before, deterministically.
+
+    Cross-engine precision: DuckDB's read_parquet coerces the parquet
+    timestamp[ns] to µs TIMESTAMP (truncating), so the oracle world is
+    µs.  The engine side therefore keys and subtracts on ``ts_ns div
+    1000`` — exact integer floor of the ns source of truth, identical to
+    the oracle's truncation — never the derived µs TimestampType, whose
+    double-division rounding can differ by 1 µs.
+    """
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    s = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id", us.alias("us"), "event_id",
+                   F.lit(0).alias("kind"),
+                   F.col("event_id").alias("s_id"),
+                   us.alias("s_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", us.alias("us"), "event_id",
+                   F.lit(1).alias("kind"),
+                   F.lit(None).cast("long").alias("s_id"),
+                   F.lit(None).cast("long").alias("s_us")))
+    w = (Window.partitionBy("user_id").orderBy("us", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    f = (s.unionByName(p)
+          .withColumn("ls_id", F.last("s_id", ignorenulls=True).over(w))
+          .withColumn("ls_us", F.last("s_us", ignorenulls=True).over(w)))
+    return (f.filter((F.col("kind") == 1) & F.col("ls_id").isNotNull())
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("ls_id").alias("signup_id"),
+                     (F.col("us") - F.col("ls_us")).alias("gap_us"))
+             .orderBy("purchase_id").limit(500))
