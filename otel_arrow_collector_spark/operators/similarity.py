@@ -398,3 +398,72 @@ ranked AS (SELECT q_id, vec_id, cos_raw,
 SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos, rk
 FROM ranked WHERE rk <= {PROBE_K} ORDER BY q_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe (nprobe > 1): the recall knob
+# ---------------------------------------------------------------------------
+
+NPROBE = 2
+
+
+def ann_ivf_multiprobe(spark, sf_dir):
+    """IVF search with nprobe=NPROBE: each query ranks the centroids by
+    cosine and scans its top-NPROBE cells, trading nprobe× I/O for recall
+    (the standard IVF recall knob; nprobe=1 is ann_ivf_probe).
+
+    Scale path identical to the single-probe operator: probed cell ids
+    become a LITERAL ``cid IN (...)`` on the cell-partitioned store —
+    static directory pruning of all but nprobe×|queries| cells — and the
+    tiny (query × probed-cell) map is broadcast against the candidates.
+    """
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("v_nrm").alias("q_nrm")))
+    c_cos = (F.expr(_s_dot("q_emb", "c_emb"))
+             / (F.col("q_nrm") * F.col("c_nrm")))
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    qc = (q.crossJoin(cents)
+           .select("q_id", "q_emb", "q_nrm", "cid", c_cos.alias("c_cos"))
+           .withColumn("prk", F.row_number().over(wc))
+           .filter(F.col("prk") <= NPROBE)
+           .select("q_id", "q_emb", "q_nrm", "cid"))
+    probe_cells = sorted({r.cid for r in qc.select("cid").collect()})
+    cand = (load_cell_store(spark, sf_dir)
+            .filter(F.col("cid").isin(*probe_cells))
+            .select("cid", "vec_id", "embedding", "v_nrm"))
+    cos = F.expr(_s_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("v_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (F.broadcast(qc)
+            .join(cand, (qc.cid == cand.cid) & (F.col("q_id") != cand.vec_id))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PROBE_K)
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"),
+                    F.col("rk").cast("long").alias("rk"))
+            .orderBy("q_id", "rk"))
+
+
+QUERIES["ann_ivf_multiprobe"] = ann_ivf_multiprobe
+ORACLES["ann_ivf_multiprobe"] = _DUCK_ASSIGN_CTE + f""",
+q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      FROM assign WHERE vec_id IN ({_probe_list})),
+pc AS (SELECT q_id, cid FROM (
+  SELECT q.q_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY {_d_cos("q.q_emb", "c.c_emb")} DESC, c.cid) AS prk
+  FROM q CROSS JOIN c{KMEANS_ITERS} c) WHERE prk <= {NPROBE}),
+probed AS (SELECT q.q_id, a.vec_id,
+                  {_d_cos("q.q_emb", "a.embedding")} AS cos_raw
+           FROM q JOIN pc ON pc.q_id = q.q_id
+                JOIN assign a ON a.cid = pc.cid AND a.vec_id != q.q_id),
+ranked AS (SELECT q_id, vec_id, cos_raw,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_raw DESC, vec_id) AS rk
+           FROM probed)
+SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos, rk
+FROM ranked WHERE rk <= {PROBE_K} ORDER BY q_id, rk
+"""

@@ -358,3 +358,17 @@ def test_bpe_tokens_planted_punctuation(spark, duck):
         ["don't stop me now, it's 2024!", _BPE_PATTERN]).fetchone()[0]
     # don|'|t stop me now|,| it|'|s 2024|! -> 12 regex tokens, 6 ws tokens
     assert n == d == 12
+
+
+def test_ivf_multiprobe_dominates_single_probe(spark):
+    # probing 2 cells can only improve (or tie) the top-k vs nprobe=1:
+    # per query and rank, multiprobe cos >= single-probe cos
+    from otel_arrow_collector_spark.operators.similarity import (
+        ann_ivf_multiprobe, ann_ivf_probe)
+    single = {(r.q_id, r.rk): r.cos
+              for r in ann_ivf_probe(spark, SF_SMALL).collect()}
+    multi = {(r.q_id, r.rk): r.cos
+             for r in ann_ivf_multiprobe(spark, SF_SMALL).collect()}
+    assert set(single) == set(multi)
+    for key, cos1 in single.items():
+        assert multi[key] >= cos1
