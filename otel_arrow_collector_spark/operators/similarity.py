@@ -467,3 +467,63 @@ ranked AS (SELECT q_id, vec_id, cos_raw,
 SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos, rk
 FROM ranked WHERE rk <= {PROBE_K} ORDER BY q_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization accounting: scale =
+    max|x|/127, q = floor(x/scale + 0.5) (explicit half-up — identical
+    in both engines, no ROUND-mode ambiguity), then report reconstruction
+    fidelity (MSE and cosine of original vs dequantized) per vector.
+
+    This is the storage-compression path for a 100 TB embedding store
+    (4x smaller than float32, 8x smaller than float64): a pure codegen
+    map over the corpus — no shuffle, no state — so it runs inside the
+    scan at any scale.  Fidelity columns are the accept/reject signal for
+    enabling quantized search.
+    """
+    be = bucketed_embeddings(spark, sf_dir)
+    scale = ("greatest(array_max(transform(embedding, "
+             "x -> abs(CAST(x AS DOUBLE)))), CAST(1e-30 AS DOUBLE)) / 127.0D")
+    dq = ("transform(embedding, x -> "
+          "floor(CAST(x AS DOUBLE) / sc + CAST(0.5 AS DOUBLE)) * sc)")
+    mse = ("aggregate(zip_with(embedding, dq, (x, y) -> "
+           "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+           "CAST(0 AS DOUBLE), (a, v) -> a + v) / 64.0D")
+    cos = (f"{_s_dot('embedding', 'dq')} / "
+           f"(nrm * sqrt({_s_dot('dq', 'dq')}))")
+    return (be.select("vec_id", "embedding", "nrm", F.expr(scale).alias("sc"))
+              .select("vec_id", "embedding", "nrm", "sc",
+                      F.expr(dq).alias("dq"))
+              .select("vec_id",
+                      F.round("sc", 8).alias("scale"),
+                      F.round(F.expr(mse), 12).alias("mse"),
+                      F.round(F.expr(cos), 6).alias("cos_fidelity"))
+              .orderBy("vec_id").limit(200))
+
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+ORACLES["embedding_quantize_int8"] = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS sc
+  FROM embeddings),
+d AS (
+  SELECT vec_id, embedding, sc,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) / sc + 0.5) * sc) AS dq
+  FROM s)
+SELECT vec_id, ROUND(sc, 8) AS scale,
+       ROUND(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - dq[CAST(i AS INT)])
+                    * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - dq[CAST(i AS INT)])))
+             / 64.0, 12) AS mse,
+       ROUND({_d_dot("embedding", "dq")}
+             / (sqrt({_d_dot("embedding", "embedding")})
+                * sqrt({_d_dot("dq", "dq")})), 6) AS cos_fidelity
+FROM d ORDER BY vec_id LIMIT 200
+"""

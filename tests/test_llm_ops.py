@@ -372,3 +372,16 @@ def test_ivf_multiprobe_dominates_single_probe(spark):
     assert set(single) == set(multi)
     for key, cos1 in single.items():
         assert multi[key] >= cos1
+
+
+def test_quantize_int8_fidelity_laws(spark):
+    # int8 symmetric quantization on unit-scale vectors: near-perfect
+    # cosine fidelity, small positive MSE, max quant step = scale/2
+    from otel_arrow_collector_spark.operators.similarity import \
+        embedding_quantize_int8
+    rows = embedding_quantize_int8(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.scale > 0
+        assert 0 <= r.mse <= (r.scale / 2) ** 2    # per-dim error bound
+        assert r.cos_fidelity > 0.999
