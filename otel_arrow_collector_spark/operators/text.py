@@ -313,3 +313,92 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_bow
 FROM documents ORDER BY doc_id LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model fluency score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+#: LM trains on the deterministic doc_id % MOD == 0 sample (at 100 TB you
+#: train the n-gram model on a sample, never the corpus).
+LM_TRAIN_MOD = 10
+
+
+def text_bigram_lm(spark, sf_dir):
+    """Corpus-trained word-bigram LM fluency score — the KenLM-style
+    quality signal of CCNet-like curation pipelines, in a deterministic
+    cross-engine form: Laplace-smoothed conditional bigram probability
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V), averaged per document
+    (arithmetic mean, position-ordered sequential fold — bit-exact in
+    both engines; no ln(), whose libm rounding differs across engines).
+
+    Per doc: bigram count, out-of-vocabulary bigram count (unseen in the
+    training sample), and the mean probability (higher = more predictable
+    text; boilerplate scores high, gibberish low).
+
+    Scale: model build = two hash aggregations on uniform word keys over
+    the training sample; scoring = two equi-joins (model side is orders
+    of magnitude smaller than the corpus and broadcast-eligible) and one
+    per-doc aggregation.  No windows, no n².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = (d.select("doc_id", F.split("text", " ").alias("ws"))
+             .filter(F.size("ws") >= 2))
+    bi = (docs.select(
+              "doc_id",
+              F.posexplode(F.expr(
+                  "transform(sequence(0, size(ws)-2), "
+                  "i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+               .alias("pos", "bg"))
+            .select("doc_id", "pos", "bg.w1", "bg.w2"))
+    train = bi.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # V is a model parameter (like the k-means centroids): one scalar
+    # driver round-trip, not a data path.
+    vocab = train.select(F.countDistinct("w2").alias("v")).first().v
+    p = (F.expr("CAST(coalesce(c2, 0) + 1 AS DOUBLE)")
+         / F.expr(f"CAST(coalesce(c1, 0) + {vocab} AS DOUBLE)"))
+    scored = (bi.join(c2, ["w1", "w2"], "left")
+                .join(c1, ["w1"], "left")
+                .select("doc_id", "pos", p.alias("p"),
+                        F.isnull("c2").cast("int").alias("oov")))
+    return (scored
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("oov").cast("long").alias("n_oov"),
+                 F.expr("aggregate(array_sort(collect_list(struct(pos, p))), "
+                        "CAST(0 AS DOUBLE), (a, v) -> a + v.p)").alias("sp"))
+            .select("doc_id", "n_bigrams", "n_oov",
+                    F.round(F.col("sp") / F.col("n_bigrams"), 8)
+                     .alias("avg_p"))
+            .orderBy("doc_id").limit(200))
+
+
+QUERIES["text_bigram_lm"] = text_bigram_lm
+ORACLES["text_bigram_lm"] = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bi AS (
+  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+  FROM docs, UNNEST(range(1, len(ws))) AS u(i)),
+train AS (SELECT w1, w2 FROM bi WHERE doc_id % {LM_TRAIN_MOD} = 0),
+cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY w1, w2),
+cu AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+vv AS (SELECT COUNT(DISTINCT w2) AS v FROM train),
+s AS (
+  SELECT b.doc_id, b.pos,
+         CAST(COALESCE(cb.c2, 0) + 1 AS DOUBLE)
+           / CAST(COALESCE(cu.c1, 0) + vv.v AS DOUBLE) AS p,
+         CASE WHEN cb.c2 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bi b
+  LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+  LEFT JOIN cu ON cu.w1 = b.w1
+  CROSS JOIN vv)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(list_reduce(list(p ORDER BY pos), (a, v) -> a + v)
+             / COUNT(*), 8) AS avg_p
+FROM s GROUP BY doc_id ORDER BY doc_id LIMIT 200
+"""

@@ -385,3 +385,17 @@ def test_quantize_int8_fidelity_laws(spark):
         assert r.scale > 0
         assert 0 <= r.mse <= (r.scale / 2) ** 2    # per-dim error bound
         assert r.cos_fidelity > 0.999
+
+
+def test_bigram_lm_laws(spark):
+    # Laplace-smoothed probabilities are in (0,1]; OOV bigrams bounded by
+    # total; training-sample docs (doc_id % MOD == 0) have zero OOV
+    from otel_arrow_collector_spark.operators.text import (LM_TRAIN_MOD,
+                                                           text_bigram_lm)
+    rows = text_bigram_lm(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.avg_p <= 1.0
+        assert 0 <= r.n_oov <= r.n_bigrams
+        if r.doc_id % LM_TRAIN_MOD == 0:
+            assert r.n_oov == 0   # its own bigrams are in the model
