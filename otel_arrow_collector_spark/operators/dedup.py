@@ -567,3 +567,57 @@ SELECT doc_id, (
 ) AS simhash
 FROM t ORDER BY doc_id LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring (passage) dedup
+# ---------------------------------------------------------------------------
+
+#: passage length in words for exact-substring detection
+PASSAGE_LEN = 8
+
+
+def dedup_substring(spark, sf_dir):
+    """Exact duplicated passages: every PASSAGE_LEN-word window shared by
+    >= 2 documents, with document and occurrence counts — the
+    suffix-array-style exact-substring dedup signal ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022),
+    expressed as a distributed shingle aggregation instead of a suffix
+    array: explode every passage window once, ONE hash aggregation on the
+    passage key, no pairwise comparison anywhere.
+
+    At 100 TB: the passage explode is a narrow map inside the scan; the
+    aggregation shuffles on (near-unique) passage text with map-side
+    combine, and the n_docs >= 2 filter drops the unique tail before the
+    final top-k.  Reference analogue: the persistent queue's idempotent
+    redelivery (persistent_storage.go:278-345) extended to content level.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = (d.select("doc_id", F.split("text", " ").alias("ws"))
+           .filter(F.size("ws") >= PASSAGE_LEN)
+           .select("doc_id", F.explode(F.expr(
+               f"transform(sequence(0, size(ws)-{PASSAGE_LEN}), "
+               f"i -> array_join(slice(ws, i+1, {PASSAGE_LEN}), ' '))"))
+               .alias("passage")))
+    return (p.groupBy("passage")
+             .agg(F.countDistinct("doc_id").alias("n_docs"),
+                  F.count(F.lit(1)).alias("n_occ"))
+             .filter(F.col("n_docs") >= 2)
+             .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
+                      "passage")
+             .limit(200))
+
+
+QUERIES["dedup_substring"] = dedup_substring
+ORACLES["dedup_substring"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= {PASSAGE_LEN}),
+p AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - {PASSAGE_LEN - 2}),
+               i -> array_to_string(ws[i:i+{PASSAGE_LEN - 1}], ' ')))
+               AS passage
+      FROM docs)
+SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 200
+"""

@@ -399,3 +399,17 @@ def test_bigram_lm_laws(spark):
         assert 0 <= r.n_oov <= r.n_bigrams
         if r.doc_id % LM_TRAIN_MOD == 0:
             assert r.n_oov == 0   # its own bigrams are in the model
+
+
+def test_substring_dedup_finds_planted_passages(spark):
+    # every reported passage must verifiably appear in >= 2 docs
+    from otel_arrow_collector_spark.operators.dedup import (PASSAGE_LEN,
+                                                            dedup_substring)
+    rows = dedup_substring(spark, SF_SMALL).collect()
+    assert len(rows) > 0, "synthetic corpus plants near-dups; none found"
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()}
+    for r in rows[:20]:
+        assert len(r.passage.split(" ")) == PASSAGE_LEN
+        holders = [d for d, t in docs.items() if r.passage in t]
+        assert len(holders) >= 2, (r.passage, holders)
