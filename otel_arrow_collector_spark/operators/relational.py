@@ -814,3 +814,61 @@ def q37(spark, sf_dir):
                      F.col("ls_id").alias("signup_id"),
                      (F.col("us") - F.col("ls_us")).alias("gap_us"))
              .orderBy("purchase_id").limit(500))
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register("q38_pivot", """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       COUNT(*) AS total
+FROM events GROUP BY user_id ORDER BY user_id LIMIT 200
+""")
+def q38(spark, sf_dir):
+    """Pivot (long -> wide): per-user event-type matrix — the per-signal ×
+    per-component telemetry matrix of §2.7 (obs_receiver.go:20-34 counters
+    dimensioned by component and signal) laid out wide.
+
+    Explicit value list (no implicit distinct-scan job), count aggregate;
+    absent cells coalesced to 0 so the wide schema is total.  One hash
+    aggregation — pivot adds no extra shuffle over the groupBy.
+    """
+    ev = _t(spark, sf_dir, "events")
+    piv = (ev.groupBy("user_id")
+             .pivot("event_type", list(_EVENT_TYPES))
+             .agg(F.count(F.lit(1))))
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _EVENT_TYPES]
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES)
+    return (piv.select("user_id", *cols, total.cast("long").alias("total"))
+              .orderBy("user_id").limit(200))
+
+
+@_register("q39_unpivot", """
+SELECT measure, COUNT(*) AS n, ROUND(AVG(v), 4) AS mean_v
+FROM (
+  SELECT 'l_discount' AS measure, l_discount AS v FROM lineitem
+  UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+GROUP BY measure ORDER BY measure
+""")
+def q39(spark, sf_dir):
+    """Unpivot (wide -> long): lineitem measures melted to (measure, v)
+    rows then profiled — the inverse of q38, the `Map.Range` iteration of
+    §2.2 (pdata/pcommon/map.go:199-207) applied to fixed columns.
+
+    Spark's native unpivot keeps this a zero-join narrow map (one scan,
+    3× row expansion) feeding one hash aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    long_df = li.unpivot(
+        [], ["l_discount", "l_quantity", "l_tax"], "measure", "v")
+    return (long_df.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("v"), 4).alias("mean_v"))
+            .orderBy("measure"))
