@@ -203,3 +203,135 @@ SELECT shard,
        doc_id, lang
 FROM t QUALIFY pos <= 10 ORDER BY shard, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline (the end-to-end funnel)
+# ---------------------------------------------------------------------------
+
+def _contaminated_ids(spark, sf_dir):
+    """doc_ids failing the benchmark-overlap screen (integer-compare form
+    of contamination_screen's threshold: 2*n_hit >= n_sh <=> ratio >=
+    CONTAM_THRESHOLD=0.5 — no float boundary anywhere)."""
+    from .dedup import _spark_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+            .select("doc_id", "source",
+                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                     .alias("sh")))
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    corpus = sh.filter(F.col("source") != "src0")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (corpus.join(F.broadcast(bench), "sh")
+                  .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (sizes.join(hits, "doc_id")
+                 .filter(2 * F.col("n_hit") >= F.col("n_sh"))
+                 .select("doc_id"))
+
+
+def curation_pipeline(spark, sf_dir):
+    """The end-to-end curation funnel, per language: total documents, and
+    how many pass each gate — quality score, repetition, benchmark
+    contamination, greedy near-dup removal — plus the intersection
+    (n_kept) and its token budget.  This is the whole training-data
+    pipeline as ONE declarative plan: scan-side stats, two broadcast
+    screens, one aggregation.
+
+    Every threshold is an exact integer inequality (quality >= 0.5 <=>
+    2*num >= 250*n on the integer numerator of text_quality_score;
+    repetition <= 0.5 <=> n <= 2*n_distinct; contamination as in
+    _contaminated_ids), so no gate sits on a float boundary.
+
+    Scale: per-doc stats run inside the scan; the contamination and
+    dedup drop sets are tiny (flagged docs, not corpus) and broadcast
+    into left-anti-style null checks; one final hash aggregation on lang.
+    """
+    from .dedup import JACCARD_THRESHOLD, _jaccard_verified
+    from .text import _STOPWORDS
+
+    assert JACCARD_THRESHOLD == 0.5  # funnel doc contract
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    per = d.select(
+        "doc_id", "lang",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).alias("stop"),
+        F.size(F.filter(ws, lambda w: F.length(w) >= 7)).alias("longw"))
+    num = (125 * F.col("stop") + 75 * (F.col("n") - F.col("longw"))
+           + F.least(F.col("n"), F.lit(50)) * F.col("n"))
+    q_ok = (2 * num >= 250 * F.col("n")).cast("int")
+    rep_ok = (F.col("n") <= 2 * F.col("nd")).cast("int")
+    contam = _contaminated_ids(spark, sf_dir).withColumn("c_hit", F.lit(1))
+    drops = (_jaccard_verified(spark, sf_dir)
+             .filter(F.col("j") >= JACCARD_THRESHOLD)
+             .select(F.col("d2").alias("doc_id")).distinct()
+             .withColumn("d_hit", F.lit(1)))
+    flags = (per.join(F.broadcast(contam), "doc_id", "left")
+                .join(F.broadcast(drops), "doc_id", "left")
+                .select("lang", "n", q_ok.alias("q_ok"),
+                        rep_ok.alias("rep_ok"),
+                        F.isnull("c_hit").cast("int").alias("clean"),
+                        F.isnull("d_hit").cast("int").alias("uniq")))
+    kept = (F.col("q_ok") * F.col("rep_ok") * F.col("clean") * F.col("uniq"))
+    return (flags
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum("q_ok").cast("long").alias("n_quality"),
+                 F.sum("rep_ok").cast("long").alias("n_lowrep"),
+                 F.sum("clean").cast("long").alias("n_clean"),
+                 F.sum("uniq").cast("long").alias("n_unique"),
+                 F.sum(kept).cast("long").alias("n_kept"),
+                 F.sum(kept * F.col("n")).cast("long").alias("tok_kept"))
+            .orderBy("lang"))
+
+
+QUERIES["curation_pipeline"] = curation_pipeline
+
+
+def _curation_oracle() -> str:
+    from .dedup import _DUCK_DROP_CTE
+    from .text import _STOPWORDS, _sql_in_list
+
+    return _DUCK_DROP_CTE + f""",
+per AS (
+  SELECT doc_id, lang,
+         len(ws) AS n,
+         len(list_distinct(ws)) AS nd,
+         len(list_filter(ws, w -> w IN {_sql_in_list(_STOPWORDS)})) AS stop,
+         len(list_filter(ws, w -> len(w) >= 7)) AS longw
+  FROM docs JOIN documents USING (doc_id)),
+contaminated AS (
+  SELECT c.doc_id
+  FROM (SELECT s.doc_id, s.sh FROM shd s JOIN documents d
+        ON d.doc_id = s.doc_id AND d.source != 'src0') c
+  JOIN (SELECT DISTINCT s.sh FROM shd s JOIN documents d
+        ON d.doc_id = s.doc_id AND d.source = 'src0') b ON b.sh = c.sh
+  JOIN sizes z ON z.doc_id = c.doc_id
+  GROUP BY c.doc_id, z.n_sh
+  HAVING 2 * COUNT(*) >= z.n_sh),
+flags AS (
+  SELECT p.lang, p.n,
+         CASE WHEN 2 * (125 * p.stop + 75 * (p.n - p.longw)
+                        + LEAST(p.n, 50) * p.n) >= 250 * p.n
+              THEN 1 ELSE 0 END AS q_ok,
+         CASE WHEN p.n <= 2 * p.nd THEN 1 ELSE 0 END AS rep_ok,
+         CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
+         CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS uniq
+  FROM per p
+  LEFT JOIN contaminated c ON c.doc_id = p.doc_id
+  LEFT JOIN dropped dr ON dr.doc_id = p.doc_id)
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(q_ok) AS BIGINT) AS n_quality,
+       CAST(SUM(rep_ok) AS BIGINT) AS n_lowrep,
+       CAST(SUM(clean) AS BIGINT) AS n_clean,
+       CAST(SUM(uniq) AS BIGINT) AS n_unique,
+       CAST(SUM(q_ok * rep_ok * clean * uniq) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN q_ok * rep_ok * clean * uniq = 1 THEN n ELSE 0 END)
+            AS BIGINT) AS tok_kept
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
+ORACLES["curation_pipeline"] = _curation_oracle()

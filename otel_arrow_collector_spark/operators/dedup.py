@@ -285,7 +285,9 @@ def dedup_minhash_keep(spark, sf_dir):
 
 
 QUERIES["dedup_minhash_keep"] = dedup_minhash_keep
-ORACLES["dedup_minhash_keep"] = _DUCK_PAIR_CTE + f""",
+#: _DUCK_PAIR_CTE extended through the greedy drop set (``dropped``) —
+#: reused by the keep oracle here and the curation-pipeline oracle.
+_DUCK_DROP_CTE = _DUCK_PAIR_CTE + f""",
 shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
 common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
@@ -297,7 +299,9 @@ dropped AS (SELECT DISTINCT d2 AS doc_id
             FROM common JOIN sizes z1 ON z1.doc_id = d1
                         JOIN sizes z2 ON z2.doc_id = d2
             WHERE CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common)
-                  >= {JACCARD_THRESHOLD})
+                  >= {JACCARD_THRESHOLD})"""
+
+ORACLES["dedup_minhash_keep"] = _DUCK_DROP_CTE + """
 SELECT COUNT(*) AS n_kept FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """

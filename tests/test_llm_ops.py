@@ -413,3 +413,18 @@ def test_substring_dedup_finds_planted_passages(spark):
         assert len(r.passage.split(" ")) == PASSAGE_LEN
         holders = [d for d, t in docs.items() if r.passage in t]
         assert len(holders) >= 2, (r.passage, holders)
+
+
+def test_curation_pipeline_funnel_laws(spark):
+    # each gate's pass-count is <= total; the intersection is <= every
+    # individual gate; totals match the corpus
+    from otel_arrow_collector_spark.operators.curation import \
+        curation_pipeline
+    rows = curation_pipeline(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r.n_total for r in rows) == total
+    for r in rows:
+        for gate in (r.n_quality, r.n_lowrep, r.n_clean, r.n_unique):
+            assert 0 <= gate <= r.n_total
+            assert r.n_kept <= gate
+        assert r.tok_kept >= r.n_kept   # every doc has >= 1 token
