@@ -235,6 +235,9 @@ _S_CELL_MEAN = """transform(sequence(0, 63), d ->
             (a, p) -> a + CAST(p.embedding[d] AS DOUBLE)) / CAST(n AS DOUBLE))"""
 
 
+_CENTROID_CACHE: dict = {}
+
+
 def _kmeans_centroids(spark, sf_dir):
     """Deterministic Lloyd's k-means over the training sample: fixed init
     (first K vectors), KMEANS_ITERS iterations, order-pinned exact means.
@@ -244,7 +247,15 @@ def _kmeans_centroids(spark, sf_dir):
     distributed over the sample, only the model parameters round-trip).
     Doubles pass through the driver bit-exactly, so parity with the
     oracle's unrolled CTE chain is preserved.  Returns the literal
-    (cid, c_emb, c_nrm) centroid DataFrame."""
+    (cid, c_emb, c_nrm) centroid DataFrame.
+
+    The trained model is memoized per (application, dir) — it is a
+    model artifact, like the cell store; consumers (assignment build,
+    multi-probe cell ranking) must not re-run the training loop."""
+    import os as _os
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     be = bucketed_embeddings(spark, sf_dir)
     init = (be.filter(F.col("vec_id") < N_CENTROIDS)
               .select("vec_id",
@@ -263,6 +274,7 @@ def _kmeans_centroids(spark, sf_dir):
                .select("cid", F.expr(_S_CELL_MEAN).alias("c_emb"))
                .collect())
         cents = _cents_df(spark, [(r.cid, list(r.c_emb)) for r in new])
+    _CENTROID_CACHE[key] = cents
     return cents
 
 

@@ -124,11 +124,14 @@ def test_ivf_probe_scan_is_partition_pruned(spark):
 
 def test_ivf_kmeans_centroids_deterministic(spark):
     """Two builds of the k-means centroids are bit-identical (fixed init,
-    fixed iterations, order-pinned exact means — no RNG anywhere)."""
-    from otel_arrow_collector_spark.operators.similarity import \
-        _kmeans_centroids
+    fixed iterations, order-pinned exact means — no RNG anywhere).
+    The model memo is cleared between builds so the SECOND call really
+    re-runs the training loop (not just a cache hit)."""
+    from otel_arrow_collector_spark.operators.similarity import (
+        _CENTROID_CACHE, _kmeans_centroids)
     a = {r.cid: list(r.c_emb) for r in
          _kmeans_centroids(spark, SF_SMALL).collect()}
+    _CENTROID_CACHE.clear()
     b = {r.cid: list(r.c_emb) for r in
          _kmeans_centroids(spark, SF_SMALL).collect()}
     assert a == b and len(a) == 8
