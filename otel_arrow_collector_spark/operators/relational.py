@@ -872,3 +872,97 @@ def q39(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("v"), 4).alias("mean_v"))
             .orderBy("measure"))
+
+
+@_register("q40_rate", """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT user_id, event_id, value, us,
+         LAG(value)   OVER (PARTITION BY user_id ORDER BY us, event_id) AS lv,
+         LAG(us)      OVER (PARTITION BY user_id ORDER BY us, event_id) AS lus
+  FROM t)
+SELECT user_id, event_id,
+       ROUND(CASE WHEN lus IS NOT NULL AND us > lus
+                  THEN (value - lv) / (CAST(us - lus AS DOUBLE) / 1000000.0)
+             END, 6) AS rate_per_s
+FROM l ORDER BY user_id, event_id LIMIT 500
+""")
+def q40(spark, sf_dir):
+    """Counter rate (PromQL-style): per-series value delta over time
+    delta — the read-side companion of the delta<->cumulative temporality
+    ops (§2.7, pdata/pmetric/aggregation_temporality.go:14-21; monotonic
+    sums are consumed as rates).
+
+    One window pass per series (user_id), µs keys from the ns source of
+    truth (see q37's precision note); NULL for a series' first point and
+    for zero time gaps — never a divide-by-zero.
+    """
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    l = (ev.select("user_id", "event_id", "value", us.alias("us"))
+           .withColumn("lv", F.lag("value").over(w))
+           .withColumn("lus", F.lag("us").over(w)))
+    rate = F.when(
+        F.col("lus").isNotNull() & (F.col("us") > F.col("lus")),
+        (F.col("value") - F.col("lv"))
+        / ((F.col("us") - F.col("lus")).cast("double") / 1000000.0))
+    return (l.select("user_id", "event_id",
+                     F.round(rate, 6).alias("rate_per_s"))
+             .orderBy("user_id", "event_id").limit(500))
+
+
+@_register("q41_histogram_merge", """
+WITH b AS (
+  SELECT event_type AS grp, floor(value) AS v, value, event_id FROM events)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s_sum,
+       MIN(v) AS mn, MAX(v) AS mx,
+       CAST(MAX(event_id) AS BIGINT) AS t_max,
+       [50.0, 100.0, 200.0]::DOUBLE[] AS bounds,
+       [CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN value >= 100 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS BIGINT)] AS buckets
+FROM b GROUP BY grp ORDER BY grp
+""")
+def q41(spark, sf_dir):
+    """Explicit-bounds histogram merge through the REAL operator
+    (operators/metrics.py merge_histograms — bucket-wise addition with
+    bounds checking, generated_histogramdatapoint.go:102-107): each event
+    becomes a one-observation HistogramDataPoint (one-hot bucket for
+    bounds [50,100,200]); the per-type roll-up must equal the oracle's
+    direct CASE bucketing.
+
+    Sums use floor(value) (integer-valued doubles) so the merge's
+    unordered SUM is exact in both engines — the same trick as q36.
+    """
+    from .metrics import merge_histograms
+    ev = _t(spark, sf_dir, "events")
+    empty_attrs = F.expr("map()")
+    pts = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.lit(3).alias("metric_type"),
+        F.lit(1000).cast("long").alias("start_time_unix_nano"),
+        F.col("event_id").cast("long").alias("time_unix_nano"),
+        empty_attrs.alias("attributes"),
+        empty_attrs.alias("resource_attributes"),
+        F.lit(1).cast("long").alias("count"),
+        F.floor("value").cast("double").alias("sum"),
+        F.floor("value").cast("double").alias("min"),
+        F.floor("value").cast("double").alias("max"),
+        F.expr("array(CAST(50 AS DOUBLE), CAST(100 AS DOUBLE), "
+               "CAST(200 AS DOUBLE))").alias("explicit_bounds"),
+        F.expr("transform(array(value < 50, "
+               "value >= 50 AND value < 100, "
+               "value >= 100 AND value < 200, value >= 200), "
+               "b -> CAST(IF(b, 1, 0) AS BIGINT))").alias("bucket_counts"))
+    m = merge_histograms(pts)
+    return (m.select(F.col("metric_name").alias("grp"),
+                     F.col("count").alias("n"),
+                     F.col("sum").alias("s_sum"),
+                     F.col("min").alias("mn"), F.col("max").alias("mx"),
+                     F.col("time_unix_nano").alias("t_max"),
+                     F.col("explicit_bounds").alias("bounds"),
+                     F.col("bucket_counts").alias("buckets"))
+             .orderBy("grp"))
