@@ -1,0 +1,87 @@
+"""Plan-quality regression tests: the 100 TB design claims, asserted
+against the physical plan so a refactor cannot silently regress them
+(the executable form of README's "Design for 100 TB" audit).
+
+Plans are inspected at SF_SMALL — plan SHAPE (pushdown, join strategy,
+shuffle count, top-k operator) is scale-invariant for these queries; only
+AQE's broadcast-vs-SMJ choice depends on size, and the assertions below
+avoid pinning choices AQE may legitimately flip at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from otel_arrow_collector_spark.operators import collect_registry
+from tests.conftest import SF_SMALL
+
+QUERIES, _ = collect_registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    jpe = df._jdf.queryExecution()
+    return jpe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b(?! *Broadcast)", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q02_filter")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" \
+        in plan or "EqualTo(event_type,error)" in plan
+    # column pruning: only the three projected columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "event_id:bigint", "event_type:string", "value:double", "ts:bigint"}
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "q23_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q13_star_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_merge_plan(spark):
+    """q37's whole point: NOT a quadratic range join.  One exchange for
+    the per-user window + the final top-k; no join operator at all."""
+    plan = _plan(spark, "q37_asof_join")
+    assert "Join" not in plan                      # no theta/range join
+    assert _shuffles(plan) <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantization_is_pure_scan_map(spark):
+    """int8 quantization must stay inside the scan: zero non-broadcast
+    exchanges before the final top-k."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert _shuffles(plan) == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_window_is_partitioned_by_shard(spark):
+    """Packing must never run a global (single-partition) window: the
+    window spec partitions by the shard key."""
+    plan = _plan(spark, "pack_sequences")
+    assert "windowspecdefinition(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    plan = _plan(spark, "contamination_screen")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_model_joins_are_not_cartesian(spark):
+    plan = _plan(spark, "text_bigram_lm")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
