@@ -17,8 +17,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
-           "q18_interval_join", "q23_topk", "dedup_minhash_lsh",
-           "ann_cosine_topk"]
+           "q18_interval_join", "q23_topk", "q37_asof_join",
+           "dedup_minhash_lsh", "dedup_substring", "ann_cosine_topk",
+           "embedding_quantize_int8", "pack_sequences",
+           "curation_pipeline"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
