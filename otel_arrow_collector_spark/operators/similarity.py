@@ -539,3 +539,79 @@ SELECT vec_id, ROUND(sc, 8) AS scale,
                 * sqrt({_d_dot("dq", "dq")})), 6) AS cos_fidelity
 FROM d ORDER BY vec_id LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# recall measurement: IVF multi-probe vs exact ground truth
+# ---------------------------------------------------------------------------
+
+def ann_recall_report(spark, sf_dir):
+    """Recall@k of the IVF multi-probe path against the exact brute-force
+    ground truth, per probe query — the acceptance metric that decides
+    nprobe in production (recall/cost knob made measurable).
+
+    Both sides are the engine's own operators: ground truth is one full
+    corpus scan per query set (the audit cost you pay once), the IVF side
+    reads only the probed cells.  The comparison is a tiny join on
+    (q_id, vec_id) — |queries| x k rows.
+    """
+    be = bucketed_embeddings(spark, sf_dir)
+    q = (be.filter(F.col("vec_id").isin(*PROBE_IDS))
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"),
+                   F.col("nrm").alias("q_nrm")))
+    cand = be.select("vec_id", "embedding", F.col("nrm").alias("c_nrm"))
+    cos = F.expr(_s_dot("q_emb", "embedding")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    gt = (F.broadcast(q).join(cand, F.col("q_id") != F.col("vec_id"))
+          .select("q_id", "vec_id", cos.alias("cos_raw"))
+          .withColumn("rk", F.row_number().over(w))
+          .filter(F.col("rk") <= PROBE_K)
+          .select("q_id", "vec_id"))
+    ivf = ann_ivf_multiprobe(spark, sf_dir).select("q_id", "vec_id")
+    hits = (gt.join(ivf, ["q_id", "vec_id"])
+              .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (gt.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+              .join(hits, "q_id", "left")
+              .select("q_id",
+                      F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                      F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
+                              / F.col("k"), 4).alias("recall"))
+              .orderBy("q_id"))
+
+
+QUERIES["ann_recall_report"] = ann_recall_report
+ORACLES["ann_recall_report"] = _DUCK_ASSIGN_CTE + f""",
+q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      FROM assign WHERE vec_id IN ({_probe_list})),
+pc AS (SELECT q_id, cid FROM (
+  SELECT q.q_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY {_d_cos("q.q_emb", "c.c_emb")} DESC, c.cid) AS prk
+  FROM q CROSS JOIN c{KMEANS_ITERS} c) WHERE prk <= {NPROBE}),
+probed AS (SELECT q.q_id, a.vec_id,
+                  {_d_cos("q.q_emb", "a.embedding")} AS cos_raw
+           FROM q JOIN pc ON pc.q_id = q.q_id
+                JOIN assign a ON a.cid = pc.cid AND a.vec_id != q.q_id),
+ivf AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, vec_id) AS rk
+  FROM probed) WHERE rk <= {PROBE_K}),
+gscored AS (SELECT q.q_id, e.vec_id,
+                   {_d_cos("q.q_emb", "e.embedding")} AS cos_raw
+            FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+gt AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, vec_id) AS rk
+  FROM gscored) WHERE rk <= {PROBE_K}),
+hits AS (SELECT g.q_id, COUNT(*) AS n_hits
+         FROM gt g JOIN ivf i ON i.q_id = g.q_id AND i.vec_id = g.vec_id
+         GROUP BY g.q_id)
+SELECT g.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / COUNT(*), 4) AS recall
+FROM gt g LEFT JOIN hits h ON h.q_id = g.q_id
+GROUP BY g.q_id, h.n_hits ORDER BY g.q_id
+"""

@@ -431,3 +431,13 @@ def test_curation_pipeline_funnel_laws(spark):
             assert 0 <= gate <= r.n_total
             assert r.n_kept <= gate
         assert r.tok_kept >= r.n_kept   # every doc has >= 1 token
+
+
+def test_ann_recall_in_unit_range_and_consistent(spark):
+    from otel_arrow_collector_spark.operators.similarity import (
+        PROBE_IDS, PROBE_K, ann_recall_report)
+    rows = ann_recall_report(spark, SF_SMALL).collect()
+    assert [r.q_id for r in rows] == sorted(PROBE_IDS)
+    for r in rows:
+        assert 0 <= r.n_hits <= PROBE_K
+        assert abs(r.recall - round(r.n_hits / PROBE_K, 4)) < 1e-9
