@@ -966,3 +966,77 @@ def q41(spark, sf_dir):
                      F.col("explicit_bounds").alias("bounds"),
                      F.col("bucket_counts").alias("buckets"))
              .orderBy("grp"))
+
+
+def _hq(rank: str, c: list[str]) -> str:
+    """Shared SQL CASE for histogram-quantile linear interpolation over
+    explicit bounds [50,100,200] (PromQL histogram_quantile semantics:
+    interpolate within the bucket containing the rank; the unbounded last
+    bucket returns its lower bound).  Identical text for both engines."""
+    c0, c1, c2, _ = c
+    return f"""CASE
+  WHEN {rank} <= {c0} THEN 50.0 * {rank} / {c0}
+  WHEN {rank} <= {c0} + {c1} THEN 50.0 + 50.0 * ({rank} - {c0}) / {c1}
+  WHEN {rank} <= {c0} + {c1} + {c2}
+       THEN 100.0 + 100.0 * ({rank} - {c0} - {c1}) / {c2}
+  ELSE 200.0 END"""
+
+
+@_register("q42_histogram_quantile", f"""
+WITH b AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+         CAST(SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+         CAST(SUM(CASE WHEN value >= 100 AND value < 200 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+         CAST(SUM(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+  FROM events GROUP BY event_type)
+SELECT grp, n,
+       ROUND({_hq("(0.5 * n)", ["c0", "c1", "c2", "c3"])}, 6) AS p50_est,
+       ROUND({_hq("(0.95 * n)", ["c0", "c1", "c2", "c3"])}, 6) AS p95_est
+FROM b ORDER BY grp
+""")
+def q42(spark, sf_dir):
+    """Histogram-quantile estimation from merged explicit-bounds
+    histograms (PromQL histogram_quantile over the §2.7 merge output —
+    the read-side of q41; SummaryDataPoint quantiles
+    generated_summarydatapoint.go:91 computed from buckets instead of
+    sketches).
+
+    Runs through the REAL merge operator (one-hot points ->
+    merge_histograms, as q41) and interpolates from the merged
+    bucket_counts.  Estimates are derived from integer counts with the
+    byte-identical CASE text in both engines — cross-engine exact.
+    """
+    from .metrics import merge_histograms
+    ev = _t(spark, sf_dir, "events")
+    empty_attrs = F.expr("map()")
+    pts = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.lit(3).alias("metric_type"),
+        F.lit(1000).cast("long").alias("start_time_unix_nano"),
+        F.col("event_id").cast("long").alias("time_unix_nano"),
+        empty_attrs.alias("attributes"),
+        empty_attrs.alias("resource_attributes"),
+        F.lit(1).cast("long").alias("count"),
+        F.floor("value").cast("double").alias("sum"),
+        F.floor("value").cast("double").alias("min"),
+        F.floor("value").cast("double").alias("max"),
+        F.expr("array(CAST(50 AS DOUBLE), CAST(100 AS DOUBLE), "
+               "CAST(200 AS DOUBLE))").alias("explicit_bounds"),
+        F.expr("transform(array(value < 50, "
+               "value >= 50 AND value < 100, "
+               "value >= 100 AND value < 200, value >= 200), "
+               "b -> CAST(IF(b, 1, 0) AS BIGINT))").alias("bucket_counts"))
+    m = (merge_histograms(pts)
+         .select(F.col("metric_name").alias("grp"),
+                 F.col("count").alias("n"),
+                 *[F.element_at("bucket_counts", i + 1).cast("double")
+                    .alias(f"c{i}") for i in range(4)]))
+    cs = ["c0", "c1", "c2", "c3"]
+    return (m.select("grp", "n",
+                     F.round(F.expr(_hq("(0.5 * n)", cs)), 6)
+                      .alias("p50_est"),
+                     F.round(F.expr(_hq("(0.95 * n)", cs)), 6)
+                      .alias("p95_est"))
+             .orderBy("grp"))
