@@ -706,7 +706,8 @@ stats AS (SELECT grp, CAST(MIN(s) AS INT) AS scale,
                  CAST(MAX(event_id) AS BIGINT) AS t_max
           FROM pts GROUP BY grp)
 SELECT s.grp, s.scale, s.zero_count, s.n, s.s_sum, s.t_max,
-       b.positive_offset, b.positive_bucket_counts
+       b.positive_offset,
+       array_to_string(b.positive_bucket_counts, ',') AS positive_bucket_counts
 FROM stats s JOIN buckets b USING (grp) ORDER BY s.grp
 """)
 def q36(spark, sf_dir):
@@ -741,11 +742,19 @@ def q36(spark, sf_dir):
         F.expr("CAST(NULL AS ARRAY<BIGINT>)")
          .alias("negative_bucket_counts"))
     m = merge_exp_histograms(pts)
+    # Driver-harness shape: the comparer canonicalizes through pandas,
+    # which cannot sort list cells — serialize the bucket array to a
+    # comma-joined string, byte-identical to the oracle's
+    # array_to_string.  The operator itself still returns real arrays.
+    counts_str = F.array_join(
+        F.transform("positive_bucket_counts",
+                    lambda e: e.cast("string")), ",")
     return (m.select(F.col("metric_name").alias("grp"), "scale",
                      "zero_count", F.col("count").alias("n"),
                      F.col("sum").alias("s_sum"),
                      F.col("time_unix_nano").alias("t_max"),
-                     "positive_offset", "positive_bucket_counts")
+                     "positive_offset",
+                     counts_str.alias("positive_bucket_counts"))
              .orderBy("grp"))
 
 
@@ -919,11 +928,13 @@ WITH b AS (
 SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s_sum,
        MIN(v) AS mn, MAX(v) AS mx,
        CAST(MAX(event_id) AS BIGINT) AS t_max,
-       [50.0, 100.0, 200.0]::DOUBLE[] AS bounds,
-       [CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(SUM(CASE WHEN value >= 100 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(SUM(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS BIGINT)] AS buckets
+       array_to_string([50.0, 100.0, 200.0]::DOUBLE[], ',') AS bounds,
+       array_to_string(
+         [CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN value >= 100 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS BIGINT)],
+         ',') AS buckets
 FROM b GROUP BY grp ORDER BY grp
 """)
 def q41(spark, sf_dir):
@@ -958,13 +969,18 @@ def q41(spark, sf_dir):
                "value >= 100 AND value < 200, value >= 200), "
                "b -> CAST(IF(b, 1, 0) AS BIGINT))").alias("bucket_counts"))
     m = merge_histograms(pts)
+    # Same driver-harness shape as q36: arrays serialized to comma-joined
+    # strings (pandas canonicalization cannot sort list cells); Spark's
+    # double->string rendering ('50.0') matches DuckDB array_to_string.
+    as_str = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda e: e.cast("string")), ",")
     return (m.select(F.col("metric_name").alias("grp"),
                      F.col("count").alias("n"),
                      F.col("sum").alias("s_sum"),
                      F.col("min").alias("mn"), F.col("max").alias("mx"),
                      F.col("time_unix_nano").alias("t_max"),
-                     F.col("explicit_bounds").alias("bounds"),
-                     F.col("bucket_counts").alias("buckets"))
+                     as_str("explicit_bounds").alias("bounds"),
+                     as_str("bucket_counts").alias("buckets"))
              .orderBy("grp"))
 
 
