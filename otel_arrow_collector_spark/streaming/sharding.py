@@ -90,15 +90,23 @@ class MetadataShardedBatcher:
         batched = self.apply(stream_df)
 
         def guard(batch_df: DataFrame, _bid: int) -> None:
-            pdf = batch_df.toPandas()
-            for t in map(tuple, pdf[self.keys].itertuples(index=False)):
-                seen.add(t)
+            # Cardinality is counted distributively: only the DISTINCT key
+            # tuples cross to the driver, capped at limit+1 rows — never the
+            # batch itself (a big shard batch must not be able to OOM the
+            # driver at 100x scale).
+            new_keys = (batch_df.select(*self.keys).distinct()
+                        .limit(self.cardinality_limit + 1).collect())
+            seen.update(tuple(r) for r in new_keys)
             if len(seen) > self.cardinality_limit:
                 raise TooManyShardsError(
                     f"too many metadata-key combinations: {len(seen)} > "
                     f"limit {self.cardinality_limit}")
-            if sink is not None and len(pdf):
-                sink(pdf)
+            if sink is not None:
+                # Opt-in driver materialization: only when the caller
+                # explicitly attached a pandas sink (test capture).
+                pdf = batch_df.toPandas()
+                if len(pdf):
+                    sink(pdf)
 
         writer = batched.writeStream.foreachBatch(guard).outputMode("append")
         if checkpoint:

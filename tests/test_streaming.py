@@ -216,3 +216,24 @@ def test_sharded_batcher_cardinality_cap(spark, stream_dir, tmp_path):
     q = batcher.run(stream, checkpoint=str(tmp_path / "ck6"))
     with pytest.raises(StreamingQueryException, match="too many metadata-key"):
         q.awaitTermination(120)
+
+
+def test_sharded_batcher_guard_never_collects_batches(
+        spark, stream_dir, tmp_path, monkeypatch):
+    """The cardinality guard must count distinct keys distributively —
+    without a sink it may never materialize a micro-batch to the driver
+    (batch_processor.go:277-330's cap tracks shard keys, not data; a full
+    toPandas of a big shard batch would OOM the driver at scale)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError(
+            "guard materialized a full micro-batch via toPandas()")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    stream = _read_stream(spark, stream_dir, files_per_trigger=4)
+    batcher = MetadataShardedBatcher(["event_type"], send_batch_size=100,
+                                     cardinality_limit=100,
+                                     flush_timeout_ms=3_600_000)
+    q = batcher.run(stream, checkpoint=str(tmp_path / "ck8"))
+    q.awaitTermination(120)   # raises if the guard called toPandas
