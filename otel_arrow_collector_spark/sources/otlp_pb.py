@@ -9,13 +9,17 @@ shape the reference's file exporter/receiver exchanges.
 
 Spark integration (the 100 TB stance):
 - read: ``spark.read.format("binaryFile")`` lists and ships file bytes to
-  executors; each partition decodes its files with the pure-Python wire
-  reader (``RDD.flatMap`` — the per-partition imperative case RDDs exist
-  for; binary protobuf parsing is not expressible as Column ops) and rows
-  land in the engine's flattened row model (model/telemetry.py §1.5).
-- write: rows are grouped per partition and serialized to one request
-  file per partition (``mapPartitionsWithIndex``), so encode parallelism
-  tracks data volume; file count = partition count.
+  executors; decode runs inside ``mapInPandas`` — an Arrow-batched stage
+  (Python touches data only at file granularity; rows travel back to the
+  JVM as Arrow record batches, not pickled Row objects) — and rows land
+  in the engine's flattened row model (model/telemetry.py §1.5).
+- write: rows are grouped per partition inside ``mapInPandas`` (Arrow
+  transfer in) and serialized to one request file per partition, so
+  encode parallelism tracks data volume; file count = partition count.
+  The target directory MUST be on a filesystem shared by executors and
+  driver (NFS/fuse/local-mode); the driver verifies every reported file
+  is visible after the job and raises ``RuntimeError`` otherwise — no
+  silent loss on a mis-configured cluster.
 
 Values: the engine's tagged variant {s,i,d,b,json} maps to AnyValue; the
 ``json`` arm round-trips through REAL nested ArrayValue/KeyValueList
@@ -863,37 +867,112 @@ _SCHEMAS = {"traces": SPAN_SCHEMA, "logs": LOG_SCHEMA,
             "metrics": METRIC_POINT_SCHEMA}
 
 
+def _plainify(val, dt):
+    """Arrow/pandas cell -> the plain-Python shape the wire encoder expects
+    (maps as dicts, structs as dicts, no numpy scalars, NaN -> None).
+
+    mapInPandas hands struct cells as dicts and map cells as either dicts
+    or lists of (k, v) pairs depending on the Arrow conversion path; the
+    encoder must see canonical dicts either way.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if val is None or val is np.nan:
+        return None
+    if isinstance(val, float) and val != val:          # NaN
+        return None
+    if isinstance(dt, MapType):
+        items = val.items() if isinstance(val, dict) else val
+        return {k: _plainify(v, dt.valueType) for k, v in items}
+    if isinstance(dt, ArrayType):
+        if isinstance(val, np.ndarray):
+            val = val.tolist()
+        return [_plainify(x, dt.elementType) for x in val]
+    if isinstance(dt, StructType):
+        d = val if isinstance(val, dict) else val.asDict()
+        return {f.name: _plainify(d.get(f.name), f.dataType)
+                for f in dt.fields}
+    if isinstance(val, np.integer):
+        return int(val)
+    if isinstance(val, np.floating):
+        return float(val)
+    if isinstance(val, np.bool_):
+        return bool(val)
+    if isinstance(val, bytearray):
+        return bytes(val)
+    return val
+
+
 def read_otlp_pb(spark: SparkSession, path: str,
                  signal: str = "traces") -> DataFrame:
     """Read a directory of OTLP protobuf files into the row model.
-    Decode runs on executors, one task per file split."""
+
+    Decode is an Arrow-batched ``mapInPandas`` stage: Python runs once per
+    file (framing + wire decode), and decoded rows return to the JVM as
+    Arrow record batches — no pickled-Row RDD hop.  One task per file
+    split; scales with file count like any other binary scan.
+    """
     if signal not in _SCHEMAS:
         raise NotImplementedError(
             f"OTLP/pb signal {signal!r} (supported: {sorted(_SCHEMAS)})")
-    files = spark.read.format("binaryFile").load(path)
-    rdd = (files.select("content").rdd
-                .flatMap(lambda row: decode_request(bytes(row.content),
-                                                    signal)))
-    return spark.createDataFrame(rdd, _SCHEMAS[signal])
+    schema = _SCHEMAS[signal]
+    cols = [f.name for f in schema.fields]
+
+    def decode_batches(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(decode_request(bytes(content), signal))
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode_batches, schema)
 
 
 def write_otlp_pb(df: DataFrame, path: str, signal: str) -> int:
     """Write the row model as OTLP protobuf files, one request file per
     partition (encode parallelism = partition count).  Returns the number
-    of files written."""
+    of files written.
+
+    Requires a driver+executor shared filesystem (local mode, NFS, fuse):
+    executors write files directly and the driver verifies visibility of
+    every reported file, raising ``RuntimeError`` on a mis-configured
+    cluster instead of silently dropping data.
+    """
     if signal not in _SCHEMAS:
         raise NotImplementedError(
             f"OTLP/pb signal {signal!r} (supported: {sorted(_SCHEMAS)})")
     import os
+
+    from pyspark import TaskContext
+    from pyspark.sql.types import StringType, StructField, StructType
+
     os.makedirs(path, exist_ok=True)
+    schema = _SCHEMAS[signal]
 
-    def write_part(idx, rows):
-        dicts = [r.asDict(recursive=True) for r in rows]
-        if dicts:
-            payload = encode_request(dicts, signal)
-            fn = os.path.join(path, f"part-{idx:05d}.pb")
-            with open(fn, "wb") as f:
-                f.write(payload)
-            yield fn
+    def write_batches(batches):
+        import pandas as pd
+        rows: list[dict] = []
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                rows.append({f.name: _plainify(rec.get(f.name), f.dataType)
+                             for f in schema.fields})
+        if rows:
+            payload = encode_request(rows, signal)
+            pid = TaskContext.get().partitionId()
+            fn = os.path.join(path, f"part-{pid:05d}.pb")
+            with open(fn, "wb") as fh:
+                fh.write(payload)
+            yield pd.DataFrame({"file": [fn]})
 
-    return len(df.rdd.mapPartitionsWithIndex(write_part).collect())
+    out_schema = StructType([StructField("file", StringType())])
+    written = [r.file for r in df.mapInPandas(write_batches, out_schema).collect()]
+    missing = [fn for fn in written if not os.path.exists(fn)]
+    if missing:
+        raise RuntimeError(
+            "write_otlp_pb requires a driver+executor shared filesystem: "
+            f"executors reported {len(missing)} file(s) the driver cannot "
+            f"see (first: {missing[0]!r})")
+    return len(written)

@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -76,6 +76,10 @@ def _normalize_events(df: DataFrame) -> DataFrame:
             df.withColumn("ts_ns", F.col("ts"))
               .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
         )
+    if isinstance(ts_field.dataType, TimestampNTZType):
+        # parquet timestamp[us] without tz adjustment arrives as NTZ; the
+        # session tz is UTC, so the cast is an identity reinterpretation.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * 1000).cast("long"))
 
 
