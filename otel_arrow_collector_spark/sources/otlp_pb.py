@@ -9,12 +9,18 @@ shape the reference's file exporter/receiver exchanges.
 
 Spark integration (the 100 TB stance):
 - read: ``spark.read.format("binaryFile")`` lists and ships file bytes to
-  executors; decode runs inside ``mapInPandas`` — an Arrow-batched stage
+  executors; decode runs inside ``mapInArrow`` — an Arrow-batched stage
   (Python touches data only at file granularity; rows travel back to the
   JVM as Arrow record batches, not pickled Row objects) — and rows land
   in the engine's flattened row model (model/telemetry.py §1.5).
-- write: rows are grouped per partition inside ``mapInPandas`` (Arrow
-  transfer in) and serialized to one request file per partition, so
+  ``mapInArrow`` (not ``mapInPandas``) is deliberate: pandas promotes any
+  nullable int64 column to float64, silently corrupting uint64-nanosecond
+  timestamps and int values beyond 2**53; Arrow record batches keep exact
+  Python ints with null distinct from NaN, matching the reference's
+  uint64-nanos pdata model (pdata/pcommon/timestamp.go:15).
+- write: rows are grouped per partition inside ``mapInArrow`` (Arrow
+  transfer in, ``RecordBatch.to_pylist`` — exact ints, NaN doubles kept)
+  and serialized to one request file per partition, so
   encode parallelism tracks data volume; file count = partition count.
   The target directory MUST be on a filesystem shared by executors and
   driver (NFS/fuse/local-mode); the driver verifies every reported file
@@ -33,6 +39,7 @@ import json
 import struct as _struct
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from ..model.telemetry import LOG_SCHEMA, METRIC_POINT_SCHEMA, SPAN_SCHEMA
 
@@ -868,37 +875,25 @@ _SCHEMAS = {"traces": SPAN_SCHEMA, "logs": LOG_SCHEMA,
 
 
 def _plainify(val, dt):
-    """Arrow/pandas cell -> the plain-Python shape the wire encoder expects
-    (maps as dicts, structs as dicts, no numpy scalars, NaN -> None).
+    """Arrow cell (``RecordBatch.to_pylist``) -> the plain-Python shape the
+    wire encoder expects (maps as dicts, structs as dicts).
 
-    mapInPandas hands struct cells as dicts and map cells as either dicts
-    or lists of (k, v) pairs depending on the Arrow conversion path; the
-    encoder must see canonical dicts either way.
-    """
-    import numpy as np
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    if val is None or val is np.nan:
-        return None
-    if isinstance(val, float) and val != val:          # NaN
+    pyarrow hands map cells as lists of (k, v) pairs; the encoder must see
+    canonical dicts.  Nulls arrive as None and genuine NaN doubles arrive
+    as NaN — both are preserved as-is (null is distinct from NaN in Arrow,
+    so a NaN histogram sum encodes as a NaN double on the wire instead of
+    being dropped)."""
+    if val is None:
         return None
     if isinstance(dt, MapType):
         items = val.items() if isinstance(val, dict) else val
         return {k: _plainify(v, dt.valueType) for k, v in items}
     if isinstance(dt, ArrayType):
-        if isinstance(val, np.ndarray):
-            val = val.tolist()
         return [_plainify(x, dt.elementType) for x in val]
     if isinstance(dt, StructType):
         d = val if isinstance(val, dict) else val.asDict()
         return {f.name: _plainify(d.get(f.name), f.dataType)
                 for f in dt.fields}
-    if isinstance(val, np.integer):
-        return int(val)
-    if isinstance(val, np.floating):
-        return float(val)
-    if isinstance(val, np.bool_):
-        return bool(val)
     if isinstance(val, bytearray):
         return bytes(val)
     return val
@@ -908,27 +903,31 @@ def read_otlp_pb(spark: SparkSession, path: str,
                  signal: str = "traces") -> DataFrame:
     """Read a directory of OTLP protobuf files into the row model.
 
-    Decode is an Arrow-batched ``mapInPandas`` stage: Python runs once per
+    Decode is an Arrow-batched ``mapInArrow`` stage: Python runs once per
     file (framing + wire decode), and decoded rows return to the JVM as
-    Arrow record batches — no pickled-Row RDD hop.  One task per file
-    split; scales with file count like any other binary scan.
+    Arrow record batches — no pickled-Row RDD hop, and no pandas float64
+    promotion (nullable int64 nanosecond timestamps stay exact beyond
+    2**53).  One task per file split; scales with file count like any
+    other binary scan.
     """
     if signal not in _SCHEMAS:
         raise NotImplementedError(
             f"OTLP/pb signal {signal!r} (supported: {sorted(_SCHEMAS)})")
     schema = _SCHEMAS[signal]
-    cols = [f.name for f in schema.fields]
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(schema)
 
     def decode_batches(batches):
-        import pandas as pd
-        for pdf in batches:
+        import pyarrow as pa
+        for batch in batches:
             rows: list[dict] = []
-            for content in pdf["content"]:
+            for content in batch.column(0).to_pylist():
                 rows.extend(decode_request(bytes(content), signal))
-            yield pd.DataFrame(rows, columns=cols)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInPandas(decode_batches, schema)
+    return files.mapInArrow(decode_batches, schema)
 
 
 def write_otlp_pb(df: DataFrame, path: str, signal: str) -> int:
@@ -947,16 +946,16 @@ def write_otlp_pb(df: DataFrame, path: str, signal: str) -> int:
     import os
 
     from pyspark import TaskContext
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import StringType, StructField
 
     os.makedirs(path, exist_ok=True)
     schema = _SCHEMAS[signal]
 
     def write_batches(batches):
-        import pandas as pd
+        import pyarrow as pa
         rows: list[dict] = []
-        for pdf in batches:
-            for rec in pdf.to_dict("records"):
+        for batch in batches:
+            for rec in batch.to_pylist():
                 rows.append({f.name: _plainify(rec.get(f.name), f.dataType)
                              for f in schema.fields})
         if rows:
@@ -965,10 +964,11 @@ def write_otlp_pb(df: DataFrame, path: str, signal: str) -> int:
             fn = os.path.join(path, f"part-{pid:05d}.pb")
             with open(fn, "wb") as fh:
                 fh.write(payload)
-            yield pd.DataFrame({"file": [fn]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([fn], pa.string())], names=["file"])
 
     out_schema = StructType([StructField("file", StringType())])
-    written = [r.file for r in df.mapInPandas(write_batches, out_schema).collect()]
+    written = [r.file for r in df.mapInArrow(write_batches, out_schema).collect()]
     missing = [fn for fn in written if not os.path.exists(fn)]
     if missing:
         raise RuntimeError(

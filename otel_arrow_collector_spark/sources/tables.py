@@ -53,9 +53,13 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     if name == "events":
         # Without this (runtime-settable) conf, Spark refuses parquet
         # timestamp[ns] outright (PARQUET_TYPE_ILLEGAL) — repair any
-        # caller-provided session before the read.
+        # caller-provided session before the read.  The UTC session tz is
+        # equally load-bearing: the NTZ->timestamp cast in
+        # _normalize_events is an identity only under UTC, so repair that
+        # too instead of trusting the caller's session.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

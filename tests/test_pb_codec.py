@@ -81,6 +81,81 @@ def test_pb_agrees_with_json_codec(spark, tmp_path):
     assert _canon(via_pb, []) == _canon(via_json, [])
 
 
+def test_pb_roundtrip_exact_large_int64_with_nulls(spark, tmp_path):
+    """Nullable int64 columns must survive the Spark file paths EXACTLY.
+
+    Regression for the mapInPandas paths: pandas promotes a LongType
+    column containing any null to float64, corrupting values beyond 2**53
+    (1581452772000000321 -> ...256).  The mapInArrow paths keep exact ints
+    with null distinct from NaN — the reference's uint64-nanos model
+    (pdata/pcommon/timestamp.go:15)."""
+    import math
+
+    from otel_arrow_collector_spark.model.telemetry import (
+        METRIC_POINT_SCHEMA, attr)
+
+    big = 1581452772000000321          # > 2**53, not float64-representable
+    base = dict(metric_name="gauge-int", description="", unit="1",
+                metric_type=1, aggregation_temporality=0, is_monotonic=None,
+                attributes={"k": attr("v")}, value_double=None, count=None,
+                sum=None, min=None, max=None, bucket_counts=None,
+                explicit_bounds=None, scale=None, zero_count=None,
+                positive_offset=None, positive_bucket_counts=None,
+                negative_offset=None, negative_bucket_counts=None,
+                quantile_values=None, exemplars=None, flags=0,
+                resource_attributes={}, scope_name="", scope_version="")
+    rows = [
+        # the null in value_int here is what used to trigger the float64
+        # promotion of the whole column
+        dict(base, start_time_unix_nano=big, time_unix_nano=big + 1,
+             value_int=None),
+        dict(base, start_time_unix_nano=None, time_unix_nano=big + 3,
+             value_int=big + 2),
+    ]
+    df = spark.createDataFrame(rows, METRIC_POINT_SCHEMA)
+    p = str(tmp_path / "bigint_pb")
+    write_otlp_pb(df, p, "metrics")
+    got = {r.time_unix_nano: r
+           for r in read_otlp_pb(spark, p, "metrics").collect()}
+    assert set(got) == {big + 1, big + 3}
+    assert got[big + 1].start_time_unix_nano == big
+    assert got[big + 1].value_int is None
+    assert got[big + 3].value_int == big + 2
+    assert got[big + 3].start_time_unix_nano is None
+    assert not any(isinstance(v, float) and math.isnan(v)
+                   for r in got.values() for v in r.asDict().values()
+                   if v is not None and not isinstance(v, (dict, list)))
+
+
+def test_pb_roundtrip_preserves_nan_double(spark, tmp_path):
+    """A genuine NaN double (histogram sum) is written as a NaN double on
+    the wire, not conflated with null (Arrow null != NaN)."""
+    import math
+
+    from otel_arrow_collector_spark.model.telemetry import (
+        METRIC_POINT_SCHEMA)
+
+    row = dict(metric_name="histogram", description="", unit="1",
+               metric_type=3, aggregation_temporality=2, is_monotonic=None,
+               start_time_unix_nano=1, time_unix_nano=2, attributes={},
+               value_int=None, value_double=None, count=3,
+               sum=float("nan"), min=None, max=None,
+               bucket_counts=[1, 2], explicit_bounds=[1.0], scale=None,
+               zero_count=None, positive_offset=None,
+               positive_bucket_counts=None, negative_offset=None,
+               negative_bucket_counts=None, quantile_values=None,
+               exemplars=None, flags=0, resource_attributes={},
+               scope_name="", scope_version="")
+    df = spark.createDataFrame([row], METRIC_POINT_SCHEMA)
+    p = str(tmp_path / "nan_pb")
+    write_otlp_pb(df, p, "metrics")
+    back = read_otlp_pb(spark, p, "metrics").collect()
+    assert len(back) == 1
+    assert math.isnan(back[0]["sum"])
+    assert back[0]["min"] is None          # null stayed null
+    assert back[0]["count"] == 3
+
+
 def test_pb_unknown_signal_raises(spark, tmp_path):
     df = generate_logs(spark, 1)
     with pytest.raises(NotImplementedError, match="profiles"):
