@@ -5,14 +5,18 @@ columns with typed metadata, decoded/feature-extracted via Arrow-batched
 Two decode tiers:
 
 - REAL decode for formats parseable with the standard library alone:
-  BMP (24-bit uncompressed, BITMAPINFOHEADER) and WAV (PCM16 RIFF) are
-  fully decoded — geometry, pixel/sample statistics — by the pure-Python
-  parsers below (``decode_bmp`` / ``decode_wav``).  ``synthesize_media``
-  renders genuine BMP/WAV payloads from document text so the corpus
-  contains real media bytes to exercise them.
-- STUB for formats that genuinely need codec libraries (PNG/JPEG/MP4):
-  ``_fake_decode`` is a clearly-marked deterministic fake that RAISES on
-  real compressed-media magic, keeping accidental production use loud.
+  BMP (24-bit uncompressed, BITMAPINFOHEADER), WAV (PCM16 RIFF) and PNG
+  (non-interlaced 8-bit gray/RGB/RGBA — zlib inflate + full 5-filter
+  unfilter incl. Paeth) are fully decoded — geometry, pixel/sample
+  statistics, and raw pixels for the resize path — by the pure-Python
+  parsers below (``decode_bmp`` / ``decode_wav`` / ``decode_png``).
+  ``synthesize_media`` renders genuine BMP/WAV/PNG payloads from document
+  text so the corpus contains real media bytes to exercise them, and
+  ``resize_images`` does a true nearest-neighbor downsample over the
+  decoded pixels.
+- STUB for formats that genuinely need codec libraries (JPEG/MP4, and
+  Adam7-interlaced or 16-bit PNG): the decoders RAISE loudly
+  (NotImplementedError), keeping accidental production use visible.
   Swap in PIL/librosa/pyav there; the plan shape does not change.
 
 Scale stance: mapInPandas streams Arrow batches — no row-at-a-time Python;
@@ -180,6 +184,30 @@ def decode_bmp(payload: bytes) -> dict:
             "n_samples": None, "duration_ms": None}
 
 
+def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """24-bit BMP -> (width, height, top-down row-major RGB bytes).
+
+    BMP rows are stored bottom-up when height is positive; this flips
+    them so downstream consumers (resize) see conventional image order.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
+    row_size = (3 * width + 3) // 4 * 4
+    h = abs(height)
+    out = bytearray()
+    for y in range(h):
+        src_y = h - 1 - y if height > 0 else y
+        base = pix_off + src_y * row_size
+        for x in range(width):
+            b_, g, r = payload[base + 3 * x:base + 3 * x + 3]
+            out += bytes((r, g, b_))
+    return width, h, bytes(out)
+
+
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Render mono PCM16 samples as a well-formed RIFF/WAVE file."""
     data = b"".join(struct.pack("<h", max(-32768, min(32767, s)))
@@ -214,6 +242,126 @@ def decode_wav(payload: bytes) -> dict:
             "duration_ms": n * 1000 // max(1, rate)}
 
 
+# ---------------------------------------------------------------------------
+# PNG (stdlib-only: zlib inflate + per-scanline unfilter)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Render raw RGB triples (top-down row-major, len >= 3*w*h) as a
+    well-formed non-interlaced 8-bit truecolor PNG (filter 0 scanlines,
+    one zlib IDAT)."""
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * 3 * width:(y + 1) * 3 * width]
+                   for y in range(height))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG to (width, height,
+    top-down row-major RGB bytes): chunk walk, zlib inflate, and the full
+    5-way scanline unfilter (None/Sub/Up/Average/Paeth).
+
+    Loud stubs: 16-bit, palette, and Adam7-interlaced PNGs raise
+    NotImplementedError (they need a real codec library's coverage);
+    gray is expanded to RGB, RGBA drops alpha.
+    """
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported, got {depth}")
+    if color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG color type {color} not supported (gray/RGB/RGBA only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = nch * w
+    prev = bytearray(stride)
+    out = bytearray()
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:                                    # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:                                  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:                                  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:                                  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = line
+        if nch == 1:
+            for v in line:
+                out += bytes((v, v, v))
+        elif nch == 3:
+            out += line
+        else:
+            for i in range(0, stride, 4):
+                out += line[i:i + 3]
+    return w, h, bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG via ``_png_pixels``: geometry + integer mean luminance
+    ((r+g+b)//3 per pixel, averaged — same stat as ``decode_bmp``)."""
+    w, h, rgb = _png_pixels(payload)
+    n = w * h
+    luma = sum((rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
+               for i in range(n))
+    return {"format": "image/png", "width": w, "height": h,
+            "mean_luma": luma // max(1, n), "sample_rate": None,
+            "n_samples": None, "duration_ms": None}
+
+
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("payload", BinaryType()),
@@ -234,22 +382,28 @@ DECODED_MEDIA_SCHEMA = StructType([
 
 
 def synthesize_media(df):
-    """documents -> genuine media payloads: even doc_ids become 8x8 24-bit
-    BMPs (pixels from the text bytes), odd doc_ids become PCM16 WAVs
-    (samples from the text bytes).  Deterministic; real files."""
+    """documents -> genuine media payloads, cycling by doc_id % 3:
+    0 -> 8x8 24-bit BMP (pixels from the text bytes), 1 -> PCM16 WAV
+    (samples from the text bytes), 2 -> 8x8 truecolor PNG (zlib IDAT).
+    Deterministic; real files."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "payload": [], "mime": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = text.encode("utf-8") or b"\x00"
-                if doc_id % 2 == 0:
+                kind = doc_id % 3
+                if kind == 0:
                     need = 3 * 8 * 8
                     pix = (seed * (need // len(seed) + 1))[:need]
                     payload, mime = encode_bmp(pix, 8, 8), "image/bmp"
-                else:
+                elif kind == 1:
                     samples = [(seed[i % len(seed)] - 128) * 256
                                for i in range(64)]
                     payload, mime = encode_wav(samples), "audio/wav"
+                else:
+                    need = 3 * 8 * 8
+                    pix = (seed * (need // len(seed) + 1))[:need]
+                    payload, mime = encode_png(pix, 8, 8), "image/png"
                 rows["doc_id"].append(doc_id)
                 rows["payload"].append(payload)
                 rows["mime"].append(mime)
@@ -258,8 +412,9 @@ def synthesize_media(df):
 
 
 def decode_media(df):
-    """mapInPandas REAL decode: BMP/WAV parsed by the stdlib codecs above;
-    compressed formats (PNG/JPEG/MP4) raise NotImplementedError."""
+    """mapInPandas REAL decode: BMP/WAV/PNG parsed by the stdlib codecs
+    above; compressed formats that need a codec library (JPEG/MP4) raise
+    NotImplementedError."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -269,10 +424,11 @@ def decode_media(df):
                     f_ = decode_bmp(b)
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     f_ = decode_wav(b)
-                elif b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0",
-                               b"\x00\x00\x00\x18"):
+                elif b[:8] == _PNG_SIG:
+                    f_ = decode_png(b)
+                elif (b[:3] == b"\xff\xd8\xff" or b[4:8] == b"ftyp"):
                     raise NotImplementedError(
-                        "PNG/JPEG/MP4 decode requires PIL/pyav — not in "
+                        "JPEG/MP4 decode requires PIL/pyav — not in "
                         "this container")
                 else:
                     raise ValueError(f"unknown media magic {b[:4]!r}")
@@ -313,28 +469,40 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def _image_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Route an image payload to its stdlib pixel decoder (BMP or PNG)."""
+    if b[:2] == b"BM":
+        return _bmp_pixels(b)
+    if b[:8] == _PNG_SIG:
+        return _png_pixels(b)
+    if b[:3] == b"\xff\xd8\xff" or b[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "JPEG/MP4 decode requires PIL/pyav — not in this container")
+    raise ValueError(f"unknown image magic {b[:4]!r}")
+
+
 def resize_images(df, width: int = 32, height: int = 32):
-    """mapInPandas resize: one thumbnail per payload.
+    """mapInPandas resize: one RGB thumbnail per image payload — a REAL
+    nearest-neighbor downsample over the decoded pixels (BMP/PNG via the
+    stdlib codecs; source pixel (x*sw//w, y*sh//h) per output pixel).
 
-    STUB: the 'resize' is a deterministic byte fold to width*height bytes
-    (replace with PIL ``Image.resize`` in production — the plan shape,
-    schema and Arrow batching are what this exercises).  1:1 row mapping,
-    bounded output size: thumbnails are fixed-width columns, so the
-    downstream shuffle carries W*H bytes per row regardless of source
-    payload size — the property that makes resize-before-shuffle the
-    correct plan order at scale.
+    1:1 row mapping, bounded output size: thumbnails are fixed-width
+    columns (3*W*H bytes), so the downstream shuffle carries the same
+    bytes per row regardless of source payload size — the property that
+    makes resize-before-shuffle the correct plan order at scale.
     """
-    n_out = width * height
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"]:
-                b = bytes(p)
-                # deterministic fold of the payload onto n_out bytes
-                acc = bytearray(n_out)
-                for i, by in enumerate(b):
-                    acc[i % n_out] = (acc[i % n_out] + by) % 256
+                sw, sh, rgb = _image_pixels(bytes(p))
+                acc = bytearray()
+                for y in range(height):
+                    sy = y * sh // height
+                    row_off = 3 * sy * sw
+                    for x in range(width):
+                        o = row_off + 3 * (x * sw // width)
+                        acc += rgb[o:o + 3]
                 thumbs.append(bytes(acc))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,

@@ -71,18 +71,39 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_resize_fixed_width_output(spark):
+    """Real nearest-neighbor resize over genuine BMP+PNG payloads: fixed
+    3*W*H RGB thumbnails, deterministic."""
     from otel_arrow_collector_spark.operators.multimodal import (
-        _binary_docs, resize_images)
+        resize_images, synthesize_media)
+    from otel_arrow_collector_spark.sources.tables import load_table
     from tests.conftest import SF_SMALL
-    b = _binary_docs(spark, SF_SMALL).limit(20)
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    b = synthesize_media(docs).filter("mime like 'image/%'")
     out = resize_images(b, width=8, height=4)
     rows = out.collect()
-    assert len(rows) == 20
-    assert all(len(r.thumbnail) == 32 for r in rows)      # fixed W*H bytes
+    assert len(rows) == b.count() > 0
+    assert all(len(r.thumbnail) == 3 * 32 for r in rows)  # 3*W*H RGB bytes
     # deterministic: same input -> same thumbnail
     again = {r.doc_id: r.thumbnail for r in resize_images(
         b, width=8, height=4).collect()}
     assert all(again[r.doc_id] == r.thumbnail for r in rows)
+
+
+def test_resize_nearest_neighbor_golden():
+    """2x downsample of a 4x4 gradient picks exactly pixels (0,0) (2,0)
+    (0,2) (2,2) — the nearest-neighbor contract, checked by hand."""
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _image_pixels, encode_png)
+    # pixel (x,y) has RGB (16x+y, 0, 0)
+    pix = bytes(v for y in range(4) for x in range(4)
+                for v in (16 * x + y, 0, 0))
+    png = encode_png(pix, 4, 4)
+    sw, sh, rgb = _image_pixels(png)
+    assert (sw, sh) == (4, 4) and rgb == pix
+    # emulate resize_images' inner loop at width=height=2
+    got = [rgb[3 * ((y * sh // 2) * sw + (x * sw // 2))]
+           for y in range(2) for x in range(2)]
+    assert got == [0, 32, 2, 34]      # (0,0) (2,0) (0,2) (2,2)
 
 
 def test_multimodal_frame_sampling_expands_rows(spark):
@@ -168,9 +189,110 @@ def test_wav_golden_roundtrip():
     assert f["mean_luma"] == (100 + 200 + 300 + 400) // 4
 
 
+def test_png_golden_roundtrip():
+    """encode_png -> decode_png: exact geometry + hand-computed luma."""
+    from otel_arrow_collector_spark.operators.multimodal import (decode_png,
+                                                                 encode_png)
+    # 2x2 RGB: (30,20,10) (60,50,40) (3,2,1) (6,5,4)
+    pix = bytes([30, 20, 10, 60, 50, 40, 3, 2, 1, 6, 5, 4])
+    png = encode_png(pix, 2, 2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    f = decode_png(png)
+    assert f["format"] == "image/png"
+    assert (f["width"], f["height"]) == (2, 2)
+    assert f["mean_luma"] == (20 + 50 + 2 + 5) // 4
+
+
+def test_png_unfilter_all_filter_types():
+    """Forward-filter known scanlines with every PNG filter type (Sub, Up,
+    Average, Paeth) and assert the decoder recovers the original pixels —
+    the unfilter path is byte-exact for all five RFC 2083 filters."""
+    import struct
+    import zlib
+
+    from otel_arrow_collector_spark.operators.multimodal import (_paeth,
+                                                                 _png_chunk,
+                                                                 _png_pixels)
+    w = h = 4
+    nch = 3
+    stride = nch * w
+    pix = bytes((7 * i + 3) % 256 for i in range(stride * h))
+    lines = [bytearray(pix[y * stride:(y + 1) * stride]) for y in range(h)]
+    filters = [1, 2, 3, 4]                    # one of each per scanline
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ft in enumerate(filters):
+        line = lines[y]
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            if ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    gw, gh, rgb = _png_pixels(png)
+    assert (gw, gh) == (w, h) and rgb == pix
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    """Color type 0 expands gray to RGB; color type 6 drops alpha."""
+    import struct
+    import zlib
+
+    from otel_arrow_collector_spark.operators.multimodal import (_png_chunk,
+                                                                 _png_pixels)
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x1 grayscale: values 9, 200
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    png = (sig + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x09\xc8"))
+           + _png_chunk(b"IEND", b""))
+    assert _png_pixels(png) == (2, 1, bytes([9, 9, 9, 200, 200, 200]))
+    # 1x1 RGBA: (1,2,3,alpha=77)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    png = (sig + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\x4d"))
+           + _png_chunk(b"IEND", b""))
+    assert _png_pixels(png) == (1, 1, bytes([1, 2, 3]))
+
+
+def test_png_loud_stubs():
+    """Interlaced / 16-bit / palette PNGs raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.operators.multimodal import (_png_chunk,
+                                                                 _png_pixels)
+    sig = b"\x89PNG\r\n\x1a\n"
+    for depth, color, interlace, msg in [
+            (16, 2, 0, "8-bit"), (8, 3, 0, "color type"),
+            (8, 2, 1, "interlaced")]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        png = (sig + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+               + _png_chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError, match=msg):
+            _png_pixels(png)
+
+
 def test_decode_media_end_to_end(spark):
     """synthesize -> decode over the corpus: every row decodes, formats
-    split by doc_id parity, geometry/rate match the synthesizer."""
+    cycle by doc_id % 3, geometry/rate match the synthesizer."""
     from otel_arrow_collector_spark.operators.multimodal import (
         decode_media, synthesize_media)
     from otel_arrow_collector_spark.sources.tables import load_table
@@ -178,11 +300,34 @@ def test_decode_media_end_to_end(spark):
     feats = decode_media(synthesize_media(docs)).collect()
     assert len(feats) == 50
     for r in feats:
-        if r.doc_id % 2 == 0:
+        kind = r.doc_id % 3
+        if kind == 0:
             assert r.format == "image/bmp" and (r.width, r.height) == (8, 8)
-        else:
+        elif kind == 1:
             assert r.format == "audio/wav" and r.sample_rate == 8000
             assert r.n_samples == 64
+        else:
+            assert r.format == "image/png" and (r.width, r.height) == (8, 8)
+    assert {r.format for r in feats} == {"image/bmp", "audio/wav",
+                                         "image/png"}
+
+
+def test_png_bmp_same_pixels_same_luma(spark):
+    """The PNG and BMP arms render the same text seed to the same pixels
+    (modulo BGR/RGB channel order), so identical seeds give identical
+    mean luminance across the two codecs — a cross-codec consistency
+    check on both decoders."""
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_bmp, decode_png, encode_bmp, encode_png)
+    seed = b"cross-codec luminance check"
+    need = 3 * 8 * 8
+    pix = (seed * (need // len(seed) + 1))[:need]
+    # note: encode_bmp treats triples as BGR, encode_png as RGB; luma
+    # (r+g+b)//3 is channel-order-insensitive per pixel
+    f_bmp = decode_bmp(encode_bmp(pix, 8, 8))
+    f_png = decode_png(encode_png(pix, 8, 8))
+    assert f_bmp["mean_luma"] == f_png["mean_luma"]
+    assert (f_png["width"], f_png["height"]) == (8, 8)
 
 
 def test_decode_media_raises_on_compressed_magic(spark):
@@ -190,7 +335,7 @@ def test_decode_media_raises_on_compressed_magic(spark):
     import pyspark.errors
     import pytest as _pytest
     from otel_arrow_collector_spark.operators.multimodal import decode_media
-    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n"))],
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
                                "doc_id long, payload binary")
     with _pytest.raises(Exception, match="PIL|pyav|PythonException"):
         decode_media(df).collect()
