@@ -258,3 +258,36 @@ def sum_rollup(points: DataFrame) -> DataFrame:
                                      F.col("value_double").cast("long")))
                      .alias("total")))
     return cumulative.unionByName(delta).drop("__attrs_fp")
+
+
+def histogram_quantile_col(q: float, counts: str, bounds: str):
+    """Generic PromQL ``histogram_quantile`` as a pure Column expression
+    over ANY explicit-bounds histogram (``counts`` array<bigint> of
+    len(bounds)+1, ``bounds`` array<double>): linear interpolation inside
+    the bucket containing rank q*total; the unbounded last bucket returns
+    its lower bound (SummaryDataPoint quantiles computed from buckets,
+    generated_summarydatapoint.go:91).
+
+    All higher-order-function SQL — no UDF, stays in codegen, usable on
+    batch AND streaming DataFrames (it is the read-side companion of
+    ``merge_histograms`` / ``histogram_merge_stream``).
+    """
+    # cumulative counts as doubles: cum[i] = counts[0] + .. + counts[i]
+    # IF-guard instead of element_at(acc, -1) on the empty seed: ANSI mode
+    # (Spark 4 default) raises on out-of-bounds array indexes
+    cum = (f"aggregate({counts}, CAST(array() AS ARRAY<DOUBLE>), "
+           f"(acc, x) -> array_append(acc, "
+           f"IF(size(acc) = 0, CAST(0 AS DOUBLE), element_at(acc, -1)) + x))")
+    rank = f"({q} * aggregate({counts}, CAST(0 AS BIGINT), (a, x) -> a + x))"
+    i = f"size(filter({cum}, x -> x < {rank}))"
+    lower = f"IF({i} = 0, CAST(0 AS DOUBLE), element_at({bounds}, {i}))"
+    prev = f"IF({i} = 0, CAST(0 AS DOUBLE), element_at({cum}, {i}))"
+    cnt = f"CAST(element_at({counts}, {i} + 1) AS DOUBLE)"
+    upper_exists = f"{i} < size({bounds})"
+    interp = (f"{lower} + (element_at({bounds}, {i} + 1) - {lower}) "
+              f"* ({rank} - {prev}) / {cnt}")
+    return F.expr(
+        f"CASE WHEN aggregate({counts}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        f" = 0 THEN NULL "
+        f"WHEN {upper_exists} AND {cnt} > 0 THEN {interp} "
+        f"ELSE {lower} END")

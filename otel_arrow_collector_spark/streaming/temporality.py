@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 #: Input/output projection: the narrow series-point surface; callers
 #: project METRIC_POINT_SCHEMA down with `with_series_fp`.
@@ -101,4 +101,164 @@ def delta_to_cumulative_stream(points: DataFrame) -> DataFrame:
     return (points.groupBy("metric_name", "series_fp")
                   .applyInPandasWithState(
                       _convert, POINT_SCHEMA, _STATE_SCHEMA,
+                      "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming counter rate (the stream twin of q40 / PromQL rate())
+# ---------------------------------------------------------------------------
+
+RATE_SCHEMA = StructType([
+    StructField("metric_name", StringType()),
+    StructField("series_fp", StringType()),
+    StructField("time_unix_nano", LongType()),
+    StructField("rate_per_s", DoubleType()),
+])
+
+_RATE_STATE = StructType([
+    StructField("last_ts", LongType()),
+    StructField("last_v", DoubleType()),
+])
+
+
+def _rate(key: tuple, pdfs: Iterator[pd.DataFrame],
+          state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:       # not configured; defensive
+        state.remove()
+        return
+    last_ts, last_v = state.get if state.exists else (None, None)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not len(rows):
+        return
+    rows = rows.sort_values("time_unix_nano", kind="mergesort")
+    out = []
+    for r in rows.itertuples(index=False):
+        if pd.notna(r.value_double):
+            v = float(r.value_double)
+        elif pd.notna(r.value_int):
+            v = float(r.value_int)
+        else:
+            continue
+        ts = int(r.time_unix_nano)
+        rate = None
+        if last_ts is not None and ts > last_ts:
+            # PromQL-style monotonic reset: a drop means the counter
+            # restarted, so the delta since reset is the value itself
+            dv = v if v < last_v else v - last_v
+            rate = dv / ((ts - last_ts) / 1e9)
+        out.append(dict(metric_name=key[0], series_fp=key[1],
+                        time_unix_nano=ts, rate_per_s=rate))
+        last_ts, last_v = ts, v
+    state.update((last_ts, last_v))
+    yield pd.DataFrame(out)
+
+
+def counter_rate_stream(points: DataFrame) -> DataFrame:
+    """Streaming per-series counter rate (PromQL ``rate()`` shape; the
+    stream twin of declared query q40): one row per input point with the
+    per-second rate against the PREVIOUS point of that series, where
+    "previous" survives micro-batch boundaries via one-(ts,value)-per-key
+    state.  First point of a series and zero/negative time gaps yield
+    NULL; a value drop is treated as a counter reset (monotonic-sum
+    consumption semantics, pdata/pmetric/aggregation_temporality.go:14-21).
+
+    Scale: state is 2 scalars per live series, shuffle keyed by series
+    fingerprint — identical partitioning profile to
+    ``delta_to_cumulative_stream``."""
+    return (points.groupBy("metric_name", "series_fp")
+                  .applyInPandasWithState(
+                      _rate, RATE_SCHEMA, _RATE_STATE,
+                      "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming histogram merge (the stream twin of q41/q42's merge operator)
+# ---------------------------------------------------------------------------
+
+HIST_POINT_SCHEMA = StructType([
+    StructField("metric_name", StringType()),
+    StructField("series_fp", StringType()),
+    StructField("time_unix_nano", LongType()),
+    StructField("count", LongType()),
+    StructField("sum", DoubleType()),
+    StructField("explicit_bounds", ArrayType(DoubleType())),
+    StructField("bucket_counts", ArrayType(LongType())),
+])
+
+HIST_MERGED_SCHEMA = StructType([
+    StructField("metric_name", StringType()),
+    StructField("series_fp", StringType()),
+    StructField("time_unix_nano", LongType()),
+    StructField("count", LongType()),
+    StructField("sum", DoubleType()),
+    StructField("explicit_bounds", ArrayType(DoubleType())),
+    StructField("bucket_counts", ArrayType(LongType())),
+])
+
+#: Arrays ride in the state row as csv text — scalar state cells keep the
+#: state schema trivially Arrow-compatible across Spark versions.
+_HIST_STATE = StructType([
+    StructField("count", LongType()),
+    StructField("sum", DoubleType()),
+    StructField("t_max", LongType()),
+    StructField("bounds_csv", StringType()),
+    StructField("buckets_csv", StringType()),
+])
+
+
+def _merge_hist(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:       # not configured; defensive
+        state.remove()
+        return
+    if state.exists:
+        count, total, t_max, bounds_csv, buckets_csv = state.get
+        bounds = [float(x) for x in bounds_csv.split(",")] \
+            if bounds_csv else []
+        buckets = [int(x) for x in buckets_csv.split(",")] \
+            if buckets_csv else []
+    else:
+        count, total, t_max, bounds, buckets = 0, 0.0, None, None, None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not len(rows):
+        return
+    for r in rows.itertuples(index=False):
+        b = [float(x) for x in r.explicit_bounds]
+        c = [int(x) for x in r.bucket_counts]
+        if bounds is None:
+            bounds, buckets = b, [0] * len(c)
+        elif b != bounds:
+            # bounds-checked merge, same contract as the batch operator
+            # (operators/metrics.py BoundsMismatchError)
+            raise ValueError(
+                f"series {key} mixes explicit_bounds {b} vs {bounds}; "
+                f"re-bucket before merging")
+        buckets = [a + x for a, x in zip(buckets, c)]
+        count += int(r.count)
+        total += float(r.sum) if pd.notna(r.sum) else 0.0
+        ts = int(r.time_unix_nano)
+        t_max = ts if t_max is None or ts > t_max else t_max
+    state.update((count, total, t_max,
+                  ",".join(str(x) for x in bounds),
+                  ",".join(str(x) for x in buckets)))
+    yield pd.DataFrame([dict(metric_name=key[0], series_fp=key[1],
+                             time_unix_nano=t_max, count=count, sum=total,
+                             explicit_bounds=bounds,
+                             bucket_counts=buckets)])
+
+
+def histogram_merge_stream(points: DataFrame) -> DataFrame:
+    """Streaming explicit-bounds histogram merge (the stream twin of the
+    batch ``merge_histograms`` operator behind q41/q42): per-series
+    cumulative bucket-wise addition across micro-batches, emitting one
+    merged snapshot row per series per micro-batch.  The LAST emitted
+    snapshot equals the batch operator's output on the same points —
+    batch-equivalence is the test contract.
+
+    Mixing differing bounds within a series raises (the batch
+    BoundsMismatchError contract).  State per series is 3 scalars + 2
+    short csv arrays; shuffle keyed by series fingerprint."""
+    return (points.groupBy("metric_name", "series_fp")
+                  .applyInPandasWithState(
+                      _merge_hist, HIST_MERGED_SCHEMA, _HIST_STATE,
                       "append", GroupStateTimeout.NoTimeout))

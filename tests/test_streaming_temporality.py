@@ -101,3 +101,187 @@ def test_stream_matches_batch_converter_pointwise(spark, delta_points,
     got_set = {tuple(r) for r in got.select(*key).collect()}
     batch_set = {tuple(r) for r in batch.select(*key).collect()}
     assert got_set == batch_set
+
+
+# ---------------------------------------------------------------------------
+# streaming twins of q40 (counter rate) and q41/q42 (histogram merge +
+# quantile): cross-micro-batch state must reproduce the batch operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def counter_points(spark):
+    """One rising counter with a mid-stream reset, one steady counter —
+    written as 3 time-ordered files (3 micro-batches)."""
+    rows = []
+    vals_a = [0, 10, 30, 60, 5, 25, 65, 125, 205]   # reset at tick 4
+    for k in range(9):
+        rows.append(("req_total", "|a", 1_000_000_000 * (k + 1), 0,
+                     None, float(vals_a[k]), 2))
+        rows.append(("req_total", "|b", 1_000_000_000 * (k + 1), 0,
+                     None, 7.0 * k, 2))
+    df = spark.createDataFrame(rows, POINT_SCHEMA)
+    d = tempfile.mkdtemp(prefix="counter_points_")
+    for i in range(3):
+        (df.filter(F.expr(
+            f"CAST(time_unix_nano / 1000000000 - 1 AS INT) DIV 3 = {i}"))
+         .coalesce(1).write.mode("append").parquet(d))
+    yield df, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_counter_rate_stream_matches_batch_window(spark, counter_points,
+                                                  tmp_path):
+    """Stream rate (state across micro-batches) == batch lag-window rate
+    with the same reset semantics — the q40 batch/stream equivalence."""
+    from otel_arrow_collector_spark.streaming.temporality import (
+        RATE_SCHEMA, counter_rate_stream)
+    df, src = counter_points
+    stream = (spark.readStream.schema(POINT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (counter_rate_stream(stream)
+         .writeStream.format("memory").queryName("rate_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("rate_stream")
+    assert got.schema == RATE_SCHEMA
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy("metric_name", "series_fp")
+         .orderBy("time_unix_nano"))
+    batch = (df.withColumn("lv", F.lag("value_double").over(w))
+               .withColumn("lts", F.lag("time_unix_nano").over(w))
+               .withColumn("rate_per_s", F.when(
+                   F.col("lts").isNotNull()
+                   & (F.col("time_unix_nano") > F.col("lts")),
+                   F.when(F.col("value_double") < F.col("lv"),
+                          F.col("value_double"))
+                    .otherwise(F.col("value_double") - F.col("lv"))
+                   / ((F.col("time_unix_nano") - F.col("lts")) / 1e9))))
+    key = ["metric_name", "series_fp", "time_unix_nano", "rate_per_s"]
+    assert ({tuple(r) for r in got.select(*key).collect()}
+            == {tuple(r) for r in batch.select(*key).collect()})
+    # reset tick: value fell 60 -> 5 over 1s => rate is the post-reset
+    # value (5/s), not negative
+    reset = got.filter("series_fp = '|a' AND time_unix_nano = 5000000000")
+    assert reset.first().rate_per_s == pytest.approx(5.0)
+
+
+@pytest.fixture(scope="module")
+def hist_points(spark):
+    """Per-event one-hot histogram points for 2 series, 3 files."""
+    from otel_arrow_collector_spark.streaming.temporality import (
+        HIST_POINT_SCHEMA)
+    rows = []
+    for k in range(9):
+        v = 30.0 * k                      # 0,30,..,240: crosses all bounds
+        one_hot = [1 if v < 50 else 0,
+                   1 if 50 <= v < 100 else 0,
+                   1 if 100 <= v < 200 else 0,
+                   1 if v >= 200 else 0]
+        rows.append(("latency_hist", "|a", 1000 + k, 1, v,
+                     [50.0, 100.0, 200.0], one_hot))
+        rows.append(("latency_hist", "|b", 1000 + k, 1, 2 * v,
+                     [50.0, 100.0, 200.0],
+                     [1 if 2 * v < 50 else 0, 1 if 50 <= 2 * v < 100 else 0,
+                      1 if 100 <= 2 * v < 200 else 0, 1 if 2 * v >= 200 else 0]))
+    df = spark.createDataFrame(rows, HIST_POINT_SCHEMA)
+    d = tempfile.mkdtemp(prefix="hist_points_")
+    for i in range(3):
+        (df.filter(F.expr(f"CAST(time_unix_nano - 1000 AS INT) DIV 3 = {i}"))
+         .coalesce(1).write.mode("append").parquet(d))
+    yield df, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_histogram_merge_stream_matches_batch_operator(spark, hist_points,
+                                                       tmp_path):
+    """The LAST streamed snapshot per series == batch merge_histograms on
+    the same points, and the quantile read-side agrees between the
+    generic HOF expression and q42's hand-rolled CASE."""
+    from otel_arrow_collector_spark.operators.metrics import (
+        histogram_quantile_col, merge_histograms)
+    from otel_arrow_collector_spark.streaming.temporality import (
+        HIST_POINT_SCHEMA, histogram_merge_stream)
+    df, src = hist_points
+    stream = (spark.readStream.schema(HIST_POINT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (histogram_merge_stream(stream)
+         .writeStream.format("memory").queryName("hist_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("hist_stream")
+    # 3 snapshots per series (one per micro-batch); keep the last
+    last = (got.withColumn("rn", F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("metric_name", "series_fp")
+                .orderBy(F.col("count").desc())))
+              .filter("rn = 1"))
+    stream_final = {r.series_fp: (r["count"], r["sum"],
+                                  list(r.bucket_counts), r.time_unix_nano)
+                    for r in last.collect()}
+
+    # batch operator on the same points (series_fp rides in attributes)
+    pts = df.select(
+        "metric_name", F.lit(3).alias("metric_type"),
+        F.lit(0).cast("long").alias("start_time_unix_nano"),
+        "time_unix_nano",
+        F.expr("map('fp', named_struct('s', series_fp, 'i', CAST(NULL AS "
+               "BIGINT), 'd', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS "
+               "BOOLEAN), 'json', CAST(NULL AS STRING)))").alias("attributes"),
+        F.expr("map()").cast("map<string,struct<s:string,i:bigint,d:double,"
+                             "b:boolean,json:string>>")
+         .alias("resource_attributes"),
+        "count", "sum",
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        "explicit_bounds", "bucket_counts")
+    batch = {r.attributes["fp"].s: (r["count"], r["sum"],
+                                    list(r.bucket_counts),
+                                    r.time_unix_nano)
+             for r in merge_histograms(pts).collect()}
+    assert set(stream_final) == set(batch)
+    for fp in batch:
+        sc, ss, sb, st = stream_final[fp]
+        bc, bs, bb, bt = batch[fp]
+        assert (sc, sb, st) == (bc, bb, bt)
+        assert ss == pytest.approx(bs)
+
+    # read-side: generic HOF quantile == q42's specialized CASE text
+    from otel_arrow_collector_spark.operators.relational import _hq
+    cs = [f"CAST(element_at(bucket_counts, {i + 1}) AS DOUBLE)"
+          for i in range(4)]
+    check = last.select(
+        "series_fp",
+        histogram_quantile_col(0.5, "bucket_counts", "explicit_bounds")
+            .alias("hof"),
+        F.expr(_hq("(0.5 * count)", cs)).alias("case_txt"))
+    for r in check.collect():
+        assert r.hof == pytest.approx(r.case_txt)
+
+
+def test_histogram_merge_stream_rejects_mixed_bounds(spark, tmp_path):
+    """Mixing bounds within one series fails loudly (the batch
+    BoundsMismatchError contract, not a silent mis-merge)."""
+    from otel_arrow_collector_spark.streaming.temporality import (
+        HIST_POINT_SCHEMA, histogram_merge_stream)
+    rows = [("m", "|x", 1, 1, 1.0, [10.0], [1, 0]),
+            ("m", "|x", 2, 1, 1.0, [20.0], [0, 1])]
+    d = tempfile.mkdtemp(prefix="hist_bad_")
+    try:
+        spark.createDataFrame(rows, HIST_POINT_SCHEMA) \
+             .coalesce(1).write.mode("append").parquet(d)
+        stream = (spark.readStream.schema(HIST_POINT_SCHEMA).parquet(d))
+        q = (histogram_merge_stream(stream)
+             .writeStream.format("memory").queryName("hist_bad")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="explicit_bounds|mixes"):
+            q.awaitTermination(180)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
