@@ -152,3 +152,69 @@ def test_checkpoint_resume_no_loss_no_dup(spark, tmp_path):
     assert sunk.count() == events.count()   # no loss, no re-delivery
     assert sunk.select("event_id").distinct().count() == \
         events.select("event_id").distinct().count()
+
+
+def test_chunked_sink_crash_between_chunks_resumes_exactly_once(
+        spark, tmp_path):
+    """Exactly-once at CHUNK granularity (size_capped_chunks + retry x
+    checkpoint interaction, persistent_storage.go:278-345): the exporter
+    crashes BETWEEN chunk writes of a micro-batch — chunk 0 is already on
+    disk, the batch never commits.  On restart the whole micro-batch
+    replays (at-least-once) and idempotent chunk paths (batch_id,
+    chunk_idx) overwrite the partial output: the sunk union equals the
+    source exactly — no loss, no duplicates — and every chunk honors the
+    hard size cap."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from otel_arrow_collector_spark.streaming.batching import \
+        stream_in_batches
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    crashed_flag = str(tmp_path / "crashed_once")
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value")
+    schema = events.limit(0)._jdf.schema().toDDL()
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    events.filter(F.col("event_id") % 2 == 0) \
+          .coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1) \
+          .coalesce(1).write.mode("append").parquet(src)
+
+    max_size = 40
+
+    def sink(chunk_df, batch_id, chunk_idx):
+        # crash once, after batch 1 chunk 0 is durably written
+        if batch_id == 1 and chunk_idx == 1 \
+                and not os.path.exists(crashed_flag):
+            with open(crashed_flag, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("injected exporter crash between chunks")
+        (chunk_df.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"batch={batch_id}",
+                               f"chunk={chunk_idx}")))
+        assert chunk_df.count() <= max_size      # hard cap per send
+
+    def drain():
+        q = stream_in_batches(
+            spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src),
+            sink, send_batch_max_size=max_size,
+            checkpoint=ckpt, available_now=True)
+        q.awaitTermination(180)
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        drain()
+    assert os.path.exists(crashed_flag)          # partial batch on disk
+
+    drain()                                      # resume, same checkpoint
+
+    sunk = spark.read.parquet(os.path.join(out, "*", "*"))
+    assert sunk.count() == events.count()        # no loss
+    assert sunk.select("event_id").distinct().count() == events.count()
+    assert ({r.event_id for r in sunk.collect()}
+            == {r.event_id for r in events.collect()})   # no dup, no gap
