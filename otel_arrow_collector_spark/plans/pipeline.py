@@ -278,6 +278,11 @@ class PipelineGraph:
         if kind == "pb":
             from ..sources.otlp_pb import read_otlp_pb
             return read_otlp_pb(spark, cfg["path"], cfg.get("signal", "traces"))
+        if kind == "http_spool":
+            # the live OTLP/HTTP front door's spool directory
+            # (sources/http_receiver.py; receiver/otlpreceiver/otlp.go)
+            from ..sources.http_receiver import read_spool
+            return read_spool(spark, cfg["path"], cfg.get("signal", "traces"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
 
     def _apply_processor(self, df: DataFrame, pid: str, ctx: dict) -> DataFrame:

@@ -1,0 +1,240 @@
+"""Live OTLP/HTTP ingest — the reference's HTTP front door
+(receiver/otlpreceiver/otlp.go:93-110 startHTTPServer, :231-305 the
+/v1/{traces,logs,metrics} handlers), re-expressed as a stdlib
+``http.server`` endpoint that SPOOLS requests to files for Spark.
+
+Design (the Spark-native split): the HTTP server is an edge concern —
+tiny, stateless, horizontally scalable — so it does NOT hold telemetry
+in memory for Spark to poll.  Each accepted request body is written
+atomically into a spool directory; the engine ingests the spool with the
+existing file-level codecs (``read_otlp_json`` / ``read_otlp_pb``) in
+batch, or as a Structured Streaming file source for continuous ingest
+(new-file discovery is Spark's native streaming contract).  At 100 TB a
+fleet of these receivers writes to shared object storage and ONE Spark
+job consumes every spool — receiver count and executor count scale
+independently.
+
+Faithful HTTP semantics (otlp.go + config.go):
+- content types: ``application/json`` and ``application/x-protobuf``
+  (415 otherwise, like the reference's fallback handler)
+- ``Content-Encoding: gzip`` accepted
+- success: 200 with an empty partial-success body in the request's
+  content type
+- malformed payload: 400 (the reference decodes before acking)
+- auth: optional bearer token -> 401/403 (the configauth server path,
+  receiver/otlpreceiver/internal/arrow/arrow.go:87-216 analogue)
+- backpressure: spool occupancy cap -> 503 + Retry-After (the
+  memory-limiter refusal contract: reject, never drop accepted data)
+
+Durability: a request is acked ONLY after its spool file is fsync'd and
+atomically renamed into place — the ack-after-persist rule the
+reference's persistent queue follows (persistent_storage.go:278-345).
+"""
+
+from __future__ import annotations
+
+import gzip
+import itertools
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_SIGNALS = ("traces", "logs", "metrics")
+
+#: URL path -> signal (otlp.go registers exactly these three).
+_ROUTES = {f"/v1/{s}": s for s in _SIGNALS}
+
+
+class OtlpHttpReceiver:
+    """Minimal OTLP/HTTP server spooling requests for Spark ingest.
+
+    Usage::
+
+        rcv = OtlpHttpReceiver(spool_dir)
+        rcv.start()                      # returns (host, port)
+        ... clients POST to /v1/traces etc ...
+        df = rcv.read_spool(spark, "traces")   # or point a streaming
+        rcv.stop()                             # file source at the dirs
+    """
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, token: str | None = None,
+                 max_pending_files: int = 100_000):
+        self.spool_dir = spool_dir
+        self.host, self._port = host, port
+        self.token = token
+        self.max_pending_files = max_pending_files
+        self.counters: dict[str, int] = {}   # obsreport-style
+        self._seq = itertools.count()
+        self._lock = threading.Lock()
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        for s in _SIGNALS:
+            os.makedirs(self._dir(s, "json"), exist_ok=True)
+            os.makedirs(self._dir(s, "pb"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+
+    def _dir(self, signal: str, wire: str) -> str:
+        return os.path.join(self.spool_dir, f"{signal}_{wire}")
+
+    def spool_paths(self, signal: str) -> dict[str, str]:
+        """{wire format -> spool directory} for one signal."""
+        return {w: self._dir(signal, w) for w in ("json", "pb")}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> tuple[str, int]:
+        receiver = self
+
+        class Handler(BaseHTTPRequestHandler):
+            daemon_threads = True
+
+            def log_message(self, *a):          # keep test output quiet
+                pass
+
+            def do_POST(self):                  # noqa: N802 (stdlib name)
+                receiver._handle(self)
+
+        self._server = ThreadingHTTPServer((self.host, self._port), Handler)
+        self._server.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="otlp-http", daemon=True)
+        self._thread.start()
+        self._port = self._server.server_address[1]
+        return self.host, self._port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://{self.host}:{self._port}"
+
+    # -- request handling --------------------------------------------------
+
+    def _count(self, key: str) -> None:
+        with self._lock:
+            self.counters[key] = self.counters.get(key, 0) + 1
+
+    def _pending(self, signal: str) -> int:
+        return sum(len(os.listdir(self._dir(signal, w)))
+                   for w in ("json", "pb"))
+
+    def _handle(self, h: BaseHTTPRequestHandler) -> None:
+        signal = _ROUTES.get(h.path)
+        if signal is None:
+            self._count("refused_not_found")
+            return self._plain(h, 404, b"unknown signal path")
+        if self.token is not None:
+            auth = h.headers.get("Authorization", "")
+            if auth != f"Bearer {self.token}":
+                self._count(f"refused_unauth_{signal}")
+                return self._plain(h, 401, b"unauthorized")
+        ctype = (h.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/json":
+            wire = "json"
+        elif ctype == "application/x-protobuf":
+            wire = "pb"
+        else:
+            self._count(f"refused_content_type_{signal}")
+            return self._plain(h, 415, b"unsupported content type")
+        if self._pending(signal) >= self.max_pending_files:
+            # memory-limiter refusal: backpressure, never accept-and-drop
+            self._count(f"refused_backpressure_{signal}")
+            h.send_response(503)
+            h.send_header("Retry-After", "1")
+            h.end_headers()
+            return
+        try:
+            n = int(h.headers.get("Content-Length", 0))
+            body = h.rfile.read(n)
+            if h.headers.get("Content-Encoding", "").lower() == "gzip":
+                body = gzip.decompress(body)
+            payload = self._validate(body, signal, wire)
+        except Exception as e:                   # malformed -> 400, no spool
+            self._count(f"refused_bad_payload_{signal}")
+            return self._plain(h, 400, str(e).encode()[:512])
+        self._spool(payload, signal, wire)
+        self._count(f"accepted_{signal}_{wire}")
+        # empty partial-success response in the request's content type
+        resp = b"{}" if wire == "json" else b""
+        h.send_response(200)
+        h.send_header("Content-Type", ctype)
+        h.send_header("Content-Length", str(len(resp)))
+        h.end_headers()
+        h.wfile.write(resp)
+
+    @staticmethod
+    def _plain(h: BaseHTTPRequestHandler, code: int, msg: bytes) -> None:
+        h.send_response(code)
+        h.send_header("Content-Type", "text/plain")
+        h.send_header("Content-Length", str(len(msg)))
+        h.end_headers()
+        h.wfile.write(msg)
+
+    def _validate(self, body: bytes, signal: str, wire: str) -> bytes:
+        """Decode-before-ack (otlp.go does a full unmarshal): returns the
+        canonical spool payload or raises."""
+        if wire == "json":
+            doc = json.loads(body)
+            if not isinstance(doc, dict):
+                raise ValueError("OTLP/JSON body must be an object")
+            # one request doc per line — the line-oriented shape
+            # read_otlp_json consumes
+            return json.dumps(doc, separators=(",", ":")).encode()
+        from .otlp_pb import decode_request
+        decode_request(body, signal)             # raises on bad wire bytes
+        return body
+
+    def _spool(self, payload: bytes, signal: str, wire: str) -> None:
+        """fsync + atomic rename, ack only afterwards (ack-after-persist,
+        persistent_storage.go:278-345)."""
+        with self._lock:
+            seq = next(self._seq)
+        ext = "json" if wire == "json" else "pb"
+        d = self._dir(signal, wire)
+        tmp = os.path.join(d, f".tmp-{seq:08d}")
+        dst = os.path.join(d, f"req-{seq:08d}.{ext}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload + (b"\n" if wire == "json" else b""))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, dst)
+
+    # -- Spark ingest ------------------------------------------------------
+
+    def read_spool(self, spark, signal: str):
+        """Batch-ingest everything spooled for one signal (both wire
+        formats) into the engine's row model."""
+        return read_spool(spark, self.spool_dir, signal)
+
+
+def read_spool(spark, spool_dir: str, signal: str):
+    """Ingest an OTLP/HTTP spool directory (both wire formats) into the
+    row model — the consumer half of :class:`OtlpHttpReceiver`, also
+    reachable as the pipeline compiler's ``kind: http_spool`` receiver.
+    Works on any receiver fleet's shared spool, server running or not."""
+    from .otlp_json import read_otlp_json
+    from .otlp_pb import read_otlp_pb
+    json_dir = os.path.join(spool_dir, f"{signal}_json")
+    pb_dir = os.path.join(spool_dir, f"{signal}_pb")
+    parts = []
+    if os.path.isdir(json_dir) and os.listdir(json_dir):
+        parts.append(read_otlp_json(spark, json_dir, signal))
+    if os.path.isdir(pb_dir) and os.listdir(pb_dir):
+        parts.append(read_otlp_pb(spark, pb_dir, signal))
+    if not parts:
+        from ..model.telemetry import (LOG_SCHEMA, METRIC_POINT_SCHEMA,
+                                       SPAN_SCHEMA)
+        empty = {"traces": SPAN_SCHEMA, "logs": LOG_SCHEMA,
+                 "metrics": METRIC_POINT_SCHEMA}[signal]
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

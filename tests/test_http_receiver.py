@@ -1,0 +1,166 @@
+"""Live OTLP/HTTP ingest (receiver/otlpreceiver/otlp.go:93-110,231-305):
+real POSTs over a socket -> spool -> Spark row model, plus the protocol
+edges (content types, gzip, auth, malformed payloads, backpressure)."""
+
+from __future__ import annotations
+
+import gzip
+import http.client
+import json
+
+import pytest
+
+from otel_arrow_collector_spark.model import (generate_logs,
+                                              generate_metrics,
+                                              generate_traces)
+from otel_arrow_collector_spark.sources.http_receiver import (
+    OtlpHttpReceiver, read_spool)
+from otel_arrow_collector_spark.sources.otlp_pb import encode_request
+from tests.test_codecs import _canon
+
+
+def _post(rcv, path, body, ctype="application/json", headers=None):
+    conn = http.client.HTTPConnection(rcv.host, rcv._port, timeout=10)
+    try:
+        hdrs = {"Content-Type": ctype, **(headers or {})}
+        conn.request("POST", path, body, hdrs)
+        resp = conn.getresponse()
+        return resp.status, resp.read()
+    finally:
+        conn.close()
+
+
+def _json_body(df, signal):
+    """One OTLP/JSON request doc for a row-model DataFrame (reuse the
+    codec's writer surface: one line == one request)."""
+    from otel_arrow_collector_spark.sources.otlp_json import _WRITERS
+    lines = [r.json for r in _WRITERS[signal](df).collect()]
+    # writers emit one envelope-grouped doc per partition/group; merge into
+    # one request doc like a client batching spans would
+    merged: dict = {}
+    for ln in lines:
+        doc = json.loads(ln)
+        for k, v in doc.items():
+            merged.setdefault(k, []).extend(v)
+    return json.dumps(merged).encode()
+
+
+@pytest.fixture()
+def rcv(tmp_path):
+    r = OtlpHttpReceiver(str(tmp_path / "spool"))
+    r.start()
+    yield r
+    r.stop()
+
+
+def test_http_json_post_roundtrip(spark, rcv):
+    td = generate_traces(spark, 4)
+    status, body = _post(rcv, "/v1/traces", _json_body(td, "traces"))
+    assert status == 200 and body == b"{}"
+    back = rcv.read_spool(spark, "traces")
+    assert _canon(back, []) == _canon(td, [])
+    assert rcv.counters["accepted_traces_json"] == 1
+
+
+def test_http_pb_post_roundtrip(spark, rcv):
+    ld = generate_logs(spark, 4)
+    rows = [r.asDict(recursive=True) for r in ld.collect()]
+    status, body = _post(rcv, "/v1/logs", encode_request(rows, "logs"),
+                         ctype="application/x-protobuf")
+    assert status == 200 and body == b""
+    back = rcv.read_spool(spark, "logs")
+    assert _canon(back, []) == _canon(ld, [])
+
+
+def test_http_mixed_wire_formats_union(spark, rcv):
+    """JSON and pb posts of the same signal land in ONE DataFrame."""
+    md = generate_metrics(spark, 2)
+    _post(rcv, "/v1/metrics", _json_body(md, "metrics"))
+    rows = [r.asDict(recursive=True) for r in md.collect()]
+    _post(rcv, "/v1/metrics", encode_request(rows, "metrics"),
+          ctype="application/x-protobuf")
+    back = rcv.read_spool(spark, "metrics")
+    assert back.count() == 2 * md.count()
+
+
+def test_http_gzip_body(spark, rcv):
+    td = generate_traces(spark, 2)
+    status, _ = _post(rcv, "/v1/traces", gzip.compress(_json_body(td, "traces")),
+                      headers={"Content-Encoding": "gzip"})
+    assert status == 200
+    assert rcv.read_spool(spark, "traces").count() == td.count()
+
+
+def test_http_protocol_edges(spark, rcv):
+    # unknown path -> 404
+    assert _post(rcv, "/v1/profiles", b"{}")[0] == 404
+    # unsupported content type -> 415
+    assert _post(rcv, "/v1/traces", b"x", ctype="text/csv")[0] == 415
+    # malformed JSON -> 400, nothing spooled
+    assert _post(rcv, "/v1/traces", b"{not json")[0] == 400
+    # malformed pb -> 400 (decode-before-ack)
+    assert _post(rcv, "/v1/traces", b"\xff\xff\xff\xff",
+                 ctype="application/x-protobuf")[0] == 400
+    assert rcv.read_spool(spark, "traces").count() == 0
+
+
+def test_http_bearer_auth(spark, tmp_path):
+    rcv = OtlpHttpReceiver(str(tmp_path / "auth_spool"), token="s3cr3t")
+    rcv.start()
+    try:
+        body = b'{"resourceSpans":[]}'
+        assert _post(rcv, "/v1/traces", body)[0] == 401
+        assert _post(rcv, "/v1/traces", body,
+                     headers={"Authorization": "Bearer wrong"})[0] == 401
+        assert _post(rcv, "/v1/traces", body,
+                     headers={"Authorization": "Bearer s3cr3t"})[0] == 200
+    finally:
+        rcv.stop()
+
+
+def test_http_backpressure_503(spark, tmp_path):
+    """Spool occupancy cap -> 503 + Retry-After (refusal, not drop)."""
+    rcv = OtlpHttpReceiver(str(tmp_path / "bp_spool"), max_pending_files=1)
+    rcv.start()
+    try:
+        body = b'{"resourceSpans":[]}'
+        assert _post(rcv, "/v1/traces", body)[0] == 200
+        status, _ = _post(rcv, "/v1/traces", body)
+        assert status == 503
+        assert rcv.counters["refused_backpressure_traces"] == 1
+    finally:
+        rcv.stop()
+
+
+def test_http_spool_pipeline_receiver(spark, rcv, tmp_path):
+    """kind: http_spool plugs the spool into the pipeline compiler."""
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    td = generate_traces(spark, 6)
+    _post(rcv, "/v1/traces", _json_body(td, "traces"))
+    sink_dir = str(tmp_path / "sunk")
+    g = PipelineGraph({
+        "receivers": {"otlp_http": {"kind": "http_spool",
+                                    "path": rcv.spool_dir,
+                                    "signal": "traces"}},
+        "processors": {"errs": {"kind": "filter",
+                                "where": "status_code = 2"}},
+        "exporters": {"mem": {"kind": "memory"}},
+        "pipelines": {"traces": {"receivers": ["otlp_http"],
+                                 "processors": ["errs"],
+                                 "exporters": ["mem"]}},
+    })
+    rows = g.compile(spark).run()["traces/mem"]
+    assert len(rows) == td.filter("status_code = 2").count() > 0
+
+
+def test_http_concurrent_posts_all_spooled(spark, rcv):
+    """ThreadingHTTPServer + atomic rename: parallel posts never collide
+    or lose a request."""
+    import concurrent.futures as cf
+    td = generate_traces(spark, 2)
+    body = _json_body(td, "traces")
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        statuses = list(ex.map(
+            lambda _: _post(rcv, "/v1/traces", body)[0], range(16)))
+    assert statuses == [200] * 16
+    assert rcv.read_spool(spark, "traces").count() == 16 * td.count()
