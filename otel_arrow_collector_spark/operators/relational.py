@@ -1056,3 +1056,129 @@ def q42(spark, sf_dir):
                      F.round(F.expr(_hq("(0.95 * n)", cs)), 6)
                       .alias("p95_est"))
              .orderBy("grp"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-fact join pipelines at TPC-H shape (the scale benchmarks' canonical
+# plans) + declared skew mitigation
+# ---------------------------------------------------------------------------
+
+@_register("q43_shipping_priority", """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 20
+""")
+def q43(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): two fact joins under selective
+    filters with a grouped top-k — the canonical "filters push into scans,
+    dims broadcast, top-k avoids the global sort" plan the 100 TB stance
+    requires (the reference's pipelines compose receiver->filter->agg the
+    same way, docs/processing.md).
+
+    Revenue is summed in integer cents (per-row ROUND then BIGINT SUM) so
+    the unordered aggregation is bit-exact in both engines — the q36/q41
+    determinism trick applied to money.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum(cents).alias("revenue_cents"))
+              .select("l_orderkey", "revenue_cents", "o_orderdate",
+                      "o_orderpriority")
+              .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+              .limit(20))
+
+
+@_register("q44_local_supplier_volume", """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+""")
+def q44(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): a six-table star —
+    region/nation/customer/supplier dims around the orders+lineitem
+    facts, with the local-supplier correlation (s_nationkey =
+    c_nationkey) joined AFTER the fact-fact join.  At 100 TB every dim
+    side broadcasts and the single shuffle is the orders-lineitem key;
+    integer-cent revenue keeps the agg bit-exact cross-engine.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey)
+                .select("c_custkey", "c_nationkey", "n_name"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+              .join(F.broadcast(sup),
+                    (li.l_suppkey == sup.s_suppkey)
+                    & (dims.c_nationkey == sup.s_nationkey))
+              .groupBy("n_name")
+              .agg(F.sum(cents).alias("revenue_cents"),
+                   F.count(F.lit(1)).alias("n_items"))
+              .orderBy(F.col("revenue_cents").desc(), "n_name"))
+
+
+@_register("q45_salted_hot_key_join", """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""")
+def q45(spark, sf_dir):
+    """Declared skew mitigation: the customer->nation join runs through
+    ``salted_join`` (operators/skew.py — replicate-and-scatter, the
+    explicit alternative to AQE skew splitting for known-pathological
+    keys; nationkey is the textbook hot key: 25 values over every
+    customer).  The oracle is the PLAIN join — salting must be
+    result-invariant, which is exactly what this gate proves.
+    """
+    from .skew import salted_join
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey").select("nationkey", "n_name")
+    joined = salted_join(cust, nation, "nationkey",
+                         salt_from="c_custkey", n_salts=8)
+    return (joined.groupBy("n_name")
+                  .agg(F.count(F.lit(1)).alias("n_customers"),
+                       F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+                  .orderBy("n_name"))

@@ -19,6 +19,7 @@ whole-stage-codegen map over the scan.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -401,4 +402,53 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(list_reduce(list(p ORDER BY pos), (a, v) -> a + v)
              / COUNT(*), 8) AS avg_p
 FROM s GROUP BY doc_id ORDER BY doc_id LIMIT 200
+"""
+
+
+def text_df_topterms(spark, sf_dir):
+    """Corpus vocabulary triage: top-3 tokens per language by DOCUMENT
+    frequency (in how many docs does the token appear) — the df side of
+    TF-IDF and the standard first look at a crawl's vocabulary before
+    choosing filters.  Pure integer counts with a total-order tie-break
+    (df desc, token asc), so cross-engine exact.
+
+    Scale: tokenize+distinct is a narrow map per doc (array_distinct
+    before explode keeps the exploded width at unique-tokens-per-doc);
+    the single shuffle is the (lang, token) count agg; top-k per lang is
+    a bounded window over the small aggregated side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"),
+            lambda x: x != ""))).alias("token"))
+    df_counts = (toks.groupBy("lang", "token")
+                     .agg(F.count(F.lit(1)).alias("doc_freq")))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("doc_freq").desc(), "token")
+    return (df_counts.withColumn("rn", F.row_number().over(w))
+                     .filter(F.col("rn") <= 3)
+                     .select("lang", "token", "doc_freq")
+                     .orderBy("lang", F.col("doc_freq").desc(), "token"))
+
+
+QUERIES["text_df_topterms"] = text_df_topterms
+ORACLES["text_df_topterms"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS token
+  FROM documents),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT lang, token, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY doc_freq DESC, token) AS rn
+  FROM counts)
+SELECT lang, token, doc_freq FROM ranked WHERE rn <= 3
+ORDER BY lang, doc_freq DESC, token
 """
