@@ -97,6 +97,9 @@ class OtlpHttpReceiver:
             def do_POST(self):                  # noqa: N802 (stdlib name)
                 receiver._handle(self)
 
+            def do_GET(self):                   # noqa: N802 (stdlib name)
+                receiver._handle_status(self)
+
         self._server = ThreadingHTTPServer((self.host, self._port), Handler)
         self._server.daemon_threads = True
         self._thread = threading.Thread(
@@ -168,6 +171,25 @@ class OtlpHttpReceiver:
         h.send_header("Content-Length", str(len(resp)))
         h.end_headers()
         h.wfile.write(resp)
+
+    def _handle_status(self, h: BaseHTTPRequestHandler) -> None:
+        """GET /status — the zpages-style diagnostics surface
+        (extension/zpagesextension analogue): request counters + spool
+        occupancy as JSON."""
+        if h.path != "/status":
+            return self._plain(h, 404, b"not found")
+        with self._lock:
+            counters = dict(self.counters)
+        body = json.dumps({
+            "counters": counters,
+            "pending_files": {s: self._pending(s) for s in _SIGNALS},
+            "max_pending_files": self.max_pending_files,
+        }, sort_keys=True).encode()
+        h.send_response(200)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
 
     @staticmethod
     def _plain(h: BaseHTTPRequestHandler, code: int, msg: bytes) -> None:

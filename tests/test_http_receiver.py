@@ -164,3 +164,118 @@ def test_http_concurrent_posts_all_spooled(spark, rcv):
             lambda _: _post(rcv, "/v1/traces", body)[0], range(16)))
     assert statuses == [200] * 16
     assert rcv.read_spool(spark, "traces").count() == 16 * td.count()
+
+
+# ---------------------------------------------------------------------------
+# push side: OTLP/HTTP exporter (exporter/otlphttpexporter/otlp.go) against
+# the live receiver — the full loop engine -> POST -> spool -> engine
+# ---------------------------------------------------------------------------
+
+def test_http_exporter_roundtrip_via_receiver(spark, rcv):
+    """Executor-side POSTs land in the receiver and decode back to the
+    identical DataFrame (the reference's otlphttp -> otlpreceiver loop)."""
+    from otel_arrow_collector_spark.exporters.http_exporter import \
+        export_http_now
+    td = generate_traces(spark, 8).repartition(3)
+    stats = export_http_now(td, rcv.endpoint, "traces",
+                            max_rows_per_request=3)
+    assert stats["rows_sent"] == 8
+    assert stats["n_requests"] >= 3          # 8 rows / <=3 per request
+    assert stats["n_attempts"] == stats["n_requests"]   # no retries needed
+    back = rcv.read_spool(spark, "traces")
+    assert _canon(back, []) == _canon(td, [])
+
+
+def test_http_exporter_auth_and_gzip(spark, tmp_path):
+    from otel_arrow_collector_spark.exporters.http_exporter import \
+        export_http_now
+    rcv = OtlpHttpReceiver(str(tmp_path / "exp_auth"), token="tk")
+    rcv.start()
+    try:
+        ld = generate_logs(spark, 4)
+        stats = export_http_now(ld, rcv.endpoint, "logs", token="tk",
+                                compress=True)
+        assert stats["rows_sent"] == 4
+        assert rcv.read_spool(spark, "logs").count() == 4
+    finally:
+        rcv.stop()
+
+
+def test_http_exporter_permanent_error_on_unauth(spark, tmp_path):
+    """401 is non-retryable: exactly one attempt, loud failure."""
+    import pyspark.errors
+    from otel_arrow_collector_spark.exporters.http_exporter import export_http
+    rcv = OtlpHttpReceiver(str(tmp_path / "exp_noauth"), token="tk")
+    rcv.start()
+    try:
+        td = generate_traces(spark, 2).coalesce(1)
+        with pytest.raises(Exception, match="401|non-retryable"):
+            export_http(td, rcv.endpoint, "traces").collect()
+        assert rcv.counters.get("refused_unauth_traces", 0) >= 1
+        assert rcv.read_spool(spark, "traces").count() == 0
+    finally:
+        rcv.stop()
+
+
+def test_http_exporter_retries_transient_503(spark, tmp_path):
+    """A 503 with Retry-After is honored and the request retried to
+    success (throttle override, otlp.go:267-303)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from otel_arrow_collector_spark.exporters.http_exporter import \
+        export_http_now
+    from otel_arrow_collector_spark.exporters.retry import RetryConfig
+
+    hits = []
+
+    class Flaky(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            hits.append(self.path)
+            if len(hits) == 1:                     # first request throttled
+                self.send_response(503)
+                self.send_header("Retry-After", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        td = generate_traces(spark, 2).coalesce(1)
+        stats = export_http_now(
+            td, f"http://127.0.0.1:{srv.server_address[1]}", "traces",
+            retry_config=RetryConfig(initial_interval_s=0.01,
+                                     max_elapsed_s=10.0))
+        assert stats["n_requests"] == 1
+        assert stats["n_attempts"] == 2            # throttled then sent
+        assert len(hits) == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_status_endpoint(spark, rcv):
+    """GET /status: zpages-style counters + spool occupancy."""
+    import json as _json
+    td = generate_traces(spark, 2)
+    _post(rcv, "/v1/traces", _json_body(td, "traces"))
+    conn = http.client.HTTPConnection(rcv.host, rcv._port, timeout=10)
+    try:
+        conn.request("GET", "/status")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        doc = _json.loads(resp.read())
+    finally:
+        conn.close()
+    assert doc["counters"]["accepted_traces_json"] == 1
+    assert doc["pending_files"]["traces"] == 1
+    assert _post(rcv, "/v1/traces", b"{}")[0] == 200  # POST still works
