@@ -1182,3 +1182,74 @@ def q45(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("n_customers"),
                        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
                   .orderBy("n_name"))
+
+
+@_register("q46_retention_cohorts", """
+WITH w AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events),
+d AS (SELECT DISTINCT user_id, week FROM w),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM d GROUP BY user_id)
+SELECT c.cohort_week,
+       d.week - c.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""")
+def q46(spark, sf_dir):
+    """Retention cohort matrix: users bucketed by first-seen week, counted
+    per activity-week offset — the standard longitudinal engagement roll-up
+    (and the q32 sessionization's long-horizon companion).  Weeks are pure
+    integer epoch-week numbers from the ns source of truth, so both
+    engines bucket identically with no calendar/timezone semantics in
+    play.
+
+    Scale: one distinct (user, week) projection, one per-user min
+    (map-side combinable), one broadcast-able self-join on user_id, one
+    final agg — no windows over the full corpus.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select("user_id",
+                  F.expr("ts_ns div 604800000000000").alias("week"))
+    d = w.distinct()
+    c = d.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (d.join(c, "user_id")
+             .groupBy("cohort_week",
+                      (F.col("week") - F.col("cohort_week"))
+                      .alias("week_offset"))
+             .agg(F.count(F.lit(1)).alias("n_users"))
+             .orderBy("cohort_week", "week_offset"))
+
+
+@_register("q47_hopping_window", """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1800000000 AS BIGINT) AS hb
+  FROM events),
+w AS (SELECT event_type, unnest([hb, hb - 1]) AS window_slot FROM b)
+SELECT event_type, window_slot, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY event_type, window_slot
+ORDER BY event_type, window_slot
+""")
+def q47(spark, sf_dir):
+    """Hopping (sliding) windows — 1-hour span every 30 minutes — as the
+    explicit replicate-into-k-slots plan (each event belongs to
+    size/slide = 2 windows; Spark's ``F.window(ts, '1 hour', '30
+    minutes')`` builds exactly this expansion internally; q31 is the
+    tumbling special case).  Slots are integer half-hour epochs so the
+    grid is engine-agnostic.
+
+    Scale: explode factor is the constant size/slide ratio (2), applied
+    before the single count agg; no self-join, no range join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("event_type",
+                  F.expr("ts_ns div 1800000000000").alias("hb"))
+    return (b.select("event_type",
+                     F.explode(F.array(F.col("hb"), F.col("hb") - 1))
+                      .alias("window_slot"))
+             .groupBy("event_type", "window_slot")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("event_type", "window_slot"))
