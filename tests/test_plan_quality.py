@@ -85,3 +85,50 @@ def test_bigram_lm_model_joins_are_not_cartesian(spark):
     plan = _plan(spark, "text_bigram_lm")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_shape_joins_push_filters_and_broadcast_dims(spark):
+    """q43/q44: every selective filter reaches its parquet scan, dims are
+    broadcast (the fact side is never the build side of a dim join), and
+    the grouped top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, "q43_shipping_priority")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate," in plan and "LessThan(o_orderdate," in plan
+    assert "TakeOrderedAndProject" in plan
+    plan5 = _plan(spark, "q44_local_supplier_volume")
+    assert "EqualTo(r_name,ASIA)" in plan5
+    assert plan5.count("BroadcastHashJoin") >= 3    # region/nation/dims/sup
+    assert "CartesianProduct" not in plan5
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """q45's salted join must key the shuffle on (key, salt), not the raw
+    hot key alone, and still contain no cartesian expansion."""
+    plan = _plan(spark, "q45_salted_hot_key_join")
+    assert "__salt" in plan                        # salt participates
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_cohort_has_no_global_window(spark):
+    """q46 is joins+aggs only — a window over all users would be the
+    wrong plan at scale."""
+    plan = _plan(spark, "q46_retention_cohorts")
+    assert "windowspecdefinition" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_hopping_window_explodes_before_single_agg(spark):
+    """q47: constant-factor explode then ONE aggregation — no self-join,
+    no range join."""
+    plan = _plan(spark, "q47_hopping_window")
+    assert "Generate" in plan and "explode(array" in plan
+    assert "Join" not in plan
+
+
+def test_df_topterms_distinct_is_per_document(spark):
+    """text_df_topterms: array_distinct runs inside the scan-side project
+    (per-doc dedup before explode), so the shuffle carries unique tokens
+    per doc, not every token occurrence."""
+    plan = _plan(spark, "text_df_topterms")
+    assert "array_distinct" in plan
+    assert "CartesianProduct" not in plan
