@@ -70,3 +70,101 @@ def root_spans(spans: DataFrame) -> DataFrame:
     """Spans with no parent — trace entry points."""
     return spans.filter(F.col("parent_span_id").isNull()
                         | (F.col("parent_span_id") == ""))
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics: traces -> RED metrics (the traces->metrics connector shape;
+# connector semantics as in plans/pipeline.py kind: spanmetrics)
+# ---------------------------------------------------------------------------
+
+#: spanmetrics-style default latency bounds, in milliseconds.
+DEFAULT_LATENCY_BOUNDS_MS = [2.0, 4.0, 6.0, 8.0, 10.0, 50.0, 100.0, 200.0,
+                             400.0, 800.0, 1000.0, 1400.0, 2000.0, 5000.0,
+                             10000.0, 15000.0]
+
+
+def span_red_metrics(spans: DataFrame,
+                     bounds_ms: list[float] | None = None) -> DataFrame:
+    """Aggregate spans into RED metrics as HISTOGRAM DATAPOINTS: one
+    explicit-bounds duration histogram per (span name, status_code),
+    shaped as METRIC_POINT_SCHEMA rows so the entire §2.7 machinery
+    (merge_histograms, histogram_quantile_col, temporality streams)
+    consumes the connector's output unchanged.
+
+    Rate = count over the window, Errors = points with status.code = 2
+    dimension, Duration = the bucket histogram — the classic
+    traces->metrics connector roll-up.
+
+    Scale: one hash aggregation keyed by (name, status) — low
+    cardinality; bucket counts are conditional sums (map-side combinable);
+    no window, no join.
+    """
+    from ..model.telemetry import METRIC_POINT_SCHEMA
+    bounds = [float(b) for b in (bounds_ms or DEFAULT_LATENCY_BOUNDS_MS)]
+    dur_ms = ((F.col("end_time_unix_nano")
+               - F.col("start_time_unix_nano")) / 1e6)
+    d = spans.select(F.col("name"), F.col("status_code"),
+                     dur_ms.alias("dur_ms"),
+                     "start_time_unix_nano", "end_time_unix_nano")
+    lo = [0.0] + bounds
+    hi = bounds + [None]
+    bucket_cols = []
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        cond = (F.col("dur_ms") < F.lit(b)) if i == 0 else (
+            (F.col("dur_ms") >= F.lit(a)) if b is None else
+            (F.col("dur_ms") >= F.lit(a)) & (F.col("dur_ms") < F.lit(b)))
+        bucket_cols.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"b{i}"))
+    agg = (d.groupBy("name", "status_code")
+             .agg(F.count(F.lit(1)).cast("long").alias("count"),
+                  F.sum("dur_ms").alias("sum"),
+                  F.min("dur_ms").alias("min"),
+                  F.max("dur_ms").alias("max"),
+                  F.min("start_time_unix_nano").alias("start_time_unix_nano"),
+                  F.max("end_time_unix_nano").alias("time_unix_nano"),
+                  *bucket_cols))
+    attrs = F.expr(
+        "map('span.name', named_struct('s', name, 'i', CAST(NULL AS BIGINT),"
+        " 'd', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS BOOLEAN),"
+        " 'json', CAST(NULL AS STRING)),"
+        " 'status.code', named_struct('s', CAST(NULL AS STRING),"
+        " 'i', CAST(status_code AS BIGINT), 'd', CAST(NULL AS DOUBLE),"
+        " 'b', CAST(NULL AS BOOLEAN), 'json', CAST(NULL AS STRING)))")
+    out = agg.select(
+        F.lit("duration_ms").alias("metric_name"),
+        F.lit("span duration histogram (spanmetrics)").alias("description"),
+        F.lit("ms").alias("unit"),
+        F.lit(3).alias("metric_type"),
+        F.lit(1).alias("aggregation_temporality"),     # delta window
+        F.lit(None).cast("boolean").alias("is_monotonic"),
+        "start_time_unix_nano", "time_unix_nano",
+        attrs.alias("attributes"),
+        F.lit(None).cast("long").alias("value_int"),
+        F.lit(None).cast("double").alias("value_double"),
+        "count", "sum", "min", "max",
+        F.array(*[F.col(f"b{i}") for i in range(len(bounds) + 1)])
+         .alias("bucket_counts"),
+        F.array(*[F.lit(b) for b in bounds]).cast("array<double>")
+         .alias("explicit_bounds"),
+        F.lit(None).cast("int").alias("scale"),
+        F.lit(None).cast("long").alias("zero_count"),
+        F.lit(None).cast("int").alias("positive_offset"),
+        F.lit(None).cast("array<bigint>").alias("positive_bucket_counts"),
+        F.lit(None).cast("int").alias("negative_offset"),
+        F.lit(None).cast("array<bigint>").alias("negative_bucket_counts"),
+        F.lit(None).cast(
+            "array<struct<quantile:double,value:double>>")
+         .alias("quantile_values"),
+        F.expr("CAST(NULL AS ARRAY<STRUCT<filtered_attributes: "
+               "MAP<STRING, STRUCT<s:STRING,i:BIGINT,d:DOUBLE,b:BOOLEAN,"
+               "json:STRING>>, time_unix_nano: BIGINT, value_double: DOUBLE,"
+               " value_int: BIGINT, span_id: STRING, trace_id: STRING>>)")
+         .alias("exemplars"),
+        F.lit(0).alias("flags"),
+        F.expr("map()").cast(
+            "map<string,struct<s:string,i:bigint,d:double,b:boolean,"
+            "json:string>>").alias("resource_attributes"),
+        F.lit("spanmetrics").alias("scope_name"),
+        F.lit("").alias("scope_version"),
+    )
+    return out.to(METRIC_POINT_SCHEMA)

@@ -399,4 +399,12 @@ class PipelineGraph:
             raise ConfigError(
                 f"router {cid!r}: pipeline {pipeline!r} matches no route and "
                 f"is not in default")
+        if kind == "spanmetrics":
+            # traces -> RED duration histograms (the traces->metrics
+            # connector; operators/spans.py span_red_metrics).  Output is
+            # METRIC_POINT_SCHEMA, so the receiving metrics pipeline can
+            # apply the full §2.7 machinery unchanged.
+            from ..operators.spans import span_red_metrics
+            bounds = cfg.get("latency_bounds_ms")
+            return [span_red_metrics(df, bounds) for _, df in inputs]
         raise ConfigError(f"connector {cid!r}: unknown kind {kind!r}")

@@ -4,6 +4,8 @@ events on A-spans, links on B-spans)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from otel_arrow_collector_spark.model import generate_traces
@@ -50,3 +52,59 @@ def test_parent_child_and_roots_partition_spans(spark):
     n = td.count()
     assert roots.count() + edges.count() >= n or edges.count() == 0
     assert roots.count() <= n
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics (traces -> RED metrics connector)
+# ---------------------------------------------------------------------------
+
+def test_span_red_metrics_histogram_points(spark):
+    """Counts, error dimension, duration buckets and schema conformance:
+    the output is METRIC_POINT_SCHEMA and feeds merge/quantile as-is."""
+    from otel_arrow_collector_spark.model.telemetry import (
+        METRIC_POINT_SCHEMA, generate_traces)
+    from otel_arrow_collector_spark.operators.metrics import (
+        histogram_quantile_col, merge_histograms)
+    from otel_arrow_collector_spark.operators.spans import span_red_metrics
+
+    spans = generate_traces(spark, 8)       # 4x operationA(err) + 4x opB(ok)
+    pts = span_red_metrics(spans, bounds_ms=[1000.0, 2000.0])
+    assert pts.schema.simpleString() == METRIC_POINT_SCHEMA.simpleString()
+    rows = {(r.attributes["span.name"].s, r.attributes["status.code"].i): r
+            for r in pts.collect()}
+    assert set(rows) == {("operationA", 2), ("operationB", 0)}
+    a = rows[("operationA", 2)]
+    # golden duration: end-start = 1s + 468ns -> 1000.000468 ms, bucket
+    # [1000, 2000)
+    assert a["count"] == 4 and list(a.bucket_counts) == [0, 4, 0]
+    assert a["metric_type"] == 3 and a["unit"] == "ms"
+    assert a["sum"] == pytest.approx(4 * 1000.000468)
+
+    # the §2.7 read side consumes the connector output unchanged
+    merged = merge_histograms(pts)
+    assert merged.count() == 2
+    q = merged.select(histogram_quantile_col(
+        0.5, "bucket_counts", "explicit_bounds").alias("p50")).collect()
+    assert all(1000.0 <= r.p50 <= 2000.0 for r in q)
+
+
+def test_spanmetrics_connector_bridges_pipelines(spark):
+    """traces pipeline -> spanmetrics connector -> metrics pipeline."""
+    from otel_arrow_collector_spark.model.telemetry import generate_traces
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+
+    src = generate_traces(spark, 6)
+    g = PipelineGraph({
+        "receivers": {"tr": {"kind": "memory"}},
+        "connectors": {"sm": {"kind": "spanmetrics",
+                              "latency_bounds_ms": [1000.0, 2000.0]}},
+        "exporters": {"out": {"kind": "memory"}},
+        "pipelines": {
+            "traces": {"receivers": ["tr"], "exporters": ["sm"]},
+            "metrics": {"receivers": ["sm"], "exporters": ["out"]},
+        },
+    })
+    rows = g.compile(spark, sources={"tr": src}).run()["metrics/out"]
+    assert len(rows) == 2                    # (opA, err) + (opB, ok)
+    assert {r.metric_name for r in rows} == {"duration_ms"}
+    assert sum(r["count"] for r in rows) == 6
