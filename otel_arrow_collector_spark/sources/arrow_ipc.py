@@ -33,9 +33,26 @@ ENCODED_DDL = ("payload binary, n_rows bigint, n_bytes bigint, "
                "headers binary")
 
 
-def encode_ipc(df: DataFrame, headers: dict | None = None) -> DataFrame:
+def _check_compression(compression: str | None) -> str | None:
+    """Validate the IPC payload compression codec — the reference
+    negotiates zstd over the Arrow stream (otel-arrow exporter
+    ``compression: zstd`` / Arrow IPC body-buffer compression); pyarrow
+    supports ``zstd`` and ``lz4`` and the reader auto-detects.
+
+    Returns the validated name; the actual ``IpcWriteOptions`` must be
+    constructed INSIDE the executor closure (it is not picklable)."""
+    if compression is not None and compression not in ("zstd", "lz4"):
+        raise ValueError(
+            f"IPC compression must be 'zstd' or 'lz4', got {compression!r}")
+    return compression
+
+
+def encode_ipc(df: DataFrame, headers: dict | None = None,
+               compression: str | None = None) -> DataFrame:
     """DataFrame -> one row per Arrow record batch: (payload, n_rows,
-    n_bytes, headers).  The payload is a self-contained IPC stream.
+    n_bytes, headers).  The payload is a self-contained IPC stream,
+    optionally zstd/lz4-compressed (body buffers; the decoder is
+    format-agnostic).
 
     ``headers`` (per-request gRPC metadata, BatchArrowRecords.headers) is
     hpack-encoded with one stateful encoder per partition — the partition
@@ -43,12 +60,14 @@ def encode_ipc(df: DataFrame, headers: dict | None = None) -> DataFrame:
     literal-with-indexing block and subsequent frames the 1-byte indexed
     form (exporter side of arrow.go:85-131's headerReceiver contract)."""
     items = sorted((headers or {}).items())
+    comp = _check_compression(compression)
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         hp = HpackEncoder()
+        opts = pa.ipc.IpcWriteOptions(compression=comp)
         for b in batches:
             sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, b.schema) as w:
+            with pa.ipc.new_stream(sink, b.schema, options=opts) as w:
                 w.write_batch(b)
             buf = sink.getvalue()
             yield pa.RecordBatch.from_pydict({
@@ -103,7 +122,8 @@ STREAM_DDL = ("payload binary, frame_seq bigint, n_rows bigint, "
 
 
 def encode_ipc_stream(df: DataFrame, dict_cols: tuple = (),
-                      headers: dict | None = None) -> DataFrame:
+                      headers: dict | None = None,
+                      compression: str | None = None) -> DataFrame:
     """DataFrame -> per-partition Arrow IPC *stream* frames with stateful
     dictionaries: every partition writes ONE logical stream (schema once,
     then per-batch frames), and `dict_cols` are dictionary-encoded against
@@ -117,6 +137,7 @@ def encode_ipc_stream(df: DataFrame, dict_cols: tuple = (),
 
     items = sorted((headers or {}).items())
     cols = tuple(dict_cols)
+    comp = _check_compression(compression)
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         hp = HpackEncoder()
@@ -157,7 +178,7 @@ def encode_ipc_stream(df: DataFrame, dict_cols: tuple = (),
                 writer = pa.ipc.new_stream(
                     sink, nb.schema,
                     options=pa.ipc.IpcWriteOptions(
-                        emit_dictionary_deltas=True))
+                        compression=comp, emit_dictionary_deltas=True))
             writer.write_batch(nb)
             pos = sink.tell()
             yield frame(bytes(sink.getbuffer()[last:pos]), nb.num_rows)
