@@ -1253,3 +1253,111 @@ def q47(spark, sf_dir):
              .groupBy("event_type", "window_slot")
              .agg(F.count(F.lit(1)).alias("n"))
              .orderBy("event_type", "window_slot"))
+
+
+@_register("q48_exp_histogram_quantile", """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(user_id % 2 AS INT) AS s,
+         CAST(floor(value / 100) AS INT) AS o
+  FROM events),
+tgt AS (SELECT grp, MIN(s) AS ts FROM pts GROUP BY grp),
+expl AS (
+  SELECT p.grp,
+         CAST(floor((p.o + b.k) / pow(2.0, p.s - t.ts)) AS INT) AS idx,
+         CAST(b.k + 1 AS BIGINT) AS cnt
+  FROM pts p JOIN tgt t USING (grp)
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) b),
+bk AS (SELECT grp, idx, CAST(SUM(cnt) AS BIGINT) AS c
+       FROM expl GROUP BY grp, idx),
+tot AS (SELECT p.grp, t.ts,
+               CAST(COUNT(*) AS BIGINT) AS zero_count,
+               (SELECT SUM(c) FROM bk WHERE bk.grp = p.grp) AS pos_total
+        FROM pts p JOIN tgt t USING (grp) GROUP BY p.grp, t.ts),
+ranked AS (
+  SELECT b.grp, b.idx, b.c, t.ts, t.zero_count,
+         SUM(b.c) OVER (PARTITION BY b.grp ORDER BY b.idx) AS cum,
+         0.5 * (t.zero_count + t.pos_total) AS rank
+  FROM bk b JOIN tot t USING (grp)),
+hit AS (
+  SELECT grp, ts, zero_count, rank,
+         MIN(idx) AS idx
+  FROM ranked
+  WHERE rank > zero_count AND cum >= rank - zero_count
+  GROUP BY grp, ts, zero_count, rank),
+est AS (
+  SELECT h.grp,
+         CASE WHEN h.rank <= h.zero_count THEN 0.0
+              ELSE pow(2.0, (h.idx + (h.rank - h.zero_count
+                                      - (r.cum - r.c)) / r.c)
+                            / pow(2.0, h.ts))
+         END AS v
+  FROM hit h JOIN ranked r ON r.grp = h.grp AND r.idx = h.idx)
+SELECT grp, ROUND(v, 4) AS p50_est FROM est ORDER BY grp
+""")
+def q48(spark, sf_dir):
+    """Exponential-histogram QUANTILE estimation — the read side of q36's
+    merge (OTEL exp-histograms are the scale path for latency quantiles;
+    base-2 bucket i of scale s spans (2^(i/2^s), 2^((i+1)/2^s)]).  The
+    median is located in cumulative bucket space (after the zero bucket)
+    and interpolated IN LOG SPACE: v = 2^((idx + frac) / 2^scale) — the
+    standard exp-histogram estimator.
+
+    Runs through the REAL merge operator; the quantile is then a window
+    cumulative over the ~per-series-bucket-count rows the merge emits
+    (small — post-aggregation), with pow/round arithmetic written
+    identically in both engines.
+    """
+    from .metrics import merge_exp_histograms
+    ev = _t(spark, sf_dir, "events")
+    empty_attrs = F.expr("map()")
+    pts = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.lit(4).alias("metric_type"),
+        F.lit(1000).cast("long").alias("start_time_unix_nano"),
+        F.col("event_id").cast("long").alias("time_unix_nano"),
+        empty_attrs.alias("attributes"),
+        empty_attrs.alias("resource_attributes"),
+        (F.col("user_id") % 2).cast("int").alias("scale"),
+        F.lit(1).cast("long").alias("zero_count"),
+        F.lit(3).cast("long").alias("count"),
+        F.floor(F.col("value")).cast("double").alias("sum"),
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        F.floor(F.col("value") / 100).cast("int").alias("positive_offset"),
+        F.expr("array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+         .alias("positive_bucket_counts"),
+        F.lit(None).cast("int").alias("negative_offset"),
+        F.expr("CAST(NULL AS ARRAY<BIGINT>)")
+         .alias("negative_bucket_counts"))
+    m = merge_exp_histograms(pts).select(
+        F.col("metric_name").alias("grp"), "scale", "zero_count",
+        "positive_offset", "positive_bucket_counts")
+    # post-merge rows are tiny (one per series); explode to bucket rows,
+    # locate the rank bucket by cumulative count, interpolate in log space
+    b = m.select(
+        "grp", "scale", "zero_count", "positive_offset",
+        F.posexplode("positive_bucket_counts").alias("i", "c"),
+        F.expr("aggregate(positive_bucket_counts, CAST(0 AS BIGINT), "
+               "(a, x) -> a + x)").alias("pos_total"),
+    ).withColumn("idx", F.col("positive_offset") + F.col("i")) \
+     .filter(F.col("c") > 0)
+    w = Window.partitionBy("grp").orderBy("idx")
+    ranked = (b.withColumn("cum", F.sum("c").over(w))
+                .withColumn("rank",
+                            0.5 * (F.col("zero_count") + F.col("pos_total"))))
+    hit = (ranked.filter((F.col("rank") > F.col("zero_count"))
+                         & (F.col("cum") >= F.col("rank")
+                            - F.col("zero_count")))
+                 .withColumn("rn", F.row_number().over(
+                     Window.partitionBy("grp").orderBy("idx")))
+                 .filter("rn = 1"))
+    v = F.when(
+        F.col("rank") <= F.col("zero_count"), F.lit(0.0)
+    ).otherwise(
+        F.pow(F.lit(2.0),
+              (F.col("idx")
+               + (F.col("rank") - F.col("zero_count")
+                  - (F.col("cum") - F.col("c"))) / F.col("c"))
+              / F.pow(F.lit(2.0), F.col("scale"))))
+    return (hit.select("grp", F.round(v, 4).alias("p50_est"))
+               .orderBy("grp"))
