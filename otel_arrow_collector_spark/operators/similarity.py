@@ -615,3 +615,145 @@ SELECT g.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM gt g LEFT JOIN hits h ON h.q_id = g.q_id
 GROUP BY g.q_id, h.n_hits ORDER BY g.q_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus — dimensionality reduction for the
+# embedding store (the at-scale preprocessing step before IVF/LSH: train
+# on one distributed pass, project as a narrow scan map)
+# ---------------------------------------------------------------------------
+
+_PCA_CACHE: dict = {}
+
+
+def pca_train(spark, sf_dir, k: int = 8):
+    """Train a k-component PCA over ``embeddings`` in ONE distributed
+    pass: each task folds its partition into (n, sum, sum-outer-product)
+    with vectorized numpy (mapInArrow — Arrow batches in, no per-row
+    Python), the driver combines the ~num-partitions tiny partials
+    (64 + 64*64 doubles each), and eigendecomposes the 64x64 covariance
+    locally (the classic big-data PCA split: covariance is distributed,
+    the d x d eigenproblem is driver-trivial for embedding-sized d).
+
+    Deterministic: partials combine by commutative addition, eigh is
+    deterministic, and each component's sign is pinned (first
+    max-magnitude element made positive).  Returns (mean: list[float],
+    components: list[list[float]] k x d, explained_var: list[float]).
+    """
+    import os
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+        n, s, ss = 0, None, None
+        for b in batches:
+            x = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pa.RecordBatch.from_pylist(
+                [{"n": n, "s": s.tolist(), "ss": ss.reshape(-1).tolist()}],
+                schema=pa.schema([pa.field("n", pa.int64()),
+                                  pa.field("s", pa.list_(pa.float64())),
+                                  pa.field("ss", pa.list_(pa.float64()))]))
+
+    rows = emb.mapInArrow(
+        partials, "n bigint, s array<double>, ss array<double>").collect()
+    import numpy as np
+    n = sum(r.n for r in rows)
+    d = len(rows[0].s)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    ss = np.sum([np.array(r.ss).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pin = int(np.argmax(np.abs(v)))
+        if v[pin] < 0:                         # sign convention
+            v = -v
+        comps.append(v.tolist())
+    model = (mean.tolist(), comps, [float(vals[i]) for i in order])
+    _PCA_CACHE[key] = model
+    return model
+
+
+def pca_project(spark, sf_dir, k: int = 8):
+    """Project every embedding onto the trained components — a pure scan
+    map (numpy matmul per Arrow batch; the model rides in the closure as
+    the broadcast pattern, like the IVF centroids).  Output:
+    (vec_id, label, proj array<double> length k)."""
+    mean, comps, _ = pca_train(spark, sf_dir, k)
+
+    def project(batches):
+        import numpy as np
+        import pyarrow as pa
+        m = np.array(mean)
+        c = np.array(comps)                    # k x d
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            x = np.array(b.column("embedding").to_pylist(),
+                         dtype=np.float64) - m
+            p = x @ c.T                        # n x k
+            yield pa.RecordBatch.from_pylist(
+                [{"vec_id": vid, "label": lab, "proj": row.tolist()}
+                 for vid, lab, row in zip(
+                     b.column("vec_id").to_pylist(),
+                     b.column("label").to_pylist(), p)],
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("label", pa.int32()),
+                                  pa.field("proj", pa.list_(pa.float64()))]))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    return emb.mapInArrow(project, "vec_id bigint, label int, "
+                                   "proj array<double>")
+
+
+def pca_fidelity(spark, sf_dir, k: int = 8):
+    """Reconstruction-fidelity accounting for the k-dim store (the PCA
+    twin of embedding_quantize_int8's MSE report): per-corpus mean squared
+    reconstruction error and the explained-variance ratio."""
+    import numpy as np
+    mean, comps, evar = pca_train(spark, sf_dir, k)
+    proj = pca_project(spark, sf_dir, k)
+
+    def recon_err(batches):
+        import pyarrow as pa
+        m = np.array(mean)
+        c = np.array(comps)
+        it = iter(batches)
+        total, n = 0.0, 0
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            p = np.array(b.column("proj").to_pylist(), dtype=np.float64)
+            x = np.array(b.column("embedding").to_pylist(),
+                         dtype=np.float64)
+            err = x - (p @ c + m)
+            total += float((err * err).sum())
+            n += err.size
+        if n:
+            yield pa.RecordBatch.from_pylist(
+                [{"sq_err": total, "n": n}],
+                schema=pa.schema([pa.field("sq_err", pa.float64()),
+                                  pa.field("n", pa.int64())]))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    joined = proj.join(emb, "vec_id").select("proj", "embedding")
+    rows = joined.mapInArrow(recon_err, "sq_err double, n bigint").collect()
+    mse = sum(r.sq_err for r in rows) / max(1, sum(r.n for r in rows))
+    return {"k": k, "mse": mse, "explained_var": evar,
+            "explained_var_sum": float(sum(evar))}

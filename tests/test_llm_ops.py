@@ -586,3 +586,65 @@ def test_ann_recall_in_unit_range_and_consistent(spark):
     for r in rows:
         assert 0 <= r.n_hits <= PROBE_K
         assert abs(r.recall - round(r.n_hits / PROBE_K, 4)) < 1e-9
+
+
+# --- PCA over the embedding corpus -----------------------------------------
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed covariance + driver eigh must equal straight numpy PCA
+    on the collected corpus: same components (up to pinned sign), same
+    projections."""
+    import numpy as np
+    from otel_arrow_collector_spark.operators.similarity import (pca_project,
+                                                                 pca_train)
+    from otel_arrow_collector_spark.sources.tables import load_table
+
+    mean, comps, evar = pca_train(spark, SF_SMALL, k=4)
+    rows = load_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ref_mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(sorted(evar, reverse=True),
+                       sorted(vals[order], reverse=True), atol=1e-7)
+    for got, idx in zip(comps, order):
+        ref = vecs[:, idx]
+        got = np.array(got)
+        # same axis up to sign
+        assert min(np.abs(got - ref).max(), np.abs(got + ref).max()) < 1e-7
+    # projections match numpy
+    proj = {r.vec_id: np.array(r.proj)
+            for r in pca_project(spark, SF_SMALL, k=4).collect()}
+    c = np.array(comps)
+    for r in rows[:20]:
+        want = (np.array(list(r.embedding)) - mean) @ c.T
+        assert np.allclose(proj[r.vec_id], want, atol=1e-9)
+
+
+def test_pca_components_orthonormal_and_deterministic(spark):
+    import numpy as np
+    from otel_arrow_collector_spark.operators.similarity import (_PCA_CACHE,
+                                                                 pca_train)
+    _, comps_a, _ = pca_train(spark, SF_SMALL, k=6)
+    _PCA_CACHE.clear()
+    _, comps_b, _ = pca_train(spark, SF_SMALL, k=6)
+    assert comps_a == comps_b                   # bit-identical rebuild
+    c = np.array(comps_a)
+    assert np.allclose(c @ c.T, np.eye(6), atol=1e-9)
+
+
+def test_pca_fidelity_tracks_dropped_variance(spark):
+    """MSE of a k-dim reconstruction == mean of the dropped eigenvalues
+    (the PCA optimality identity) and decreases with k."""
+    import numpy as np
+    from otel_arrow_collector_spark.operators.similarity import pca_fidelity
+    f4 = pca_fidelity(spark, SF_SMALL, k=4)
+    f16 = pca_fidelity(spark, SF_SMALL, k=16)
+    assert f16["mse"] < f4["mse"]
+    from otel_arrow_collector_spark.operators.similarity import pca_train
+    _, _, evar_all = pca_train(spark, SF_SMALL, k=64)
+    dropped = sum(evar_all[4:]) / 64            # per-element MSE
+    assert f4["mse"] == pytest.approx(dropped, rel=1e-6)
