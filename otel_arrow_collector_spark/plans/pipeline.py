@@ -366,6 +366,16 @@ class PipelineGraph:
         if kind == "pb":
             from ..sources.otlp_pb import write_otlp_pb
             return lambda: write_otlp_pb(df, cfg["path"], cfg["signal"])
+        if kind == "http":
+            # live OTLP/HTTP push (exporters/http_exporter.py): executor-
+            # side POSTs; returns the audit totals dict
+            from ..exporters.http_exporter import export_http_now
+            return lambda: export_http_now(
+                df, cfg["endpoint"], cfg.get("signal", "traces"),
+                token=cfg.get("token"),
+                compress=bool(cfg.get("compress", False)),
+                max_rows_per_request=int(
+                    cfg.get("max_rows_per_request", 8192)))
         if kind == "memory":
             # consumertest.Sink analogue (consumer/consumertest/sink.go:28-56)
             return lambda: df.collect()

@@ -236,6 +236,28 @@ class OtlpHttpReceiver:
         return read_spool(spark, self.spool_dir, signal)
 
 
+def stream_spool(spark, spool_dir: str, signal: str):
+    """CONTINUOUS ingest of the JSON spool as a Structured Streaming file
+    source: new-file discovery is Spark's native streaming contract, so a
+    receiver fleet appending to shared storage feeds one streaming query
+    with checkpointed exactly-once progress (the ack-after-persist rule on
+    the write side + the WAL on the read side compose into the reference's
+    persistent-queue semantics end to end).
+
+    JSON wire only: the line-oriented text source streams naturally; pb
+    spools are batch-ingested via :func:`read_spool` (binaryFile has no
+    streaming reader in this engine's scope)."""
+    from .otlp_json import _READERS
+    if signal not in _READERS:
+        raise NotImplementedError(
+            f"streaming spool ingest for signal {signal!r} "
+            f"(supported: {sorted(_READERS)})")
+    json_dir = os.path.join(spool_dir, f"{signal}_json")
+    raw = (spark.readStream.text(json_dir)
+                .withColumnRenamed("value", "json"))
+    return _READERS[signal](raw)
+
+
 def read_spool(spark, spool_dir: str, signal: str):
     """Ingest an OTLP/HTTP spool directory (both wire formats) into the
     row model — the consumer half of :class:`OtlpHttpReceiver`, also

@@ -279,3 +279,47 @@ def test_http_status_endpoint(spark, rcv):
     assert doc["counters"]["accepted_traces_json"] == 1
     assert doc["pending_files"]["traces"] == 1
     assert _post(rcv, "/v1/traces", b"{}")[0] == 200  # POST still works
+
+
+def test_http_pipeline_exporter_kind(spark, rcv):
+    """kind: http exporter POSTs a pipeline's output to a live endpoint."""
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    td = generate_traces(spark, 6)
+    g = PipelineGraph({
+        "receivers": {"mem": {"kind": "memory"}},
+        "processors": {"errs": {"kind": "filter",
+                                "where": "status_code = 2"}},
+        "exporters": {"push": {"kind": "http", "endpoint": rcv.endpoint,
+                               "signal": "traces",
+                               "max_rows_per_request": 2}},
+        "pipelines": {"traces": {"receivers": ["mem"],
+                                 "processors": ["errs"],
+                                 "exporters": ["push"]}},
+    })
+    stats = g.compile(spark, sources={"mem": td}).run()["traces/push"]
+    assert stats["rows_sent"] == 3 and stats["n_requests"] >= 2
+    assert rcv.read_spool(spark, "traces").count() == 3
+
+
+def test_stream_spool_continuous_ingest(spark, rcv, tmp_path):
+    """Live POSTs land in the spool; a streaming query (file source +
+    checkpoint) ingests them incrementally — only NEW files on resume."""
+    from otel_arrow_collector_spark.sources.http_receiver import stream_spool
+    td = generate_traces(spark, 4)
+    _post(rcv, "/v1/traces", _json_body(td, "traces"))
+    out = str(tmp_path / "spool_out")
+
+    def drain():
+        q = (stream_spool(spark, rcv.spool_dir, "traces")
+             .selectExpr("trace_id", "span_id", "name", "status_code")
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_spool"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert drain().count() == 4
+    _post(rcv, "/v1/traces", _json_body(generate_traces(spark, 2), "traces"))
+    # same checkpoint: only the NEW spool file is replayed (4 + 2, no dup)
+    assert drain().count() == 6
