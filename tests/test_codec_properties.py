@@ -192,3 +192,64 @@ def test_traces_roundtrip_property(rows):
     back = spans_from_otlp_json(spans_to_otlp_json(df))
     assert back.schema.simpleString() == df.schema.simpleString()
     assert _canon(back) == _canon(df)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec properties (pure-Python, no Spark): arbitrary pixels, dims and
+# per-scanline filter choices must round-trip byte-exactly
+# ---------------------------------------------------------------------------
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_arbitrary_pixels(data):
+    from otel_arrow_collector_spark.operators.multimodal import (_png_pixels,
+                                                                 encode_png)
+    w = data.draw(st.integers(1, 9), label="w")
+    h = data.draw(st.integers(1, 9), label="h")
+    pix = bytes(data.draw(
+        st.lists(st.integers(0, 255), min_size=3 * w * h,
+                 max_size=3 * w * h), label="pix"))
+    gw, gh, rgb = _png_pixels(encode_png(pix, w, h))
+    assert (gw, gh) == (w, h) and rgb == pix
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_unfilter_inverts_any_filter_sequence(data):
+    """Forward-filter random scanlines with a RANDOM per-row filter type
+    (0-4) and assert the decoder recovers the pixels — the unfilter is a
+    true inverse for every filter/neighbor combination, not just the
+    fixed pattern in the golden test."""
+    import struct
+    import zlib
+
+    from otel_arrow_collector_spark.operators.multimodal import (_paeth,
+                                                                 _png_chunk,
+                                                                 _png_pixels)
+    w = data.draw(st.integers(1, 6), label="w")
+    h = data.draw(st.integers(1, 6), label="h")
+    nch, stride = 3, 3 * w
+    pix = bytes(data.draw(
+        st.lists(st.integers(0, 255), min_size=stride * h,
+                 max_size=stride * h), label="pix"))
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="f")
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ft in enumerate(filters):
+        line = bytearray(pix[y * stride:(y + 1) * stride])
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: _paeth(left, up, ul)}[ft]
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    assert _png_pixels(png) == (w, h, pix)
