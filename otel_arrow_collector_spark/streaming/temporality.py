@@ -262,3 +262,112 @@ def histogram_merge_stream(points: DataFrame) -> DataFrame:
                   .applyInPandasWithState(
                       _merge_hist, HIST_MERGED_SCHEMA, _HIST_STATE,
                       "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming exponential-histogram merge (the stream twin of q36's operator:
+# cross-batch scale renegotiation, generated_exponentialhistogramdatapoint
+# .go:105-125)
+# ---------------------------------------------------------------------------
+
+EXPHIST_POINT_SCHEMA = StructType([
+    StructField("metric_name", StringType()),
+    StructField("series_fp", StringType()),
+    StructField("time_unix_nano", LongType()),
+    StructField("scale", IntegerType()),
+    StructField("zero_count", LongType()),
+    StructField("count", LongType()),
+    StructField("sum", DoubleType()),
+    StructField("positive_offset", IntegerType()),
+    StructField("positive_bucket_counts", ArrayType(LongType())),
+])
+
+EXPHIST_MERGED_SCHEMA = EXPHIST_POINT_SCHEMA
+
+_EXPHIST_STATE = StructType([
+    StructField("scale", IntegerType()),
+    StructField("zero_count", LongType()),
+    StructField("count", LongType()),
+    StructField("sum", DoubleType()),
+    StructField("t_max", LongType()),
+    StructField("offset", IntegerType()),
+    StructField("buckets_csv", StringType()),
+])
+
+
+def _downscale_py(off: int, counts: list[int],
+                  shift: int) -> tuple[int, list[int]]:
+    """Base-2 downscale by ``shift`` levels: index i -> i >> shift
+    (arithmetic shift, matching the batch operator's _downscale_sql)."""
+    if not counts or shift == 0:
+        return off, list(counts)
+    lo = off >> shift
+    hi = (off + len(counts) - 1) >> shift
+    out = [0] * (hi - lo + 1)
+    for k, c in enumerate(counts):
+        out[((off + k) >> shift) - lo] += c
+    return lo, out
+
+
+def _merge_exphist(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:       # not configured; defensive
+        state.remove()
+        return
+    if state.exists:
+        scale, zero, count, total, t_max, off, csv = state.get
+        buckets = [int(x) for x in csv.split(",")] if csv else []
+    else:
+        scale = t_max = off = None
+        zero, count, total, buckets = 0, 0, 0.0, []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not len(rows):
+        return
+    for r in rows.itertuples(index=False):
+        p_scale = int(r.scale)
+        p_off = int(r.positive_offset)
+        p_counts = [int(x) for x in r.positive_bucket_counts]
+        if scale is None:
+            scale, off, buckets = p_scale, p_off, list(p_counts)
+        else:
+            # renegotiate to the COARSEST scale seen so far
+            tgt = min(scale, p_scale)
+            if tgt < scale:
+                off, buckets = _downscale_py(off, buckets, scale - tgt)
+                scale = tgt
+            p_off, p_counts = _downscale_py(p_off, p_counts, p_scale - tgt)
+            # offset-aligned addition
+            lo = min(off, p_off)
+            hi = max(off + len(buckets), p_off + len(p_counts))
+            merged = [0] * (hi - lo)
+            for i, c in enumerate(buckets):
+                merged[off + i - lo] += c
+            for i, c in enumerate(p_counts):
+                merged[p_off + i - lo] += c
+            off, buckets = lo, merged
+        zero += int(r.zero_count)
+        count += int(r.count)
+        total += float(r.sum) if pd.notna(r.sum) else 0.0
+        ts = int(r.time_unix_nano)
+        t_max = ts if t_max is None or ts > t_max else t_max
+    state.update((scale, zero, count, total, t_max, off,
+                  ",".join(str(x) for x in buckets)))
+    yield pd.DataFrame([dict(metric_name=key[0], series_fp=key[1],
+                             time_unix_nano=t_max, scale=scale,
+                             zero_count=zero, count=count, sum=total,
+                             positive_offset=off,
+                             positive_bucket_counts=buckets)])
+
+
+def exp_histogram_merge_stream(points: DataFrame) -> DataFrame:
+    """Streaming exponential-histogram merge with cross-batch base-2 scale
+    renegotiation (the stream twin of merge_exp_histograms): when a finer
+    point arrives the incoming buckets downscale; when a COARSER point
+    arrives the accumulated state itself downscales — the property a
+    batch window can express but per-batch merging cannot.  One merged
+    snapshot row per series per micro-batch; the final snapshot equals the
+    batch operator's output (the test contract)."""
+    return (points.groupBy("metric_name", "series_fp")
+                  .applyInPandasWithState(
+                      _merge_exphist, EXPHIST_MERGED_SCHEMA, _EXPHIST_STATE,
+                      "append", GroupStateTimeout.NoTimeout))

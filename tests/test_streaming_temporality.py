@@ -285,3 +285,76 @@ def test_histogram_merge_stream_rejects_mixed_bounds(spark, tmp_path):
             q.awaitTermination(180)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_exp_histogram_merge_stream_matches_batch_operator(spark, tmp_path):
+    """Cross-batch scale renegotiation: a COARSER point arriving in a
+    LATER micro-batch must downscale the accumulated state (the hard
+    direction) — final streamed snapshot == batch merge_exp_histograms
+    on the same points."""
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    from otel_arrow_collector_spark.streaming.temporality import (
+        EXPHIST_POINT_SCHEMA, exp_histogram_merge_stream)
+
+    #               ts scale zero cnt  sum   off buckets
+    rows = [("m", "|a", 1, 2,  1,  4,  1.0,  4,  [1, 2, 3]),   # fine
+            ("m", "|a", 2, 1,  1,  3,  2.0,  1,  [5, 6]),      # coarser!
+            ("m", "|a", 3, 0,  2,  5,  3.0, -1,  [7, 8, 9]),   # coarsest
+            ("m", "|b", 1, 3,  0,  2,  4.0,  0,  [1, 1])]
+    df = spark.createDataFrame(
+        [dict(metric_name=m, series_fp=fp, time_unix_nano=ts, scale=s,
+              zero_count=z, count=c, sum=sv, positive_offset=o,
+              positive_bucket_counts=b)
+         for m, fp, ts, s, z, c, sv, o, b in rows], EXPHIST_POINT_SCHEMA)
+    src = tempfile.mkdtemp(prefix="exphist_points_")
+    try:
+        for ts in (1, 2, 3):     # one file per tick -> 3 micro-batches
+            (df.filter(F.col("time_unix_nano") == ts)
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema(EXPHIST_POINT_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (exp_histogram_merge_stream(stream)
+             .writeStream.format("memory").queryName("exphist_stream")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_eh"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.table("exphist_stream")
+        last = {r.series_fp: r for r in
+                got.withColumn("rn", F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("series_fp")
+                    .orderBy(F.col("count").desc())))
+                   .filter("rn = 1").collect()}
+
+        # batch operator on the same points
+        pts = df.selectExpr(
+            "metric_name", "CAST(4 AS INT) AS metric_type",
+            "CAST(0 AS BIGINT) AS start_time_unix_nano", "time_unix_nano",
+            "map('fp', named_struct('s', series_fp, 'i', CAST(NULL AS "
+            "BIGINT), 'd', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS "
+            "BOOLEAN), 'json', CAST(NULL AS STRING))) AS attributes",
+            "CAST(map() AS MAP<STRING, STRUCT<s:STRING,i:BIGINT,d:DOUBLE,"
+            "b:BOOLEAN,json:STRING>>) AS resource_attributes",
+            "scale", "zero_count", "count", "sum",
+            "CAST(NULL AS DOUBLE) AS min", "CAST(NULL AS DOUBLE) AS max",
+            "positive_offset", "positive_bucket_counts",
+            "CAST(NULL AS INT) AS negative_offset",
+            "CAST(NULL AS ARRAY<BIGINT>) AS negative_bucket_counts")
+        batch = {r.attributes["fp"].s: r
+                 for r in merge_exp_histograms(pts).collect()}
+        assert set(last) == set(batch) == {"|a", "|b"}
+        for fp in batch:
+            s, b = last[fp], batch[fp]
+            assert s.scale == b.scale
+            assert s.positive_offset == b.positive_offset
+            assert list(s.positive_bucket_counts) == \
+                list(b.positive_bucket_counts)
+            assert (s.zero_count, s["count"]) == (b.zero_count, b["count"])
+            assert s["sum"] == pytest.approx(b["sum"])
+            assert s.time_unix_nano == b.time_unix_nano
+        # the |a series ends at the coarsest scale seen (0)
+        assert last["|a"].scale == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
