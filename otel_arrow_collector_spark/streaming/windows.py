@@ -44,3 +44,21 @@ def sessionized(events: DataFrame, gap: str = "30 minutes",
               .agg(F.count(F.lit(1)).alias("n_events"))
               .select(key, F.col("sw.start").alias("s_start"),
                       F.col("sw.end").alias("s_end"), "n_events"))
+
+
+def hopping_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes", watermark: str = "2 hours",
+                   ts_col: str = "ts",
+                   key: str = "event_type") -> DataFrame:
+    """Hopping (sliding) windows — the q47 streaming twin.  ``F.window``
+    with a slide replicates each event into size/slide overlapping
+    windows, exactly the explicit explode plan q47 declares in batch;
+    the watermark bounds the open-window state on streams."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"),
+                       F.col(key))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(key, F.col("w.start").alias("w_start"),
+                      F.col("w.end").alias("w_end"), "n"))

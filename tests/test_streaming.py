@@ -237,3 +237,60 @@ def test_sharded_batcher_guard_never_collects_batches(
                                      flush_timeout_ms=3_600_000)
     q = batcher.run(stream, checkpoint=str(tmp_path / "ck8"))
     q.awaitTermination(120)   # raises if the guard called toPandas
+
+
+def test_hopping_counts_stream_matches_batch_and_q47(spark, tmp_path):
+    """The hopping-window streaming twin: streamed counts == batch counts
+    on the same frame, and both agree with q47's explicit explode plan
+    (windows starting on the half-hour grid)."""
+    import shutil
+    import tempfile
+
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    from otel_arrow_collector_spark.sources.tables import load_table
+    from otel_arrow_collector_spark.streaming.windows import hopping_counts
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = hopping_counts(ev, "1 hour", "30 minutes")
+
+    src = tempfile.mkdtemp(prefix="hop_src_")
+    try:
+        ev.select("ts", "event_type", "value") \
+          .coalesce(2).write.mode("append").parquet(src)
+        schema = ev.select("ts", "event_type", "value") \
+                   .limit(0)._jdf.schema().toDDL()
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (hopping_counts(stream, "1 hour", "30 minutes",
+                            watermark="0 seconds")
+             .writeStream.format("memory").queryName("hop_stream")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.table("hop_stream")
+        key = ["event_type", "w_start", "n"]
+        got_set = {tuple(r) for r in got.select(*key).collect()}
+        batch_set = {tuple(r) for r in batch.select(*key).collect()}
+        # append mode withholds windows still open at the final watermark
+        # (w_end > max event time); every EMITTED window must match batch,
+        # and every batch window closed by the watermark must be emitted
+        assert got_set <= batch_set
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        closed = {tuple(r) for r in
+                  batch.filter(F.col("w_end") <= F.lit(max_ts))
+                       .select(*key).collect()}
+        assert closed <= got_set and len(got_set) >= len(closed) > 0
+
+        # agreement with q47's integer half-hour-slot plan: per (type,
+        # slot) the q47 count equals the window starting at slot*30min
+        q47 = {(r.event_type, r.window_slot): r.n
+               for r in QUERIES["q47_hopping_window"](
+                   spark, SF_SMALL).collect()}
+        import calendar
+        for r in got.collect():
+            slot = calendar.timegm(r.w_start.timetuple()) // 1800
+            assert q47[(r.event_type, slot)] == r.n
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
