@@ -60,6 +60,31 @@ def truncate_all(attrs: Column, limit: int) -> Column:
     return F.transform_values(attrs, lambda _, v: F.substring(v, 1, limit))
 
 
+def limit_attributes(attrs: Column, max_entries: int,
+                     priority: tuple = ()) -> Column:
+    """OTTL ``limit()``: cap a map at ``max_entries`` entries, always
+    keeping the ``priority`` keys, then the lexicographically smallest
+    remaining keys.  The reference's limit() keeps whatever its map
+    iteration order yields first (ottlfuncs limit); a total order makes
+    the cap DETERMINISTIC — required for the oracle/equivalence gates.
+    """
+    pri = (F.array(*[F.lit(k) for k in priority]) if priority
+           else F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    def rank(e):
+        return F.when(F.array_contains(pri, e["key"]), 0).otherwise(1)
+
+    def cmp(l, r):  # noqa: E741
+        return (F.when(rank(l) < rank(r), -1)
+                 .when(rank(l) > rank(r), 1)
+                 .when(l["key"] < r["key"], -1)
+                 .when(l["key"] > r["key"], 1)
+                 .otherwise(0))
+
+    entries = F.array_sort(F.map_entries(attrs), cmp)
+    return F.map_from_entries(F.slice(entries, 1, max_entries))
+
+
 def explode_attributes(df: DataFrame, col: str = "attributes",
                        keep: list[str] | None = None) -> DataFrame:
     """Map.Range analogue (pdata/pcommon/map.go:199-207): one row per
@@ -214,6 +239,10 @@ def apply_ottl(df: DataFrame, cfg: dict) -> DataFrame:
     - ``keep``:    [column, ...] — OTTL keep_keys() at record level
     - ``replace_match``: [{column, pattern, replacement}, ...]
     - ``truncate``: {column: max_len}
+    - ``truncate_all``: {map_column: max_len} — OTTL truncate_all() on
+      every value of an attribute map
+    - ``limit``: [{column, max, keep: [priority keys]}, ...] — OTTL
+      limit() with a deterministic total order
     """
     if "where" in cfg:
         df = df.filter(cfg["where"])
@@ -235,4 +264,11 @@ def apply_ottl(df: DataFrame, cfg: dict) -> DataFrame:
                                          rm["pattern"], rm["replacement"]))
     for col, limit in (cfg.get("truncate") or {}).items():
         df = df.withColumn(col, F.substring(F.col(col), 1, int(limit)))
+    for col, limit in (cfg.get("truncate_all") or {}).items():
+        df = df.withColumn(col, truncate_all(F.col(col), int(limit)))
+    for lm in cfg.get("limit") or []:
+        df = df.withColumn(lm["column"],
+                           limit_attributes(F.col(lm["column"]),
+                                            int(lm["max"]),
+                                            tuple(lm.get("keep") or ())))
     return df

@@ -208,3 +208,32 @@ def test_trace_state_put_get_roundtrip_law(spark):
     df, get, put, _ = _ts_df(spark)
     v = df.select(get(put(F.col("ts"), "k", "xyz"), "k").alias("v")).collect()
     assert all(r.v == "xyz" for r in v)
+
+
+def test_limit_attributes_caps_with_priority_keys(spark):
+    """OTTL limit(): priority keys always survive, the rest fill up to
+    max in lexicographic order — deterministic, unlike map iteration."""
+    from otel_arrow_collector_spark.functions.ottl import limit_attributes
+    df = spark.createDataFrame(
+        [({"z": "1", "a": "2", "m": "3", "http.method": "GET",
+           "b": "4"},)], "attrs map<string,string>")
+    out = df.select(limit_attributes(
+        F.col("attrs"), 3, ("http.method",)).alias("a")).first().a
+    assert out == {"http.method": "GET", "a": "2", "b": "4"}
+    # cap larger than the map: identity
+    full = df.select(limit_attributes(
+        F.col("attrs"), 99).alias("a")).first().a
+    assert full == {"z": "1", "a": "2", "m": "3",
+                    "http.method": "GET", "b": "4"}
+
+
+def test_apply_ottl_truncate_all_and_limit(spark):
+    from otel_arrow_collector_spark.functions.ottl import apply_ottl
+    df = spark.createDataFrame(
+        [(1, {"k1": "abcdefgh", "k2": "xy", "k3": "longvalue"})],
+        "id long, attributes map<string,string>")
+    out = apply_ottl(df, {
+        "truncate_all": {"attributes": 4},
+        "limit": [{"column": "attributes", "max": 2, "keep": ["k3"]}],
+    }).first().attributes
+    assert out == {"k3": "long", "k1": "abcd"}
