@@ -1361,3 +1361,38 @@ def q48(spark, sf_dir):
               / F.pow(F.lit(2.0), F.col("scale"))))
     return (hit.select("grp", F.round(v, 4).alias("p50_est"))
                .orderBy("grp"))
+
+
+@_register("q49_ntile_deciles", """
+WITH spend AS (
+  SELECT user_id, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY user_id),
+tiled AS (
+  SELECT user_id, total,
+         NTILE(10) OVER (ORDER BY total DESC, user_id) AS decile
+  FROM spend)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       MIN(total) AS min_total, MAX(total) AS max_total
+FROM tiled GROUP BY decile ORDER BY decile
+""")
+def q49(spark, sf_dir):
+    """Equal-frequency decile bucketing (NTILE) over per-user spend — the
+    cohort-tiering roll-up (and the rank-family window q22 doesn't cover).
+    Total order (total desc, user_id) makes tile membership deterministic.
+
+    Scale note: the NTILE window is global but runs over the PRE-AGGREGATED
+    per-user rows (one row per user, not per event) — the corpus-sized
+    input is reduced by the groupBy before any single-partition work, and
+    the decile summary is a 10-row output.
+    """
+    ev = _t(spark, sf_dir, "events")
+    spend = (ev.groupBy("user_id")
+               .agg(F.round(F.sum("value"), 2).alias("total")))
+    w = Window.orderBy(F.col("total").desc(), "user_id")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (tiled.groupBy("decile")
+                 .agg(F.count(F.lit(1)).alias("n_users"),
+                      F.min("total").alias("min_total"),
+                      F.max("total").alias("max_total"))
+                 .orderBy("decile"))
