@@ -1396,3 +1396,74 @@ def q49(spark, sf_dir):
                       F.min("total").alias("min_total"),
                       F.max("total").alias("max_total"))
                  .orderBy("decile"))
+
+
+@_register("q50_market_share", """
+WITH rev AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         n2.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM region
+  JOIN nation n1   ON n1.n_regionkey = r_regionkey
+  JOIN customer    ON c_nationkey = n1.n_nationkey
+  JOIN orders      ON o_custkey = c_custkey
+  JOIN lineitem    ON l_orderkey = o_orderkey
+  JOIN supplier    ON s_suppkey = l_suppkey
+  JOIN nation n2   ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE')
+SELECT CAST(yr AS INT) AS yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+            AS BIGINT) AS focal_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents
+                      ELSE 0 END) AS DOUBLE)
+             / SUM(cents), 6) AS mkt_share
+FROM rev GROUP BY yr ORDER BY yr
+""")
+def q50(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the seven-table join tree
+    with TWO roles for the nation dim (customer side restricting the
+    market region, supplier side labeling the seller), rolled up to one
+    nation's (NATION_7 — the synthetic corpus has no real country names)
+    revenue share per year.  Exercises dim-role aliasing — the
+    join planner must keep the two nation scans distinct — with every dim
+    broadcast and one fact-fact shuffle.  Integer-cent revenue keeps the
+    share numerator/denominator bit-exact; the final ratio divides two
+    exact BIGINTs identically in both engines.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation")))
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    market = (cust.join(F.broadcast(n1),
+                        cust.c_nationkey == F.col("n1.n_nationkey"))
+                  .join(F.broadcast(region),
+                        F.col("n1.n_regionkey") == region.r_regionkey)
+                  .select("c_custkey"))
+    sellers = sup.join(F.broadcast(n2), sup.s_nationkey == F.col("s_nkey")) \
+                 .select("s_suppkey", "supp_nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(market),
+                   orders.o_custkey == market.c_custkey)
+             .join(F.broadcast(sellers), li.l_suppkey == sellers.s_suppkey)
+             .select(F.year("o_orderdate").alias("yr"), "supp_nation",
+                     cents.alias("cents")))
+    focal = F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                           F.col("cents")).otherwise(F.lit(0)))
+    return (rev.groupBy("yr")
+               .agg(focal.alias("focal_cents"),
+                    F.sum("cents").alias("total_cents"))
+               .select(F.col("yr").cast("int").alias("yr"),
+                       "focal_cents", "total_cents",
+                       F.round(F.col("focal_cents").cast("double")
+                               / F.col("total_cents"), 6)
+                        .alias("mkt_share"))
+               .orderBy("yr"))
