@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q18_interval_join", "q23_topk", "q37_asof_join",
+           "q43_shipping_priority", "q44_local_supplier_volume",
+           "q45_salted_hot_key_join", "q47_hopping_window",
+           "q50_market_share",
            "dedup_minhash_lsh", "dedup_substring", "ann_cosine_topk",
            "embedding_quantize_int8", "pack_sequences",
            "curation_pipeline"]
