@@ -1467,3 +1467,94 @@ def q50(spark, sf_dir):
                                / F.col("total_cents"), 6)
                         .alias("mkt_share"))
                .orderBy("yr"))
+
+
+@_register("q51_pricing_summary", """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS disc_c,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+              AS BIGINT) AS charge_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(price_c) AS BIGINT) AS sum_base_c,
+       CAST(SUM(disc_c) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(charge_c) AS BIGINT) AS sum_charge_c,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(price_c) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM l GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q51(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary report): the canonical wide
+    aggregate — one scan, one hash agg with map-side combine, six
+    aggregates per group.  Money sums in integer cents (per-row ROUND
+    then BIGINT SUM) and averages derived from exact sums / counts so the
+    whole report is bit-exact cross-engine.  l_quantity is
+    integer-valued in the corpus, so its double SUM is order-exact too.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    c = lambda e: F.round(e * 100).cast("long")  # noqa: E731
+    l = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        c(F.col("l_extendedprice")).alias("price_c"),
+        c(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .alias("disc_c"),
+        c(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+          * (F.lit(1) + F.col("l_tax"))).alias("charge_c"))
+    return (l.groupBy("l_returnflag", "l_linestatus")
+             .agg(F.sum("l_quantity").alias("sum_qty"),
+                  F.sum("price_c").alias("sum_base_c"),
+                  F.sum("disc_c").alias("sum_disc_c"),
+                  F.sum("charge_c").alias("sum_charge_c"),
+                  F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6)
+                   .alias("avg_qty"),
+                  F.round(F.sum("price_c").cast("double")
+                          / F.count(F.lit(1)) / 100, 6).alias("avg_price"),
+                  F.count(F.lit(1)).alias("count_order"))
+             .orderBy("l_returnflag", "l_linestatus"))
+
+
+@_register("q52_returned_item_ranking", """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       n_name
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c DESC, c_custkey LIMIT 20
+""")
+def q52(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item customer ranking): facts filtered on
+    both join sides (returnflag on lineitem, a date window on orders),
+    grouped per customer with the nation dim broadcast, global top-20 via
+    TakeOrdered.  Integer-cent revenue for cross-engine exactness.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(F.sum(cents).alias("revenue_c"))
+              .select("c_custkey", "c_name", "revenue_c", "n_name")
+              .orderBy(F.col("revenue_c").desc(), "c_custkey")
+              .limit(20))
