@@ -358,3 +358,76 @@ def test_exp_histogram_merge_stream_matches_batch_operator(spark, tmp_path):
         assert last["|a"].scale == 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_spanmetrics_composition(spark, tmp_path):
+    """Traces stream -> per-micro-batch span_red_metrics (delta
+    histograms) -> histogram_merge_stream (cumulative) == batch
+    span_red_metrics over ALL spans: the traces->metrics connector
+    composes with the stateful merge exactly as the batch path."""
+    from otel_arrow_collector_spark.model.telemetry import generate_traces
+    from otel_arrow_collector_spark.operators.spans import span_red_metrics
+    from otel_arrow_collector_spark.streaming.temporality import (
+        HIST_POINT_SCHEMA, histogram_merge_stream)
+
+    spans = generate_traces(spark, 12)
+    src = tempfile.mkdtemp(prefix="spanmetrics_src_")
+    bounds = [1000.0, 2000.0]
+    try:
+        # 3 span files -> 3 micro-batches
+        for i in range(3):
+            (spans.filter(F.expr(
+                f"pmod(hash(span_id, name, start_time_unix_nano), 3) = {i}"))
+             .coalesce(1).write.mode("append").parquet(src))
+        schema = spans.limit(0)._jdf.schema().toDDL()
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        # foreachBatch: spanmetrics per micro-batch -> append to a delta
+        # point sink consumed by the stateful merge (two-stage pipeline)
+        pts_dir = str(tmp_path / "red_points")
+
+        def to_red(batch_df, batch_id):
+            pts = span_red_metrics(batch_df, bounds_ms=bounds).select(
+                "metric_name",
+                F.expr("concat(attributes['span.name'].s, '|', "
+                       "CAST(attributes['status.code'].i AS STRING))")
+                 .alias("series_fp"),
+                "time_unix_nano", "count", "sum",
+                "explicit_bounds", "bucket_counts")
+            pts.coalesce(1).write.mode("append").parquet(pts_dir)
+
+        q1 = (stream.writeStream.foreachBatch(to_red)
+              .option("checkpointLocation", str(tmp_path / "ckpt_red1"))
+              .trigger(availableNow=True).start())
+        q1.awaitTermination(180)
+
+        merged_stream = (spark.readStream.schema(HIST_POINT_SCHEMA)
+                         .option("maxFilesPerTrigger", 1).parquet(pts_dir))
+        q2 = (histogram_merge_stream(merged_stream)
+              .writeStream.format("memory").queryName("red_merged")
+              .outputMode("append")
+              .option("checkpointLocation", str(tmp_path / "ckpt_red2"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(180)
+
+        last = {r.series_fp: r for r in
+                spark.table("red_merged")
+                     .withColumn("rn", F.row_number().over(
+                         __import__("pyspark.sql.window",
+                                    fromlist=["Window"])
+                         .Window.partitionBy("series_fp")
+                         .orderBy(F.col("count").desc())))
+                     .filter("rn = 1").collect()}
+        batch = {(f"{r.attributes['span.name'].s}|"
+                  f"{r.attributes['status.code'].i}"): r
+                 for r in span_red_metrics(spans, bounds_ms=bounds)
+                     .collect()}
+        assert set(last) == set(batch)
+        for k in batch:
+            assert last[k]["count"] == batch[k]["count"]
+            assert (list(last[k].bucket_counts)
+                    == list(batch[k].bucket_counts))
+            assert last[k]["sum"] == pytest.approx(batch[k]["sum"])
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
