@@ -280,6 +280,8 @@ EXPHIST_POINT_SCHEMA = StructType([
     StructField("sum", DoubleType()),
     StructField("positive_offset", IntegerType()),
     StructField("positive_bucket_counts", ArrayType(LongType())),
+    StructField("negative_offset", IntegerType()),
+    StructField("negative_bucket_counts", ArrayType(LongType())),
 ])
 
 EXPHIST_MERGED_SCHEMA = EXPHIST_POINT_SCHEMA
@@ -290,8 +292,10 @@ _EXPHIST_STATE = StructType([
     StructField("count", LongType()),
     StructField("sum", DoubleType()),
     StructField("t_max", LongType()),
-    StructField("offset", IntegerType()),
-    StructField("buckets_csv", StringType()),
+    StructField("pos_offset", IntegerType()),
+    StructField("pos_csv", StringType()),
+    StructField("neg_offset", IntegerType()),
+    StructField("neg_csv", StringType()),
 ])
 
 
@@ -309,54 +313,87 @@ def _downscale_py(off: int, counts: list[int],
     return lo, out
 
 
+def _csv(buckets: list[int]) -> str:
+    return ",".join(str(x) for x in buckets)
+
+
+def _uncsv(csv: str) -> list[int]:
+    return [int(x) for x in csv.split(",")] if csv else []
+
+
+def _add_aligned(a_off: int, a: list[int], b_off: int,
+                 b: list[int]) -> tuple[int, list[int]]:
+    """Offset-aligned bucket addition (both sides already at one scale)."""
+    if not a:
+        return b_off, list(b)
+    if not b:
+        return a_off, list(a)
+    lo = min(a_off, b_off)
+    hi = max(a_off + len(a), b_off + len(b))
+    out = [0] * (hi - lo)
+    for i, c in enumerate(a):
+        out[a_off + i - lo] += c
+    for i, c in enumerate(b):
+        out[b_off + i - lo] += c
+    return lo, out
+
+
 def _merge_exphist(key: tuple, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:       # not configured; defensive
         state.remove()
         return
     if state.exists:
-        scale, zero, count, total, t_max, off, csv = state.get
-        buckets = [int(x) for x in csv.split(",")] if csv else []
+        (scale, zero, count, total, t_max,
+         p_off_s, p_csv, n_off_s, n_csv) = state.get
+        pos = (p_off_s, _uncsv(p_csv))
+        neg = (n_off_s, _uncsv(n_csv))
     else:
-        scale = t_max = off = None
-        zero, count, total, buckets = 0, 0, 0.0, []
+        scale = t_max = None
+        zero, count, total = 0, 0, 0.0
+        pos, neg = (0, []), (0, [])
     rows = pd.concat(list(pdfs), ignore_index=True)
     if not len(rows):
         return
     for r in rows.itertuples(index=False):
         p_scale = int(r.scale)
-        p_off = int(r.positive_offset)
-        p_counts = [int(x) for x in r.positive_bucket_counts]
+        in_pos = (int(r.positive_offset)
+                  if pd.notna(r.positive_offset) else 0,
+                  [int(x) for x in (r.positive_bucket_counts
+                                    if r.positive_bucket_counts is not None
+                                    else [])])
+        in_neg = (int(r.negative_offset)
+                  if pd.notna(r.negative_offset) else 0,
+                  [int(x) for x in (r.negative_bucket_counts
+                                    if r.negative_bucket_counts is not None
+                                    else [])])
         if scale is None:
-            scale, off, buckets = p_scale, p_off, list(p_counts)
+            scale, pos, neg = p_scale, in_pos, in_neg
         else:
-            # renegotiate to the COARSEST scale seen so far
+            # renegotiate BOTH sides to the COARSEST scale seen so far
             tgt = min(scale, p_scale)
             if tgt < scale:
-                off, buckets = _downscale_py(off, buckets, scale - tgt)
+                pos = _downscale_py(*pos, scale - tgt)
+                neg = _downscale_py(*neg, scale - tgt)
                 scale = tgt
-            p_off, p_counts = _downscale_py(p_off, p_counts, p_scale - tgt)
-            # offset-aligned addition
-            lo = min(off, p_off)
-            hi = max(off + len(buckets), p_off + len(p_counts))
-            merged = [0] * (hi - lo)
-            for i, c in enumerate(buckets):
-                merged[off + i - lo] += c
-            for i, c in enumerate(p_counts):
-                merged[p_off + i - lo] += c
-            off, buckets = lo, merged
+            in_pos = _downscale_py(*in_pos, p_scale - tgt)
+            in_neg = _downscale_py(*in_neg, p_scale - tgt)
+            pos = _add_aligned(*pos, *in_pos)
+            neg = _add_aligned(*neg, *in_neg)
         zero += int(r.zero_count)
         count += int(r.count)
         total += float(r.sum) if pd.notna(r.sum) else 0.0
         ts = int(r.time_unix_nano)
         t_max = ts if t_max is None or ts > t_max else t_max
-    state.update((scale, zero, count, total, t_max, off,
-                  ",".join(str(x) for x in buckets)))
+    state.update((scale, zero, count, total, t_max,
+                  pos[0], _csv(pos[1]), neg[0], _csv(neg[1])))
     yield pd.DataFrame([dict(metric_name=key[0], series_fp=key[1],
                              time_unix_nano=t_max, scale=scale,
                              zero_count=zero, count=count, sum=total,
-                             positive_offset=off,
-                             positive_bucket_counts=buckets)])
+                             positive_offset=pos[0],
+                             positive_bucket_counts=pos[1],
+                             negative_offset=neg[0],
+                             negative_bucket_counts=neg[1])])
 
 
 def exp_histogram_merge_stream(points: DataFrame) -> DataFrame:

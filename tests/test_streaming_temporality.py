@@ -297,16 +297,18 @@ def test_exp_histogram_merge_stream_matches_batch_operator(spark, tmp_path):
     from otel_arrow_collector_spark.streaming.temporality import (
         EXPHIST_POINT_SCHEMA, exp_histogram_merge_stream)
 
-    #               ts scale zero cnt  sum   off buckets
-    rows = [("m", "|a", 1, 2,  1,  4,  1.0,  4,  [1, 2, 3]),   # fine
-            ("m", "|a", 2, 1,  1,  3,  2.0,  1,  [5, 6]),      # coarser!
-            ("m", "|a", 3, 0,  2,  5,  3.0, -1,  [7, 8, 9]),   # coarsest
-            ("m", "|b", 1, 3,  0,  2,  4.0,  0,  [1, 1])]
+    #               ts scale zero cnt  sum   off buckets     noff nbuckets
+    rows = [("m", "|a", 1, 2,  1,  4,  1.0,  4,  [1, 2, 3],  -2, [1, 1]),
+            ("m", "|a", 2, 1,  1,  3,  2.0,  1,  [5, 6],     -1, [2]),
+            ("m", "|a", 3, 0,  2,  5,  3.0, -1,  [7, 8, 9], None, None),
+            ("m", "|b", 1, 3,  0,  2,  4.0,  0,  [1, 1],    None, None)]
     df = spark.createDataFrame(
         [dict(metric_name=m, series_fp=fp, time_unix_nano=ts, scale=s,
               zero_count=z, count=c, sum=sv, positive_offset=o,
-              positive_bucket_counts=b)
-         for m, fp, ts, s, z, c, sv, o, b in rows], EXPHIST_POINT_SCHEMA)
+              positive_bucket_counts=b, negative_offset=no,
+              negative_bucket_counts=nb)
+         for m, fp, ts, s, z, c, sv, o, b, no, nb in rows],
+        EXPHIST_POINT_SCHEMA)
     src = tempfile.mkdtemp(prefix="exphist_points_")
     try:
         for ts in (1, 2, 3):     # one file per tick -> 3 micro-batches
@@ -340,8 +342,7 @@ def test_exp_histogram_merge_stream_matches_batch_operator(spark, tmp_path):
             "scale", "zero_count", "count", "sum",
             "CAST(NULL AS DOUBLE) AS min", "CAST(NULL AS DOUBLE) AS max",
             "positive_offset", "positive_bucket_counts",
-            "CAST(NULL AS INT) AS negative_offset",
-            "CAST(NULL AS ARRAY<BIGINT>) AS negative_bucket_counts")
+            "negative_offset", "negative_bucket_counts")
         batch = {r.attributes["fp"].s: r
                  for r in merge_exp_histograms(pts).collect()}
         assert set(last) == set(batch) == {"|a", "|b"}
@@ -356,6 +357,12 @@ def test_exp_histogram_merge_stream_matches_batch_operator(spark, tmp_path):
             assert s.time_unix_nano == b.time_unix_nano
         # the |a series ends at the coarsest scale seen (0)
         assert last["|a"].scale == 0
+        # negative side merged and downscaled too: scale 2 off -2 [1,1]
+        # -> scale 0 idx {-1}; scale 1 off -1 [2] -> scale 0 idx {-1}
+        ba = batch["|a"]
+        assert last["|a"].negative_offset == ba.negative_offset
+        assert (list(last["|a"].negative_bucket_counts)
+                == list(ba.negative_bucket_counts) == [4])
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
