@@ -60,11 +60,13 @@ class OtlpHttpReceiver:
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, token: str | None = None,
-                 max_pending_files: int = 100_000):
+                 max_pending_files: int = 100_000,
+                 max_body_bytes: int = 64 * 1024 * 1024):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
         self.max_pending_files = max_pending_files
+        self.max_body_bytes = max_body_bytes
         self.counters: dict[str, int] = {}   # obsreport-style
         self._seq = itertools.count()
         self._lock = threading.Lock()
@@ -153,11 +155,18 @@ class OtlpHttpReceiver:
             h.send_header("Retry-After", "1")
             h.end_headers()
             return
+        n = int(h.headers.get("Content-Length", 0))
+        if n > self.max_body_bytes:
+            # the reference caps request size (confighttp max_request_body_
+            # size); reject BEFORE reading the body
+            self._count(f"refused_too_large_{signal}")
+            return self._plain(h, 413, b"request body too large")
         try:
-            n = int(h.headers.get("Content-Length", 0))
             body = h.rfile.read(n)
             if h.headers.get("Content-Encoding", "").lower() == "gzip":
                 body = gzip.decompress(body)
+                if len(body) > self.max_body_bytes:
+                    raise ValueError("decompressed body exceeds limit")
             payload = self._validate(body, signal, wire)
         except Exception as e:                   # malformed -> 400, no spool
             self._count(f"refused_bad_payload_{signal}")

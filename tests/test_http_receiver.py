@@ -323,3 +323,23 @@ def test_stream_spool_continuous_ingest(spark, rcv, tmp_path):
     _post(rcv, "/v1/traces", _json_body(generate_traces(spark, 2), "traces"))
     # same checkpoint: only the NEW spool file is replayed (4 + 2, no dup)
     assert drain().count() == 6
+
+
+def test_http_body_size_limit(spark, tmp_path):
+    """Oversized requests refuse with 413 before the body is read; a
+    gzip bomb is caught after decompression (confighttp
+    max_request_body_size parity)."""
+    import gzip as _gzip
+    rcv = OtlpHttpReceiver(str(tmp_path / "sz_spool"), max_body_bytes=1000)
+    rcv.start()
+    try:
+        assert _post(rcv, "/v1/traces", b"x" * 2000)[0] == 413
+        bomb = _gzip.compress(b'{"pad": "' + b"a" * 5000 + b'"}')
+        assert len(bomb) < 1000
+        status, _ = _post(rcv, "/v1/traces", bomb,
+                          headers={"Content-Encoding": "gzip"})
+        assert status == 400                 # caught post-inflate
+        assert _post(rcv, "/v1/traces", b'{"resourceSpans":[]}')[0] == 200
+        assert rcv.counters["refused_too_large_traces"] == 1
+    finally:
+        rcv.stop()
