@@ -1558,3 +1558,43 @@ def q52(spark, sf_dir):
               .select("c_custkey", "c_name", "revenue_c", "n_name")
               .orderBy(F.col("revenue_c").desc(), "c_custkey")
               .limit(20))
+
+
+@_register("q53_large_volume_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+SELECT c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
+""")
+def q53(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): a semi-join driven by an
+    AGGREGATED subquery — the qualifying-key set is itself a groupBy
+    HAVING over the fact table, then the fact re-joins against it.  The
+    two lineitem scans share one shuffle key (l_orderkey), so at scale
+    the qualifier and the re-aggregation co-partition; the qualifying set
+    is small (heavy-hitter orders) and broadcasts.  l_quantity is
+    integer-valued in the corpus — exact double sums.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("q"))
+             .filter(F.col("q") > 150)
+             .select("l_orderkey"))
+    return (li.join(F.broadcast(big), "l_orderkey")
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .groupBy("c_custkey", "o_orderkey", "o_orderdate",
+                       F.round("o_totalprice", 2).alias("o_totalprice"))
+              .agg(F.sum("l_quantity").alias("total_qty"))
+              .orderBy(F.col("total_qty").desc(), "o_orderkey")
+              .limit(20))
