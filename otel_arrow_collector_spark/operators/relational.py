@@ -1598,3 +1598,35 @@ def q53(spark, sf_dir):
               .agg(F.sum("l_quantity").alias("total_qty"))
               .orderBy(F.col("total_qty").desc(), "o_orderkey")
               .limit(20))
+
+
+@_register("q54_order_priority_check", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q54(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): a correlated EXISTS
+    whose predicate mixes the equi-key with an INEQUALITY against the
+    outer row (late shipment: l_shipdate > o_orderdate + 60 days) —
+    Spark expresses it as a LEFT SEMI join with the inequality as a
+    residual join condition, so the plan stays a single hash semi-join
+    on l_orderkey (no row-at-a-time subquery execution).
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate")
+               + F.expr("INTERVAL 60 DAY")),
+        "left_semi"))
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .orderBy("o_orderpriority"))
