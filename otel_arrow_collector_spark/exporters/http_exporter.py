@@ -33,6 +33,25 @@ from .retry import (PermanentError, RetryConfig, RetrySender, ThrottleError,
 
 _RETRYABLE = {429, 502, 503, 504}
 
+
+def _parse_retry_after(ra: str) -> float | None:
+    """RFC 9110 Retry-After: delta-seconds or an HTTP-date; None if
+    neither parses (caller degrades to ordinary transient backoff)."""
+    try:
+        return max(0.0, float(ra))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime as _dt
+        when = parsedate_to_datetime(ra)
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=_dt.timezone.utc)
+        now = _dt.datetime.now(_dt.timezone.utc)
+        return max(0.0, (when - now).total_seconds())
+    except (ValueError, TypeError):
+        return None
+
 RESULT_SCHEMA = StructType([
     StructField("endpoint", StringType()),
     StructField("rows_sent", LongType()),
@@ -61,7 +80,14 @@ def _post_once(host: str, port: int, path: str, body: bytes,
         if resp.status in _RETRYABLE:
             ra = resp.getheader("Retry-After")
             if resp.status in (429, 503) and ra is not None:
-                raise ThrottleError(f"HTTP {resp.status}", float(ra))
+                delay = _parse_retry_after(ra)
+                if delay is not None:
+                    raise ThrottleError(f"HTTP {resp.status}", delay)
+                # unparsable Retry-After degrades to ordinary backoff
+                # instead of escaping the typed error chain and failing
+                # the whole Spark task
+                raise TransientError(
+                    f"HTTP {resp.status} (unparsed Retry-After)")
             raise TransientError(f"HTTP {resp.status}")
         raise PermanentError(f"HTTP {resp.status}: non-retryable")
     except (ConnectionError, OSError) as e:   # transport errors retry

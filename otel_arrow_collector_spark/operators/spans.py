@@ -109,10 +109,13 @@ def span_red_metrics(spans: DataFrame,
     lo = [0.0] + bounds
     hi = bounds + [None]
     bucket_cols = []
+    # OTLP explicit-bounds buckets are upper-INCLUSIVE: (a, b]
+    # (metrics.pb.go:1081-1091 "Histogram buckets are inclusive of their
+    # upper boundary"); bucket 0 = dur <= bounds[0], last = dur > bounds[-1].
     for i, (a, b) in enumerate(zip(lo, hi)):
-        cond = (F.col("dur_ms") < F.lit(b)) if i == 0 else (
-            (F.col("dur_ms") >= F.lit(a)) if b is None else
-            (F.col("dur_ms") >= F.lit(a)) & (F.col("dur_ms") < F.lit(b)))
+        cond = (F.col("dur_ms") <= F.lit(b)) if i == 0 else (
+            (F.col("dur_ms") > F.lit(a)) if b is None else
+            (F.col("dur_ms") > F.lit(a)) & (F.col("dur_ms") <= F.lit(b)))
         bucket_cols.append(
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"b{i}"))
     agg = (d.groupBy("name", "status_code")

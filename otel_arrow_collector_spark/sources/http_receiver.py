@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import gzip
 import itertools
+import zlib
 import json
 import os
 import threading
@@ -44,6 +45,33 @@ _SIGNALS = ("traces", "logs", "metrics")
 
 #: URL path -> signal (otlp.go registers exactly these three).
 _ROUTES = {f"/v1/{s}": s for s in _SIGNALS}
+
+
+def _gunzip_capped(data: bytes, cap: int, chunk: int = 1 << 20) -> bytes:
+    """Inflate gzip `data`, rejecting as soon as output exceeds `cap`.
+
+    confighttp caps bytes read from the *decompressed* stream incrementally
+    (config/confighttp compression.go wraps the body in a limited reader);
+    a one-shot gzip.decompress() would materialize an arbitrarily large
+    bomb before any size check runs. wbits=47 accepts gzip and zlib
+    framing, matching stdlib gzip tolerance.
+    """
+    d = zlib.decompressobj(wbits=47)
+    out: list[bytes] = []
+    total = 0
+    buf = data
+    while True:
+        piece = d.decompress(buf, chunk)
+        total += len(piece)
+        if total > cap:
+            raise ValueError("decompressed body exceeds limit")
+        out.append(piece)
+        buf = d.unconsumed_tail
+        if d.eof:
+            break
+        if not buf and not piece:
+            raise ValueError("truncated gzip body")
+    return b"".join(out)
 
 
 class OtlpHttpReceiver:
@@ -164,9 +192,7 @@ class OtlpHttpReceiver:
         try:
             body = h.rfile.read(n)
             if h.headers.get("Content-Encoding", "").lower() == "gzip":
-                body = gzip.decompress(body)
-                if len(body) > self.max_body_bytes:
-                    raise ValueError("decompressed body exceeds limit")
+                body = _gunzip_capped(body, self.max_body_bytes)
             payload = self._validate(body, signal, wire)
         except Exception as e:                   # malformed -> 400, no spool
             self._count(f"refused_bad_payload_{signal}")

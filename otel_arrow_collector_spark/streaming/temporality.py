@@ -148,7 +148,12 @@ def _rate(key: tuple, pdfs: Iterator[pd.DataFrame],
             rate = dv / ((ts - last_ts) / 1e9)
         out.append(dict(metric_name=key[0], series_fp=key[1],
                         time_unix_nano=ts, rate_per_s=rate))
-        last_ts, last_v = ts, v
+        # late/duplicate points (ts <= last_ts) yield NULL above and must
+        # NOT regress the stored previous point — otherwise the next
+        # in-order point computes its rate over the wrong interval and a
+        # stale lower value reads as a counter reset
+        if last_ts is None or ts > last_ts:
+            last_ts, last_v = ts, v
     state.update((last_ts, last_v))
     yield pd.DataFrame(out)
 
@@ -233,6 +238,12 @@ def _merge_hist(key: tuple, pdfs: Iterator[pd.DataFrame],
             raise ValueError(
                 f"series {key} mixes explicit_bounds {b} vs {bounds}; "
                 f"re-bucket before merging")
+        if len(c) != len(buckets):
+            # same bounds but malformed count array: zip() would silently
+            # truncate and drop counts — fail loudly like the bounds check
+            raise ValueError(
+                f"series {key} bucket_counts length {len(c)} != "
+                f"{len(buckets)} (expected len(bounds)+1)")
         buckets = [a + x for a, x in zip(buckets, c)]
         count += int(r.count)
         total += float(r.sum) if pd.notna(r.sum) else 0.0
