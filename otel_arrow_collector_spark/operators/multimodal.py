@@ -129,18 +129,50 @@ def decode_features(df):
 
 
 def multimodal_decode_stub(spark, sf_dir):
-    """Decode+aggregate: fake features per payload, then a relational
-    roll-up (the post-decode half is ordinary Spark)."""
+    """Per-doc fake-decode features.  The stub decode is a DETERMINISTIC
+    pure function of the payload bytes (geometry from n_bytes, luma from
+    the first 64 bytes), so the whole mapInPandas path is oracle-gated:
+    the DuckDB twin recomputes every stat from ``text`` with hex-digit
+    byte extraction — no weak rows-only check needed."""
     feats = decode_features(_binary_docs(spark, sf_dir))
-    return (feats.groupBy("format")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("n_bytes").alias("total_bytes"),
-                      F.avg("width").alias("avg_width"))
-                 .orderBy("format"))
+    return (feats.select(
+                "doc_id",
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+                F.col("width").cast("long").alias("width"),
+                F.col("height").cast("long").alias("height"),
+                F.col("n_frames").cast("long").alias("n_frames"),
+                F.col("mean_luma").cast("long").alias("mean_luma"),
+                "format")
+             .orderBy("doc_id").limit(200))
 
 
 QUERIES["multimodal_decode_stub"] = multimodal_decode_stub
-# no oracle: mapInPandas decode is not SQL-expressible -> rows-only check
+# DuckDB twin of _fake_decode: byte values recovered from hex() pairs via
+# strpos on the hex alphabet (payload == encode(text) here)
+ORACLES["multimodal_decode_stub"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents ORDER BY doc_id LIMIT 200
+),
+b AS (
+  SELECT d.doc_id,
+         (strpos('0123456789ABCDEF', substr(d.hx, g.i*2+1, 1))-1)*16
+       + (strpos('0123456789ABCDEF', substr(d.hx, g.i*2+2, 1))-1) AS bv
+  FROM docs d, generate_series(0, 63) AS g(i)
+  WHERE g.i < d.n
+),
+luma AS (SELECT doc_id, SUM(bv) % 256 AS mean_luma FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT)                AS n_bytes,
+       CAST(64 + d.n % 577 AS BIGINT)     AS width,
+       CAST(64 + (d.n * 7) % 421 AS BIGINT) AS height,
+       CAST(1 + d.n % 5 AS BIGINT)        AS n_frames,
+       CAST(COALESCE(l.mean_luma, 0) AS BIGINT) AS mean_luma,
+       'fake/deterministic'               AS format
+FROM docs d LEFT JOIN luma l USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -441,20 +473,69 @@ def decode_media(df):
 
 
 def multimodal_decode_real(spark, sf_dir):
-    """End-to-end REAL media path: synthesize genuine BMP/WAV files from
-    the corpus, decode them with the stdlib codecs, aggregate per format.
-    (rows-only check: binary parse is not SQL-expressible)."""
-    docs = load_table(spark, sf_dir, "documents").limit(400)
+    """End-to-end REAL media path, per-doc and fully oracle-gated:
+    synthesize genuine BMP/WAV/PNG payloads from the corpus, decode them
+    with the stdlib codecs, emit per-doc geometry + signal stats.
+
+    Because ``synthesize_media`` derives every payload deterministically
+    from ``text`` (pixels/samples are seed-cycled utf-8 bytes), the
+    decoded stats are pure functions of the text: the DuckDB twin
+    recomputes them with hex-digit byte extraction — the full
+    encode->binary->decode round trip is value-checked, not just
+    rows-counted.  (n_bytes is intentionally omitted: the PNG size goes
+    through zlib and is not SQL-expressible; it's covered by the codec
+    round-trip tests instead.)"""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(400)
     feats = decode_media(synthesize_media(docs))
-    return (feats.groupBy("format")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("n_bytes").cast("long").alias("total_bytes"),
-                      F.avg("mean_luma").alias("avg_signal"))
-                 .orderBy("format"))
+    return feats.select(
+        "doc_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("mean_luma").cast("long").alias("mean_signal"))
 
 
 QUERIES["multimodal_decode_real"] = multimodal_decode_real
-# no oracle: binary media parsing is not SQL-expressible -> rows-only check
+# DuckDB twin of synthesize->decode: BMP/PNG luma = mean of per-pixel
+# (b0+b1+b2)//3 over 192 seed-cycled bytes; WAV amp = mean |(b-128)*256|
+# over 64 samples (decode_bmp/decode_png/decode_wav above)
+ORACLES["multimodal_decode_real"] = """
+WITH docs AS (
+  SELECT doc_id, doc_id % 3 AS kind, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 400
+),
+b AS (  -- seed-cycled byte stream: hex() pairs -> integer byte values
+  SELECT d.doc_id, d.kind, g.i, g.i // 3 AS px,
+         (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+1, 1))-1)*16
+       + (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+2, 1))-1) AS bv
+  FROM docs d, generate_series(0, 191) AS g(i)
+  WHERE g.i < CASE WHEN d.kind = 1 THEN 64 ELSE 192 END
+),
+px AS (  -- per-pixel integer luma for the two image kinds
+  SELECT doc_id, px, SUM(bv) // 3 AS luma
+  FROM b WHERE kind <> 1 GROUP BY doc_id, px
+),
+sig AS (
+  SELECT doc_id, SUM(luma) // 64 AS s FROM px GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, SUM(ABS((bv - 128) * 256)) // 64 FROM b
+  WHERE kind = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE d.kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+              ELSE 'image/png' END                    AS format,
+  CAST(CASE WHEN d.kind <> 1 THEN 8 END AS BIGINT)    AS width,
+  CAST(CASE WHEN d.kind <> 1 THEN 8 END AS BIGINT)    AS height,
+  CAST(CASE WHEN d.kind = 1 THEN 8000 END AS BIGINT)  AS sample_rate,
+  CAST(CASE WHEN d.kind = 1 THEN 64 END AS BIGINT)    AS n_samples,
+  CAST(CASE WHEN d.kind = 1 THEN 8 END AS BIGINT)     AS duration_ms,
+  CAST(s.s AS BIGINT)                                 AS mean_signal
+FROM docs d JOIN sig s USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
