@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -204,14 +205,16 @@ def decode_bmp(payload: bytes) -> dict:
     if bpp != 24:
         raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
     row_size = (3 * width + 3) // 4 * 4
-    total = luma = 0
-    for y in range(abs(height)):
-        base = pix_off + y * row_size
-        for x in range(width):
-            b_, g, r = payload[base + 3 * x:base + 3 * x + 3]
-            luma += (r + g + b_) // 3
-            total += 1
-    return {"format": "image/bmp", "width": width, "height": abs(height),
+    h = abs(height)
+    arr = np.frombuffer(payload, np.uint8, count=h * row_size,
+                        offset=pix_off)
+    px = (arr.reshape(h, row_size)[:, :3 * width]
+             .reshape(h, width, 3).astype(np.int64))
+    # per-pixel integer luma (b+g+r)//3, then integer mean — exactly the
+    # scalar formula, vectorized
+    luma = int((px.sum(axis=2) // 3).sum())
+    total = h * width
+    return {"format": "image/bmp", "width": width, "height": h,
             "mean_luma": luma // max(1, total), "sample_rate": None,
             "n_samples": None, "duration_ms": None}
 
@@ -230,14 +233,12 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
     row_size = (3 * width + 3) // 4 * 4
     h = abs(height)
-    out = bytearray()
-    for y in range(h):
-        src_y = h - 1 - y if height > 0 else y
-        base = pix_off + src_y * row_size
-        for x in range(width):
-            b_, g, r = payload[base + 3 * x:base + 3 * x + 3]
-            out += bytes((r, g, b_))
-    return width, h, bytes(out)
+    arr = np.frombuffer(payload, np.uint8, count=h * row_size,
+                        offset=pix_off)
+    px = arr.reshape(h, row_size)[:, :3 * width].reshape(h, width, 3)
+    if height > 0:              # bottom-up storage -> flip to top-down
+        px = px[::-1]
+    return width, h, np.ascontiguousarray(px[..., ::-1]).tobytes()  # BGR->RGB
 
 
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
@@ -267,8 +268,8 @@ def decode_wav(payload: bytes) -> dict:
     if bits != 16:
         raise NotImplementedError(f"only PCM16 WAV supported, got {bits}")
     n = len(data) // 2
-    amps = struct.unpack(f"<{n}h", data[:2 * n]) if n else ()
-    mean_amp = sum(abs(a) for a in amps) // max(1, n)
+    amps = np.frombuffer(data, "<i2", count=n).astype(np.int64)
+    mean_amp = int(np.abs(amps).sum()) // max(1, n)
     return {"format": "audio/wav", "width": None, "height": None,
             "mean_luma": mean_amp, "sample_rate": rate, "n_samples": n,
             "duration_ms": n * 1000 // max(1, rate)}
@@ -344,42 +345,49 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     nch = {0: 1, 2: 3, 6: 4}[color]
-    raw = zlib.decompress(idat)
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     stride = nch * w
-    prev = bytearray(stride)
-    out = bytearray()
-    pos = 0
-    for _y in range(h):
-        ft = raw[pos]
-        line = bytearray(raw[pos + 1:pos + 1 + stride])
-        pos += 1 + stride
-        if ft == 1:                                    # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG pixel data truncated")
+    lines = raw[:h * (1 + stride)].reshape(h, 1 + stride)
+    # unfilter vectorized where the recurrence allows: Up is elementwise,
+    # Sub is a per-channel prefix sum mod 256; Average is sequential in
+    # the left neighbor (per-pixel channel-vector steps); Paeth stays a
+    # per-row scalar loop (data-dependent predictor).
+    img = np.empty((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int64)
+        if ft == 0:                                    # None
+            line = cur
+        elif ft == 1:                                  # Sub: prefix sum
+            line = cur.reshape(w, nch).cumsum(axis=0).reshape(stride) & 0xFF
         elif ft == 2:                                  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            line = (cur + prev) & 0xFF
         elif ft == 3:                                  # Average
-            for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            line = np.empty(stride, np.int64)
+            left = np.zeros(nch, np.int64)
+            for i in range(0, stride, nch):
+                left = (cur[i:i + nch]
+                        + (left + prev[i:i + nch]) // 2) & 0xFF
+                line[i:i + nch] = left
         elif ft == 4:                                  # Paeth
+            lst, pv = cur.tolist(), prev.tolist()
             for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft}")
-        prev = line
-        if nch == 1:
-            for v in line:
-                out += bytes((v, v, v))
-        elif nch == 3:
-            out += line
+                left = lst[i - nch] if i >= nch else 0
+                ul = pv[i - nch] if i >= nch else 0
+                lst[i] = (lst[i] + _paeth(left, pv[i], ul)) & 0xFF
+            line = np.asarray(lst, np.int64)
         else:
-            for i in range(0, stride, 4):
-                out += line[i:i + 3]
-    return w, h, bytes(out)
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[y] = prev = line
+    flat = img.astype(np.uint8).reshape(-1)
+    if nch == 1:                                       # gray -> RGB
+        flat = np.repeat(flat, 3)
+    elif nch == 4:                                     # RGBA -> drop alpha
+        flat = np.ascontiguousarray(flat.reshape(-1, 4)[:, :3]).reshape(-1)
+    return w, h, flat.tobytes()
 
 
 def decode_png(payload: bytes) -> dict:
@@ -387,8 +395,8 @@ def decode_png(payload: bytes) -> dict:
     ((r+g+b)//3 per pixel, averaged — same stat as ``decode_bmp``)."""
     w, h, rgb = _png_pixels(payload)
     n = w * h
-    luma = sum((rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
-               for i in range(n))
+    px = np.frombuffer(rgb, np.uint8).reshape(n, 3).astype(np.int64)
+    luma = int((px.sum(axis=1) // 3).sum())
     return {"format": "image/png", "width": w, "height": h,
             "mean_luma": luma // max(1, n), "sample_rate": None,
             "n_samples": None, "duration_ms": None}
@@ -577,14 +585,10 @@ def resize_images(df, width: int = 32, height: int = 32):
             thumbs = []
             for p in pdf["payload"]:
                 sw, sh, rgb = _image_pixels(bytes(p))
-                acc = bytearray()
-                for y in range(height):
-                    sy = y * sh // height
-                    row_off = 3 * sy * sw
-                    for x in range(width):
-                        o = row_off + 3 * (x * sw // width)
-                        acc += rgb[o:o + 3]
-                thumbs.append(bytes(acc))
+                a = np.frombuffer(rgb, np.uint8).reshape(sh, sw, 3)
+                ys = np.arange(height) * sh // height
+                xs = np.arange(width) * sw // width
+                thumbs.append(a[ys][:, xs].tobytes())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
                 "width": width, "height": height,

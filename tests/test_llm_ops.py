@@ -648,3 +648,27 @@ def test_pca_fidelity_tracks_dropped_variance(spark):
     _, _, evar_all = pca_train(spark, SF_SMALL, k=64)
     dropped = sum(evar_all[4:]) / 64            # per-element MSE
     assert f4["mse"] == pytest.approx(dropped, rel=1e-6)
+
+
+def test_image_codec_vectorized_speed():
+    """The numpy unfilter/luma path decodes a 256x256 PNG in milliseconds;
+    the scalar per-byte loops it replaced took hundreds of ms.  A generous
+    100 ms budget fails loudly if someone reverts to per-byte Python."""
+    import time
+
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.multimodal import (decode_bmp,
+                                                                 decode_png,
+                                                                 encode_bmp,
+                                                                 encode_png)
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, 3 * 256 * 256, dtype=np.uint8).tobytes()
+    png, bmp = encode_png(pix, 256, 256), encode_bmp(pix, 256, 256)
+    t0 = time.perf_counter()
+    fp = decode_png(png)
+    fb = decode_bmp(bmp)
+    dt = time.perf_counter() - t0
+    assert (fp["width"], fp["height"]) == (256, 256)
+    assert fp["mean_luma"] == fb["mean_luma"]   # same pixels, same stat
+    assert dt < 0.1, f"decode took {dt*1e3:.0f} ms — vectorization regressed"
