@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import gzip as _gzip
 import http.client
+import ssl
 import urllib.parse
 
 from pyspark.sql import DataFrame
@@ -62,7 +63,7 @@ RESULT_SCHEMA = StructType([
 
 def _post_once(host: str, port: int, path: str, body: bytes,
                token: str | None, compress: bool,
-               timeout_s: float) -> None:
+               timeout_s: float, ssl_ctx=None) -> None:
     """One POST; raises the retry-chain's typed errors on failure."""
     headers = {"Content-Type": "application/x-protobuf"}
     if token is not None:
@@ -70,7 +71,11 @@ def _post_once(host: str, port: int, path: str, body: bytes,
     if compress:
         body = _gzip.compress(body)
         headers["Content-Encoding"] = "gzip"
-    conn = http.client.HTTPConnection(host, port, timeout=timeout_s)
+    if ssl_ctx is not None:
+        conn = http.client.HTTPSConnection(host, port, timeout=timeout_s,
+                                           context=ssl_ctx)
+    else:
+        conn = http.client.HTTPConnection(host, port, timeout=timeout_s)
     try:
         conn.request("POST", path, body, headers)
         resp = conn.getresponse()
@@ -90,6 +95,10 @@ def _post_once(host: str, port: int, path: str, body: bytes,
                     f"HTTP {resp.status} (unparsed Retry-After)")
             raise TransientError(f"HTTP {resp.status}")
         raise PermanentError(f"HTTP {resp.status}: non-retryable")
+    except ssl.SSLCertVerificationError as e:
+        # an untrusted peer cert is a deployment misconfiguration, not a
+        # transient fault — retrying cannot heal it (configtls contract)
+        raise PermanentError(f"TLS verification failed: {e}") from e
     except (ConnectionError, OSError) as e:   # transport errors retry
         raise TransientError(f"connection failed: {e}") from e
     finally:
@@ -99,11 +108,16 @@ def _post_once(host: str, port: int, path: str, body: bytes,
 def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
                 *, token: str | None = None, compress: bool = False,
                 max_rows_per_request: int = 8192,
-                retry_config: RetryConfig | None = None) -> DataFrame:
+                retry_config: RetryConfig | None = None,
+                tls=None) -> DataFrame:
     """Build the export stage: one POST per ``max_rows_per_request`` rows
     per partition against ``endpoint`` + /v1/<signal>.  Lazy — returns the
     per-task result DataFrame; triggering it (count/collect/write) runs
     the export.  Use :func:`export_http_now` for the eager audit totals.
+
+    ``tls`` is a :class:`~otel_arrow_collector_spark.tls.TLSConfig` (file
+    paths only, so it pickles into the executor closure; the SSLContext is
+    built task-side).  Required for https:// endpoints.
     """
     from ..sources.otlp_pb import _SCHEMAS, _plainify, encode_request
     if signal not in _SCHEMAS:
@@ -111,15 +125,22 @@ def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
             f"OTLP/HTTP export for signal {signal!r} "
             f"(supported: {sorted(_SCHEMAS)})")
     u = urllib.parse.urlparse(endpoint)
-    if u.scheme != "http" or u.hostname is None:
-        raise ValueError(f"endpoint must be http://host:port, got {endpoint!r}")
-    host, port = u.hostname, u.port or 80
+    if u.scheme not in ("http", "https") or u.hostname is None:
+        raise ValueError(
+            f"endpoint must be http(s)://host:port, got {endpoint!r}")
+    if u.scheme == "https" and tls is None:
+        from ..tls import TLSConfig
+        tls = TLSConfig()                    # system trust roots
+    if u.scheme == "http":
+        tls = None                           # no TLS over plain http
+    host, port = u.hostname, u.port or (443 if u.scheme == "https" else 80)
     path = (u.path.rstrip("/") or "") + f"/v1/{signal}"
     schema = _SCHEMAS[signal]
     cfg = retry_config or RetryConfig()
 
     def send_partition(batches):
         import pyarrow as pa
+        ssl_ctx = tls.client_context() if tls is not None else None
         rows: list[dict] = []
         for batch in batches:
             for rec in batch.to_pylist():
@@ -132,7 +153,7 @@ def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
             nonlocal attempts
             attempts += 1
             _post_once(host, port, path, body, token, compress,
-                       cfg.attempt_timeout_s)
+                       cfg.attempt_timeout_s, ssl_ctx)
 
         sender = RetrySender(push, cfg, signal=signal)
         for i in range(0, len(rows), max_rows_per_request):

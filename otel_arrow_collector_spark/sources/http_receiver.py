@@ -89,10 +89,12 @@ class OtlpHttpReceiver:
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, token: str | None = None,
                  max_pending_files: int = 100_000,
-                 max_body_bytes: int = 64 * 1024 * 1024):
+                 max_body_bytes: int = 64 * 1024 * 1024,
+                 tls=None):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
+        self.tls = tls                       # TLSConfig | None (configtls)
         self.max_pending_files = max_pending_files
         self.max_body_bytes = max_body_bytes
         self.counters: dict[str, int] = {}   # obsreport-style
@@ -121,6 +123,15 @@ class OtlpHttpReceiver:
         class Handler(BaseHTTPRequestHandler):
             daemon_threads = True
 
+            def setup(self):
+                # TLS handshake runs HERE (handler thread), not in the
+                # accept loop: socketserver silently swallows OSErrors in
+                # get_request, but a setup() failure routes through
+                # handle_error -> the refusal counter
+                if receiver.tls is not None:
+                    self.request.do_handshake()
+                super().setup()
+
             def log_message(self, *a):          # keep test output quiet
                 pass
 
@@ -130,8 +141,19 @@ class OtlpHttpReceiver:
             def do_GET(self):                   # noqa: N802 (stdlib name)
                 receiver._handle_status(self)
 
-        self._server = ThreadingHTTPServer((self.host, self._port), Handler)
+        class Server(ThreadingHTTPServer):
+            def handle_error(self, request, client_address):
+                # TLS handshake failures from unauthorized clients are an
+                # expected refusal path, not a server crash — count, don't
+                # spew tracebacks
+                receiver._count("refused_tls_handshake")
+
+        self._server = Server((self.host, self._port), Handler)
         self._server.daemon_threads = True
+        if self.tls is not None:
+            self._server.socket = self.tls.server_context().wrap_socket(
+                self._server.socket, server_side=True,
+                do_handshake_on_connect=False)
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="otlp-http", daemon=True)
         self._thread.start()
@@ -146,7 +168,8 @@ class OtlpHttpReceiver:
 
     @property
     def endpoint(self) -> str:
-        return f"http://{self.host}:{self._port}"
+        scheme = "https" if self.tls is not None else "http"
+        return f"{scheme}://{self.host}:{self._port}"
 
     # -- request handling --------------------------------------------------
 
