@@ -1578,10 +1578,12 @@ def q53(spark, sf_dir):
     """TPC-H Q18 shape (large-volume orders): a semi-join driven by an
     AGGREGATED subquery — the qualifying-key set is itself a groupBy
     HAVING over the fact table, then the fact re-joins against it.  The
-    two lineitem scans share one shuffle key (l_orderkey), so at scale
-    the qualifier and the re-aggregation co-partition; the qualifying set
-    is small (heavy-hitter orders) and broadcasts.  l_quantity is
-    integer-valued in the corpus — exact double sums.
+    two lineitem scans share one shuffle key (l_orderkey): the qualifier
+    join co-partitions with the qualifier's own aggregation shuffle, and
+    AQE upgrades it to a broadcast join at runtime when the post-HAVING
+    set proves small — no compile-time broadcast hint, which would force
+    a driver collect of an unbounded heavy-hitter set at 100 TB.
+    l_quantity is integer-valued in the corpus — exact double sums.
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1590,7 +1592,7 @@ def q53(spark, sf_dir):
              .agg(F.sum("l_quantity").alias("q"))
              .filter(F.col("q") > 150)
              .select("l_orderkey"))
-    return (li.join(F.broadcast(big), "l_orderkey")
+    return (li.join(big, "l_orderkey")
               .join(orders, li.l_orderkey == orders.o_orderkey)
               .join(cust, orders.o_custkey == cust.c_custkey)
               .groupBy("c_custkey", "o_orderkey", "o_orderdate",

@@ -132,3 +132,21 @@ def test_df_topterms_distinct_is_per_document(spark):
     plan = _plan(spark, "text_df_topterms")
     assert "array_distinct" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q53_qualifier_join_is_not_forced_broadcast(spark):
+    """q53 (TPC-H Q18 shape): the qualifying-key set comes from a groupBy
+    HAVING over the fact table — an unbounded heavy-hitter set at scale,
+    so the plan must NOT carry a compile-time broadcast hint on it.  The
+    logical plan stays hint-free (AQE may still choose broadcast at
+    runtime once the post-HAVING size is known — that choice is legal and
+    size-gated); the qualifier join co-partitions with the qualifier's
+    own aggregation shuffle on l_orderkey.
+    """
+    df = QUERIES["q53_large_volume_orders"](spark, SF_SMALL)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical
+    plan = _plan(spark, "q53_large_volume_orders")
+    # physically: either AQE broadcast or a co-partitioned shuffle join
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
