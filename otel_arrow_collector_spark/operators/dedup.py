@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .cache_registry import cached
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -89,9 +90,6 @@ pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 """
 
 
-_PAIRS_CACHE: dict = {}
-
-
 def _lsh_candidate_pairs(spark, sf_dir):
     """Spark side of _DUCK_PAIR_CTE: distinct LSH-bucket-sharing pairs.
 
@@ -100,13 +98,8 @@ def _lsh_candidate_pairs(spark, sf_dir):
     jaccard / keep) reuse it, so persisting removes two recomputations of
     the shingle->signature->band pipeline.
     """
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _PAIRS_CACHE:
-        return _PAIRS_CACHE[key]
-    pairs = _build_lsh_candidate_pairs(spark, sf_dir).persist()
-    _PAIRS_CACHE[key] = pairs
-    return pairs
+    return cached("dedup.pairs", spark, sf_dir,
+                  lambda: _build_lsh_candidate_pairs(spark, sf_dir).persist())
 
 
 def _build_lsh_candidate_pairs(spark, sf_dir):
@@ -134,27 +127,21 @@ def _build_lsh_candidate_pairs(spark, sf_dir):
     return pairs
 
 
-_SHINGLE_CACHE: dict = {}
-
-
 def _doc_shingle_sets(spark, sf_dir):
     """(doc_id, shingle) exploded over the DISTINCT shingle set per doc.
     Persisted per (session, dir): the verification stage references it
     three times (both pair sides + per-doc sizes)."""
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
-    shd = (d.select("doc_id", F.split("text", " ").alias("ws"))
-            .repartition(spark.sparkContext.defaultParallelism)
-            .select("doc_id",
-                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                     .alias("sh"))
-            .persist())
-    shd.count()   # materialize before the multi-reference join
-    _SHINGLE_CACHE[key] = shd
-    return shd
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        shd = (d.select("doc_id", F.split("text", " ").alias("ws"))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .select("doc_id",
+                        F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                         .alias("sh"))
+                .persist())
+        shd.count()   # materialize before the multi-reference join
+        return shd
+    return cached("dedup.shingles", spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -211,21 +198,13 @@ SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 500
 """
 
 
-_VERIFIED_CACHE: dict = {}
-
-
 def _jaccard_verified(spark, sf_dir):
     """(d1, d2, n_common, j): exact 3-gram Jaccard over LSH candidates —
     the standard two-stage plan (cheap recall stage, exact precision stage
     bounded by candidate count, never n^2).  Persisted per (session, dir):
     bounded by candidate count and reused by jaccard + keep operators."""
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _VERIFIED_CACHE:
-        return _VERIFIED_CACHE[key]
-    out = _build_jaccard_verified(spark, sf_dir).persist()
-    _VERIFIED_CACHE[key] = out
-    return out
+    return cached("dedup.jaccard", spark, sf_dir,
+                  lambda: _build_jaccard_verified(spark, sf_dir).persist())
 
 
 def _build_jaccard_verified(spark, sf_dir):
@@ -502,19 +481,12 @@ walk(node, r) AS (
 cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node)
 """
 
-_CC_CACHE: dict = {}
-
-
 def _cc_labels(spark, sf_dir):
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _CC_CACHE:
-        return _CC_CACHE[key]
-    edges = (_jaccard_verified(spark, sf_dir)
-             .filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2"))
-    labels = connected_components(edges).persist()
-    _CC_CACHE[key] = labels
-    return labels
+    def build():
+        edges = (_jaccard_verified(spark, sf_dir)
+                 .filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2"))
+        return connected_components(edges).persist()
+    return cached("dedup.cc", spark, sf_dir, build)
 
 
 def dedup_cc_labels(spark, sf_dir):

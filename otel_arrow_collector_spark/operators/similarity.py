@@ -31,6 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .cache_registry import cached
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -130,29 +131,22 @@ FROM ranked WHERE rk <= {TOP_K} ORDER BY q_id, rk
 # random-hyperplane LSH bucketing (ANN recall stage)
 # ---------------------------------------------------------------------------
 
-_BUCKETED_CACHE: dict = {}
-
-
 def bucketed_embeddings(spark, sf_dir):
     """(vec_id, embedding, bucket, nrm): sign-of-projection LSH bucket +
-    norm per vector.  Persisted per (session, dir) — shared by the bucket
-    histogram and the embedding near-dup blocking join
-    (operators/dedup.py)."""
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _BUCKETED_CACHE:
-        return _BUCKETED_CACHE[key]
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = " + ".join(
-        f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(_planes()))
-    norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
-    out = (e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"),
-                    norm.alias("nrm"))
-            .persist())
-    _BUCKETED_CACHE[key] = out
-    return out
+    norm per vector.  Persisted per (session, dir) via the bounded
+    registry — shared by the bucket histogram and the embedding near-dup
+    blocking join (operators/dedup.py)."""
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        bucket = " + ".join(
+            f"(CASE WHEN {_s_dot('embedding', _s_plane_literal(p))} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(_planes()))
+        norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
+        return (e.select("vec_id", "embedding",
+                         F.expr(bucket).alias("bucket"), norm.alias("nrm"))
+                 .persist())
+    return cached("sim.bucketed", spark, sf_dir, build)
 
 
 def ann_lsh_buckets(spark, sf_dir):
@@ -180,21 +174,13 @@ SELECT bucket, COUNT(*) AS n FROM t GROUP BY bucket ORDER BY bucket
 # IVF: centroid assignment + cell-local probe
 # ---------------------------------------------------------------------------
 
-_ASSIGN_CACHE: dict = {}
-
-
 def _assignments(spark, sf_dir):
     """(vec_id, embedding, v_nrm, cid): nearest-centroid assignment by
     cosine, tie-break on centroid id.  Centroid set is broadcast.
     Persisted per (session, dir): the assign histogram and the probe both
     consume it (probe references it twice)."""
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _ASSIGN_CACHE:
-        return _ASSIGN_CACHE[key]
-    out = _build_assignments(spark, sf_dir).persist()
-    _ASSIGN_CACHE[key] = out
-    return out
+    return cached("sim.assign", spark, sf_dir,
+                  lambda: _build_assignments(spark, sf_dir).persist())
 
 
 def _nearest_centroid(vecs, cents):
@@ -235,9 +221,6 @@ _S_CELL_MEAN = """transform(sequence(0, 63), d ->
             (a, p) -> a + CAST(p.embedding[d] AS DOUBLE)) / CAST(n AS DOUBLE))"""
 
 
-_CENTROID_CACHE: dict = {}
-
-
 def _kmeans_centroids(spark, sf_dir):
     """Deterministic Lloyd's k-means over the training sample: fixed init
     (first K vectors), KMEANS_ITERS iterations, order-pinned exact means.
@@ -252,30 +235,28 @@ def _kmeans_centroids(spark, sf_dir):
     The trained model is memoized per (application, dir) — it is a
     model artifact, like the cell store; consumers (assignment build,
     multi-probe cell ranking) must not re-run the training loop."""
-    import os as _os
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[key]
-    be = bucketed_embeddings(spark, sf_dir)
-    init = (be.filter(F.col("vec_id") < N_CENTROIDS)
-              .select("vec_id",
-                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                       .alias("c_emb")).collect())
-    cents = _cents_df(spark, [(r.vec_id, list(r.c_emb)) for r in init])
-    sample = (be.filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
-                .select("vec_id", "embedding", "nrm"))
-    for _ in range(KMEANS_ITERS):
-        assign = _nearest_centroid(sample, cents)
-        new = (assign
-               .groupBy("cid")
-               .agg(F.expr("array_sort(collect_list(struct(vec_id, embedding)))")
-                     .alias("vs"),
-                    F.count(F.lit(1)).alias("n"))
-               .select("cid", F.expr(_S_CELL_MEAN).alias("c_emb"))
-               .collect())
-        cents = _cents_df(spark, [(r.cid, list(r.c_emb)) for r in new])
-    _CENTROID_CACHE[key] = cents
-    return cents
+    def build():
+        be = bucketed_embeddings(spark, sf_dir)
+        init = (be.filter(F.col("vec_id") < N_CENTROIDS)
+                  .select("vec_id",
+                          F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                           .alias("c_emb")).collect())
+        cents = _cents_df(spark, [(r.vec_id, list(r.c_emb)) for r in init])
+        sample = (be.filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
+                    .select("vec_id", "embedding", "nrm"))
+        for _ in range(KMEANS_ITERS):
+            assign = _nearest_centroid(sample, cents)
+            new = (assign
+                   .groupBy("cid")
+                   .agg(F.expr(
+                        "array_sort(collect_list(struct(vec_id, embedding)))")
+                         .alias("vs"),
+                        F.count(F.lit(1)).alias("n"))
+                   .select("cid", F.expr(_S_CELL_MEAN).alias("c_emb"))
+                   .collect())
+            cents = _cents_df(spark, [(r.cid, list(r.c_emb)) for r in new])
+        return cents
+    return cached("sim.centroids", spark, sf_dir, build)
 
 
 def _build_assignments(spark, sf_dir):
@@ -319,9 +300,6 @@ def _duck_kmeans_ctes() -> str:
 _DUCK_ASSIGN_CTE = _duck_kmeans_ctes()
 
 
-_CELL_STORE_CACHE: dict = {}
-
-
 def ivf_cell_store(spark, sf_dir) -> str:
     """Materialize the assigned corpus hive-partitioned by cell id, once
     per (application, sf_dir); returns the store path.
@@ -331,19 +309,20 @@ def ivf_cell_store(spark, sf_dir) -> str:
     """
     import os as _os
     import tempfile
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    if key in _CELL_STORE_CACHE:
-        return _CELL_STORE_CACHE[key]
-    path = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_{key[0]}_{_os.path.basename(key[1])}")
-    # repartition by cell first: one task/file per cell directory instead
-    # of (tasks x cells) fragments — faster commit, faster probe scans
-    (_assignments(spark, sf_dir)
-        .repartition("cid")
-        .write.mode("overwrite").partitionBy("cid").parquet(path))
-    _CELL_STORE_CACHE[key] = path
-    return path
+
+    def build():
+        path = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ivf_{spark.sparkContext.applicationId}_"
+            f"{_os.path.basename(_os.path.abspath(sf_dir))}")
+        # repartition by cell first: one task/file per cell directory
+        # instead of (tasks x cells) fragments — faster commit, faster
+        # probe scans
+        (_assignments(spark, sf_dir)
+            .repartition("cid")
+            .write.mode("overwrite").partitionBy("cid").parquet(path))
+        return path
+    return cached("sim.cell_store", spark, sf_dir, build)
 
 
 def ann_ivf_assign(spark, sf_dir):
@@ -623,9 +602,6 @@ GROUP BY g.q_id, h.n_hits ORDER BY g.q_id
 # on one distributed pass, project as a narrow scan map)
 # ---------------------------------------------------------------------------
 
-_PCA_CACHE: dict = {}
-
-
 def pca_train(spark, sf_dir, k: int = 8):
     """Train a k-component PCA over ``embeddings`` in ONE distributed
     pass: each task folds its partition into (n, sum, sum-outer-product)
@@ -640,10 +616,11 @@ def pca_train(spark, sf_dir, k: int = 8):
     max-magnitude element made positive).  Returns (mean: list[float],
     components: list[list[float]] k x d, explained_var: list[float]).
     """
-    import os
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
-    if key in _PCA_CACHE:
-        return _PCA_CACHE[key]
+    return cached("sim.pca", spark, sf_dir,
+                  lambda: _pca_train_build(spark, sf_dir, k), extra=(k,))
+
+
+def _pca_train_build(spark, sf_dir, k: int):
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
 
     def partials(batches):
@@ -683,9 +660,7 @@ def pca_train(spark, sf_dir, k: int = 8):
         if v[pin] < 0:                         # sign convention
             v = -v
         comps.append(v.tolist())
-    model = (mean.tolist(), comps, [float(vals[i]) for i in order])
-    _PCA_CACHE[key] = model
-    return model
+    return (mean.tolist(), comps, [float(vals[i]) for i in order])
 
 
 def pca_project(spark, sf_dir, k: int = 8):

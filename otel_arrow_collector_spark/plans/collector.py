@@ -98,5 +98,7 @@ class Collector:
         return self.plan.run()
 
     def shutdown(self) -> None:
+        from ..operators.cache_registry import clear_caches
         self.state = State.CLOSED
         self.plan = None
+        clear_caches()      # release memoized persisted DataFrames

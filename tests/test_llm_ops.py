@@ -124,12 +124,13 @@ def test_shared_caches_keyed_by_application_id(spark):
     id(session): a dead session's id() can be reused by a new object,
     silently returning another session's persisted DataFrames."""
     import os
-    from otel_arrow_collector_spark.operators import similarity
+    from otel_arrow_collector_spark.operators import cache_registry, similarity
     a = similarity.bucketed_embeddings(spark, SF_SMALL)
     b = similarity.bucketed_embeddings(spark, SF_SMALL)
     assert a is b   # cache hit within one session
-    key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMALL))
-    assert key in similarity._BUCKETED_CACHE
+    key = ("sim.bucketed", spark.sparkContext.applicationId,
+           os.path.abspath(SF_SMALL))
+    assert key in cache_registry._ENTRIES
 
 
 def test_ivf_probe_scan_is_partition_pruned(spark):
@@ -148,11 +149,13 @@ def test_ivf_kmeans_centroids_deterministic(spark):
     fixed iterations, order-pinned exact means — no RNG anywhere).
     The model memo is cleared between builds so the SECOND call really
     re-runs the training loop (not just a cache hit)."""
-    from otel_arrow_collector_spark.operators.similarity import (
-        _CENTROID_CACHE, _kmeans_centroids)
+    from otel_arrow_collector_spark.operators.cache_registry import _ENTRIES
+    from otel_arrow_collector_spark.operators.similarity import \
+        _kmeans_centroids
     a = {r.cid: list(r.c_emb) for r in
          _kmeans_centroids(spark, SF_SMALL).collect()}
-    _CENTROID_CACHE.clear()
+    for k in [k for k in _ENTRIES if k[0] == "sim.centroids"]:
+        del _ENTRIES[k]
     b = {r.cid: list(r.c_emb) for r in
          _kmeans_centroids(spark, SF_SMALL).collect()}
     assert a == b and len(a) == 8
@@ -626,10 +629,11 @@ def test_pca_matches_numpy_reference(spark):
 
 def test_pca_components_orthonormal_and_deterministic(spark):
     import numpy as np
-    from otel_arrow_collector_spark.operators.similarity import (_PCA_CACHE,
-                                                                 pca_train)
+    from otel_arrow_collector_spark.operators.cache_registry import _ENTRIES
+    from otel_arrow_collector_spark.operators.similarity import pca_train
     _, comps_a, _ = pca_train(spark, SF_SMALL, k=6)
-    _PCA_CACHE.clear()
+    for k in [k for k in _ENTRIES if k[0] == "sim.pca"]:
+        del _ENTRIES[k]
     _, comps_b, _ = pca_train(spark, SF_SMALL, k=6)
     assert comps_a == comps_b                   # bit-identical rebuild
     c = np.array(comps_a)
