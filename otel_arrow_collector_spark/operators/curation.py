@@ -335,3 +335,81 @@ FROM flags GROUP BY lang ORDER BY lang
 
 
 ORACLES["curation_pipeline"] = _curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (data-mixture construction)
+# ---------------------------------------------------------------------------
+
+#: per-language sampling rates out of 100 — the mixture recipe a training
+#: run would tune (upsample low-resource languages, downsample English)
+SAMPLE_RATES = {"en": 20, "fr": 60, "es": 60, "de": 80, "zh": 80}
+_DEFAULT_RATE = 50
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum (language) Bernoulli sampling: keep a doc
+    iff md5(text)'s first 4 hex digits, as an integer mod 100, fall under
+    the language's rate.
+
+    This is how a 100 TB mixture pass samples: a pure scan-side map with
+    NO shuffle, no RNG state, and reproducibility across engines, runs,
+    and partitionings (the hash is content-keyed, so re-partitioning or
+    speculative re-execution cannot change the sample).  The seedable
+    alternative — rand() — is neither reproducible across engines nor
+    stable under task retries.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10)
+               .cast("int") % 100)
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in SAMPLE_RATES.items()],
+        F.lit(_DEFAULT_RATE))
+    return (d.select("doc_id", "lang", bucket.alias("bucket"),
+                     rate.alias("rate"))
+             .filter(F.col("bucket") < F.col("rate"))
+             .orderBy("doc_id"))
+
+
+QUERIES["stratified_sample"] = stratified_sample
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, lang, bucket, rate FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100
+           AS bucket,
+         CASE lang {' '.join(f"WHEN '{k}' THEN {v}"
+                             for k, v in SAMPLE_RATES.items())}
+              ELSE {_DEFAULT_RATE} END AS rate
+  FROM documents) t
+WHERE bucket < rate ORDER BY doc_id
+"""
+
+
+def mixture_report(spark, sf_dir):
+    """Per-language mixture accounting for the sampled corpus: kept docs,
+    kept whitespace tokens, and the configured rate — the audit table a
+    mixture pass publishes next to its output.  One hash agg over the
+    sample's scan-side map; token counts are whitespace word counts
+    (cross-engine identical on the space-separated corpus).
+    """
+    s = stratified_sample(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    return (s.join(d.select("doc_id", toks.alias("n_tok")), "doc_id")
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("kept_docs"),
+                  F.sum("n_tok").cast("long").alias("kept_tokens"),
+                  F.max("rate").alias("rate"))
+             .orderBy("lang"))
+
+
+QUERIES["mixture_report"] = mixture_report
+ORACLES["mixture_report"] = f"""
+WITH s AS ({ORACLES["stratified_sample"]})
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+       MAX(rate) AS rate
+FROM s JOIN documents USING (doc_id)
+GROUP BY s.lang ORDER BY s.lang
+"""

@@ -1632,3 +1632,266 @@ def q54(spark, sf_dir):
     return (late.groupBy("o_orderpriority")
                 .agg(F.count(F.lit(1)).alias("n_orders"))
                 .orderBy("o_orderpriority"))
+
+
+@_register("q55_priority_line_counts", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def q55(spark, sf_dir):
+    """TPC-H Q12 shape (priority line counts): fact-fact equi-join with a
+    scan-side date filter and CONDITIONAL aggregation — CASE sums fold
+    into one hash agg, both counters map-side combinable; the only
+    shuffle is the o_orderkey join, and the date filter pushes into the
+    lineitem scan (connector batch->conditional obsreport counters).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey)
+                  .groupBy("l_linestatus")
+                  .agg(F.sum(F.when(high, 1).otherwise(0))
+                        .cast("long").alias("high_line_count"),
+                       F.sum(F.when(~high, 1).otherwise(0))
+                        .cast("long").alias("low_line_count"))
+                  .orderBy("l_linestatus"))
+
+
+@_register("q56_customer_order_distribution", """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+def q56(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an extra join-side predicate (not a WHERE — null-extended
+    rows must survive), then two aggregations: per-customer counts on the
+    join key's shuffle, then the tiny distribution-of-counts agg.  The
+    second groupBy's input is one row per customer — the big shuffle
+    happens once, on c_custkey.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (cust.join(
+        orders, (cust.c_custkey == orders.o_custkey)
+                & (orders.o_orderpriority != "5-LOW"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist"))
+                    .orderBy(F.col("custdist").desc(),
+                             F.col("c_count").desc()))
+
+
+@_register("q57_promo_revenue", """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN ROUND(l_extendedprice*(1-l_discount)*100)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""")
+def q57(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one-month scan slice joined to
+    the part dim (broadcast-eligible), conditional revenue vs total
+    revenue in a single global agg.  Integer cents on BOTH sums so the
+    ratio's numerator/denominator are unordered-addition-exact; the
+    ratio itself is left to the consumer (float division is the only
+    non-portable step).
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .agg(F.sum(F.when(F.col("p_type") == "PROMO", cents)
+                          .otherwise(0)).cast("long").alias("promo_cents"),
+                   F.sum(cents).cast("long").alias("total_cents")))
+
+
+@_register("q58_parts_supplier_relationship", """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+""")
+def q58(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): dim-filtered join,
+    COUNT DISTINCT per group — Spark expands distinct into a two-phase
+    agg (partial distinct on (group, suppkey), then count), both phases
+    map-side combinable; the ordered limit is TakeOrdered, not a full
+    sort.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (part.join(li, part.p_partkey == li.l_partkey)
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+                .orderBy(F.col("supplier_cnt").desc(),
+                         "p_brand", "p_type", "p_size")
+                .limit(50))
+
+
+@_register("q59_small_quantity_revenue", """
+WITH pa AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN pa USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE p_type = 'ECONOMY' AND l_quantity < lim
+""")
+def q59(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    per-part AVG subquery, expressed as groupBy + re-join on the same
+    key — qualifier agg and probe co-partition on l_partkey, one wide
+    shuffle total.  l_quantity is integer-valued, so the per-part mean is
+    (exact int)/(count): deterministic across engines and safe to compare
+    against (no order-dependent float summation).
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * F.avg("l_quantity")).alias("lim")))
+    return (li.join(pa, "l_partkey")
+              .join(part, li.l_partkey == part.p_partkey)
+              .filter(F.col("l_quantity") < F.col("lim"))
+              .agg(F.sum(F.round(F.col("l_extendedprice") * 100))
+                    .cast("long").alias("cents"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@_register("q60_disjunctive_revenue", """
+SELECT CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q60(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs mixing columns from both join sides.  Catalyst extracts
+    the common single-side conjuncts (p_brand IN (...), l_quantity <= 30)
+    and pushes them below the join as scan filters, leaving only the
+    cross-side residual on the join — the classic disjunction-pushdown
+    test.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
+    return (j.filter(cond)
+             .agg(F.sum(cents).cast("long").alias("revenue_c"),
+                  F.count(F.lit(1)).alias("n")))
+
+
+@_register("q61_dormant_rich_customers", """
+WITH ab AS (
+  SELECT AVG(ROUND(c_acctbal * 100)) AS ab_cents
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS totacctbal_c
+FROM customer, ab
+WHERE ROUND(c_acctbal * 100) > ab_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+""")
+def q61(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity): scalar AVG subquery as
+    the filter bound + NOT EXISTS as a LEFT ANTI join.  The average is
+    taken over integer cents so the threshold is unordered-addition-exact
+    (an order-dependent float avg could flip boundary rows between
+    engines); the scalar broadcasts, the anti join shuffles on the
+    customer key.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    cents = F.round(F.col("c_acctbal") * 100)
+    ab = (cust.filter(F.col("c_acctbal") > 0)
+              .agg(F.avg(cents).alias("ab_cents")))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+                .crossJoin(F.broadcast(ab))
+                .filter(cents > F.col("ab_cents"))
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.sum(cents).cast("long").alias("totacctbal_c"))
+                .orderBy("c_nationkey"))
+
+
+@_register("q62_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+           AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_c
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_c = (SELECT MAX(total_c) FROM rev)
+ORDER BY s_suppkey
+""")
+def q62(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): a derived revenue view consumed
+    twice — once for the global MAX scalar, once as the join probe.  The
+    view is computed once per branch over a quarter's scan slice; the MAX
+    is a broadcast scalar, the supplier dim join is broadcast-eligible.
+    Integer-cent revenue makes the MAX tie-set identical across engines.
+    """
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.sum(cents).cast("long").alias("total_c")))
+    mx = rev.agg(F.max("total_c").alias("mx"))
+    return (sup.join(rev, sup.s_suppkey == rev.l_suppkey)
+               .crossJoin(F.broadcast(mx))
+               .filter(F.col("total_c") == F.col("mx"))
+               .select("s_suppkey", "s_name", "total_c")
+               .orderBy("s_suppkey"))

@@ -150,3 +150,21 @@ def test_q53_qualifier_join_is_not_forced_broadcast(spark):
     # physically: either AQE broadcast or a co-partitioned shuffle join
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_q60_disjunction_pushes_per_side_conjuncts_to_scans(spark):
+    """q60 (TPC-H Q19 shape): Catalyst extracts the per-side conjuncts of
+    the OR-of-ANDs and pushes them into BOTH parquet scans (quantity
+    ranges to lineitem, brand/size to part) — the scans must not read
+    unfiltered."""
+    plan = _plan(spark, "q60_disjunctive_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan)
+
+
+def test_q59_qualifier_reuses_fact_shuffle_key(spark):
+    """q59 (TPC-H Q17 shape): the per-part AVG qualifier and the probe
+    join both key on l_partkey — no cartesian, no global window."""
+    plan = _plan(spark, "q59_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
