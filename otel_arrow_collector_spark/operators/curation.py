@@ -413,3 +413,64 @@ SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
 FROM s JOIN documents USING (doc_id)
 GROUP BY s.lang ORDER BY s.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (sliding windows with overlap)
+# ---------------------------------------------------------------------------
+
+#: tokens per training context window, and the stride between window
+#: starts (CHUNK - STRIDE tokens of overlap carry context across chunks)
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+
+
+def doc_chunks(spark, sf_dir):
+    """Sliding-window context chunking: each document explodes into
+    overlapping CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens —
+    the flatMap shape an LLM pretraining tokenizer pass emits.
+
+    Spark-first: split + sequence + explode + slice are all codegen'd
+    JVM expressions (no UDF); the explode is a constant-factor row
+    expansion BEFORE any shuffle, and each chunk row carries its md5
+    fingerprint so downstream exact-dedup runs on chunks, not documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(CHUNK_STRIDE))).cast("long")
+    t = d.select("doc_id", toks.alias("ts"), n.alias("n"),
+                 F.explode(F.sequence(F.lit(0).cast("long"),
+                                      n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice("ts", F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1,
+                    CHUNK_TOKENS)
+    return (t.filter(F.col("chunk_idx") * CHUNK_STRIDE < F.col("n"))
+             .select("doc_id", "chunk_idx",
+                     F.size(chunk).cast("long").alias("n_tok"),
+                     F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+             .orderBy("doc_id", "chunk_idx")
+             .limit(5000))
+
+
+QUERIES["doc_chunks"] = doc_chunks
+ORACLES["doc_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+ix AS (
+  SELECT doc_id, ts, n,
+         unnest(range(0, CAST(CEIL(n / {CHUNK_STRIDE}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM t)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(ts, chunk_idx*{CHUNK_STRIDE}+1,
+                           chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}))
+            AS BIGINT) AS n_tok,
+       md5(array_to_string(
+             list_slice(ts, chunk_idx*{CHUNK_STRIDE}+1,
+                        chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM ix WHERE chunk_idx * {CHUNK_STRIDE} < n
+ORDER BY doc_id, chunk_idx LIMIT 5000
+"""
