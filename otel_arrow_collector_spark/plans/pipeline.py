@@ -278,9 +278,10 @@ class PipelineGraph:
         if kind == "pb":
             from ..sources.otlp_pb import read_otlp_pb
             return read_otlp_pb(spark, cfg["path"], cfg.get("signal", "traces"))
-        if kind == "http_spool":
-            # the live OTLP/HTTP front door's spool directory
-            # (sources/http_receiver.py; receiver/otlpreceiver/otlp.go)
+        if kind in ("http_spool", "grpc_spool"):
+            # the live OTLP front doors' shared spool layout
+            # (sources/http_receiver.py + sources/grpc_receiver.py;
+            # receiver/otlpreceiver/otlp.go serves both protocols)
             from ..sources.http_receiver import read_spool
             return read_spool(spark, cfg["path"], cfg.get("signal", "traces"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
@@ -371,6 +372,16 @@ class PipelineGraph:
             # side POSTs; returns the audit totals dict
             from ..exporters.http_exporter import export_http_now
             return lambda: export_http_now(
+                df, cfg["endpoint"], cfg.get("signal", "traces"),
+                token=cfg.get("token"),
+                compress=bool(cfg.get("compress", False)),
+                max_rows_per_request=int(
+                    cfg.get("max_rows_per_request", 8192)))
+        if kind == "grpc":
+            # live OTLP/gRPC push (exporters/grpc_exporter.py): executor-
+            # side unary Exports over stdlib HTTP/2
+            from ..exporters.grpc_exporter import export_grpc_now
+            return lambda: export_grpc_now(
                 df, cfg["endpoint"], cfg.get("signal", "traces"),
                 token=cfg.get("token"),
                 compress=bool(cfg.get("compress", False)),

@@ -1,0 +1,254 @@
+"""Live OTLP/gRPC pair: stdlib HTTP/2 + RFC 7541 HPACK + gRPC framing,
+real sockets end to end (receiver/otlpreceiver/otlp.go:93-110 service
+registration; exporter/otlpexporter/otlp.go:121-176 status mapping).
+
+The reference runs on grpc-go; this container has no grpcio, so BOTH
+halves here are the repo's own wire implementation — the tests prove
+protocol-level self-consistency plus spec-pinned constants (service
+paths, status codes, length-prefixed message layout)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from otel_arrow_collector_spark.exporters.grpc_exporter import (
+    _PATHS, GrpcCallError, export_grpc_now, grpc_call)
+from otel_arrow_collector_spark.exporters.retry import RetryConfig
+from otel_arrow_collector_spark.model import generate_traces
+from otel_arrow_collector_spark.sources import h2
+from otel_arrow_collector_spark.sources.grpc_receiver import OtlpGrpcReceiver
+from otel_arrow_collector_spark.sources.otlp_pb import (decode_request,
+                                                        encode_request)
+
+_FAST = RetryConfig(initial_interval_s=0.05, max_elapsed_s=0.3)
+
+
+@pytest.fixture()
+def rcv(tmp_path):
+    r = OtlpGrpcReceiver(str(tmp_path / "spool"))
+    r.start()
+    yield r
+    r.stop()
+
+
+def _pb_body(spark, n=4):
+    df = generate_traces(spark, n)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return encode_request(rows, "traces"), n
+
+
+# ------------------------------------------------------------- wire level
+
+def test_grpc_unary_roundtrip_and_spool(spark, rcv):
+    body, n = _pb_body(spark, 4)
+    resp = grpc_call(rcv.host, rcv._port, _PATHS["traces"], body)
+    assert resp == b""                     # empty ExportTraceServiceResponse
+    assert rcv.counters["accepted_traces"] == 1
+    assert rcv.read_spool(spark, "traces").count() == n
+
+
+def test_grpc_gzip_message(spark, rcv):
+    body, n = _pb_body(spark, 3)
+    grpc_call(rcv.host, rcv._port, _PATHS["traces"], body, compress=True)
+    assert rcv.read_spool(spark, "traces").count() == n
+
+
+def test_grpc_unknown_method_unimplemented(rcv):
+    with pytest.raises(GrpcCallError) as ei:
+        grpc_call(rcv.host, rcv._port, "/foo.Bar/Baz", b"")
+    assert ei.value.status == 12           # UNIMPLEMENTED
+
+
+def test_grpc_bad_payload_invalid_argument(rcv):
+    with pytest.raises(GrpcCallError) as ei:
+        grpc_call(rcv.host, rcv._port, _PATHS["traces"],
+                  b"\xff\xff\xff not protobuf")
+    assert ei.value.status == 3            # INVALID_ARGUMENT
+    assert rcv.counters.get("refused_bad_payload_traces") == 1
+
+
+def test_grpc_auth(spark, tmp_path):
+    r = OtlpGrpcReceiver(str(tmp_path / "auth_spool"), token="sekrit")
+    r.start()
+    try:
+        body, _ = _pb_body(spark, 1)
+        with pytest.raises(GrpcCallError) as ei:
+            grpc_call(r.host, r._port, _PATHS["traces"], body)
+        assert ei.value.status == 16       # UNAUTHENTICATED
+        grpc_call(r.host, r._port, _PATHS["traces"], body, token="sekrit")
+        assert r.counters["accepted_traces"] == 1
+    finally:
+        r.stop()
+
+
+def test_grpc_backpressure_resource_exhausted_with_pushback(spark, tmp_path):
+    r = OtlpGrpcReceiver(str(tmp_path / "bp_spool"), max_pending_files=1,
+                         retry_pushback_ms=250)
+    r.start()
+    try:
+        body, _ = _pb_body(spark, 1)
+        grpc_call(r.host, r._port, _PATHS["traces"], body)   # fills spool
+        with pytest.raises(GrpcCallError) as ei:
+            grpc_call(r.host, r._port, _PATHS["traces"], body)
+        assert ei.value.status == 8        # RESOURCE_EXHAUSTED
+        assert ei.value.pushback_ms == 250 # the throttle hint
+        assert r.counters["refused_backpressure_traces"] == 1
+    finally:
+        r.stop()
+
+
+def test_grpc_large_body_spans_multiple_data_frames(spark, rcv):
+    """A body > SETTINGS_MAX_FRAME_SIZE must arrive intact (DATA
+    fragmentation + reassembly + WINDOW_UPDATE replenishment)."""
+    df = generate_traces(spark, 600)       # ~hundreds of KB encoded
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    body = encode_request(rows, "traces")
+    assert len(body) > h2.DEFAULT_MAX_FRAME
+    grpc_call(rcv.host, rcv._port, _PATHS["traces"], body)
+    assert rcv.read_spool(spark, "traces").count() == 600
+
+
+def test_grpc_all_three_signals(spark, rcv):
+    from otel_arrow_collector_spark.model import (generate_logs,
+                                                  generate_metrics)
+    for signal, gen, n in (("logs", generate_logs, 5),
+                           ("metrics", generate_metrics, 6)):
+        df = gen(spark, n)               # metrics expand to datapoint rows
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        grpc_call(rcv.host, rcv._port, _PATHS[signal],
+                  encode_request(rows, signal))
+        assert rcv.read_spool(spark, signal).count() == len(rows)
+
+
+# ------------------------------------------------------- Spark export stage
+
+def test_grpc_exporter_mapinarrow_roundtrip(spark, rcv):
+    df = generate_traces(spark, 8)
+    res = export_grpc_now(df.coalesce(2), rcv.endpoint, "traces")
+    assert res["rows_sent"] == 8 and res["n_tasks"] == 2
+    assert rcv.read_spool(spark, "traces").count() == 8
+
+
+def test_grpc_exporter_throttle_then_success(spark, tmp_path):
+    """RESOURCE_EXHAUSTED + pushback -> ThrottleError -> retry succeeds
+    once the spool drains (the exporterhelper throttle path)."""
+    import os
+    import shutil
+    r = OtlpGrpcReceiver(str(tmp_path / "thr_spool"), max_pending_files=1,
+                         retry_pushback_ms=100)
+    r.start()
+    try:
+        body, _ = _pb_body(spark, 1)
+        grpc_call(r.host, r._port, _PATHS["traces"], body)   # fill
+        pb_dir = os.path.join(r.spool_dir, "traces_pb")
+
+        # drain the spool shortly after, from a helper thread
+        import threading
+
+        def drain():
+            # wait until the exporter has actually been throttled once,
+            # then free the spool — deterministic, no sleep race
+            import time
+            t0 = time.time()
+            while time.time() - t0 < 30:
+                if r.counters.get("refused_backpressure_traces", 0) >= 1:
+                    for f in os.listdir(pb_dir):
+                        os.unlink(os.path.join(pb_dir, f))
+                    return
+                time.sleep(0.05)
+        threading.Thread(target=drain, daemon=True).start()
+
+        df = generate_traces(spark, 2)
+        res = export_grpc_now(
+            df.coalesce(1), r.endpoint, "traces",
+            retry_config=RetryConfig(initial_interval_s=0.2,
+                                     max_elapsed_s=10.0))
+        assert res["rows_sent"] == 2
+        assert res["n_attempts"] >= 2      # at least one throttled retry
+    finally:
+        r.stop()
+        shutil.rmtree(str(tmp_path / "thr_spool"), ignore_errors=True)
+
+
+def test_grpc_exporter_permanent_on_unauth(spark, tmp_path):
+    r = OtlpGrpcReceiver(str(tmp_path / "unauth_spool"), token="x")
+    r.start()
+    try:
+        df = generate_traces(spark, 1)
+        with pytest.raises(Exception, match="grpc-status 16"):
+            export_grpc_now(df.coalesce(1), r.endpoint, "traces",
+                            token="wrong", retry_config=_FAST)
+        assert r.counters.get("accepted_traces") is None
+    finally:
+        r.stop()
+
+
+# ----------------------------------------------------- protocol edge cases
+
+def test_grpc_frame_layout_is_spec_exact():
+    """Length-prefixed message: 1-byte compressed flag + 4-byte BE length
+    (gRPC-over-HTTP2 spec) — pinned so neither half can drift."""
+    f = h2.grpc_frame(b"abc")
+    assert f == b"\x00" + struct.pack(">I", 3) + b"abc"
+    assert h2.parse_grpc_frames(f) == [(False, b"abc")]
+    with pytest.raises(h2.H2Error):
+        h2.parse_grpc_frames(f[:-1])       # truncated body is loud
+
+
+def test_grpc_receiver_rejects_two_messages_on_unary(spark, rcv):
+    """Two length-prefixed messages on a unary call -> INVALID_ARGUMENT
+    (hand-built DATA body; the client API can't express this)."""
+    import socket as _socket
+    from otel_arrow_collector_spark.sources.hpack import (HpackDecoder,
+                                                          HpackEncoder)
+    body, _ = _pb_body(spark, 1)
+    double = h2.grpc_frame(body) + h2.grpc_frame(body)
+    with _socket.create_connection((rcv.host, rcv._port), timeout=10) as s:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0))
+        enc, dec = HpackEncoder(), HpackDecoder()
+        s.sendall(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS, 1,
+            enc.encode([(":method", "POST"), (":scheme", "http"),
+                        (":path", _PATHS["traces"]),
+                        (":authority", "t"),
+                        ("content-type", "application/grpc"),
+                        ("te", "trailers")])))
+        for fr in h2.chunk_data_frames(1, double, end_stream=True):
+            s.sendall(fr)
+        status = None
+        while status is None:
+            ftype, flags, sid, payload = h2.recv_frame(s)
+            if ftype == h2.SETTINGS and not flags & h2.FLAG_ACK:
+                s.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+            elif ftype == h2.HEADERS:
+                hdrs = dict(dec.decode(h2.strip_padding(flags, payload)))
+                status = hdrs.get("grpc-status", status)
+    assert int(status) == 3                # INVALID_ARGUMENT
+
+
+def test_grpc_pipeline_kinds_end_to_end(spark, tmp_path, rcv):
+    """Pipeline compiler round trip: kind:grpc exporter pushes through the
+    live server; kind:grpc_spool receiver reads the spool back."""
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    df = generate_traces(spark, 6)
+    g = PipelineGraph({
+        "receivers": {"mem": {"kind": "memory"}},
+        "exporters": {"push": {"kind": "grpc", "endpoint": rcv.endpoint,
+                               "signal": "traces",
+                               "max_rows_per_request": 2}},
+        "pipelines": {"traces": {"receivers": ["mem"],
+                                 "exporters": ["push"]}},
+    })
+    stats = g.compile(spark, sources={"mem": df}).run()["traces/push"]
+    assert stats["rows_sent"] == 6 and stats["n_requests"] >= 3
+    g2 = PipelineGraph({
+        "receivers": {"spool": {"kind": "grpc_spool",
+                                "path": rcv.spool_dir,
+                                "signal": "traces"}},
+        "exporters": {"sink": {"kind": "null"}},
+        "pipelines": {"traces": {"receivers": ["spool"],
+                                 "exporters": ["sink"]}},
+    })
+    assert g2.compile(spark).run()["traces/sink"] == 6
