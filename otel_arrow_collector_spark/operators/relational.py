@@ -1860,6 +1860,246 @@ def q61(spark, sf_dir):
                 .orderBy("c_nationkey"))
 
 
+@_register("q63_volume_shipping", """
+WITH base AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+         ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')))
+SELECT supp_nation, cust_nation, l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents) AS BIGINT) AS revenue_c
+FROM base GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q63(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation dimension joined in
+    TWO roles (supplier side and customer side) with a symmetric pair
+    predicate, per-year revenue between the pair.
+
+    Scale: the only fact-fact shuffle is lineitem⋈orders on the order
+    key; supplier/customer/nation are broadcast dims.  The pair filter
+    cannot be pushed below the joins (it references both roles), but the
+    date range prunes the lineitem scan.  Reference analogue: router
+    correlation across two pipelines (fanoutconsumer logs.go:77-134).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
+    pair = ((F.col("supp_nation") == "NATION_12")
+            & (F.col("cust_nation") == "NATION_10")) | \
+           ((F.col("supp_nation") == "NATION_10")
+            & (F.col("cust_nation") == "NATION_12"))
+    return (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("l_year"))
+              .agg(F.count(F.lit(1)).alias("n_lines"),
+                   F.sum(cents).cast("long").alias("revenue_c"))
+              .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@_register("q64_product_profit", """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS profit_c
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+ORDER BY nation, o_year DESC
+""")
+def q64(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    drives a star over lineitem, profit bucketed by supplier nation and
+    order year.
+
+    Scale: the part filter shrinks the broadcast side before the join
+    (predicate pushdown into the dim scan); lineitem⋈orders is the one
+    big shuffle; everything else broadcasts.  The LIKE cannot be a
+    parquet pushed filter but runs JVM-side in the dim scan, which is
+    tiny relative to the fact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(F.sum(cents).cast("long").alias("profit_c"))
+              .orderBy("nation", F.col("o_year").desc()))
+
+
+@_register("q65_min_acctbal_supplier", """
+WITH pairs AS (
+  SELECT DISTINCT p_type, s_suppkey, s_name, s_acctbal
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey),
+mins AS (
+  SELECT p_type, MIN(s_acctbal) AS mn FROM pairs GROUP BY p_type)
+SELECT p.p_type, p.s_suppkey, p.s_name, ROUND(p.s_acctbal, 2) AS acctbal
+FROM pairs p JOIN mins m ON m.p_type = p.p_type AND p.s_acctbal = m.mn
+ORDER BY p.p_type, p.s_suppkey
+""")
+def q65(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for every part type, the
+    supplier(s) with the lowest account balance among those who actually
+    shipped that type — a grouped-MIN subquery joined back on the
+    extremal value (the classic argmin-per-group plan).
+
+    Scale: the distinct (type, supplier) pair set is bounded by
+    |types|×|suppliers| regardless of fact size; the fact scan feeds one
+    distinct-aggregation and everything after runs on dim-sized data.
+    MIN equality on doubles is exact (the min IS an element, no
+    arithmetic), so the join-back is engine-stable.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal")
+    pairs = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+               .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+               .distinct())
+    mins = pairs.groupBy(F.col("p_type").alias("m_type")).agg(
+        F.min("s_acctbal").alias("mn"))
+    return (pairs.join(F.broadcast(mins),
+                       (pairs.p_type == mins.m_type)
+                       & (pairs.s_acctbal == mins.mn))
+                 .select("p_type", "s_suppkey", "s_name",
+                         F.round("s_acctbal", 2).alias("acctbal"))
+                 .orderBy("p_type", "s_suppkey"))
+
+
+@_register("q66_important_parts", """
+WITH val AS (
+  SELECT l_partkey,
+         CAST(SUM(ROUND(l_quantity * l_extendedprice * 100)) AS BIGINT)
+           AS val_c
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total_c,
+               CAST(COUNT(*) AS BIGINT) AS n_parts FROM val)
+SELECT p_partkey, p_name, val_c
+FROM val JOIN part ON p_partkey = l_partkey CROSS JOIN tot
+WHERE val_c * n_parts * 10 > total_c * 13
+ORDER BY val_c DESC, p_partkey
+""")
+def q66(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part inventory value with
+    a HAVING bound expressed as a FRACTION of the global total — the
+    scalar-subquery-in-the-predicate pattern.
+
+    The comparison is pure integer arithmetic (10·val·n_parts > 13·total in
+    cents, i.e. parts above 1.3× the MEAN part value — a bound that
+    keeps selecting the heavy tail at any scale factor, unlike a fixed
+    fraction of the total) so no float threshold can flip boundary rows
+    between engines.
+
+    Scale: one hash agg keyed by part (uniform), one scalar total
+    re-aggregated from the already-aggregated per-part values (dim-sized
+    input, not a second fact scan), broadcast scalar + broadcast part
+    dim.  The fact is scanned exactly once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cents = F.round(F.col("l_quantity") * F.col("l_extendedprice") * 100)
+    val = (li.groupBy("l_partkey")
+             .agg(F.sum(cents).cast("long").alias("val_c")))
+    tot = val.agg(F.sum("val_c").cast("long").alias("total_c"),
+                  F.count(F.lit(1)).alias("n_parts"))
+    return (val.join(F.broadcast(part), val.l_partkey == part.p_partkey)
+               .crossJoin(F.broadcast(tot))
+               .filter(F.col("val_c") * F.col("n_parts") * 10
+                       > F.col("total_c") * 13)
+               .select("p_partkey", "p_name", "val_c")
+               .orderBy(F.col("val_c").desc(), "p_partkey"))
+
+
+@_register("q67_dominant_suppliers", """
+WITH widget AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+sp AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) AS qty_c
+  FROM lineitem JOIN widget ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey),
+tot AS (
+  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS tot_c
+  FROM sp GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty_c * 10 > tot_c * 3
+ORDER BY s_suppkey
+""")
+def q67(spark, sf_dir):
+    """TPC-H Q20 shape (part promotion): suppliers who shipped more than
+    30% of a filtered part's total 1997 volume — a nested aggregate
+    threshold feeding a semi-join into the supplier dim.
+
+    Quantities are summed as integer centi-units and the 30% bound is the
+    integer cross-multiplication qty·10 > tot·3, so the gate is exact.
+
+    Scale: the widget filter + date range prune the fact scan; the
+    per-(supplier, part) agg and the per-part total share the same
+    partial-agg pipeline; the threshold join is between two aggregated
+    (dim-sized) sides; the supplier join broadcasts.
+    """
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%widget%"))
+            .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qc = F.round(F.col("l_quantity") * 100)
+    sp = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum(qc).cast("long").alias("qty_c")))
+    tot = (sp.groupBy(F.col("l_partkey").alias("t_partkey"))
+             .agg(F.sum("qty_c").cast("long").alias("tot_c")))
+    return (sp.join(tot, sp.l_partkey == tot.t_partkey)
+              .filter(F.col("qty_c") * 10 > F.col("tot_c") * 3)
+              .join(F.broadcast(sup), sp.l_suppkey == sup.s_suppkey)
+              .select("s_suppkey", "s_name").distinct()
+              .orderBy("s_suppkey"))
+
+
 @_register("q62_top_supplier", """
 WITH rev AS (
   SELECT l_suppkey,

@@ -405,6 +405,76 @@ FROM s GROUP BY doc_id ORDER BY doc_id LIMIT 200
 """
 
 
+def text_perplexity_gate(spark, sf_dir):
+    """LM-based quality funnel — the CCNet/KenLM curation step as a
+    per-language keep/drop report: a document is KEPT when at most 4% of
+    its bigrams are out-of-vocabulary w.r.t. the sample-trained bigram
+    LM (o·25 ≤ n, pure integer arithmetic — no float perplexity
+    threshold that could flip boundary docs between engines).
+
+    This is the decision side of ``text_bigram_lm``: that query reports
+    the fluency score, this one applies the gate and accounts the funnel
+    (docs kept/dropped and surviving bigram volume per language) the way
+    a training-data pipeline reports its filter yield.
+
+    Scale: the LM "model" here is the distinct observed-bigram set of a
+    10% hash sample — orders of magnitude smaller than the corpus and
+    broadcast-eligible; scoring is one equi-join plus a per-doc count
+    agg; the funnel is a per-lang roll-up of the already-aggregated
+    per-doc rows.  No windows, no n², one fact scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = (d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+             .filter(F.size("ws") >= 2))
+    bi = (docs.select(
+              "doc_id", "lang",
+              F.explode(F.expr(
+                  "transform(sequence(0, size(ws)-2), "
+                  "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("bg"))
+            .select("doc_id", "lang", "bg.w1", "bg.w2"))
+    vocab = (bi.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+               .select("w1", "w2").distinct()
+               .withColumn("seen", F.lit(1)))
+    per_doc = (bi.join(F.broadcast(vocab), ["w1", "w2"], "left")
+                 .groupBy("doc_id", "lang")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.isnull("seen").cast("int")).alias("o")))
+    kept = (F.col("o") * 25 <= F.col("n")).cast("int")
+    return (per_doc.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum(kept).cast("long").alias("n_kept"),
+                        F.sum(F.lit(1) - kept).cast("long").alias("n_dropped"),
+                        F.sum(kept * F.col("n")).cast("long")
+                         .alias("kept_bigrams"))
+                   .orderBy("lang"))
+
+
+QUERIES["text_perplexity_gate"] = text_perplexity_gate
+ORACLES["text_perplexity_gate"] = f"""
+WITH docs AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bi AS (
+  SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+  FROM docs, UNNEST(range(1, len(ws))) AS u(i)),
+vocab AS (
+  SELECT DISTINCT w1, w2, 1 AS seen FROM bi
+  WHERE doc_id % {LM_TRAIN_MOD} = 0),
+per_doc AS (
+  SELECT b.doc_id, b.lang, COUNT(*) AS n,
+         SUM(CASE WHEN v.seen IS NULL THEN 1 ELSE 0 END) AS o
+  FROM bi b LEFT JOIN vocab v ON v.w1 = b.w1 AND v.w2 = b.w2
+  GROUP BY b.doc_id, b.lang)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN o*25 <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN o*25 <= n THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN o*25 <= n THEN n ELSE 0 END) AS BIGINT)
+         AS kept_bigrams
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 def text_df_topterms(spark, sf_dir):
     """Corpus vocabulary triage: top-3 tokens per language by DOCUMENT
     frequency (in how many docs does the token appear) — the df side of
