@@ -1,0 +1,196 @@
+"""zpages debug surface — the reference's in-process diagnostics pages.
+
+Mirrors ``service/zpages.go:17-23`` (paths servicez / pipelinez /
+extensionz / featurez), ``service/zpages.go:47-69`` (servicez: build info +
+runtime info + component links), ``service/internal/graph/zpages.go:21-70``
+(pipelinez: one row per pipeline with receivers / processors / exporters,
+connectors annotated, ``pipelinenamez`` filter param) and
+``service/zpages.go:71-93`` (featurez: the feature-gate registry table).
+
+Spark-first stance: the pages are plain HTML rendered from engine-side
+state (the validated :class:`~..plans.pipeline.PipelineGraph`, the
+:class:`~..plans.featuregate.Registry`, obsreport counters).  They are
+served by the live OTLP/HTTP receiver's GET handler
+(``sources/http_receiver.py``) — one server for ingest and diagnostics,
+like the reference's shared confighttp server.
+"""
+
+from __future__ import annotations
+
+import html
+import platform
+import sys
+import time
+from dataclasses import dataclass, field
+
+SERVICE_PATH = "/debug/servicez"
+PIPELINE_PATH = "/debug/pipelinez"
+EXTENSION_PATH = "/debug/extensionz"
+FEATURE_PATH = "/debug/featurez"
+
+#: pipelinez filter param (graph/zpages.go:16 zPipelineName)
+PIPELINE_NAME_PARAM = "pipelinenamez"
+
+
+@dataclass
+class BuildInfo:
+    """component.BuildInfo analogue (service/zpages.go:96-102)."""
+
+    command: str = "otel-arrow-collector-spark"
+    description: str = "PySpark-native OTel-Arrow analytics engine"
+    version: str = "dev"
+
+
+@dataclass
+class ZPages:
+    """Renders the four debug pages from live engine state.
+
+    ``graph`` is a validated PipelineGraph (or None), ``registry`` a
+    featuregate Registry (or None), ``extensions`` the active extension
+    names, ``obsreport`` an exporters.obsreport.ObsReport whose counters
+    are appended to servicez (engine addition — the reference exposes
+    those through the metrics pipeline instead).
+    """
+
+    build_info: BuildInfo = field(default_factory=BuildInfo)
+    graph: object | None = None
+    registry: object | None = None
+    extensions: list[str] = field(default_factory=list)
+    obsreport: object | None = None
+    start_time: float = field(default_factory=time.time)
+
+    # -- dispatch ----------------------------------------------------------
+
+    def handle(self, path: str, query: dict[str, str]) -> tuple[int, bytes] | None:
+        """Return (status, html_body) for a /debug path, or None if the
+        path is not a zpage (caller 404s)."""
+        if path == SERVICE_PATH:
+            return 200, self.servicez()
+        if path == PIPELINE_PATH:
+            return 200, self.pipelinez(query.get(PIPELINE_NAME_PARAM))
+        if path == EXTENSION_PATH:
+            return 200, self.extensionz()
+        if path == FEATURE_PATH:
+            return 200, self.featurez()
+        return None
+
+    # -- pages -------------------------------------------------------------
+
+    def servicez(self) -> bytes:
+        """Build info + runtime info + links (service/zpages.go:47-69)."""
+        parts = [_page_header(f"Service {self.build_info.command}")]
+        parts.append(_properties_table("Build Info", [
+            ("Command", self.build_info.command),
+            ("Description", self.build_info.description),
+            ("Version", self.build_info.version),
+        ]))
+        parts.append(_properties_table("Runtime Info", [
+            ("StartTimestamp", time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(self.start_time))),
+            ("Python", sys.version.split()[0]),
+            ("OS", platform.system().lower()),
+            ("Arch", platform.machine()),
+        ]))
+        for name, endpoint in (("Pipelines", PIPELINE_PATH),
+                               ("Extensions", EXTENSION_PATH),
+                               ("Features", FEATURE_PATH)):
+            parts.append(
+                f'<p><a href="{endpoint}">{html.escape(name)}</a></p>')
+        if self.obsreport is not None:
+            rows = sorted(self.obsreport.snapshot().items())
+            parts.append(_properties_table(
+                "ObsReport Counters",
+                [("/".join(k), str(v)) for k, v in rows]))
+        parts.append(_page_footer())
+        return "".join(parts).encode()
+
+    def pipelinez(self, name_filter: str | None = None) -> bytes:
+        """One row per pipeline (graph/zpages.go:21-70): full name, input
+        type, mutates-data, receivers / processors / exporters with
+        connectors annotated; optional ``pipelinenamez`` filter."""
+        parts = [_page_header("builtPipelines")]
+        header = ("Full Name", "Input Type", "Mutates Data",
+                  "Receivers", "Processors", "Exporters")
+        rows: list[tuple[str, ...]] = []
+        pipelines = getattr(self.graph, "pipelines", {}) or {}
+        connectors = getattr(self.graph, "connectors", {}) or {}
+
+        def _ann(cid: str) -> str:
+            return f"{cid} (connector)" if cid in connectors else cid
+
+        for name in sorted(pipelines):
+            if name_filter and name != name_filter:
+                continue
+            p = pipelines[name]
+            rows.append((
+                name,
+                name.split("/", 1)[0],
+                # immutable DataFrames: no processor can mutate a shared
+                # batch (SURVEY §4 clone-elision row), so the capability
+                # OR (graph.go:240-242) is constant False
+                "false",
+                ", ".join(_ann(r) for r in p.receivers),
+                ", ".join(p.processors),
+                ", ".join(_ann(e) for e in p.exporters),
+            ))
+        parts.append(_summary_table("Pipelines", header, rows))
+        parts.append(_page_footer())
+        return "".join(parts).encode()
+
+    def extensionz(self) -> bytes:
+        """Extension list (extensions/extensions.go HandleZPages)."""
+        parts = [_page_header("Extensions")]
+        parts.append(_summary_table(
+            "Extensions", ("Name",),
+            [(e,) for e in sorted(self.extensions)]))
+        parts.append(_page_footer())
+        return "".join(parts).encode()
+
+    def featurez(self) -> bytes:
+        """Feature-gate table (service/zpages.go:78-93)."""
+        parts = [_page_header("Feature Gates")]
+        rows: list[tuple[str, ...]] = []
+        if self.registry is not None:
+            for g in self.registry.visit_all():
+                rows.append((g.id, str(g.enabled).lower(), g.stage.value,
+                             g.description, g.from_version, g.to_version))
+        parts.append(_summary_table(
+            "Feature Gates",
+            ("ID", "Enabled", "Stage", "Description", "From", "To"),
+            rows))
+        parts.append(_page_footer())
+        return "".join(parts).encode()
+
+
+# -- HTML helpers (internal/zpages writer analogues) ------------------------
+
+def _page_header(title: str) -> str:
+    t = html.escape(title)
+    return (f"<!DOCTYPE html><html><head><title>{t}</title></head>"
+            f"<body><h1>{t}</h1>")
+
+
+def _page_footer() -> str:
+    return "</body></html>"
+
+
+def _properties_table(name: str, props: list[tuple[str, str]]) -> str:
+    out = [f"<h2>{html.escape(name)}</h2><table>"]
+    for k, v in props:
+        out.append(f"<tr><td>{html.escape(k)}</td>"
+                   f"<td>{html.escape(v)}</td></tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
+def _summary_table(name: str, header: tuple[str, ...],
+                   rows: list[tuple[str, ...]]) -> str:
+    out = [f"<h2>{html.escape(name)}</h2><table><tr>"]
+    out.extend(f"<th>{html.escape(h)}</th>" for h in header)
+    out.append("</tr>")
+    for row in rows:
+        out.append("<tr>")
+        out.extend(f"<td>{html.escape(c)}</td>" for c in row)
+        out.append("</tr>")
+    out.append("</table>")
+    return "".join(out)

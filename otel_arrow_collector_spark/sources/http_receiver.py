@@ -90,11 +90,12 @@ class OtlpHttpReceiver:
                  port: int = 0, token: str | None = None,
                  max_pending_files: int = 100_000,
                  max_body_bytes: int = 64 * 1024 * 1024,
-                 tls=None):
+                 tls=None, zpages=None):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
         self.tls = tls                       # TLSConfig | None (configtls)
+        self.zpages = zpages                 # plans.zpages.ZPages | None
         self.max_pending_files = max_pending_files
         self.max_body_bytes = max_body_bytes
         self.counters: dict[str, int] = {}   # obsreport-style
@@ -233,7 +234,22 @@ class OtlpHttpReceiver:
     def _handle_status(self, h: BaseHTTPRequestHandler) -> None:
         """GET /status — the zpages-style diagnostics surface
         (extension/zpagesextension analogue): request counters + spool
-        occupancy as JSON."""
+        occupancy as JSON.  With a ``zpages`` object attached, also
+        serves the reference's /debug/{servicez,pipelinez,extensionz,
+        featurez} HTML pages (service/zpages.go:17-23)."""
+        if self.zpages is not None and h.path.startswith("/debug/"):
+            from urllib.parse import parse_qsl, urlsplit
+            parts = urlsplit(h.path)
+            page = self.zpages.handle(parts.path, dict(parse_qsl(parts.query)))
+            if page is None:
+                return self._plain(h, 404, b"not found")
+            code, body = page
+            h.send_response(code)
+            h.send_header("Content-Type", "text/html; charset=utf-8")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            return None
         if h.path != "/status":
             return self._plain(h, 404, b"not found")
         with self._lock:
