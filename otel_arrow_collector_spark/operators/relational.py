@@ -2100,6 +2100,65 @@ def q67(spark, sf_dir):
               .orderBy("s_suppkey"))
 
 
+@_register("q68_waiting_suppliers", """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM f GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+""")
+def q68(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, the supplier who was the ONLY late shipper on a
+    multi-supplier order — classically an EXISTS + NOT-EXISTS double
+    correlated subquery over the fact.
+
+    Reformulated aggregation-first: one per-order roll-up computes the
+    distinct-supplier count, the distinct-LATE-supplier count, and (when
+    unique) that late supplier's key; the EXISTS pair becomes two integer
+    predicates on the aggregate.  "Late" = shipped >90 days after the
+    order date (the synthetic schema has no commit/receipt dates).
+
+    Scale: ONE lineitem⋈orders shuffle (vs three fact self-joins in the
+    textbook plan), one hash agg keyed by order, then a broadcast
+    supplier join over order-cardinality rows.  This is the plan you
+    would hand-write at 100 TB.
+    """
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    f = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .withColumn("late_supp_or_null", F.when(
+               F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+               F.col("l_suppkey"))))
+    per_order = (f.groupBy("l_orderkey")
+                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                        F.countDistinct("late_supp_or_null").alias("n_late"),
+                        F.max("late_supp_or_null").alias("late_supp")))
+    return (per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+                     .join(F.broadcast(sup),
+                           per_order.late_supp == sup.s_suppkey)
+                     .groupBy("s_suppkey", "s_name")
+                     .agg(F.count(F.lit(1)).alias("numwait"))
+                     .orderBy(F.col("numwait").desc(), "s_suppkey"))
+
+
 @_register("q62_top_supplier", """
 WITH rev AS (
   SELECT l_suppkey,

@@ -39,6 +39,36 @@ def _read_stream(spark, stream_dir, files_per_trigger=1):
             .parquet(stream_dir))
 
 
+def _drain(q, max_wait=120.0, settle_s=3.0):
+    """Wait until the stream has drained its input, then stop it.
+
+    The sharded-batcher queries never self-terminate even under
+    availableNow — applyInPandasWithState keeps scheduling empty batches
+    to fire pending processing-time timers — so a bare awaitTermination
+    waits out its full timeout.  Instead: poll lastProgress until no-input
+    batches have run for ``settle_s`` (long enough for the 50ms flush
+    timers to fire), then stop.  Query errors are re-raised.
+    """
+    import time
+    deadline = time.time() + max_wait
+    idle_since = None
+    while time.time() < deadline:
+        if not q.isActive or q.exception() is not None:
+            break
+        p = q.lastProgress
+        if p and p.get("numInputRows", 0) == 0:
+            idle_since = idle_since or time.time()
+            if time.time() - idle_since >= settle_s:
+                break
+        else:
+            idle_since = None
+        time.sleep(0.25)
+    exc = q.exception()
+    q.stop()
+    if exc is not None:
+        raise exc
+
+
 def _run_to_memory(df, name, ckpt, output_mode="append"):
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
@@ -169,7 +199,7 @@ def test_sharded_batcher_size_trigger(spark, stream_dir, tmp_path):
     out: list = []
     q = batcher.run(stream, sink=lambda pdf: out.append(pdf),
                     checkpoint=str(tmp_path / "ck5"))
-    q.awaitTermination(120)
+    _drain(q)
     import pandas as pd
     emitted = pd.concat(out) if out else pd.DataFrame(
         columns=["event_type", "batch_rows", "complete"])
@@ -194,7 +224,7 @@ def test_sharded_batcher_timeout_flush(spark, stream_dir, tmp_path):
     out: list = []
     q = batcher.run(stream, sink=lambda pdf: out.append(pdf),
                     checkpoint=str(tmp_path / "ck7"))
-    q.awaitTermination(120)
+    _drain(q)
     import pandas as pd
     emitted = pd.concat(out)
     assert (emitted.loc[emitted.complete, "batch_rows"] == 100).all()
@@ -236,7 +266,7 @@ def test_sharded_batcher_guard_never_collects_batches(
                                      cardinality_limit=100,
                                      flush_timeout_ms=3_600_000)
     q = batcher.run(stream, checkpoint=str(tmp_path / "ck8"))
-    q.awaitTermination(120)   # raises if the guard called toPandas
+    _drain(q)   # raises if the guard called toPandas
 
 
 def test_hopping_counts_stream_matches_batch_and_q47(spark, tmp_path):

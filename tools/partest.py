@@ -28,21 +28,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# measured single-process wall seconds (round 5); proxy for balancing only
+# measured wall seconds (round 5, 8-way concurrent runs — relative
+# weights are what matters for balancing, not absolute values)
 KNOWN_COSTS = {
-    "test_streaming_temporality.py": 95,
-    "test_streaming.py": 75,
-    "test_scraper_and_arrow_egress.py": 70,
-    "test_streaming_joins.py": 55,
-    "test_llm_ops.py": 50,
-    "test_declared_parity.py": 45,
-    "test_codec_properties.py": 40,
+    "test_declared_parity.py": 162,
+    "test_llm_ops.py": 148,
+    "test_streaming_temporality.py": 134,
+    "test_codec_properties.py": 122,
+    "test_scraper_and_arrow_egress.py": 116,
+    "test_streaming_joins.py": 98,
+    "test_http_receiver.py": 58,
+    "test_streaming.py": 56,
+    "test_tls.py": 40,
+    "test_grpc.py": 38,
     "test_pipeline_graph.py": 35,
-    "test_http_receiver.py": 30,
     "test_metric_semantics.py": 30,
+    "test_loader.py": 25,
     "test_codecs.py": 25,
     "test_pb_codec.py": 25,
-    "test_grpc.py": 20,
+    "test_advice_r4.py": 23,
+    "test_egress.py": 23,
+    "test_collector_lifecycle.py": 21,
     "test_plan_quality.py": 20,
 }
 
