@@ -1,0 +1,467 @@
+"""Baseline JPEG codec — pure Python/numpy, no codec libraries.
+
+Closes the "JPEG decode requires PIL" stub in ``multimodal.py``: the
+reference treats media payloads as opaque bytes (pdata
+``pcommon.ByteSlice``); a training-data pipeline needs to *decode* them,
+and this container has no PIL/pyav.  Scope:
+
+- **decode** (:func:`decode_jpeg`): baseline sequential DCT (SOF0/1),
+  Huffman entropy coding (DHT), 8×8 dequantize + IDCT (orthonormal
+  matrix form), chroma subsampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0)
+  via nearest upsample, restart markers (DRI/RSTn), APPn/COM segments
+  skipped.  Grayscale (1 component) and YCbCr (3 components).
+- **encode** (:func:`encode_jpeg`): baseline 4:4:4 YCbCr with the
+  T.81 Annex K example quantization (quality-scaled, IJG formula) and
+  Huffman tables, so round-trip tests exercise the decoder on genuinely
+  entropy-coded streams.
+
+Progressive (SOF2), hierarchical, arithmetic-coded and 12-bit streams
+raise ``NotImplementedError`` loudly — the same stub policy as the other
+codecs in ``multimodal.py``.
+
+Performance stance: the entropy decode is a per-bit Python loop — fine
+for the fixture-scale images these tests feed it, and isolated inside
+the mapInPandas batch codec like the other decoders; the transform math
+(IDCT, color convert, upsample) is vectorized numpy.  The implementation
+is the textbook ITU-T T.81 spec; nothing derives from a codec library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K examples; normative zigzag from Figure 5)
+# ---------------------------------------------------------------------------
+
+#: zigzag index -> raster index
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+#: Annex K.1 example quantization tables (zigzag order when emitted)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99], np.int64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    np.int64)
+
+#: Annex K.3 example Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_L = ((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+         tuple(range(12)))
+_DC_C = ((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+         tuple(range(12)))
+_AC_L = ((0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125), (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+_AC_C = ((0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119), (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+#: orthonormal 8x8 DCT-II basis; FDCT: C @ B @ C.T, IDCT: C.T @ X @ C
+_C = np.array([[np.sqrt((1 if u == 0 else 2) / 8.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+
+def _canonical_codes(bits, vals):
+    """BITS/HUFFVAL -> {(length, code): symbol} (T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits, vals):
+    """Inverse of :func:`_canonical_codes`: symbol -> (length, code)."""
+    return {sym: lc for lc, sym in _canonical_codes(bits, vals).items()}
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): t-bit magnitude -> signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    """Bit reader over an un-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        d, p = self.data, self.pos
+        for _ in range(n):
+            byte = d[p >> 3] if (p >> 3) < len(d) else 0
+            v = (v << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _split_ecs(buf: bytes, pos: int) -> list[bytes]:
+    """Un-stuff the entropy-coded data after SOS; split at RSTn markers.
+    Returns the list of segments (DC predictors reset per segment)."""
+    segs, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:                                   # EOI or next marker
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
+                  pred: int) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode, dequantize, IDCT, +128 level shift.
+    Returns (pixel block float64, new DC predictor)."""
+    coef = np.zeros(64, np.int64)
+    t = rd.huff(dc_tab)
+    pred += _extend(rd.bits(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = rd.huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                         # ZRL: 16 zeros
+                k += 16
+                continue
+            break                               # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overrun")
+        coef[k] = _extend(rd.bits(s), s)
+        k += 1
+    blk = np.zeros(64, np.float64)
+    blk[_ZIGZAG] = (coef * q).astype(np.float64)   # both in zigzag order
+    px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+    return px, pred
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG to (width, height, top-down RGB bytes)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    comps: list[dict] | None = None
+    w = h = None
+    dri = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = payload[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        if m == 0xC4:                                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = tuple(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = tuple(body[i + 17:i + 17 + nv])
+                (hdc if tc == 0 else hac)[th] = _canonical_codes(bits, vals)
+                i += 17 + nv
+        elif m == 0xDB:                                 # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(
+                    body[i + 1:i + 65], np.uint8).astype(np.int64)
+                i += 65
+        elif m in (0xC0, 0xC1):                         # SOF0/1 baseline
+            prec = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 2 and 1 <= (hv & 15) <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hv >> 4}x{hv & 15}")
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{m:02X})")
+        elif m == 0xDD:                                 # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif m == 0xDA:                                 # SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 15))
+            return _decode_scan(payload, pos + 2 + ln, w, h, scan,
+                                qt, hdc, hac, dri)
+        elif m == 0xD9:
+            break
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOS")
+
+
+def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+              for c, _, _ in scan]
+    segs = _split_ecs(buf, pos)
+    rd = _Bits(segs[0])
+    seg_i = 0
+    pred = [0] * len(scan)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                rd = _Bits(segs[seg_i])
+                pred = [0] * len(scan)
+            for ci, (c, td, ta) in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk, pred[ci] = _decode_block(
+                            rd, hdc[td], hac[ta], qt[c["tq"]], pred[ci])
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu += 1
+    # upsample each component to full resolution, crop to (h, w)
+    full = []
+    for ci, (c, _, _) in enumerate(scan):
+        p = planes[ci]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:                                  # grayscale
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        rgb = np.repeat(y.reshape(h, w, 1), 3, axis=2)
+    elif len(full) == 3:                                # YCbCr (JFIF)
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255) \
+            .round().astype(np.uint8)
+    else:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    return w, h, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """Entropy-coded bit writer with 0xFF stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)      # 1-pad to byte boundary
+        return bytes(self.out)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (zigzag order)."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _encode_block(wtr, blk, q, dc_codes, ac_codes, pred):
+    """FDCT + quantize + Huffman one 8x8 block; returns new DC pred."""
+    coef = _C @ (blk - 128.0) @ _C.T
+    # quantize in raster then reorder to zigzag: z[i] = raster[_ZIGZAG[i]]
+    qraster = np.round(coef.reshape(-1)
+                       / q[np.argsort(_ZIGZAG)]).astype(np.int64)
+    z = qraster[_ZIGZAG]
+    diff = int(z[0]) - pred
+    pred = int(z[0])
+    t = int(diff).bit_length() if diff else 0
+    ln, code = dc_codes[t]
+    wtr.put(code, ln)
+    if t:
+        wtr.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last = 63
+    while last > 0 and z[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(z[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]           # ZRL
+            wtr.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        ln, code = ac_codes[0x00]               # EOB
+        wtr.put(code, ln)
+    return pred
+
+
+def _dht_segment(tc, th, spec) -> bytes:
+    bits, vals = spec
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int, *,
+                quality: int = 85) -> bytes:
+    """Encode raw RGB triples as a baseline 4:4:4 JFIF JPEG."""
+    px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
+        .reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql, qc = _quality_tables(quality)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    planes = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw), np.float64)
+        p[:height, :width] = plane
+        p[height:, :width] = plane[-1:, :]      # edge-replicate pad
+        p[:, width:] = p[:, width - 1:width]
+        planes.append(p)
+    dc_l, ac_l = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
+    dc_c, ac_c = _encode_codes(*_DC_C), _encode_codes(*_AC_C)
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(3):
+                blk = planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                q = ql if ci == 0 else qc
+                dc = dc_l if ci == 0 else dc_c
+                ac = ac_l if ci == 0 else ac_c
+                pred[ci] = _encode_block(wtr, blk, q, dc, ac, pred[ci])
+    ecs = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"                                       # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))  # DQT luma
+    out += seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))  # DQT chroma
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(0xC4, _dht_segment(0, 0, _DC_L))
+    out += seg(0xC4, _dht_segment(1, 0, _AC_L))
+    out += seg(0xC4, _dht_segment(0, 1, _DC_C))
+    out += seg(0xC4, _dht_segment(1, 1, _AC_C))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += ecs + b"\xff\xd9"                                # EOI
+    return out

@@ -6,16 +6,19 @@ Two decode tiers:
 
 - REAL decode for formats parseable with the standard library alone:
   BMP (24-bit uncompressed, BITMAPINFOHEADER), WAV (PCM16 RIFF) and PNG
-  (non-interlaced 8-bit gray/RGB/RGBA — zlib inflate + full 5-filter
-  unfilter incl. Paeth) are fully decoded — geometry, pixel/sample
-  statistics, and raw pixels for the resize path — by the pure-Python
-  parsers below (``decode_bmp`` / ``decode_wav`` / ``decode_png``).
-  ``synthesize_media`` renders genuine BMP/WAV/PNG payloads from document
-  text so the corpus contains real media bytes to exercise them, and
-  ``resize_images`` does a true nearest-neighbor downsample over the
-  decoded pixels.
-- STUB for formats that genuinely need codec libraries (JPEG/MP4, and
-  Adam7-interlaced or 16-bit PNG): the decoders RAISE loudly
+  (8- AND 16-bit gray/RGB/RGBA, non-interlaced AND Adam7-interlaced —
+  zlib inflate + full 5-filter unfilter incl. Paeth, per-pass for Adam7)
+  are fully decoded — geometry, pixel/sample statistics, and raw pixels
+  for the resize path — by the pure-Python parsers below (``decode_bmp``
+  / ``decode_wav`` / ``decode_png``).  ``synthesize_media`` renders
+  genuine BMP/WAV/PNG payloads from document text so the corpus contains
+  real media bytes to exercise them, and ``resize_images`` does a true
+  nearest-neighbor downsample over the decoded pixels.
+- REAL decode also for baseline JPEG: the dependency-free codec in
+  ``jpeg.py`` (Huffman + dequantize + IDCT, 4:4:4/4:2:2/4:2:0, restart
+  markers) feeds the same stats/resize paths.
+- STUB for formats that genuinely need codec libraries (MP4, palette
+  PNG, progressive JPEG): the decoders RAISE loudly
   (NotImplementedError), keeping accidental production use visible.
   Swap in PIL/librosa/pyav there; the plan shape does not change.
 
@@ -288,14 +291,38 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
-def encode_png(pixels: bytes, width: int, height: int) -> bytes:
+def encode_png(pixels: bytes, width: int, height: int, *,
+               interlace: bool = False, depth: int = 8) -> bytes:
     """Render raw RGB triples (top-down row-major, len >= 3*w*h) as a
-    well-formed non-interlaced 8-bit truecolor PNG (filter 0 scanlines,
-    one zlib IDAT)."""
+    well-formed 8- or 16-bit truecolor PNG (filter 0 scanlines, one zlib
+    IDAT), optionally Adam7-interlaced.
+
+    16-bit widens each 8-bit channel to v<<8|v (so the decoder's
+    high-byte reduction round-trips exactly); Adam7 splits the image into
+    the seven standard passes (RFC 2083 §2.6), each pass its own run of
+    filter-0 scanlines in the single IDAT stream.
+    """
     import zlib
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[y * 3 * width:(y + 1) * 3 * width]
-                   for y in range(height))
+    px = np.frombuffer(pixels[:3 * width * height], np.uint8)
+    arr = px.reshape(height, width, 3)
+    if depth == 16:
+        arr = np.repeat(arr.reshape(height, width * 3), 2, axis=1) \
+                .reshape(height, width, 6)
+    elif depth != 8:
+        raise ValueError(f"encode_png: depth must be 8 or 16, got {depth}")
+    if not interlace:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue          # empty passes emit nothing (RFC 2083 §2.6)
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
@@ -310,14 +337,63 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG to (width, height,
-    top-down row-major RGB bytes): chunk walk, zlib inflate, and the full
-    5-way scanline unfilter (None/Sub/Up/Average/Paeth).
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    Loud stubs: 16-bit, palette, and Adam7-interlaced PNGs raise
-    NotImplementedError (they need a real codec library's coverage);
-    gray is expanded to RGB, RGBA drops alpha.
+
+def _unfilter_block(lines: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering over one (sub-)image block.
+
+    ``lines`` is (rows, 1 + stride) uint8 — filter byte + filtered bytes
+    per scanline; ``bpp`` is the filter unit in BYTES per pixel (channel
+    count × bytes per channel, RFC 2083 §6.2 — filters always operate on
+    bytes regardless of bit depth).  Vectorized where the recurrence
+    allows: Up is elementwise, Sub is a per-byte-lane prefix sum mod 256;
+    Average is sequential in the left neighbor (per-pixel vector steps);
+    Paeth stays a per-row scalar loop (data-dependent predictor).
+    """
+    rows, stride = lines.shape[0], lines.shape[1] - 1
+    img = np.empty((rows, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(rows):
+        ft = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int64)
+        if ft == 0:                                    # None
+            line = cur
+        elif ft == 1:                                  # Sub: prefix sum
+            line = cur.reshape(-1, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:                                  # Up
+            line = (cur + prev) & 0xFF
+        elif ft == 3:                                  # Average
+            line = np.empty(stride, np.int64)
+            left = np.zeros(bpp, np.int64)
+            for i in range(0, stride, bpp):
+                left = (cur[i:i + bpp]
+                        + (left + prev[i:i + bpp]) // 2) & 0xFF
+                line[i:i + bpp] = left
+        elif ft == 4:                                  # Paeth
+            lst, pv = cur.tolist(), prev.tolist()
+            for i in range(stride):
+                left = lst[i - bpp] if i >= bpp else 0
+                ul = pv[i - bpp] if i >= bpp else 0
+                lst[i] = (lst[i] + _paeth(left, pv[i], ul)) & 0xFF
+            line = np.asarray(lst, np.int64)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[y] = prev = line
+    return img.astype(np.uint8)
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8- or 16-bit gray/RGB/RGBA PNG — non-interlaced or
+    Adam7-interlaced — to (width, height, top-down row-major RGB bytes):
+    chunk walk, zlib inflate, the full 5-way scanline unfilter
+    (None/Sub/Up/Average/Paeth) per (sub-)image, Adam7 pixel scatter.
+
+    16-bit channels reduce to 8 by taking the high byte (the standard
+    presentation downsample); gray expands to RGB, RGBA drops alpha.
+    Loud stub: palette PNGs raise NotImplementedError.
     """
     import zlib
     if payload[:8] != _PNG_SIG:
@@ -337,52 +413,44 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported, got {depth}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PNG supported, got {depth}")
     if color not in (0, 2, 6):
         raise NotImplementedError(
             f"PNG color type {color} not supported (gray/RGB/RGBA only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     nch = {0: 1, 2: 3, 6: 4}[color]
+    bpp = nch * (depth // 8)                 # filter unit, bytes per pixel
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    stride = nch * w
-    if len(raw) < h * (1 + stride):
-        raise ValueError("PNG pixel data truncated")
-    lines = raw[:h * (1 + stride)].reshape(h, 1 + stride)
-    # unfilter vectorized where the recurrence allows: Up is elementwise,
-    # Sub is a per-channel prefix sum mod 256; Average is sequential in
-    # the left neighbor (per-pixel channel-vector steps); Paeth stays a
-    # per-row scalar loop (data-dependent predictor).
-    img = np.empty((h, stride), np.int64)
-    prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        ft = int(lines[y, 0])
-        cur = lines[y, 1:].astype(np.int64)
-        if ft == 0:                                    # None
-            line = cur
-        elif ft == 1:                                  # Sub: prefix sum
-            line = cur.reshape(w, nch).cumsum(axis=0).reshape(stride) & 0xFF
-        elif ft == 2:                                  # Up
-            line = (cur + prev) & 0xFF
-        elif ft == 3:                                  # Average
-            line = np.empty(stride, np.int64)
-            left = np.zeros(nch, np.int64)
-            for i in range(0, stride, nch):
-                left = (cur[i:i + nch]
-                        + (left + prev[i:i + nch]) // 2) & 0xFF
-                line[i:i + nch] = left
-        elif ft == 4:                                  # Paeth
-            lst, pv = cur.tolist(), prev.tolist()
-            for i in range(stride):
-                left = lst[i - nch] if i >= nch else 0
-                ul = pv[i - nch] if i >= nch else 0
-                lst[i] = (lst[i] + _paeth(left, pv[i], ul)) & 0xFF
-            line = np.asarray(lst, np.int64)
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        img[y] = prev = line
-    flat = img.astype(np.uint8).reshape(-1)
+
+    if interlace == 0:
+        stride = bpp * w
+        if len(raw) < h * (1 + stride):
+            raise ValueError("PNG pixel data truncated")
+        img = _unfilter_block(raw[:h * (1 + stride)].reshape(h, 1 + stride),
+                              bpp)
+    else:                                    # Adam7: 7 sub-images
+        img = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = bpp * pw
+            need = ph * (1 + stride)
+            if len(raw) < off + need:
+                raise ValueError("PNG pixel data truncated (Adam7 pass)")
+            block = _unfilter_block(
+                raw[off:off + need].reshape(ph, 1 + stride), bpp)
+            off += need
+            img[y0::dy, x0::dx] = block.reshape(ph, pw, bpp)
+        img = img.reshape(h, bpp * w)
+
+    px = img.reshape(-1, nch, depth // 8)
+    flat = np.ascontiguousarray(px[:, :, 0]).reshape(-1)  # 16-bit: high byte
     if nch == 1:                                       # gray -> RGB
         flat = np.repeat(flat, 3)
     elif nch == 4:                                     # RGBA -> drop alpha
@@ -451,10 +519,23 @@ def synthesize_media(df):
     return df.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
 
 
+def decode_jpeg_stats(payload: bytes) -> dict:
+    """Parse a baseline JPEG via ``jpeg.decode_jpeg``: geometry + integer
+    mean luminance — same stat as ``decode_bmp``/``decode_png``."""
+    from .jpeg import decode_jpeg as _dj
+    w, h, rgb = _dj(payload)
+    n = w * h
+    px = np.frombuffer(rgb, np.uint8).reshape(n, 3).astype(np.int64)
+    luma = int((px.sum(axis=1) // 3).sum())
+    return {"format": "image/jpeg", "width": w, "height": h,
+            "mean_luma": luma // max(1, n), "sample_rate": None,
+            "n_samples": None, "duration_ms": None}
+
+
 def decode_media(df):
-    """mapInPandas REAL decode: BMP/WAV/PNG parsed by the stdlib codecs
-    above; compressed formats that need a codec library (JPEG/MP4) raise
-    NotImplementedError."""
+    """mapInPandas REAL decode: BMP/WAV/PNG/JPEG parsed by the
+    dependency-free codecs (``jpeg.py`` carries the baseline JPEG
+    decoder); MP4 still needs pyav and raises NotImplementedError."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -466,10 +547,11 @@ def decode_media(df):
                     f_ = decode_wav(b)
                 elif b[:8] == _PNG_SIG:
                     f_ = decode_png(b)
-                elif (b[:3] == b"\xff\xd8\xff" or b[4:8] == b"ftyp"):
+                elif b[:3] == b"\xff\xd8\xff":
+                    f_ = decode_jpeg_stats(b)
+                elif b[4:8] == b"ftyp":
                     raise NotImplementedError(
-                        "JPEG/MP4 decode requires PIL/pyav — not in "
-                        "this container")
+                        "MP4 decode requires pyav — not in this container")
                 else:
                     raise ValueError(f"unknown media magic {b[:4]!r}")
                 f_["n_bytes"] = len(b)
@@ -559,14 +641,18 @@ RESIZED_SCHEMA = StructType([
 
 
 def _image_pixels(b: bytes) -> tuple[int, int, bytes]:
-    """Route an image payload to its stdlib pixel decoder (BMP or PNG)."""
+    """Route an image payload to its dependency-free pixel decoder
+    (BMP, PNG, or baseline JPEG)."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == _PNG_SIG:
         return _png_pixels(b)
-    if b[:3] == b"\xff\xd8\xff" or b[4:8] == b"ftyp":
+    if b[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg as _dj
+        return _dj(b)
+    if b[4:8] == b"ftyp":
         raise NotImplementedError(
-            "JPEG/MP4 decode requires PIL/pyav — not in this container")
+            "MP4 decode requires pyav — not in this container")
     raise ValueError(f"unknown image magic {b[:4]!r}")
 
 

@@ -253,3 +253,74 @@ def test_png_unfilter_inverts_any_filter_sequence(data):
            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
            + _png_chunk(b"IEND", b""))
     assert _png_pixels(png) == (w, h, pix)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_adam7_and_16bit(data):
+    """Adam7-interlaced and 16-bit (and their combination) round-trip to
+    the same RGB bytes as the plain encoding: pass split + per-pass
+    unfilter + pixel scatter is lossless, and the 16-bit high-byte
+    reduction inverts the v<<8|v widening exactly."""
+    from otel_arrow_collector_spark.operators.multimodal import (_png_pixels,
+                                                                 encode_png)
+    w = data.draw(st.integers(1, 11), label="w")
+    h = data.draw(st.integers(1, 11), label="h")
+    pix = bytes(data.draw(
+        st.lists(st.integers(0, 255), min_size=3 * w * h,
+                 max_size=3 * w * h), label="pix"))
+    for interlace in (False, True):
+        for depth in (8, 16):
+            got = _png_pixels(encode_png(pix, w, h,
+                                         interlace=interlace, depth=depth))
+            assert got == (w, h, pix), (interlace, depth)
+
+
+def test_png_adam7_16bit_gray_and_rgba():
+    """Adam7 + 16-bit decode also covers gray (expand to RGB) and RGBA
+    (drop alpha) color types, with per-pass filtered scanlines."""
+    import struct
+    import zlib
+
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _ADAM7, _png_chunk, _png_pixels)
+
+    w = h = 5
+    for color, nch in ((0, 1), (6, 4)):
+        vals = bytes((x * 37 + y * 11 + c * 5) & 0xFF
+                     for y in range(h) for x in range(w)
+                     for c in range(nch))
+        arr = [vals[(y * w + x) * nch:(y * w + x) * nch + nch]
+               for y in range(h) for x in range(w)]
+        # 16-bit widen + Adam7 pass split, filter 2 (Up) per scanline
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            xs = range(x0, w, dx)
+            ys = range(y0, h, dy)
+            if not xs or not ys:
+                continue
+            prev = bytearray(2 * nch * len(xs))
+            for y in ys:
+                line = bytearray()
+                for x in xs:
+                    for c in arr[y * w + x]:
+                        line += bytes((c, c))
+                enc = bytes((line[i] - prev[i]) & 0xFF
+                            for i in range(len(line)))
+                raw += b"\x02" + enc
+                prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 1)
+        png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        gw, gh, rgb = _png_pixels(png)
+        assert (gw, gh) == (w, h)
+        want = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px = arr[y * w + x]
+                if color == 0:
+                    want += bytes((px[0], px[0], px[0]))
+                else:
+                    want += px[:3]
+        assert rgb == bytes(want)

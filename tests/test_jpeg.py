@@ -1,0 +1,229 @@
+"""Baseline JPEG codec tests — dependency-free decode of genuinely
+entropy-coded streams (operators/jpeg.py), mirroring the reference's
+codec round-trip test pattern (pdata/ptrace/json_test.go) at the media
+layer.  JPEG is lossy, so round-trips assert RMSE bounds, not equality;
+structural fields (dims, marker handling) are exact."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from otel_arrow_collector_spark.operators.jpeg import (_AC_L, _DC_L, _Bits,
+                                                       _BitWriter,
+                                                       _canonical_codes,
+                                                       _encode_block,
+                                                       _encode_codes,
+                                                       _quality_tables,
+                                                       _split_ecs,
+                                                       decode_jpeg,
+                                                       encode_jpeg)
+
+
+def _rmse(a: bytes, b: bytes) -> float:
+    x = np.frombuffer(a, np.uint8).astype(float)
+    y = np.frombuffer(b, np.uint8).astype(float)
+    return float(np.sqrt(((x - y) ** 2).mean()))
+
+
+def test_roundtrip_dims_and_noise_bound():
+    """Random (worst-case) pixels: exact dims, bounded loss at q90."""
+    rng = np.random.default_rng(7)
+    for (w, h) in [(8, 8), (16, 8), (17, 13), (1, 1), (5, 3)]:
+        pix = rng.integers(0, 256, 3 * w * h, dtype=np.uint8).tobytes()
+        gw, gh, rgb = decode_jpeg(encode_jpeg(pix, w, h, quality=90))
+        assert (gw, gh) == (w, h)
+        assert len(rgb) == 3 * w * h
+        assert _rmse(pix, rgb) < 15.0
+
+
+def test_smooth_image_near_lossless():
+    """A smooth gradient at q95 must come back nearly exact — the DCT
+    energy compaction sanity check (a broken IDCT/zigzag/quant mapping
+    fails this loudly while possibly passing a loose noise bound)."""
+    w = h = 32
+    grad = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = (x * 4, y * 4, 128)
+    gw, gh, rgb = decode_jpeg(encode_jpeg(grad.tobytes(), w, h, quality=95))
+    assert (gw, gh) == (w, h)
+    assert _rmse(grad.tobytes(), rgb) < 2.0
+
+
+def test_grayscale_single_component():
+    """1-component stream decodes with Y replicated into RGB."""
+    w, h = 16, 8
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (h, w)).astype(np.float64)
+    ql, _ = _quality_tables(92)
+    wtr = _BitWriter()
+    dc, ac = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
+    pred = 0
+    for mx in range(w // 8):
+        pred = _encode_block(wtr, y[:, mx * 8:mx * 8 + 8], ql, dc, ac, pred)
+    ecs = wtr.flush()
+
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+    buf = (b"\xff\xd8"
+           + seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))
+           + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+           + seg(0xC4, bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+           + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + ecs + b"\xff\xd9")
+    gw, gh, rgb = decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert (px[..., 0] == px[..., 1]).all() and (px[..., 1] == px[..., 2]).all()
+    assert float(np.abs(px[..., 0].astype(float) - y).mean()) < 6.0
+
+
+def test_chroma_subsampling_420():
+    """4:2:0 decode: Y at 2x2 factors, constant chroma — the upsample
+    path must reproduce the luma structure and neutral color."""
+    w = h = 16
+    rng = np.random.default_rng(5)
+    y = rng.integers(40, 216, (h, w)).astype(np.float64)
+    ql, qc = _quality_tables(92)
+    wtr = _BitWriter()
+    dcl, acl = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
+    pred = [0, 0, 0]
+    flat = np.full((8, 8), 128.0)
+    # one MCU = 16x16: 4 Y blocks then 1 Cb + 1 Cr (8x8 covering 16x16)
+    for by in range(2):
+        for bx in range(2):
+            pred[0] = _encode_block(
+                wtr, y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                ql, dcl, acl, pred[0])
+    pred[1] = _encode_block(wtr, flat, qc, dcl, acl, pred[1])
+    pred[2] = _encode_block(wtr, flat, qc, dcl, acl, pred[2])
+    ecs = wtr.flush()
+
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+    buf = (b"\xff\xd8"
+           + seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))
+           + seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))
+           + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                 + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+           + seg(0xC4, bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+           + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+           + ecs + b"\xff\xd9")
+    gw, gh, rgb = decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(float)
+    # neutral chroma -> R==G==B (within rounding)
+    assert float(np.abs(px[..., 0] - px[..., 2]).max()) <= 2.0
+    assert float(np.abs(px[..., 0] - y).mean()) < 6.0
+
+
+def test_restart_markers():
+    """DRI/RSTn: DC predictors reset at each restart interval."""
+    w, h = 24, 8          # 3 MCUs at 4:4:4, restart every 1 MCU
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, 3 * w * h, dtype=np.uint8)
+    px = pix.reshape(h, w, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql, qc = _quality_tables(90)
+    dcl, acl = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
+    chunks = []
+    for mx in range(3):
+        wtr = _BitWriter()
+        pred = [0, 0, 0]   # reset per restart interval
+        for ci, plane in enumerate((yp, cb, cr)):
+            q = ql if ci == 0 else qc
+            pred[ci] = _encode_block(
+                wtr, plane[:, mx * 8:mx * 8 + 8], q, dcl, acl, pred[ci])
+        chunks.append(wtr.flush())
+    ecs = chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd1" + chunks[2]
+
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+    buf = (b"\xff\xd8"
+           + seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))
+           + seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))
+           + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                 + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+           + seg(0xC4, bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+           + seg(0xDD, struct.pack(">H", 1))
+           + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+           + ecs + b"\xff\xd9")
+    gw, gh, rgb = decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    assert _rmse(pix.tobytes(), rgb) < 15.0
+
+
+def test_split_ecs_unstuffing():
+    """0xFF00 un-stuffs to 0xFF; RSTn splits segments; EOI stops."""
+    buf = b"\xff\xd8" + b"\xab\xff\x00\xcd" + b"\xff\xd0" + b"\x01\x02" \
+        + b"\xff\xd9trailing"
+    segs = _split_ecs(buf, 2)
+    assert segs == [b"\xab\xff\xcd", b"\x01\x02"]
+
+
+def test_loud_stubs_and_errors():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+    # progressive (SOF2) is a loud stub
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+    prog = (b"\xff\xd8"
+            + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])))
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(prog)
+    # 12-bit precision
+    deep = (b"\xff\xd8"
+            + seg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])))
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(deep)
+
+
+def test_huffman_tables_invert():
+    """Canonical decode/encode tables are consistent inverses."""
+    dec = _canonical_codes(*_AC_L)
+    enc = _encode_codes(*_AC_L)
+    for sym, (ln, code) in enc.items():
+        assert dec[(ln, code)] == sym
+    # decoding a written code recovers the symbol
+    wtr = _BitWriter()
+    ln, code = enc[0xF0]
+    wtr.put(code, ln)
+    # the writer emits a STUFFED stream (0xFF -> 0xFF 0x00); _Bits reads
+    # un-stuffed segments, so strip the stuffing as _split_ecs would
+    rd = _Bits(wtr.flush().replace(b"\xff\x00", b"\xff"))
+    assert rd.huff(dec) == 0xF0
+
+
+def test_image_pixels_routes_jpeg_and_resize_consumes_it():
+    """The multimodal resize path accepts JPEG payloads end-to-end."""
+    from otel_arrow_collector_spark.operators.multimodal import _image_pixels
+    w, h = 16, 16
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[..., 0] = np.arange(w, dtype=np.uint8) * 8
+    buf = encode_jpeg(grad.tobytes(), w, h, quality=95)
+    gw, gh, rgb = _image_pixels(buf)
+    assert (gw, gh) == (w, h)
+    assert _rmse(grad.tobytes(), rgb) < 4.0
+
+
+def test_decode_jpeg_stats_mean_luma():
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_jpeg_stats)
+    w = h = 8
+    flat = np.full((h, w, 3), 100, np.uint8)
+    st = decode_jpeg_stats(encode_jpeg(flat.tobytes(), w, h, quality=95))
+    assert st["format"] == "image/jpeg"
+    assert (st["width"], st["height"]) == (w, h)
+    assert abs(st["mean_luma"] - 100) <= 2

@@ -273,7 +273,9 @@ def test_png_gray_and_rgba_normalize_to_rgb():
 
 
 def test_png_loud_stubs():
-    """Interlaced / 16-bit / palette PNGs raise NotImplementedError."""
+    """Palette and sub-byte-depth PNGs stay loud stubs (interlaced and
+    16-bit are REAL decode paths now — covered by the round-trip
+    property tests in test_codec_properties.py)."""
     import struct
     import zlib
 
@@ -283,8 +285,8 @@ def test_png_loud_stubs():
                                                                  _png_pixels)
     sig = b"\x89PNG\r\n\x1a\n"
     for depth, color, interlace, msg in [
-            (16, 2, 0, "8-bit"), (8, 3, 0, "color type"),
-            (8, 2, 1, "interlaced")]:
+            (8, 3, 0, "color type"), (4, 0, 0, "8/16-bit"),
+            (1, 0, 0, "8/16-bit")]:
         ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
         png = (sig + _png_chunk(b"IHDR", ihdr)
                + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
@@ -334,14 +336,20 @@ def test_png_bmp_same_pixels_same_luma(spark):
 
 
 def test_decode_media_raises_on_compressed_magic(spark):
-    import pandas as pd
-    import pyspark.errors
+    """MP4 stays a loud stub; a TRUNCATED JPEG fails loudly too (the
+    baseline decoder rejects it rather than fabricating pixels)."""
     import pytest as _pytest
     from otel_arrow_collector_spark.operators.multimodal import decode_media
-    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
-                               "doc_id long, payload binary")
-    with _pytest.raises(Exception, match="PIL|pyav|PythonException"):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42...."))],
+        "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="pyav|PythonException"):
         decode_media(df).collect()
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
+        "doc_id long, payload binary")
+    with _pytest.raises(Exception):
+        decode_media(bad).collect()
 
 
 import pytest as _pytest
