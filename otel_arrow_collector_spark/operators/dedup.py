@@ -597,3 +597,78 @@ SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
 FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: k-means cells as blocking, cosine prune)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_COS = 0.3
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup accounting: block the corpus by the
+    deterministic k-means cells (the IVF clustering in similarity.py —
+    Abbas et al. 2023's "cluster, then prune within cluster" recipe),
+    find within-cell pairs above the cosine threshold, and report the
+    per-cell funnel: members, near-dup pairs, and how many vectors a
+    greedy keep-lowest-id pass would drop.
+
+    Versus ``dedup_embedding_cosine`` (256 LSH buckets) this blocks by
+    LEARNED clusters — fewer, semantically coherent blocks, the shape
+    used when near-dups don't hash together.
+
+    Scale: the pair scan is n²/k per cell on cell-local data (never
+    all-pairs); the funnel is integer aggregation of the pair set.  The
+    k-means model is sample-trained, driver round-trips are model
+    parameters only.
+    """
+    from .similarity import _assignments, _s_dot
+    a = _assignments(spark, sf_dir)
+    left = a.select(F.col("vec_id").alias("v1"),
+                    F.col("embedding").alias("e1"),
+                    F.col("v_nrm").alias("n1"), "cid")
+    right = a.select(F.col("vec_id").alias("v2"),
+                     F.col("embedding").alias("e2"),
+                     F.col("v_nrm").alias("n2"),
+                     F.col("cid").alias("cid2"))
+    cos = F.expr(_s_dot("e1", "e2")) / (F.col("n1") * F.col("n2"))
+    pairs = (left.join(right, (F.col("cid") == F.col("cid2"))
+                       & (F.col("v1") < F.col("v2")))
+                 .withColumn("cos_raw", cos)
+                 .filter(F.col("cos_raw") >= SEMANTIC_COS))
+    per_cell = (pairs.groupBy("cid")
+                     .agg(F.count(F.lit(1)).alias("n_pairs"),
+                          F.countDistinct("v2").alias("n_dropped")))
+    n_vecs = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (n_vecs.join(per_cell, "cid", "left")
+                  .select("cid", "n_vecs",
+                          F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                          F.coalesce("n_dropped", F.lit(0)).cast("long")
+                           .alias("n_dropped"))
+                  .orderBy("cid"))
+
+
+def _semantic_oracle() -> str:
+    from .similarity import _DUCK_ASSIGN_CTE, _d_cos
+    return _DUCK_ASSIGN_CTE + f""",
+pairs AS (
+  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_d_cos("a.embedding", "b.embedding")} >= {SEMANTIC_COS}),
+per_cell AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT v2) AS BIGINT) AS n_dropped
+  FROM pairs GROUP BY cid),
+vecs AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         FROM assign GROUP BY cid)
+SELECT v.cid, v.n_vecs, COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(p.n_dropped, 0) AS n_dropped
+FROM vecs v LEFT JOIN per_cell p ON p.cid = v.cid
+ORDER BY v.cid
+"""
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLES["dedup_semantic"] = _semantic_oracle()
