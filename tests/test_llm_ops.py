@@ -677,10 +677,20 @@ def test_image_codec_vectorized_speed():
     rng = np.random.RandomState(7)
     pix = rng.randint(0, 256, 3 * 256 * 256, dtype=np.uint8).tobytes()
     png, bmp = encode_png(pix, 256, 256), encode_bmp(pix, 256, 256)
-    t0 = time.perf_counter()
-    fp = decode_png(png)
+    fp = decode_png(png)                        # warm-up (imports, JIT-ish)
     fb = decode_bmp(bmp)
-    dt = time.perf_counter() - t0
     assert (fp["width"], fp["height"]) == (256, 256)
     assert fp["mean_luma"] == fb["mean_luma"]   # same pixels, same stat
-    assert dt < 0.1, f"decode took {dt*1e3:.0f} ms — vectorization regressed"
+    # min-of-3 under a generous budget: vectorized is single-digit ms solo;
+    # the per-byte loops this guards against took hundreds of ms. The slack
+    # absorbs CI load (the sharded runner packs 5 concurrent workers).
+    dt = min(_timed(decode_png, png, decode_bmp, bmp) for _ in range(3))
+    assert dt < 0.25, f"decode took {dt*1e3:.0f} ms — vectorization regressed"
+
+
+def _timed(f1, a1, f2, a2):
+    import time
+    t0 = time.perf_counter()
+    f1(a1)
+    f2(a2)
+    return time.perf_counter() - t0
