@@ -2029,10 +2029,12 @@ def q66(spark, sf_dir):
     fraction of the total) so no float threshold can flip boundary rows
     between engines.
 
-    Scale: one hash agg keyed by part (uniform), one scalar total
-    re-aggregated from the already-aggregated per-part values (dim-sized
-    input, not a second fact scan), broadcast scalar + broadcast part
-    dim.  The fact is scanned exactly once.
+    Scale: one hash agg keyed by part (uniform) per branch, broadcast
+    scalar + broadcast part dim.  Like the textbook Q11 plan in every
+    engine (DuckDB evaluates the CTE per consumer too), the aggregated
+    relation is computed once for the per-part rows and once for the
+    scalar — both scans prune to the same 3 columns, and the second
+    branch reduces to a single row before broadcasting.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")

@@ -168,3 +168,75 @@ def test_q59_qualifier_reuses_fact_shuffle_key(spark):
     plan = _plan(spark, "q59_small_quantity_revenue")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q63_pair_filter_date_range_pushed_one_fact_shuffle(spark):
+    """q63 (TPC-H Q7 shape): the ship-date range is a pushed scan filter;
+    supplier/customer/nation broadcast; lineitem-orders is the only
+    fact-fact join (no cartesian from the two nation roles)."""
+    plan = _plan(spark, "q63_volume_shipping")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q64_like_filter_stays_on_dim_side(spark):
+    """q64 (TPC-H Q9 shape): the LIKE-filtered part dim broadcasts; the
+    fact scan reads only the join/measure columns."""
+    plan = _plan(spark, "q64_product_profit")
+    assert "BroadcastHashJoin" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [x for x in m if "l_extendedprice" in x]
+    assert li and all("l_returnflag" not in x for x in li)  # pruned
+
+
+def test_q65_pairs_distinct_before_argmin_joinback(spark):
+    """q65 (TPC-H Q2 shape): the distinct (type, supplier) pair set is
+    aggregated BEFORE the min join-back, so everything after the fact
+    scan runs on dim-sized data; no window over the fact."""
+    plan = _plan(spark, "q65_min_acctbal_supplier")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q66_both_fact_branches_are_pruned_aggregations(spark):
+    """q66 (TPC-H Q11 shape): the scalar-total branch recomputes the
+    per-part aggregation (the textbook Q11 plan — engines evaluate the
+    CTE per consumer); what must hold is that BOTH fact scans prune to
+    the 3 needed columns and nothing goes cartesian."""
+    plan = _plan(spark, "q66_important_parts")
+    import re as _re
+    for cols in _re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        names = {c.split(":")[0] for c in cols.split(",")}
+        assert names <= {"l_partkey", "l_quantity", "l_extendedprice",
+                         "p_partkey", "p_name"}, names
+    assert "CartesianProduct" not in plan
+
+
+def test_q68_single_fact_join_no_triple_self_join(spark):
+    """q68 (TPC-H Q21 shape): the aggregation-first reformulation keeps
+    exactly ONE lineitem-orders join — the textbook EXISTS/NOT-EXISTS
+    plan would scan and join the fact three times."""
+    plan = _plan(spark, "q68_waiting_suppliers")
+    assert len(re.findall(r"lineitem", plan)) <= 2   # one scan (+reuse ref)
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") >= 2       # fact join + supplier
+
+
+def test_perplexity_gate_vocab_is_broadcast_no_window(spark):
+    """text_perplexity_gate: the sample vocabulary joins broadcast-side
+    (model, not data) and the funnel is pure aggregation — no windows,
+    no cartesian."""
+    plan = _plan(spark, "text_perplexity_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_semantic_blocks_by_cell_no_all_pairs(spark):
+    """dedup_semantic: the pair join keys on the k-means cell id — never
+    an unconstrained cross join of the corpus."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\bcid\b", plan)
