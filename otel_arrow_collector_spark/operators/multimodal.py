@@ -279,6 +279,79 @@ def decode_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MP4 (ISO BMFF box-structure parse — metadata without frame decode)
+# ---------------------------------------------------------------------------
+
+def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
+                        timescale: int = 1000) -> bytes:
+    """Render a minimal well-formed ISO BMFF box tree (ftyp + moov with
+    mvhd and one video trak/tkhd) — the header a real camera MP4 carries,
+    without media data.  For exercising the metadata parser."""
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3xIII4xI", 0, 0, 0, 1, dur)
+               + b"\x00" * 52
+               + struct.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """Parse the ISO BMFF box tree for container METADATA: duration from
+    mvhd (timescale-corrected), width/height from the first video tkhd.
+
+    This is real structural decode of the MP4 container — what a
+    corpus-triage pass needs (geometry, duration, track presence) —
+    while FRAME decode (H.264 etc.) stays a loud stub behind pyav.
+    """
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            ln, typ = struct.unpack_from(">I4s", buf, pos)
+            if ln < 8:
+                break
+            yield typ, pos + 8, min(pos + ln, end)
+            pos += ln
+
+    duration_ms = width = height = None
+    def visit(start, end):
+        nonlocal duration_ms, width, height
+        for typ, b0, b1 in walk(payload, start, end):
+            if typ in (b"moov", b"trak"):
+                visit(b0, b1)
+            elif typ == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
+                else:
+                    _, _, ts, dur = struct.unpack_from(
+                        ">II II", payload, b0 + 4)
+                if ts:
+                    duration_ms = dur * 1000 // ts
+            elif typ == b"tkhd" and width is None:
+                ver = payload[b0]
+                woff = b1 - b0 - 8        # width/height are the LAST 8 bytes
+                w16, h16 = struct.unpack_from(">II", payload, b0 + woff)
+                if w16 and h16:
+                    width, height = w16 >> 16, h16 >> 16
+    visit(0, len(payload))
+    if duration_ms is None:
+        raise ValueError("MP4 missing mvhd")
+    return {"format": "video/mp4", "width": width, "height": height,
+            "mean_luma": None, "sample_rate": None, "n_samples": None,
+            "duration_ms": duration_ms}
+
+
+# ---------------------------------------------------------------------------
 # PNG (stdlib-only: zlib inflate + per-scanline unfilter)
 # ---------------------------------------------------------------------------
 
@@ -535,7 +608,8 @@ def decode_jpeg_stats(payload: bytes) -> dict:
 def decode_media(df):
     """mapInPandas REAL decode: BMP/WAV/PNG/JPEG parsed by the
     dependency-free codecs (``jpeg.py`` carries the baseline JPEG
-    decoder); MP4 still needs pyav and raises NotImplementedError."""
+    decoder); MP4 yields container metadata (box-tree parse — geometry +
+    duration) while its FRAME decode still needs pyav."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -550,8 +624,9 @@ def decode_media(df):
                 elif b[:3] == b"\xff\xd8\xff":
                     f_ = decode_jpeg_stats(b)
                 elif b[4:8] == b"ftyp":
-                    raise NotImplementedError(
-                        "MP4 decode requires pyav — not in this container")
+                    # container metadata is a real structural parse;
+                    # FRAME decode still needs pyav and stays a stub
+                    f_ = decode_mp4_meta(b)
                 else:
                     raise ValueError(f"unknown media magic {b[:4]!r}")
                 f_["n_bytes"] = len(b)

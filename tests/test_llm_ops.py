@@ -335,16 +335,21 @@ def test_png_bmp_same_pixels_same_luma(spark):
     assert (f_png["width"], f_png["height"]) == (8, 8)
 
 
-def test_decode_media_raises_on_compressed_magic(spark):
-    """MP4 stays a loud stub; a TRUNCATED JPEG fails loudly too (the
-    baseline decoder rejects it rather than fabricating pixels)."""
+def test_decode_media_mp4_metadata_and_truncated_jpeg(spark):
+    """MP4 payloads yield REAL container metadata (box-tree parse); MP4
+    FRAME decode stays behind pyav (_image_pixels refuses); a truncated
+    JPEG fails loudly rather than fabricating pixels."""
     import pytest as _pytest
-    from otel_arrow_collector_spark.operators.multimodal import decode_media
-    df = spark.createDataFrame(
-        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42...."))],
-        "doc_id long, payload binary")
-    with _pytest.raises(Exception, match="pyav|PythonException"):
-        decode_media(df).collect()
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _image_pixels, decode_media, encode_mp4_skeleton)
+    mp4 = encode_mp4_skeleton(640, 360, duration_ms=2500)
+    df = spark.createDataFrame([(1, bytearray(mp4))],
+                               "doc_id long, payload binary")
+    row = decode_media(df).collect()[0]
+    assert (row.format, row.width, row.height, row.duration_ms) == \
+        ("video/mp4", 640, 360, 2500)
+    with _pytest.raises(NotImplementedError, match="pyav"):
+        _image_pixels(mp4)
     bad = spark.createDataFrame(
         [(2, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
         "doc_id long, payload binary")
