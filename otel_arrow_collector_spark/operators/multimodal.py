@@ -17,8 +17,11 @@ Two decode tiers:
 - REAL decode also for baseline JPEG: the dependency-free codec in
   ``jpeg.py`` (Huffman + dequantize + IDCT, 4:4:4/4:2:2/4:2:0, restart
   markers) feeds the same stats/resize paths.
-- STUB for formats that genuinely need codec libraries (MP4, palette
-  PNG, progressive JPEG): the decoders RAISE loudly
+- REAL structural parse for MP4 containers: ``decode_mp4_meta`` walks
+  the ISO BMFF box tree for duration (mvhd) and geometry (tkhd) — the
+  corpus-triage metadata — oracle-gated via ``multimodal_mp4_meta``.
+- STUB only where a codec library is genuinely required (MP4 FRAME
+  decode, palette PNG, progressive JPEG): the decoders RAISE loudly
   (NotImplementedError), keeping accidental production use visible.
   Swap in PIL/librosa/pyav there; the plan shape does not change.
 
@@ -786,3 +789,57 @@ def sample_frames(df, every_n: int = 2):
                     out["frame"].append(b[idx * size:(idx + 1) * size])
             yield pd.DataFrame(out)
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated MP4 metadata loop
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+
+def multimodal_mp4_meta(spark, sf_dir):
+    """Oracle-gated MP4 container-metadata loop: per doc, render a real
+    ISO BMFF skeleton whose geometry/duration are closed-form functions
+    of (doc_id, n_chars), then parse it back with ``decode_mp4_meta``.
+    The DuckDB twin recomputes the closed forms directly, so the full
+    encode->box-walk->decode round trip is value-checked (same pattern
+    as the BMP/WAV/PNG decode queries).
+
+    Scale: pure narrow mapInPandas (payloads never shuffle), bounded
+    output via the deterministic doc_id order + limit.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MP4_META_SCHEMA.fields}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(doc_id) % 16
+                h = 9 + int(doc_id) % 9
+                meta = decode_mp4_meta(
+                    encode_mp4_skeleton(w, h, int(n) * 10))
+                rows["doc_id"].append(int(doc_id))
+                rows["format"].append(meta["format"])
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["duration_ms"].append(meta["duration_ms"])
+            yield pd.DataFrame(rows)
+    return (d.mapInPandas(run, MP4_META_SCHEMA)
+             .orderBy("doc_id").limit(200))
+
+
+QUERIES["multimodal_mp4_meta"] = multimodal_mp4_meta
+ORACLES["multimodal_mp4_meta"] = """
+SELECT doc_id, 'video/mp4' AS format,
+       CAST(16 + doc_id % 16 AS INT) AS width,
+       CAST(9 + doc_id % 9 AS INT) AS height,
+       CAST(n_chars * 10 AS BIGINT) AS duration_ms
+FROM documents ORDER BY doc_id LIMIT 200
+"""
