@@ -1,0 +1,397 @@
+"""OTTL statement parser — the reference's transformation-language TEXT
+surface compiled to Column operations.
+
+Grammar per ``docs/processing.md:96-214`` (the OTTL design the collector's
+transform processor implements): one function call per statement with an
+optional ``where <boolean expression>`` clause; field paths navigate the
+flattened signal (``attributes["k"]``, ``resource.attributes["k"]``,
+``status.message``, ``name``); functions are the processing verbs
+(``set``, ``delete``, ``keep_keys``, ``replace_match``,
+``replace_all_matches``, ``truncate_all``, ``limit``, ``drop``).
+
+Spark-first compilation: a statement list becomes a chain of narrow
+Column projections — ``where`` clauses compile to boolean Columns and
+mutations become per-row ``WHEN cond THEN new ELSE old`` so matching and
+non-matching records flow through ONE plan (no split/union); ``drop()
+where`` is a plain filter.  Everything stays inside whole-stage codegen;
+no UDFs.
+
+Examples (the doc's own)::
+
+    delete(attributes["http.request.header.authorization"])
+    keep_keys(attributes, "http.method", "http.status_code")
+    replace_match(attributes["http.target"], "/user/*/list/*",
+                  "/user/{userId}/list/{listId}")
+    drop() where attributes["http.target"] = "/health"
+    set(attributes["k8s_pod"], resource.attributes["k8s.pod.name"])
+    set(severity_number, 17) where event_type == "error"
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ottl import (_attr_struct, _parse_path, get_path, keep_keys,
+                   limit_attributes, map_delete, map_put)
+
+
+class OttlSyntaxError(ValueError):
+    """Unparseable OTTL statement."""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<path>[A-Za-z_][A-Za-z0-9_.]*(?:\["(?:[^"\\]|\\.)*"\])?)
+  | (?P<op>==|!=|>=|<=|=|>|<)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<comma>,)
+""", re.VERBOSE)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            raise OttlSyntaxError(f"bad OTTL syntax at {s[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(_Tok(kind, m.group()))
+    return out
+
+
+def _unquote(text: str) -> str:
+    return re.sub(r"\\(.)", r"\1", text[1:-1])
+
+
+# ---------------------------------------------------------------------------
+# where-expression compiler (recursive descent over the token list)
+# ---------------------------------------------------------------------------
+
+class _P:
+    def __init__(self, toks: list[_Tok]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise OttlSyntaxError("unexpected end of OTTL expression")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> _Tok:
+        t = self.next()
+        if t.kind != kind:
+            raise OttlSyntaxError(f"expected {kind}, got {t.text!r}")
+        return t
+
+    # expr := and_expr ('or' and_expr)*
+    def expr(self) -> Column:
+        left = self.and_expr()
+        while (t := self.peek()) and t.kind == "path" and t.text == "or":
+            self.next()
+            left = left | self.and_expr()
+        return left
+
+    def and_expr(self) -> Column:
+        left = self.not_expr()
+        while (t := self.peek()) and t.kind == "path" and t.text == "and":
+            self.next()
+            left = left & self.not_expr()
+        return left
+
+    def not_expr(self) -> Column:
+        t = self.peek()
+        if t and t.kind == "path" and t.text == "not":
+            self.next()
+            return ~self.not_expr()
+        if t and t.kind == "lparen":
+            self.next()
+            e = self.expr()
+            self.expect("rparen")
+            return e
+        return self.comparison()
+
+    def comparison(self) -> Column:
+        left = self.operand()
+        t = self.peek()
+        if t and t.kind == "op":
+            self.next()
+            right = self.operand()
+            op = t.text
+            if op in ("==", "="):
+                return left == right
+            if op == "!=":
+                return left != right
+            if op == ">":
+                return left > right
+            if op == "<":
+                return left < right
+            if op == ">=":
+                return left >= right
+            return left <= right
+        return left.cast("boolean")
+
+    def operand(self) -> Column:
+        t = self.next()
+        if t.kind == "string":
+            return F.lit(_unquote(t.text))
+        if t.kind == "number":
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "path":
+            if t.text == "nil":
+                return F.lit(None)
+            if t.text in ("true", "false"):
+                return F.lit(t.text == "true")
+            return get_path(t.text)
+        raise OttlSyntaxError(f"unexpected token {t.text!r} in expression")
+
+
+def compile_condition(text: str) -> Column:
+    """Compile a ``where`` boolean expression to a Column predicate."""
+    p = _P(_tokenize(text))
+    col = p.expr()
+    if p.peek() is not None:
+        raise OttlSyntaxError(f"trailing tokens after {p.peek().text!r}")
+    return col
+
+
+# ---------------------------------------------------------------------------
+# statement parse + apply
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Statement:
+    func: str
+    args: list            # raw arg tokens: ("path", text) / ("str", s) / ("num", n)
+    where: str | None     # raw condition text (compiled per-apply)
+
+
+_WHERE_SPLIT = re.compile(r"\)\s+where\s+", re.DOTALL)
+
+
+def parse_statement(text: str) -> Statement:
+    """``func(arg, ...) [where cond]`` -> Statement."""
+    text = text.strip()
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\(", text)
+    if not m:
+        raise OttlSyntaxError(f"statement must be a function call: {text!r}")
+    func = m.group(1)
+    # find the matching close paren of the call (strings may contain parens)
+    depth, i, in_str = 0, m.end() - 1, False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise OttlSyntaxError(f"unbalanced parens in {text!r}")
+    argtext = text[m.end():i]
+    rest = text[i + 1:].strip()
+    where = None
+    if rest:
+        wm = re.match(r"^where\s+(.*)$", rest, re.DOTALL)
+        if not wm:
+            raise OttlSyntaxError(f"unexpected trailing text {rest!r}")
+        where = wm.group(1).strip()
+    args = []
+    for tok in _split_args(argtext):
+        toks = _tokenize(tok)
+        if len(toks) != 1:
+            raise OttlSyntaxError(f"bad argument {tok!r}")
+        t = toks[0]
+        if t.kind == "string":
+            args.append(("str", _unquote(t.text)))
+        elif t.kind == "number":
+            args.append(("num", float(t.text) if "." in t.text
+                         else int(t.text)))
+        elif t.kind == "path":
+            args.append(("path", t.text))
+        else:
+            raise OttlSyntaxError(f"bad argument {tok!r}")
+    return Statement(func, args, where)
+
+
+def _split_args(argtext: str) -> list[str]:
+    out, cur, in_str, depth = [], [], False, 0
+    for idx, c in enumerate(argtext):
+        if in_str:
+            cur.append(c)
+            if c == "\\":
+                cur.append("")
+            elif c == '"' and argtext[idx - 1] != "\\":
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        cur.append(c)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur))
+    return [a.strip() for a in out if a.strip()]
+
+
+def _arg_value(arg) -> Column:
+    k, v = arg
+    if k == "path":
+        return get_path(v)
+    return F.lit(v)
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """OTTL replace_match patterns use filepath.Match globs: ``*`` spans
+    any run of characters."""
+    return "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+
+
+def _map_col(arg) -> str:
+    """An argument that must be an attribute-map path; returns column."""
+    k, v = arg
+    if k != "path":
+        raise OttlSyntaxError(f"expected a map path, got {v!r}")
+    if v == "attributes":
+        return "attributes"
+    if v == "resource.attributes":
+        return "resource_attributes"
+    raise OttlSyntaxError(f"{v!r} is not an attribute map path")
+
+
+def _conditional(df: DataFrame, col: str, new: Column,
+                 cond: Column | None) -> DataFrame:
+    if cond is None:
+        return df.withColumn(col, new)
+    # conditional set of a NEW column: non-matching rows get NULL
+    prev = F.col(col) if col in df.columns else F.lit(None)
+    return df.withColumn(col, F.when(cond, new).otherwise(prev))
+
+
+def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
+    """Apply one parsed statement (conditional mutations stay one plan)."""
+    if isinstance(stmt, str):
+        stmt = parse_statement(stmt)
+    cond = compile_condition(stmt.where) if stmt.where else None
+    fn = stmt.func
+
+    if fn == "drop":
+        if stmt.args:
+            raise OttlSyntaxError("drop() takes no arguments")
+        return df.filter(~cond) if cond is not None else df.limit(0)
+
+    if fn == "set":
+        (k, path), val = stmt.args[0], _arg_value(stmt.args[1])
+        if k != "path":
+            raise OttlSyntaxError("set() target must be a field path")
+        kind, col, key = _parse_path(path)
+        if kind == "column":
+            return _conditional(df, col, val, cond)
+        new = map_put(F.col(col), key, _attr_struct(val))
+        return _conditional(df, col, new, cond)
+
+    if fn == "delete":
+        k, path = stmt.args[0]
+        kind, col, key = _parse_path(path)
+        if kind == "column":
+            return df.drop(col) if cond is None else _conditional(
+                df, col, F.lit(None).cast(df.schema[col].dataType), cond)
+        new = map_delete(F.col(col), key)
+        return _conditional(df, col, new, cond)
+
+    if fn == "keep_keys":
+        col = _map_col(stmt.args[0])
+        keys = [v for k, v in stmt.args[1:] if k == "str"]
+        return _conditional(df, col, keep_keys(F.col(col), *keys), cond)
+
+    if fn == "replace_match":
+        (k, path) = stmt.args[0]
+        pat = _glob_to_regex(stmt.args[1][1])
+        repl = stmt.args[2][1]
+        kind, col, key = _parse_path(path)
+        if kind == "column":
+            new = F.when(F.col(col).rlike(pat), F.lit(repl)) \
+                .otherwise(F.col(col))
+            return _conditional(df, col, new, cond)
+        cur = F.col(col)[key]["s"]
+        new_val = F.when(cur.rlike(pat), F.lit(repl)).otherwise(cur)
+        upd = map_put(F.col(col), key, _attr_struct(new_val))
+        keep_cond = F.col(col)[key].isNotNull()
+        keep_cond = keep_cond if cond is None else (keep_cond & cond)
+        return df.withColumn(col, F.when(keep_cond, upd)
+                             .otherwise(F.col(col)))
+
+    if fn == "replace_all_matches":
+        col = _map_col(stmt.args[0])
+        pat = _glob_to_regex(stmt.args[1][1])
+        repl = stmt.args[2][1]
+        new = F.expr(
+            f"transform_values({col}, (k, v) -> IF(v.s IS NOT NULL AND "
+            f"v.s RLIKE '{pat}', named_struct('s', '{repl}', "
+            f"'i', CAST(NULL AS BIGINT), 'd', CAST(NULL AS DOUBLE), "
+            f"'b', CAST(NULL AS BOOLEAN), 'json', CAST(NULL AS STRING)), v))")
+        return _conditional(df, col, new, cond)
+
+    if fn == "truncate_all":
+        col = _map_col(stmt.args[0])
+        n = int(stmt.args[1][1])
+        # typed attr model: truncate the string arm, other arms unchanged
+        new = F.expr(
+            f"transform_values({col}, (k, v) -> named_struct("
+            f"'s', substring(v.s, 1, {n}), 'i', v.i, 'd', v.d, "
+            f"'b', v.b, 'json', v.json))")
+        return _conditional(df, col, new, cond)
+
+    if fn == "limit":
+        col = _map_col(stmt.args[0])
+        n = int(stmt.args[1][1])
+        keep = tuple(v for k, v in stmt.args[2:] if k == "str")
+        return _conditional(df, col,
+                            limit_attributes(F.col(col), n, keep), cond)
+
+    raise OttlSyntaxError(f"unknown OTTL function {fn!r}")
+
+
+def apply_statements(df: DataFrame, statements: list[str]) -> DataFrame:
+    """Apply an OTTL statement list in order (the transform processor's
+    per-signal statement block)."""
+    for s in statements:
+        df = apply_statement(df, s)
+    return df

@@ -295,6 +295,12 @@ class PipelineGraph:
             return df.selectExpr(*cfg["exprs"])
         if kind == "transform":
             from ..functions.ottl import apply_ottl
+            # `statements:` carries OTTL statement TEXT (the transform
+            # processor's native config surface, docs/processing.md:147+);
+            # the dict keys remain the declarative shorthand
+            if cfg.get("statements"):
+                from ..functions.ottl_parser import apply_statements
+                df = apply_statements(df, list(cfg["statements"]))
             return apply_ottl(df, cfg)
         if kind == "batch":
             # No count(), no extra job: AQE rebalances partitions from
