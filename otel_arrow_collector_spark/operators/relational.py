@@ -2196,3 +2196,42 @@ def q62(spark, sf_dir):
                .filter(F.col("total_c") == F.col("mx"))
                .select("s_suppkey", "s_name", "total_c")
                .orderBy("s_suppkey"))
+
+
+@_register("q69_forecast_revenue", """
+SELECT CAST(SUM(ROUND(l_extendedprice * l_discount * 100)) AS BIGINT)
+         AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND ROUND(l_discount * 100) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""")
+def q69(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate query — no join at all, the canonical
+    predicate-pushdown / whole-stage-codegen benchmark.  Completes the
+    22/22 TPC-H query-shape sweep (q43/44/50-69).
+
+    All three predicates are single-column comparisons, so every one
+    reaches the parquet scan as a PushedFilter and only four columns are
+    read (ReadSchema pruning); the single global agg is map-side partial
+    + a 1-row exchange.  The discount band compares ROUND(l_discount*100)
+    to integers — the synthetic discounts are hundredths, so the band is
+    exact across engines (no float BETWEEN edge), and revenue is summed
+    in integer cents.
+
+    Reference analogue: a metrics SQL sweep's filtered SUM over one
+    signal slice (docs/processing.md filter + aggregate stages).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & F.round(F.col("l_discount") * 100).between(5, 7)
+                & (F.col("l_quantity") < 24))
+              .agg(F.sum(F.round(F.col("l_extendedprice")
+                                 * F.col("l_discount") * 100))
+                    .cast("long").alias("revenue_c"),
+                   F.count(F.lit(1)).alias("n")))

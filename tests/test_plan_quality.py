@@ -240,3 +240,19 @@ def test_dedup_semantic_blocks_by_cell_no_all_pairs(spark):
     plan = _plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in plan
     assert re.search(r"\bcid\b", plan)
+
+
+def test_q69_pure_scan_aggregate_no_join_no_window(spark):
+    """q69 (TPC-H Q6 shape): the canonical scan-filter-agg — every
+    predicate pushes into the parquet scan, no join/window anywhere, and
+    the only exchange is the 1-row partial→final agg hand-off (formatted
+    explain prints each node twice: tree + detail)."""
+    plan = _plan(spark, "q69_forecast_revenue")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
+    assert _shuffles(plan) <= 2
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
