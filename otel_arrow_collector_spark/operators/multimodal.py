@@ -21,7 +21,7 @@ Two decode tiers:
   the ISO BMFF box tree for duration (mvhd) and geometry (tkhd) — the
   corpus-triage metadata — oracle-gated via ``multimodal_mp4_meta``.
 - STUB only where a codec library is genuinely required (MP4 FRAME
-  decode, palette PNG, progressive JPEG): the decoders RAISE loudly
+  decode, sub-byte grayscale PNG, progressive JPEG): the decoders RAISE loudly
   (NotImplementedError), keeping accidental production use visible.
   Swap in PIL/librosa/pyav there; the plan shape does not change.
 
@@ -461,20 +461,35 @@ def _unfilter_block(lines: np.ndarray, bpp: int) -> np.ndarray:
     return img.astype(np.uint8)
 
 
+def _packed_indices(rows: np.ndarray, depth: int, pw: int) -> np.ndarray:
+    """Unpack bit-packed palette indices: ``rows`` is (ph, stride) uint8
+    unfiltered scanline bytes holding ``pw`` big-endian ``depth``-bit
+    samples per row (RFC 2083 §2.3 packing, no padding between pixels,
+    rows padded to a byte boundary).  Returns (ph, pw) uint8 indices."""
+    if depth == 8:
+        return rows[:, :pw]
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+    grouped = bits[:, :bits.shape[1] // depth * depth] \
+        .reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+
+
 def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8- or 16-bit gray/RGB/RGBA PNG — non-interlaced or
-    Adam7-interlaced — to (width, height, top-down row-major RGB bytes):
-    chunk walk, zlib inflate, the full 5-way scanline unfilter
-    (None/Sub/Up/Average/Paeth) per (sub-)image, Adam7 pixel scatter.
+    """Decode an 8/16-bit gray/RGB/RGBA or 1/2/4/8-bit palette PNG —
+    non-interlaced or Adam7-interlaced — to (width, height, top-down
+    row-major RGB bytes): chunk walk, zlib inflate, the full 5-way
+    scanline unfilter (None/Sub/Up/Average/Paeth) per (sub-)image,
+    Adam7 pixel scatter, PLTE lookup for indexed color.
 
     16-bit channels reduce to 8 by taking the high byte (the standard
     presentation downsample); gray expands to RGB, RGBA drops alpha.
-    Loud stub: palette PNGs raise NotImplementedError.
+    Loud stub: sub-byte grayscale raises NotImplementedError.
     """
     import zlib
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat = 8, b""
+    pos, idat, plte = 8, b"", None
     w = h = depth = color = interlace = None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
@@ -482,6 +497,8 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         if typ == b"IHDR":
             w, h, depth, color, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = body
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -489,41 +506,68 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16):
+    if color not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"only 8/16-bit PNG supported, got {depth}")
-    if color not in (0, 2, 6):
-        raise NotImplementedError(
-            f"PNG color type {color} not supported (gray/RGB/RGBA only)")
+            f"PNG color type {color} not supported (gray/RGB/RGBA/palette)")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    nch = {0: 1, 2: 3, 6: 4}[color]
-    bpp = nch * (depth // 8)                 # filter unit, bytes per pixel
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {depth}")
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/odd PLTE chunk")
+        bpp = 1                       # filters operate on whole bytes
+        def stride_of(pw: int) -> int:
+            return (depth * pw + 7) // 8
+    else:
+        if depth not in (8, 16):
+            raise NotImplementedError(
+                f"only 8/16-bit PNG supported, got {depth}")
+        nch = {0: 1, 2: 3, 6: 4}[color]
+        bpp = nch * (depth // 8)             # filter unit, bytes per pixel
+        def stride_of(pw: int) -> int:
+            return bpp * pw
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
 
+    idx = None
     if interlace == 0:
-        stride = bpp * w
+        stride = stride_of(w)
         if len(raw) < h * (1 + stride):
             raise ValueError("PNG pixel data truncated")
         img = _unfilter_block(raw[:h * (1 + stride)].reshape(h, 1 + stride),
                               bpp)
+        if color == 3:
+            idx = _packed_indices(img, depth, w)
     else:                                    # Adam7: 7 sub-images
-        img = np.zeros((h, w, bpp), np.uint8)
+        if color == 3:
+            idx = np.zeros((h, w), np.uint8)
+        else:
+            img = np.zeros((h, w, bpp), np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            stride = bpp * pw
+            stride = stride_of(pw)
             need = ph * (1 + stride)
             if len(raw) < off + need:
                 raise ValueError("PNG pixel data truncated (Adam7 pass)")
             block = _unfilter_block(
                 raw[off:off + need].reshape(ph, 1 + stride), bpp)
             off += need
-            img[y0::dy, x0::dx] = block.reshape(ph, pw, bpp)
-        img = img.reshape(h, bpp * w)
+            if color == 3:
+                idx[y0::dy, x0::dx] = _packed_indices(block, depth, pw)
+            else:
+                img[y0::dy, x0::dx] = block.reshape(ph, pw, bpp)
+        if color != 3:
+            img = img.reshape(h, bpp * w)
+
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return w, h, pal[idx.reshape(-1)].reshape(-1).tobytes()
 
     px = img.reshape(-1, nch, depth // 8)
     flat = np.ascontiguousarray(px[:, :, 0]).reshape(-1)  # 16-bit: high byte

@@ -273,9 +273,8 @@ def test_png_gray_and_rgba_normalize_to_rgb():
 
 
 def test_png_loud_stubs():
-    """Palette and sub-byte-depth PNGs stay loud stubs (interlaced and
-    16-bit are REAL decode paths now — covered by the round-trip
-    property tests in test_codec_properties.py)."""
+    """Sub-byte GRAYSCALE stays a loud stub (palette, interlaced and
+    16-bit are REAL decode paths now)."""
     import struct
     import zlib
 
@@ -285,14 +284,83 @@ def test_png_loud_stubs():
                                                                  _png_pixels)
     sig = b"\x89PNG\r\n\x1a\n"
     for depth, color, interlace, msg in [
-            (8, 3, 0, "color type"), (4, 0, 0, "8/16-bit"),
-            (1, 0, 0, "8/16-bit")]:
+            (4, 0, 0, "8/16-bit"), (1, 0, 0, "8/16-bit")]:
         ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
         png = (sig + _png_chunk(b"IHDR", ihdr)
                + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
                + _png_chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError, match=msg):
             _png_pixels(png)
+
+
+def _palette_png(w, h, depth, palette, indices, *, interlace=0):
+    """Hand-build a filter-0 palette PNG: ``indices`` is a (h, w) list of
+    palette slots, bit-packed big-endian per scanline (RFC 2083 §2.3)."""
+    import struct
+    import zlib
+
+    from otel_arrow_collector_spark.operators.multimodal import (_ADAM7,
+                                                                 _png_chunk)
+
+    def pack_rows(rows):
+        out = bytearray()
+        for row in rows:
+            bits = "".join(format(i, f"0{depth}b") for i in row)
+            bits += "0" * (-len(bits) % 8)
+            out += b"\x00" + bytes(int(bits[i:i + 8], 2)
+                                   for i in range(0, len(bits), 8))
+        return bytes(out)
+
+    if not interlace:
+        raw = pack_rows(indices)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = [row[x0::dx] for row in indices[y0::dy]]
+            if sub and sub[0]:
+                raw += pack_rows(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    plte = b"".join(bytes(c) for c in palette)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_palette_all_depths():
+    """1/2/4/8-bit palette PNGs decode through PLTE to exact RGB,
+    including byte-padded scanlines at non-aligned widths."""
+    from otel_arrow_collector_spark.operators.multimodal import _png_pixels
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = [[0, 1, 2], [3, 2, 1], [1, 1, 3]]          # 3x3: pad per row
+    want = bytes(b for row in idx for i in row for b in pal[i])
+    for depth in (2, 4, 8):
+        assert _png_pixels(_palette_png(3, 3, depth, pal, idx)) \
+            == (3, 3, want), f"depth {depth}"
+    bw = [(0, 0, 0), (255, 255, 255)]
+    idx1 = [[0, 1, 1, 0, 1], [1, 0, 0, 1, 0]]        # 5 wide: 3 pad bits
+    want1 = bytes(b for row in idx1 for i in row for b in bw[i])
+    assert _png_pixels(_palette_png(5, 2, 1, bw, idx1)) == (5, 2, want1)
+
+
+def test_png_palette_adam7_interlaced():
+    """Adam7 palette: per-pass bit packing + index scatter round-trips."""
+    from otel_arrow_collector_spark.operators.multimodal import _png_pixels
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    idx = [[(x * 5 + y * 3) % 16 for x in range(9)] for y in range(10)]
+    want = bytes(b for row in idx for i in row for b in pal[i])
+    got = _png_pixels(_palette_png(9, 10, 4, pal, idx, interlace=1))
+    assert got == (9, 10, want)
+
+
+def test_png_palette_bad_inputs_loud():
+    """Out-of-range palette index and missing PLTE fail loudly."""
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.operators.multimodal import _png_pixels
+    png = _palette_png(2, 1, 8, [(1, 2, 3)], [[0, 4]])
+    with _pytest.raises(ValueError, match="palette index"):
+        _png_pixels(png)
 
 
 def test_decode_media_end_to_end(spark):
