@@ -20,10 +20,17 @@ Two decode tiers:
 - REAL structural parse for MP4 containers: ``decode_mp4_meta`` walks
   the ISO BMFF box tree for duration (mvhd) and geometry (tkhd) — the
   corpus-triage metadata — oracle-gated via ``multimodal_mp4_meta``.
-- STUB only where a codec library is genuinely required (MP4 FRAME
-  decode, sub-byte grayscale PNG, progressive JPEG): the decoders RAISE loudly
-  (NotImplementedError), keeping accidental production use visible.
-  Swap in PIL/librosa/pyav there; the plan shape does not change.
+- REAL VIDEO FRAME decode for Motion-JPEG MP4s: ``encode_mp4_mjpeg`` /
+  ``decode_mp4_frames`` mux/demux through genuine stbl sample tables
+  (stsd/stts/stsc/stsz/stco), each sample a complete baseline JPEG
+  decoded by ``jpeg.py`` — oracle-gated end to end via
+  ``multimodal_video_frames`` (solid-gray frames at quality 76 survive
+  DCT→quantize→IDCT bit-exactly, so decoded luma has a closed form).
+- STUB only where a codec library is genuinely required (compressed
+  video codecs — avc1/hev1 — in MP4, sub-byte grayscale PNG,
+  progressive JPEG): the decoders RAISE loudly (NotImplementedError),
+  keeping accidental production use visible.  Swap in PIL/librosa/pyav
+  there; the plan shape does not change.
 
 Scale stance: mapInPandas streams Arrow batches — no row-at-a-time Python;
 binary payloads never pass through a shuffle (decode is a map stage before
@@ -352,6 +359,157 @@ def decode_mp4_meta(payload: bytes) -> dict:
     return {"format": "video/mp4", "width": width, "height": height,
             "mean_luma": None, "sample_rate": None, "n_samples": None,
             "duration_ms": duration_ms}
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10, timescale: int = 1000,
+                     frames_per_chunk: int | None = None) -> bytes:
+    """Render a well-formed ISO BMFF file carrying a Motion-JPEG video
+    track: each sample is one complete baseline JPEG (``jpeg.encode_jpeg``
+    output), indexed by real stbl sample tables (stsd 'jpeg' visual
+    sample entry, stts timing run, stsc chunk map, stsz sizes, stco
+    offset) — the layout a QuickTime/ISO MJPEG recorder writes.  All
+    frames live in one mdat chunk placed before moov so stco is exact.
+    """
+    n = len(frames)
+    if n == 0:
+        raise ValueError("MJPEG track needs at least one frame")
+    fpc = frames_per_chunk or n
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    data_off = len(ftyp) + 8                 # first frame byte in the file
+    delta = timescale // fps
+    dur = n * delta
+
+    chunks = [frames[i:i + fpc] for i in range(0, n, fpc)]
+    offs, runs, off = [], [], data_off
+    for ci, ch in enumerate(chunks):
+        offs.append(off)
+        off += sum(len(f) for f in ch)
+        if not runs or runs[-1][1] != len(ch):
+            runs.append((ci + 1, len(ch)))
+
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)      # data_ref_index
+             + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + b"\x00" * 4
+             + struct.pack(">H", 1)                  # frame_count
+             + b"\x05mjpeg" + b"\x00" * 26           # compressorname
+             + struct.pack(">Hh", 24, -1))           # depth, pre_defined
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(b"jpeg", entry))
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
+    stsc = _box(b"stsc", struct.pack(">II", 0, len(runs))
+                + b"".join(struct.pack(">III", first, spc, 1)
+                           for first, spc in runs))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = _box(b"stco", struct.pack(">II", 0, len(offs))
+                + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", struct.pack(">I4H", 1, 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + stbl)
+    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale,
+                                     dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">I4x4s12x", 0, b"vide") + b"\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">B3xIII4xI", 0, 0, 0, 1, dur)
+                + b"\x00" * 52
+                + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+                + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Extract the video samples of an MP4 via its REAL sample tables:
+    stsd codec gate (Motion-JPEG decodes via ``jpeg.decode_jpeg``; any
+    compressed codec — avc1/hev1/mp4v — raises loudly for pyav), stsc
+    run-length chunk map, stsz sizes, stco/co64 chunk offsets.
+
+    Returns (width, height, [sample bytes]) for the first video track —
+    each sample a complete baseline JPEG ready for ``decode_jpeg``.
+    Reference analogue: the sample-table walk every demuxer performs
+    (ISO/IEC 14496-12 §8.5-8.7).
+    """
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def children(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            if ln < 8:
+                break
+            yield typ, pos + 8, min(pos + ln, end)
+            pos += ln
+
+    def find(path: list[bytes], start: int, end: int):
+        for typ, b0, b1 in children(start, end):
+            if typ == path[0]:
+                if len(path) == 1:
+                    return b0, b1
+                got = find(path[1:], b0, b1)
+                if got:
+                    return got
+        return None
+
+    stbl = find([b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+                0, len(payload))
+    if stbl is None:
+        raise ValueError("MP4 missing sample tables (moov..stbl)")
+    boxes = {typ: (b0, b1) for typ, b0, b1 in children(*stbl)}
+
+    b0, _ = boxes[b"stsd"]
+    fourcc = payload[b0 + 12:b0 + 16]
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 codec {fourcc!r} needs pyav — only Motion-JPEG decodes "
+            "dependency-free")
+    # entry body = stsd body + 8 (version/flags + count) + 8 (entry
+    # header); width/height sit 24 bytes in (6+2 dref, 16 pre_defined)
+    w, h = struct.unpack_from(">HH", payload, b0 + 8 + 8 + 24)
+
+    b0, _ = boxes[b"stsz"]
+    uniform, count = struct.unpack_from(">II", payload, b0 + 4)
+    sizes = ([uniform] * count if uniform else
+             list(struct.unpack_from(f">{count}I", payload, b0 + 12)))
+
+    if b"stco" in boxes:
+        b0, _ = boxes[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", payload, b0 + 4)
+        offsets = struct.unpack_from(f">{n_chunks}I", payload, b0 + 8)
+    else:
+        b0, _ = boxes[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", payload, b0 + 4)
+        offsets = struct.unpack_from(f">{n_chunks}Q", payload, b0 + 8)
+
+    b0, _ = boxes[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", payload, b0 + 4)
+    runs = [struct.unpack_from(">III", payload, b0 + 8 + 12 * i)
+            for i in range(n_runs)]
+
+    frames: list[bytes] = []
+    si = 0
+    for ri, (first, spc, _desc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for chunk in range(first, last + 1):
+            off = offsets[chunk - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                frames.append(payload[off:off + sizes[si]])
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError("MP4 sample tables inconsistent (stsc vs stsz)")
+    return w, h, frames
 
 
 # ---------------------------------------------------------------------------
@@ -815,16 +973,25 @@ def sample_frames(df, every_n: int = 2):
     """mapInPandas frame sampling: payload -> one row per sampled frame
     (row-expanding, the flatMap shape).
 
-    STUB: 'frames' are equal slices of the payload, count from the fake
-    decoder's ``n_frames``; replace the slicer with pyav keyframe
-    extraction in production.  Output rows = ceil(n_frames / every_n) per
-    input — the schema and expansion plumbing are real and tested.
+    REAL path for MP4 payloads: samples come out of the actual stbl walk
+    (``decode_mp4_frames``), so every emitted frame is a complete
+    baseline JPEG — an MJPEG corpus needs no codec library at all.
+    Non-MP4 payloads keep the deterministic stub slicing (swap in pyav
+    keyframe extraction for compressed codecs); either way output rows =
+    ceil(n_frames / every_n) per input.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(p)
+                if b[4:8] == b"ftyp":
+                    _, _, frames = decode_mp4_frames(b)
+                    for idx in range(0, len(frames), every_n):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["frame"].append(frames[idx])
+                    continue
                 n_frames = _fake_decode(b)["n_frames"]
                 size = max(1, len(b) // n_frames)
                 for idx in range(0, n_frames, every_n):
@@ -886,4 +1053,91 @@ SELECT doc_id, 'video/mp4' AS format,
        CAST(9 + doc_id % 9 AS INT) AS height,
        CAST(n_chars * 10 AS BIGINT) AS duration_ms
 FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated MJPEG video-frame loop (encode -> sample-table demux ->
+# per-frame JPEG decode, value-checked end to end)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("luma", IntegerType()),
+])
+
+
+def multimodal_video_frames(spark, sf_dir):
+    """Oracle-gated VIDEO FRAME decode: per doc, render a real MJPEG MP4
+    (2 + doc_id%4 solid-gray 16x8 baseline-JPEG frames, gray value
+    (37*doc_id + 53*i) % 256), demux it back through the stbl sample
+    tables (``sample_frames`` every_n=2), and fully JPEG-decode each
+    sampled frame to its mean luma.
+
+    At quality 76 the luma DC quantizer step is exactly 8, so a constant
+    8x8 block survives DCT→quantize→IDCT bit-exactly — the decoded luma
+    equals the closed-form gray value and the whole
+    encode→mux→demux→entropy-decode→IDCT loop is value-checked by a
+    closed-form DuckDB twin (generate_series over the same recurrence).
+
+    Scale: payloads are built and consumed inside one mapInPandas stage —
+    frames never shuffle; output is 5 fixed-width columns.
+    """
+    from .jpeg import decode_jpeg as _dj
+    from .jpeg import encode_jpeg as _ej
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id").orderBy("doc_id").limit(100)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = [
+                    _ej(bytes([(37 * did + 53 * i) % 256]) * 3 * 16 * 8,
+                        16, 8, quality=76)
+                    for i in range(2 + did % 4)]
+                payloads.append(encode_mp4_mjpeg(
+                    frames, 16, 8, frames_per_chunk=2))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": payloads,
+                "mime": "video/mp4"})
+    videos = d.mapInPandas(synth, MEDIA_SCHEMA)
+    sampled = sample_frames(videos, every_n=2)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for doc_id, idx, fr in zip(pdf["doc_id"], pdf["frame_idx"],
+                                       pdf["frame"]):
+                w, h, rgb = _dj(bytes(fr))
+                px = np.frombuffer(rgb, np.uint8).reshape(-1, 3) \
+                    .astype(np.int64)
+                n = max(1, w * h)
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(int(idx))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["luma"].append(int((px.sum(axis=1) // 3).sum()) // n)
+            yield pd.DataFrame(rows)
+    return (sampled.select("doc_id", "frame_idx", "frame")
+                   .mapInPandas(stats, VIDEO_FRAME_SCHEMA)
+                   .orderBy("doc_id", "frame_idx"))
+
+
+QUERIES["multimodal_video_frames"] = multimodal_video_frames
+ORACLES["multimodal_video_frames"] = """
+WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+SELECT d.doc_id,
+       CAST(g.i AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST((37 * d.doc_id + 53 * g.i) % 256 AS INT) AS luma
+FROM docs d, generate_series(0, 4) AS g(i)
+WHERE g.i < 2 + d.doc_id % 4 AND g.i % 2 = 0
+ORDER BY d.doc_id, g.i
 """

@@ -767,3 +767,54 @@ def _timed(f1, a1, f2, a2):
     f1(a1)
     f2(a2)
     return time.perf_counter() - t0
+
+
+def test_mp4_mjpeg_mux_demux_all_chunkings():
+    """encode_mp4_mjpeg -> decode_mp4_frames is byte-exact for every
+    chunk layout (stsc run compression + stco per-chunk offsets), and the
+    container's own metadata parse agrees on geometry/duration."""
+    from otel_arrow_collector_spark.operators.jpeg import encode_jpeg
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_mp4_frames, decode_mp4_meta, encode_mp4_mjpeg)
+    frames = [encode_jpeg(bytes([v] * 3) * (16 * 8), 16, 8, quality=76)
+              for v in range(0, 250, 36)]                    # 7 frames
+    for fpc in (None, 1, 2, 3, 5, 7, 100):
+        mp4 = encode_mp4_mjpeg(frames, 16, 8, fps=5, frames_per_chunk=fpc)
+        w, h, got = decode_mp4_frames(mp4)
+        assert (w, h) == (16, 8) and got == frames, fpc
+    meta = decode_mp4_meta(encode_mp4_mjpeg(frames, 16, 8, fps=5))
+    assert (meta["width"], meta["height"]) == (16, 8)
+    assert meta["duration_ms"] == 7 * 200                    # 5 fps
+
+
+def test_mp4_compressed_codec_stays_loud():
+    """A non-MJPEG sample entry (avc1) raises — compressed video needs
+    pyav, and silent garbage extraction would be worse than failing."""
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_mp4_frames, encode_mp4_mjpeg)
+    mp4 = bytearray(encode_mp4_mjpeg([b"xx"], 4, 4))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[i:i + 4] = b"avc1"
+    with _pytest.raises(NotImplementedError, match="pyav"):
+        decode_mp4_frames(bytes(mp4))
+
+
+def test_sample_frames_real_mp4_path(spark):
+    """sample_frames takes the REAL stbl demux path for MP4 payloads:
+    emitted frames are the complete original JPEGs, every_n applied."""
+    import pandas as pd
+
+    from otel_arrow_collector_spark.operators.jpeg import encode_jpeg
+    from otel_arrow_collector_spark.operators.multimodal import (
+        encode_mp4_mjpeg, sample_frames)
+    frames = [encode_jpeg(bytes([v] * 3) * (8 * 8), 8, 8, quality=76)
+              for v in (10, 20, 30, 40, 50)]
+    mp4 = encode_mp4_mjpeg(frames, 8, 8, frames_per_chunk=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [mp4], "mime": ["video/mp4"]}))
+    out = {r.frame_idx: bytes(r.frame)
+           for r in sample_frames(df, every_n=2).collect()}
+    assert sorted(out) == [0, 2, 4]
+    assert out[0] == frames[0] and out[2] == frames[2] and out[4] == frames[4]
