@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    "multimodal_video_frames", "q69_forecast_revenue",
+    "text_tfidf_search", "multimodal_video_frames", "q69_forecast_revenue",
     "multimodal_mp4_meta", "dedup_semantic", "q68_waiting_suppliers",
     "q63_volume_shipping", "q64_product_profit",
     "q65_min_acctbal_supplier", "q66_important_parts",

@@ -229,6 +229,25 @@ def parse_statement(text: str) -> Statement:
         where = wm.group(1).strip()
     args = []
     for tok in _split_args(argtext):
+        fm = _FACTORY.match(tok)
+        if fm:                       # SpanID(0x..)/TraceID(0x..) factories
+            want = 16 if fm.group(1) == "SpanID" else 32
+            hexid = fm.group(2).lower()
+            if len(hexid) != want:
+                raise OttlSyntaxError(
+                    f"{fm.group(1)} needs {want} hex digits, "
+                    f"got {len(hexid)}: {tok!r}")
+            args.append(("str", hexid))
+            continue
+        dm = _DURATION.match(tok)
+        if dm:                       # 2m / 30s / 500ms admission windows
+            args.append(("dur", int(dm.group(1))
+                         * {"ms": 1, "s": 1000, "m": 60_000,
+                            "h": 3_600_000}[dm.group(2)]))
+            continue
+        if "read_gauge" in tok:      # metric-expression argument
+            args.append(("expr", tok))
+            continue
         toks = _tokenize(tok)
         if len(toks) != 1:
             raise OttlSyntaxError(f"bad argument {tok!r}")
@@ -243,6 +262,13 @@ def parse_statement(text: str) -> Statement:
         else:
             raise OttlSyntaxError(f"bad argument {tok!r}")
     return Statement(func, args, where)
+
+
+_FACTORY = re.compile(r"^(SpanID|TraceID)\(0x([0-9a-fA-F]+)\)$")
+_DURATION = re.compile(r"^(\d+)(ms|s|m|h)$")
+_GAUGE_EXPR = re.compile(
+    r'^read_gauge\("([^"]+)"\)\s*(?:([+\-*/])\s*'
+    r'(?:read_gauge\("([^"]+)"\)|(-?\d+(?:\.\d+)?)))?$')
 
 
 def _split_args(argtext: str) -> list[str]:
@@ -385,6 +411,66 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
         keep = tuple(v for k, v in stmt.args[2:] if k == "str")
         return _conditional(df, col,
                             limit_attributes(F.col(col), n, keep), cond)
+
+    if fn == "group_by":
+        # docs/processing.md:222-225 ``group_by(trace_id, 2m)`` — the
+        # groupbytrace processor: co-locate all rows of a trace.  In the
+        # Spark model that is a hash repartition + in-partition sort (the
+        # admission-window duration is advisory: a batch DataFrame is
+        # already complete; streaming gets the same effect from a
+        # watermark on the ingest source).
+        if cond is not None:
+            raise OttlSyntaxError("group_by() takes no where clause")
+        (k, path) = stmt.args[0]
+        if k != "path":
+            raise OttlSyntaxError("group_by() key must be a field path")
+        kind, col, _key = _parse_path(path)
+        if kind != "column":
+            raise OttlSyntaxError("group_by() key must be a plain column")
+        return df.repartition(F.col(col)).sortWithinPartitions(col)
+
+    if fn == "create_gauge":
+        # docs/processing.md:232-239 — derive a new gauge from existing
+        # metrics: ``create_gauge("name", read_gauge("a") / read_gauge("b"))``.
+        # read_gauge(x) = the gauge's value per timestamp (datapoints
+        # sharing a timestamp sum — the aggregation that makes the
+        # cross-metric join well-defined); the combined rows are UNIONED
+        # onto the input as metric_type=1 datapoints.
+        if cond is not None:
+            raise OttlSyntaxError("create_gauge() takes no where clause")
+        name = stmt.args[0][1]
+        ek, etext = stmt.args[1]
+        if ek != "expr":
+            raise OttlSyntaxError("create_gauge() needs a read_gauge expr")
+        m = _GAUGE_EXPR.match(etext)
+        if not m:
+            raise OttlSyntaxError(f"bad metric expression {etext!r}")
+        ma, op, mb, scalar = m.groups()
+
+        def read_gauge(metric: str, alias: str):
+            val = F.coalesce(F.col("value_double"),
+                             F.col("value_int").cast("double"))
+            return (df.filter((F.col("metric_name") == metric)
+                              & (F.col("metric_type") == 1))
+                      .groupBy("time_unix_nano")
+                      .agg(F.sum(val).alias(alias)))
+
+        j = read_gauge(ma, "__a")
+        if op is None:
+            val = F.col("__a")
+        else:
+            rhs = F.lit(float(scalar)) if mb is None else F.col("__b")
+            if mb is not None:
+                j = j.join(read_gauge(mb, "__b"), "time_unix_nano")
+            val = {"+": F.col("__a") + rhs, "-": F.col("__a") - rhs,
+                   "*": F.col("__a") * rhs, "/": F.col("__a") / rhs}[op]
+        defaults = {"metric_name": F.lit(name), "metric_type": F.lit(1),
+                    "description": F.lit(""), "unit": F.lit("1"),
+                    "value_double": val, "flags": F.lit(0)}
+        cols = [(defaults.get(f.name, F.col(f.name)
+                 if f.name == "time_unix_nano" else F.lit(None)))
+                .cast(f.dataType).alias(f.name) for f in df.schema.fields]
+        return df.unionByName(j.select(*cols))
 
     raise OttlSyntaxError(f"unknown OTTL function {fn!r}")
 

@@ -522,3 +522,73 @@ ranked AS (
 SELECT lang, token, doc_freq FROM ranked WHERE rn <= 3
 ORDER BY lang, doc_freq DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF retrieval (the classic sparse-retrieval scorer over a corpus)
+# ---------------------------------------------------------------------------
+
+#: Fixed retrieval query — terms drawn from the synthetic corpus
+#: vocabulary with a spread of document frequencies.
+TFIDF_QUERY_TERMS = ("merge", "window", "spark", "fast")
+
+
+def text_tfidf_search(spark, sf_dir):
+    """TF-IDF retrieval: score every document against a fixed term query
+    and return the top 20 — the sparse-retrieval baseline every corpus
+    search/contamination tool starts from (BM25's ancestor).
+
+    Scoring is integer-exact for cross-engine parity: for each query
+    term, tf = the term's count in the doc, idf_scaled = (N*1000) // df
+    (N = corpus size, df = docs containing the term), and
+    score = SUM(tf * idf_scaled) — the float log() of textbook IDF is
+    the only non-portable piece, and rank order is preserved for any
+    monotone idf surrogate.  Ties break on doc_id.
+
+    Scale: tokens are filtered to the 4 query terms AT THE SCAN-side map
+    (array_filter before explode), so the tf aggregation only ever sees
+    matching tokens (a ~vocabulary-fraction of the corpus); df is a
+    4-row aggregate joined back by broadcast; top-20 is TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"),
+            lambda x: x.isin(*TFIDF_QUERY_TERMS))).alias("token"))
+    tf = (toks.groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (toks.groupBy("token")
+               .agg(F.countDistinct("doc_id").alias("df")))
+    scored = (tf.join(F.broadcast(df_), "token")
+                .withColumn("idf_scaled",
+                            F.floor(F.lit(n_docs) * 1000 / F.col("df"))
+                            .cast("long"))
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("tf") * F.col("idf_scaled"))
+                      .cast("long").alias("score"),
+                     F.count(F.lit(1)).alias("n_terms_hit")))
+    return (scored.orderBy(F.col("score").desc(), "doc_id").limit(20))
+
+
+QUERIES["text_tfidf_search"] = text_tfidf_search
+ORACLES["text_tfidf_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x IN {_sql_in_list(TFIDF_QUERY_TERMS)})) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(SUM(tf * (n_docs * 1000 // df)) AS BIGINT)
+         AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN df USING (token), n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""

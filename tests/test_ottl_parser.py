@@ -182,3 +182,52 @@ def test_set_new_column_conditional_null_elsewhere(spark):
              'set(flagged, "y") where name == "operationA"')
     vals = {(r.name, r.flagged) for r in out.select("name", "flagged").collect()}
     assert ("operationA", "y") in vals and ("operationB", None) in vals
+
+
+def test_spanid_traceid_factories(td):
+    """docs/processing.md:228-231 — the SpanID/TraceID factories translate
+    a hex literal into the row model's hex-string ids."""
+    out = apply_statement(td, 'set(span_id, SpanID(0x0000000000000000))')
+    assert {r.span_id for r in out.select("span_id").collect()} \
+        == {"0000000000000000"}
+    out2 = apply_statement(
+        td, 'set(trace_id, TraceID(0x000102030405060708090a0b0c0d0e0f))')
+    assert {r.trace_id for r in out2.select("trace_id").collect()} \
+        == {"000102030405060708090a0b0c0d0e0f"}
+    with pytest.raises(OttlSyntaxError, match="hex digits"):
+        apply_statement(td, 'set(span_id, SpanID(0x00))')
+
+
+def test_group_by_trace_id(td):
+    """docs/processing.md:222-225 ``group_by(trace_id, 2m)`` — the
+    groupbytrace processor compiles to a hash repartition on the trace
+    key (+ in-partition sort): rows preserved, plan co-locates traces."""
+    out = apply_statement(td, 'group_by(trace_id, 2m)')
+    assert out.count() == td.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(trace_id" in plan
+    s = parse_statement('group_by(trace_id, 30s)')
+    assert s.args[1] == ("dur", 30_000)
+
+
+def test_create_gauge_from_read_gauge(spark):
+    """docs/processing.md:232-239 — create_gauge unions a derived gauge:
+    per-timestamp sums of each operand metric, combined by the operator.
+    gauge-int sums to 579, gauge-double to 5.79 -> ratio 100."""
+    from otel_arrow_collector_spark.model import generate_metrics
+    md = generate_metrics(spark, 2)
+    out = apply_statement(
+        md, 'create_gauge("ratio", read_gauge("gauge-int") '
+            '/ read_gauge("gauge-double"))')
+    assert out.count() == md.count() + 1
+    r = out.filter("metric_name = 'ratio'").first()
+    assert r.metric_type == 1 and abs(r.value_double - 100.0) < 1e-9
+    assert r.unit == "1" and r.time_unix_nano is not None
+    # scalar right-hand side
+    out2 = apply_statement(
+        md, 'create_gauge("scaled", read_gauge("gauge-double") * 100)')
+    r2 = out2.filter("metric_name = 'scaled'").first()
+    assert abs(r2.value_double - 579.0) < 1e-9
+    with pytest.raises(OttlSyntaxError, match="where"):
+        apply_statement(md, 'create_gauge("x", read_gauge("gauge-int")) '
+                            'where unit == "1"')
