@@ -5,7 +5,9 @@ reference treats media payloads as opaque bytes (pdata
 ``pcommon.ByteSlice``); a training-data pipeline needs to *decode* them,
 and this container has no PIL/pyav.  Scope:
 
-- **decode** (:func:`decode_jpeg`): baseline sequential DCT (SOF0/1),
+- **decode** (:func:`decode_jpeg`): baseline sequential DCT (SOF0/1)
+  AND progressive DCT (SOF2 — spectral selection, successive
+  approximation with correction bits, cross-block EOB runs, T.81 G.2),
   Huffman entropy coding (DHT), 8×8 dequantize + IDCT (orthonormal
   matrix form), chroma subsampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0)
   via nearest upsample, restart markers (DRI/RSTn), APPn/COM segments
@@ -13,10 +15,13 @@ and this container has no PIL/pyav.  Scope:
 - **encode** (:func:`encode_jpeg`): baseline 4:4:4 YCbCr with the
   T.81 Annex K example quantization (quality-scaled, IJG formula) and
   Huffman tables, so round-trip tests exercise the decoder on genuinely
-  entropy-coded streams.
+  entropy-coded streams; :func:`encode_jpeg_progressive` emits a
+  12-scan SOF2 script (both progression modes) whose coefficients are
+  identical to the baseline encode — progressive and baseline encodes
+  of one image decode to byte-identical RGB, the equality the tests pin.
 
-Progressive (SOF2), hierarchical, arithmetic-coded and 12-bit streams
-raise ``NotImplementedError`` loudly — the same stub policy as the other
+Hierarchical, arithmetic-coded and 12-bit streams raise
+``NotImplementedError`` loudly — the same stub policy as the other
 codecs in ``multimodal.py``.
 
 Performance stance: the entropy decode is a per-bit Python loop — fine
@@ -156,9 +161,10 @@ class _Bits:
         raise ValueError("invalid JPEG Huffman code")
 
 
-def _split_ecs(buf: bytes, pos: int) -> list[bytes]:
+def _split_ecs(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     """Un-stuff the entropy-coded data after SOS; split at RSTn markers.
-    Returns the list of segments (DC predictors reset per segment)."""
+    Returns (segments, end) — DC predictors/EOB runs reset per segment,
+    ``end`` is the offset of the next marker after the scan data."""
     segs, cur = [], bytearray()
     n = len(buf)
     while pos < n:
@@ -178,7 +184,7 @@ def _split_ecs(buf: bytes, pos: int) -> list[bytes]:
         else:                                   # EOI or next marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
 
 
 def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
@@ -210,7 +216,8 @@ def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, top-down RGB bytes)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    (width, height, top-down RGB bytes)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -220,6 +227,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     comps: list[dict] | None = None
     w = h = None
     dri = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    geom = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -247,7 +257,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 qt[tq] = np.frombuffer(
                     body[i + 1:i + 65], np.uint8).astype(np.int64)
                 i += 65
-        elif m in (0xC0, 0xC1):                         # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):                   # SOF0/1 + SOF2
+            progressive = m == 0xC2
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
@@ -261,7 +272,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                         f"sampling factors {hv >> 4}x{hv & 15}")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{m:02X})")
@@ -271,17 +282,212 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if not progressive:
+                scan = []
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cs)
+                    scan.append((comp, tt >> 4, tt & 15))
+                return _decode_scan(payload, pos + 2 + ln, w, h, scan,
+                                    qt, hdc, hac, dri)
+            # progressive: accumulate coefficients scan by scan
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (mcux, mcuy, hmax, vmax)
+                coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  np.int64) for c in comps]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(payload, pos + 2 + ln, w, h, scan,
-                                qt, hdc, hac, dri)
+                ci = next(i for i, x in enumerate(comps)
+                          if x["id"] == cs)
+                scan.append((ci, comps[ci], tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            segs, end = _split_ecs(payload, pos + 2 + ln)
+            _decode_prog_scan(segs, scan, ss, se, ahal >> 4, ahal & 15,
+                              coefs, geom, w, h, dri, hdc, hac)
+            pos = end
+            continue
         elif m == 0xD9:
             break
         pos += 2 + ln
+    if progressive and coefs is not None:
+        mcux, mcuy, hmax, vmax = geom
+        return _finish_progressive(coefs, comps, qt, w, h, hmax, vmax)
     raise ValueError("JPEG missing SOS")
+
+
+def _nonint_blocks(c, w, h, hmax, vmax) -> tuple[int, int]:
+    """Block grid of one component in a NON-interleaved scan
+    (T.81 A.2.2): ceil over the component's own sample dimensions."""
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_prog_scan(segs, scan, ss, se, ah, al, coefs, geom, w, h,
+                      dri, hdc, hac):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    single-component), AC first with EOB runs, AC successive-approximation
+    refinement with correction bits.  Restart segments reset predictors
+    and the EOB run."""
+    mcux, mcuy, hmax, vmax = geom
+    state = {"rd": _Bits(segs[0]), "seg": 0, "eob": 0,
+             "pred": {ci: 0 for ci, *_ in scan}}
+
+    def restart():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("JPEG missing restart segment")
+        state["rd"] = _Bits(segs[state["seg"]])
+        state["eob"] = 0
+        state["pred"] = {ci: 0 for ci, *_ in scan}
+
+    if ss == 0:                                        # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        if len(scan) > 1:                              # interleaved MCUs
+            cnt = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and cnt and cnt % dri == 0:
+                        restart()
+                    for ci, c, td, _ta in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(state, coefs[ci],
+                                         my * c["v"] + by, mx * c["h"] + bx,
+                                         ci, ah, al, hdc.get(td))
+                    cnt += 1
+        else:                                          # single component
+            ci, c, td, _ta = scan[0]
+            bh, bw = _nonint_blocks(c, w, h, hmax, vmax)
+            cnt = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and cnt and cnt % dri == 0:
+                        restart()
+                    _dc_unit(state, coefs[ci], by, bx, ci, ah, al,
+                             hdc.get(td))
+                    cnt += 1
+        return
+
+    if len(scan) != 1:                                 # AC: ns must be 1
+        raise ValueError("JPEG progressive AC scan must be non-interleaved")
+    ci, c, _td, ta = scan[0]
+    bh, bw = _nonint_blocks(c, w, h, hmax, vmax)
+    cnt = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and cnt and cnt % dri == 0:
+                restart()
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                state["eob"] = _ac_first(state["rd"], blk, ss, se, al,
+                                         hac[ta], state["eob"])
+            else:
+                state["eob"] = _ac_refine(state["rd"], blk, ss, se, al,
+                                          hac[ta], state["eob"])
+            cnt += 1
+
+
+def _dc_unit(state, carr, by, bx, ci, ah, al, dc_tab):
+    rd = state["rd"]
+    if ah == 0:                                        # first DC pass
+        t = rd.huff(dc_tab)
+        state["pred"][ci] += _extend(rd.bits(t), t)
+        carr[by, bx, 0] = state["pred"][ci] << al
+    elif rd.bits(1):                                   # refinement bit
+        carr[by, bx, 0] |= 1 << al
+
+
+def _ac_first(rd, blk, ss, se, al, tab, eobrun):
+    """AC first pass for one block (T.81 G.2.2): run-length + EOBn."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:                                # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.bits(r)
+                return eobrun
+            k += 16                                    # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overrun")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rd, blk, ss, se, al, tab, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.2,
+    Figure G.7): newly-nonzero coefficients arrive as ±1<<Al; every
+    history-nonzero coefficient crossed on the way reads a correction
+    bit that grows its magnitude by 1<<Al."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:                            # EOBn (incl. this)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if rd.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and rd.bits(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(coefs, comps, qt, w, h, hmax, vmax):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks per component) and hand off to the shared
+    upsample/color path."""
+    planes = []
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]                                # (bh, bw, 64) zigzag
+        deq = (arr * qt[c["tq"]]).astype(np.float64)
+        rast = np.zeros_like(deq)
+        rast[..., _ZIGZAG] = deq
+        bh, bw = arr.shape[:2]
+        blocks = rast.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _color_assemble(planes, comps, hmax, vmax, w, h)
 
 
 def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
@@ -291,7 +497,7 @@ def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
               for c, _, _ in scan]
-    segs = _split_ecs(buf, pos)
+    segs, _end = _split_ecs(buf, pos)
     rd = _Bits(segs[0])
     seg_i = 0
     pred = [0] * len(scan)
@@ -313,9 +519,15 @@ def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
             mcu += 1
-    # upsample each component to full resolution, crop to (h, w)
+    comps = [c for c, _, _ in scan]
+    return _color_assemble(planes, comps, hmax, vmax, w, h)
+
+
+def _color_assemble(planes, comps, hmax, vmax, w, h):
+    """Upsample each component plane to full resolution, crop to (h, w),
+    convert to RGB (shared by the baseline and progressive paths)."""
     full = []
-    for ci, (c, _, _) in enumerate(scan):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         if c["h"] < hmax:
             p = np.repeat(p, hmax // c["h"], axis=1)
@@ -465,3 +677,234 @@ def encode_jpeg(pixels: bytes, width: int, height: int, *,
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += ecs + b"\xff\xd9"                                # EOI
     return out
+
+
+# ---------------------------------------------------------------------------
+# progressive encode (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+#: Flat Huffman specs for progressive scans.  The Annex K example tables
+#: carry no EOBn symbols (r<15, s=0 beyond 0x00), so a progressive
+#: encoder needs its own tables; rather than computing per-scan optimal
+#: code lengths we use fixed-length canonical tables — 12 DC symbols at
+#: 4 bits and all 176 run/size symbols at 8 bits (both < the all-ones
+#: code, so the tables are valid).  Compression is worse than optimal;
+#: correctness and decoder coverage are identical.
+_P_DC = ((0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+         tuple(range(12)))
+_P_AC = ((0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0),
+         tuple((r << 4) | s for r in range(16) for s in range(11)))
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block of a padded plane; returns
+    (bh, bw, 64) int64 in ZIGZAG order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+    qraster = np.round(coef.reshape(bh, bw, 64)
+                       / q[np.argsort(_ZIGZAG)]).astype(np.int64)
+    return qraster[..., _ZIGZAG]
+
+
+def _put_magnitude(wtr, v: int, t: int) -> None:
+    wtr.put(v if v > 0 else v + (1 << t) - 1, t)
+
+
+def _enc_dc_scan(wtr, zs, ah, al, dc_codes):
+    """DC scan over the (4:4:4) MCU grid: first pass = diff coding of the
+    point-transformed DC; refinement = one raw bit per block."""
+    preds = [0] * len(zs)
+    bh, bw = zs[0].shape[:2]
+    for my in range(bh):
+        for mx in range(bw):
+            for ci, z in enumerate(zs):
+                dc = int(z[my, mx, 0])
+                if ah == 0:
+                    v = dc >> al                      # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    ln, code = dc_codes[t]
+                    wtr.put(code, ln)
+                    if t:
+                        _put_magnitude(wtr, diff, t)
+                else:
+                    wtr.put((dc >> al) & 1, 1)
+
+
+class _EobRun:
+    """Shared EOB-run + buffered-correction-bit state for AC scans."""
+
+    def __init__(self, wtr, ac_codes):
+        self.wtr, self.ac = wtr, ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def emit(self):
+        if self.run:
+            r = self.run.bit_length() - 1
+            ln, code = self.ac[r << 4]
+            self.wtr.put(code, ln)
+            if r:
+                self.wtr.put(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.bits:
+            self.wtr.put(b, 1)
+        self.bits = []
+
+    def bump(self):
+        self.run += 1
+        if self.run == 32767:
+            self.emit()
+
+
+def _enc_ac_first_scan(wtr, blocks, ss, se, al, ac_codes):
+    """AC first pass (T.81 G.1.2.2): run/size coding of the
+    point-transformed band with cross-block EOB runs."""
+    eob = _EobRun(wtr, ac_codes)
+    for blk in blocks:
+        band = blk[ss:se + 1]
+        v = np.sign(band) * (np.abs(band) >> al)
+        nz = np.nonzero(v)[0]
+        if len(nz) == 0:
+            eob.bump()
+            continue
+        eob.emit()
+        run = 0
+        for i in range(int(nz[-1]) + 1):
+            x = int(v[i])
+            if x == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            t = abs(x).bit_length()
+            ln, code = ac_codes[(run << 4) | t]
+            wtr.put(code, ln)
+            _put_magnitude(wtr, x, t)
+            run = 0
+        if int(nz[-1]) < se - ss:
+            eob.bump()
+    eob.emit()
+
+
+def _enc_ac_refine_scan(wtr, blocks, ss, se, al, ac_codes):
+    """AC refinement pass (T.81 G.1.2.3): newly-nonzero coefficients emit
+    (run, 1) + sign; history coefficients append buffered correction
+    bits that ride behind the next emitted symbol or EOB run."""
+    eob = _EobRun(wtr, ac_codes)
+    for blk in blocks:
+        band = blk[ss:se + 1]
+        absv = (np.abs(band) >> al).astype(np.int64)
+        last_new = 0
+        for k in range(len(band)):
+            if absv[k] == 1:
+                last_new = k + 1
+        r = 0
+        pend: list[int] = []
+        for k in range(len(band)):
+            t = int(absv[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k < last_new:
+                eob.emit()
+                ln, code = ac_codes[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+                for b in pend:
+                    wtr.put(b, 1)
+                pend = []
+            if t > 1:                                  # history coefficient
+                pend.append(t & 1)
+                continue
+            eob.emit()
+            ln, code = ac_codes[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if int(band[k]) >= 0 else 0, 1)
+            for b in pend:
+                wtr.put(b, 1)
+            pend = []
+            r = 0
+        if r > 0 or pend:
+            eob.bits.extend(pend)
+            eob.bump()
+    eob.emit()
+
+
+#: The default scan script: DC at Al=1 then refined; luma AC split into
+#: a coarse 1-5 band and the 6-63 tail, two successive-approximation
+#: levels; chroma AC at Al=1 then refined.  Bands repeat exactly across
+#: refinement passes (strict T.81 G.1.1.1.1 progression).
+_PROG_SCRIPT = (
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 6, 63, 0, 2),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 0, 1, 5, 2, 1),
+    ("ac", 0, 6, 63, 2, 1),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+    ("ac", 0, 1, 5, 1, 0),
+    ("ac", 0, 6, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(pixels: bytes, width: int, height: int, *,
+                            quality: int = 85) -> bytes:
+    """Encode raw RGB triples as a progressive (SOF2) 4:4:4 JFIF JPEG
+    using :data:`_PROG_SCRIPT` — spectral selection AND successive
+    approximation, so a decoder must exercise DC/AC first + refinement
+    passes and EOB runs.  Coefficients and quant tables are identical to
+    :func:`encode_jpeg` at the same quality: progressive and baseline
+    encodes of one image decode to byte-identical RGB."""
+    px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
+        .reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql, qc = _quality_tables(quality)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    zs = []
+    for plane, q in ((y, ql), (cb, qc), (cr, qc)):
+        p = np.empty((ph, pw), np.float64)
+        p[:height, :width] = plane
+        p[height:, :width] = plane[-1:, :]
+        p[:, width:] = p[:, width - 1:width]
+        zs.append(_quantize_plane(p, q))
+    dc_codes = _encode_codes(*_P_DC)
+    ac_codes = _encode_codes(*_P_AC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(0xC4, _dht_segment(0, 0, _P_DC))
+    out += seg(0xC4, _dht_segment(1, 0, _P_AC))
+    for kind, ci, ss, se, ah, al in _PROG_SCRIPT:
+        wtr = _BitWriter()
+        if kind == "dc":
+            comps = bytes([1, 0x00, 2, 0x00, 3, 0x00])
+            _enc_dc_scan(wtr, zs, ah, al, dc_codes)
+            sos = bytes([3]) + comps
+        else:
+            _enc_ac_first_scan(wtr, zs[ci].reshape(-1, 64), ss, se, al,
+                               ac_codes) if ah == 0 else \
+                _enc_ac_refine_scan(wtr, zs[ci].reshape(-1, 64), ss, se,
+                                    al, ac_codes)
+            sos = bytes([1, ci + 1, 0x00])
+        out += seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+        out += wtr.flush()
+    return out + b"\xff\xd9"

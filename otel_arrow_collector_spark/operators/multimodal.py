@@ -14,9 +14,10 @@ Two decode tiers:
   genuine BMP/WAV/PNG payloads from document text so the corpus contains
   real media bytes to exercise them, and ``resize_images`` does a true
   nearest-neighbor downsample over the decoded pixels.
-- REAL decode also for baseline JPEG: the dependency-free codec in
-  ``jpeg.py`` (Huffman + dequantize + IDCT, 4:4:4/4:2:2/4:2:0, restart
-  markers) feeds the same stats/resize paths.
+- REAL decode also for baseline AND progressive JPEG: the
+  dependency-free codec in ``jpeg.py`` (Huffman + dequantize + IDCT,
+  4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
+  successive-approximation scans) feeds the same stats/resize paths.
 - REAL structural parse for MP4 containers: ``decode_mp4_meta`` walks
   the ISO BMFF box tree for duration (mvhd) and geometry (tkhd) — the
   corpus-triage metadata — oracle-gated via ``multimodal_mp4_meta``.
@@ -28,7 +29,7 @@ Two decode tiers:
   DCT→quantize→IDCT bit-exactly, so decoded luma has a closed form).
 - STUB only where a codec library is genuinely required (compressed
   video codecs — avc1/hev1 — in MP4, sub-byte grayscale PNG,
-  progressive JPEG): the decoders RAISE loudly (NotImplementedError),
+  hierarchical/arithmetic JPEG): the decoders RAISE loudly (NotImplementedError),
   keeping accidental production use visible.  Swap in PIL/librosa/pyav
   there; the plan shape does not change.
 

@@ -169,20 +169,16 @@ def test_split_ecs_unstuffing():
     """0xFF00 un-stuffs to 0xFF; RSTn splits segments; EOI stops."""
     buf = b"\xff\xd8" + b"\xab\xff\x00\xcd" + b"\xff\xd0" + b"\x01\x02" \
         + b"\xff\xd9trailing"
-    segs = _split_ecs(buf, 2)
+    segs, end = _split_ecs(buf, 2)
     assert segs == [b"\xab\xff\xcd", b"\x01\x02"]
+    assert buf[end:end + 2] == b"\xff\xd9"
 
 
 def test_loud_stubs_and_errors():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01")
-    # progressive (SOF2) is a loud stub
     def seg(m, body):
         return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
-    prog = (b"\xff\xd8"
-            + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])))
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(prog)
     # 12-bit precision
     deep = (b"\xff\xd8"
             + seg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])))
@@ -227,3 +223,64 @@ def test_decode_jpeg_stats_mean_luma():
     assert st["format"] == "image/jpeg"
     assert (st["width"], st["height"]) == (w, h)
     assert abs(st["mean_luma"] - 100) <= 2
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+def test_progressive_equals_baseline_decode():
+    """The progressive encode of an image carries the SAME quantized
+    coefficients as its baseline encode, so both must decode to
+    byte-identical RGB — one equality that covers DC first/refine, AC
+    first with EOB runs, and successive-approximation refinement."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    rng = np.random.default_rng(7)
+    for w, h, q in [(8, 8, 85), (24, 16, 85), (13, 11, 60), (32, 24, 92),
+                    (16, 16, 10), (16, 16, 100)]:
+        pix = bytes(rng.integers(0, 256, 3 * w * h, dtype=np.uint8))
+        base = decode_jpeg(encode_jpeg(pix, w, h, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(pix, w, h, quality=q))
+        assert base == prog, (w, h, q)
+
+
+def test_progressive_eob_runs_and_zrl():
+    """Degenerate contents that force the corner paths: flat images
+    (multi-block EOB runs), per-block impulses (ZRL in first+refine
+    passes), checkerboard (max AC energy)."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    flat = bytes([128, 128, 128]) * (64 * 64)
+    imp = np.full((32, 32, 3), 10, np.uint8)
+    imp[::8, ::8] = 250
+    chk = np.zeros((16, 16, 3), np.uint8)
+    chk[::2, 1::2] = 255
+    chk[1::2, ::2] = 255
+    for pix, w, h in [(flat, 64, 64), (imp.tobytes(), 32, 32),
+                      (chk.tobytes(), 16, 16)]:
+        assert decode_jpeg(encode_jpeg_progressive(pix, w, h)) \
+            == decode_jpeg(encode_jpeg(pix, w, h))
+
+
+def test_progressive_marker_is_sof2():
+    from otel_arrow_collector_spark.operators.jpeg import \
+        encode_jpeg_progressive
+    j = encode_jpeg_progressive(bytes(192), 8, 8)
+    assert b"\xff\xc2" in j and b"\xff\xc0" not in j
+    assert j.count(b"\xff\xda") == 12        # the 12-scan script
+
+
+def test_hierarchical_stays_loud():
+    """SOF2 is real now; hierarchical (SOF5..7 etc.) stays a loud stub."""
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.operators.jpeg import (decode_jpeg,
+                                                           encode_jpeg)
+    j = bytearray(encode_jpeg(bytes(192), 8, 8))
+    i = j.find(b"\xff\xc0")
+    j[i + 1] = 0xC5
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(j))
