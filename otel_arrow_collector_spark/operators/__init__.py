@@ -9,6 +9,7 @@
 - ``sampling``    — deterministic stratified sampling + train/val/test splits.
 - ``curation``    — sequence packing, contamination screen, shuffle layout.
 - ``multimodal``  — binary-column decode/feature plumbing (mapInPandas).
+- ``sketches``    — Misra-Gries heavy hitters (bounded-state sketch + recount).
 - ``batching``    — batch processor semantics (size/time/split) in batch mode.
 
 Each module exposes ``QUERIES`` (name -> callable(spark, sf_dir) ->
@@ -28,12 +29,12 @@ def collect_registry() -> tuple[
 ]:
     """Gather every operator module's queries + oracles into one registry."""
     from . import (curation, dedup, multimodal, relational, sampling,
-                   similarity, text)
+                   similarity, sketches, text)
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, dedup, similarity, text, sampling, curation,
-                multimodal):
+                multimodal, sketches):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -592,3 +592,159 @@ FROM tf JOIN df USING (token), n
 GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20
 """
+
+
+def text_bm25_search(spark, sf_dir):
+    """BM25 retrieval over the same fixed term query as
+    ``text_tfidf_search`` — the modern sparse-retrieval ranking function
+    (Robertson-Sparck Jones), with k1=1.2, b=0.75.
+
+    Exactness: BM25's saturation term is a ratio of integer-linear
+    quantities once k1 and b are written as rationals (6/5, 3/4) and
+    dl/avgdl as dl*N/total_tokens.  Per term:
+
+        score = idf_scaled * 44*tf*total // (20*tf*total + 6*total + 18*dl*N)
+
+    — a single integer floor division per (doc, term), bit-identical
+    across engines; idf_scaled = (N*1000) // df as in the TF-IDF query.
+
+    Scale: doc lengths are a narrow scan-side map; the token stream is
+    filtered to the query terms before the explode; df and the global
+    (N, total) are tiny broadcast aggregates; top-20 is TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(F.filter(
+                      F.split(F.lower("text"), "[^a-z0-9]+"),
+                      lambda x: x != ""))).alias("total_tokens")).first()
+    n_docs, total = int(stats.n_docs), int(stats.total_tokens)
+    base = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda x: x != "")).cast("long").alias("dl"),
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda x: x.isin(*TFIDF_QUERY_TERMS)).alias("hits"))
+    toks = base.select("doc_id", "dl", F.explode("hits").alias("token"))
+    tf = (toks.groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.floor(F.lit(n_docs) * 1000 / F.col("df")).cast("long")
+    num = F.lit(44) * F.col("tf") * F.lit(total)
+    den = (F.lit(20) * F.col("tf") * F.lit(total) + F.lit(6 * total)
+           + F.lit(18) * F.col("dl") * F.lit(n_docs))
+    # decimal(38,0) keeps idf*num exact past 2^53 (the double mantissa)
+    # — at corpus scale the product overflows a double's exactness long
+    # before it overflows decimal38; DuckDB gets the same headroom via
+    # HUGEINT.
+    scored = (tf.join(F.broadcast(df_), "token")
+                .withColumn("term_score",
+                            F.floor((idf * num).cast("decimal(38,0)")
+                                    / den.cast("decimal(38,0)"))
+                            .cast("long"))
+                .groupBy("doc_id")
+                .agg(F.sum("term_score").cast("long").alias("score"),
+                     F.count(F.lit(1)).alias("n_terms_hit")))
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+QUERIES["text_bm25_search"] = text_bm25_search
+ORACLES["text_bm25_search"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS dl,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x IN {_sql_in_list(TFIDF_QUERY_TERMS)}) AS hits
+  FROM documents),
+g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM base),
+toks AS (SELECT doc_id, dl, unnest(hits) AS token FROM base),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token)
+SELECT doc_id,
+       CAST(SUM(CAST((n_docs * 1000 // df) AS HUGEINT) * (44 * tf * total)
+                // (20 * tf * total + 6 * total + 18 * dl * n_docs))
+            AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN df USING (token), g
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+#: Fixed linear-model weights for the quality classifier (a stand-in for
+#: fasttext/CCNet logistic-regression coefficients; integer so the score
+#: is exact) and its decision threshold.
+QUALITY_CLF_THRESHOLD = 950
+
+
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality classification — the fasttext/CCNet-style
+    gate every LLM-data pipeline runs after the heuristic filters: a
+    linear scorer over interpretable features (token count, stopword
+    hits, digit density, lexical diversity), thresholded into keep/drop,
+    reported as a per-(lang, label) funnel with exact score sums.
+
+    The "model" is a fixed integer weight vector (swap in trained
+    coefficients in production — the plan is identical); every feature
+    and the dot product are integer-exact, so the decision boundary is
+    bit-identical across engines.
+
+    Scale: one narrow scan-side map per doc (no UDF), one hash agg on
+    (lang, label) — whole-stage codegen end to end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                     lambda x: x != "")
+    feats = d.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda x: x.isin("the", "a", "fast", "slow")))
+            .alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        F.size(F.array_distinct(words)).alias("n_distinct"))
+    score = (F.lit(2) * F.col("n_words") + F.lit(50) * F.col("stop_hits")
+             - F.lit(10) * F.col("n_digits")
+             + F.floor(F.col("n_distinct") * 1000 / F.col("n_words"))
+               .cast("long"))
+    lab = feats.select(
+        "lang", score.alias("score"),
+        F.when(score >= QUALITY_CLF_THRESHOLD, "keep").otherwise("drop")
+         .alias("label"))
+    return (lab.groupBy("lang", "label")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("score").cast("long").alias("score_sum"),
+                    F.min("score").cast("long").alias("score_min"),
+                    F.max("score").cast("long").alias("score_max"))
+               .orderBy("lang", "label"))
+
+
+QUERIES["text_quality_classifier"] = text_quality_classifier
+ORACLES["text_quality_classifier"] = f"""
+WITH f AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_words,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x IN ('the','a','fast','slow'))) AS stop_hits,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    len(list_distinct(list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> ''))) AS n_distinct
+  FROM documents),
+s AS (
+  SELECT lang,
+         2*n_words + 50*stop_hits - 10*n_digits
+           + (n_distinct*1000) // n_words AS score
+  FROM f),
+lab AS (
+  SELECT lang, score,
+         CASE WHEN score >= {QUALITY_CLF_THRESHOLD}
+              THEN 'keep' ELSE 'drop' END AS label
+  FROM s)
+SELECT lang, label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS score_sum,
+       CAST(MIN(score) AS BIGINT) AS score_min,
+       CAST(MAX(score) AS BIGINT) AS score_max
+FROM lab GROUP BY lang, label ORDER BY lang, label
+"""
