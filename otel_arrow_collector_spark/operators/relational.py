@@ -2235,3 +2235,95 @@ def q69(spark, sf_dir):
                                  * F.col("l_discount") * 100))
                     .cast("long").alias("revenue_c"),
                    F.count(F.lit(1)).alias("n")))
+
+
+@_register("q70_tail_latency_outliers", """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       CAST(ROUND(MIN(value) * 1000000) AS BIGINT) AS p95_micro,
+       CAST(SUM(ROUND(value * 1000000)) AS BIGINT) AS outlier_sum_micro
+FROM ranked
+WHERE rn <= CAST(ceil(0.05 * n) AS BIGINT)
+GROUP BY event_type ORDER BY event_type
+""")
+def q70(spark, sf_dir):
+    """Tail-latency outlier detection: per event type, the top-5% of
+    values by RANK — the p95 tail a telemetry SLO monitor alarms on.
+    Rank-based (ROW_NUMBER over (value desc, event_id)) instead of an
+    interpolated percentile so the cut is integer-exact across engines;
+    the threshold itself falls out as MIN(value) over the outlier set
+    (the value at rank ceil(0.05*n)).
+
+    Scale: ONE fact scan, ONE window shuffle keyed by event_type (rank
+    and count share the partitioning), then a hash agg — no self-join,
+    no threshold re-join, no second pass over the fact.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"))
+    return (ranked.filter(F.col("rn")
+                          <= F.ceil(F.lit(0.05) * F.col("n")).cast("long"))
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n_outliers"),
+                       F.round(F.min("value") * 1000000).cast("long")
+                        .alias("p95_micro"),
+                       F.sum(F.round(F.col("value") * 1000000)).cast("long")
+                        .alias("outlier_sum_micro"))
+                  .orderBy("event_type"))
+
+
+@_register("q71_conversion_funnel", """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                      AND t_purchase > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM firsts
+""")
+def q71(spark, sf_dir):
+    """Ordered-sequence conversion funnel: of all users, how many
+    signed up, then VIEWED after signing up, then PURCHASED after that
+    first view — the event-sequencing analysis every product-analytics
+    engine ships (and a telemetry pattern: error-after-deploy).
+
+    The sequence test compares each user's FIRST timestamp per stage
+    (min-per-type conditional aggregation), so the whole funnel is ONE
+    hash aggregate keyed by user — no self-joins, no window, and
+    arbitrarily many stages are more columns, not more shuffles.  This
+    is the plan that survives 100 TB (fact scanned once).
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+         .alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("t_purchase"))
+    stage1 = F.col("t_signup").isNotNull()
+    stage2 = stage1 & (F.col("t_view") > F.col("t_signup"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_view"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stage1.cast("long")).alias("n_signup"),
+        F.sum(stage2.cast("long")).alias("n_signup_then_view"),
+        F.sum(stage3.cast("long")).alias("n_full_funnel"))

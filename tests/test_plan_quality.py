@@ -256,3 +256,22 @@ def test_q69_pure_scan_aggregate_no_join_no_window(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) <= {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q70_single_scan_single_window_no_join(spark):
+    """q70: the rank cut and the outlier aggregation share one window
+    over ONE fact scan — no threshold re-join, no fact self-join
+    (formatted explain prints each node twice: tree + detail)."""
+    plan = _plan(spark, "q70_tail_latency_outliers")
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "Join" not in plan
+
+
+def test_q71_funnel_is_single_aggregate_no_window_no_join(spark):
+    """q71: N funnel stages = N conditional aggregates over ONE fact
+    scan; no join, no window, shuffle only on user_id + the final 1-row
+    agg."""
+    plan = _plan(spark, "q71_conversion_funnel")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
