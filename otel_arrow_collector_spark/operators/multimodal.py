@@ -28,8 +28,8 @@ Two decode tiers:
   ``multimodal_video_frames`` (solid-gray frames at quality 76 survive
   DCT→quantize→IDCT bit-exactly, so decoded luma has a closed form).
 - STUB only where a codec library is genuinely required (compressed
-  video codecs — avc1/hev1 — in MP4, sub-byte grayscale PNG,
-  hierarchical/arithmetic JPEG): the decoders RAISE loudly (NotImplementedError),
+  video codecs — avc1/hev1 — in MP4, hierarchical/arithmetic JPEG):
+  the decoders RAISE loudly (NotImplementedError),
   keeping accidental production use visible.  Swap in PIL/librosa/pyav
   there; the plan shape does not change.
 
@@ -635,7 +635,8 @@ def _packed_indices(rows: np.ndarray, depth: int, pw: int) -> np.ndarray:
 
 
 def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8/16-bit gray/RGB/RGBA or 1/2/4/8-bit palette PNG —
+    """Decode an 8/16-bit gray/RGB/RGBA, 1/2/4/8-bit palette, or
+    1/2/4-bit grayscale PNG —
     non-interlaced or Adam7-interlaced — to (width, height, top-down
     row-major RGB bytes): chunk walk, zlib inflate, the full 5-way
     scanline unfilter (None/Sub/Up/Average/Paeth) per (sub-)image,
@@ -643,7 +644,8 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
     16-bit channels reduce to 8 by taking the high byte (the standard
     presentation downsample); gray expands to RGB, RGBA drops alpha.
-    Loud stub: sub-byte grayscale raises NotImplementedError.
+    Sub-byte grayscale (1/2/4-bit, color type 0) scales indices to
+    0..255 via the standard v*255/(2^d-1) expansion.
     """
     import zlib
     if payload[:8] != _PNG_SIG:
@@ -670,10 +672,11 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
             f"PNG color type {color} not supported (gray/RGB/RGBA/palette)")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if color == 3:
+    packed = color == 3 or (color == 0 and depth < 8)
+    if packed:                        # indexed color or sub-byte gray
         if depth not in (1, 2, 4, 8):
-            raise ValueError(f"bad palette PNG bit depth {depth}")
-        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError(f"bad packed PNG bit depth {depth}")
+        if color == 3 and (plte is None or len(plte) % 3 or not plte):
             raise ValueError("palette PNG missing/odd PLTE chunk")
         bpp = 1                       # filters operate on whole bytes
         def stride_of(pw: int) -> int:
@@ -695,10 +698,10 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("PNG pixel data truncated")
         img = _unfilter_block(raw[:h * (1 + stride)].reshape(h, 1 + stride),
                               bpp)
-        if color == 3:
+        if packed:
             idx = _packed_indices(img, depth, w)
     else:                                    # Adam7: 7 sub-images
-        if color == 3:
+        if packed:
             idx = np.zeros((h, w), np.uint8)
         else:
             img = np.zeros((h, w, bpp), np.uint8)
@@ -715,14 +718,18 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
             block = _unfilter_block(
                 raw[off:off + need].reshape(ph, 1 + stride), bpp)
             off += need
-            if color == 3:
+            if packed:
                 idx[y0::dy, x0::dx] = _packed_indices(block, depth, pw)
             else:
                 img[y0::dy, x0::dx] = block.reshape(ph, pw, bpp)
-        if color != 3:
+        if not packed:
             img = img.reshape(h, bpp * w)
 
-    if color == 3:
+    if packed:
+        if color == 0:                # sub-byte gray: scale to 0..255
+            gray = (idx.astype(np.uint16) * 255
+                    // ((1 << depth) - 1)).astype(np.uint8)
+            return w, h, np.repeat(gray.reshape(-1), 3).tobytes()
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")

@@ -272,25 +272,36 @@ def test_png_gray_and_rgba_normalize_to_rgb():
     assert _png_pixels(png) == (1, 1, bytes([1, 2, 3]))
 
 
-def test_png_loud_stubs():
-    """Sub-byte GRAYSCALE stays a loud stub (palette, interlaced and
-    16-bit are REAL decode paths now)."""
+def test_png_sub_byte_grayscale():
+    """1/2/4-bit grayscale decodes with the standard v*255/(2^d-1)
+    expansion (every PNG color-type/depth combination is a real decode
+    path now)."""
     import struct
     import zlib
 
-    import pytest as _pytest
-
     from otel_arrow_collector_spark.operators.multimodal import (_png_chunk,
                                                                  _png_pixels)
-    sig = b"\x89PNG\r\n\x1a\n"
-    for depth, color, interlace, msg in [
-            (4, 0, 0, "8/16-bit"), (1, 0, 0, "8/16-bit")]:
-        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
-        png = (sig + _png_chunk(b"IHDR", ihdr)
-               + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
-               + _png_chunk(b"IEND", b""))
-        with _pytest.raises(NotImplementedError, match=msg):
-            _png_pixels(png)
+
+    def gray_png(w, h, depth, rows):
+        out = bytearray()
+        for row in rows:
+            bits = "".join(format(i, f"0{depth}b") for i in row)
+            bits += "0" * (-len(bits) % 8)
+            out += b"\x00" + bytes(int(bits[i:i + 8], 2)
+                                   for i in range(0, len(bits), 8))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                + _png_chunk(b"IEND", b""))
+
+    w, h, rgb = _png_pixels(gray_png(5, 2, 1, [[0, 1, 1, 0, 1],
+                                               [1, 0, 0, 1, 0]]))
+    assert (w, h) == (5, 2)
+    assert rgb[:6] == bytes([0, 0, 0, 255, 255, 255])
+    assert _png_pixels(gray_png(3, 1, 2, [[0, 1, 3]]))[2] \
+        == bytes([0, 0, 0, 85, 85, 85, 255, 255, 255])
+    assert _png_pixels(gray_png(3, 1, 4, [[0, 5, 15]]))[2] \
+        == bytes([0, 0, 0, 85, 85, 85, 255, 255, 255])
 
 
 def _palette_png(w, h, depth, palette, indices, *, interlace=0):
