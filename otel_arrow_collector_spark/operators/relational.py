@@ -2327,3 +2327,56 @@ def q71(spark, sf_dir):
         F.sum(stage1.cast("long")).alias("n_signup"),
         F.sum(stage2.cast("long")).alias("n_signup_then_view"),
         F.sum(stage3.cast("long")).alias("n_full_funnel"))
+
+
+@_register("q72_scd2_intervals", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type = LAG(event_type) OVER w
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM ordered)
+SELECT user_id, CAST(grp AS BIGINT) AS version, event_type,
+       MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, grp, event_type
+ORDER BY user_id, version LIMIT 300
+""")
+def q72(spark, sf_dir):
+    """SCD Type-2 interval build (gaps-and-islands): collapse each
+    user's event stream into consecutive runs of the same event_type
+    with validity bounds and a version number — the
+    change-data-capture → dimension-history shape every warehouse
+    pipeline materializes.
+
+    Plan: ONE window partitioning (user_id, ordered by ts,event_id)
+    serves both the lag change-flag and the running-sum island id, then
+    one hash agg on (user, island).  The fact is scanned once; the two
+    window functions share a single sort+shuffle (same spec), so the
+    cost is one wide exchange regardless of how many interval columns
+    are derived — the plan that survives 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(F.col("event_type") == F.lag("event_type").over(w), 0) \
+           .otherwise(1)
+    islands = (ev.withColumn("chg", chg)
+                 .withColumn("grp", F.sum("chg").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("user_id", "grp", "event_type")
+                   .agg(F.min("ts").alias("valid_from"),
+                        F.max("ts").alias("valid_to"),
+                        F.count(F.lit(1)).alias("n_events"))
+                   .select("user_id",
+                           F.col("grp").cast("long").alias("version"),
+                           "event_type", "valid_from", "valid_to",
+                           "n_events")
+                   .orderBy("user_id", "version").limit(300))

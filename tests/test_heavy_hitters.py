@@ -116,3 +116,56 @@ def test_streaming_mg_matches_batch_sketch(spark, tmp_path):
         assert all(len(s) <= 8 for s in last.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_funnel_matches_batch_firsts(spark, tmp_path):
+    """q71's streaming twin: per-user min-per-stage state across
+    micro-batches equals the batch conditional aggregation EXACTLY for
+    any arrival order (MIN commutes), and the funnel flags agree."""
+    from otel_arrow_collector_spark.sources.tables import load_table
+    from otel_arrow_collector_spark.streaming.funnel import (funnel_flags,
+                                                             funnel_stream)
+
+    ev = (load_table(spark, SF_SMALL, "events")
+          .select("user_id", "event_type", F.col("ts").cast("long")
+                  .alias("ts_ns")))
+    d = tempfile.mkdtemp(prefix="funnel_stream_")
+    try:
+        # 3 batches split by event_id hash -> arrival order != time order
+        full = load_table(spark, SF_SMALL, "events")
+        for b in range(3):
+            (full.filter(F.pmod(F.col("event_id"), 3) == b).coalesce(1)
+                 .write.mode("append").parquet(d))
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (funnel_stream(stream)
+             .writeStream.format("memory").queryName("funnel_stream")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        out = spark.table("funnel_stream")
+        # final snapshot per user: mins only ever decrease, so take min
+        final = (out.groupBy("user_id")
+                    .agg(*[F.min(f"t_{s}").alias(f"t_{s}")
+                           for s in ("signup", "view", "purchase")]))
+        want = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns")))
+             .alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_ns")))
+             .alias("t_view"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns")))
+             .alias("t_purchase"))
+        got_rows = {r.user_id: (r.t_signup, r.t_view, r.t_purchase)
+                    for r in final.collect()}
+        want_rows = {r.user_id: (r.t_signup, r.t_view, r.t_purchase)
+                     for r in want.collect()}
+        assert got_rows == want_rows
+        flags = {r.user_id: (r.did_signup, r.did_view_after,
+                             r.did_full_funnel)
+                 for r in funnel_flags(final).collect()}
+        wf = {r.user_id: (r.did_signup, r.did_view_after, r.did_full_funnel)
+              for r in funnel_flags(want).collect()}
+        assert flags == wf and any(v[0] for v in flags.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

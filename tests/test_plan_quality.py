@@ -275,3 +275,13 @@ def test_q71_funnel_is_single_aggregate_no_window_no_join(spark):
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
     assert plan.count("Scan parquet") == 2      # one scan, printed twice
+
+
+def test_q72_islands_share_one_window_exchange(spark):
+    """q72: the lag change-flag and the running-sum island id use the
+    SAME window spec, so the plan carries ONE wide exchange (plus the
+    final TakeOrdered) — not one sort+shuffle per window function."""
+    plan = _plan(spark, "q72_scd2_intervals")
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 4                 # window + agg, each x2
