@@ -628,48 +628,82 @@ def _dht_segment(tc, th, spec) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg(pixels: bytes, width: int, height: int, *,
-                quality: int = 85) -> bytes:
-    """Encode raw RGB triples as a baseline 4:4:4 JFIF JPEG."""
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _component_planes(pixels: bytes, width: int, height: int,
+                      hy: int, vy: int) -> list[np.ndarray]:
+    """RGB -> padded (Y, Cb, Cr) planes: Y at the full-MCU-padded
+    resolution, chroma box-filter downsampled by (hy, vy) and padded to
+    one block per MCU."""
     px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
         .reshape(height, width, 3).astype(np.float64)
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * vy - 1) // (8 * vy)
+
+    def pad(plane, th, tw):
+        p = np.empty((th, tw), np.float64)
+        ph0, pw0 = plane.shape
+        p[:ph0, :pw0] = plane
+        p[ph0:, :pw0] = plane[-1:, :]           # edge-replicate pad
+        p[:, pw0:] = p[:, pw0 - 1:pw0]
+        return p
+
+    yp = pad(y, mcuy * 8 * vy, mcux * 8 * hy)
+    if (hy, vy) == (1, 1):
+        return [yp, pad(cb, mcuy * 8, mcux * 8), pad(cr, mcuy * 8, mcux * 8)]
+    # box-filter chroma over (vy, hy) windows of the edge-padded plane
+    ch = (height + vy - 1) // vy
+    cw = (width + hy - 1) // hy
+    out = [yp]
+    for plane in (cb, cr):
+        p = pad(plane, ch * vy, cw * hy)
+        small = p.reshape(ch, vy, cw, hy).mean(axis=(1, 3))
+        out.append(pad(small, mcuy * 8, mcux * 8))
+    return out
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int, *,
+                quality: int = 85, subsampling: str = "444") -> bytes:
+    """Encode raw RGB triples as a baseline JFIF JPEG at 4:4:4, 4:2:2
+    or 4:2:0 chroma subsampling (interleaved MCU order)."""
+    hy, vy = _SUBSAMPLING[subsampling]
     ql, qc = _quality_tables(quality)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    planes = []
-    for plane in (y, cb, cr):
-        p = np.empty((ph, pw), np.float64)
-        p[:height, :width] = plane
-        p[height:, :width] = plane[-1:, :]      # edge-replicate pad
-        p[:, width:] = p[:, width - 1:width]
-        planes.append(p)
+    planes = _component_planes(pixels, width, height, hy, vy)
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * vy - 1) // (8 * vy)
     dc_l, ac_l = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
     dc_c, ac_c = _encode_codes(*_DC_C), _encode_codes(*_AC_C)
     wtr = _BitWriter()
     pred = [0, 0, 0]
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            for ci in range(3):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vy):                # luma blocks of the MCU
+                for bx in range(hy):
+                    y0, x0 = (my * vy + by) * 8, (mx * hy + bx) * 8
+                    blk = planes[0][y0:y0 + 8, x0:x0 + 8]
+                    pred[0] = _encode_block(wtr, blk, ql, dc_l, ac_l,
+                                            pred[0])
+            for ci in (1, 2):                   # one chroma block each
                 blk = planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                q = ql if ci == 0 else qc
-                dc = dc_l if ci == 0 else dc_c
-                ac = ac_l if ci == 0 else ac_c
-                pred[ci] = _encode_block(wtr, blk, q, dc, ac, pred[ci])
+                pred[ci] = _encode_block(wtr, blk, qc, dc_c, ac_c,
+                                         pred[ci])
     ecs = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
+    hv_y = (hy << 4) | vy
     out = b"\xff\xd8"                                       # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))  # DQT luma
     out += seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))  # DQT chroma
     out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+               + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
     out += seg(0xC4, _dht_segment(0, 0, _DC_L))
     out += seg(0xC4, _dht_segment(1, 0, _AC_L))
     out += seg(0xC4, _dht_segment(0, 1, _DC_C))
@@ -711,26 +745,34 @@ def _put_magnitude(wtr, v: int, t: int) -> None:
     wtr.put(v if v > 0 else v + (1 << t) - 1, t)
 
 
-def _enc_dc_scan(wtr, zs, ah, al, dc_codes):
-    """DC scan over the (4:4:4) MCU grid: first pass = diff coding of the
+def _enc_dc_scan(wtr, zs, ah, al, dc_codes, hy=1, vy=1):
+    """Interleaved DC scan in MCU order — (vy*hy) luma blocks then one
+    block per chroma component per MCU: first pass = diff coding of the
     point-transformed DC; refinement = one raw bit per block."""
     preds = [0] * len(zs)
-    bh, bw = zs[0].shape[:2]
-    for my in range(bh):
-        for mx in range(bw):
-            for ci, z in enumerate(zs):
-                dc = int(z[my, mx, 0])
-                if ah == 0:
-                    v = dc >> al                      # arithmetic shift
-                    diff = v - preds[ci]
-                    preds[ci] = v
-                    t = abs(diff).bit_length()
-                    ln, code = dc_codes[t]
-                    wtr.put(code, ln)
-                    if t:
-                        _put_magnitude(wtr, diff, t)
-                else:
-                    wtr.put((dc >> al) & 1, 1)
+    mcuy, mcux = zs[1].shape[:2] if len(zs) > 1 else zs[0].shape[:2]
+
+    def unit(ci, by, bx):
+        dc = int(zs[ci][by, bx, 0])
+        if ah == 0:
+            v = dc >> al                              # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = abs(diff).bit_length()
+            ln, code = dc_codes[t]
+            wtr.put(code, ln)
+            if t:
+                _put_magnitude(wtr, diff, t)
+        else:
+            wtr.put((dc >> al) & 1, 1)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vy):
+                for bx in range(hy):
+                    unit(0, my * vy + by, mx * hy + bx)
+            for ci in range(1, len(zs)):
+                unit(ci, my, mx)
 
 
 class _EobRun:
@@ -856,29 +898,29 @@ _PROG_SCRIPT = (
 
 
 def encode_jpeg_progressive(pixels: bytes, width: int, height: int, *,
-                            quality: int = 85) -> bytes:
-    """Encode raw RGB triples as a progressive (SOF2) 4:4:4 JFIF JPEG
-    using :data:`_PROG_SCRIPT` — spectral selection AND successive
-    approximation, so a decoder must exercise DC/AC first + refinement
-    passes and EOB runs.  Coefficients and quant tables are identical to
-    :func:`encode_jpeg` at the same quality: progressive and baseline
-    encodes of one image decode to byte-identical RGB."""
-    px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
-        .reshape(height, width, 3).astype(np.float64)
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                            quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """Encode raw RGB triples as a progressive (SOF2) JFIF JPEG at
+    4:4:4 / 4:2:2 / 4:2:0 using :data:`_PROG_SCRIPT` — spectral
+    selection AND successive approximation, so a decoder must exercise
+    DC/AC first + refinement passes and EOB runs.  Coefficients and
+    quant tables are identical to :func:`encode_jpeg` at the same
+    quality and subsampling: progressive and baseline encodes of one
+    image decode to byte-identical RGB.  AC scans are non-interleaved
+    and cover each component's OWN ceil(samples/8) block grid (T.81
+    A.2.2); the interleaved DC scan covers the full MCU grid including
+    padding blocks.
+    """
+    hy, vy = _SUBSAMPLING[subsampling]
     ql, qc = _quality_tables(quality)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    zs = []
-    for plane, q in ((y, ql), (cb, qc), (cr, qc)):
-        p = np.empty((ph, pw), np.float64)
-        p[:height, :width] = plane
-        p[height:, :width] = plane[-1:, :]
-        p[:, width:] = p[:, width - 1:width]
-        zs.append(_quantize_plane(p, q))
+    planes = _component_planes(pixels, width, height, hy, vy)
+    zs = [_quantize_plane(p, ql if i == 0 else qc)
+          for i, p in enumerate(planes)]
+    # non-interleaved AC block grids (exclude MCU padding blocks)
+    nonint = [((height + 7) // 8, (width + 7) // 8),
+              (((height + vy - 1) // vy + 7) // 8,
+               ((width + hy - 1) // hy + 7) // 8)]
+    nonint.append(nonint[1])
     dc_codes = _encode_codes(*_P_DC)
     ac_codes = _encode_codes(*_P_AC)
 
@@ -890,20 +932,22 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int, *,
     out += seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))
     out += seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))
     out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+               + bytes([1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]))
     out += seg(0xC4, _dht_segment(0, 0, _P_DC))
     out += seg(0xC4, _dht_segment(1, 0, _P_AC))
     for kind, ci, ss, se, ah, al in _PROG_SCRIPT:
         wtr = _BitWriter()
         if kind == "dc":
             comps = bytes([1, 0x00, 2, 0x00, 3, 0x00])
-            _enc_dc_scan(wtr, zs, ah, al, dc_codes)
+            _enc_dc_scan(wtr, zs, ah, al, dc_codes, hy, vy)
             sos = bytes([3]) + comps
         else:
-            _enc_ac_first_scan(wtr, zs[ci].reshape(-1, 64), ss, se, al,
-                               ac_codes) if ah == 0 else \
-                _enc_ac_refine_scan(wtr, zs[ci].reshape(-1, 64), ss, se,
-                                    al, ac_codes)
+            bh, bw = nonint[ci]
+            blocks = zs[ci][:bh, :bw].reshape(-1, 64)
+            if ah == 0:
+                _enc_ac_first_scan(wtr, blocks, ss, se, al, ac_codes)
+            else:
+                _enc_ac_refine_scan(wtr, blocks, ss, se, al, ac_codes)
             sos = bytes([1, ci + 1, 0x00])
         out += seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
         out += wtr.flush()

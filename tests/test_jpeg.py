@@ -284,3 +284,40 @@ def test_hierarchical_stays_loud():
     j[i + 1] = 0xC5
     with _pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(j))
+
+
+def test_subsampled_baseline_roundtrip_and_flat_exact():
+    """4:2:2/4:2:0 encode->decode: geometry preserved and a flat image
+    (constant chroma: box filter is exact, DC quantizer 8 at q76)
+    round-trips byte-exactly through the subsampled path."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.jpeg import (decode_jpeg,
+                                                           encode_jpeg)
+    rng = np.random.default_rng(5)
+    for sub in ("422", "420"):
+        for w, h in [(16, 16), (13, 11)]:
+            pix = bytes(rng.integers(0, 256, 3 * w * h, dtype=np.uint8))
+            gw, gh, _ = decode_jpeg(encode_jpeg(pix, w, h, subsampling=sub))
+            assert (gw, gh) == (w, h)
+        flat = bytes([90, 90, 90]) * (16 * 16)
+        assert decode_jpeg(encode_jpeg(flat, 16, 16, quality=76,
+                                       subsampling=sub))[2] == flat
+
+
+def test_progressive_equals_baseline_all_subsamplings():
+    """Progressive vs baseline byte-equality extends to 4:2:2/4:2:0 —
+    pinning the decoder's subsampled-progressive geometry (interleaved
+    DC over the MCU grid incl. padding blocks, non-interleaved AC over
+    each component's own ceil(samples/8) grid)."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    rng = np.random.default_rng(11)
+    for sub in ("422", "420"):
+        for w, h in [(16, 16), (13, 11), (17, 9), (32, 24)]:
+            pix = bytes(rng.integers(0, 256, 3 * w * h, dtype=np.uint8))
+            assert decode_jpeg(encode_jpeg(pix, w, h, subsampling=sub)) \
+                == decode_jpeg(encode_jpeg_progressive(
+                    pix, w, h, subsampling=sub)), (sub, w, h)
