@@ -227,44 +227,50 @@ def parse_statement(text: str) -> Statement:
         if not wm:
             raise OttlSyntaxError(f"unexpected trailing text {rest!r}")
         where = wm.group(1).strip()
-    args = []
-    for tok in _split_args(argtext):
-        fm = _FACTORY.match(tok)
-        if fm:                       # SpanID(0x..)/TraceID(0x..) factories
-            want = 16 if fm.group(1) == "SpanID" else 32
-            hexid = fm.group(2).lower()
-            if len(hexid) != want:
-                raise OttlSyntaxError(
-                    f"{fm.group(1)} needs {want} hex digits, "
-                    f"got {len(hexid)}: {tok!r}")
-            args.append(("str", hexid))
-            continue
-        dm = _DURATION.match(tok)
-        if dm:                       # 2m / 30s / 500ms admission windows
-            args.append(("dur", int(dm.group(1))
-                         * {"ms": 1, "s": 1000, "m": 60_000,
-                            "h": 3_600_000}[dm.group(2)]))
-            continue
-        if "read_gauge" in tok:      # metric-expression argument
-            args.append(("expr", tok))
-            continue
-        toks = _tokenize(tok)
-        if len(toks) != 1:
-            raise OttlSyntaxError(f"bad argument {tok!r}")
-        t = toks[0]
-        if t.kind == "string":
-            args.append(("str", _unquote(t.text)))
-        elif t.kind == "number":
-            args.append(("num", float(t.text) if "." in t.text
-                         else int(t.text)))
-        elif t.kind == "path":
-            args.append(("path", t.text))
-        else:
-            raise OttlSyntaxError(f"bad argument {tok!r}")
+    args = [_parse_arg(tok) for tok in _split_args(argtext)]
     return Statement(func, args, where)
 
 
+def _parse_arg(tok: str):
+    """One argument -> a tagged tuple: literal ("str"/"num"), field
+    ("path"), duration ("dur"), id factory (folds to "str"), metric
+    expression ("expr"), or converter call ("call", name, [sub-args])
+    — converter calls nest."""
+    fm = _FACTORY.match(tok)
+    if fm:                           # SpanID(0x..)/TraceID(0x..) factories
+        want = 16 if fm.group(1) == "SpanID" else 32
+        hexid = fm.group(2).lower()
+        if len(hexid) != want:
+            raise OttlSyntaxError(
+                f"{fm.group(1)} needs {want} hex digits, "
+                f"got {len(hexid)}: {tok!r}")
+        return ("str", hexid)
+    dm = _DURATION.match(tok)
+    if dm:                           # 2m / 30s / 500ms admission windows
+        return ("dur", int(dm.group(1))
+                * {"ms": 1, "s": 1000, "m": 60_000,
+                   "h": 3_600_000}[dm.group(2)])
+    if "read_gauge" in tok:          # metric-expression argument
+        return ("expr", tok)
+    cm = _CALL.match(tok)
+    if cm:                           # converter call, possibly nested
+        return ("call", cm.group(1),
+                [_parse_arg(t) for t in _split_args(cm.group(2))])
+    toks = _tokenize(tok)
+    if len(toks) != 1:
+        raise OttlSyntaxError(f"bad argument {tok!r}")
+    t = toks[0]
+    if t.kind == "string":
+        return ("str", _unquote(t.text))
+    if t.kind == "number":
+        return ("num", float(t.text) if "." in t.text else int(t.text))
+    if t.kind == "path":
+        return ("path", t.text)
+    raise OttlSyntaxError(f"bad argument {tok!r}")
+
+
 _FACTORY = re.compile(r"^(SpanID|TraceID)\(0x([0-9a-fA-F]+)\)$")
+_CALL = re.compile(r"^([A-Z][A-Za-z0-9_]*)\((.*)\)$", re.DOTALL)
 _DURATION = re.compile(r"^(\d+)(ms|s|m|h)$")
 _GAUGE_EXPR = re.compile(
     r'^read_gauge\("([^"]+)"\)\s*(?:([+\-*/])\s*'
@@ -298,10 +304,58 @@ def _split_args(argtext: str) -> list[str]:
 
 
 def _arg_value(arg) -> Column:
-    k, v = arg
-    if k == "path":
-        return get_path(v)
-    return F.lit(v)
+    if arg[0] == "path":
+        return get_path(arg[1])
+    if arg[0] == "call":
+        return _call_converter(arg[1], arg[2])
+    return F.lit(arg[1])
+
+
+def _call_converter(name: str, args: list) -> Column:
+    """OTTL converter functions compiled to built-in Column expressions
+    (the transform language's pure value converters — UpperCamelCase per
+    the factory naming rule, processing.md:315).  All JVM-side; no UDF."""
+    vals = [_arg_value(a) for a in args]
+
+    def lit(i, want=str):
+        if args[i][0] not in ("str", "num") or not isinstance(
+                args[i][1], want if want is not str else str):
+            raise OttlSyntaxError(
+                f"{name}() argument {i} must be a {want.__name__} literal")
+        return args[i][1]
+
+    if name == "Concat":             # Concat(sep, v1, v2, ...)
+        return F.concat_ws(lit(0), *vals[1:])
+    if name == "SHA256":
+        return F.sha2(vals[0].cast("string"), 256)
+    if name == "SHA1":
+        return F.sha1(vals[0].cast("string"))
+    if name == "MD5":
+        return F.md5(vals[0].cast("string"))
+    if name == "Substring":          # Substring(v, start, len) 0-based
+        return F.substring(vals[0].cast("string"),
+                           int(lit(1, int)) + 1, int(lit(2, int)))
+    if name == "ConvertCase":        # upper/lower/snake
+        mode = lit(1)
+        if mode == "upper":
+            return F.upper(vals[0])
+        if mode == "lower":
+            return F.lower(vals[0])
+        if mode == "snake":          # camelCase/PascalCase -> snake_case
+            return F.lower(F.regexp_replace(
+                vals[0], r"([a-z0-9])([A-Z])", r"$1_$2"))
+        raise OttlSyntaxError(f"ConvertCase mode {mode!r}")
+    if name == "Len":
+        return F.length(vals[0].cast("string"))
+    if name == "Trim":
+        return F.trim(vals[0].cast("string"))
+    if name == "Int":
+        return F.floor(vals[0].cast("double")).cast("long")
+    if name == "Double":
+        return vals[0].cast("double")
+    if name == "String":
+        return vals[0].cast("string")
+    raise OttlSyntaxError(f"unknown OTTL converter {name!r}")
 
 
 def _glob_to_regex(pattern: str) -> str:

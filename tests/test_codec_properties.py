@@ -324,3 +324,24 @@ def test_png_adam7_16bit_gray_and_rgba():
                 else:
                     want += px[:3]
         assert rgb == bytes(want)
+
+
+@given(st.data())
+@settings(max_examples=20, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(data):
+    """For ANY image geometry/content/quality/subsampling, the
+    progressive and baseline encodes carry identical coefficients and
+    must decode byte-identically — one property covering every decoder
+    scan path (DC/AC first, refinement, EOB runs, subsampled grids)."""
+    from otel_arrow_collector_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    w = data.draw(st.integers(1, 26))
+    h = data.draw(st.integers(1, 26))
+    q = data.draw(st.sampled_from([10, 60, 76, 90, 100]))
+    sub = data.draw(st.sampled_from(["444", "422", "420"]))
+    pix = bytes(data.draw(st.binary(min_size=3 * w * h,
+                                    max_size=3 * w * h)))
+    base = decode_jpeg(encode_jpeg(pix, w, h, quality=q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        pix, w, h, quality=q, subsampling=sub))
+    assert base == prog

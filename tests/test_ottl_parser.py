@@ -231,3 +231,42 @@ def test_create_gauge_from_read_gauge(spark):
     with pytest.raises(OttlSyntaxError, match="where"):
         apply_statement(md, 'create_gauge("x", read_gauge("gauge-int")) '
                             'where unit == "1"')
+
+
+def test_converter_functions(td):
+    """Converter calls compile to built-in Column expressions and nest:
+    SHA256/Concat/Substring/ConvertCase/Len/Trim/Int."""
+    import hashlib
+    out = apply_statement(td, 'set(attributes["h"], SHA256(name))')
+    for r in out.select("name", out.attributes["h"].s.alias("h")).collect():
+        assert r.h == hashlib.sha256(r.name.encode()).hexdigest()
+    out = apply_statement(
+        td, 'set(attributes["c"], Concat("-", name, '
+            'ConvertCase(name, "upper")))')
+    r = out.filter("name = 'operationA'").first()
+    assert r.attributes["c"].s == "operationA-OPERATIONA"
+    out = apply_statement(td, 'set(name, Substring(name, 0, 9))')
+    assert {r.name for r in out.select("name").collect()} == {"operation"}
+    out = apply_statement(td, 'set(attributes["s"], '
+                              'ConvertCase(name, "snake"))')
+    assert {r.attributes["s"].s for r in out.collect()} \
+        == {"operation_a", "operation_b"}
+    out = apply_statement(td, 'set(attributes["n"], Len(Trim(name)))')
+    # map attrs store through the string arm (the engine's set() contract)
+    assert all(r.attributes["n"].s == "10" for r in out.collect())
+    with pytest.raises(OttlSyntaxError, match="unknown OTTL converter"):
+        apply_statement(td, 'set(name, Bogus(name))')
+    with pytest.raises(OttlSyntaxError, match="ConvertCase mode"):
+        apply_statement(td, 'set(name, ConvertCase(name, "title"))')
+
+
+def test_converter_in_where_target_only(td):
+    """Converters combine with where-clauses: the mutation stays one
+    conditional projection."""
+    out = apply_statement(
+        td, 'set(attributes["u"], ConvertCase(name, "upper")) '
+            'where name == "operationA"')
+    vals = {r.name: (r.attributes["u"].s if "u" in r.attributes else None)
+            for r in out.collect()}
+    assert vals["operationA"] == "OPERATIONA"
+    assert vals["operationB"] is None
