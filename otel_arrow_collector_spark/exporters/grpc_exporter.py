@@ -206,3 +206,126 @@ def export_grpc_now(df: DataFrame, endpoint: str, signal: str = "traces",
            .first())
     return {k: (0 if res[k] is None else int(res[k]))
             for k in ("rows_sent", "n_requests", "n_attempts", "n_tasks")}
+
+
+class ArrowStreamClient:
+    """Bidi OTel-Arrow stream client over the stdlib HTTP/2 stack — the
+    exporter half of the fork's signature RPC in SendAndWait mode: each
+    ``send_batch`` ships one BatchArrowRecords and blocks on its
+    BatchStatus ack (exporter/otlpexporter/internal/arrow/stream.go's
+    per-batch round trip; statuses arrive on the reverse direction of
+    ONE long-lived stream, not per-RPC).
+
+    Usage::
+
+        c = ArrowStreamClient(host, port)         # mixed-signal service
+        st = c.send_batch(1, [("s0", PAYLOAD_SPANS, ipc_bytes)])
+        assert st["status_code"] == 0
+        c.close()                                  # half-close + trailers
+    """
+
+    MIXED_PATH = ("/opentelemetry.proto.experimental.arrow.v1"
+                  ".ArrowStreamService/ArrowStream")
+
+    def __init__(self, host: str, port: int, *, path: str | None = None,
+                 token: str | None = None, timeout_s: float = 10.0):
+        self.sock = socket.create_connection((host, port),
+                                             timeout=timeout_s)
+        self.enc, self.dec = HpackEncoder(), HpackDecoder()
+        self._resp = bytearray()
+        self._frag = bytearray()
+        self.resp_headers: dict[str, str] = {}
+        self.trailers: dict[str, str] = {}
+        self.ended = False
+        self.sock.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0))
+        headers = [(":method", "POST"), (":scheme", "http"),
+                   (":path", path or self.MIXED_PATH),
+                   (":authority", f"{host}:{port}"),
+                   ("content-type", "application/grpc"),
+                   ("te", "trailers")]
+        if token is not None:
+            headers.append(("authorization", f"Bearer {token}"))
+        self.sock.sendall(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS, 1, self.enc.encode(headers)))
+
+    def send_batch(self, batch_id: int,
+                   payloads: list[tuple[str, int, bytes]],
+                   headers: bytes = b"") -> dict:
+        from ..sources.arrow_service import decode_status, encode_batch
+        msg = h2.grpc_frame(encode_batch(batch_id, payloads, headers))
+        self.sock.sendall(b"".join(h2.chunk_data_frames(1, msg, False)))
+        status_msg = self._recv_message()
+        return decode_status(status_msg)
+
+    def close(self) -> dict[str, str]:
+        """Half-close the request direction; drain until trailers."""
+        self.sock.sendall(h2.pack_frame(
+            h2.DATA, h2.FLAG_END_STREAM, 1))
+        while not self.ended:
+            self._pump_one()
+        self.sock.close()
+        return self.trailers
+
+    # -- frame pump --------------------------------------------------------
+
+    def _recv_message(self) -> bytes:
+        while True:
+            msg = self._pop_message()
+            if msg is not None:
+                return msg
+            if self.ended:
+                raise GrpcCallError(
+                    int(self.trailers.get("grpc-status", "2")),
+                    self.trailers.get("grpc-message",
+                                      "stream ended before ack"))
+            self._pump_one()
+
+    def _pop_message(self) -> bytes | None:
+        if len(self._resp) < 5:
+            return None
+        ln = struct.unpack_from(">I", self._resp, 1)[0]
+        if len(self._resp) < 5 + ln:
+            return None
+        msg = bytes(self._resp[5:5 + ln])
+        del self._resp[:5 + ln]
+        return msg
+
+    def _pump_one(self) -> None:
+        ftype, flags, sid, payload = h2.recv_frame(self.sock)
+        if ftype == h2.SETTINGS:
+            if not flags & h2.FLAG_ACK:
+                self.sock.sendall(
+                    h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+        elif ftype == h2.PING:
+            if not flags & h2.FLAG_ACK:
+                self.sock.sendall(
+                    h2.pack_frame(h2.PING, h2.FLAG_ACK, 0, payload))
+        elif ftype in (h2.WINDOW_UPDATE, h2.PRIORITY):
+            pass
+        elif ftype == h2.RST_STREAM:
+            code = struct.unpack(">I", payload)[0]
+            raise h2.H2Error(f"stream reset, error code {code}")
+        elif ftype == h2.GOAWAY:
+            raise h2.H2Error("server sent GOAWAY")
+        elif ftype in (h2.HEADERS, h2.CONTINUATION):
+            body = payload
+            if ftype == h2.HEADERS:
+                body = h2.strip_padding(flags, payload)
+                if flags & h2.FLAG_PRIORITY:
+                    body = body[5:]
+            self._frag += body
+            if flags & h2.FLAG_END_HEADERS:
+                block = dict(self.dec.decode(bytes(self._frag)))
+                self._frag.clear()
+                if "grpc-status" in block or flags & h2.FLAG_END_STREAM:
+                    self.trailers.update(block)
+                else:
+                    self.resp_headers.update(block)
+            if flags & h2.FLAG_END_STREAM:
+                self.ended = True
+        elif ftype == h2.DATA:
+            self._resp += h2.strip_padding(flags, payload)
+            if flags & h2.FLAG_END_STREAM:
+                self.ended = True
+        else:
+            raise h2.H2Error(f"unexpected frame type {ftype}")

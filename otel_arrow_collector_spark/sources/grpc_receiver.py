@@ -44,6 +44,16 @@ ROUTES = {
         "metrics",
 }
 
+#: OTel-Arrow bidi stream services (arrow.go:251-263; the mixed-signal
+#: ArrowStream plus the per-signal variants).
+_ARROW_V1 = "/opentelemetry.proto.experimental.arrow.v1"
+ARROW_ROUTES = {
+    f"{_ARROW_V1}.ArrowStreamService/ArrowStream",
+    f"{_ARROW_V1}.ArrowTracesService/ArrowTraces",
+    f"{_ARROW_V1}.ArrowLogsService/ArrowLogs",
+    f"{_ARROW_V1}.ArrowMetricsService/ArrowMetrics",
+}
+
 # gRPC status codes used here
 OK = 0
 INVALID_ARGUMENT = 3
@@ -54,13 +64,17 @@ UNAUTHENTICATED = 16
 
 
 class _Stream:
-    __slots__ = ("headers", "data", "frag", "headers_done")
+    __slots__ = ("headers", "data", "frag", "headers_done",
+                 "arrow", "resp_started", "closed")
 
     def __init__(self):
         self.headers: dict[str, str] = {}
         self.data = bytearray()
         self.frag = bytearray()
         self.headers_done = False
+        self.arrow = None              # ArrowStreamState once recognized
+        self.resp_started = False
+        self.closed = False
 
 
 class OtlpGrpcReceiver:
@@ -190,7 +204,10 @@ class OtlpGrpcReceiver:
                         st.frag.clear()
                         st.headers_done = True
                     if flags & h2.FLAG_END_STREAM and st.headers_done:
-                        self._respond(sock, enc, sid, st)
+                        if st.headers.get(":path", "") in ARROW_ROUTES:
+                            self._arrow_finish(sock, enc, sid, st)
+                        else:
+                            self._respond(sock, enc, sid, st)
                         streams.pop(sid, None)
                 elif ftype == h2.CONTINUATION:
                     st = streams.setdefault(sid, _Stream())
@@ -215,7 +232,14 @@ class OtlpGrpcReceiver:
                         sock.sendall(
                             h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, inc)
                             + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, inc))
-                    if flags & h2.FLAG_END_STREAM:
+                    is_arrow = (st.headers_done and
+                                st.headers.get(":path", "") in ARROW_ROUTES)
+                    if is_arrow:
+                        self._arrow_pump(sock, enc, sid, st)
+                        if flags & h2.FLAG_END_STREAM:
+                            self._arrow_finish(sock, enc, sid, st)
+                            streams.pop(sid, None)
+                    elif flags & h2.FLAG_END_STREAM:
                         self._respond(sock, enc, sid, st)
                         streams.pop(sid, None)
                 else:
@@ -298,6 +322,117 @@ class OtlpGrpcReceiver:
         self._spool(body, signal)
         self._count(f"accepted_{signal}")
         return OK, ""
+
+    # -- OTel-Arrow bidi stream (arrow.go:251-349) -------------------------
+
+    def _arrow_pump(self, sock, enc, sid, st: _Stream) -> None:
+        """Drain complete gRPC messages from the stream buffer; for each
+        BatchArrowRecords decode its payload IPC fragments (stateful per
+        schema id), spool the new record batches, and ack one
+        BatchStatus on the reverse direction (SendAndWait-compatible)."""
+        from . import arrow_service as asvc
+        if st.closed:
+            return
+        if st.arrow is None:
+            if self.token is not None:
+                auth = st.headers.get("authorization", "")
+                if auth != f"Bearer {self.token}":
+                    self._count("refused_unauth_arrow")
+                    self._trailers_only(sock, enc, sid,
+                                        UNAUTHENTICATED, "unauthenticated")
+                    st.closed = True
+                    return
+            st.arrow = asvc.ArrowStreamState(self.max_msg_bytes)
+        while True:
+            msg = self._pop_grpc_message(st)
+            if msg is None:
+                return
+            code, text, batch_id = OK, "", 0
+            try:
+                req = asvc.decode_batch(msg)
+                batch_id = req["batch_id"]
+                st.arrow.headers(req["headers"])    # per-batch metadata
+                for schema_id, ptype, record in req["payloads"]:
+                    batches = st.arrow.consume(schema_id, record)
+                    signal = asvc.PAYLOAD_SIGNAL.get(ptype)
+                    if signal is None:
+                        continue       # aux payload: state only
+                    if self._arrow_pending(signal) \
+                            >= self.max_pending_files:
+                        self._count(f"refused_backpressure_{signal}")
+                        code, text = asvc.STATUS_UNAVAILABLE, "spool full"
+                        break
+                    for b in batches:
+                        self._spool_arrow(b, signal)
+                        self._count(f"accepted_arrow_{signal}")
+            except Exception as e:     # bad pb/IPC bytes: data error
+                self._count("refused_bad_arrow")
+                code, text = asvc.STATUS_INVALID_ARGUMENT, str(e)[:256]
+            if not st.resp_started:
+                hdr = enc.encode([(":status", "200"),
+                                  ("content-type", "application/grpc")])
+                sock.sendall(h2.pack_frame(
+                    h2.HEADERS, h2.FLAG_END_HEADERS, sid, hdr))
+                st.resp_started = True
+            status = asvc.encode_status(batch_id, code, text)
+            sock.sendall(b"".join(h2.chunk_data_frames(
+                sid, h2.grpc_frame(status), False)))
+
+    def _arrow_finish(self, sock, enc, sid, st: _Stream) -> None:
+        """Client half-close: end the response with OK trailers."""
+        if st.closed:
+            return
+        if not st.resp_started:
+            self._trailers_only(sock, enc, sid, OK, "")
+            return
+        sock.sendall(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid,
+            enc.encode([("grpc-status", "0")])))
+
+    def _pop_grpc_message(self, st: _Stream) -> bytes | None:
+        """Remove one complete length-prefixed gRPC message from the
+        stream buffer (compressed flag rejected — Arrow payloads carry
+        their own compression)."""
+        if len(st.data) < 5:
+            return None
+        compressed = st.data[0]
+        ln = struct.unpack_from(">I", st.data, 1)[0]
+        if ln > self.max_msg_bytes:
+            raise h2.H2Error("arrow message exceeds size cap")
+        if len(st.data) < 5 + ln:
+            return None
+        if compressed:
+            raise h2.H2Error("compressed arrow stream message")
+        msg = bytes(st.data[5:5 + ln])
+        del st.data[:5 + ln]
+        return msg
+
+    def _spool_arrow(self, batch, signal: str) -> None:
+        """Persist one decoded Arrow record batch as a parquet spool
+        file (fsync + atomic rename, same contract as the pb spool)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        with self._lock:
+            seq = next(self._seq)
+        d = self._arrow_dir(signal)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{seq:08d}")
+        dst = os.path.join(d, f"batch-{seq:08d}.parquet")
+        pq.write_table(pa.Table.from_batches([batch]), tmp)
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        os.rename(tmp, dst)
+
+    def _arrow_dir(self, signal: str) -> str:
+        return os.path.join(self.spool_dir, f"{signal}_arrow")
+
+    def _arrow_pending(self, signal: str) -> int:
+        d = self._arrow_dir(signal)
+        return len(os.listdir(d)) if os.path.isdir(d) else 0
+
+    def read_arrow_spool(self, spark, signal: str):
+        """Spark view over the Arrow-stream spool for one signal."""
+        return spark.read.parquet(self._arrow_dir(signal))
 
     def _spool(self, payload: bytes, signal: str) -> None:
         with self._lock:

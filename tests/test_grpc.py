@@ -252,3 +252,106 @@ def test_grpc_pipeline_kinds_end_to_end(spark, tmp_path, rcv):
                                  "exporters": ["sink"]}},
     })
     assert g2.compile(spark).run()["traces/sink"] == 6
+
+
+# --- OTel-Arrow bidi stream service (arrow.go:251-349) ---------------------
+
+def _ipc_fragments(batches):
+    """One logical IPC stream split at batch boundaries (the reference
+    producer's per-batch record fragments)."""
+    import io
+
+    import pyarrow as pa
+    sink = io.BytesIO()
+    w = pa.ipc.new_stream(sink, batches[0].schema)
+    cuts = []
+    for b in batches:
+        w.write_batch(b)
+        cuts.append(sink.getvalue())
+    frags, prev = [], b""
+    for c in cuts:
+        frags.append(c[len(prev):])
+        prev = c
+    return frags
+
+
+def test_arrow_service_codec_roundtrip():
+    from otel_arrow_collector_spark.sources.arrow_service import (
+        PAYLOAD_LOGS, PAYLOAD_SPANS, STATUS_UNAVAILABLE, decode_batch,
+        decode_status, encode_batch, encode_status)
+    b = encode_batch(7, [("s1", PAYLOAD_SPANS, b"abc"),
+                         ("s2", PAYLOAD_LOGS, b"xy")], b"hdr")
+    assert decode_batch(b) == {
+        "batch_id": 7,
+        "payloads": [("s1", PAYLOAD_SPANS, b"abc"),
+                     ("s2", PAYLOAD_LOGS, b"xy")],
+        "headers": b"hdr"}
+    st = encode_status(9, STATUS_UNAVAILABLE, "spool full")
+    assert decode_status(st) == {"batch_id": 9, "status_code": 14,
+                                 "status_message": "spool full"}
+
+
+def test_arrow_stream_end_to_end(spark, rcv):
+    """The fork's signature RPC against the live server: cross-fragment
+    IPC continuation on one schema id, a second signal on the same
+    stream, a bad-framing batch that gets INVALID_ARGUMENT without
+    killing the stream, per-batch acks in order, clean half-close."""
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources.arrow_service import (
+        PAYLOAD_METRICS, PAYLOAD_SPANS)
+    receiver = rcv
+    host, port = receiver.host, receiver._port
+    frags = _ipc_fragments([
+        pa.record_batch({"trace_id": pa.array(["a", "b"]),
+                         "n": pa.array([1, 2])}),
+        pa.record_batch({"trace_id": pa.array(["c"]),
+                         "n": pa.array([9])})])
+    mfrag = _ipc_fragments(
+        [pa.record_batch({"v": pa.array([1.5, 2.5])})])[0]
+    c = ArrowStreamClient(host, port)
+    assert c.send_batch(1, [("s0", PAYLOAD_SPANS, frags[0])]) \
+        == {"batch_id": 1, "status_code": 0, "status_message": ""}
+    st = c.send_batch(2, [("s0", PAYLOAD_SPANS, b"\xde\xad\xbe\xef")])
+    assert st["batch_id"] == 2 and st["status_code"] == 3
+    assert c.send_batch(3, [("s0", PAYLOAD_SPANS, frags[1]),
+                            ("m0", PAYLOAD_METRICS, mfrag)]) \
+        == {"batch_id": 3, "status_code": 0, "status_message": ""}
+    assert c.close() == {"grpc-status": "0"}
+    got = receiver.read_arrow_spool(spark, "traces")
+    assert sorted((r.trace_id, r.n) for r in got.collect()) \
+        == [("a", 1), ("b", 2), ("c", 9)]
+    m = receiver.read_arrow_spool(spark, "metrics")
+    assert sorted(r.v for r in m.collect()) == [1.5, 2.5]
+    assert receiver.counters["accepted_arrow_traces"] == 2
+    assert receiver.counters["refused_bad_arrow"] == 1
+
+
+def test_arrow_stream_auth_and_per_batch_headers(tmp_path):
+    """Token-guarded stream: wrong bearer ends the stream with
+    UNAUTHENTICATED trailers; with the right token, per-batch hpack
+    headers decode through the stream's stateful codec."""
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import (
+        ArrowStreamClient, GrpcCallError)
+    from otel_arrow_collector_spark.sources.arrow_service import \
+        PAYLOAD_SPANS
+    from otel_arrow_collector_spark.sources.hpack import HpackEncoder
+    r = OtlpGrpcReceiver(str(tmp_path / "spool"), token="s3cr3t")
+    host, port = r.start()
+    try:
+        bad = ArrowStreamClient(host, port, token="wrong")
+        frag = _ipc_fragments(
+            [pa.record_batch({"trace_id": pa.array(["x"])})])[0]
+        with pytest.raises((GrpcCallError, h2.H2Error)):
+            bad.send_batch(1, [("s0", PAYLOAD_SPANS, frag)])
+        hdrs = HpackEncoder().encode([("tenant", "acme")])
+        ok = ArrowStreamClient(host, port, token="s3cr3t")
+        st = ok.send_batch(1, [("s0", PAYLOAD_SPANS, frag)], headers=hdrs)
+        assert st["status_code"] == 0
+        assert ok.close()["grpc-status"] == "0"
+    finally:
+        r.stop()
