@@ -284,6 +284,13 @@ class PipelineGraph:
             # receiver/otlpreceiver/otlp.go serves both protocols)
             from ..sources.http_receiver import read_spool
             return read_spool(spark, cfg["path"], cfg.get("signal", "traces"))
+        if kind == "arrow_spool":
+            # the OTel-Arrow bidi stream services' parquet spool
+            # (grpc_receiver._spool_arrow; arrow.go:251-349 stream loop)
+            import os
+            signal = cfg.get("signal", "traces")
+            return spark.read.parquet(
+                os.path.join(cfg["path"], f"{signal}_arrow"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
 
     def _apply_processor(self, df: DataFrame, pid: str, ctx: dict) -> DataFrame:

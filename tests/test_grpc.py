@@ -355,3 +355,41 @@ def test_arrow_stream_auth_and_per_batch_headers(tmp_path):
         assert ok.close()["grpc-status"] == "0"
     finally:
         r.stop()
+
+
+def test_arrow_stream_zstd_payloads_and_pipeline_receiver(spark, rcv):
+    """zstd-compressed IPC payloads (the reference's Arrow-stream zstd
+    negotiation) decode through the stream service unchanged, and the
+    spool feeds a `kind: arrow_spool` pipeline receiver."""
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    from otel_arrow_collector_spark.sources.arrow_service import \
+        PAYLOAD_SPANS
+    receiver = rcv
+    import io
+    sink = io.BytesIO()
+    b = pa.record_batch({"trace_id": pa.array(["z1", "z2"]),
+                         "n": pa.array([5, 6])})
+    w = pa.ipc.new_stream(sink, b.schema,
+                          options=pa.ipc.IpcWriteOptions(
+                              compression="zstd"))
+    w.write_batch(b)
+    c = ArrowStreamClient(receiver.host, receiver._port)
+    assert c.send_batch(1, [("z", PAYLOAD_SPANS,
+                             sink.getvalue())])["status_code"] == 0
+    c.close()
+    spec = {
+        "receivers": {"in": {"kind": "arrow_spool",
+                             "path": receiver.spool_dir,
+                             "signal": "traces"}},
+        "processors": {"f": {"kind": "filter", "where": "n > 5"}},
+        "exporters": {"out": {"kind": "memory"}},
+        "pipelines": {"traces": {"receivers": ["in"],
+                                 "processors": ["f"],
+                                 "exporters": ["out"]}},
+    }
+    rows = PipelineGraph(spec).compile(spark).run()["traces/out"]
+    assert [(r.trace_id, r.n) for r in rows] == [("z2", 6)]
