@@ -288,9 +288,10 @@ class PipelineGraph:
             # the OTel-Arrow bidi stream services' parquet spool
             # (grpc_receiver._spool_arrow; arrow.go:251-349 stream loop)
             import os
-            signal = cfg.get("signal", "traces")
+            ptype = {"traces": 40, "logs": 30,
+                     "metrics": 10}[cfg.get("signal", "traces")]
             return spark.read.parquet(
-                os.path.join(cfg["path"], f"{signal}_arrow"))
+                os.path.join(cfg["path"], "arrow", f"{ptype:03d}"))
         raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
 
     def _apply_processor(self, df: DataFrame, pid: str, ctx: dict) -> DataFrame:

@@ -355,16 +355,15 @@ class OtlpGrpcReceiver:
                 for schema_id, ptype, record in req["payloads"]:
                     batches = st.arrow.consume(schema_id, record)
                     signal = asvc.PAYLOAD_SIGNAL.get(ptype)
-                    if signal is None:
-                        continue       # aux payload: state only
-                    if self._arrow_pending(signal) \
+                    if signal is not None and self._arrow_pending(ptype) \
                             >= self.max_pending_files:
                         self._count(f"refused_backpressure_{signal}")
                         code, text = asvc.STATUS_UNAVAILABLE, "spool full"
                         break
                     for b in batches:
-                        self._spool_arrow(b, signal)
-                        self._count(f"accepted_arrow_{signal}")
+                        self._spool_arrow(b, ptype)
+                        if signal is not None:
+                            self._count(f"accepted_arrow_{signal}")
             except Exception as e:     # bad pb/IPC bytes: data error
                 self._count("refused_bad_arrow")
                 code, text = asvc.STATUS_INVALID_ARGUMENT, str(e)[:256]
@@ -407,14 +406,17 @@ class OtlpGrpcReceiver:
         del st.data[:5 + ln]
         return msg
 
-    def _spool_arrow(self, batch, signal: str) -> None:
+    def _spool_arrow(self, batch, ptype: int) -> None:
         """Persist one decoded Arrow record batch as a parquet spool
-        file (fsync + atomic rename, same contract as the pb spool)."""
+        file under its payload-type directory (fsync + atomic rename,
+        same contract as the pb spool).  Aux payload types (attrs,
+        events, links) spool alongside the main tables so Spark can
+        reassemble the OTAP set (sources/otap.py)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         with self._lock:
             seq = next(self._seq)
-        d = self._arrow_dir(signal)
+        d = self._arrow_dir(ptype)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{seq:08d}")
         dst = os.path.join(d, f"batch-{seq:08d}.parquet")
@@ -423,16 +425,30 @@ class OtlpGrpcReceiver:
             os.fsync(fh.fileno())
         os.rename(tmp, dst)
 
-    def _arrow_dir(self, signal: str) -> str:
-        return os.path.join(self.spool_dir, f"{signal}_arrow")
+    _ARROW_MAIN = {"traces": 40, "logs": 30, "metrics": 10}
 
-    def _arrow_pending(self, signal: str) -> int:
-        d = self._arrow_dir(signal)
+    def _arrow_dir(self, ptype: int) -> str:
+        return os.path.join(self.spool_dir, "arrow", f"{ptype:03d}")
+
+    def _arrow_pending(self, ptype: int) -> int:
+        d = self._arrow_dir(ptype)
         return len(os.listdir(d)) if os.path.isdir(d) else 0
 
     def read_arrow_spool(self, spark, signal: str):
-        """Spark view over the Arrow-stream spool for one signal."""
-        return spark.read.parquet(self._arrow_dir(signal))
+        """Spark view over a main signal's Arrow-stream spool."""
+        return spark.read.parquet(
+            self._arrow_dir(self._ARROW_MAIN[signal]))
+
+    def read_arrow_payloads(self, spark) -> dict[int, "object"]:
+        """All spooled payload tables keyed by payload type — the input
+        to ``otap.assemble_spans_df``."""
+        base = os.path.join(self.spool_dir, "arrow")
+        out = {}
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                out[int(name)] = spark.read.parquet(
+                    os.path.join(base, name))
+        return out
 
     def _spool(self, payload: bytes, signal: str) -> None:
         with self._lock:

@@ -1,0 +1,211 @@
+"""OTAP — the OTel-Arrow normalized multi-payload span encoding.
+
+The fork's defining data model: instead of one nested OTLP batch, a
+span batch travels as a SET of flat Arrow tables related by parent ids
+(the otel-arrow adapter's normalized schema; payload types from the
+public arrow/v1 proto — SPANS=40, SPAN_ATTRS=41, SPAN_EVENTS=42,
+SPAN_LINKS=43, SPAN_EVENT_ATTRS=44, SPAN_LINK_ATTRS=45, plus
+RESOURCE_ATTRS=1 keyed by a resource id carried on the main table).
+Flat columnar tables dictionary-encode and compress far better than
+nested structs — the fork's compression win — and they are ALSO the
+natural Spark shape: reassembly is a handful of joins + collect_list,
+not a custom decoder.
+
+- :func:`encode_spans` — engine SPAN_SCHEMA rows -> [(schema_id,
+  payload_type, pyarrow Table)] with uint32 parent ids.
+- :func:`decode_spans` — the inverse (driver-side, golden tests).
+- :func:`assemble_spans_df` — SPARK-side reassembly of the spooled
+  payload tables back into SPAN_SCHEMA-shaped rows: one hash join per
+  satellite table, each keyed by parent id.
+
+Attribute rows mirror the engine's tagged attr struct: (parent_id, key,
+s, i, d, b, json) — one row per map entry, NULLs off-arm.
+
+Reference: receiver/otlpreceiver/internal/arrow/arrow.go:361-430
+(processRecords consuming the payload set per signal).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+#: Payload type ids (public otel-arrow arrow/v1 proto).
+RESOURCE_ATTRS = 1
+SPANS = 40
+SPAN_ATTRS = 41
+SPAN_EVENTS = 42
+SPAN_LINKS = 43
+SPAN_EVENT_ATTRS = 44
+SPAN_LINK_ATTRS = 45
+
+_MAIN_COLS = [
+    "id", "resource_id", "trace_id", "span_id", "parent_span_id",
+    "trace_state", "name", "kind", "start_time_unix_nano",
+    "end_time_unix_nano", "dropped_attributes_count",
+    "dropped_events_count", "dropped_links_count", "status_code",
+    "status_message", "scope_name", "scope_version",
+]
+
+
+def _attr_rows(parent_id: int, attrs: dict | None, out: list) -> None:
+    for key, v in (attrs or {}).items():
+        v = v or {}
+        out.append({"parent_id": parent_id, "key": key,
+                    "s": v.get("s"), "i": v.get("i"), "d": v.get("d"),
+                    "b": v.get("b"), "json": v.get("json")})
+
+
+_ATTR_SCHEMA = pa.schema([
+    ("parent_id", pa.uint32()), ("key", pa.string()), ("s", pa.string()),
+    ("i", pa.int64()), ("d", pa.float64()), ("b", pa.bool_()),
+    ("json", pa.string())])
+
+
+def _attr_table(rows: list) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=_ATTR_SCHEMA)
+
+
+def encode_spans(rows: list[dict]) -> list[tuple[str, int, pa.Table]]:
+    """Engine span rows (SPAN_SCHEMA ``asDict(recursive=True)``) -> the
+    OTAP payload set.  Resource attribute sets are deduplicated into
+    RESOURCE_ATTRS keyed by ``resource_id``."""
+    main, sattrs, events, eattrs, links, lattrs, rattrs = \
+        [], [], [], [], [], [], []
+    res_ids: dict[str, int] = {}
+    ev_id = ln_id = 0
+    for i, r in enumerate(rows):
+        rkey = repr(sorted((r.get("resource_attributes") or {}).items()))
+        if rkey not in res_ids:
+            res_ids[rkey] = len(res_ids)
+            _attr_rows(res_ids[rkey], r.get("resource_attributes"), rattrs)
+        main.append({
+            "id": i, "resource_id": res_ids[rkey],
+            **{k: r.get(k) for k in _MAIN_COLS[2:]}})
+        _attr_rows(i, r.get("attributes"), sattrs)
+        for ev in r.get("events") or []:
+            events.append({"id": ev_id, "parent_id": i,
+                           "time_unix_nano": ev.get("time_unix_nano"),
+                           "name": ev.get("name"),
+                           "dropped_attributes_count":
+                               ev.get("dropped_attributes_count")})
+            _attr_rows(ev_id, ev.get("attributes"), eattrs)
+            ev_id += 1
+        for lk in r.get("links") or []:
+            links.append({"id": ln_id, "parent_id": i,
+                          "trace_id": lk.get("trace_id"),
+                          "span_id": lk.get("span_id"),
+                          "trace_state": lk.get("trace_state"),
+                          "dropped_attributes_count":
+                              lk.get("dropped_attributes_count")})
+            _attr_rows(ln_id, lk.get("attributes"), lattrs)
+            ln_id += 1
+    out = [("spans", SPANS, pa.Table.from_pylist(main)),
+           ("resource-attrs", RESOURCE_ATTRS, _attr_table(rattrs)),
+           ("span-attrs", SPAN_ATTRS, _attr_table(sattrs))]
+    if events:
+        out.append(("span-events", SPAN_EVENTS,
+                    pa.Table.from_pylist(events)))
+        out.append(("span-event-attrs", SPAN_EVENT_ATTRS,
+                    _attr_table(eattrs)))
+    if links:
+        out.append(("span-links", SPAN_LINKS, pa.Table.from_pylist(links)))
+        out.append(("span-link-attrs", SPAN_LINK_ATTRS,
+                    _attr_table(lattrs)))
+    return out
+
+
+def _attrs_of(table: pa.Table | None, parent_id: int) -> dict:
+    if table is None:
+        return {}
+    out = {}
+    for r in table.to_pylist():
+        if r["parent_id"] == parent_id:
+            out[r["key"]] = {"s": r["s"], "i": r["i"], "d": r["d"],
+                             "b": r["b"], "json": r["json"]}
+    return out
+
+
+def decode_spans(payloads: dict[int, pa.Table]) -> list[dict]:
+    """OTAP payload set -> engine span rows (driver-side inverse,
+    used by the golden round-trip tests)."""
+    main = payloads[SPANS].to_pylist()
+    events = (payloads.get(SPAN_EVENTS).to_pylist()
+              if SPAN_EVENTS in payloads else [])
+    links = (payloads.get(SPAN_LINKS).to_pylist()
+             if SPAN_LINKS in payloads else [])
+    rows = []
+    for m in main:
+        i = m["id"]
+        row = {k: m.get(k) for k in _MAIN_COLS[2:]}
+        row["attributes"] = _attrs_of(payloads.get(SPAN_ATTRS), i)
+        row["resource_attributes"] = _attrs_of(
+            payloads.get(RESOURCE_ATTRS), m["resource_id"])
+        evs = [
+            {"time_unix_nano": e["time_unix_nano"], "name": e["name"],
+             "attributes": _attrs_of(payloads.get(SPAN_EVENT_ATTRS),
+                                     e["id"]),
+             "dropped_attributes_count": e["dropped_attributes_count"]}
+            for e in events if e["parent_id"] == i]
+        lks = [
+            {"trace_id": x["trace_id"], "span_id": x["span_id"],
+             "trace_state": x["trace_state"],
+             "attributes": _attrs_of(payloads.get(SPAN_LINK_ATTRS),
+                                     x["id"]),
+             "dropped_attributes_count": x["dropped_attributes_count"]}
+            for x in links if x["parent_id"] == i]
+        # proto3 repeated fields make empty == absent on the wire, so
+        # decoding normalizes no-children to None (pdata-faithful)
+        row["events"] = evs or None
+        row["links"] = lks or None
+        rows.append(row)
+    return rows
+
+
+def assemble_spans_df(spark, tables: dict[int, "object"]):
+    """SPARK-side OTAP reassembly: the payload DataFrames join back into
+    nested SPAN-shaped rows.  Each satellite is ONE hash join on its
+    parent id + a collect_list aggregation — flat-to-nested is exactly
+    the shape Catalyst optimizes, which is why OTAP is the natural wire
+    format for a Spark engine.
+
+    ``tables`` maps payload type -> DataFrame (e.g. read from the Arrow
+    stream spool).  Returns a DataFrame with attributes/resource
+    attributes as maps of the engine's tagged struct and events/links
+    re-nested.
+    """
+    from pyspark.sql import functions as F
+
+    def as_map(df):
+        entry = F.struct(F.col("s"), F.col("i"), F.col("d"), F.col("b"),
+                         F.col("json"))
+        return (df.groupBy("parent_id")
+                  .agg(F.map_from_entries(
+                      F.collect_list(F.struct(F.col("key"), entry)))
+                      .alias("m")))
+
+    main = tables[SPANS]
+    out = main
+    sa = tables.get(SPAN_ATTRS)
+    if sa is not None:
+        out = (out.join(as_map(sa).withColumnRenamed("parent_id", "id"),
+                        "id", "left")
+                  .withColumnRenamed("m", "attributes"))
+    ra = tables.get(RESOURCE_ATTRS)
+    if ra is not None:
+        rmap = as_map(ra).withColumnRenamed("parent_id", "resource_id")
+        out = (out.join(rmap, "resource_id", "left")
+                  .withColumnRenamed("m", "resource_attributes"))
+    ev = tables.get(SPAN_EVENTS)
+    if ev is not None:
+        ea = tables.get(SPAN_EVENT_ATTRS)
+        if ea is not None:
+            ev = (ev.join(as_map(ea).withColumnRenamed("parent_id", "id"),
+                          "id", "left")
+                    .withColumnRenamed("m", "attributes"))
+        nested = (ev.groupBy("parent_id")
+                    .agg(F.collect_list(F.struct(
+                        "time_unix_nano", "name", "attributes",
+                        "dropped_attributes_count")).alias("events"))
+                    .withColumnRenamed("parent_id", "id"))
+        out = out.join(nested, "id", "left")
+    return out

@@ -393,3 +393,68 @@ def test_arrow_stream_zstd_payloads_and_pipeline_receiver(spark, rcv):
     }
     rows = PipelineGraph(spec).compile(spark).run()["traces/out"]
     assert [(r.trace_id, r.n) for r in rows] == [("z2", 6)]
+
+
+def test_otap_roundtrip_and_spark_reassembly(spark, rcv):
+    """The fork's full data model end-to-end: golden spans -> OTAP
+    normalized payload set (SPANS + RESOURCE/SPAN/EVENT/LINK attr
+    tables) -> live bidi stream -> per-payload-type parquet spool ->
+    SPARK-side reassembly (hash joins + collect_list) == the original
+    rows; plus the driver-side decode_spans golden inverse."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources import otap
+    receiver = rcv
+    rows = [r.asDict(recursive=True)
+            for r in generate_traces(spark, 4).collect()]
+    payloads = otap.encode_spans(rows)
+
+    # driver-side golden inverse
+    back = otap.decode_spans({pt: t for _s, pt, t in payloads})
+    canon = lambda rs: sorted(repr(sorted(r.items())) for r in rs)  # noqa
+    assert canon(back) == canon(rows)
+
+    # over the wire: each table as one self-contained IPC stream payload
+    def ipc(t):
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue()
+
+    c = ArrowStreamClient(receiver.host, receiver._port)
+    st = c.send_batch(1, [(sid, pt, ipc(t)) for sid, pt, t in payloads])
+    assert st["status_code"] == 0
+    c.close()
+
+    tables = receiver.read_arrow_payloads(spark)
+    # empty satellite tables (no span attrs in the golden set) spool no
+    # file; assemble_spans_df treats absence as empty
+    assert otap.SPANS in tables and otap.RESOURCE_ATTRS in tables
+    assert otap.SPAN_EVENTS in tables and otap.SPAN_EVENT_ATTRS in tables
+    got = otap.assemble_spans_df(spark, tables)
+    g = {r.id: r for r in got.collect()}
+    assert len(g) == len(rows)
+    for i, r in enumerate(rows):
+        row = g[i].asDict()
+        assert row["name"] == r["name"]
+        assert row["trace_id"] == r["trace_id"]
+        got_attrs = {k: v.asDict() for k, v in
+                     (row.get("attributes") or {}).items()}
+        assert got_attrs == (r["attributes"] or {})
+        got_res = {k: v.asDict() for k, v in
+                   (row.get("resource_attributes") or {}).items()}
+        assert got_res == (r["resource_attributes"] or {})
+        want_events = r["events"] or []
+        got_events = sorted(
+            [e.asDict(recursive=True) for e in row.get("events") or []],
+            key=lambda e: e["time_unix_nano"])
+        assert len(got_events) == len(want_events)
+        for ge, we in zip(got_events,
+                          sorted(want_events,
+                                 key=lambda e: e["time_unix_nano"])):
+            assert ge["name"] == we["name"]
+            assert (ge["attributes"] or {}) == (we["attributes"] or {})
