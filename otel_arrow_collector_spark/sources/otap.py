@@ -209,3 +209,54 @@ def assemble_spans_df(spark, tables: dict[int, "object"]):
                     .withColumnRenamed("parent_id", "id"))
         out = out.join(nested, "id", "left")
     return out
+
+
+# ---------------------------------------------------------------------------
+# logs (LOGS=30 / LOG_ATTRS=31; same parent-id pattern as spans)
+# ---------------------------------------------------------------------------
+
+LOGS = 30
+LOG_ATTRS = 31
+
+_LOG_COLS = [
+    "time_unix_nano", "observed_time_unix_nano", "trace_id", "span_id",
+    "flags", "severity_number", "severity_text",
+    "dropped_attributes_count", "scope_name", "scope_version",
+]
+
+
+def encode_logs(rows: list[dict]) -> list[tuple[str, int, pa.Table]]:
+    """Engine log rows -> OTAP payload set: main table (tagged body
+    flattened to body_* columns), LOG_ATTRS + deduplicated
+    RESOURCE_ATTRS keyed by parent ids."""
+    main, lattrs, rattrs = [], [], []
+    res_ids: dict[str, int] = {}
+    for i, r in enumerate(rows):
+        rkey = repr(sorted((r.get("resource_attributes") or {}).items()))
+        if rkey not in res_ids:
+            res_ids[rkey] = len(res_ids)
+            _attr_rows(res_ids[rkey], r.get("resource_attributes"), rattrs)
+        body = r.get("body") or {}
+        main.append({"id": i, "resource_id": res_ids[rkey],
+                     **{k: r.get(k) for k in _LOG_COLS},
+                     **{f"body_{a}": body.get(a)
+                        for a in ("s", "i", "d", "b", "json")}})
+        _attr_rows(i, r.get("attributes"), lattrs)
+    return [("logs", LOGS, pa.Table.from_pylist(main)),
+            ("resource-attrs", RESOURCE_ATTRS, _attr_table(rattrs)),
+            ("log-attrs", LOG_ATTRS, _attr_table(lattrs))]
+
+
+def decode_logs(payloads: dict[int, pa.Table]) -> list[dict]:
+    """OTAP payload set -> engine log rows (golden inverse)."""
+    rows = []
+    for m in payloads[LOGS].to_pylist():
+        i = m["id"]
+        row = {k: m.get(k) for k in _LOG_COLS}
+        row["body"] = {a: m.get(f"body_{a}")
+                       for a in ("s", "i", "d", "b", "json")}
+        row["attributes"] = _attrs_of(payloads.get(LOG_ATTRS), i)
+        row["resource_attributes"] = _attrs_of(
+            payloads.get(RESOURCE_ATTRS), m["resource_id"])
+        rows.append(row)
+    return rows

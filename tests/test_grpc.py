@@ -458,3 +458,40 @@ def test_otap_roundtrip_and_spark_reassembly(spark, rcv):
                                  key=lambda e: e["time_unix_nano"])):
             assert ge["name"] == we["name"]
             assert (ge["attributes"] or {}) == (we["attributes"] or {})
+
+
+def test_otap_logs_roundtrip_over_stream(spark, rcv):
+    """OTAP logs: tagged body flattened to body_* columns, LOG_ATTRS +
+    deduplicated RESOURCE_ATTRS; golden inverse equality, then the set
+    rides the live stream into the per-payload-type spool."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.model import generate_logs
+    from otel_arrow_collector_spark.sources import otap
+    receiver = rcv
+    rows = [r.asDict(recursive=True)
+            for r in generate_logs(spark, 4).collect()]
+    payloads = otap.encode_logs(rows)
+    back = otap.decode_logs({pt: t for _s, pt, t in payloads})
+    canon = lambda rs: sorted(repr(sorted(r.items())) for r in rs)  # noqa
+    assert canon(back) == canon(rows)
+
+    def ipc(t):
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue()
+
+    c = ArrowStreamClient(receiver.host, receiver._port)
+    assert c.send_batch(1, [(s_, pt, ipc(t))
+                            for s_, pt, t in payloads])["status_code"] == 0
+    c.close()
+    tables = receiver.read_arrow_payloads(spark)
+    assert otap.LOGS in tables and otap.LOG_ATTRS in tables
+    main = tables[otap.LOGS]
+    assert main.count() == len(rows)
+    assert receiver.counters["accepted_arrow_logs"] == 1
