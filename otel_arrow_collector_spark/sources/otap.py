@@ -260,3 +260,154 @@ def decode_logs(payloads: dict[int, pa.Table]) -> list[dict]:
             payloads.get(RESOURCE_ATTRS), m["resource_id"])
         rows.append(row)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# metrics (UNIVARIATE_METRICS=10 + per-type datapoint/attr/exemplar tables)
+# ---------------------------------------------------------------------------
+
+UNIVARIATE_METRICS = 10
+NUMBER_DATA_POINTS = 11
+SUMMARY_DATA_POINTS = 12
+HISTOGRAM_DATA_POINTS = 13
+EXP_HISTOGRAM_DATA_POINTS = 14
+NUMBER_DP_ATTRS = 15
+SUMMARY_DP_ATTRS = 16
+HISTOGRAM_DP_ATTRS = 17
+EXP_HISTOGRAM_DP_ATTRS = 18
+NUMBER_DP_EXEMPLARS = 19
+HISTOGRAM_DP_EXEMPLARS = 20
+EXP_HISTOGRAM_DP_EXEMPLARS = 21
+NUMBER_DP_EXEMPLAR_ATTRS = 22
+HISTOGRAM_DP_EXEMPLAR_ATTRS = 23
+EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS = 24
+
+#: metric_type (pmetric/metric_type.go) -> datapoint/attr/exemplar
+#: payload-type triple; gauge(1) and sum(2) share NumberDataPoint.
+_DP_FAMILY = {
+    1: (NUMBER_DATA_POINTS, NUMBER_DP_ATTRS, NUMBER_DP_EXEMPLARS),
+    2: (NUMBER_DATA_POINTS, NUMBER_DP_ATTRS, NUMBER_DP_EXEMPLARS),
+    3: (HISTOGRAM_DATA_POINTS, HISTOGRAM_DP_ATTRS,
+        HISTOGRAM_DP_EXEMPLARS),
+    4: (EXP_HISTOGRAM_DATA_POINTS, EXP_HISTOGRAM_DP_ATTRS,
+        EXP_HISTOGRAM_DP_EXEMPLARS),
+    5: (SUMMARY_DATA_POINTS, SUMMARY_DP_ATTRS, None),
+}
+_EX_ATTRS = {NUMBER_DP_EXEMPLARS: NUMBER_DP_EXEMPLAR_ATTRS,
+             HISTOGRAM_DP_EXEMPLARS: HISTOGRAM_DP_EXEMPLAR_ATTRS,
+             EXP_HISTOGRAM_DP_EXEMPLARS: EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS}
+
+_DESC_COLS = ("metric_name", "description", "unit", "metric_type",
+              "aggregation_temporality", "is_monotonic",
+              "scope_name", "scope_version")
+_DP_COLS = {
+    NUMBER_DATA_POINTS: ("start_time_unix_nano", "time_unix_nano",
+                         "value_int", "value_double", "flags"),
+    SUMMARY_DATA_POINTS: ("start_time_unix_nano", "time_unix_nano",
+                          "count", "sum", "quantile_values", "flags"),
+    HISTOGRAM_DATA_POINTS: ("start_time_unix_nano", "time_unix_nano",
+                            "count", "sum", "min", "max",
+                            "bucket_counts", "explicit_bounds", "flags"),
+    EXP_HISTOGRAM_DATA_POINTS: (
+        "start_time_unix_nano", "time_unix_nano", "count", "sum", "min",
+        "max", "scale", "zero_count", "positive_offset",
+        "positive_bucket_counts", "negative_offset",
+        "negative_bucket_counts", "flags"),
+}
+
+
+def encode_metrics(rows: list[dict]) -> list[tuple[str, int, pa.Table]]:
+    """Engine metric datapoint rows -> the OTAP metric payload set: a
+    deduplicated metric-descriptor main table, one datapoint table per
+    point family (number/summary/histogram/exp-histogram), attr tables
+    keyed by datapoint id, exemplar tables + their filtered-attr tables
+    keyed by exemplar id, and deduplicated RESOURCE_ATTRS."""
+    descs: dict[tuple, int] = {}
+    res_ids: dict[str, int] = {}
+    main, rattrs = [], []
+    dps: dict[int, list] = {}
+    dattrs: dict[int, list] = {}
+    exemplars: dict[int, list] = {}
+    exattrs: dict[int, list] = {}
+    dp_seq = ex_seq = 0
+    for r in rows:
+        mtype = r["metric_type"]
+        if mtype not in _DP_FAMILY:
+            raise ValueError(f"metric_type {mtype} not encodable")
+        rkey = repr(sorted((r.get("resource_attributes") or {}).items()))
+        if rkey not in res_ids:
+            res_ids[rkey] = len(res_ids)
+            _attr_rows(res_ids[rkey], r.get("resource_attributes"), rattrs)
+        dkey = tuple(r.get(c) for c in _DESC_COLS) + (res_ids[rkey],)
+        if dkey not in descs:
+            descs[dkey] = len(descs)
+            main.append({"id": descs[dkey],
+                         "resource_id": res_ids[rkey],
+                         **{c: r.get(c) for c in _DESC_COLS}})
+        dpt, dat, ext = _DP_FAMILY[mtype]
+        dp_id = dp_seq
+        dp_seq += 1
+        dps.setdefault(dpt, []).append(
+            {"id": dp_id, "parent_id": descs[dkey],
+             **{c: r.get(c) for c in _DP_COLS[dpt]}})
+        _attr_rows(dp_id, r.get("attributes"), dattrs.setdefault(dat, []))
+        for ex in (r.get("exemplars") or []) if ext is not None else []:
+            exemplars.setdefault(ext, []).append(
+                {"id": ex_seq, "parent_id": dp_id,
+                 "time_unix_nano": ex.get("time_unix_nano"),
+                 "value_int": ex.get("value_int"),
+                 "value_double": ex.get("value_double"),
+                 "span_id": ex.get("span_id"),
+                 "trace_id": ex.get("trace_id")})
+            _attr_rows(ex_seq, ex.get("filtered_attributes"),
+                       exattrs.setdefault(_EX_ATTRS[ext], []))
+            ex_seq += 1
+    out = [("metrics", UNIVARIATE_METRICS, pa.Table.from_pylist(main)),
+           ("resource-attrs", RESOURCE_ATTRS, _attr_table(rattrs))]
+    for dpt, lst in sorted(dps.items()):
+        out.append((f"dp-{dpt}", dpt, pa.Table.from_pylist(lst)))
+    for dat, lst in sorted(dattrs.items()):
+        out.append((f"dp-attrs-{dat}", dat, _attr_table(lst)))
+    for ext, lst in sorted(exemplars.items()):
+        out.append((f"exemplars-{ext}", ext, pa.Table.from_pylist(lst)))
+    for eat, lst in sorted(exattrs.items()):
+        out.append((f"exemplar-attrs-{eat}", eat, _attr_table(lst)))
+    return out
+
+
+def decode_metrics(payloads: dict[int, pa.Table]) -> list[dict]:
+    """OTAP metric payload set -> engine datapoint rows (golden
+    inverse; absent columns decode as None, absent children as None —
+    the proto3 empty==absent normalization)."""
+    descs = {m["id"]: m for m in payloads[UNIVARIATE_METRICS].to_pylist()}
+    ex_by_dp: dict[int, dict[int, list]] = {}
+    for ext, eat in _EX_ATTRS.items():
+        if ext not in payloads:
+            continue
+        for ex in payloads[ext].to_pylist():
+            exd = {"filtered_attributes":
+                       _attrs_of(payloads.get(eat), ex["id"]),
+                   "time_unix_nano": ex["time_unix_nano"],
+                   "value_int": ex["value_int"],
+                   "value_double": ex["value_double"],
+                   "span_id": ex["span_id"], "trace_id": ex["trace_id"]}
+            ex_by_dp.setdefault(ext, {}).setdefault(
+                ex["parent_id"], []).append(exd)
+    all_cols = set().union(*(set(c) for c in _DP_COLS.values()))
+    rows = []
+    for dpt, dat, ext in set(_DP_FAMILY.values()):
+        if dpt not in payloads:
+            continue
+        for dp in payloads[dpt].to_pylist():
+            m = descs[dp["parent_id"]]
+            row = {c: m.get(c) for c in _DESC_COLS}
+            row["resource_attributes"] = _attrs_of(
+                payloads.get(RESOURCE_ATTRS), m["resource_id"])
+            row.update({c: None for c in all_cols})
+            row.update({c: dp.get(c) for c in _DP_COLS[dpt]})
+            row["attributes"] = _attrs_of(payloads.get(dat), dp["id"])
+            exs = (ex_by_dp.get(ext, {}).get(dp["id"])
+                   if ext is not None else None)
+            row["exemplars"] = exs or None
+            rows.append(row)
+    return rows

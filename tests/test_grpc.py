@@ -495,3 +495,48 @@ def test_otap_logs_roundtrip_over_stream(spark, rcv):
     main = tables[otap.LOGS]
     assert main.count() == len(rows)
     assert receiver.counters["accepted_arrow_logs"] == 1
+
+
+def test_otap_metrics_roundtrip_over_stream(spark, rcv):
+    """OTAP metrics: all five point families (number/summary/histogram/
+    exp-histogram) as separate datapoint tables with attr + exemplar +
+    exemplar-attr satellites, descriptor dedup on the main table;
+    golden-inverse equality over the 7-kind fixture cycle, then the
+    full payload set rides the live stream."""
+    import io
+    import json
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.model import generate_metrics
+    from otel_arrow_collector_spark.sources import otap
+    receiver = rcv
+    rows = [r.asDict(recursive=True)
+            for r in generate_metrics(spark, 7).collect()]
+    payloads = otap.encode_metrics(rows)
+    ptypes = {pt for _s, pt, _t in payloads}
+    assert {otap.UNIVARIATE_METRICS, otap.NUMBER_DATA_POINTS,
+            otap.SUMMARY_DATA_POINTS, otap.HISTOGRAM_DATA_POINTS,
+            otap.EXP_HISTOGRAM_DATA_POINTS,
+            otap.HISTOGRAM_DP_EXEMPLARS} <= ptypes
+    back = otap.decode_metrics({pt: t for _s, pt, t in payloads})
+    canon = lambda rs: sorted(                                    # noqa
+        json.dumps(r, sort_keys=True, default=str) for r in rs)
+    assert canon(back) == canon(rows)
+
+    def ipc(t):
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue()
+
+    c = ArrowStreamClient(receiver.host, receiver._port)
+    assert c.send_batch(1, [(s_, pt, ipc(t))
+                            for s_, pt, t in payloads])["status_code"] == 0
+    c.close()
+    tables = receiver.read_arrow_payloads(spark)
+    assert tables[otap.UNIVARIATE_METRICS].count() == 7
+    assert tables[otap.NUMBER_DATA_POINTS].count() == 8
+    assert receiver.counters["accepted_arrow_metrics"] == 1
