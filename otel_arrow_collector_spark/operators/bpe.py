@@ -1,0 +1,164 @@
+"""Byte-pair-encoding tokenizer: distributed training + application.
+
+The real subword-vocabulary step of an LLM data pipeline (Sennrich et
+al. 2016; the GPT-2 tokenizer family).  Training is the classic
+iterative loop — count adjacent symbol pairs, merge the most frequent,
+repeat — expressed Spark-first:
+
+- **Pair counting is distributed**: one hash aggregation over the
+  exploded (word, adjacent-pair) stream per round, weighted by word
+  frequency.  At 100 TB this is the only data-sized step and it is a
+  plain groupBy.
+- **The argmax and merge-table update are driver-side model steps**
+  (like the k-means centroid update in ``similarity.py``): the model is
+  K merge rules, not data.
+- **Word frequencies are computed ONCE**; each round re-tokenizes only
+  the distinct-word vocabulary (tiny relative to the corpus — the
+  standard BPE-training optimization), so rounds cost O(|vocab|), not
+  O(corpus).
+
+Determinism: ties in pair frequency break on the lexicographically
+smallest pair, all counts are integers, and the merge application is a
+pure function — two trainings of the same corpus are identical, and
+the distributed trainer is pytest-pinned against a pure-Python
+reference implementation on the same sample.
+
+Application (``apply_bpe``) merges greedily by merge-table rank — the
+exact GPT-2 ``bpe()`` algorithm shape — and is exposed for executor use
+via mapInPandas in ``bpe_encode_df``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..sources.tables import load_table
+
+#: End-of-word marker (the classic </w> sentinel keeps merges from
+#: crossing word boundaries).
+EOW = "</w>"
+
+
+def word_frequencies(spark, sf_dir: str, sample_mod: int = 10):
+    """Distinct-word frequency table over a deterministic doc sample
+    (doc_id % sample_mod == 0) — the corpus-sized step, done once."""
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % sample_mod == 0)
+    return (d.select(F.explode(F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda x: x != "")).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _symbols(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the merge table in rank order to one word."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def train_bpe(spark, sf_dir: str, n_merges: int = 20,
+              sample_mod: int = 10) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules.  Per round: ONE distributed
+    pair-count aggregation over the vocabulary (weighted by word freq),
+    a driver-side argmax with a total-order tie-break, and a new merge
+    rule appended to the model."""
+    vocab = [(r.word, int(r.freq))
+             for r in word_frequencies(spark, sf_dir, sample_mod).collect()]
+    words = spark.createDataFrame(
+        [(w, f) for w, f in vocab], "word string, freq long")
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        mlist = list(merges)
+
+        def toks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"a": [], "b": [], "freq": []}
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    syms = _symbols(w, mlist)
+                    for i in range(len(syms) - 1):
+                        rows["a"].append(syms[i])
+                        rows["b"].append(syms[i + 1])
+                        rows["freq"].append(int(f))
+                yield pd.DataFrame(rows)
+
+        pairs = (words.mapInPandas(toks, StructType([
+                    StructField("a", StringType()),
+                    StructField("b", StringType()),
+                    StructField("freq", LongType())]))
+                 .groupBy("a", "b").agg(F.sum("freq").alias("n"))
+                 .orderBy(F.col("n").desc(), "a", "b").limit(1).collect())
+        if not pairs or pairs[0].n < 2:
+            break
+        merges.append((pairs[0].a, pairs[0].b))
+    return merges
+
+
+def train_bpe_reference(vocab: list[tuple[str, int]],
+                        n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference trainer (the textbook algorithm) used to
+    pin the distributed trainer's output exactly."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in vocab:
+            syms = _symbols(w, merges)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # total order: max count, then lexicographically smallest pair
+        top = max(counts.values())
+        best = min(p for p, n in counts.items() if n == top)
+        if counts[best] < 2:
+            break
+        merges.append(best)
+    return merges
+
+
+def apply_bpe(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenize one text with a trained merge table (lowercase +
+    [a-z0-9] word split, then per-word merge application)."""
+    import re
+    out = []
+    for w in re.split(r"[^a-z0-9]+", text.lower()):
+        if w:
+            out.extend(_symbols(w, merges))
+    return out
+
+
+BPE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_tokens", IntegerType()),
+    StructField("tokens", ArrayType(StringType())),
+])
+
+
+def bpe_encode_df(df, merges: list[tuple[str, str]]):
+    """Executor-side corpus tokenization: mapInPandas over (doc_id,
+    text) with the broadcast-captured merge table."""
+    mlist = list(merges)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = [apply_bpe(t, mlist) for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "n_tokens": [len(t) for t in toks],
+                                "tokens": toks})
+    return df.select("doc_id", "text").mapInPandas(run, BPE_SCHEMA)

@@ -829,3 +829,38 @@ def test_sample_frames_real_mp4_path(spark):
            for r in sample_frames(df, every_n=2).collect()}
     assert sorted(out) == [0, 2, 4]
     assert out[0] == frames[0] and out[2] == frames[2] and out[4] == frames[4]
+
+
+def test_bpe_distributed_trainer_matches_reference(spark):
+    """The distributed BPE trainer (per-round Spark pair-count agg +
+    driver argmax) must produce EXACTLY the merge table of the textbook
+    pure-Python trainer on the same sample — same counts, same
+    lexicographic tie-break."""
+    from otel_arrow_collector_spark.operators.bpe import (
+        train_bpe, train_bpe_reference, word_frequencies)
+    merges = train_bpe(spark, SF_SMALL, n_merges=6)
+    vocab = [(r.word, int(r.freq))
+             for r in word_frequencies(spark, SF_SMALL).collect()]
+    assert merges == train_bpe_reference(vocab, 6)
+    assert len(merges) == 6
+
+
+def test_bpe_apply_golden_and_encode_df(spark):
+    """Merge application is the GPT-2 bpe() shape: rank-ordered greedy
+    merges with the </w> boundary sentinel; executor-side encoding
+    preserves rows and token counts are consistent."""
+    from otel_arrow_collector_spark.operators.bpe import (EOW, apply_bpe,
+                                                          bpe_encode_df)
+    from otel_arrow_collector_spark.sources.tables import load_table
+    merges = [("e", "r"), ("e", EOW), ("er", EOW)]
+    toks = apply_bpe("er here", merges)
+    # "er" -> e r </w> -> (e,r)->er -> (er,</w>)->er</w>
+    # "here" -> h e r e </w> -> h er e</w>
+    assert toks == ["er</w>", "h", "er", "e</w>"]
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    out = bpe_encode_df(docs, merges).collect()
+    assert len(out) == 20
+    assert all(r.n_tokens == len(r.tokens) > 0 for r in out)
+    again = {r.doc_id: r.tokens for r in
+             bpe_encode_df(docs, merges).collect()}
+    assert all(again[r.doc_id] == r.tokens for r in out)
