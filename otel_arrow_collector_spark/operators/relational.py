@@ -2380,3 +2380,36 @@ def q72(spark, sf_dir):
                            "event_type", "valid_from", "valid_to",
                            "n_events")
                    .orderBy("user_id", "version").limit(300))
+
+
+@_register("q73_json_extraction", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def q73(spark, sf_dir):
+    """Semi-structured column processing: JSON-path extraction from the
+    events ``props`` payload aggregated per type — the
+    attributes-as-JSON pattern (pcommon AnyValue KvlistValue serialized;
+    logs ``body`` JSON) every telemetry store queries.
+
+    ``get_json_object`` runs JVM-side (Jackson) inside the project —
+    no UDF; extracted values cast to BIGINT so the aggregates are
+    integer-exact across engines (Spark get_json_object and DuckDB
+    json_extract_string agree on scalar leaf extraction).
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(k).alias("k_sum"),
+                   F.min(k).alias("k_min"),
+                   F.max(k).alias("k_max"),
+                   F.count(F.lit(1)).alias("n"))
+              .orderBy("event_type"))
