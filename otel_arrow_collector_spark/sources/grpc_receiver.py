@@ -439,6 +439,20 @@ class OtlpGrpcReceiver:
         return spark.read.parquet(
             self._arrow_dir(self._ARROW_MAIN[signal]))
 
+    def stream_arrow_spool(self, spark, signal: str, schema=None):
+        """CONTINUOUS ingest of a main signal's Arrow-stream spool as a
+        Structured Streaming parquet source — the same new-file-discovery
+        contract as the HTTP spool's ``stream_spool``: the bidi stream's
+        ack-after-spool rule composes with the streaming WAL into
+        end-to-end at-least-once with checkpointed progress.  The parquet
+        streaming source needs a schema up front; by default it is taken
+        from the already-spooled files (pass ``schema`` to start a query
+        before the first batch arrives)."""
+        d = self._arrow_dir(self._ARROW_MAIN[signal])
+        if schema is None:
+            schema = spark.read.parquet(d).schema
+        return spark.readStream.schema(schema).parquet(d)
+
     def read_arrow_payloads(self, spark) -> dict[int, "object"]:
         """All spooled payload tables keyed by payload type — the input
         to ``otap.assemble_spans_df``."""

@@ -540,3 +540,41 @@ def test_otap_metrics_roundtrip_over_stream(spark, rcv):
     assert tables[otap.UNIVARIATE_METRICS].count() == 7
     assert tables[otap.NUMBER_DATA_POINTS].count() == 8
     assert receiver.counters["accepted_arrow_metrics"] == 1
+
+
+def test_arrow_spool_streaming_ingest(spark, rcv, tmp_path):
+    """The Arrow-stream spool feeds Structured Streaming: batches acked
+    over the bidi stream appear in a checkpointed streaming query."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources.arrow_service import \
+        PAYLOAD_SPANS
+    receiver = rcv
+
+    def ship(vals, batch_id):
+        sink = io.BytesIO()
+        b = pa.record_batch({"trace_id": pa.array(vals),
+                             "n": pa.array(list(range(len(vals))))})
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        c = ArrowStreamClient(receiver.host, receiver._port)
+        assert c.send_batch(batch_id, [(f"s{batch_id}", PAYLOAD_SPANS,
+                                        sink.getvalue())])["status_code"] == 0
+        c.close()
+
+    ship(["a", "b"], 1)
+    ship(["c"], 2)
+    stream = receiver.stream_arrow_spool(spark, "traces")
+    q = (stream.groupBy("trace_id").count()
+         .writeStream.format("memory").queryName("arrow_stream_ingest")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_arrow"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.trace_id: r["count"]
+           for r in spark.table("arrow_stream_ingest").collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
