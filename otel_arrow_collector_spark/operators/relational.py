@@ -2413,3 +2413,114 @@ def q73(spark, sf_dir):
                    F.max(k).alias("k_max"),
                    F.count(F.lit(1)).alias("n"))
               .orderBy("event_type"))
+
+
+@_register("q74_range_frame_moving_sum", """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+  FROM events)
+SELECT user_id, sec, event_id,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hour_sum_cents,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hour_n
+FROM e ORDER BY user_id, sec, event_id LIMIT 300
+""")
+def q74(spark, sf_dir):
+    """RANGE-frame sliding aggregation: per user, the trailing one-HOUR
+    sum/count at every event — a frame bounded by the ORDER key's VALUE
+    (event-time seconds), not by row offsets.  ROWS frames (q21's
+    running sum) and RANGE frames execute differently: peers with equal
+    order keys aggregate together and the frame widens/narrows with
+    event density — the moving-average semantics monitoring dashboards
+    actually want.
+
+    Integer cents make the windowed sums exact; the single window
+    partitioning (user_id, ordered by epoch seconds) serves both
+    aggregates — one wide exchange.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+               .rangeBetween(-3600, 0))
+    return (ev.select(
+                "user_id", "sec", "event_id",
+                F.sum("cents").over(w).cast("long")
+                 .alias("hour_sum_cents"),
+                F.count(F.lit(1)).over(w).cast("long").alias("hour_n"))
+              .orderBy("user_id", "sec", "event_id").limit(300))
+
+
+@_register("q75_exp_to_explicit_histogram", """
+WITH pts AS (
+  SELECT event_type, user_id % 2 AS s, floor(value / 100) AS o
+  FROM events),
+expanded AS (
+  SELECT event_type,
+         pow(2, (o + g.i + 1) / pow(2, s)) AS ub,
+         g.i + 1 AS cnt
+  FROM pts, generate_series(0, 1) AS g(i)
+  UNION ALL
+  SELECT event_type, 0.0 AS ub, 1 AS cnt FROM pts),
+assigned AS (
+  SELECT event_type, cnt,
+         CASE WHEN ub <= 1 THEN 0 WHEN ub <= 4 THEN 1
+              WHEN ub <= 16 THEN 2 WHEN ub <= 64 THEN 3
+              WHEN ub <= 256 THEN 4 ELSE 5 END AS b
+  FROM expanded)
+SELECT event_type,
+       CAST(SUM(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS BIGINT) AS le_1,
+       CAST(SUM(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS BIGINT) AS le_4,
+       CAST(SUM(CASE WHEN b = 2 THEN cnt ELSE 0 END) AS BIGINT) AS le_16,
+       CAST(SUM(CASE WHEN b = 3 THEN cnt ELSE 0 END) AS BIGINT) AS le_64,
+       CAST(SUM(CASE WHEN b = 4 THEN cnt ELSE 0 END) AS BIGINT) AS le_256,
+       CAST(SUM(CASE WHEN b = 5 THEN cnt ELSE 0 END) AS BIGINT)
+         AS overflow,
+       CAST(SUM(cnt) AS BIGINT) AS total
+FROM assigned GROUP BY event_type ORDER BY event_type
+""")
+def q75(spark, sf_dir):
+    """Exponential-histogram → explicit-bounds conversion: project each
+    base-2 bucket of the q36-shape synthesized exp-histograms onto a
+    fixed bounds grid [1,4,16,64,256] by its UPPER boundary
+    pow(2, (offset+i+1)/2^scale) (upper-inclusive (a,b] semantics,
+    matching OTLP explicit-bounds buckets), zero_count into the first
+    bucket — the Prometheus-native-to-classic downgrade every metrics
+    backend needs when a scraper can't ingest native histograms.
+
+    Scale: a constant-factor expansion (2 buckets + 1 zero row per
+    point) then ONE hash aggregation — no joins, no windows; pow()
+    arithmetic is hash-exact cross-engine (q48 precedent).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("s"),
+        F.floor(F.col("value") / 100).alias("o"))
+    ub = F.pow(F.lit(2), (F.col("o") + F.col("i") + 1)
+               / F.pow(F.lit(2), F.col("s")))
+    buckets = ev.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("i"), "s", "o") \
+        .select("event_type", ub.alias("ub"),
+                (F.col("i") + 1).cast("long").alias("cnt"))
+    zeros = ev.select("event_type", F.lit(0.0).alias("ub"),
+                      F.lit(1).cast("long").alias("cnt"))
+    b = (F.when(F.col("ub") <= 1, 0).when(F.col("ub") <= 4, 1)
+          .when(F.col("ub") <= 16, 2).when(F.col("ub") <= 64, 3)
+          .when(F.col("ub") <= 256, 4).otherwise(5))
+    assigned = buckets.unionAll(zeros).select("event_type", "cnt",
+                                              b.alias("b"))
+    agg = [F.sum(F.when(F.col("b") == i, F.col("cnt")).otherwise(0))
+            .cast("long").alias(n)
+           for i, n in enumerate(
+               ["le_1", "le_4", "le_16", "le_64", "le_256", "overflow"])]
+    return (assigned.groupBy("event_type")
+                    .agg(*agg, F.sum("cnt").cast("long").alias("total"))
+                    .orderBy("event_type"))
