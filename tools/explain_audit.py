@@ -21,9 +21,12 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q43_shipping_priority", "q44_local_supplier_volume",
            "q45_salted_hot_key_join", "q47_hopping_window",
            "q50_market_share",
+           "q69_forecast_revenue", "q70_tail_latency_outliers",
+           "q71_conversion_funnel", "q72_scd2_intervals",
+           "q74_range_frame_moving_sum",
            "dedup_minhash_lsh", "dedup_substring", "ann_cosine_topk",
            "embedding_quantize_int8", "pack_sequences",
-           "curation_pipeline"]
+           "curation_pipeline", "text_bm25_search", "heavy_hitter_events"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
