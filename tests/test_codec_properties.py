@@ -345,3 +345,46 @@ def test_progressive_jpeg_equals_baseline_property(data):
     prog = decode_jpeg(encode_jpeg_progressive(
         pix, w, h, quality=q, subsampling=sub))
     assert base == prog
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_arrow_stream_state_any_fragmentation(data):
+    """ArrowStreamState: for ANY message-aligned fragmentation of an IPC
+    stream (random batch contents, random cut points at message
+    boundaries), the consumer yields every batch exactly once in order —
+    the invariant the live bidi stream relies on."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.sources.arrow_service import \
+        ArrowStreamState
+    n_batches = data.draw(st.integers(1, 5), label="n_batches")
+    batches = []
+    for _ in range(n_batches):
+        vals = data.draw(st.lists(st.integers(-2**40, 2**40),
+                                  min_size=1, max_size=8))
+        batches.append(pa.record_batch({"v": pa.array(vals,
+                                                      pa.int64())}))
+    sink = io.BytesIO()
+    w = pa.ipc.new_stream(sink, batches[0].schema)
+    cuts = []
+    for b in batches:
+        w.write_batch(b)
+        cuts.append(sink.getvalue())
+    # fragment at a random subset of batch boundaries (message-aligned)
+    idxs = sorted(data.draw(st.sets(st.integers(0, n_batches - 1),
+                                    min_size=1)))
+    if idxs[-1] != n_batches - 1:
+        idxs.append(n_batches - 1)
+    frags, prev = [], b""
+    for i in idxs:
+        frags.append(cuts[i][len(prev):])
+        prev = cuts[i]
+    state = ArrowStreamState()
+    got = []
+    for f in frags:
+        got.extend(state.consume("s", f))
+    assert [b.column(0).to_pylist() for b in got] \
+        == [b.column(0).to_pylist() for b in batches]
