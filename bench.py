@@ -56,6 +56,23 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Codec throughput vs BASELINE.md's spans/s rows (docs/performance.md:
+    # 36-43): single-thread OTLP/pb decode+encode of the golden span
+    # shape; the Spark ingest path runs this inside mapInArrow across all
+    # partitions, so the distributed rate is ~cores x this number.
+    from otel_arrow_collector_spark.model import generate_traces
+    from otel_arrow_collector_spark.sources.otlp_pb import (decode_request,
+                                                            encode_request)
+    rows = [r.asDict(recursive=True)
+            for r in generate_traces(spark, 1000).collect()]
+    body = encode_request(rows, "traces")
+    t0, n = time.perf_counter(), 0
+    while time.perf_counter() - t0 < 0.5:
+        decode_request(body, "traces")
+        n += len(rows)
+    spans_per_sec = int(n / (time.perf_counter() - t0))
+
     print(json.dumps({
         "metric": "declared_queries_total_time",
         "value": total,
@@ -64,6 +81,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,
         "timing": "min",
+        "pb_decode_spans_per_sec_1thread": spans_per_sec,
     }))
 
 
