@@ -672,3 +672,68 @@ ORDER BY v.cid
 
 QUERIES["dedup_semantic"] = dedup_semantic
 ORACLES["dedup_semantic"] = _semantic_oracle()
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster resolution: within each transitive near-dup
+    cluster, KEEP the member with the best quality-classifier score
+    (ties -> lowest doc_id) instead of the arbitrary min-id survivor —
+    how production dedup actually picks canonicals (drop the boilerplate
+    copy, keep the clean one).
+
+    Composes two oracle-gated operators: the connected-component labels
+    and the integer quality score of ``text_quality_classifier``.  Plan:
+    labels (candidate-bounded) join the docs, one scan-side score
+    projection, one window argmax per cluster — cluster cardinality is
+    tiny relative to the corpus, so the window shuffle is bounded by the
+    near-dup population, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .text_score import quality_score_col
+    labels = _cc_labels(spark, sf_dir) \
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+    d = load_table(spark, sf_dir, "documents")
+    scored = (labels.join(d, "doc_id")
+                    .select("doc_id", "cluster_id",
+                            quality_score_col().alias("score")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), "doc_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .groupBy("cluster_id")
+                  .agg(F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+                        .alias("kept_doc"),
+                       F.max(F.when(F.col("rk") == 1, F.col("score")))
+                        .cast("long").alias("best_score"),
+                       F.count(F.lit(1)).alias("n_members"))
+                  .orderBy("cluster_id"))
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = _DUCK_CC_CTE + """,
+f AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_words,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x IN ('the','a','fast','slow'))) AS stop_hits,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    len(list_distinct(list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> ''))) AS n_distinct
+  FROM documents),
+scored AS (
+  SELECT cc.cluster_id, cc.doc_id,
+         2*n_words + 50*stop_hits - 10*n_digits
+           + (n_distinct*1000) // n_words AS score
+  FROM cc JOIN f USING (doc_id)),
+ranked AS (
+  SELECT cluster_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM scored)
+SELECT cluster_id,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN score END) AS BIGINT) AS best_score,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""

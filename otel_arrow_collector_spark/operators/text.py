@@ -693,21 +693,10 @@ def text_quality_classifier(spark, sf_dir):
     Scale: one narrow scan-side map per doc (no UDF), one hash agg on
     (lang, label) — whole-stage codegen end to end.
     """
+    from .text_score import quality_score_col
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
-                     lambda x: x != "")
-    feats = d.select(
-        "lang",
-        F.size(words).alias("n_words"),
-        F.size(F.filter(words, lambda x: x.isin("the", "a", "fast", "slow")))
-            .alias("stop_hits"),
-        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
-        F.size(F.array_distinct(words)).alias("n_distinct"))
-    score = (F.lit(2) * F.col("n_words") + F.lit(50) * F.col("stop_hits")
-             - F.lit(10) * F.col("n_digits")
-             + F.floor(F.col("n_distinct") * 1000 / F.col("n_words"))
-               .cast("long"))
-    lab = feats.select(
+    score = quality_score_col()
+    lab = d.select(
         "lang", score.alias("score"),
         F.when(score >= QUALITY_CLF_THRESHOLD, "keep").otherwise("drop")
          .alias("label"))
