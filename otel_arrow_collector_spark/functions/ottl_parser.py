@@ -165,6 +165,23 @@ class _P:
                 return F.lit(None)
             if t.text in ("true", "false"):
                 return F.lit(t.text == "true")
+            # converter call in a condition: Name( args )
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "lparen" \
+                    and t.text[:1].isupper():
+                depth, parts = 0, [t.text]
+                while True:
+                    tok = self.next()
+                    parts.append(tok.text)
+                    if tok.kind == "lparen":
+                        depth += 1
+                    elif tok.kind == "rparen":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif tok.kind == "comma":
+                        parts[-1] = ", "
+                return _arg_value(_parse_arg("".join(parts)))
             return get_path(t.text)
         raise OttlSyntaxError(f"unexpected token {t.text!r} in expression")
 

@@ -270,3 +270,17 @@ def test_converter_in_where_target_only(td):
             for r in out.collect()}
     assert vals["operationA"] == "OPERATIONA"
     assert vals["operationB"] is None
+
+
+def test_converter_calls_in_where_clauses(td):
+    """Converters are usable inside conditions too — the statement and
+    condition grammars share the factory surface."""
+    out = apply_statement(
+        td, 'drop() where ConvertCase(name, "upper") == "OPERATIONA"')
+    assert {r.name for r in out.collect()} == {"operationB"}
+    out2 = apply_statement(
+        td, 'set(attributes["x"], "hit") where Len(name) >= 10')
+    assert out2.filter('attributes["x"].s = "hit"').count() == td.count()
+    out3 = apply_statement(
+        td, 'drop() where Substring(name, 0, 9) == "operation"')
+    assert out3.count() == 0
