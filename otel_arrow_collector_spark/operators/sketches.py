@@ -81,6 +81,14 @@ def misra_gries_partial(df: DataFrame, key_col: str,
               .withColumn("shard", F.pmod(F.xxhash64("key"), shards))
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow batching may split one shard across several pandas
+        # chunks, yielding SEVERAL capacity-bounded summaries per shard.
+        # The candidate-superset guarantee survives: a key with global
+        # density > 1/(capacity+1) has, by pigeonhole, at least one
+        # chunk where its local density exceeds 1/(capacity+1), and MG
+        # retains it there — so the union of chunk summaries still
+        # contains every true heavy hitter (mergeable-summaries
+        # argument; the recount phase then restores exactness).
         for pdf in pdfs:
             for shard, grp in pdf.groupby("shard"):
                 counters = mg_update({}, grp["key"], capacity)
