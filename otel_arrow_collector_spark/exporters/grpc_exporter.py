@@ -329,3 +329,68 @@ class ArrowStreamClient:
                 self.ended = True
         else:
             raise h2.H2Error(f"unexpected frame type {ftype}")
+
+
+
+def export_arrow_stream(df: DataFrame, endpoint: str, *,
+                        payload_type: int = 40, token: str | None = None,
+                        timeout_s: float = 10.0) -> DataFrame:
+    """EXECUTOR-side OTel-Arrow stream export: each partition opens ONE
+    long-lived bidi stream, ships its Arrow batches as consecutive
+    BatchArrowRecords on a single logical IPC stream (schema sent once,
+    then record-batch continuations — the fork's per-stream producer
+    state), awaits the per-batch acks, and half-closes.  Returns one
+    audit row per non-empty partition.
+
+    This is the exporter half of the reference's arrow exporter in
+    SendAndWait mode (exporter/otlpexporter/internal/arrow/stream.go),
+    running where the data lives — no driver collect.
+    """
+    import io
+
+    import pyarrow as pa
+
+    u = urllib.parse.urlparse(endpoint)
+    host, port = u.hostname, u.port
+    result_schema = pa.schema([
+        pa.field("endpoint", pa.string()),
+        pa.field("rows_sent", pa.int64()),
+        pa.field("n_batches", pa.int32()),
+        pa.field("all_acked", pa.bool_())])
+
+    def send_partition(batches):
+        client = None
+        rows = n = 0
+        ok = True
+        sink = io.BytesIO()
+        writer = None
+        sent = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if client is None:
+                client = ArrowStreamClient(host, port, token=token,
+                                           timeout_s=timeout_s)
+                writer = pa.ipc.new_stream(sink, batch.schema)
+            writer.write_batch(batch)
+            frag = sink.getvalue()[sent:]
+            sent += len(frag)
+            n += 1
+            st = client.send_batch(n, [("part", payload_type, frag)])
+            ok = ok and st["status_code"] == 0
+            rows += batch.num_rows
+        if client is not None:
+            client.close()
+            yield pa.RecordBatch.from_pylist(
+                [{"endpoint": endpoint, "rows_sent": rows,
+                  "n_batches": n, "all_acked": ok}],
+                schema=result_schema)
+
+    from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+    out_schema = StructType([
+        StructField("endpoint", StringType()),
+        StructField("rows_sent", LongType()),
+        StructField("n_batches", IntegerType()),
+        StructField("all_acked", BooleanType())])
+    return df.mapInArrow(send_partition, out_schema)

@@ -578,3 +578,22 @@ def test_arrow_spool_streaming_ingest(spark, rcv, tmp_path):
     got = {r.trace_id: r["count"]
            for r in spark.table("arrow_stream_ingest").collect()}
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_export_arrow_stream_from_executors(spark, rcv):
+    """Executor-side Arrow-stream export: DataFrame partitions ship over
+    per-partition bidi streams (schema once + record-batch
+    continuations), every batch acked, and the receiver's spool holds
+    exactly the exported rows."""
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        export_arrow_stream
+    receiver = rcv
+    df = spark.range(0, 100).selectExpr(
+        "id AS trace_id_num", "CAST(id % 7 AS LONG) AS n").repartition(4)
+    audit = export_arrow_stream(
+        df, f"grpc://{receiver.host}:{receiver._port}").collect()
+    assert sum(r.rows_sent for r in audit) == 100
+    assert all(r.all_acked for r in audit)
+    got = receiver.read_arrow_spool(spark, "traces")
+    assert got.count() == 100
+    assert got.agg({"trace_id_num": "sum"}).first()[0] == sum(range(100))
