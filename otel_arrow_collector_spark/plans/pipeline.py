@@ -406,6 +406,20 @@ class PipelineGraph:
             return lambda: df.collect()
         if kind == "null":
             return lambda: df.count()
+        if kind == "arrow_stream":
+            # live OTel-Arrow bidi stream push (export_arrow_stream):
+            # one executor-side stream per partition, per-batch acks
+            from ..exporters.grpc_exporter import export_arrow_stream
+
+            def push() -> dict:
+                rows = export_arrow_stream(
+                    df, cfg["endpoint"],
+                    payload_type=int(cfg.get("payload_type", 40)),
+                    token=cfg.get("token")).collect()
+                return {"rows_sent": sum(r.rows_sent for r in rows),
+                        "n_batches": sum(r.n_batches for r in rows),
+                        "all_acked": all(r.all_acked for r in rows)}
+            return push
         raise ConfigError(f"exporter {eid!r}: unknown kind {kind!r}")
 
     def _connector_out(self, cid: str, pipeline: str,

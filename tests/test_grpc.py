@@ -597,3 +597,27 @@ def test_export_arrow_stream_from_executors(spark, rcv):
     got = receiver.read_arrow_spool(spark, "traces")
     assert got.count() == 100
     assert got.agg({"trace_id_num": "sum"}).first()[0] == sum(range(100))
+
+
+def test_pipeline_arrow_stream_exporter(spark, rcv):
+    """kind: arrow_stream closes the loop inside the DAG compiler:
+    table receiver -> filter -> live Arrow-stream push -> spool."""
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    from tests.conftest import SF_SMALL
+    receiver = rcv
+    spec = {
+        "receivers": {"in": {"kind": "table", "table": "events"}},
+        "processors": {"f": {"kind": "filter",
+                             "where": "event_type = 'error'"}},
+        "exporters": {"out": {
+            "kind": "arrow_stream",
+            "endpoint": f"grpc://{receiver.host}:{receiver._port}"}},
+        "pipelines": {"t": {"receivers": ["in"], "processors": ["f"],
+                            "exporters": ["out"]}},
+    }
+    res = PipelineGraph(spec).compile(spark, sf_dir=SF_SMALL).run()["t/out"]
+    assert res["all_acked"] and res["rows_sent"] > 0
+    got = receiver.read_arrow_spool(spark, "traces")
+    assert got.count() == res["rows_sent"]
+    assert {r.event_type for r in got.select("event_type").collect()} \
+        == {"error"}
