@@ -621,3 +621,65 @@ def test_pipeline_arrow_stream_exporter(spark, rcv):
     assert got.count() == res["rows_sent"]
     assert {r.event_type for r in got.select("event_type").collect()} \
         == {"error"}
+
+
+def test_arrow_stream_backpressure_unavailable(spark, tmp_path):
+    """Spool-full backpressure acks UNAVAILABLE (the transient code the
+    reference maps consumer errors to, arrow.go:344) without killing
+    the stream."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources.arrow_service import (
+        PAYLOAD_SPANS, STATUS_UNAVAILABLE)
+    r = OtlpGrpcReceiver(str(tmp_path / "spool"), max_pending_files=0)
+    host, port = r.start()
+    try:
+        sink = io.BytesIO()
+        b = pa.record_batch({"x": pa.array([1])})
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        c = ArrowStreamClient(host, port)
+        st = c.send_batch(1, [("s", PAYLOAD_SPANS, sink.getvalue())])
+        assert st["status_code"] == STATUS_UNAVAILABLE
+        assert "spool full" in st["status_message"]
+        # stream is still alive: half-close cleanly
+        assert c.close()["grpc-status"] == "0"
+        assert r.counters.get("refused_backpressure_traces") == 1
+    finally:
+        r.stop()
+
+
+def test_otap_reassembly_plan_joins_on_ids(spark, rcv):
+    """assemble_spans_df's physical plan: id-keyed equi-joins only — no
+    cartesian/broadcast-nested-loop blowup from the flat-to-nested
+    reconstruction."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources import otap
+    receiver = rcv
+    rows = [r.asDict(recursive=True)
+            for r in generate_traces(spark, 4).collect()]
+
+    def ipc(t):
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue()
+
+    c = ArrowStreamClient(receiver.host, receiver._port)
+    c.send_batch(1, [(s_, pt, ipc(t))
+                     for s_, pt, t in otap.encode_spans(rows)])
+    c.close()
+    got = otap.assemble_spans_df(
+        spark, receiver.read_arrow_payloads(spark))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
