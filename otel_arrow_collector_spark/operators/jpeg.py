@@ -20,9 +20,17 @@ and this container has no PIL/pyav.  Scope:
   identical to the baseline encode — progressive and baseline encodes
   of one image decode to byte-identical RGB, the equality the tests pin.
 
-Hierarchical, arithmetic-coded and 12-bit streams raise
-``NotImplementedError`` loudly — the same stub policy as the other
-codecs in ``multimodal.py``.
+12-bit sample precision (SOF1 extended sequential) is a REAL path in
+both directions: 16-bit DQT entries parse, level shift/clipping track
+the sample domain, output reduces by the high-bits shift, and the
+encoder widens 8-bit input to v<<4|v>>4 before color conversion (flat
+colors round-trip exactly; fidelity tests pin the 16x-finer quantizer).
+
+Hierarchical and arithmetic-coded streams raise ``NotImplementedError``
+loudly — the same stub policy as the other codecs in ``multimodal.py``
+(the T.81 Table D.3 QM-coder constants cannot be reproduced here with
+spec fidelity, and a self-consistent-but-wrong table would be a false
+interop claim).
 
 Performance stance: the entropy decode is a per-bit Python loop — fine
 for the fixture-scale images these tests feed it, and isolated inside
@@ -188,8 +196,10 @@ def _split_ecs(buf: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
-                  pred: int) -> tuple[np.ndarray, int]:
-    """One 8x8 block: Huffman-decode, dequantize, IDCT, +128 level shift.
+                  pred: int, level: float = 128.0
+                  ) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode, dequantize, IDCT, +level shift
+    (128 for 8-bit, 2048 for 12-bit samples).
     Returns (pixel block float64, new DC predictor)."""
     coef = np.zeros(64, np.int64)
     t = rd.huff(dc_tab)
@@ -211,7 +221,7 @@ def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
         k += 1
     blk = np.zeros(64, np.float64)
     blk[_ZIGZAG] = (coef * q).astype(np.float64)   # both in zigzag order
-    px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+    px = _C.T @ blk.reshape(8, 8) @ _C + level
     return px, pred
 
 
@@ -252,17 +262,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
-                if pq:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                qt[tq] = np.frombuffer(
-                    body[i + 1:i + 65], np.uint8).astype(np.int64)
-                i += 65
+                if pq:                          # 16-bit entries (12-bit)
+                    qt[tq] = np.frombuffer(
+                        body[i + 1:i + 129],
+                        dtype=">u2").astype(np.int64)
+                    i += 129
+                else:
+                    qt[tq] = np.frombuffer(
+                        body[i + 1:i + 65], np.uint8).astype(np.int64)
+                    i += 65
         elif m in (0xC0, 0xC1, 0xC2):                   # SOF0/1 + SOF2
             progressive = m == 0xC2
             prec = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
             for c in range(nc):
@@ -289,7 +303,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     comp = next(x for x in comps if x["id"] == cs)
                     scan.append((comp, tt >> 4, tt & 15))
                 return _decode_scan(payload, pos + 2 + ln, w, h, scan,
-                                    qt, hdc, hac, dri)
+                                    qt, hdc, hac, dri, prec)
             # progressive: accumulate coefficients scan by scan
             if coefs is None:
                 hmax = max(c["h"] for c in comps)
@@ -317,7 +331,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         pos += 2 + ln
     if progressive and coefs is not None:
         mcux, mcuy, hmax, vmax = geom
-        return _finish_progressive(coefs, comps, qt, w, h, hmax, vmax)
+        return _finish_progressive(coefs, comps, qt, w, h, hmax, vmax,
+                                   prec)
     raise ValueError("JPEG missing SOS")
 
 
@@ -473,7 +488,7 @@ def _ac_refine(rd, blk, ss, se, al, tab, eobrun):
     return eobrun
 
 
-def _finish_progressive(coefs, comps, qt, w, h, hmax, vmax):
+def _finish_progressive(coefs, comps, qt, w, h, hmax, vmax, prec=8):
     """Dequantize + IDCT the accumulated coefficient store (vectorized
     over all blocks per component) and hand off to the shared
     upsample/color path."""
@@ -485,12 +500,13 @@ def _finish_progressive(coefs, comps, qt, w, h, hmax, vmax):
         rast[..., _ZIGZAG] = deq
         bh, bw = arr.shape[:2]
         blocks = rast.reshape(bh, bw, 8, 8)
-        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) \
+            + float(1 << (prec - 1))
         planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
-    return _color_assemble(planes, comps, hmax, vmax, w, h)
+    return _color_assemble(planes, comps, hmax, vmax, w, h, prec)
 
 
-def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
+def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri, prec=8):
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -514,18 +530,24 @@ def _decode_scan(buf, pos, w, h, scan, qt, hdc, hac, dri):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk, pred[ci] = _decode_block(
-                            rd, hdc[td], hac[ta], qt[c["tq"]], pred[ci])
+                            rd, hdc[td], hac[ta], qt[c["tq"]], pred[ci],
+                            float(1 << (prec - 1)))
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
             mcu += 1
     comps = [c for c, _, _ in scan]
-    return _color_assemble(planes, comps, hmax, vmax, w, h)
+    return _color_assemble(planes, comps, hmax, vmax, w, h, prec)
 
 
-def _color_assemble(planes, comps, hmax, vmax, w, h):
+def _color_assemble(planes, comps, hmax, vmax, w, h, prec=8):
     """Upsample each component plane to full resolution, crop to (h, w),
-    convert to RGB (shared by the baseline and progressive paths)."""
+    convert to RGB (shared by the baseline and progressive paths).
+    12-bit samples color-convert in their own domain (chroma centered
+    at 2048) and reduce to 8-bit by the standard high-bits shift."""
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    down = 1 << (prec - 8)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -535,15 +557,17 @@ def _color_assemble(planes, comps, hmax, vmax, w, h):
             p = np.repeat(p, vmax // c["v"], axis=0)
         full.append(p[:h, :w])
     if len(full) == 1:                                  # grayscale
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        y = (np.clip(np.floor(full[0] + 0.5), 0, maxv)
+             .astype(np.int64) // down).astype(np.uint8)
         rgb = np.repeat(y.reshape(h, w, 1), 3, axis=2)
     elif len(full) == 3:                                # YCbCr (JFIF)
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255) \
-            .round().astype(np.uint8)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
+        # round in the sample domain, then the high-bits shift to 8-bit
+        rgb = (np.clip(np.floor(np.stack([r, g, b], axis=2) + 0.5),
+                       0, maxv).astype(np.int64) // down).astype(np.uint8)
     else:
         raise NotImplementedError(f"{len(full)}-component JPEG")
     return w, h, rgb.tobytes()
@@ -585,9 +609,19 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return ql, qc
 
 
-def _encode_block(wtr, blk, q, dc_codes, ac_codes, pred):
+#: Flat Huffman specs for 12-bit sample data: DC categories reach 15
+#: and AC sizes 14, past the 8-bit Annex K tables' symbol sets — fixed-
+#: length canonical tables sized for the full alphabets (16 DC symbols
+#: at 5 bits, all 256 run/size symbols at 9 bits; both < all-ones).
+_DC12 = ((0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+         tuple(range(16)))
+_AC12 = ((0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0),
+         tuple(range(256)))     # a BITS entry is one byte: 255 @ 9 + 1 @ 10
+
+
+def _encode_block(wtr, blk, q, dc_codes, ac_codes, pred, level=128.0):
     """FDCT + quantize + Huffman one 8x8 block; returns new DC pred."""
-    coef = _C @ (blk - 128.0) @ _C.T
+    coef = _C @ (blk - level) @ _C.T
     # quantize in raster then reorder to zigzag: z[i] = raster[_ZIGZAG[i]]
     qraster = np.round(coef.reshape(-1)
                        / q[np.argsort(_ZIGZAG)]).astype(np.int64)
@@ -632,16 +666,22 @@ _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def _component_planes(pixels: bytes, width: int, height: int,
-                      hy: int, vy: int) -> list[np.ndarray]:
+                      hy: int, vy: int, precision: int = 8
+                      ) -> list[np.ndarray]:
     """RGB -> padded (Y, Cb, Cr) planes: Y at the full-MCU-padded
     resolution, chroma box-filter downsampled by (hy, vy) and padded to
-    one block per MCU."""
+    one block per MCU.  At precision=12 the 8-bit RGB widens to
+    v<<4|v>>4 BEFORE color conversion, so chroma stays centered on
+    2048."""
     px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
         .reshape(height, width, 3).astype(np.float64)
+    if precision == 12:
+        px = px * 16.0 + np.floor(px / 16.0)
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    center = float(1 << (precision - 1))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     mcux = (width + 8 * hy - 1) // (8 * hy)
     mcuy = (height + 8 * vy - 1) // (8 * vy)
 
@@ -668,16 +708,28 @@ def _component_planes(pixels: bytes, width: int, height: int,
 
 
 def encode_jpeg(pixels: bytes, width: int, height: int, *,
-                quality: int = 85, subsampling: str = "444") -> bytes:
+                quality: int = 85, subsampling: str = "444",
+                precision: int = 8) -> bytes:
     """Encode raw RGB triples as a baseline JFIF JPEG at 4:4:4, 4:2:2
-    or 4:2:0 chroma subsampling (interleaved MCU order)."""
+    or 4:2:0 chroma subsampling (interleaved MCU order).  At
+    ``precision=12`` (SOF1, the extended-sequential 12-bit mode) 8-bit
+    inputs widen to v<<4|v>>4 — so the decoder's high-bits reduction
+    round-trips exactly — and entropy coding uses flat tables sized for
+    the wider category alphabet."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     hy, vy = _SUBSAMPLING[subsampling]
     ql, qc = _quality_tables(quality)
-    planes = _component_planes(pixels, width, height, hy, vy)
+    planes = _component_planes(pixels, width, height, hy, vy, precision)
+    level = float(1 << (precision - 1))
     mcux = (width + 8 * hy - 1) // (8 * hy)
     mcuy = (height + 8 * vy - 1) // (8 * vy)
-    dc_l, ac_l = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
-    dc_c, ac_c = _encode_codes(*_DC_C), _encode_codes(*_AC_C)
+    if precision == 8:
+        dc_l, ac_l = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
+        dc_c, ac_c = _encode_codes(*_DC_C), _encode_codes(*_AC_C)
+    else:
+        dc_l = dc_c = _encode_codes(*_DC12)
+        ac_l = ac_c = _encode_codes(*_AC12)
     wtr = _BitWriter()
     pred = [0, 0, 0]
     for my in range(mcuy):
@@ -687,28 +739,34 @@ def encode_jpeg(pixels: bytes, width: int, height: int, *,
                     y0, x0 = (my * vy + by) * 8, (mx * hy + bx) * 8
                     blk = planes[0][y0:y0 + 8, x0:x0 + 8]
                     pred[0] = _encode_block(wtr, blk, ql, dc_l, ac_l,
-                                            pred[0])
+                                            pred[0], level)
             for ci in (1, 2):                   # one chroma block each
                 blk = planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 pred[ci] = _encode_block(wtr, blk, qc, dc_c, ac_c,
-                                         pred[ci])
+                                         pred[ci], level)
     ecs = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     hv_y = (hy << 4) | vy
+    sof_marker = 0xC0 if precision == 8 else 0xC1
     out = b"\xff\xd8"                                       # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes(ql.astype(np.uint8)))  # DQT luma
     out += seg(0xDB, b"\x01" + bytes(qc.astype(np.uint8)))  # DQT chroma
-    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+    out += seg(sof_marker, struct.pack(">BHHB", precision, height, width, 3)
                + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    out += seg(0xC4, _dht_segment(0, 0, _DC_L))
-    out += seg(0xC4, _dht_segment(1, 0, _AC_L))
-    out += seg(0xC4, _dht_segment(0, 1, _DC_C))
-    out += seg(0xC4, _dht_segment(1, 1, _AC_C))
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if precision == 8:
+        out += seg(0xC4, _dht_segment(0, 0, _DC_L))
+        out += seg(0xC4, _dht_segment(1, 0, _AC_L))
+        out += seg(0xC4, _dht_segment(0, 1, _DC_C))
+        out += seg(0xC4, _dht_segment(1, 1, _AC_C))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    else:
+        out += seg(0xC4, _dht_segment(0, 0, _DC12))
+        out += seg(0xC4, _dht_segment(1, 0, _AC12))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += ecs + b"\xff\xd9"                                # EOI
     return out
 

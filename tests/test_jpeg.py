@@ -179,10 +179,10 @@ def test_loud_stubs_and_errors():
         decode_jpeg(b"\x00\x01")
     def seg(m, body):
         return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
-    # 12-bit precision
+    # invalid sample precision (only 8- and 12-bit exist in T.81)
     deep = (b"\xff\xd8"
-            + seg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])))
-    with pytest.raises(NotImplementedError, match="12-bit"):
+            + seg(0xC0, struct.pack(">BHHB", 16, 8, 8, 1) + bytes([1, 0x11, 0])))
+    with pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg(deep)
 
 
@@ -321,3 +321,39 @@ def test_progressive_equals_baseline_all_subsamplings():
             assert decode_jpeg(encode_jpeg(pix, w, h, subsampling=sub)) \
                 == decode_jpeg(encode_jpeg_progressive(
                     pix, w, h, subsampling=sub)), (sub, w, h)
+
+
+# --- 12-bit (SOF1 extended sequential) -------------------------------------
+
+def test_12bit_flat_exact_all_values():
+    """Every flat color round-trips exactly through the 12-bit path at
+    quality 76: 8-bit inputs widen to v<<4|v>>4 BEFORE color conversion
+    (chroma stays centered on 2048), constant blocks survive
+    DCT->quantize->IDCT, and the high-bits reduction shifts back."""
+    from otel_arrow_collector_spark.operators.jpeg import (decode_jpeg,
+                                                           encode_jpeg)
+    for v in range(0, 256, 7):
+        pix = bytes([v, v, v]) * (16 * 8)
+        assert decode_jpeg(encode_jpeg(pix, 16, 8, quality=76,
+                                       precision=12))[2] == pix, v
+
+
+def test_12bit_is_higher_fidelity_than_8bit():
+    """Same quality, same source: the 12-bit mode's effective quantizer
+    is 16x finer, so reconstruction error must drop by >2x."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.jpeg import (decode_jpeg,
+                                                           encode_jpeg)
+    rng = np.random.default_rng(3)
+    pix = bytes(rng.integers(0, 256, 3 * 16 * 16, dtype=np.uint8))
+    src = np.frombuffer(pix, np.uint8).astype(int)
+    e8 = np.abs(np.frombuffer(decode_jpeg(
+        encode_jpeg(pix, 16, 16, quality=90))[2],
+        np.uint8).astype(int) - src).mean()
+    e12 = np.abs(np.frombuffer(decode_jpeg(
+        encode_jpeg(pix, 16, 16, quality=90, precision=12))[2],
+        np.uint8).astype(int) - src).mean()
+    assert e12 < e8 / 2
+    j = encode_jpeg(pix, 16, 16, precision=12)
+    assert b"\xff\xc1" in j and j[j.index(b"\xff\xc1") + 4] == 12
