@@ -1149,3 +1149,49 @@ FROM docs d, generate_series(0, 4) AS g(i)
 WHERE g.i < 2 + d.doc_id % 4 AND g.i % 2 = 0
 ORDER BY d.doc_id, g.i
 """
+
+
+def video_thumbnails(df, every_n: int = 2, width: int = 8,
+                     height: int = 8):
+    """Video → per-frame thumbnails: the composition a vision-training
+    pipeline runs over a video corpus — demux real frames from the MP4
+    sample tables (``sample_frames``), then the fixed-size
+    nearest-neighbor resize over each decoded JPEG
+    (``resize_images`` consumes the frame column unchanged).
+
+    Both stages are mapInPandas over the same partitioning: frames
+    never shuffle between demux and resize, and the output is
+    fixed-width (doc_id, frame_idx, thumbnail) rows.
+    """
+    frames = sample_frames(df, every_n=every_n)
+    return (frames.select("doc_id", "frame_idx",
+                          F.col("frame").alias("payload"))
+                  .mapInPandas(_thumb_runner(width, height),
+                               THUMB_SCHEMA))
+
+
+THUMB_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumbnail", BinaryType()),
+])
+
+
+def _thumb_runner(width: int, height: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                sw, sh, rgb = _image_pixels(bytes(p))
+                a = np.frombuffer(rgb, np.uint8).reshape(sh, sw, 3)
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                thumbs.append(a[ys][:, xs].tobytes())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "frame_idx": pdf["frame_idx"].values,
+                "width": width, "height": height,
+                "thumbnail": thumbs})
+    return run

@@ -864,3 +864,26 @@ def test_bpe_apply_golden_and_encode_df(spark):
     again = {r.doc_id: r.tokens for r in
              bpe_encode_df(docs, merges).collect()}
     assert all(again[r.doc_id] == r.tokens for r in out)
+
+
+def test_video_thumbnails_end_to_end(spark):
+    """MP4 demux -> per-frame JPEG decode -> fixed-size thumbnails: the
+    video half of a vision-training corpus pass; solid-gray frames at
+    quality 76 give exact thumbnail values."""
+    import pandas as pd
+
+    from otel_arrow_collector_spark.operators.jpeg import encode_jpeg
+    from otel_arrow_collector_spark.operators.multimodal import (
+        encode_mp4_mjpeg, video_thumbnails)
+    frames = [encode_jpeg(bytes([v] * 3) * (16 * 16), 16, 16, quality=76)
+              for v in (10, 60, 110, 160, 210)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5], "payload": [encode_mp4_mjpeg(frames, 16, 16)],
+        "mime": ["video/mp4"]}))
+    out = {r.frame_idx: r for r in
+           video_thumbnails(df, every_n=2, width=4, height=4).collect()}
+    assert sorted(out) == [0, 2, 4]
+    for idx, want in [(0, 10), (2, 110), (4, 210)]:
+        r = out[idx]
+        assert (r.width, r.height) == (4, 4)
+        assert set(r.thumbnail) == {want} and len(r.thumbnail) == 48
