@@ -683,3 +683,48 @@ def test_otap_reassembly_plan_joins_on_ids(spark, rcv):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_full_system_grpc_to_arrow_pipeline(spark, tmp_path):
+    """Capstone composition: live unary gRPC ingest -> pb spool ->
+    YAML pipeline (OTTL statement transform + filter) -> executor-side
+    Arrow-stream egress -> a SECOND live receiver's spool.  Every hop
+    is the real wire path; the final spool holds exactly the
+    transformed record set."""
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        export_grpc_now
+    from otel_arrow_collector_spark.plans.pipeline import PipelineGraph
+    a = OtlpGrpcReceiver(str(tmp_path / "in"))
+    b = OtlpGrpcReceiver(str(tmp_path / "out"))
+    a.start()
+    b.start()
+    try:
+        src = generate_traces(spark, 6)
+        res = export_grpc_now(src, a.endpoint, "traces")
+        assert res["rows_sent"] == src.count()
+        spec = {
+            "receivers": {"in": {"kind": "grpc_spool",
+                                 "path": a.spool_dir,
+                                 "signal": "traces"}},
+            "processors": {
+                "xform": {"kind": "transform", "statements": [
+                    'set(attributes["pipeline"], "edge")',
+                    'drop() where name == "operationB"']},
+            },
+            "exporters": {"out": {
+                "kind": "arrow_stream",
+                "endpoint": f"grpc://{b.host}:{b._port}"}},
+            "pipelines": {"t": {"receivers": ["in"],
+                                "processors": ["xform"],
+                                "exporters": ["out"]}},
+        }
+        sink = PipelineGraph(spec).compile(spark).run()["t/out"]
+        assert sink["all_acked"]
+        got = b.read_arrow_spool(spark, "traces")
+        rows = got.collect()
+        assert len(rows) == sink["rows_sent"] > 0
+        assert all(r.name == "operationA" for r in rows)
+        assert all(r.attributes["pipeline"].s == "edge" for r in rows)
+    finally:
+        a.stop()
+        b.stop()
