@@ -1195,3 +1195,82 @@ def _thumb_runner(width: int, height: int):
                 "width": width, "height": height,
                 "thumbnail": thumbs})
     return run
+
+
+# ---------------------------------------------------------------------------
+# audio windowing (oracle-gated: the audio feature-extraction pass)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("win", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sum_sq", LongType()),
+    StructField("max_abs", LongType()),
+])
+
+
+def audio_windows(df, window: int = 16):
+    """Fixed-length audio windowing over decoded PCM16 samples: per
+    (doc, window) the integer energy (sum of squared samples) and peak
+    |amplitude| — the framing every audio-training feature extractor
+    (fbank/VAD/loudness normalization) starts from.  Integer stats so
+    the whole decode->window loop is value-checkable cross-engine."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                pos, data = 12, b""
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    ln = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        data = b[pos + 8:pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                s = np.frombuffer(data, "<i2").astype(np.int64)
+                for wi in range(0, len(s), window):
+                    seg = s[wi:wi + window]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["win"].append(wi // window)
+                    rows["n_samples"].append(len(seg))
+                    rows["sum_sq"].append(int((seg * seg).sum()))
+                    rows["max_abs"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(rows)
+    return df.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+def multimodal_audio_windows(spark, sf_dir):
+    """Oracle-gated audio windowing: synthesize the corpus's WAV third
+    (samples are (text_byte - 128) * 256, a closed form of the text),
+    window the decoded PCM at 16 samples, emit integer energy/peak per
+    window — the DuckDB twin recomputes every sample from hex() digit
+    pairs, so the full encode->RIFF-parse->window loop is value-checked.
+    """
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(120)
+    media = synthesize_media(d)
+    return (audio_windows(media, window=16)
+            .orderBy("doc_id", "win"))
+
+
+QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
+ORACLES["multimodal_audio_windows"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 120),
+samples AS (
+  SELECT d.doc_id, g.i,
+         ((strpos('0123456789ABCDEF',
+                  substr(d.hx, (g.i % d.n)*2+1, 1))-1)*16
+        + (strpos('0123456789ABCDEF',
+                  substr(d.hx, (g.i % d.n)*2+2, 1))-1) - 128) * 256 AS s
+  FROM docs d, generate_series(0, 63) AS g(i))
+SELECT doc_id,
+       CAST(i // 16 AS INT) AS win,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(s)) AS BIGINT) AS max_abs
+FROM samples GROUP BY doc_id, i // 16 ORDER BY doc_id, win
+"""
