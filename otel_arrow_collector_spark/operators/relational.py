@@ -2524,3 +2524,68 @@ def q75(spark, sf_dir):
     return (assigned.groupBy("event_type")
                     .agg(*agg, F.sum("cnt").cast("long").alias("total"))
                     .orderBy("event_type"))
+
+
+@_register("q76_timeseries_similarity", """
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS c
+  FROM events GROUP BY user_id, bucket),
+q AS (SELECT bucket, c AS qc FROM s WHERE user_id = 0),
+qsq AS (SELECT COALESCE(SUM(qc * qc), 0) AS total FROM q),
+joined AS (
+  SELECT s.user_id,
+         SUM((s.c - COALESCE(q.qc, 0)) * (s.c - COALESCE(q.qc, 0)))
+           AS matched_part,
+         SUM(CASE WHEN q.bucket IS NOT NULL THEN q.qc * q.qc ELSE 0 END)
+           AS matched_qsq,
+         SUM(CASE WHEN q.bucket IS NOT NULL THEN 1 ELSE 0 END) AS shared
+  FROM s LEFT JOIN q USING (bucket)
+  WHERE s.user_id <> 0
+  GROUP BY s.user_id)
+SELECT user_id,
+       CAST(matched_part + (qsq.total - matched_qsq) AS BIGINT)
+         AS dist_sq,
+       CAST(shared AS BIGINT) AS n_shared_buckets
+FROM joined, qsq
+ORDER BY dist_sq, user_id LIMIT 10
+""")
+def q76(spark, sf_dir):
+    """Time-series similarity search (EDBT'19 streaming-similarity
+    shape): which users' hourly activity series are closest to user 0's,
+    by exact squared Euclidean distance over integer-cent bucket sums.
+
+    Sparse-series algebra keeps it scale-safe: both-zero buckets
+    contribute nothing, so dist² decomposes into Σ(a_b - q_b)² over the
+    USER's buckets plus the query's energy on buckets the user lacks —
+    computed with ONE left join against the broadcast query series and
+    a scalar correction (no dense user × bucket grid, no full-outer
+    join).  All arithmetic is integer, so the ranking is bit-exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 3600)).cast("long")
+             .alias("bucket"))
+           .agg(F.sum(F.round(F.col("value") * 100)).cast("long")
+                 .alias("c")))
+    q = s.filter(F.col("user_id") == 0).select("bucket",
+                                               F.col("c").alias("qc"))
+    qsq = int(q.agg(F.coalesce(F.sum(F.col("qc") * F.col("qc")),
+                               F.lit(0))).first()[0])
+    j = (s.filter(F.col("user_id") != 0)
+          .join(F.broadcast(q), "bucket", "left"))
+    diff = F.col("c") - F.coalesce(F.col("qc"), F.lit(0))
+    agg = (j.groupBy("user_id")
+            .agg(F.sum(diff * diff).alias("matched_part"),
+                 F.sum(F.when(F.col("qc").isNotNull(),
+                              F.col("qc") * F.col("qc")).otherwise(0))
+                  .alias("matched_qsq"),
+                 F.sum(F.when(F.col("qc").isNotNull(), 1).otherwise(0))
+                  .alias("shared")))
+    return (agg.select(
+                "user_id",
+                (F.col("matched_part") + F.lit(qsq)
+                 - F.col("matched_qsq")).cast("long").alias("dist_sq"),
+                F.col("shared").cast("long").alias("n_shared_buckets"))
+               .orderBy("dist_sq", "user_id").limit(10))

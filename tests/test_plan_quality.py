@@ -285,3 +285,12 @@ def test_q72_islands_share_one_window_exchange(spark):
     assert plan.count("Scan parquet") == 2      # one scan, printed twice
     assert "Join" not in plan
     assert _shuffles(plan) <= 4                 # window + agg, each x2
+
+
+def test_q76_sparse_series_broadcast_no_dense_grid(spark):
+    """q76: the query series joins by broadcast on bucket; no cartesian
+    user x bucket grid, no full-outer blowup."""
+    plan = _plan(spark, "q76_timeseries_similarity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" not in plan
