@@ -2589,3 +2589,62 @@ def q76(spark, sf_dir):
                  - F.col("matched_qsq")).cast("long").alias("dist_sq"),
                 F.col("shared").cast("long").alias("n_shared_buckets"))
                .orderBy("dist_sq", "user_id").limit(10))
+
+
+@_register("q77_rfm_segments", """
+WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(ts), (SELECT tmax FROM mx))
+              AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         NTILE(4) OVER (ORDER BY recency_days, user_id) AS r,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+  FROM rfm)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code
+FROM scored ORDER BY user_id LIMIT 300
+""")
+def q77(spark, sf_dir):
+    """RFM segmentation: recency / frequency / monetary quartiles per
+    user composed into the classic 3-digit segment code — the
+    user-value stratification every product-analytics warehouse
+    materializes (and its telemetry twin: tenant triage by last-seen /
+    call volume / billed usage).
+
+    One hash aggregate builds the per-user profile (fact scanned once);
+    the three NTILE windows run over the AGGREGATED rows (user
+    cardinality, not event cardinality) with total-order tie-breaks so
+    quartile boundaries are deterministic cross-engine; the global max
+    timestamp is a 1-row broadcast scalar.  At extreme user cardinality
+    the exact global NTILEs would swap for approx-percentile boundary
+    cuts (a scan-side map) — the exact form is kept here because the
+    oracle demands bit-stable quartiles.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    rfm = (ev.groupBy("user_id")
+             .agg(F.max("ts").alias("last_ts"),
+                  F.count(F.lit(1)).alias("frequency"),
+                  F.sum(F.round(F.col("value") * 100)).cast("long")
+                   .alias("monetary_cents"))
+             .crossJoin(F.broadcast(tmax))
+             .select("user_id",
+                     F.datediff("tmax", "last_ts").cast("long")
+                      .alias("recency_days"),
+                     "frequency", "monetary_cents"))
+    r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
+                                       "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(),
+                                       "user_id"))
+    return (rfm.select("user_id", "recency_days", "frequency",
+                       "monetary_cents",
+                       (r * 100 + f * 10 + m).cast("long")
+                       .alias("rfm_code"))
+               .orderBy("user_id").limit(300))
