@@ -474,3 +474,73 @@ SELECT doc_id, chunk_idx,
 FROM ix WHERE chunk_idx * {CHUNK_STRIDE} < n
 ORDER BY doc_id, chunk_idx LIMIT 5000
 """
+
+
+#: Mixing temperature for the multilingual resampling recipe
+#: (p_l ∝ share_l^T with T<1 upweights low-resource languages — the
+#: XLM-R / mT5 mixing rule from the public literature).
+MIX_TEMPERATURE = 0.7
+
+
+def temperature_mix(spark, sf_dir):
+    """Temperature-based language mixing plan: from each language's
+    token share, the T=0.7 resampling distribution and the integer
+    per-language token budget for a fixed training-token target — the
+    table a multilingual pretraining run publishes before sampling.
+
+    Exactness: shares and pow(share, T) are double arithmetic but
+    bit-stable cross-engine (q48's pow precedent); every published
+    column is either a raw integer count or floor()-scaled to micro
+    units, so the oracle hash is exact.  One hash agg over a scan-side
+    token count; the normalization constant is a 1-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    per_lang = (d.groupBy("lang")
+                 .agg(F.sum(toks).alias("tokens"),
+                      F.count(F.lit(1)).alias("docs")))
+    tot = per_lang.agg(F.sum("tokens").alias("total"))
+    j = per_lang.crossJoin(F.broadcast(tot))
+    # per-row pow() is deterministic; the cross-row normalization uses
+    # INTEGER nano-scaled weights so the sum is order-independent (the
+    # engine's standard dodge for order-sensitive double folds)
+    w_nano = F.floor(F.pow(F.col("tokens") / F.col("total"),
+                           F.lit(MIX_TEMPERATURE)) * 1e9).cast("long")
+    j = j.withColumn("w_nano", w_nano)
+    wsum = int(j.agg(F.sum("w_nano")).first()[0])
+    budget = 1_000_000      # training-token target for the mix table
+    return (j.select(
+                "lang", "docs", "tokens",
+                F.floor(F.col("w_nano").cast("decimal(38,0)")
+                        * 1_000_000 / F.lit(wsum)).cast("long")
+                 .alias("p_micro"),
+                F.floor(F.col("w_nano").cast("decimal(38,0)")
+                        * budget / F.lit(wsum)).cast("long")
+                 .alias("token_budget"),
+                F.floor(F.col("w_nano").cast("decimal(38,0)")
+                        * budget * 1_000_000
+                        / (F.lit(wsum).cast("decimal(38,0)")
+                           * F.col("tokens"))).cast("long")
+                 .alias("upsample_micro"))
+               .orderBy("lang"))
+
+
+QUERIES["temperature_mix"] = temperature_mix
+ORACLES["temperature_mix"] = f"""
+WITH per_lang AS (
+  SELECT lang, SUM(len(string_split(text, ' '))) AS tokens,
+         COUNT(*) AS docs
+  FROM documents GROUP BY lang),
+tot AS (SELECT SUM(tokens) AS total FROM per_lang),
+w AS (SELECT lang, docs, tokens,
+             CAST(floor(pow(tokens / total, {MIX_TEMPERATURE}) * 1e9)
+                  AS BIGINT) AS w_nano
+      FROM per_lang, tot),
+ws AS (SELECT SUM(w_nano) AS wsum FROM w)
+SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
+       CAST(w_nano * 1000000 // wsum AS BIGINT) AS p_micro,
+       CAST(w_nano * 1000000 // wsum AS BIGINT) AS token_budget,
+       CAST(CAST(w_nano AS HUGEINT) * 1000000 * 1000000
+            // (CAST(wsum AS HUGEINT) * tokens) AS BIGINT) AS upsample_micro
+FROM w, ws ORDER BY lang
+"""
