@@ -2648,3 +2648,36 @@ def q77(spark, sf_dir):
                        (r * 100 + f * 10 + m).cast("long")
                        .alias("rfm_code"))
                .orderBy("user_id").limit(300))
+
+
+@_register("q78_cube_matrix", """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_id % 4 AS VARCHAR), '<all>') AS user_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ROUND(value * 100)) AS BIGINT) AS cents
+FROM events
+GROUP BY CUBE (event_type, user_id % 4)
+ORDER BY event_type, user_band
+""")
+def q78(spark, sf_dir):
+    """CUBE aggregation — the full 2^k grouping-set lattice (every
+    combination of dimensions plus the grand total), completing the
+    grouping family next to q08's ROLLUP and q09's explicit GROUPING
+    SETS.  Spark expands CUBE into one shuffle with a grouping-id
+    column — k dims cost one exchange, not 2^k scans.
+
+    NULL grouping slots are COALESCEd to a sentinel so the oracle hash
+    treats subtotal rows identically cross-engine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    band = (F.col("user_id") % 4).cast("string")
+    return (ev.cube(F.col("event_type"), band.alias("user_band"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.round(F.col("value") * 100)).cast("long")
+                    .alias("cents"))
+              .select(F.coalesce("event_type", F.lit("<all>"))
+                       .alias("event_type"),
+                      F.coalesce("user_band", F.lit("<all>"))
+                       .alias("user_band"),
+                      "n", "cents")
+              .orderBy("event_type", "user_band"))

@@ -732,3 +732,33 @@ def pca_fidelity(spark, sf_dir, k: int = 8):
     mse = sum(r.sq_err for r in rows) / max(1, sum(r.n for r in rows))
     return {"k": k, "mse": mse, "explained_var": evar,
             "explained_var_sum": float(sum(evar))}
+
+
+def embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier detection: the 20 vectors FARTHEST from
+    their own k-means centroid (lowest cosine) — the noise / mislabeled
+    / out-of-distribution screen a curation pass runs after clustering
+    (the inverse of SemDeDup's near-duplicate pruning).
+
+    Reuses the persisted assignments and the broadcast centroid set:
+    one narrow projection computes each vector's cosine to its OWN
+    centroid (no cross-cell comparisons), then a global bottom-k by
+    (cos asc, vec_id) — TakeOrdered, not a full sort.  Cosines round to
+    6dp with the same deterministic fold as the probe operators.
+    """
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    cos = (F.expr(_s_dot("embedding", "c_emb"))
+           / (F.col("v_nrm") * F.col("c_nrm")))
+    return (a.join(F.broadcast(cents), "cid")
+             .select("vec_id", "cid", F.round(cos, 6).alias("cos"))
+             .orderBy("cos", "vec_id").limit(20))
+
+
+QUERIES["embedding_outliers"] = embedding_outliers
+ORACLES["embedding_outliers"] = _DUCK_ASSIGN_CTE + f"""
+SELECT a.vec_id, a.cid,
+       round({_d_cos("a.embedding", "c.c_emb")}, 6) AS cos
+FROM assign a JOIN c{KMEANS_ITERS} c USING (cid)
+ORDER BY cos, vec_id LIMIT 20
+"""
