@@ -407,7 +407,17 @@ def ann_ivf_multiprobe(spark, sf_dir):
     become a LITERAL ``cid IN (...)`` on the cell-partitioned store —
     static directory pruning of all but nprobe×|queries| cells — and the
     tiny (query × probed-cell) map is broadcast against the candidates.
+
+    The (|queries| × k)-row result persists in the bounded cache
+    registry: ``ann_recall_report`` consumes it as its IVF side, so the
+    audit metric never re-runs the probe.
     """
+    return cached("sim.multiprobe", spark, sf_dir,
+                  lambda: _ann_ivf_multiprobe_build(spark, sf_dir)
+                  .persist())
+
+
+def _ann_ivf_multiprobe_build(spark, sf_dir):
     a = _assignments(spark, sf_dir)
     cents = _kmeans_centroids(spark, sf_dir)
     q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
