@@ -728,3 +728,34 @@ def test_full_system_grpc_to_arrow_pipeline(spark, tmp_path):
     finally:
         a.stop()
         b.stop()
+
+
+def test_arrow_per_signal_service_paths(spark, rcv):
+    """All four Arrow services answer: the mixed ArrowStream plus the
+    per-signal ArrowTraces/ArrowLogs/ArrowMetrics variants route to the
+    same stream loop (arrow.go:251-263)."""
+    import io
+
+    import pyarrow as pa
+
+    from otel_arrow_collector_spark.exporters.grpc_exporter import \
+        ArrowStreamClient
+    from otel_arrow_collector_spark.sources.arrow_service import (
+        PAYLOAD_LOGS, PAYLOAD_METRICS, PAYLOAD_SPANS)
+    receiver = rcv
+    base = "/opentelemetry.proto.experimental.arrow.v1"
+    for path, ptype in [
+            (f"{base}.ArrowTracesService/ArrowTraces", PAYLOAD_SPANS),
+            (f"{base}.ArrowLogsService/ArrowLogs", PAYLOAD_LOGS),
+            (f"{base}.ArrowMetricsService/ArrowMetrics", PAYLOAD_METRICS)]:
+        sink = io.BytesIO()
+        b = pa.record_batch({"v": pa.array([1, 2])})
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        c = ArrowStreamClient(receiver.host, receiver._port, path=path)
+        assert c.send_batch(1, [("s", ptype,
+                                 sink.getvalue())])["status_code"] == 0
+        assert c.close()["grpc-status"] == "0"
+    assert receiver.counters["accepted_arrow_traces"] >= 1
+    assert receiver.counters["accepted_arrow_logs"] >= 1
+    assert receiver.counters["accepted_arrow_metrics"] >= 1
