@@ -2681,3 +2681,46 @@ def q78(spark, sf_dir):
                        .alias("user_band"),
                       "n", "cents")
               .orderBy("event_type", "user_band"))
+
+
+@_register("q79_exact_median", """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN cents ELSE 0 END) AS BIGINT) AS median_x2_cents,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM v GROUP BY event_type ORDER BY event_type
+""")
+def q79(spark, sf_dir):
+    """Exact per-group median by RANK — no interpolation, no sketch:
+    the middle element (odd n) or the two middle elements (even n)
+    selected by row number over a total order, summed so the published
+    value is 2x the median in integer cents (exact for both parities
+    without float division).
+
+    One window shuffle keyed by the group serves the rank and the
+    count; the aggregation collapses in the same partitioning.  This is
+    the exact-median plan for grouped data at scale (a GLOBAL median
+    would use approx_percentile or a two-pass rank select instead).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+         .alias("n"))
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    pick = (F.col("rn") == lo) | (F.col("rn") == hi)
+    return (v.groupBy("event_type")
+             .agg(F.sum(F.when(pick, F.col("cents")).otherwise(0))
+                   .cast("long").alias("median_x2_cents"),
+                  F.max("n").cast("long").alias("n"))
+             .orderBy("event_type"))
