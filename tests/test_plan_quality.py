@@ -294,3 +294,45 @@ def test_q76_sparse_series_broadcast_no_dense_grid(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" not in plan
+
+
+def test_q74_range_frame_single_window_exchange(spark):
+    """q74: both RANGE-frame aggregates share one (user_id, sec) window
+    partitioning — no second sort/exchange, no join."""
+    plan = _plan(spark, "q74_range_frame_moving_sum")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_q75_constant_explode_single_agg(spark):
+    """q75: the exp->explicit conversion is a constant-factor expansion
+    (sequence explode) into ONE hash aggregation — no joins beyond the
+    union, no windows."""
+    plan = _plan(spark, "q75_exp_to_explicit_histogram")
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q77_windows_run_over_aggregated_rows(spark):
+    """q77: the NTILE windows consume the per-user AGGREGATE (fact
+    scanned once), never the raw event stream."""
+    plan = _plan(spark, "q77_rfm_segments")
+    assert plan.count("Scan parquet") == 4      # events + tmax branch, x2
+    assert "CartesianProduct" not in plan
+
+
+def test_q78_cube_is_single_expand_exchange(spark):
+    """q78: CUBE compiles to one Expand + one aggregation exchange, not
+    2^k scans."""
+    plan = _plan(spark, "q78_cube_matrix")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+
+
+def test_q79_median_shares_group_partitioning(spark):
+    """q79: rank + count + final aggregation all key on event_type — no
+    join, a single scan."""
+    plan = _plan(spark, "q79_exact_median")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
