@@ -51,19 +51,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
+    # Round-6 front-load: every query that has never received a driver
+    # CORRECTNESS row (diff of PARITY_r05.txt vs CORRECTNESS_r01..r05 keys)
+    # goes first so CORRECTNESS_r06.json records a green row for each.
+    "q70_tail_latency_outliers", "q71_conversion_funnel",
+    "q72_scd2_intervals", "q73_json_extraction",
+    "q74_range_frame_moving_sum", "q75_exp_to_explicit_histogram",
+    "q76_timeseries_similarity", "q77_rfm_segments", "q78_cube_matrix",
+    "q79_exact_median",
+    "ann_ivf_multiprobe", "ann_recall_report", "contamination_screen",
+    "curation_pipeline", "dedup_keep_best", "dedup_substring",
+    "embedding_outliers", "embedding_quantize_int8", "heavy_hitter_events",
+    "multimodal_audio_windows", "pack_sequences", "sample_split",
+    "sample_stratified", "shuffle_shards", "temperature_mix",
+    "text_bigram_lm", "text_bm25_search", "text_bpe_tokens",
+    "text_df_topterms", "text_pii_scrub", "text_quality_classifier",
+    "text_repetition",
+    # Previously-sampled recent additions (keep near the front as backfill).
     "text_tfidf_search", "multimodal_video_frames", "q69_forecast_revenue",
     "multimodal_mp4_meta", "dedup_semantic", "q68_waiting_suppliers",
-    "q63_volume_shipping", "q64_product_profit",
-    "q65_min_acctbal_supplier", "q66_important_parts",
-    "q67_dominant_suppliers", "text_perplexity_gate",
-    "q55_priority_line_counts", "q56_customer_order_distribution",
-    "q57_promo_revenue", "q58_parts_supplier_relationship",
-    "q59_small_quantity_revenue", "q60_disjunctive_revenue",
-    "q61_dormant_rich_customers", "q62_top_supplier",
-    "doc_chunks", "mixture_report", "stratified_sample",
-    "multimodal_decode_real", "multimodal_decode_stub",
-    "q51_pricing_summary", "q52_returned_item_ranking",
-    "q53_large_volume_orders", "q54_order_priority_check",
 ]
 
 
