@@ -364,7 +364,6 @@ def export_arrow_stream(df: DataFrame, endpoint: str, *,
         ok = True
         sink = io.BytesIO()
         writer = None
-        sent = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -373,8 +372,12 @@ def export_arrow_stream(df: DataFrame, endpoint: str, *,
                                            timeout_s=timeout_s)
                 writer = pa.ipc.new_stream(sink, batch.schema)
             writer.write_batch(batch)
-            frag = sink.getvalue()[sent:]
-            sent += len(frag)
+            # Drain the sink per batch: the IPC writer keeps its
+            # schema/dictionary state, so truncating costs nothing and
+            # keeps executor memory O(one fragment), not O(partition).
+            frag = sink.getvalue()
+            sink.seek(0)
+            sink.truncate(0)
             n += 1
             st = client.send_batch(n, [("part", payload_type, frag)])
             ok = ok and st["status_code"] == 0

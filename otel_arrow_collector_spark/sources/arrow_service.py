@@ -106,20 +106,71 @@ def decode_status(buf: bytes) -> dict:
             "status_message": msg}
 
 
+class StreamBudgetExceeded(ValueError):
+    """The stream's pending (fed-but-not-yet-decoded) bytes outgrew the
+    budget — a resource condition, not a data error.  The server acks it
+    UNAVAILABLE so a SendAndWait exporter retries on a fresh stream
+    (the reference maps consumer resource conditions to UNAVAILABLE and
+    recycles streams via max_stream_lifetime, arrow.go:342)."""
+
+
+class _GrowBuffer:
+    """Append-only byte source for a persistent IPC stream reader:
+    ``feed`` appends, ``read`` pops from the front.  ``consume`` only
+    asks the reader for messages whose bytes are already fed, so a read
+    is never short."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._pos = 0                      # cumulative bytes handed out
+
+    def feed(self, b: bytes) -> None:
+        self._buf += b
+
+    def __len__(self) -> int:
+        return len(self._buf)
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = len(self._buf)
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        self._pos += len(out)
+        return out
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+    closed = False
+
+
 class ArrowStreamState:
     """Per-stream consumer state: one logical Arrow IPC stream per
     schema id, grown record-by-record; yields newly-complete batches.
 
-    Re-parses the accumulated stream per record (bounded by
-    ``max_stream_bytes``) — at 100 TB the per-stream byte budget is the
-    reference's own stream-lifetime knob (streams are recycled via
-    max_stream_lifetime); correctness over the full stream prefix is
-    what matters here.
+    Each schema id keeps ONE persistent ``RecordBatchStreamReader`` over
+    a front-drained buffer, so a stream of N batches costs O(N) decode
+    work and the retained memory is only the not-yet-decoded tail
+    (normally zero — fragments are message-aligned and fully drained).
+    ``max_stream_bytes`` caps that pending tail; exceeding it is a
+    resource condition (:class:`StreamBudgetExceeded`), distinct from
+    data errors, mirroring the reference's stream-recycling behavior
+    (max_stream_lifetime) rather than poisoning the data.
     """
 
     def __init__(self, max_stream_bytes: int = 64 * 1024 * 1024):
         self.max_stream_bytes = max_stream_bytes
-        self._bufs: dict[str, bytearray] = {}
+        self._bufs: dict[str, _GrowBuffer] = {}
+        self._readers: dict[str, object] = {}
         self._consumed: dict[str, int] = {}
         self.hpack = HpackDecoder()
 
@@ -134,30 +185,34 @@ class ArrowStreamState:
         server maps to BatchStatus INVALID_ARGUMENT, arrow.go:342)."""
         import pyarrow as pa
 
+        n_new = 0
         try:                           # framing validation, message-wise
             rd = pa.ipc.MessageReader.open_stream(io.BytesIO(record))
             while True:
-                rd.read_next_message()
+                if rd.read_next_message().type == "record batch":
+                    n_new += 1
         except StopIteration:
             pass
         except Exception as e:
             raise ValueError(f"bad Arrow IPC framing: {e}") from e
-        buf = self._bufs.setdefault(schema_id, bytearray())
-        buf += record
-        if len(buf) > self.max_stream_bytes:
-            raise ValueError("arrow stream exceeds per-stream byte budget")
-        seen = self._consumed.get(schema_id, 0)
+        src = self._bufs.setdefault(schema_id, _GrowBuffer())
+        src.feed(record)
+        if len(src) > self.max_stream_bytes:
+            raise StreamBudgetExceeded(
+                "arrow stream exceeds per-stream pending-byte budget")
         batches = []
         try:
-            with pa.ipc.open_stream(io.BytesIO(bytes(buf))) as rd:
-                for b in rd:
-                    batches.append(b)
+            reader = self._readers.get(schema_id)
+            if reader is None:         # first fragment: schema message
+                reader = pa.ipc.open_stream(src)
+                self._readers[schema_id] = reader
+            for _ in range(n_new):     # dict/schema msgs drain implicitly
+                batches.append(reader.read_next_batch())
         except Exception as e:         # message-aligned, so this is corrupt
-            del buf[len(buf) - len(record):]     # reject the fragment
             raise ValueError(f"corrupt Arrow IPC stream: {e}") from e
-        new = batches[seen:]
-        self._consumed[schema_id] = len(batches)
-        return new
+        self._consumed[schema_id] = \
+            self._consumed.get(schema_id, 0) + len(batches)
+        return batches
 
     def headers(self, headers_bytes: bytes) -> list[tuple[str, str]]:
         """Per-batch metadata: hpack-encoded header block (the reference

@@ -93,12 +93,17 @@ class OtlpGrpcReceiver:
                  port: int = 0, token: str | None = None,
                  max_pending_files: int = 100_000,
                  max_msg_bytes: int = 64 * 1024 * 1024,
+                 max_stream_bytes: int = 64 * 1024 * 1024,
                  retry_pushback_ms: int = 1000):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
         self.max_pending_files = max_pending_files
         self.max_msg_bytes = max_msg_bytes
+        # Pending-byte budget per Arrow stream (its own knob — NOT the
+        # per-message cap; ADVICE r5): exceeding it acks UNAVAILABLE so
+        # a SendAndWait client retries on a fresh stream.
+        self.max_stream_bytes = max_stream_bytes
         self.retry_pushback_ms = retry_pushback_ms
         self.counters: dict[str, int] = {}
         self._seq = itertools.count()
@@ -342,7 +347,7 @@ class OtlpGrpcReceiver:
                                         UNAUTHENTICATED, "unauthenticated")
                     st.closed = True
                     return
-            st.arrow = asvc.ArrowStreamState(self.max_msg_bytes)
+            st.arrow = asvc.ArrowStreamState(self.max_stream_bytes)
         while True:
             msg = self._pop_grpc_message(st)
             if msg is None:
@@ -352,18 +357,30 @@ class OtlpGrpcReceiver:
                 req = asvc.decode_batch(msg)
                 batch_id = req["batch_id"]
                 st.arrow.headers(req["headers"])    # per-batch metadata
-                for schema_id, ptype, record in req["payloads"]:
-                    batches = st.arrow.consume(schema_id, record)
-                    signal = asvc.PAYLOAD_SIGNAL.get(ptype)
-                    if signal is not None and self._arrow_pending(ptype) \
-                            >= self.max_pending_files:
-                        self._count(f"refused_backpressure_{signal}")
-                        code, text = asvc.STATUS_UNAVAILABLE, "spool full"
-                        break
-                    for b in batches:
-                        self._spool_arrow(b, ptype)
-                        if signal is not None:
-                            self._count(f"accepted_arrow_{signal}")
+                # Backpressure gate BEFORE any consume/spool (ADVICE r5):
+                # an UNAVAILABLE ack must leave the stream state and the
+                # spool untouched so the client's retry of the same
+                # BatchArrowRecords is neither lossy nor duplicating.
+                over = next((asvc.PAYLOAD_SIGNAL[pt]
+                             for _sid, pt, _rec in req["payloads"]
+                             if asvc.PAYLOAD_SIGNAL.get(pt) is not None
+                             and self._arrow_pending(pt)
+                             >= self.max_pending_files), None)
+                if over is not None:
+                    self._count(f"refused_backpressure_{over}")
+                    code, text = asvc.STATUS_UNAVAILABLE, "spool full"
+                else:
+                    for schema_id, ptype, record in req["payloads"]:
+                        batches = st.arrow.consume(schema_id, record)
+                        signal = asvc.PAYLOAD_SIGNAL.get(ptype)
+                        for b in batches:
+                            self._spool_arrow(b, ptype)
+                            if signal is not None:
+                                self._count(f"accepted_arrow_{signal}")
+            except asvc.StreamBudgetExceeded as e:
+                # Resource, not data: retryable on a fresh stream.
+                self._count("refused_stream_budget")
+                code, text = asvc.STATUS_UNAVAILABLE, str(e)[:256]
             except Exception as e:     # bad pb/IPC bytes: data error
                 self._count("refused_bad_arrow")
                 code, text = asvc.STATUS_INVALID_ARGUMENT, str(e)[:256]

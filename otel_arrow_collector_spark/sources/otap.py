@@ -208,6 +208,20 @@ def assemble_spans_df(spark, tables: dict[int, "object"]):
                         "dropped_attributes_count")).alias("events"))
                     .withColumnRenamed("parent_id", "id"))
         out = out.join(nested, "id", "left")
+    lk = tables.get(SPAN_LINKS)
+    if lk is not None:
+        la = tables.get(SPAN_LINK_ATTRS)
+        if la is not None:
+            lk = (lk.join(as_map(la).withColumnRenamed("parent_id", "id"),
+                          "id", "left")
+                    .withColumnRenamed("m", "attributes"))
+        nested_lk = (lk.groupBy("parent_id")
+                       .agg(F.collect_list(F.struct(
+                           "trace_id", "span_id", "trace_state",
+                           "attributes",
+                           "dropped_attributes_count")).alias("links"))
+                       .withColumnRenamed("parent_id", "id"))
+        out = out.join(nested_lk, "id", "left")
     return out
 
 

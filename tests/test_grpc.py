@@ -458,6 +458,18 @@ def test_otap_roundtrip_and_spark_reassembly(spark, rcv):
                                  key=lambda e: e["time_unix_nano"])):
             assert ge["name"] == we["name"]
             assert (ge["attributes"] or {}) == (we["attributes"] or {})
+        # links re-nest too (ADVICE r5: reassembly must not drop them)
+        want_links = r["links"] or []
+        got_links = [x.asDict(recursive=True)
+                     for x in row.get("links") or []]
+        assert len(got_links) == len(want_links)
+        got_link_attrs = sorted(repr(sorted((x["attributes"] or {}).items()))
+                                for x in got_links)
+        want_link_attrs = sorted(repr(sorted((x["attributes"] or {}).items()))
+                                 for x in want_links)
+        assert got_link_attrs == want_link_attrs
+        for x in got_links:
+            assert x["dropped_attributes_count"] == 4
 
 
 def test_otap_logs_roundtrip_over_stream(spark, rcv):
