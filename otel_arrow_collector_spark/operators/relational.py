@@ -48,6 +48,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equal-frequency tiering (NTILE) — exact + scale-path approx variant
+# ---------------------------------------------------------------------------
+
+#: Feature gate selecting the approx NTILE path for q49/q77 (the two
+#: global-tiering queries).  Exact NTILE stays the default (and the
+#: oracle form); the gate is the documented 100x-scale switch — the
+#: reference's own tiering is likewise budget-cut, not totally ordered
+#: (exporter/otlpexporter/internal/arrow/prioritizer.go:17-80).
+NTILE_APPROX_GATE = "engine.ntile_approx"
+
+
+def _ntile_approx_enabled() -> bool:
+    from ..plans.featuregate import GateError, Stage, global_registry
+    reg = global_registry()
+    try:
+        return reg.is_enabled(NTILE_APPROX_GATE)
+    except GateError:
+        reg.register(NTILE_APPROX_GATE, Stage.ALPHA,
+                     description="approx-percentile boundary cuts instead "
+                                 "of exact global NTILE windows")
+        return reg.is_enabled(NTILE_APPROX_GATE)
+
+
+def ntile_approx(df: DataFrame, value_col, n: int, *, ascending: bool = True,
+                 accuracy: int = 10_000, out: str = "tile") -> DataFrame:
+    """Scale-path NTILE(n): approx_percentile boundary cuts (one 1-row
+    aggregate, broadcast) + a scan-side ``aggregate()`` over the bounds
+    array — no global window, no single-partition sort, so the plan
+    survives arbitrary row cardinality.
+
+    Semantics vs exact NTILE: tile k holds rows between the (k-1)/n and
+    k/n quantiles of ``value_col`` (in the requested direction).  Ties
+    land in ONE tile (exact NTILE row-splits them to equalize counts),
+    so per-tile counts match exact NTILE within the tie/sketch
+    tolerance — the documented trade for an embarrassingly parallel
+    plan.  ``accuracy`` is approx_percentile's inverse-error knob.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    key = v if ascending else -v
+    probs = [k / n for k in range(1, n)]
+    bounds = df.agg(F.percentile_approx(
+        key.cast("double"), probs, accuracy).alias("__ntile_bounds"))
+    tile = (F.lit(1) + F.aggregate(
+        "__ntile_bounds", F.lit(0),
+        lambda acc, b: acc + F.when(key.cast("double") > b, 1)
+                             .otherwise(0))).alias(out)
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(out, tile)
+              .drop("__ntile_bounds"))
+
+
+# ---------------------------------------------------------------------------
 # Scans, projection, predicate filter
 # (receiver decode + Slice.RemoveIf / OTTL drop-where:
 #  pdata/pcommon/slice.go:115-132, docs/processing.md:205-208)
@@ -1384,13 +1436,20 @@ def q49(spark, sf_dir):
     Scale note: the NTILE window is global but runs over the PRE-AGGREGATED
     per-user rows (one row per user, not per event) — the corpus-sized
     input is reduced by the groupBy before any single-partition work, and
-    the decile summary is a 10-row output.
+    the decile summary is a 10-row output.  Behind the
+    ``engine.ntile_approx`` gate the decile becomes an approx-percentile
+    boundary cut (:func:`ntile_approx`) with NO window at all — the
+    100x-scale path when even user cardinality is extreme.
     """
     ev = _t(spark, sf_dir, "events")
     spend = (ev.groupBy("user_id")
                .agg(F.round(F.sum("value"), 2).alias("total")))
-    w = Window.orderBy(F.col("total").desc(), "user_id")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    if _ntile_approx_enabled():
+        tiled = ntile_approx(spend, "total", 10, ascending=False,
+                             out="decile")
+    else:
+        w = Window.orderBy(F.col("total").desc(), "user_id")
+        tiled = spend.withColumn("decile", F.ntile(10).over(w))
     return (tiled.groupBy("decile")
                  .agg(F.count(F.lit(1)).alias("n_users"),
                       F.min("total").alias("min_total"),
@@ -2621,10 +2680,11 @@ def q77(spark, sf_dir):
     the three NTILE windows run over the AGGREGATED rows (user
     cardinality, not event cardinality) with total-order tie-breaks so
     quartile boundaries are deterministic cross-engine; the global max
-    timestamp is a 1-row broadcast scalar.  At extreme user cardinality
-    the exact global NTILEs would swap for approx-percentile boundary
-    cuts (a scan-side map) — the exact form is kept here because the
-    oracle demands bit-stable quartiles.
+    timestamp is a 1-row broadcast scalar.  Behind the
+    ``engine.ntile_approx`` gate the three quartile scores become
+    approx-percentile boundary cuts (:func:`ntile_approx`) — scan-side
+    maps with no window — the 100x-scale path; the exact form stays the
+    default because the oracle demands bit-stable quartiles.
     """
     ev = _t(spark, sf_dir, "events")
     tmax = ev.agg(F.max("ts").alias("tmax"))
@@ -2638,11 +2698,20 @@ def q77(spark, sf_dir):
                      F.datediff("tmax", "last_ts").cast("long")
                       .alias("recency_days"),
                      "frequency", "monetary_cents"))
-    r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
-    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
-                                       "user_id"))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(),
-                                       "user_id"))
+    if _ntile_approx_enabled():
+        scored = ntile_approx(rfm, "recency_days", 4, out="r")
+        scored = ntile_approx(scored, "frequency", 4, ascending=False,
+                              out="f")
+        scored = ntile_approx(scored, "monetary_cents", 4,
+                              ascending=False, out="m")
+        r, f, m = F.col("r"), F.col("f"), F.col("m")
+        rfm = scored
+    else:
+        r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+        f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
+                                           "user_id"))
+        m = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(),
+                                           "user_id"))
     return (rfm.select("user_id", "recency_days", "frequency",
                        "monetary_cents",
                        (r * 100 + f * 10 + m).cast("long")

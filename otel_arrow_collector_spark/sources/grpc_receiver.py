@@ -94,7 +94,8 @@ class OtlpGrpcReceiver:
                  max_pending_files: int = 100_000,
                  max_msg_bytes: int = 64 * 1024 * 1024,
                  max_stream_bytes: int = 64 * 1024 * 1024,
-                 retry_pushback_ms: int = 1000):
+                 retry_pushback_ms: int = 1000,
+                 record_client_info: bool = False):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
@@ -105,6 +106,11 @@ class OtlpGrpcReceiver:
         # a SendAndWait client retries on a fresh stream.
         self.max_stream_bytes = max_stream_bytes
         self.retry_pushback_ms = retry_pushback_ms
+        # client.Info surface (reference client/client.go:86-151): when
+        # on, the pb spool is laid out client_addr=<x>/client_principal=
+        # <y>/req-*.pb so ingest exposes peer address + auth principal as
+        # first-class metadata columns (read_spool(client_info=True)).
+        self.record_client_info = record_client_info
         self.counters: dict[str, int] = {}
         self._seq = itertools.count()
         self._lock = threading.Lock()
@@ -166,6 +172,10 @@ class OtlpGrpcReceiver:
             t.start()
 
     def _serve_conn(self, sock: socket.socket) -> None:
+        try:
+            peer = "%s:%s" % sock.getpeername()[:2]
+        except OSError:
+            peer = ""
         try:
             sock.settimeout(30)
             preface = h2.recv_exact(sock, len(h2.PREFACE))
@@ -245,7 +255,7 @@ class OtlpGrpcReceiver:
                             self._arrow_finish(sock, enc, sid, st)
                             streams.pop(sid, None)
                     elif flags & h2.FLAG_END_STREAM:
-                        self._respond(sock, enc, sid, st)
+                        self._respond(sock, enc, sid, st, peer)
                         streams.pop(sid, None)
                 else:
                     raise h2.H2Error(f"unexpected frame type {ftype}")
@@ -258,8 +268,9 @@ class OtlpGrpcReceiver:
 
     # -- request handling --------------------------------------------------
 
-    def _respond(self, sock, enc, sid, st: _Stream) -> None:
-        status, msg = self._handle(st)
+    def _respond(self, sock, enc, sid, st: _Stream,
+                 peer: str = "") -> None:
+        status, msg = self._handle(st, peer)
         hdr = enc.encode([(":status", "200"),
                           ("content-type", "application/grpc")])
         frames = [h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, hdr)]
@@ -286,7 +297,7 @@ class OtlpGrpcReceiver:
             h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid,
             block))
 
-    def _handle(self, st: _Stream) -> tuple[int, str]:
+    def _handle(self, st: _Stream, peer: str = "") -> tuple[int, str]:
         path = st.headers.get(":path", "")
         signal = ROUTES.get(path)
         if signal is None:
@@ -324,7 +335,8 @@ class OtlpGrpcReceiver:
         except Exception as e:
             self._count(f"refused_bad_payload_{signal}")
             return INVALID_ARGUMENT, str(e)[:256]
-        self._spool(body, signal)
+        principal = "bearer" if self.token is not None else "anonymous"
+        self._spool(body, signal, client=(peer, principal))
         self._count(f"accepted_{signal}")
         return OK, ""
 
@@ -481,10 +493,17 @@ class OtlpGrpcReceiver:
                     os.path.join(base, name))
         return out
 
-    def _spool(self, payload: bytes, signal: str) -> None:
+    def _spool(self, payload: bytes, signal: str,
+               client: tuple[str, str] | None = None) -> None:
         with self._lock:
             seq = next(self._seq)
         d = self._dir(signal)
+        if self.record_client_info and client is not None:
+            from urllib.parse import quote
+            addr, principal = client
+            d = os.path.join(d, f"client_addr={quote(addr, safe='')}",
+                             f"client_principal={quote(principal, safe='')}")
+            os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{seq:08d}")
         dst = os.path.join(d, f"req-{seq:08d}.pb")
         with open(tmp, "wb") as fh:
@@ -495,6 +514,7 @@ class OtlpGrpcReceiver:
 
     # -- Spark ingest ------------------------------------------------------
 
-    def read_spool(self, spark, signal: str):
+    def read_spool(self, spark, signal: str, client_info: bool = False):
         from .http_receiver import read_spool
-        return read_spool(spark, self.spool_dir, signal)
+        return read_spool(spark, self.spool_dir, signal,
+                          client_info=client_info)

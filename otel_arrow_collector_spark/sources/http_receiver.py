@@ -90,7 +90,8 @@ class OtlpHttpReceiver:
                  port: int = 0, token: str | None = None,
                  max_pending_files: int = 100_000,
                  max_body_bytes: int = 64 * 1024 * 1024,
-                 tls=None, zpages=None):
+                 tls=None, zpages=None,
+                 record_client_info: bool = False):
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
@@ -98,6 +99,10 @@ class OtlpHttpReceiver:
         self.zpages = zpages                 # plans.zpages.ZPages | None
         self.max_pending_files = max_pending_files
         self.max_body_bytes = max_body_bytes
+        # client.Info surface (reference client/client.go:86-151): pb
+        # spool laid out client_addr=/client_principal= so ingest can
+        # expose peer + principal columns (read_spool(client_info=True)).
+        self.record_client_info = record_client_info
         self.counters: dict[str, int] = {}   # obsreport-style
         self._seq = itertools.count()
         self._lock = threading.Lock()
@@ -221,7 +226,9 @@ class OtlpHttpReceiver:
         except Exception as e:                   # malformed -> 400, no spool
             self._count(f"refused_bad_payload_{signal}")
             return self._plain(h, 400, str(e).encode()[:512])
-        self._spool(payload, signal, wire)
+        principal = "bearer" if self.token is not None else "anonymous"
+        self._spool(payload, signal, wire,
+                    client=("%s:%s" % h.client_address[:2], principal))
         self._count(f"accepted_{signal}_{wire}")
         # empty partial-success response in the request's content type
         resp = b"{}" if wire == "json" else b""
@@ -287,13 +294,23 @@ class OtlpHttpReceiver:
         decode_request(body, signal)             # raises on bad wire bytes
         return body
 
-    def _spool(self, payload: bytes, signal: str, wire: str) -> None:
+    def _spool(self, payload: bytes, signal: str, wire: str,
+               client: tuple[str, str] | None = None) -> None:
         """fsync + atomic rename, ack only afterwards (ack-after-persist,
-        persistent_storage.go:278-345)."""
+        persistent_storage.go:278-345).  With ``record_client_info`` the
+        pb spool nests per client (addr, principal) — the JSON spool
+        stays flat (its line-oriented streaming reader has no per-file
+        metadata channel)."""
         with self._lock:
             seq = next(self._seq)
         ext = "json" if wire == "json" else "pb"
         d = self._dir(signal, wire)
+        if self.record_client_info and client is not None and wire == "pb":
+            from urllib.parse import quote
+            addr, principal = client
+            d = os.path.join(d, f"client_addr={quote(addr, safe='')}",
+                             f"client_principal={quote(principal, safe='')}")
+            os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{seq:08d}")
         dst = os.path.join(d, f"req-{seq:08d}.{ext}")
         with open(tmp, "wb") as fh:
@@ -304,10 +321,13 @@ class OtlpHttpReceiver:
 
     # -- Spark ingest ------------------------------------------------------
 
-    def read_spool(self, spark, signal: str):
+    def read_spool(self, spark, signal: str, client_info: bool = False):
         """Batch-ingest everything spooled for one signal (both wire
-        formats) into the engine's row model."""
-        return read_spool(spark, self.spool_dir, signal)
+        formats) into the engine's row model.  ``client_info=True`` adds
+        ``client_addr``/``client_principal`` columns (NULL for the JSON
+        spool, which records no per-file peer metadata)."""
+        return read_spool(spark, self.spool_dir, signal,
+                          client_info=client_info)
 
 
 def stream_spool(spark, spool_dir: str, signal: str):
@@ -332,7 +352,8 @@ def stream_spool(spark, spool_dir: str, signal: str):
     return _READERS[signal](raw)
 
 
-def read_spool(spark, spool_dir: str, signal: str):
+def read_spool(spark, spool_dir: str, signal: str,
+               client_info: bool = False):
     """Ingest an OTLP/HTTP spool directory (both wire formats) into the
     row model — the consumer half of :class:`OtlpHttpReceiver`, also
     reachable as the pipeline compiler's ``kind: http_spool`` receiver.
@@ -343,9 +364,16 @@ def read_spool(spark, spool_dir: str, signal: str):
     pb_dir = os.path.join(spool_dir, f"{signal}_pb")
     parts = []
     if os.path.isdir(json_dir) and os.listdir(json_dir):
-        parts.append(read_otlp_json(spark, json_dir, signal))
+        j = read_otlp_json(spark, json_dir, signal)
+        if client_info:
+            from pyspark.sql import functions as F
+            j = (j.withColumn("client_addr", F.lit(None).cast("string"))
+                  .withColumn("client_principal",
+                              F.lit(None).cast("string")))
+        parts.append(j)
     if os.path.isdir(pb_dir) and os.listdir(pb_dir):
-        parts.append(read_otlp_pb(spark, pb_dir, signal))
+        parts.append(read_otlp_pb(spark, pb_dir, signal,
+                                  client_info=client_info))
     if not parts:
         from ..model.telemetry import (LOG_SCHEMA, METRIC_POINT_SCHEMA,
                                        SPAN_SCHEMA)

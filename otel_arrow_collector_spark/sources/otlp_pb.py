@@ -900,7 +900,8 @@ def _plainify(val, dt):
 
 
 def read_otlp_pb(spark: SparkSession, path: str,
-                 signal: str = "traces") -> DataFrame:
+                 signal: str = "traces",
+                 client_info: bool = False) -> DataFrame:
     """Read a directory of OTLP protobuf files into the row model.
 
     Decode is an Arrow-batched ``mapInArrow`` stage: Python runs once per
@@ -909,24 +910,56 @@ def read_otlp_pb(spark: SparkSession, path: str,
     promotion (nullable int64 nanosecond timestamps stay exact beyond
     2**53).  One task per file split; scales with file count like any
     other binary scan.
+
+    ``client_info=True`` adds ``client_addr``/``client_principal``
+    string columns parsed from the receiver's per-client spool layout
+    (``client_addr=<x>/client_principal=<y>/req-*.pb``, the engine's
+    client.Info surface — reference client/client.go:86-151); files
+    spooled without the markers get NULLs.  Recursive listing is always
+    on so flat and per-client layouts both read.
     """
     if signal not in _SCHEMAS:
         raise NotImplementedError(
             f"OTLP/pb signal {signal!r} (supported: {sorted(_SCHEMAS)})")
-    schema = _SCHEMAS[signal]
+    import pyspark.sql.types as T
     from pyspark.sql.pandas.types import to_arrow_schema
+    schema = _SCHEMAS[signal]
+    if client_info:
+        schema = T.StructType(
+            schema.fields
+            + [T.StructField("client_addr", T.StringType()),
+               T.StructField("client_principal", T.StringType())])
     arrow_schema = to_arrow_schema(schema)
 
     def decode_batches(batches):
+        import re as _re
+        from urllib.parse import unquote
+
         import pyarrow as pa
+        pat = _re.compile(
+            r"client_addr=([^/]+)/client_principal=([^/]+)/")
         for batch in batches:
             rows: list[dict] = []
-            for content in batch.column(0).to_pylist():
-                rows.extend(decode_request(bytes(content), signal))
+            contents = batch.column(0).to_pylist()
+            paths = (batch.column(1).to_pylist() if client_info
+                     else [None] * len(contents))
+            for content, p in zip(contents, paths):
+                decoded = decode_request(bytes(content), signal)
+                if client_info:
+                    m = pat.search(p or "")
+                    addr = unquote(m.group(1)) if m else None
+                    prin = unquote(m.group(2)) if m else None
+                    for r in decoded:
+                        r["client_addr"] = addr
+                        r["client_principal"] = prin
+                rows.extend(decoded)
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true").load(path))
+    files = (files.select("content", "path") if client_info
+             else files.select("content"))
     return files.mapInArrow(decode_batches, schema)
 
 

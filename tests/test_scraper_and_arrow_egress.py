@@ -218,3 +218,73 @@ def test_chunked_sink_crash_between_chunks_resumes_exactly_once(
     assert sunk.select("event_id").distinct().count() == events.count()
     assert ({r.event_id for r in sunk.collect()}
             == {r.event_id for r in events.collect()})   # no dup, no gap
+
+
+def test_dispatched_unacked_chunk_replays_exactly_once(spark, tmp_path):
+    """The reference re-enqueues CURRENTLY-DISPATCHED items on restart
+    (persistent_storage.go:278-345: the dispatched-but-unacked index is
+    folded back into the queue).  Same condition here: the exporter
+    crashes AFTER a chunk's bytes are durably written but BEFORE the
+    micro-batch commits (the ack).  On resume the whole batch — acked
+    chunk 0 AND in-flight chunk 1 — is re-dispatched, and idempotent
+    chunk paths make the replay exactly-once: the dispatch log shows the
+    in-flight chunk sent twice, the sunk rows show it landed once."""
+    import os
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from otel_arrow_collector_spark.streaming.batching import \
+        stream_in_batches
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dispatch_log = str(tmp_path / "dispatch")
+    crashed_flag = str(tmp_path / "crashed_once")
+    os.makedirs(dispatch_log)
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value")
+    schema = events.limit(0)._jdf.schema().toDDL()
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    max_size = 40
+
+    def sink(chunk_df, batch_id, chunk_idx):
+        with open(os.path.join(dispatch_log,
+                               f"b{batch_id}_c{chunk_idx}"), "a") as fh:
+            fh.write("sent\n")
+        (chunk_df.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"batch={batch_id}",
+                               f"chunk={chunk_idx}")))
+        # crash AFTER the write, BEFORE the ack: the chunk is dispatched
+        # and durable, but the batch never commits
+        if batch_id == 0 and chunk_idx == 1 \
+                and not os.path.exists(crashed_flag):
+            with open(crashed_flag, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("injected crash after dispatch before ack")
+
+    def drain():
+        q = stream_in_batches(
+            spark.readStream.schema(schema).parquet(src),
+            sink, send_batch_max_size=max_size,
+            checkpoint=ckpt, available_now=True)
+        q.awaitTermination(180)
+
+    with pytest.raises(StreamingQueryException, match="injected"):
+        drain()
+    assert os.path.exists(
+        os.path.join(out, "batch=0", "chunk=1"))     # dispatched + durable
+
+    drain()                                          # re-enqueue + replay
+
+    # the in-flight chunk was re-dispatched exactly once more
+    with open(os.path.join(dispatch_log, "b0_c1")) as fh:
+        assert fh.read().count("sent") == 2
+    # ...and its data landed exactly once (idempotent chunk path)
+    sunk = spark.read.parquet(os.path.join(out, "*", "*"))
+    assert sunk.count() == events.count()
+    assert ({r.event_id for r in sunk.collect()}
+            == {r.event_id for r in events.collect()})
