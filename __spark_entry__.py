@@ -51,6 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
+    # Round-6 additions (newest of all).
+    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
+    "q83_intransit_peak", "q84_brand_growth",
     # Round-6 front-load: every query that has never received a driver
     # CORRECTNESS row (diff of PARITY_r05.txt vs CORRECTNESS_r01..r05 keys)
     # goes first so CORRECTNESS_r06.json records a green row for each.

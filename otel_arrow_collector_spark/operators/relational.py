@@ -2793,3 +2793,271 @@ def q79(spark, sf_dir):
                    .cast("long").alias("median_x2_cents"),
                   F.max("n").cast("long").alias("n"))
              .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q80-q84: event-log analytics shapes (round 6)
+# ---------------------------------------------------------------------------
+
+@_register("q80_sessionization", """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+flg AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg),
+per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         (MAX(us) - MIN(us)) // 1000000 AS dur_sec
+  FROM sess GROUP BY user_id, sid)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS longest_session_events,
+       CAST(SUM(dur_sec) AS BIGINT) AS total_session_sec
+FROM per_sess GROUP BY user_id ORDER BY user_id
+""")
+def q80(spark, sf_dir):
+    """Batch sessionization — gaps-and-islands with a 30-minute
+    inactivity gap (the batch twin of the streaming session windows,
+    §2.9; the event-log sibling of q72's dimension intervals).
+
+    Scale shape: the lag flag and the running-sum island id share ONE
+    window exchange keyed by user_id, and both downstream aggregations
+    (per-session, then per-user) key on prefixes of that partitioning,
+    so Catalyst adds NO further shuffle — the whole query is one
+    hash-partition of the fact by user.  Exact integer microseconds
+    (ts_ns source of truth) keep gap decisions bit-identical
+    cross-engine.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_ns") / 1000).cast("long").alias("us"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flg = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("us").over(w).isNull()
+               | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+               1).otherwise(0))
+    sess = flg.withColumn(
+        "sid", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_sess = (sess.groupBy("user_id", "sid")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         F.floor((F.max("us") - F.min("us")) / 1_000_000)
+                          .alias("dur_sec")))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").alias("longest_session_events"),
+                 F.sum("dur_sec").cast("long").alias("total_session_sec"))
+            .orderBy("user_id"))
+
+
+@_register("q81_event_transitions", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+p AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS next_type
+  FROM e)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type
+""")
+def q81(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model input next to q71's funnel): LEAD
+    per user under a total order, then a global pair count.
+
+    One window exchange on user_id + one |types|^2-cardinality
+    aggregation — no self-join on the fact (the naive formulation
+    joins events to events on consecutive ranks).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.col("ts_ns") / 1000).cast("long").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = ev.select("event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    return (p.where(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("event_type", "next_type"))
+
+
+@_register("q82_anomaly_days", """
+WITH d AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day),
+t AS (
+  SELECT event_type, day, x,
+         CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+         CAST(SUM(x) OVER w AS HUGEINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS ss
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(x AS BIGINT) AS n_events, CAST(n AS BIGINT) AS n_ref,
+       (n >= 3 AND n * x > s
+        AND (n*x - s) * (n*x - s) > 4 * n * (n*ss - s*s)) AS is_spike
+FROM t ORDER BY event_type, day
+""")
+def q82(spark, sf_dir):
+    """Daily-volume anomaly screen: is_spike marks days whose event
+    count sits more than two standard deviations ABOVE the trailing
+    window of up to 7 observed days — the alerting shape over
+    telemetry volumes (published as a flag per (type, day) so the
+    result is never vacuous at calm scales).
+
+    The z>2 test is algebraically integerized so no float stddev ever
+    crosses an engine boundary: (n*x - s)^2 > 4*n*(n*ss - s^2) with
+    n/s/ss the trailing count/sum/sum-of-squares, evaluated in
+    decimal(38) (HUGEINT in the oracle) for 100TB-count headroom.
+    One pre-aggregation collapses the fact to |types|x|days| rows;
+    the window runs over that tiny frame, partitioned by type.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                    F.floor(F.col("ts_ns") / 1000 / 86_400_000_000)
+                     .cast("long").alias("day"))
+           .agg(F.count(F.lit(1)).alias("x")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+               .rowsBetween(-7, -1))
+    dec = "decimal(38,0)"
+    t = d.select(
+        "event_type", "day", "x",
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum("x").over(w).cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(w).cast(dec)
+         .alias("ss"))
+    n, s, ss, x = F.col("n"), F.col("s"), F.col("ss"), F.col("x")
+    dev = n * x - s
+    spike = (n >= 3) & (n * x > s) & (dev * dev > 4 * n * (n * ss - s * s))
+    return (t.select("event_type", F.col("day").cast("long").alias("day"),
+                     x.cast("long").alias("n_events"),
+                     n.cast("long").alias("n_ref"),
+                     spike.alias("is_spike"))
+             .orderBy("event_type", "day"))
+
+
+@_register("q83_intransit_peak", """
+WITH li AS (
+  SELECT l_suppkey, o_orderdate, l_shipdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+deltas AS (
+  SELECT l_suppkey AS suppkey, o_orderdate AS d, 1 AS delta FROM li
+  UNION ALL
+  SELECT l_suppkey, CAST(l_shipdate + INTERVAL 1 DAY AS DATE), -1 FROM li),
+daily AS (
+  SELECT suppkey, d, SUM(delta) AS dd FROM deltas GROUP BY suppkey, d),
+run AS (
+  SELECT suppkey, d,
+         SUM(dd) OVER (PARTITION BY suppkey ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS load
+  FROM daily),
+sel AS (
+  SELECT suppkey, d, load,
+         MAX(load) OVER (PARTITION BY suppkey) AS peak
+  FROM run)
+SELECT CAST(suppkey AS BIGINT) AS suppkey,
+       CAST(peak AS BIGINT) AS peak_in_transit,
+       MIN(d) AS first_peak_day
+FROM sel WHERE load = peak
+GROUP BY suppkey, peak ORDER BY suppkey
+""")
+def q83(spark, sf_dir):
+    """Peak concurrent in-transit shipments per supplier — interval
+    concurrency WITHOUT an interval self-join: the classic sweep-line
+    as +1/-1 boundary deltas, day-collapsed, running-summed per
+    supplier (open = o_orderdate..l_shipdate inclusive — this corpus
+    carries no receiptdate, so "in transit" is order-to-ship).
+
+    The naive overlap query is O(n^2) per supplier (lineitem joined to
+    itself on date-range predicates); this plan is ONE keyed fact-fact
+    join (orderkey) + one day-granular aggregation + one window
+    partitioned by suppkey — every stage keyed, nothing quadratic, no
+    range join.
+    """
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(_t(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("o_orderkey") == F.col("l_orderkey")))
+    ship = li.select(F.col("l_suppkey").alias("suppkey"),
+                     F.col("o_orderdate").alias("d"),
+                     F.lit(1).alias("delta"))
+    recv = li.select(F.col("l_suppkey").alias("suppkey"),
+                     F.date_add("l_shipdate", 1).alias("d"),
+                     F.lit(-1).alias("delta"))
+    daily = (ship.unionAll(recv)
+                 .groupBy("suppkey", "d").agg(F.sum("delta").alias("dd")))
+    w = (Window.partitionBy("suppkey").orderBy("d")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = daily.withColumn("load", F.sum("dd").over(w))
+    sel = run.withColumn(
+        "peak", F.max("load").over(Window.partitionBy("suppkey")))
+    return (sel.where(F.col("load") == F.col("peak"))
+               .groupBy("suppkey", "peak")
+               .agg(F.min("d").alias("first_peak_day"))
+               .select(F.col("suppkey").cast("long").alias("suppkey"),
+                       F.col("peak").cast("long")
+                        .alias("peak_in_transit"),
+                       "first_peak_day")
+               .orderBy("suppkey"))
+
+
+@_register("q84_brand_growth", """
+WITH rev AS (
+  SELECT p_brand,
+         CAST(EXTRACT(year FROM l_shipdate) * 100
+              + EXTRACT(month FROM l_shipdate) AS INT) AS ym,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, ym),
+g AS (
+  SELECT p_brand, ym, cents,
+         LAG(cents) OVER (PARTITION BY p_brand ORDER BY ym) AS prev
+  FROM rev)
+SELECT p_brand, ym, CAST(cents AS BIGINT) AS cents,
+       CAST((CAST(cents AS HUGEINT) * 10000) // prev AS BIGINT)
+         AS growth_bp
+FROM g WHERE prev IS NOT NULL AND prev > 0
+ORDER BY p_brand, ym
+""")
+def q84(spark, sf_dir):
+    """Month-over-month revenue growth per part brand (basis points) —
+    the trend roll-up every revenue dashboard materializes.
+
+    Part is a broadcast dim; revenue collapses to |brands|x|months|
+    rows before the LAG window (partitioned by brand — never global);
+    growth is an exact floor-division of integer cents scaled to basis
+    points, computed in decimal(38) so the 10^4 scaling survives
+    100TB-sized monthly sums.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+             .groupBy("p_brand",
+                      (F.year("l_shipdate") * 100
+                       + F.month("l_shipdate")).cast("int").alias("ym"))
+             .agg(F.sum(F.round(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 100)
+                        .cast("long")).alias("cents")))
+    w = Window.partitionBy("p_brand").orderBy("ym")
+    g = rev.withColumn("prev", F.lag("cents").over(w))
+    return (g.where(F.col("prev").isNotNull() & (F.col("prev") > 0))
+             .select("p_brand", "ym", F.col("cents").cast("long")
+                     .alias("cents"),
+                     F.floor(F.col("cents").cast("decimal(38,0)") * 10000
+                             / F.col("prev")).cast("long")
+                      .alias("growth_bp"))
+             .orderBy("p_brand", "ym"))

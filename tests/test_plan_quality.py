@@ -336,3 +336,46 @@ def test_q79_median_shares_group_partitioning(spark):
     plan = _plan(spark, "q79_exact_median")
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 2      # one scan, printed twice
+
+
+def test_q80_sessionization_single_data_shuffle(spark):
+    """q80: lag flag + island id + both aggregations all key on
+    user_id prefixes — ONE data shuffle plus the presentation sort."""
+    plan = _plan(spark, "q80_sessionization")
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 4                 # printed 2x: 1 hash + 1 sort
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_q81_transitions_no_self_join(spark):
+    """q81: consecutive-pair extraction is a LEAD window, never a
+    rank-to-rank self-join of the fact."""
+    plan = _plan(spark, "q81_event_transitions")
+    assert "Join" not in plan
+    assert "windowspecdefinition(user_id" in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+
+
+def test_q82_anomaly_preaggregates_before_window(spark):
+    """q82: the trailing-stats window runs over the (type, day)
+    aggregate, not the raw fact; everything keys on event_type."""
+    plan = _plan(spark, "q82_anomaly_days")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_q83_sweep_line_not_range_join(spark):
+    """q83: interval concurrency via boundary deltas — keyed equi-join
+    + keyed window only; no range/theta join, nothing quadratic."""
+    plan = _plan(spark, "q83_intransit_peak")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(suppkey" in plan
+
+
+def test_q84_brand_growth_broadcasts_part_dim(spark):
+    plan = _plan(spark, "q84_brand_growth")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(p_brand" in plan
