@@ -818,6 +818,19 @@ def decode_jpeg_stats(payload: bytes) -> dict:
             "n_samples": None, "duration_ms": None}
 
 
+def decode_gif_stats(payload: bytes) -> dict:
+    """Parse a GIF via ``gif.decode_gif``: geometry + integer mean
+    luminance — same stat contract as ``decode_bmp``/``decode_png``."""
+    from .gif import decode_gif as _dg
+    w, h, rgb = _dg(payload)
+    n = w * h
+    px = np.frombuffer(rgb, np.uint8).reshape(n, 3).astype(np.int64)
+    luma = int((px.sum(axis=1) // 3).sum())
+    return {"format": "image/gif", "width": w, "height": h,
+            "mean_luma": luma // max(1, n), "sample_rate": None,
+            "n_samples": None, "duration_ms": None}
+
+
 def decode_media(df):
     """mapInPandas REAL decode: BMP/WAV/PNG/JPEG parsed by the
     dependency-free codecs (``jpeg.py`` carries the baseline JPEG
@@ -836,6 +849,8 @@ def decode_media(df):
                     f_ = decode_png(b)
                 elif b[:3] == b"\xff\xd8\xff":
                     f_ = decode_jpeg_stats(b)
+                elif b[:4] == b"GIF8":
+                    f_ = decode_gif_stats(b)
                 elif b[4:8] == b"ftyp":
                     # container metadata is a real structural parse;
                     # FRAME decode still needs pyav and stays a stub
@@ -938,6 +953,9 @@ def _image_pixels(b: bytes) -> tuple[int, int, bytes]:
     if b[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg as _dj
         return _dj(b)
+    if b[:4] == b"GIF8":
+        from .gif import decode_gif as _dg
+        return _dg(b)
     if b[4:8] == b"ftyp":
         raise NotImplementedError(
             "MP4 decode requires pyav — not in this container")
@@ -1273,4 +1291,70 @@ SELECT doc_id,
        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
        CAST(MAX(abs(s)) AS BIGINT) AS max_abs
 FROM samples GROUP BY doc_id, i // 16 ORDER BY doc_id, win
+"""
+
+
+# ---------------------------------------------------------------------------
+# GIF path (operators/gif.py — LZW, palettes, interlace)
+# ---------------------------------------------------------------------------
+
+def synthesize_gifs(df):
+    """documents -> genuine single-frame GIFs: 8x8 RGB from seed-cycled
+    utf-8 text bytes (same pixel recipe as the BMP/PNG kinds so the
+    oracle's hex-digit twin applies), odd doc_ids written INTERLACED —
+    both layouts decode to identical pixels, which the query verifies
+    by value."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import encode_gif
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": [], "mime": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                need = 3 * 8 * 8
+                pix = (seed * (need // len(seed) + 1))[:need]
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(
+                    encode_gif(pix, 8, 8, interlace=bool(doc_id % 2)))
+                rows["mime"].append("image/gif")
+            yield pd.DataFrame(rows)
+    return df.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def multimodal_gif_decode(spark, sf_dir):
+    """GIF encode->decode loop, value-gated end to end: synthesize real
+    LZW-compressed GIF89a payloads from the corpus (interlaced for odd
+    doc_ids), decode them with the dependency-free codec, emit per-doc
+    geometry + integer mean luma.  The DuckDB twin recomputes the luma
+    from hex-digit byte extraction — palette construction, LZW, and
+    (de)interlacing all cancel exactly or the hash breaks."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(400)
+    feats = decode_media(synthesize_gifs(docs))
+    return feats.select(
+        "doc_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("mean_luma").cast("long").alias("mean_luma"))
+
+
+QUERIES["multimodal_gif_decode"] = multimodal_gif_decode
+ORACLES["multimodal_gif_decode"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 400
+),
+b AS (
+  SELECT d.doc_id, g.i, g.i // 3 AS px,
+         (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+1, 1))-1)*16
+       + (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+2, 1))-1) AS bv
+  FROM docs d, generate_series(0, 191) AS g(i)
+),
+px AS (
+  SELECT doc_id, px, SUM(bv) // 3 AS luma FROM b GROUP BY doc_id, px
+)
+SELECT d.doc_id, 'image/gif' AS format,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(SUM(p.luma) // 64 AS BIGINT) AS mean_luma
+FROM docs d JOIN px p USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
 """
