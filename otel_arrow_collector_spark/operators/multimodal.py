@@ -1358,3 +1358,127 @@ SELECT d.doc_id, 'image/gif' AS format,
 FROM docs d JOIN px p USING (doc_id)
 GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding path (operators/g711.py — audioop-pinned closed forms)
+# ---------------------------------------------------------------------------
+
+G711_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_ulaw", LongType()),
+    StructField("sum_alaw", LongType()),
+    StructField("max_err_ulaw", LongType()),
+    StructField("max_err_alaw", LongType()),
+])
+
+
+def multimodal_g711_roundtrip(spark, sf_dir):
+    """G.711 companding end to end, value-gated: synthesize PCM16
+    samples from the corpus (the WAV recipe: (byte-128)*256), push them
+    through BOTH mu-law and A-law encode->decode, publish per-doc sums
+    of the decoded signals and the max quantization error.
+
+    The codec closed forms are audioop-pinned (tests/test_g711.py);
+    the DuckDB twin re-derives the full segment/mantissa quantizer in
+    SQL over the 256-value byte domain, so a single wrong bias, clip,
+    threshold, or inversion mask breaks the value hash.  Map-only plan:
+    companding runs inside one mapInPandas stage, no shuffle."""
+    from .g711 import alaw_decode, alaw_encode, ulaw_decode, ulaw_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                b = np.frombuffer(
+                    (seed * (64 // len(seed) + 1))[:64], np.uint8)
+                x = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
+                du = ulaw_decode(ulaw_encode(x)).astype(np.int64)
+                da = alaw_decode(alaw_encode(x)).astype(np.int64)
+                x64 = x.astype(np.int64)
+                rows.append({
+                    "doc_id": doc_id, "n_samples": 64,
+                    "sum_ulaw": int(du.sum()),
+                    "sum_alaw": int(da.sum()),
+                    "max_err_ulaw": int(np.abs(x64 - du).max()),
+                    "max_err_alaw": int(np.abs(x64 - da).max())})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(400))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, G711_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_g711_roundtrip"] = multimodal_g711_roundtrip
+# SQL re-derivation of the G.711 quantizer over the 256-value byte
+# domain (x = (bv-128)*256): mu-law in the 14-bit domain (bias 33, clip
+# 8158), A-law in the 13-bit domain (one's-complement negatives).
+ORACLES["multimodal_g711_roundtrip"] = """
+WITH bytes AS (
+  SELECT g.i AS bv,
+         (g.i - 128) * 256 AS x,
+         (g.i - 128) * 64  AS x14,
+         (g.i - 128) * 32  AS x13
+  FROM generate_series(0, 255) AS g(i)
+),
+umap AS (  -- mu-law: 14-bit domain, bias 33, clip 8158, exp at 2^(5+e)
+  SELECT bv, x,
+         CASE WHEN neg THEN -duv ELSE duv END AS du
+  FROM (
+    SELECT bv, x, neg,
+           (((m // (1 << (exp + 1))) % 16) * 8 + 132) * (1 << exp) - 132
+             AS duv
+    FROM (
+      SELECT bv, x, neg, m,
+             CASE WHEN m >= 4096 THEN 7 WHEN m >= 2048 THEN 6
+                  WHEN m >= 1024 THEN 5 WHEN m >=  512 THEN 4
+                  WHEN m >=  256 THEN 3 WHEN m >=  128 THEN 2
+                  WHEN m >=   64 THEN 1 ELSE 0 END AS exp
+      FROM (SELECT bv, x, bv < 128 AS neg,
+                   least(CASE WHEN bv < 128 THEN -x14 ELSE x14 END,
+                         8158) + 33 AS m
+            FROM bytes)))
+),
+amap AS (  -- A-law: 13-bit domain, 1s-compl negatives, exp at 2^(4+e)
+  SELECT bv, x,
+         CASE WHEN neg THEN -dav ELSE dav END AS da
+  FROM (
+    SELECT bv, x, neg,
+           (CASE WHEN exp = 0 THEN ((m // 2) % 16) * 2 + 1
+                 ELSE (((m // (1 << exp)) % 16) * 2 + 33)
+                      * (1 << (exp - 1)) END) * 8 AS dav
+    FROM (
+      SELECT bv, x, neg, m,
+             CASE WHEN m >= 2048 THEN 7 WHEN m >= 1024 THEN 6
+                  WHEN m >=  512 THEN 5 WHEN m >=  256 THEN 4
+                  WHEN m >=  128 THEN 3 WHEN m >=   64 THEN 2
+                  WHEN m >=   32 THEN 1 ELSE 0 END AS exp
+      FROM (SELECT bv, x, bv < 128 AS neg,
+                   least(CASE WHEN bv < 128 THEN -x13 - 1 ELSE x13 END,
+                         4095) AS m
+            FROM bytes)))
+),
+docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 400
+),
+samples AS (
+  SELECT d.doc_id,
+         (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+1, 1))-1)*16
+       + (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+2, 1))-1) AS bv
+  FROM docs d, generate_series(0, 63) AS g(i)
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT)               AS n_samples,
+       CAST(SUM(u.du) AS BIGINT)              AS sum_ulaw,
+       CAST(SUM(am.da) AS BIGINT)             AS sum_alaw,
+       CAST(MAX(ABS(u.x - u.du)) AS BIGINT)   AS max_err_ulaw,
+       CAST(MAX(ABS(am.x - am.da)) AS BIGINT) AS max_err_alaw
+FROM samples s
+JOIN umap u ON u.bv = s.bv
+JOIN amap am ON am.bv = s.bv
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
