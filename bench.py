@@ -80,6 +80,36 @@ def main() -> None:
     # the max (peak) — BENCH cross-round comparisons should use median.
     runs = sorted(one_run() for _ in range(3))
 
+    # OTel-Arrow ingest throughput: the fork's headline path.  Encode the
+    # golden spans once as an OTAP payload set; the timed loop is the
+    # RECEIVER side — stateful incremental IPC decode (ArrowStreamState)
+    # of a long-lived stream of 1000-span batches.
+    import io as _io
+
+    import pyarrow as _pa
+
+    from otel_arrow_collector_spark.sources import otap
+    from otel_arrow_collector_spark.sources.arrow_service import \
+        ArrowStreamState
+    payloads = otap.encode_spans(rows)
+    main = next(t for _s, pt, t in payloads if pt == otap.SPANS)
+
+    def arrow_run() -> int:
+        sink = _io.BytesIO()
+        w = _pa.ipc.new_stream(sink, main.schema)
+        state = ArrowStreamState(max_stream_bytes=1 << 30)
+        t0, n = time.perf_counter(), 0
+        while time.perf_counter() - t0 < 0.5:
+            w.write_table(main)
+            frag = sink.getvalue()
+            sink.seek(0)
+            sink.truncate(0)
+            state.consume("spans", frag)
+            n += main.num_rows
+        return int(n / (time.perf_counter() - t0))
+
+    arrow_runs = sorted(arrow_run() for _ in range(3))
+
     print(json.dumps({
         "metric": "declared_queries_total_time",
         "value": total,
@@ -90,6 +120,7 @@ def main() -> None:
         "timing": "min",
         "pb_decode_spans_per_sec_1thread": runs[-1],
         "pb_decode_spans_per_sec_1thread_median": runs[1],
+        "arrow_ingest_spans_per_sec_1thread_median": arrow_runs[1],
     }))
 
 

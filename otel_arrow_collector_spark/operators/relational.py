@@ -2991,14 +2991,18 @@ def q83(spark, sf_dir):
           .join(_t(spark, sf_dir, "orders")
                 .select("o_orderkey", "o_orderdate"),
                 F.col("o_orderkey") == F.col("l_orderkey")))
-    ship = li.select(F.col("l_suppkey").alias("suppkey"),
-                     F.col("o_orderdate").alias("d"),
-                     F.lit(1).alias("delta"))
-    recv = li.select(F.col("l_suppkey").alias("suppkey"),
-                     F.date_add("l_shipdate", 1).alias("d"),
-                     F.lit(-1).alias("delta"))
-    daily = (ship.unionAll(recv)
-                 .groupBy("suppkey", "d").agg(F.sum("delta").alias("dd")))
+    # one join, one scan pair: both boundary deltas explode from the same
+    # joined row (the UNION-ALL formulation would run the fact-fact join
+    # twice)
+    deltas = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.explode(F.array(
+            F.struct(F.col("o_orderdate").alias("d"),
+                     F.lit(1).alias("delta")),
+            F.struct(F.date_add("l_shipdate", 1).alias("d"),
+                     F.lit(-1).alias("delta")))).alias("e"))
+    daily = (deltas.select("suppkey", "e.d", "e.delta")
+                   .groupBy("suppkey", "d").agg(F.sum("delta").alias("dd")))
     w = (Window.partitionBy("suppkey").orderBy("d")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = daily.withColumn("load", F.sum("dd").over(w))
