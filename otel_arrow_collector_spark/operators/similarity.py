@@ -772,3 +772,69 @@ SELECT a.vec_id, a.cid,
 FROM assign a JOIN c{KMEANS_ITERS} c USING (cid)
 ORDER BY cos, vec_id LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# cell-bounded k-NN graph (the semantic-clustering substrate)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def ann_knn_graph(spark, sf_dir):
+    """k-NN graph over the WHOLE corpus, candidate-bounded by IVF cell:
+    every vector ranks only its own cell's members (the SemDeDup /
+    kNN-clustering substrate — at 100 TB the all-pairs graph is
+    impossible, the cell-local graph is one co-partitioned self-join).
+
+    Each edge also carries ``is_mutual`` — whether the reverse edge is
+    in the dst's own top-k (mutual-kNN is the usual symmetrization for
+    clustering) — computed as one keyed self-join of the edge list on
+    the reversed pair, never a second pass over the vectors.
+    """
+    a = _assignments(spark, sf_dir)
+    lhs = a.select("cid", F.col("vec_id").alias("src"),
+                   F.col("embedding").alias("s_emb"),
+                   F.col("v_nrm").alias("s_nrm"))
+    rhs = a.select("cid", F.col("vec_id").alias("dst"),
+                   F.col("embedding").alias("d_emb"),
+                   F.col("v_nrm").alias("d_nrm"))
+    cos = (F.expr(_s_dot("s_emb", "d_emb"))
+           / (F.col("s_nrm") * F.col("d_nrm")))
+    w = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(),
+                                          F.col("dst"))
+    edges = (lhs.join(rhs, "cid")
+                .where(F.col("src") != F.col("dst"))
+                .select("src", "dst", cos.alias("cos_raw"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= KNN_K)
+                .select("src", "dst", "cos_raw",
+                        F.col("rk").cast("long").alias("rk")))
+    rev = edges.select(F.col("src").alias("r_dst"),
+                       F.col("dst").alias("r_src"))
+    return (edges.join(rev, (edges.src == rev.r_src)
+                       & (edges.dst == rev.r_dst), "left")
+                 .select("src", "dst", F.round("cos_raw", 6).alias("cos"),
+                         "rk",
+                         F.col("r_src").isNotNull().alias("is_mutual"))
+                 .orderBy("src", "rk"))
+
+
+QUERIES["ann_knn_graph"] = ann_knn_graph
+ORACLES["ann_knn_graph"] = _DUCK_ASSIGN_CTE + f""",
+edges AS (
+  SELECT src, dst, cos_raw, rk FROM (
+    SELECT l.vec_id AS src, r.vec_id AS dst,
+           {_d_cos("l.embedding", "r.embedding")} AS cos_raw,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.vec_id
+             ORDER BY {_d_cos("l.embedding", "r.embedding")} DESC,
+                      r.vec_id) AS rk
+    FROM assign l JOIN assign r
+      ON l.cid = r.cid AND l.vec_id != r.vec_id)
+  WHERE rk <= {KNN_K})
+SELECT e.src, e.dst, ROUND(e.cos_raw, 6) AS cos, e.rk,
+       (m.src IS NOT NULL) AS is_mutual
+FROM edges e LEFT JOIN edges m ON m.src = e.dst AND m.dst = e.src
+ORDER BY e.src, e.rk
+"""

