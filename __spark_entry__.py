@@ -52,6 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
     # Round-6 additions (newest of all).
+    "sketch_hll_registers", "sketch_hll_estimate",
+    "sketch_cms_counters", "sketch_cms_point",
     "ann_knn_graph", "multimodal_g711_roundtrip", "multimodal_gif_decode",
     "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
     "q83_intransit_peak", "q84_brand_growth",

@@ -139,3 +139,286 @@ GROUP BY event_type, n.n
 HAVING COUNT(*) > n.n / 8.0
 ORDER BY cnt DESC, key
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, md5-keyed)
+# ---------------------------------------------------------------------------
+#
+# The mergeable distinct-count sketch every 100 TB pipeline runs instead of
+# COUNT(DISTINCT) when the key space is huge and the answer only needs ~2 %
+# accuracy (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm").  The 256-register state
+# is a per-partition accumulator merged with MAX — a map-side-combinable
+# aggregation whose shuffle is 256 rows regardless of input size.
+#
+# Everything below is INTEGER-exact so the DuckDB oracle can re-derive the
+# sketch bit for bit: the hash is md5 (identical in both engines), the
+# register index is the first two hex chars, the rank (rho) is counted from
+# the hex string directly, and the raw estimate uses a scaled integer
+# harmonic mean (alpha_256 as the fraction 718273/10^6, numerators held in
+# decimal(38,0)/HUGEINT).  The classic small-range linear-counting branch
+# needs a natural log, so instead of baking a float into the gate the query
+# REPORTS the zero-register count V alongside the raw estimate: estimate
+# consumers apply m*ln(m/V) when V > 0, exactly as Flajolet Fig. 3 says.
+#
+# Reference analogue: none — the reference counts its telemetry exactly
+# (obsreport); this is an engine-added scale operator (driver north star).
+
+#: 2^8 registers -> standard error 1.04/sqrt(256) ~ 6.5 %.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: rho cap so 2^(cap - rho) sums stay far inside int64.
+HLL_RHO_CAP = 41
+#: alpha_256 = 0.7213/(1 + 1.079/256) as an exact fraction.
+HLL_ALPHA_NUM = 718273
+HLL_ALPHA_DEN = 1_000_000
+
+_HEX = "0123456789abcdef"
+
+
+def _hll_bucket_rho(df: DataFrame, key_col) -> DataFrame:
+    """(bucket, rho) per input row, derived purely from md5 hex text so
+    the SQL oracle can reproduce it character for character."""
+    h = F.md5(F.col(key_col).cast("string"))
+    df = df.select(h.alias("h"))
+    df = df.withColumn("bucket",
+                       F.expr(f"(instr('{_HEX}', substring(h, 1, 1)) - 1) * 16"
+                              f" + (instr('{_HEX}', substring(h, 2, 1)) - 1)"))
+    df = df.withColumn("tail", F.substring("h", 3, 30))
+    df = df.withColumn("nz", F.length(F.regexp_extract("tail", "^0*", 0)))
+    df = df.withColumn(
+        "v", F.expr(f"CASE WHEN nz >= 30 THEN 0 ELSE "
+                    f"instr('{_HEX}', substring(tail, nz + 1, 1)) - 1 END"))
+    df = df.withColumn(
+        "rho", F.expr(f"CASE WHEN nz >= 30 THEN {HLL_RHO_CAP} ELSE "
+                      f"least(4 * nz + (CASE WHEN v >= 8 THEN 0 "
+                      f"WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END) + 1,"
+                      f" {HLL_RHO_CAP}) END"))
+    return df.select(F.col("bucket").cast("long").alias("bucket"),
+                     F.col("rho").cast("long").alias("rho"))
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """The sketch state itself: MAX(rho) per touched register.  This is
+    the thing a pipeline persists and merges across shards/days; merging
+    two sketches is a UNION ALL + the same MAX."""
+    return (_hll_bucket_rho(df, key_col)
+            .groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+            .orderBy("bucket"))
+
+
+def sketch_hll_registers(spark, sf_dir):
+    """Declared query: the 256-register HLL state over events.user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return hll_registers(events, "user_id")
+
+
+def sketch_hll_estimate(spark, sf_dir):
+    """Declared query: scaled-integer HLL raw estimate vs the exact
+    distinct count of events.user_id, plus the zero-register count V the
+    small-range (linear counting) branch would consume.  err_permille is
+    the integer |est - exact| * 1000 // exact."""
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(events, "user_id")
+    full = (events.sparkSession.range(HLL_M)
+            .select(F.col("id").alias("bucket"))
+            .join(regs, "bucket", "left")
+            .select(F.coalesce("max_rho", F.lit(0)).alias("m_rho")))
+    agg = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({HLL_RHO_CAP} - m_rho AS INT))")).alias("s"),
+        F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
+         .alias("zero_registers"))
+    num = (F.lit(HLL_ALPHA_NUM).cast("decimal(38,0)")
+           * F.lit(HLL_M * HLL_M) * F.lit(1 << HLL_RHO_CAP))
+    den = (F.lit(HLL_ALPHA_DEN).cast("decimal(38,0)") * F.col("s"))
+    est = agg.select(
+        F.floor(num / den).cast("long").alias("est_raw"),
+        F.col("zero_registers").cast("long").alias("zero_registers"))
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (est.crossJoin(exact)
+            .select("est_raw", "zero_registers", "exact_distinct",
+                    F.expr("abs(est_raw - exact_distinct) * 1000"
+                           " div exact_distinct")
+                    .cast("long").alias("err_permille")))
+
+
+_HLL_ROWS_SQL = f"""
+  SELECT (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
+         + (instr('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
+         CASE WHEN nz >= 30 THEN {HLL_RHO_CAP} ELSE
+           least(4 * nz + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                           WHEN v >= 2 THEN 2 ELSE 3 END) + 1,
+                 {HLL_RHO_CAP}) END AS rho
+  FROM (
+    SELECT h, nz,
+           CASE WHEN nz >= 30 THEN 0
+                ELSE instr('{_HEX}', substr(tail, nz + 1, 1)) - 1 END AS v
+    FROM (
+      SELECT h, substr(h, 3, 30) AS tail,
+             length(regexp_extract(substr(h, 3, 30), '^0*', 0)) AS nz
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events)))
+"""
+
+QUERIES["sketch_hll_registers"] = sketch_hll_registers
+ORACLES["sketch_hll_registers"] = f"""
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM ({_HLL_ROWS_SQL})
+GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["sketch_hll_estimate"] = sketch_hll_estimate
+ORACLES["sketch_hll_estimate"] = f"""
+WITH regs AS (
+  SELECT bucket, MAX(rho) AS max_rho
+  FROM ({_HLL_ROWS_SQL}) GROUP BY bucket
+),
+allregs AS (
+  SELECT g.i AS bucket, COALESCE(r.max_rho, 0) AS m_rho
+  FROM generate_series(0, {HLL_M - 1}) AS g(i)
+  LEFT JOIN regs r ON r.bucket = g.i
+),
+agg AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m_rho)) AS s,
+         SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS zero_registers
+  FROM allregs
+),
+exact AS (
+  SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+)
+SELECT
+  CAST((CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M}
+        * CAST({1 << HLL_RHO_CAP} AS HUGEINT))
+       // (CAST({HLL_ALPHA_DEN} AS HUGEINT) * s) AS BIGINT) AS est_raw,
+  CAST(zero_registers AS BIGINT) AS zero_registers,
+  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+  CAST(abs((CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M}
+            * CAST({1 << HLL_RHO_CAP} AS HUGEINT))
+           // (CAST({HLL_ALPHA_DEN} AS HUGEINT) * s) - exact_distinct)
+       * 1000 // exact_distinct AS BIGINT) AS err_permille
+FROM agg, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, md5-keyed)
+# ---------------------------------------------------------------------------
+#
+# The other workhorse frequency sketch (Cormode & Muthukrishnan 2005): a
+# d x w counter matrix where each key increments one cell per row, and a
+# point query reads the MIN over its d cells — always an OVERestimate,
+# within eps*n with probability 1-delta for w = e/eps, d = ln(1/delta).
+# Like the HLL above it is built as a single map-side-combinable
+# aggregation (explode to d cells, GROUP BY cell), so the shuffle is at
+# most d*w rows regardless of input size, and the whole construction is
+# integer-exact and md5-derived so DuckDB re-derives it bit for bit.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256          # 2 hex chars of md5("<row>:<key>")
+
+
+def _cms_col_expr(row: int, key_sql: str) -> str:
+    """SQL text (valid in both Spark SQL and DuckDB once substr/substring
+    is chosen) for the column index of ``key`` in sketch row ``row``."""
+    h = f"md5(CAST({row} AS STRING) || ':' || {key_sql})"
+    return (f"(instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+            f" + (instr('{_HEX}', substring({h}, 2, 1)) - 1)")
+
+
+def cms_counters(df: DataFrame, key_col: str) -> DataFrame:
+    """The sketch state: non-empty (row_id, col, cnt) cells."""
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    cells = keyed.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row_id"),
+                 F.expr(_cms_col_expr(i, "key")).alias("col"))
+        for i in range(CMS_DEPTH)])).alias("cell"))
+    return (cells.select("cell.row_id", "cell.col")
+            .groupBy("row_id", "col")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("row_id").cast("long").alias("row_id"),
+                    F.col("col").cast("long").alias("col"),
+                    F.col("cnt").cast("long").alias("cnt")))
+
+
+def sketch_cms_counters(spark, sf_dir):
+    """Declared query: the CMS state over events.user_id."""
+    return (cms_counters(load_table(spark, sf_dir, "events"), "user_id")
+            .orderBy("row_id", "col"))
+
+
+def sketch_cms_point(spark, sf_dir):
+    """Declared query: CMS point estimates vs exact counts for the 20
+    busiest users.  overcount = est - exact >= 0 always (one-sided CMS
+    error); with thousands of users hashed into 256 columns the
+    collisions are real, so a wrong hash, width, or min shows up as a
+    value mismatch, not just a zero column."""
+    events = load_table(spark, sf_dir, "events")
+    counters = cms_counters(events, "user_id")
+    exact = (events.select(F.col("user_id").cast("string").alias("key"))
+             .groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.col("exact_cnt").desc(), "key").limit(20))
+    probes = exact.select("key", "exact_cnt", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row_id"),
+                 F.expr(_cms_col_expr(i, "key")).alias("col"))
+        for i in range(CMS_DEPTH)])).alias("cell")) \
+        .select("key", "exact_cnt", "cell.row_id", "cell.col")
+    est = (probes.join(F.broadcast(counters), ["row_id", "col"])
+           .groupBy("key", "exact_cnt")
+           .agg(F.min("cnt").alias("est_cnt")))
+    return (est.select("key",
+                       F.col("est_cnt").cast("long").alias("est_cnt"),
+                       F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                       (F.col("est_cnt") - F.col("exact_cnt"))
+                       .cast("long").alias("overcount"))
+            .orderBy(F.col("exact_cnt").desc(), "key"))
+
+
+def _cms_cells_sql() -> str:
+    """DuckDB: one SELECT per sketch row, unioned (substr spelling)."""
+    parts = []
+    for i in range(CMS_DEPTH):
+        h = f"md5(CAST({i} AS VARCHAR) || ':' || key)"
+        col = (f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+               f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)")
+        parts.append(f"SELECT key, {i} AS row_id, {col} AS col FROM keyed")
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["sketch_cms_counters"] = f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+cells AS ({_cms_cells_sql()})
+SELECT CAST(row_id AS BIGINT) AS row_id, CAST(col AS BIGINT) AS col,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY row_id, col ORDER BY row_id, col
+"""
+QUERIES["sketch_cms_counters"] = sketch_cms_counters
+
+ORACLES["sketch_cms_point"] = f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+cells AS ({_cms_cells_sql()}),
+counters AS (
+  SELECT row_id, col, COUNT(*) AS cnt FROM cells GROUP BY row_id, col
+),
+exact AS (
+  SELECT key, COUNT(*) AS exact_cnt FROM keyed
+  GROUP BY key ORDER BY exact_cnt DESC, key LIMIT 20
+),
+probes AS ({" UNION ALL ".join(
+    f"SELECT key, exact_cnt, {i} AS row_id, " + (
+        lambda h: f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+                  f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)")(
+        f"md5(CAST({i} AS VARCHAR) || ':' || key)") + " AS col FROM exact"
+    for i in range(CMS_DEPTH))}),
+est AS (
+  SELECT p.key, p.exact_cnt, MIN(c.cnt) AS est_cnt
+  FROM probes p JOIN counters c ON p.row_id = c.row_id AND p.col = c.col
+  GROUP BY p.key, p.exact_cnt
+)
+SELECT key, CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+FROM est ORDER BY exact_cnt DESC, key
+"""
+QUERIES["sketch_cms_point"] = sketch_cms_point

@@ -1,0 +1,85 @@
+"""HyperLogLog and count-min sketches: cross-check against pure-Python
+reference implementations, plus the sketch laws (one-sided CMS error,
+mergeability of both states)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from otel_arrow_collector_spark.operators.sketches import (
+    CMS_DEPTH, CMS_WIDTH, HLL_M, HLL_RHO_CAP, cms_counters, hll_registers)
+from otel_arrow_collector_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _py_hll_registers(values):
+    """Straight-line Python twin of the md5/hex register derivation."""
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = h[2:32]
+        bits = bin(int(tail, 16))[2:].zfill(120)
+        nz_bits = len(bits) - len(bits.lstrip("0"))
+        rho = HLL_RHO_CAP if nz_bits >= 120 else min(nz_bits + 1,
+                                                     HLL_RHO_CAP)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    got = {r["bucket"]: r["max_rho"]
+           for r in hll_registers(events, "user_id").collect()}
+    vals = [r[0] for r in events.select("user_id").collect()]
+    assert got == _py_hll_registers(vals)
+    assert all(0 <= b < HLL_M for b in got)
+
+
+def test_hll_merge_is_max(spark):
+    """Union-then-sketch == sketch-then-elementwise-MAX (mergeability)."""
+    events = load_table(spark, SF_SMALL, "events")
+    lo = events.filter(F.col("event_id") % 2 == 0)
+    hi = events.filter(F.col("event_id") % 2 == 1)
+    whole = {r["bucket"]: r["max_rho"]
+             for r in hll_registers(events, "user_id").collect()}
+    a = {r["bucket"]: r["max_rho"]
+         for r in hll_registers(lo, "user_id").collect()}
+    b = {r["bucket"]: r["max_rho"]
+         for r in hll_registers(hi, "user_id").collect()}
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    counters = {(r["row_id"], r["col"]): r["cnt"]
+                for r in cms_counters(events, "user_id").collect()}
+    assert all(0 <= c < CMS_WIDTH and 0 <= d < CMS_DEPTH
+               for d, c in counters)
+
+    # point estimate >= exact count for EVERY key (one-sided error)
+    exact = Counter(str(r[0])
+                    for r in events.select("user_id").collect())
+    for key, cnt in exact.items():
+        est = min(
+            counters[(i, int(hashlib.md5(f"{i}:{key}".encode())
+                             .hexdigest()[:2], 16))]
+            for i in range(CMS_DEPTH))
+        assert est >= cnt
+
+    # sketch(A) + sketch(B) == sketch(A union B), elementwise
+    lo = events.filter(F.col("event_id") % 2 == 0)
+    hi = events.filter(F.col("event_id") % 2 == 1)
+    a = {(r["row_id"], r["col"]): r["cnt"]
+         for r in cms_counters(lo, "user_id").collect()}
+    b = {(r["row_id"], r["col"]): r["cnt"]
+         for r in cms_counters(hi, "user_id").collect()}
+    summed = Counter()
+    for part in (a, b):
+        for k, v in part.items():
+            summed[k] += v
+    assert dict(summed) == counters
