@@ -28,13 +28,13 @@ def collect_registry() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     """Gather every operator module's queries + oracles into one registry."""
-    from . import (curation, dedup, multimodal, relational, sampling,
-                   similarity, sketches, text)
+    from . import (curation, dedup, graph, multimodal, relational,
+                   sampling, similarity, sketches, text)
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, dedup, similarity, text, sampling, curation,
-                multimodal, sketches):
+                multimodal, sketches, graph):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

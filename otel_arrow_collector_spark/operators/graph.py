@@ -1,0 +1,254 @@
+"""Distributed graph operators over the synthetic corpus.
+
+Training-data curation keeps running into graph shapes — near-dup
+clusters (dedup.py's connected components), kNN graphs (similarity.py),
+and the two classics here:
+
+- **Triangle counting** on a co-occurrence graph (parts bought in the
+  same order — the classic market-basket projection).  The
+  implementation is the standard distributed wedge-join with the
+  node-ordering orientation (each triangle a<b<c is produced exactly
+  once, and every wedge enumeration is bounded by the oriented
+  out-degree — the trick that keeps the join from exploding on
+  high-degree nodes; Suri & Vassilvitskii 2011, "Counting triangles and
+  the curse of the last reducer").  Baskets above MAX_BASKET distinct
+  items are dropped before pair expansion — the high-degree-item guard
+  every co-occurrence pipeline applies, since one hub basket otherwise
+  contributes O(d^2) pairs.
+- **PageRank**, the canonical iterative message-passing algorithm, over
+  the per-user event-transition graph (same edge derivation as
+  q81_event_transitions).  Ranks are held in INTEGER fixed-point
+  (scale 10^12) with floor division at every step, which makes the
+  result bit-exact and order-independent — so three unrolled iterations
+  are expressible as plain SQL CTEs and the oracle gates real values,
+  not just shapes.  Each iteration is one join + one aggregation on the
+  edge list; at 100 TB the edge list is the big table, ranks are the
+  small one (|nodes| rows), so the join broadcasts the rank side.
+
+Reference analogue: none — the reference has no graph operators; these
+are engine-added scale operators (driver north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: Basket-size cap for the co-purchase pair expansion (hub guard).
+MAX_BASKET = 10
+#: Deterministic basket sampling: keep orders whose md5 leading hex
+#: digit is < BASKET_SAMPLE_HEX (3/16 = 18.75 %).  Co-occurrence graphs
+#: densify superlinearly with corpus size (every pair of popular items
+#: eventually co-occurs), so production basket analyses run on a basket
+#: SAMPLE; hashing the basket id keeps the choice reproducible and
+#: oracle-exact at every scale.
+BASKET_SAMPLE_HEX = 3
+_HEX = "0123456789abcdef"
+#: Fixed-point scale for PageRank ranks.
+PR_SCALE = 1_000_000_000_000
+#: Damping factor as an exact fraction (85/100).
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 3
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+def copurchase_edges(lineitem: DataFrame,
+                     cap: int = MAX_BASKET) -> DataFrame:
+    """Distinct undirected edges (u < v) between parts appearing in the
+    same order, with baskets above ``cap`` distinct parts dropped
+    before pair expansion (the O(d^2) hub guard).
+
+    One shuffle builds the baskets (groupBy order -> distinct part
+    set); the pair expansion itself is a whole-stage-codegen
+    higher-order-function over the basket array — no self-join, no
+    degree-table join."""
+    ps = (lineitem.select(F.col("l_orderkey").alias("o"),
+                          F.col("l_partkey").alias("s"))
+          .filter(F.expr(
+              f"instr('{_HEX}', substring(md5(CAST(o AS STRING)), 1, 1))"
+              f" - 1 < {BASKET_SAMPLE_HEX}")))
+    baskets = (ps.groupBy("o")
+               .agg(F.sort_array(F.collect_set("s")).alias("arr"))
+               .filter(F.size("arr") <= cap))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(arr, (x, i) ->"
+        " transform(slice(arr, i + 2, size(arr)),"
+        " y -> struct(x AS u, y AS v))))")).alias("e"))
+    return pairs.select("e.u", "e.v").distinct()
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via the oriented wedge join: wedges
+    (a-b, b-c) with a<b<c close into triangles iff edge (a, c) exists.
+    Every triangle is counted exactly once."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "b")          # wedges a<b<c
+             .join(e3, ["a", "c"]))  # close the triangle
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionAll(tri.select(F.col("b").alias("node")))
+             .unionAll(tri.select(F.col("c").alias("node"))))
+    return (nodes.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("tri_cnt")))
+
+
+def graph_triangle_count(spark, sf_dir):
+    """Declared query: the 20 parts participating in the most
+    co-purchase triangles (ties broken by key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (triangle_participation(copurchase_edges(li))
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("tri_cnt").cast("long").alias("tri_cnt"))
+            .orderBy(F.col("tri_cnt").desc(), "node").limit(20))
+
+
+QUERIES["graph_triangle_count"] = graph_triangle_count
+ORACLES["graph_triangle_count"] = f"""
+WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+            WHERE instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1))
+                  - 1 < {BASKET_SAMPLE_HEX}),
+deg AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN deg ON deg.o = ps.o
+          WHERE deg.ns <= {MAX_BASKET}),
+edges AS (SELECT DISTINCT a.s AS u, b.s AS v
+          FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node ORDER BY tri_cnt DESC, node LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer fixed-point, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def transition_edges(events: DataFrame) -> DataFrame:
+    """Weighted event-type transition edges (q81's derivation): LEAD per
+    user under the total order (us, event_id), then a pair count."""
+    ev = events.select(
+        "user_id", "event_type",
+        (F.col("ts_ns") / 1000).cast("long").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = ev.select("event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    return (p.where(F.col("next_type").isNotNull())
+            .groupBy(F.col("event_type").alias("src"),
+                     F.col("next_type").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w")))
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = PR_ITERS,
+                         scale: int = PR_SCALE) -> DataFrame:
+    """``iters`` PageRank iterations in integer fixed-point.
+
+    Per edge: contrib = (rank_src * w) // wout_src; per node:
+    rank' = (15 * base) // 100 + (85 * sum(contrib)) // 100 with
+    base = scale // n.  All divisions floor on non-negative integers, so
+    the result is bit-exact regardless of partitioning or merge order —
+    the property that lets a DuckDB CTE chain serve as the oracle.
+    Mass lost to flooring / dangling nodes is NOT redistributed (each
+    iteration documents its drop; consumers renormalize if they need a
+    distribution).  Products are held in decimal(38,0): rank < 10^12
+    and edge weights up to 10^7 keep rank*w < 10^19 — past int64 at
+    full scale, inside decimal38 with 19 digits of headroom.
+    """
+    spark = edges.sparkSession
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()          # |node types| — tiny by construction
+    base = scale // n
+    tele = (15 * base) // 100
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edges.join(outw, "src")
+    ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
+    for _ in range(iters):
+        contrib = (ew.join(F.broadcast(ranks),
+                           ew["src"] == ranks["node"])
+                   .select(
+                       "dst",
+                       F.floor(F.col("rank").cast("decimal(38,0)")
+                               * F.col("w") / F.col("wout"))
+                       .cast("long").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contrib,
+                            nodes["node"] == contrib["dst"], "left")
+                 .select(
+                     "node",
+                     (F.lit(tele)
+                      + F.floor(F.lit(PR_DAMP_NUM)
+                                * F.coalesce(F.col("s"), F.lit(0))
+                                .cast("decimal(38,0)")
+                                / F.lit(PR_DAMP_DEN)))
+                     .cast("long").alias("rank")))
+    return ranks
+
+
+def graph_pagerank(spark, sf_dir):
+    """Declared query: 3-iteration fixed-point PageRank of the event
+    types in the per-user transition graph."""
+    events = load_table(spark, sf_dir, "events")
+    return (pagerank_fixed_point(transition_edges(events))
+            .select("node", F.col("rank").cast("long").alias("rank"))
+            .orderBy(F.col("rank").desc(), "node"))
+
+
+def _pr_iter_sql(prev: str, this_c: str, this_r: str) -> str:
+    return f"""
+{this_c} AS (
+  SELECT e.dst AS node,
+         SUM((r.rank * e.w) // o.wout) AS s
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst),
+{this_r} AS (
+  SELECT n.node,
+         (SELECT tele FROM consts)
+         + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN} AS rank
+  FROM nodes n LEFT JOIN {this_c} c ON c.node = n.node)"""
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+ORACLES["graph_pagerank"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+p AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS next_type
+  FROM e),
+edges AS (
+  SELECT event_type AS src, next_type AS dst,
+         CAST(COUNT(*) AS HUGEINT) AS w
+  FROM p WHERE next_type IS NOT NULL GROUP BY src, dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+consts AS (
+  SELECT {PR_SCALE} // COUNT(*) AS base,
+         (15 * ({PR_SCALE} // COUNT(*))) // 100 AS tele
+  FROM nodes),
+r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+{_pr_iter_sql('r0', 'c1', 'r1')},
+{_pr_iter_sql('r1', 'c2', 'r2')},
+{_pr_iter_sql('r2', 'c3', 'r3')}
+SELECT node, CAST(rank AS BIGINT) AS rank
+FROM r3 ORDER BY rank DESC, node
+"""
