@@ -1482,3 +1482,134 @@ JOIN umap u ON u.bv = s.bv
 JOIN amap am ON am.bv = s.bv
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM path (operators/adpcm.py — audioop-pinned reference loop)
+# ---------------------------------------------------------------------------
+
+ADPCM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_dec", LongType()),
+    StructField("min_dec", LongType()),
+    StructField("max_dec", LongType()),
+    StructField("end_ix", LongType()),
+])
+
+
+def multimodal_adpcm_roundtrip(spark, sf_dir):
+    """IMA ADPCM end to end, value-gated: synthesize PCM16 clips from
+    the corpus (the WAV recipe: (byte-128)*256, text bytes cycled to 64
+    samples), run encode -> decode, publish per-doc aggregates of the
+    DECODED signal plus the final quantizer index.
+
+    The codec loop is audioop-pinned byte-exact (tests/test_adpcm.py).
+    The DuckDB twin re-derives the whole adaptive-quantizer recursion in
+    a recursive CTE — the encoder tracks the decoder, so the decoded
+    signal IS the encoder's valpred trajectory — which means one wrong
+    step-table entry, clamp, or index bump anywhere in the 64-sample
+    loop breaks the value hash.  Map-only plan: one mapInPandas stage,
+    clips are independent rows (the codec is sequential per clip, the
+    parallelism is across clips)."""
+    from .adpcm import adpcm_decode, adpcm_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                b = np.frombuffer(
+                    (seed * (64 // len(seed) + 1))[:64], np.uint8)
+                x = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
+                enc, _, _ = adpcm_encode(x)
+                dec, _, ix = adpcm_decode(enc, n=64)
+                d = dec.astype(np.int64)
+                rows.append({
+                    "doc_id": doc_id, "n_samples": 64,
+                    "sum_dec": int(d.sum()),
+                    "min_dec": int(d.min()), "max_dec": int(d.max()),
+                    "end_ix": int(ix)})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, ADPCM_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_adpcm_roundtrip"] = multimodal_adpcm_roundtrip
+# Recursive re-derivation of the IMA adaptive quantizer: the encoder
+# and decoder share state by construction, so decoded[i] == the
+# encoder's clamped prediction after consuming sample i.
+ORACLES["multimodal_adpcm_roundtrip"] = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 300
+),
+samples AS (
+  SELECT d.doc_id, g.i + 1 AS i,
+         ((strpos('0123456789ABCDEF',
+                  substr(d.hx, ((g.i % d.len)) * 2 + 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF',
+                    substr(d.hx, ((g.i % d.len)) * 2 + 2, 1)) - 1)
+          - 128) * 256 AS x
+  FROM docs d, generate_series(0, 63) AS g(i)
+),
+steps(six, step) AS (VALUES __STEPVALS__),
+st AS (
+  SELECT doc_id, 0 AS i, 0 AS vp, 0 AS ix, CAST(0 AS BIGINT) AS ssum,
+         32767 AS mn, -32768 AS mx
+  FROM docs
+  UNION ALL
+  SELECT doc_id, i + 1, vp2, ix2,
+         ssum + vp2, least(mn, vp2), greatest(mx, vp2)
+  FROM (
+    SELECT q3.doc_id, q3.i, q3.ssum, q3.mn, q3.mx,
+           CASE WHEN sign THEN greatest(vp - vpdiff, -32768)
+                ELSE least(vp + vpdiff, 32767) END AS vp2,
+           least(greatest(ix + CASE WHEN mag < 4 THEN -1
+                                    WHEN mag = 4 THEN 2
+                                    WHEN mag = 5 THEN 4
+                                    WHEN mag = 6 THEN 6
+                                    ELSE 8 END, 0), 88) AS ix2
+    FROM (
+      SELECT q2.*,
+             (step >> 3)
+             + CASE WHEN d4 THEN step ELSE 0 END
+             + CASE WHEN d2 THEN step >> 1 ELSE 0 END
+             + CASE WHEN d1 THEN step >> 2 ELSE 0 END AS vpdiff,
+             CASE WHEN d4 THEN 4 ELSE 0 END
+             + CASE WHEN d2 THEN 2 ELSE 0 END
+             + CASE WHEN d1 THEN 1 ELSE 0 END AS mag
+      FROM (
+        SELECT q1.*,
+               (a2 - CASE WHEN d2 THEN step >> 1 ELSE 0 END)
+                 >= (step >> 2) AS d1
+        FROM (
+          SELECT q0.*,
+                 a1 - CASE WHEN d4 THEN step ELSE 0 END AS a2,
+                 (a1 - CASE WHEN d4 THEN step ELSE 0 END)
+                   >= (step >> 1) AS d2
+          FROM (
+            SELECT st.doc_id, st.i, st.vp, st.ix, st.ssum, st.mn, st.mx,
+                   tb.step,
+                   (s.x - st.vp) < 0 AS sign,
+                   abs(s.x - st.vp) AS a1,
+                   abs(s.x - st.vp) >= tb.step AS d4
+            FROM st
+            JOIN samples s ON s.doc_id = st.doc_id AND s.i = st.i + 1
+            JOIN steps tb ON tb.six = st.ix
+            WHERE st.i < 64
+          ) q0
+        ) q1
+      ) q2
+    ) q3
+  ) q4
+)
+SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+       CAST(ssum AS BIGINT) AS sum_dec,
+       CAST(mn AS BIGINT) AS min_dec, CAST(mx AS BIGINT) AS max_dec,
+       CAST(ix AS BIGINT) AS end_ix
+FROM st WHERE i = 64 ORDER BY doc_id
+""".replace("__STEPVALS__", "(0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)")
