@@ -1613,3 +1613,79 @@ SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
        CAST(ix AS BIGINT) AS end_ix
 FROM st WHERE i = 64 ORDER BY doc_id
 """.replace("__STEPVALS__", "(0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)")
+
+
+# ---------------------------------------------------------------------------
+# QOI lossless image path (operators/qoi.py — reference-encoder chunk order)
+# ---------------------------------------------------------------------------
+
+QOI_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_px", LongType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+    StructField("lossless", LongType()),
+])
+
+
+def multimodal_qoi_roundtrip(spark, sf_dir):
+    """QOI encode -> decode over synthesized 16x16 RGB images (pixel
+    bytes = text bytes cycled, the g711/WAV recipe), value-gated on the
+    DECODED image: per-channel sums must equal the source sums (QOI is
+    lossless), and ``lossless`` is the exact-equality flag.  The DuckDB
+    twin re-derives the source-channel sums from the same byte recipe,
+    so any corruption anywhere in the chunk state machine (index
+    collisions, DIFF wraparound, run splits) flips a sum or the flag
+    and breaks the value hash.  Chunk-level byte behavior is pinned
+    separately against spec-derived vectors (tests/test_qoi.py).
+    Map-only plan: one mapInPandas stage, images independent per row."""
+    from .qoi import qoi_decode, qoi_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                raw = np.frombuffer(
+                    (seed * (768 // len(seed) + 1))[:768], np.uint8)
+                img = raw.reshape(16, 16, 3)
+                dec, _ = qoi_decode(qoi_encode(img))
+                d = dec.astype(np.int64)
+                rows.append({
+                    "doc_id": doc_id, "n_px": 256,
+                    "sum_r": int(d[:, :, 0].sum()),
+                    "sum_g": int(d[:, :, 1].sum()),
+                    "sum_b": int(d[:, :, 2].sum()),
+                    "lossless": int((dec == img).all())})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, QOI_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_qoi_roundtrip"] = multimodal_qoi_roundtrip
+# Source-channel sums re-derived from the cycled-byte recipe; channel
+# of byte j is j % 3.  lossless == 1 is part of the gated contract.
+ORACLES["multimodal_qoi_roundtrip"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 300
+),
+bytes AS (
+  SELECT d.doc_id, g.j % 3 AS chan,
+         (strpos('0123456789ABCDEF',
+                 substr(d.hx, ((g.j % d.len)) * 2 + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(d.hx, ((g.j % d.len)) * 2 + 2, 1)) - 1) AS bv
+  FROM docs d, generate_series(0, 767) AS g(j)
+)
+SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN chan = 0 THEN bv ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN chan = 1 THEN bv ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN chan = 2 THEN bv ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(1 AS BIGINT) AS lossless
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""
