@@ -544,3 +544,117 @@ SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
             // (CAST(wsum AS HUGEINT) * tokens) AS BIGINT) AS upsample_micro
 FROM w, ws ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination screen
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: k hashes into 2^16 bits.
+BLOOM_K = 3
+BLOOM_HEXCHARS = 4          # 4 hex chars = 16-bit positions
+_BHEX = "0123456789abcdef"
+
+
+def _bloom_pos_exprs(sh_col: str, substr_fn: str) -> list[str]:
+    """One 16-bit bit-position expression per hash, both dialects."""
+    out = []
+    for i in range(BLOOM_K):
+        h = f"md5('{i}:' || {sh_col})"
+        val = " + ".join(
+            f"(instr('{_BHEX}', {substr_fn}({h}, {j + 1}, 1)) - 1)"
+            f" * {16 ** (BLOOM_HEXCHARS - 1 - j)}"
+            for j in range(BLOOM_HEXCHARS))
+        out.append(f"({val})")
+    return out
+
+
+def bloom_screen(spark, sf_dir):
+    """Contamination screen via a Bloom filter instead of the exact
+    benchmark-shingle set: the benchmark's 3-gram shingles set
+    ``BLOOM_K`` md5-derived bits in a 2^16-bit filter; a corpus shingle
+    is a MAYBE-hit iff all its bits are set.  Per doc the query reports
+    maybe-hits next to exact hits, so the Bloom false-positive rate is
+    observable (n_maybe >= n_exact always — one-sided, like the CMS).
+
+    Why at 100 TB: the exact screen broadcasts the full benchmark
+    shingle SET; the Bloom variant broadcasts a fixed 8 KiB bitset no
+    matter how many benchmarks pile up — the filter is the thing you
+    ship to every executor (and every other team).  Construction is one
+    distinct-aggregation over benchmark shingles; the probe is a
+    broadcast semi-join per hash, candidate work linear in corpus
+    shingle count.  Everything md5-derived and integer-exact, so the
+    DuckDB twin re-derives filter and probe bit for bit.
+    """
+    from .dedup import _spark_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", "source",
+                   F.split("text", " ").alias("ws"))
+            .select("doc_id", "source",
+                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                     .alias("sh")))
+    pos = _bloom_pos_exprs("sh", "substring")
+    bits = (sh.filter(F.col("source") == "src0")
+            .select(F.explode(F.array(
+                *[F.expr(p) for p in pos])).alias("bit"))
+            .distinct())
+    corpus = sh.filter(F.col("source") != "src0")
+    probes = corpus.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit"))
+    maybe = (probes.join(F.broadcast(bits), "bit")
+             .groupBy("doc_id", "sh")
+             .agg(F.count(F.lit(1)).alias("nbits"))
+             .filter(F.col("nbits") == BLOOM_K)
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_maybe")))
+    bench = (sh.filter(F.col("source") == "src0")
+             .select("sh").distinct())
+    exact = (corpus.join(F.broadcast(bench), "sh")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact")))
+    return (maybe.join(exact, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_maybe").cast("long").alias("n_maybe"),
+                    F.coalesce("n_exact", F.lit(0)).cast("long")
+                    .alias("n_exact"))
+            .orderBy("doc_id").limit(500))
+
+
+QUERIES["bloom_screen"] = bloom_screen
+
+
+def _bloom_oracle() -> str:
+    pos = _bloom_pos_exprs("sh", "substr")
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {p} AS bit FROM corpus" for p in pos)
+    bits_union = " UNION ALL ".join(
+        f"SELECT DISTINCT {p} AS bit FROM bench_sh" for p in pos)
+    return f"""
+WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS sh
+       FROM docs),
+bench_sh AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+corpus AS (SELECT doc_id, sh FROM sh WHERE source != 'src0'),
+bits AS (SELECT DISTINCT bit FROM ({bits_union})),
+probes AS ({probe_union}),
+maybe AS (
+  SELECT doc_id, COUNT(*) AS n_maybe FROM (
+    SELECT p.doc_id, p.sh
+    FROM probes p JOIN bits b ON p.bit = b.bit
+    GROUP BY p.doc_id, p.sh HAVING COUNT(*) = {BLOOM_K})
+  GROUP BY doc_id),
+exact AS (
+  SELECT c.doc_id, COUNT(*) AS n_exact
+  FROM corpus c JOIN bench_sh b ON c.sh = b.sh GROUP BY c.doc_id)
+SELECT m.doc_id, CAST(m.n_maybe AS BIGINT) AS n_maybe,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact
+FROM maybe m LEFT JOIN exact e ON e.doc_id = m.doc_id
+ORDER BY m.doc_id LIMIT 500
+"""
+
+
+ORACLES["bloom_screen"] = _bloom_oracle()

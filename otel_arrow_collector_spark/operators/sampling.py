@@ -96,3 +96,71 @@ SELECT lang,
        COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
 FROM t GROUP BY 1, 2 ORDER BY lang, split
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (hash-priority)
+# ---------------------------------------------------------------------------
+
+#: docs drawn per language stratum
+WEIGHTED_K = 50
+_HEX16 = "0123456789abcdef"
+
+
+def _hexint_sql(h_expr: str, nchars: int, substr_fn: str) -> str:
+    """Integer value of the first ``nchars`` hex chars of ``h_expr`` as
+    pure strpos/substr arithmetic — identical semantics in Spark SQL
+    (substring) and DuckDB (substr), neither of which shares a native
+    hex-parse function with the other."""
+    terms = [
+        f"(instr('{_HEX16}', {substr_fn}({h_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, ``WEIGHTED_K`` docs per
+    language, weight = n_chars: each doc draws the integer priority
+    md5_28bit('wgt:' || doc_id) // n_chars and the smallest priorities
+    win — a doc with twice the weight halves its expected priority, the
+    integer cousin of the A-ES exponential-key scheme (Efraimidis &
+    Spirakis 2006), chosen over the float form so the oracle gates
+    EXACT values (no pow/log cross-engine drift).
+
+    Scale shape: priorities are a map-side expression; per-stratum
+    selection is one window top-k (the q19 pattern) — no global sort,
+    no driver state, reruns are bit-identical (pure function of keys).
+    """
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    hv = _hexint_sql("md5('wgt:' || CAST(doc_id AS STRING))", 7,
+                     "substring")
+    pri = F.expr(f"CAST({hv} DIV greatest(n_chars, 1) AS BIGINT)")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (d.select("lang", "doc_id",
+                     F.col("n_chars").cast("long").alias("n_chars"),
+                     pri.alias("priority"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= WEIGHTED_K)
+            .select("lang", "doc_id", "n_chars", "priority")
+            .orderBy("lang", "priority", "doc_id"))
+
+
+QUERIES["sample_weighted"] = sample_weighted
+ORACLES["sample_weighted"] = f"""
+WITH pri AS (
+  SELECT lang, doc_id, n_chars,
+         {_hexint_sql("md5('wgt:' || CAST(doc_id AS VARCHAR))", 7, "substr")}
+           // greatest(n_chars, 1) AS priority,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_hexint_sql(
+                                "md5('wgt:' || CAST(doc_id AS VARCHAR))",
+                                7, "substr")}
+                              // greatest(n_chars, 1), doc_id) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(priority AS BIGINT) AS priority
+FROM pri WHERE rk <= {WEIGHTED_K}
+ORDER BY lang, priority, doc_id
+"""
