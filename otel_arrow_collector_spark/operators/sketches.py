@@ -422,3 +422,191 @@ SELECT key, CAST(est_cnt AS BIGINT) AS est_cnt,
 FROM est ORDER BY exact_cnt DESC, key
 """
 QUERIES["sketch_cms_point"] = sketch_cms_point
+
+
+def sketch_hll_by_group(spark, sf_dir):
+    """Declared query: per-event-type HLL distinct-user estimates — the
+    sketch as a GROUP-LEVEL mergeable aggregate (the way a 100 TB
+    pipeline stores per-tenant/per-day distinct counts: 256 small ints
+    per group, mergeable with MAX, no re-scan to combine periods).
+    Same integer estimator as sketch_hll_estimate, per group, with the
+    exact distinct count and integer err_permille alongside."""
+    events = load_table(spark, sf_dir, "events")
+    # _hll_bucket_rho drops non-key columns, so derive inline per group
+    keyed = events.select(
+        F.col("event_type").alias("grp"),
+        F.md5(F.col("user_id").cast("string")).alias("h"))
+    keyed = keyed.withColumn(
+        "bucket",
+        F.expr(f"(instr('{_HEX}', substring(h, 1, 1)) - 1) * 16"
+               f" + (instr('{_HEX}', substring(h, 2, 1)) - 1)"))
+    keyed = keyed.withColumn("tail", F.substring("h", 3, 30))
+    keyed = keyed.withColumn(
+        "nz", F.length(F.regexp_extract("tail", "^0*", 0)))
+    keyed = keyed.withColumn(
+        "v", F.expr(f"CASE WHEN nz >= 30 THEN 0 ELSE "
+                    f"instr('{_HEX}', substring(tail, nz + 1, 1)) - 1 END"))
+    keyed = keyed.withColumn(
+        "rho", F.expr(f"CASE WHEN nz >= 30 THEN {HLL_RHO_CAP} ELSE "
+                      f"least(4 * nz + (CASE WHEN v >= 8 THEN 0 "
+                      f"WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END)"
+                      f" + 1, {HLL_RHO_CAP}) END"))
+    regs = (keyed.groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("max_rho")))
+    grps = regs.select("grp").distinct()
+    dense = (grps.crossJoin(
+                events.sparkSession.range(HLL_M)
+                .select(F.col("id").alias("bucket")))
+             .join(regs, ["grp", "bucket"], "left")
+             .select("grp", F.coalesce("max_rho", F.lit(0)).alias("m_rho")))
+    agg = dense.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({HLL_RHO_CAP} - m_rho AS INT))")).alias("s"))
+    num = (F.lit(HLL_ALPHA_NUM).cast("decimal(38,0)")
+           * F.lit(HLL_M * HLL_M) * F.lit(1 << HLL_RHO_CAP))
+    den = (F.lit(HLL_ALPHA_DEN).cast("decimal(38,0)") * F.col("s"))
+    est = agg.select("grp", F.floor(num / den).cast("long").alias("est"))
+    exact = (events.groupBy(F.col("event_type").alias("grp"))
+             .agg(F.countDistinct("user_id").cast("long").alias("exact")))
+    return (est.join(exact, "grp")
+            .select(F.col("grp").alias("event_type"), "est", "exact",
+                    F.expr("abs(est - exact) * 1000 div exact")
+                    .cast("long").alias("err_permille"))
+            .orderBy("event_type"))
+
+
+_HLL_GROUP_ROWS_SQL = f"""
+  SELECT grp,
+         (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
+         + (instr('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
+         CASE WHEN nz >= 30 THEN {HLL_RHO_CAP} ELSE
+           least(4 * nz + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                           WHEN v >= 2 THEN 2 ELSE 3 END) + 1,
+                 {HLL_RHO_CAP}) END AS rho
+  FROM (
+    SELECT grp, h, nz,
+           CASE WHEN nz >= 30 THEN 0
+                ELSE instr('{_HEX}', substr(tail, nz + 1, 1)) - 1 END AS v
+    FROM (
+      SELECT grp, h, substr(h, 3, 30) AS tail,
+             length(regexp_extract(substr(h, 3, 30), '^0*', 0)) AS nz
+      FROM (SELECT event_type AS grp,
+                   md5(CAST(user_id AS VARCHAR)) AS h FROM events)))
+"""
+
+QUERIES["sketch_hll_by_group"] = sketch_hll_by_group
+ORACLES["sketch_hll_by_group"] = f"""
+WITH regs AS (
+  SELECT grp, bucket, MAX(rho) AS max_rho
+  FROM ({_HLL_GROUP_ROWS_SQL}) GROUP BY grp, bucket
+),
+dense AS (
+  SELECT g.grp, b.i AS bucket, COALESCE(r.max_rho, 0) AS m_rho
+  FROM (SELECT DISTINCT grp FROM regs) g
+  CROSS JOIN generate_series(0, {HLL_M - 1}) AS b(i)
+  LEFT JOIN regs r ON r.grp = g.grp AND r.bucket = b.i
+),
+agg AS (
+  SELECT grp, SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m_rho)) AS s
+  FROM dense GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         CAST((CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M}
+               * CAST({1 << HLL_RHO_CAP} AS HUGEINT))
+              // (CAST({HLL_ALPHA_DEN} AS HUGEINT) * s) AS BIGINT) AS est
+  FROM agg
+),
+exact AS (
+  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS exact
+  FROM events GROUP BY event_type
+)
+SELECT e.grp AS event_type, est, CAST(exact AS BIGINT) AS exact,
+       CAST(abs(est - exact) * 1000 // exact AS BIGINT) AS err_permille
+FROM est e JOIN exact x ON x.grp = e.grp ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles (deterministic hash sample + exact rank selection)
+# ---------------------------------------------------------------------------
+#
+# The scale path for quantiles when a full sort is off the table: take a
+# deterministic ~6.25 % hash sample (md5 leading hex digit 0), compute
+# EXACT rank-selected quantiles of the sample, and report them next to
+# the exact full-data quantiles so the sampling error is observable.
+# Rank selection is spelled out manually (row_number under a total
+# order, pick ceil(q * n)) because the engines' built-in quantile
+# functions disagree on interpolation — the manual form is definitional
+# and bit-identical in both.  At 100 TB the sample is the only sorted
+# thing, and even that needs no global sort here: a window rank over a
+# few percent of the data vs a full-data sort is the difference that
+# matters; tighter still, production replaces the window with
+# per-partition selection + merge (the KLL route) once samples stop
+# fitting a task.
+
+#: keep rows whose md5 leading hex digit is 0 (1/16 = 6.25 %)
+QSAMPLE_HEXDIGIT = "0"
+QUANTILES = (50, 90, 99)
+
+
+def sketch_quantile_sampled(spark, sf_dir):
+    """Declared query: sampled vs exact p50/p90/p99 of lineitem
+    l_extendedprice (cents, integer-exact), plus sample accounting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    base = li.select(cents.alias("v"), F.col("l_orderkey"),
+                     F.col("l_linenumber"))
+    key = F.md5(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
+                         F.lit(":"), F.col("l_linenumber").cast("string")))
+    samp = base.filter(F.substring(key, 1, 1) == QSAMPLE_HEXDIGIT)
+
+    def ranked(df):
+        from pyspark.sql import Window
+        w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+        return df.withColumn("rk", F.row_number().over(w))
+
+    out = []
+    for name, df in (("sample", samp), ("exact", base)):
+        n = df.count()
+        r = ranked(df)
+        rows = []
+        for q in QUANTILES:
+            pos = (q * n + 99) // 100       # ceil(q*n/100)
+            rows.append(
+                r.filter(F.col("rk") == pos)
+                 .select(F.lit(name).alias("src"),
+                         F.lit(q).cast("long").alias("q"),
+                         F.col("v").alias("value_cents"),
+                         F.lit(n).cast("long").alias("n")))
+        d = rows[0]
+        for x in rows[1:]:
+            d = d.unionAll(x)
+        out.append(d)
+    return out[0].unionAll(out[1]).orderBy("src", "q")
+
+
+QUERIES["sketch_quantile_sampled"] = sketch_quantile_sampled
+ORACLES["sketch_quantile_sampled"] = f"""
+WITH base AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+samp AS (
+  SELECT * FROM base
+  WHERE substr(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR)), 1, 1)
+        = '{QSAMPLE_HEXDIGIT}'),
+rs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber)
+              AS rk, COUNT(*) OVER () AS n FROM samp),
+re AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber)
+              AS rk, COUNT(*) OVER () AS n FROM base),
+qs(q) AS (VALUES (50), (90), (99))
+SELECT src, CAST(q AS BIGINT) AS q, value_cents, n FROM (
+  SELECT 'sample' AS src, q.q, r.v AS value_cents, r.n
+  FROM qs q JOIN rs r ON r.rk = (q.q * r.n + 99) // 100
+  UNION ALL
+  SELECT 'exact' AS src, q.q, r.v AS value_cents, r.n
+  FROM qs q JOIN re r ON r.rk = (q.q * r.n + 99) // 100
+) ORDER BY src, q
+"""
