@@ -393,3 +393,58 @@ def test_ann_knn_graph_is_cell_bounded(spark):
     # every nested-loop join is the centroid broadcast (tiny build side),
     # recognizable by its Cross type right after the k-means stage
     assert "windowspecdefinition(src" in plan
+
+
+def test_hll_registers_map_side_combinable(spark):
+    """The HLL sketch's scale claim: one hash-aggregate pair (partial +
+    final) over a map-side expression — a single exchange whose payload
+    is at most 256 register rows, and no Python in the plan."""
+    plan = _plan(spark, "sketch_hll_registers")
+    # formatted explain prints each node twice -> 2 matches per real
+    # exchange; 2 real exchanges = partial->final agg + output sort
+    assert _shuffles(plan) <= 4
+    assert "HashAggregate" in plan
+    assert "Python" not in plan                   # pure JVM expressions
+    assert "Join" not in plan
+
+
+def test_cms_counters_single_aggregation(spark):
+    """CMS construction: explode to d cells then ONE aggregation; the
+    shuffle payload is bounded by d*w cells, not the input size."""
+    plan = _plan(spark, "sketch_cms_counters")
+    assert "Generate" in plan                     # the explode
+    assert _shuffles(plan) <= 4                   # 2 real (see above)
+    assert "Python" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge-join triangle counting must stay a pair of equi-joins on
+    the (capped) edge list — never a cartesian/BNLJ expansion."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan        # top-20, no full sort
+
+
+def test_pagerank_broadcasts_rank_side(spark):
+    """Each PageRank iteration joins the big edge list against the tiny
+    rank table — the rank side must broadcast (no SMJ on edges)."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_screen_broadcasts_filter_bits(spark):
+    """The Bloom screen's reason to exist: the probe side joins a
+    broadcast bitset, never a shuffled benchmark set."""
+    plan = _plan(spark, "bloom_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_no_global_sort_before_topk(spark):
+    """Per-stratum top-k via window rank: one exchange on the stratum
+    key; priorities are map-side expressions (no Python)."""
+    plan = _plan(spark, "sample_weighted")
+    assert "Python" not in plan
+    assert "Window" in plan
