@@ -3065,3 +3065,149 @@ def q84(spark, sf_dir):
                              / F.col("prev")).cast("long")
                       .alias("growth_bp"))
              .orderBy("p_brand", "ym"))
+
+
+@_register("q85_revenue_percentiles", """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey)
+SELECT suppkey, cents,
+       PERCENT_RANK() OVER (ORDER BY cents) AS pct_rank,
+       CUME_DIST() OVER (ORDER BY cents) AS cume
+FROM rev ORDER BY cents DESC, suppkey LIMIT 100
+""")
+def q85(spark, sf_dir):
+    """Distribution-position ranking: PERCENT_RANK + CUME_DIST over
+    per-supplier revenue — the "where does this tenant sit in the
+    distribution" report (rank-based, not value-interpolated, so it is
+    exact and cross-engine identical: both functions are pure integer
+    rank ratios evaluated in IEEE doubles from identical operands).
+
+    Window runs over PRE-AGGREGATED supplier rows (supplier
+    cardinality, not lineitem cardinality) — same altitude rule as
+    q49/q77; at 100 TB the fact aggregation is the heavy stage and the
+    ranking input stays small.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
+             .agg(F.sum(F.round(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 100)
+                        .cast("long")).alias("cents")))
+    w = Window.orderBy("cents")
+    return (rev.select("suppkey", "cents",
+                       F.percent_rank().over(w).alias("pct_rank"),
+                       F.cume_dist().over(w).alias("cume"))
+               .orderBy(F.col("cents").desc(), "suppkey").limit(100))
+
+
+@_register("q86_gap_filled_daily", """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day),
+spine AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS day
+  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        FROM d GROUP BY event_type)),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+  FROM spine s LEFT JOIN d ON d.event_type = s.event_type
+                           AND d.day = s.day)
+SELECT event_type, day, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            * 1000 // 7 AS BIGINT) AS ma7_milli
+FROM filled ORDER BY event_type, day
+""")
+def q86(spark, sf_dir):
+    """Gap-filled daily series + trailing 7-day moving average: build
+    the complete day spine per series with ``sequence`` (dense-from-
+    sparse — the step every dashboard and forecasting feed needs,
+    because a day with zero events must APPEAR as zero, not vanish),
+    left-join the observed counts, and run one ROWS-frame window.
+
+    Scale shape: the spine explode is |series| x |days| — tiny next to
+    the fact table — and the expensive stage is the ONE hash
+    aggregation of the facts; the window then runs on the dense series,
+    one exchange on event_type.  ma7 published milli-scaled via integer
+    floor division (cross-engine exact).
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.select("event_type",
+                   (F.col("ts_ns") / 1000).cast("long").alias("us"))
+           .select("event_type",
+                   F.expr("us div 86400000000").alias("day"))
+           .groupBy("event_type", "day")
+           .agg(F.count(F.lit(1)).alias("n")))
+    spine = (d.groupBy("event_type")
+              .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+              .select("event_type",
+                      F.explode(F.sequence("mn", "mx")).alias("day")))
+    filled = (spine.join(d, ["event_type", "day"], "left")
+              .select("event_type", "day",
+                      F.coalesce("n", F.lit(0)).alias("n")))
+    return (filled.select(
+                "event_type", F.col("day").cast("long").alias("day"),
+                F.col("n").cast("long").alias("n"))
+            .withColumn("ma7_milli",
+                        F.expr("sum(n) OVER (PARTITION BY event_type"
+                               " ORDER BY day ROWS BETWEEN 6 PRECEDING"
+                               " AND CURRENT ROW) * 1000 div 7")
+                        .cast("long"))
+            .orderBy("event_type", "day"))
+
+
+@_register("q87_forward_fill", """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type <> 'view'
+              THEN CAST(floor(value * 100) AS BIGINT) END AS x
+  FROM events),
+f AS (
+  SELECT user_id, x,
+         LAST_VALUE(x IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xf
+  FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(SUM(CASE WHEN xf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfilled,
+       CAST(SUM(COALESCE(xf, 0)) AS BIGINT) AS filled_sum
+FROM f GROUP BY user_id ORDER BY user_id
+""")
+def q87(spark, sf_dir):
+    """Forward-fill imputation (LOCF): carry the last observation
+    forward per user under a total order — ``last_value(..., ignore
+    nulls)`` with an explicit ROWS frame, the observability staple for
+    gauge-style signals that only report on change.  'view' events are
+    the deterministic mask (their value is treated as unreported).
+
+    One window exchange on user_id, then one hash aggregation; leading
+    nulls stay null (n_unfilled counts them), everything integer-cent
+    exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (F.col("ts_ns") / 1000).cast("long").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") != "view",
+               F.floor(F.col("value") * 100).cast("long")).alias("x"))
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    f = e.select("user_id", "x",
+                 F.last("x", ignorenulls=True).over(w).alias("xf"))
+    return (f.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("x").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_masked"),
+                 F.sum(F.when(F.col("xf").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_unfilled"),
+                 F.sum(F.coalesce("xf", F.lit(0))).cast("long")
+                  .alias("filled_sum"))
+            .orderBy("user_id"))
