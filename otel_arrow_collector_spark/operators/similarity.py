@@ -838,3 +838,125 @@ SELECT e.src, e.dst, ROUND(e.cos_raw, 6) AS cos, e.rk,
 FROM edges e LEFT JOIN edges m ON m.src = e.dst AND m.dst = e.src
 ORDER BY e.src, e.rk
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) codes from the k-means codebooks
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64 dims -> PQ_M subspaces of PQ_DSUB dims each; the
+#: per-subspace codebook is the k-means centroids' subvector slice
+#: (IVF-PQ-style reuse of the trained coarse model, minus residuals).
+PQ_M = 8
+PQ_DSUB = 8
+
+
+def _pq_codebook(spark, sf_dir) -> list[list[list[float]]]:
+    """C[s][cid][d]: the trained centroid model sliced per subspace —
+    a tiny (8 x 8 x 8 doubles) driver-side artifact, inlined as literal
+    expressions so encoding is a pure map (the model-broadcast shape)."""
+    cents = _kmeans_centroids(spark, sf_dir).orderBy("cid").collect()
+    return [[list(r.c_emb[s * PQ_DSUB:(s + 1) * PQ_DSUB]) for r in cents]
+            for s in range(PQ_M)]
+
+
+def _dlit(x: float) -> str:
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def ann_pq_codes(spark, sf_dir):
+    """Product-quantization encoding accounting: every vector maps to
+    PQ_M 3-bit codes (nearest sub-centroid per 8-dim slice, squared
+    euclidean, tie to the lowest code), 8 bytes of storage standing in
+    for 512 — the memory-budget path that makes billion-vector search
+    fit RAM (Jegou et al. 2011).  Published as the per-(subspace, code)
+    histogram with summed reconstruction error (nano-scaled integers so
+    the cross-vector sum is order-independent).
+
+    Scale shape: the codebook is 8x8x8 doubles inlined as literals, so
+    encoding is whole-stage-codegen map work inside the scan — no
+    shuffle, no Python, no join; the only exchange is the 64-row final
+    histogram.  The distance folds are sequential (i = 1..8) so the
+    DuckDB twin — which recomputes the same codebook through the
+    unrolled k-means CTE chain — reproduces every double bit for bit.
+    """
+    C = _pq_codebook(spark, sf_dir)
+
+    def clit(s: int) -> str:
+        # codebook slice for subspace s as a constant nested array
+        return ("array(" + ", ".join(
+            "array(" + ", ".join(_dlit(c) for c in C[s][k]) + ")"
+            for k in range(len(C[s]))) + ")")
+
+    def dist(s: int) -> str:
+        # squared euclidean of the s-th slice vs candidate k's slice;
+        # sequential fold i = 1..PQ_DSUB (oracle-identical order).
+        # k is the enclosing lambda's variable (runtime index into the
+        # literal codebook — constant expression size, no CASE blowup).
+        return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
+                f"(a, i) -> a + (ve[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({clit(s)}, k + 1), i)) "
+                f"* (ve[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({clit(s)}, k + 1), i)))")
+        # NB: Spark [] subscripts are 0-based, element_at/DuckDB 1-based
+
+    def best(s: int, field: str) -> str:
+        # runtime left fold over candidate codes: strict < keeps the
+        # lowest code on ties (== the oracle's ORDER BY d, code).
+        return (f"(aggregate(sequence(0, {len(C[s]) - 1}), "
+                f"named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), "
+                f"(acc, k) -> CASE WHEN {dist(s)} < acc.d "
+                f"THEN named_struct('d', {dist(s)}, 'c', k) "
+                f"ELSE acc END)).{field}"
+                )
+
+    be = bucketed_embeddings(spark, sf_dir)
+    ve = be.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
+    cells = ve.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.expr(best(s, "c")).alias("code"),
+                 F.expr(f"CAST(floor({best(s, 'd')} * 1e9) AS BIGINT)")
+                 .alias("err9"))
+        for s in range(PQ_M)])).alias("pc"))
+    return (cells.select("pc.s", "pc.code", "pc.err9")
+            .groupBy("s", "code")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum("err9").alias("sum_err_nano"))
+            .select(F.col("s").cast("long").alias("s"),
+                    F.col("code").cast("long").alias("code"),
+                    F.col("n_vectors").cast("long").alias("n_vectors"),
+                    F.col("sum_err_nano").cast("long").alias("sum_err_nano"))
+            .orderBy("s", "code"))
+
+
+QUERIES["ann_pq_codes"] = ann_pq_codes
+ORACLES["ann_pq_codes"] = f"""
+{_DUCK_ASSIGN_CTE},
+ve AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings),
+sub AS (
+  SELECT c.cid AS code, g.s AS s, c.c_emb AS c_emb
+  FROM c{KMEANS_ITERS} c, generate_series(0, {PQ_M - 1}) AS g(s)),
+dists AS (
+  SELECT v.vec_id, s.s, s.code,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (ve[CAST(i + s.s * {PQ_DSUB} AS INT)]
+                 - c_emb[CAST(i + s.s * {PQ_DSUB} AS INT)])
+                * (ve[CAST(i + s.s * {PQ_DSUB} AS INT)]
+                   - c_emb[CAST(i + s.s * {PQ_DSUB} AS INT)])),
+           (a, v) -> a + v) AS d
+  FROM ve v CROSS JOIN sub s),
+codes AS (
+  SELECT vec_id, s, code, d FROM (
+    SELECT vec_id, s, code, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d, code) AS rk
+    FROM dists) WHERE rk = 1)
+SELECT CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(floor(d * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_nano
+FROM codes GROUP BY s, code ORDER BY s, code
+"""
