@@ -552,7 +552,13 @@ QUANTILES = (50, 90, 99)
 
 def sketch_quantile_sampled(spark, sf_dir):
     """Declared query: sampled vs exact p50/p90/p99 of lineitem
-    l_extendedprice (cents, integer-exact), plus sample accounting."""
+    l_extendedprice (cents, integer-exact), plus sample accounting.
+
+    The exact side is the AUDIT cost (one global rank pass you pay to
+    validate the sample, the ann_recall_report pattern); the sample
+    side is the production path — its global window runs over ~6 % of
+    the rows, and at 100 TB the window is replaced by per-partition
+    selection + merge (KLL-style) while the sample stays the same."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     base = li.select(cents.alias("v"), F.col("l_orderkey"),

@@ -448,3 +448,13 @@ def test_weighted_sample_no_global_sort_before_topk(spark):
     plan = _plan(spark, "sample_weighted")
     assert "Python" not in plan
     assert "Window" in plan
+
+
+def test_pq_codes_map_only_encoding(spark):
+    """PQ encoding's scale claim: the codebook is inlined literals, so
+    encoding is pure map work — no join, no Python; the only exchanges
+    are the 64-row histogram aggregation + output sort."""
+    plan = _plan(spark, "ann_pq_codes")
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert _shuffles(plan) <= 4                   # 2 real (agg + sort)
