@@ -78,3 +78,22 @@ def test_step_table_shape():
     assert len(STEP_TABLE) == 89
     assert STEP_TABLE[0] == 7 and STEP_TABLE[88] == 32767
     assert all(a < b for a, b in zip(STEP_TABLE, STEP_TABLE[1:]))
+
+
+# property-based: byte-exact vs audioop on arbitrary signals
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(-32768, 32767), min_size=2, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_encode_decode_match_audioop_property(samples):
+        x = np.array(samples, np.int16)
+        ref_enc, ref_st = audioop.lin2adpcm(x.tobytes(), 2, None)
+        enc, vp, ix = adpcm_encode(x)
+        assert enc == ref_enc and (vp, ix) == ref_st
+        ref_dec, ref_st2 = audioop.adpcm2lin(ref_enc, 2, None)
+        dec, vp2, ix2 = adpcm_decode(ref_enc)
+        assert dec.tobytes() == ref_dec and (vp2, ix2) == ref_st2
+except ImportError:          # pragma: no cover
+    pass

@@ -81,3 +81,29 @@ def test_malformed_guards():
         qoi_decode(enc[:-8])                         # missing end marker
     with pytest.raises(ValueError):
         qoi_encode(np.zeros((4, 4), np.uint8))       # no channel axis
+
+
+# property-based round-trips (hypothesis)
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 6), st.integers(1, 6), st.integers(3, 4),
+           st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_property(h, w, ch, seed):
+        rng = np.random.RandomState(seed % (2 ** 31))
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        dec, _ = qoi_decode(qoi_encode(img))
+        assert (dec == img).all()
+
+    @given(st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_roundtrip_low_entropy_property(seed):
+        """Low-entropy images exercise RUN/INDEX/DIFF heavily."""
+        rng = np.random.RandomState(seed % (2 ** 31))
+        img = rng.randint(0, 3, (8, 8, 3)).astype(np.uint8) * 7
+        dec, _ = qoi_decode(qoi_encode(img))
+        assert (dec == img).all()
+except ImportError:          # pragma: no cover
+    pass
