@@ -1689,3 +1689,76 @@ SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
        CAST(1 AS BIGINT) AS lossless
 FROM bytes GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Netpbm path (operators/netpbm.py — P1-P6, spec-vector tested)
+# ---------------------------------------------------------------------------
+
+NETPBM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_px", LongType()),
+    StructField("sum_gray", LongType()),
+    StructField("n_black", LongType()),
+    StructField("sum_rgb", LongType()),
+])
+
+
+def multimodal_netpbm_roundtrip(spark, sf_dir):
+    """Netpbm end to end, value-gated across THREE variants per doc:
+    the 16x16 gray image (text bytes cycled) rides P5 encode -> decode
+    (sum must survive — lossless), its >=128 threshold rides P4 packed
+    bits (popcount must survive — the MSB-first row-padded packing is
+    where bugs live), and the 768-byte RGB image rides P6 (total sum).
+    The DuckDB twin recomputes all three aggregates from the same byte
+    recipe.  Map-only plan: one mapInPandas stage."""
+    from .netpbm import netpbm_decode, netpbm_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                raw = np.frombuffer(
+                    (seed * (768 // len(seed) + 1))[:768], np.uint8)
+                gray = raw[:256].reshape(16, 16)
+                g2, _ = netpbm_decode(netpbm_encode(gray, 5))
+                bits = (gray >= 128).astype(np.uint8)
+                b2, _ = netpbm_decode(netpbm_encode(bits, 4))
+                rgb = raw.reshape(16, 16, 3)
+                c2, _ = netpbm_decode(netpbm_encode(rgb, 6))
+                rows.append({
+                    "doc_id": doc_id, "n_px": 256,
+                    "sum_gray": int(g2.astype(np.int64).sum()),
+                    "n_black": int(b2.astype(np.int64).sum()),
+                    "sum_rgb": int(c2.astype(np.int64).sum())})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, NETPBM_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_netpbm_roundtrip"] = multimodal_netpbm_roundtrip
+ORACLES["multimodal_netpbm_roundtrip"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 300
+),
+bytes AS (
+  SELECT d.doc_id, g.j AS j,
+         (strpos('0123456789ABCDEF',
+                 substr(d.hx, ((g.j % d.len)) * 2 + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(d.hx, ((g.j % d.len)) * 2 + 2, 1)) - 1) AS bv
+  FROM docs d, generate_series(0, 767) AS g(j)
+)
+SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN j < 256 THEN bv ELSE 0 END) AS BIGINT)
+         AS sum_gray,
+       CAST(SUM(CASE WHEN j < 256 AND bv >= 128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_black,
+       CAST(SUM(bv) AS BIGINT) AS sum_rgb
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""
