@@ -1762,3 +1762,77 @@ SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
        CAST(SUM(bv) AS BIGINT) AS sum_rgb
 FROM bytes GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline path (operators/tiff.py — spec-example-pinned PackBits)
+# ---------------------------------------------------------------------------
+
+TIFF_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_px", LongType()),
+    StructField("sum_gray", LongType()),
+    StructField("sum_rgb", LongType()),
+    StructField("lossless", LongType()),
+])
+
+
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """Baseline TIFF end to end, value-gated: the 16x16 gray image
+    (text bytes cycled) rides an UNCOMPRESSED single-strip encode ->
+    decode, then a PACKBITS multi-strip (rows_per_strip=4) encode ->
+    decode — the strip walk and Section-9 codec both on the hot path —
+    and the RGB image rides PackBits too.  ``lossless`` asserts all
+    three decodes equal their sources; sums re-derived by the DuckDB
+    twin from the byte recipe.  Map-only plan: one mapInPandas stage."""
+    from .tiff import tiff_decode, tiff_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                raw = np.frombuffer(
+                    (seed * (768 // len(seed) + 1))[:768], np.uint8)
+                gray = raw[:256].reshape(16, 16)
+                g1 = tiff_decode(tiff_encode(gray))
+                g2 = tiff_decode(tiff_encode(gray, packbits=True,
+                                             rows_per_strip=4))
+                rgb = raw.reshape(16, 16, 3)
+                c1 = tiff_decode(tiff_encode(rgb, packbits=True))
+                ok = (int((g1 == gray).all()) & int((g2 == gray).all())
+                      & int((c1 == rgb).all()))
+                rows.append({
+                    "doc_id": doc_id, "n_px": 256,
+                    "sum_gray": int(g2.astype(np.int64).sum()),
+                    "sum_rgb": int(c1.astype(np.int64).sum()),
+                    "lossless": ok})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, TIFF_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_tiff_roundtrip"] = multimodal_tiff_roundtrip
+ORACLES["multimodal_tiff_roundtrip"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 300
+),
+bytes AS (
+  SELECT d.doc_id, g.j AS j,
+         (strpos('0123456789ABCDEF',
+                 substr(d.hx, ((g.j % d.len)) * 2 + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(d.hx, ((g.j % d.len)) * 2 + 2, 1)) - 1) AS bv
+  FROM docs d, generate_series(0, 767) AS g(j)
+)
+SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN j < 256 THEN bv ELSE 0 END) AS BIGINT)
+         AS sum_gray,
+       CAST(SUM(bv) AS BIGINT) AS sum_rgb,
+       CAST(1 AS BIGINT) AS lossless
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""
