@@ -737,3 +737,105 @@ SELECT cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members
 FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup (new crawl vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental-ingest dedup: screen the NEW crawl (source != 'src0')
+    against the EXISTING corpus (source = 'src0') — the shape every
+    pretraining refresh runs, where intra-crawl pairs are someone else's
+    problem and only new-vs-corpus matches decide drops.
+
+    Same banded-LSH candidate generation as dedup_minhash_lsh, but the
+    band join is A x B ONLY (new side joins corpus side) — candidate
+    work scales with cross-bucket overlap, never |A|^2 or |B|^2.
+    Candidates verify by exact shingle Jaccard, and each new doc keeps
+    just its best corpus match (integer-key argmin via row_number: the
+    cross-multiplied jaccard in millis, ties to the lowest corpus id).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    sig = (d.select("doc_id", "source",
+                    F.split("text", " ").alias("ws"))
+             .repartition(n_parts)
+             .select("doc_id", "source",
+                     F.expr(_spark_shingles()).alias("shs"))
+             .select("doc_id", "source",
+                     F.array(*[F.expr(_spark_sig(j))
+                               for j in range(K_HASHES)]).alias("sig")))
+    bands = (sig.select("doc_id", "source",
+                        F.explode(F.expr(_spark_bands())).alias("band"))
+                .persist())
+    bands.count()
+    new = bands.filter(F.col("source") != "src0") \
+               .select(F.col("doc_id").alias("a_doc"), "band")
+    corp = bands.filter(F.col("source") == "src0") \
+                .select(F.col("doc_id").alias("b_doc"), "band")
+    pairs = new.join(corp, "band").select("a_doc", "b_doc").distinct()
+
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = shd.select(F.col("doc_id").alias("a_doc"), "sh")
+    s2 = shd.select(F.col("doc_id").alias("b_doc"), "sh")
+    common = (pairs.join(s1, "a_doc").join(s2, ["b_doc", "sh"])
+              .groupBy("a_doc", "b_doc")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    za = sizes.select(F.col("doc_id").alias("a_doc"),
+                      F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b_doc"),
+                      F.col("n_sh").alias("nb"))
+    j = (common.join(za, "a_doc").join(zb, "b_doc")
+         .select("a_doc", "b_doc", "n_common",
+                 F.expr("n_common * 1000 div (na + nb - n_common)")
+                 .cast("long").alias("jac_milli")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("a_doc").orderBy(F.col("jac_milli").desc(),
+                                            "b_doc")
+    return (j.withColumn("rk", F.row_number().over(w))
+             .filter((F.col("rk") == 1)
+                     & (F.col("jac_milli")
+                        >= int(JACCARD_THRESHOLD * 1000)))
+             .select("a_doc", "b_doc",
+                     F.col("n_common").cast("long").alias("n_common"),
+                     "jac_milli")
+             .orderBy("a_doc").limit(500))
+
+
+QUERIES["dedup_cross_corpus"] = dedup_cross_corpus
+ORACLES["dedup_cross_corpus"] = f"""
+WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS ws
+              FROM documents),
+sh AS (SELECT doc_id, source, {_duck_shingles()} AS shs FROM docs),
+sig AS (SELECT doc_id, source,
+               [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig
+        FROM sh),
+bands AS (SELECT doc_id, source, unnest({_duck_bands()}) AS band FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+          FROM bands a JOIN bands b ON a.band = b.band
+          WHERE a.source != 'src0' AND b.source = 'src0'),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.a_doc, p.b_doc, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.a_doc
+           JOIN shd s2 ON s2.doc_id = p.b_doc AND s2.sh = s1.sh
+           GROUP BY p.a_doc, p.b_doc),
+jm AS (SELECT c.a_doc, c.b_doc, c.n_common,
+              c.n_common * 1000 // (za.n_sh + zb.n_sh - c.n_common)
+                AS jac_milli,
+              ROW_NUMBER() OVER (
+                PARTITION BY c.a_doc
+                ORDER BY c.n_common * 1000
+                         // (za.n_sh + zb.n_sh - c.n_common) DESC,
+                         c.b_doc) AS rk
+       FROM common c
+       JOIN sizes za ON za.doc_id = c.a_doc
+       JOIN sizes zb ON zb.doc_id = c.b_doc)
+SELECT a_doc, b_doc, CAST(n_common AS BIGINT) AS n_common,
+       CAST(jac_milli AS BIGINT) AS jac_milli
+FROM jm WHERE rk = 1 AND jac_milli >= {int(JACCARD_THRESHOLD * 1000)}
+ORDER BY a_doc LIMIT 500
+"""
