@@ -26,7 +26,10 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q74_range_frame_moving_sum",
            "dedup_minhash_lsh", "dedup_substring", "ann_cosine_topk",
            "embedding_quantize_int8", "pack_sequences",
-           "curation_pipeline", "text_bm25_search", "heavy_hitter_events"]
+           "curation_pipeline", "text_bm25_search", "heavy_hitter_events",
+           "sketch_hll_registers", "sketch_cms_counters",
+           "graph_triangle_count", "graph_pagerank", "bloom_screen",
+           "sample_weighted", "ann_pq_codes", "dedup_cross_corpus"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
