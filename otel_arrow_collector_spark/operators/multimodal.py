@@ -1798,10 +1798,12 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
                 g1 = tiff_decode(tiff_encode(gray))
                 g2 = tiff_decode(tiff_encode(gray, packbits=True,
                                              rows_per_strip=4))
+                g3 = tiff_decode(tiff_encode(gray, lzw=True,
+                                             rows_per_strip=5))
                 rgb = raw.reshape(16, 16, 3)
                 c1 = tiff_decode(tiff_encode(rgb, packbits=True))
                 ok = (int((g1 == gray).all()) & int((g2 == gray).all())
-                      & int((c1 == rgb).all()))
+                      & int((g3 == gray).all()) & int((c1 == rgb).all()))
                 rows.append({
                     "doc_id": doc_id, "n_px": 256,
                     "sum_gray": int(g2.astype(np.int64).sum()),

@@ -8,11 +8,13 @@ PackBits scheme of Section 9 (control byte n: 0..127 copy n+1
 literals, 129..255 repeat next byte 257-n times, 128 is a noop) —
 pinned against the spec's own worked example in the tests.
 
-Scope: the baseline profile a document-scan corpus actually contains —
-8 bits per sample, 1 or 3 samples per pixel, Compression 1 (none) or
-32773 (PackBits), PhotometricInterpretation 0/1/2 (WhiteIsZero inverts
-on decode so callers always see BlackIsZero semantics).  Anything else
-(LZW, JPEG-in-TIFF, tiles, planar) raises loudly.
+Scope: the profile a document-scan corpus actually contains — 8 bits
+per sample, 1 or 3 samples per pixel, Compression 1 (none), 5 (LZW,
+Section 13: MSB-first code packing, 9->12 bit widths with the
+EarlyChange one-code-early bump, Clear=256/EOI=257) or 32773
+(PackBits), PhotometricInterpretation 0/1/2 (WhiteIsZero inverts on
+decode so callers always see BlackIsZero semantics).  Anything else
+(JPEG-in-TIFF, tiles, planar, predictors) raises loudly.
 """
 
 from __future__ import annotations
@@ -32,6 +34,115 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF Section-13 LZW: MSB-first variable-width codes, 9..12 bits,
+    width bumps ONE CODE EARLY (EarlyChange, the TIFF/PDF convention),
+    Clear emitted up front and whenever the table reaches 4094."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, _LZW_EOI + 1, 9
+
+    table, nxt, width = fresh()
+    put(_LZW_CLEAR, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # EarlyChange: the ENCODER widens when the next code to be
+        # assigned is 511/1023/2047 (one before the power of two)
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        cur = bytes([b])
+        if nxt == 4094:
+            put(_LZW_CLEAR, width)
+            table, nxt, width = fresh()
+    if cur:
+        put(table[cur], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expect: int) -> bytes:
+    """Inverse of lzw_encode; decodes exactly ``expect`` bytes."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    def fresh():
+        return ([bytes([i]) for i in range(256)] + [b"", b""], 9)
+
+    table, width = fresh()
+    prev = None
+    while len(out) < expect:
+        code = get(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table, width = fresh()
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        prev = entry
+        # decoder widens ONE ENTRY before the encoder's bump point:
+        # the decoder's table lags the encoder's by one entry at the
+        # moment it reads a code (it appends entry e while processing
+        # the code AFTER the one whose emission created e), so the
+        # encoder's "next code would be 511" is visible here as a
+        # table of 510 entries (EarlyChange, TIFF 6.0 Section 13)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError("LZW output length mismatch")
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -140,7 +251,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
     photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise ValueError(f"unsupported TIFF profile bits={bits} spp={spp}")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported photometric {photo}")
@@ -158,6 +269,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
             if c < rows * row_bytes:
                 raise ValueError("short uncompressed strip")
             raster += strip[:rows * row_bytes]
+        elif comp == 5:
+            raster += lzw_decode(strip, rows * row_bytes)
         else:
             raster += packbits_decode(strip, rows * row_bytes)
     arr = np.frombuffer(bytes(raster), np.uint8)[:h * row_bytes]
@@ -168,8 +281,12 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
 
 def tiff_encode(img: np.ndarray, packbits: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
-    """(H, W[, 3]) uint8 -> little-endian baseline TIFF."""
+                rows_per_strip: int | None = None,
+                lzw: bool = False) -> bytes:
+    """(H, W[, 3]) uint8 -> little-endian baseline TIFF
+    (uncompressed, PackBits, or LZW)."""
+    if packbits and lzw:
+        raise ValueError("pick one compression")
     if img.ndim == 3 and img.shape[2] == 3:
         h, w, spp = img.shape
     elif img.ndim == 2:
@@ -184,13 +301,15 @@ def tiff_encode(img: np.ndarray, packbits: bool = False,
     for r0 in range(0, h, rps):
         rows = min(rps, h - r0)
         chunk = flat[r0 * row_bytes:(r0 + rows) * row_bytes]
-        strips.append(packbits_encode(chunk) if packbits else chunk)
+        strips.append(packbits_encode(chunk) if packbits
+                      else lzw_encode(chunk) if lzw else chunk)
 
     entries = []                         # (tag, type, count, values)
     entries.append((_TAG_WIDTH, 4, 1, [w]))
     entries.append((_TAG_LENGTH, 4, 1, [h]))
     entries.append((_TAG_BITS, 3, spp, [8] * spp))
-    entries.append((_TAG_COMPRESSION, 3, 1, [32773 if packbits else 1]))
+    entries.append((_TAG_COMPRESSION, 3, 1,
+                    [32773 if packbits else 5 if lzw else 1]))
     entries.append((_TAG_PHOTOMETRIC, 3, 1, [2 if spp == 3 else 1]))
     entries.append((_TAG_STRIP_OFFSETS, 4, len(strips), None))  # patched
     entries.append((_TAG_SPP, 3, 1, [spp]))

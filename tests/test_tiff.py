@@ -95,11 +95,68 @@ def test_malformed_guards():
     with pytest.raises(ValueError):
         tiff_decode(enc[:20])
     bad = bytearray(enc)
-    # patch Compression (tag 259) value to LZW (5): find its entry
+    # patch Compression (tag 259) to JPEG-in-TIFF (7): unsupported
     n = struct.unpack("<H", enc[8:10])[0]
     for k in range(n):
         off = 10 + 12 * k
         if struct.unpack("<H", enc[off:off + 2])[0] == 259:
-            bad[off + 8:off + 10] = struct.pack("<H", 5)
+            bad[off + 8:off + 10] = struct.pack("<H", 7)
     with pytest.raises(ValueError, match="compression"):
         tiff_decode(bytes(bad))
+
+
+def test_lzw_hand_bitstream():
+    """First-principles vector: for input b'AB' the code sequence is
+    Clear(256), 65, 66, EOI(257), all at 9 bits, packed MSB-first."""
+    from otel_arrow_collector_spark.operators.tiff import (lzw_decode,
+                                                           lzw_encode)
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 257))
+    bits += "0" * (-len(bits) % 8)
+    want = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_encode(b"AB") == want
+    assert lzw_decode(want, 2) == b"AB"
+
+
+def test_lzw_width_boundaries_and_table_full():
+    from otel_arrow_collector_spark.operators.tiff import (lzw_decode,
+                                                           lzw_encode)
+    rng = np.random.RandomState(4)
+    data = bytes(rng.randint(0, 256, 200000))
+    # prefix lengths straddling the 9->10 bit EarlyChange boundary
+    for n in (1097, 1098, 1099, 1100, 2500, 5000, 200000):
+        assert lzw_decode(lzw_encode(data[:n]), n) == data[:n], n
+    # all-same input: long phrase growth, different boundary path
+    mono = bytes([7]) * 10000
+    assert lzw_decode(lzw_encode(mono), len(mono)) == mono
+
+
+def test_lzw_tiff_roundtrip_and_compression():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (40, 37, 3)).astype(np.uint8)
+    enc = tiff_encode(img, lzw=True, rows_per_strip=7)
+    assert (tiff_decode(enc) == img).all()
+    flat = np.full((64, 64), 3, np.uint8)
+    assert len(tiff_encode(flat, lzw=True)) < len(tiff_encode(flat))
+    with pytest.raises(ValueError):
+        tiff_encode(flat, lzw=True, packbits=True)
+
+
+def test_decoder_fuzz_never_hangs_or_crashes():
+    """Garbage and truncations must raise ValueError (or decode), never
+    loop forever or throw non-ValueError."""
+    from otel_arrow_collector_spark.operators.tiff import lzw_decode
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+    enc = tiff_encode(img, lzw=True)
+    for _ in range(200):
+        blob = bytes(rng.randint(0, 256, rng.randint(1, 64)))
+        for payload in (blob, enc[:rng.randint(0, len(enc))],
+                        enc[:12] + blob):
+            try:
+                tiff_decode(payload)
+            except ValueError:
+                pass
+        try:
+            lzw_decode(blob, 64)
+        except ValueError:
+            pass
