@@ -66,6 +66,8 @@ def netpbm_decode(data: bytes) -> tuple[np.ndarray, int]:
         vals = []
         i = pos
         while len(vals) < ns:
+            if i >= len(data):
+                raise ValueError("truncated P1 raster")
             c = data[i]
             if c in (ord("0"), ord("1")):
                 vals.append(c - ord("0"))

@@ -79,3 +79,22 @@ def test_malformed_guards():
         netpbm_encode(np.array([[2]], np.uint8), 4)       # not 0/1
     with pytest.raises(ValueError):
         netpbm_encode(np.zeros((2, 2), np.uint8), 6)      # P6 needs color
+
+
+def test_decoder_fuzz_never_crashes():
+    """Garbage / truncated streams raise ValueError, never IndexError
+    or infinite loops."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (5, 5)).astype(np.uint8)
+    enc = netpbm_encode(img, 5)
+    seeds = [b"P1 2 2 10", b"P1 1 1\n#", b"P2 1 1 10", b"P5\n",
+             b"P4 3", b"P6 1 1 255"]
+    for t in range(300):
+        blob = bytes(rng.randint(0, 256, rng.randint(1, 60)))
+        for case in (blob, enc[:rng.randint(0, len(enc))],
+                     b"P5 " + blob, b"P2 " + blob, b"P1 " + blob,
+                     *(seeds if t == 0 else ())):
+            try:
+                netpbm_decode(case)
+            except ValueError:
+                pass

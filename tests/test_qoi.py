@@ -107,3 +107,16 @@ try:
         assert (dec == img).all()
 except ImportError:          # pragma: no cover
     pass
+
+
+def test_decoder_fuzz_never_crashes():
+    rng = np.random.RandomState(13)
+    enc = qoi_encode(rng.randint(0, 256, (5, 5, 3)).astype(np.uint8))
+    for _ in range(300):
+        blob = bytes(rng.randint(0, 256, rng.randint(1, 60)))
+        for case in (blob, enc[:rng.randint(0, len(enc))],
+                     enc[:14] + blob):
+            try:
+                qoi_decode(case)
+            except ValueError:
+                pass
