@@ -1838,3 +1838,80 @@ SELECT doc_id, CAST(256 AS BIGINT) AS n_px,
        CAST(1 AS BIGINT) AS lossless
 FROM bytes GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest path (sources/warc.py — Common Crawl container)
+# ---------------------------------------------------------------------------
+
+WARC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("status", LongType()),
+    StructField("body_len", LongType()),
+    StructField("sum_body", LongType()),
+    StructField("gz", LongType()),
+])
+
+
+def warc_extract(spark, sf_dir):
+    """The Common Crawl ingest loop, value-gated: each document becomes
+    a WARC response record (HTTP envelope, status 404 for every
+    n_chars%7==0 doc, gzip MEMBER framing for odd doc_ids — the
+    .warc.gz multi-member layout), then the reader walks record framing
+    -> HTTP envelope -> body and publishes per-doc accounting.  The
+    DuckDB twin recomputes status/length/byte-sum from the text, so a
+    framing bug anywhere (Content-Length, trailer CRLFs, member
+    boundaries, status line) surfaces as a value mismatch.  Map-only
+    plan: build+parse run inside one mapInPandas stage."""
+    from ..sources.warc import (build_warc, extract_http_body,
+                                http_response, parse_warc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                status = 404 if len(text) % 7 == 0 else 200
+                gz = int(doc_id) % 2 == 1
+                blob = build_warc([{
+                    "type": "response",
+                    "uri": f"http://corpus/doc/{doc_id}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"<urn:uuid:{doc_id}>",
+                    "payload": http_response(body, status)}],
+                    gzip_members=gz)
+                recs = parse_warc(blob)
+                st, got = extract_http_body(recs[0]["payload"])
+                rows.append({
+                    "doc_id": doc_id, "status": st,
+                    "body_len": len(got),
+                    "sum_body": int(sum(got)),
+                    "gz": int(gz)})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, WARC_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["warc_extract"] = warc_extract
+# NB the status gate uses CHARACTER length (len(text)) in both engines;
+# body_len/sum_body use BYTE length of the utf-8 encoding.
+ORACLES["warc_extract"] = """
+WITH docs AS (
+  SELECT doc_id, text, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS blen
+  FROM documents ORDER BY doc_id LIMIT 300
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(text) % 7 = 0 THEN 404 ELSE 200 END
+            AS BIGINT) AS status,
+       CAST(blen AS BIGINT) AS body_len,
+       CAST(COALESCE(list_sum(list_transform(range(0, blen), j ->
+              (strpos('0123456789ABCDEF', substr(hx, j * 2 + 1, 1)) - 1)
+              * 16
+              + (strpos('0123456789ABCDEF', substr(hx, j * 2 + 2, 1))
+                 - 1))), 0) AS BIGINT) AS sum_body,
+       CAST(doc_id % 2 AS BIGINT) AS gz
+FROM docs ORDER BY doc_id
+"""
