@@ -1915,3 +1915,70 @@ SELECT doc_id,
        CAST(doc_id % 2 AS BIGINT) AS gz
 FROM docs ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# tar bundle path (sources/archive.py — tarfile-interop-pinned ustar)
+# ---------------------------------------------------------------------------
+
+TAR_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("bundle", LongType()),
+    StructField("n_members", LongType()),
+    StructField("body_len", LongType()),
+    StructField("sum_body", LongType()),
+])
+
+
+def tar_extract(spark, sf_dir):
+    """Document-bundle ingest, value-gated: docs group into 4-doc
+    bundles (doc_id div 4), each bundle packs into ONE ustar archive
+    (gzipped whole for odd bundles — .tar.gz), then unpacks and emits
+    per-member accounting.  The ustar writer is pinned byte-compatible
+    with CPython's tarfile (tests/test_archive.py), and the DuckDB twin
+    recomputes member counts and byte sums from the corpus — so header
+    layout, checksum, padding, and end-block bugs all surface as value
+    mismatches.  Plan: ONE grouped shuffle (applyInPandas per bundle) —
+    the bundle is the natural unit of work a 100 TB packer ships."""
+    from ..sources.archive import tar_pack, tar_unpack
+
+    def pack_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bundle = int(pdf["bundle"].iloc[0])
+        members = [(f"doc_{int(i)}.txt", t.encode("utf-8"))
+                   for i, t in zip(pdf["doc_id"], pdf["text"])]
+        blob = tar_pack(members, gzip_stream=bundle % 2 == 1)
+        got = tar_unpack(blob)
+        rows = []
+        for name, body in got:
+            rows.append({
+                "doc_id": int(name[4:-4]), "bundle": bundle,
+                "n_members": len(got), "body_len": len(body),
+                "sum_body": int(sum(body))})
+        return pd.DataFrame(rows)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300)
+            .withColumn("bundle", F.expr("doc_id div 4")))
+    return (docs.select("doc_id", "bundle", "text")
+            .groupBy("bundle").applyInPandas(pack_unpack, TAR_SCHEMA)
+            .orderBy("doc_id"))
+
+
+QUERIES["tar_extract"] = tar_extract
+ORACLES["tar_extract"] = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 4 AS bundle, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS blen
+  FROM documents ORDER BY doc_id LIMIT 300
+)
+SELECT doc_id, CAST(bundle AS BIGINT) AS bundle,
+       CAST(COUNT(*) OVER (PARTITION BY bundle) AS BIGINT) AS n_members,
+       CAST(blen AS BIGINT) AS body_len,
+       CAST(COALESCE(list_sum(list_transform(range(0, blen), j ->
+              (strpos('0123456789ABCDEF', substr(hx, j * 2 + 1, 1)) - 1)
+              * 16
+              + (strpos('0123456789ABCDEF', substr(hx, j * 2 + 2, 1))
+                 - 1))), 0) AS BIGINT) AS sum_body
+FROM docs ORDER BY doc_id
+"""

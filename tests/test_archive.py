@@ -1,0 +1,63 @@
+"""ustar tar: interop with Python's tarfile (third-party pin), block
+layout vectors, gzip stream, malformed guards."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from otel_arrow_collector_spark.sources.archive import tar_pack, tar_unpack
+
+
+def test_tarfile_reads_our_archives():
+    """CPython's tarfile must accept our output byte-for-byte — a real
+    third-party interop pin, not a self round-trip."""
+    members = [("a.txt", b"hello"), ("dir.name.txt", bytes(range(200)))]
+    blob = tar_pack(members)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+    gz = tar_pack(members, gzip_stream=True)
+    with tarfile.open(fileobj=io.BytesIO(gz), mode="r:gz") as tf:
+        assert [(m.name, tf.extractfile(m).read())
+                for m in tf.getmembers()] == members
+
+
+def test_we_read_tarfile_archives():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, body in [("x", b"1234"), ("y", b"")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    got = tar_unpack(buf.getvalue())
+    assert got == [("x", b"1234"), ("y", b"")]
+
+
+def test_block_layout():
+    blob = tar_pack([("f", b"abc")])
+    assert len(blob) % 512 == 0
+    assert blob[257:263] == b"ustar\x00" and blob[263:265] == b"00"
+    assert blob[124:136].rstrip(b"\x00 ") == b"00000000003"
+    assert blob[-1024:] == b"\x00" * 1024          # end blocks
+    # payload padded to one block
+    assert blob[512:515] == b"abc" and blob[515:1024] == b"\x00" * 509
+
+
+def test_malformed_guards():
+    blob = tar_pack([("f", b"abc")])
+    with pytest.raises(ValueError):
+        tar_unpack(blob[:500])                     # truncated header
+    bad = bytearray(blob)
+    bad[0] ^= 0xFF                                 # breaks checksum
+    with pytest.raises(ValueError, match="checksum"):
+        tar_unpack(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        tar_unpack(b"A" * 1024)
+    with pytest.raises(ValueError):
+        tar_pack([("x" * 101, b"")])               # name too long
+    gz = tar_pack([("f", b"abc")], gzip_stream=True)
+    with pytest.raises(ValueError):
+        tar_unpack(gz[:-4])
