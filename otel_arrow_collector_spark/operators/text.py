@@ -737,3 +737,152 @@ SELECT lang, label,
        CAST(MAX(score) AS BIGINT) AS score_max
 FROM lab GROUP BY lang, label ORDER BY lang, label
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the step after WARC in a crawl pipeline)
+# ---------------------------------------------------------------------------
+
+#: Java-regex/RE2 common subset (lazy quantifiers + (?s)/(?i) flags are
+#: in both; no backrefs, no lookaround).
+#: RE2 has no backreferences, so script and style get separate
+#: patterns instead of a captured tag name.
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_TAG_RE = r"(?s)<[^>]+>"
+
+
+def html_to_text_col(col):
+    """HTML -> visible text as pure Column expressions: drop
+    script/style blocks, strip tags, decode the named entities, and
+    collapse whitespace runs.  regexp_replace is JVM-side codegen — the
+    extraction runs inside the scan at any scale."""
+    c = F.regexp_replace(col, _HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def text_html_extract(spark, sf_dir):
+    """Declared query: the WARC-adjacent HTML boilerplate-strip step,
+    value-gated end to end.  Each document is wrapped in a
+    deterministic HTML page (title/script/style blocks, per-word <p>
+    markup, entity-escaped ampersands — all derived from the text
+    itself), then extracted back; the query publishes the recovered
+    text's length, word count and md5.  The DuckDB twin runs the SAME
+    regex chain (Java-regex/RE2 common subset, the PII-scrub
+    discipline), so an extraction divergence anywhere breaks the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"
+              "<script type='text/javascript'>var x = 1 < 2;</script>"
+              "<style>p { color: red; }</style></head><body><p>"),
+        F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                  F.lit(" "), F.lit("</p>\n<p>")),
+        F.lit("</p><!-- note --></body></html>"))
+    txt = html_to_text_col(html)
+    # the synthetic page contributes a leading 't' (the title text)
+    return (d.select("doc_id", txt.alias("txt"))
+            .select("doc_id",
+                    F.length("txt").cast("long").alias("n_chars"),
+                    F.size(F.split("txt", " ")).cast("long")
+                     .alias("n_words"),
+                    F.md5("txt").alias("fp"))
+            .orderBy("doc_id").limit(400))
+
+
+QUERIES["text_html_extract"] = text_html_extract
+ORACLES["text_html_extract"] = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>t</title>'
+         || '<script type=''text/javascript''>var x = 1 < 2;</script>'
+         || '<style>p { color: red; }</style></head><body><p>'
+         || replace(replace(text, '&', '&amp;'), ' ', '</p>' || chr(10)
+                    || '<p>')
+         || '</p><!-- note --></body></html>' AS html
+  FROM documents),
+ext AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(
+               regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>',
+                              ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS txt
+  FROM page)
+SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
+       md5(txt) AS fp
+FROM ext ORDER BY doc_id LIMIT 400
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + domain stats (crawl curation's domain gate)
+# ---------------------------------------------------------------------------
+
+_URL_DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*$"
+
+
+def text_url_domains(spark, sf_dir):
+    """Declared query: domain-level accounting over deterministic
+    per-doc URLs (scheme/user/port/path variants derived from doc_id —
+    every branch of the authority grammar exercised): extract the
+    registrable host with ONE anchored regex, lower-case it, and
+    aggregate per domain.  Domain-share gates (keep-lists, per-domain
+    caps) are the first curation filter a crawl pipeline runs; the
+    regex is in the Java/RE2 common subset so DuckDB re-derives the
+    same partition."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("http://"))
+         .otherwise(F.lit("ftp://")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("user:pw@"))
+         .otherwise(F.lit("")),
+        F.lit("WWW"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example"), (F.col("doc_id") % 4).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".org"))
+         .otherwise(F.lit(".net")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":8080"))
+         .otherwise(F.lit("")),
+        F.lit("/path/"), F.col("doc_id").cast("string"),
+        F.lit("?q=x#frag"))
+    dom = F.lower(F.regexp_extract(url, _URL_DOMAIN_RE, 1))
+    return (d.select("doc_id", dom.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .select("domain", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("first_doc").cast("long").alias("first_doc"))
+            .orderBy("domain"))
+
+
+QUERIES["text_url_domains"] = text_url_domains
+ORACLES["text_url_domains"] = f"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+               ELSE 'ftp://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END)
+         || 'WWW' || CAST(doc_id % 7 AS VARCHAR)
+         || '.Example' || CAST(doc_id % 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+         || '/path/' || CAST(doc_id AS VARCHAR) || '?q=x#frag' AS url
+  FROM documents)
+SELECT lower(regexp_extract(url,
+         '{_URL_DOMAIN_RE}', 1)) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM urls GROUP BY 1 ORDER BY domain
+"""
