@@ -458,3 +458,21 @@ def test_pq_codes_map_only_encoding(spark):
     assert "Join" not in plan
     assert "Python" not in plan
     assert _shuffles(plan) <= 4                   # 2 real (agg + sort)
+
+
+def test_html_extract_is_pure_column_regex(spark):
+    """The HTML strip must stay JVM-side regexp codegen — no Python
+    worker anywhere in the plan, no join."""
+    plan = _plan(spark, "text_html_extract")
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_warc_and_tar_extract_plan_shape(spark):
+    """Ingest paths: WARC is map-only (one Python stage, no join);
+    tar bundles shuffle ONCE on the bundle key."""
+    plan = _plan(spark, "warc_extract")
+    assert "Join" not in plan
+    plan = _plan(spark, "tar_extract")
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 4          # bundle group + output sort
