@@ -886,3 +886,115 @@ SELECT lower(regexp_extract(url,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
 FROM urls GROUP BY 1 ORDER BY domain
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl-curation capstone: HTML -> text -> langid -> quality gate
+# ---------------------------------------------------------------------------
+
+def _synth_html_col():
+    """The deterministic HTML page used by text_html_extract."""
+    return F.concat(
+        F.lit("<html><head><title>t</title>"
+              "<script type='text/javascript'>var x = 1 < 2;</script>"
+              "<style>p { color: red; }</style></head><body><p>"),
+        F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                  F.lit(" "), F.lit("</p>\n<p>")),
+        F.lit("</p><!-- note --></body></html>"))
+
+
+_SYNTH_HTML_SQL = (
+    "'<html><head><title>t</title>'"
+    " || '<script type=''text/javascript''>var x = 1 < 2;</script>'"
+    " || '<style>p { color: red; }</style></head><body><p>'"
+    " || replace(replace(text, '&', '&amp;'), ' ', '</p>' || chr(10)"
+    " || '<p>')"
+    " || '</p><!-- note --></body></html>'")
+
+_HTML_STRIP_SQL = (
+    r"trim(regexp_replace("
+    r"replace(replace(replace(replace(replace(replace("
+    r"regexp_replace(regexp_replace(regexp_replace({html},"
+    r" '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),"
+    r" '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),"
+    r" '(?s)<[^>]+>', ' ', 'g'),"
+    r" '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    r" '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+    r" '\s+', ' ', 'g'))")
+
+#: quality gate thresholds (integer-exact)
+CC_MIN_WORDS, CC_MAX_WORDS = 5, 5000
+CC_STOPWORD_PER_20 = 1      # keep iff stopword hits * 20 >= n_words
+
+
+def cc_pipeline(spark, sf_dir):
+    """The crawl-curation capstone as ONE declarative plan: synthesize
+    the HTML page per doc (the WARC payload shape), strip it back to
+    text with the codegen regex chain, language-ID the RECOVERED text,
+    apply the integer quality gate (length band + >=5 % stopword
+    density across lexicons), and publish the per-(lang, predicted,
+    kept) funnel — the accounting a Common Crawl snapshot run reports.
+
+    Everything is JVM-side column work (no Python anywhere), one hash
+    aggregation at the end; the DuckDB twin composes the identical
+    regex/lexicon/gate chain, so the whole funnel is value-gated."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = html_to_text_col(_synth_html_col())
+    ws = F.split(txt, " ")
+    def hits(lex):
+        return F.size(F.filter(ws, lambda w: w.isin(*lex)))
+    s = {lang: hits(lex) for lang, lex in LEXICON.items()}
+    pred = (F.when((s["en"] >= s["es"]) & (s["en"] >= s["zh"]), "en")
+             .when(s["es"] >= s["zh"], "es").otherwise("zh"))
+    n_words = F.size(ws)
+    s_all = s["en"] + s["es"] + s["zh"]
+    keep = ((n_words >= CC_MIN_WORDS) & (n_words <= CC_MAX_WORDS)
+            & (s_all * 20 >= CC_STOPWORD_PER_20 * n_words))
+    return (d.select("lang", pred.alias("predicted"),
+                     keep.cast("int").alias("kept"),
+                     n_words.alias("n_words"))
+            .groupBy("lang", "predicted", "kept")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("sum_words"))
+            .select("lang", "predicted",
+                    F.col("kept").cast("long").alias("kept"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "sum_words")
+            .orderBy("lang", "predicted", "kept"))
+
+
+QUERIES["cc_pipeline"] = cc_pipeline
+ORACLES["cc_pipeline"] = f"""
+WITH page AS (
+  SELECT doc_id, lang, {_SYNTH_HTML_SQL} AS html FROM documents),
+ext AS (
+  SELECT doc_id, lang,
+         {_HTML_STRIP_SQL.format(html="html")} AS txt
+  FROM page),
+feat AS (
+  SELECT lang,
+         len(list_filter(string_split(txt, ' '),
+             w -> w IN {_sql_in_list(LEXICON['en'])})) AS s_en,
+         len(list_filter(string_split(txt, ' '),
+             w -> w IN {_sql_in_list(LEXICON['es'])})) AS s_es,
+         len(list_filter(string_split(txt, ' '),
+             w -> w IN {_sql_in_list(LEXICON['zh'])})) AS s_zh,
+         len(string_split(txt, ' ')) AS n_words
+  FROM ext),
+gated AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
+         CASE WHEN n_words >= {CC_MIN_WORDS}
+                   AND n_words <= {CC_MAX_WORDS}
+                   AND (s_en + s_es + s_zh) * 20
+                       >= {CC_STOPWORD_PER_20} * n_words
+              THEN 1 ELSE 0 END AS kept,
+         n_words
+  FROM feat)
+SELECT lang, predicted, CAST(kept AS BIGINT) AS kept,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words
+FROM gated GROUP BY lang, predicted, kept
+ORDER BY lang, predicted, kept
+"""
