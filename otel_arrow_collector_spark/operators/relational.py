@@ -3211,3 +3211,154 @@ def q87(spark, sf_dir):
                  F.sum(F.coalesce("xf", F.lit(0))).cast("long")
                   .alias("filled_sum"))
             .orderBy("user_id"))
+
+
+@_register("q88_dq_expectations", """
+SELECT 'lineitem_qty_range' AS check_name,
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_customer_fk',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'events_value_nonnull',
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+ORDER BY check_name
+""")
+def q88(spark, sf_dir):
+    """Data-quality expectations report (the Great-Expectations /
+    dbt-test shape): range, ordering, referential-integrity, and
+    null-rate checks over the warehouse published as ONE small table —
+    the gate a 100 TB ingest runs before promoting a partition.
+
+    Each check is a scan-side conditional aggregate; the FK check is a
+    broadcast anti-join (dimension side small).  No check materializes
+    violating ROWS — counts only — so the report costs one pass per
+    fact table at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+
+    qty = li.agg(
+        F.lit("lineitem_qty_range").alias("check_name"),
+        F.sum(F.when((F.col("l_quantity") < 1)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+         .cast("long").alias("n_violations"),
+        F.count(F.lit(1)).alias("n_total"))
+    dates = li.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 0.5), 1)
+               .otherwise(0)).cast("long").alias("n_violations"),
+        F.count(F.lit(1)).alias("n_total"))
+    orphans = (od.join(F.broadcast(cu),
+                       od["o_custkey"] == cu["c_custkey"], "left_anti")
+               .agg(F.count(F.lit(1)).alias("v"))
+               .crossJoin(od.agg(F.count(F.lit(1)).alias("t")))
+               .select(F.lit("orders_customer_fk").alias("check_name"),
+                       F.col("v").cast("long").alias("n_violations"),
+                       F.col("t").cast("long").alias("n_total")))
+    nulls = ev.agg(
+        F.lit("events_value_nonnull").alias("check_name"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_violations"),
+        F.count(F.lit(1)).alias("n_total"))
+    return (qty.unionAll(dates).unionAll(orphans).unionAll(nulls)
+            .orderBy("check_name"))
+
+
+@_register("q89_incremental_mv_merge", """
+WITH half AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END AS h,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_quantity
+  FROM lineitem),
+partials AS (
+  SELECT l_returnflag, l_linestatus, h,
+         COUNT(*) AS cnt, SUM(cents) AS sum_cents,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+  FROM half GROUP BY l_returnflag, l_linestatus, h),
+merged AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(cnt) AS cnt, SUM(sum_cents) AS sum_cents,
+         MIN(min_qty) AS min_qty, MAX(max_qty) AS max_qty
+  FROM partials GROUP BY l_returnflag, l_linestatus),
+full_agg AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS cnt,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT m.l_returnflag, m.l_linestatus,
+       CAST(m.cnt AS BIGINT) AS cnt,
+       CAST(m.sum_cents AS BIGINT) AS sum_cents,
+       CAST(m.min_qty AS BIGINT) AS min_qty,
+       CAST(m.max_qty AS BIGINT) AS max_qty,
+       CAST(CASE WHEN m.cnt = f.cnt AND m.sum_cents = f.sum_cents
+                  AND m.min_qty = f.min_qty AND m.max_qty = f.max_qty
+             THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+FROM merged m JOIN full_agg f
+  ON f.l_returnflag = m.l_returnflag
+ AND f.l_linestatus = m.l_linestatus
+ORDER BY m.l_returnflag, m.l_linestatus
+""")
+def q89(spark, sf_dir):
+    """Incremental materialized-view maintenance: the base table splits
+    into an OLD half and a DELTA half (orderkey parity), each half
+    aggregates independently, and the partials MERGE (count/sum by
+    addition, min/max by min/max) — published next to the full
+    recompute with an exactness flag.  This is the algebraic property
+    (commutative-monoid aggregation state) that lets a 100 TB rollup
+    absorb a new partition without re-reading history; integer cents
+    keep the merged sums bit-equal to the recompute.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    half = li.select(
+        "l_returnflag", "l_linestatus",
+        (F.col("l_orderkey") % 2).cast("int").alias("h"),
+        cents.alias("cents"), "l_quantity")
+    partials = (half.groupBy("l_returnflag", "l_linestatus", "h")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("cents").alias("sum_cents"),
+                     F.min("l_quantity").alias("min_qty"),
+                     F.max("l_quantity").alias("max_qty")))
+    merged = (partials.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum("cnt").alias("cnt"),
+                   F.sum("sum_cents").alias("sum_cents"),
+                   F.min("min_qty").alias("min_qty"),
+                   F.max("max_qty").alias("max_qty")))
+    full = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("f_cnt"),
+                 F.sum(cents).alias("f_sum"),
+                 F.min("l_quantity").alias("f_min"),
+                 F.max("l_quantity").alias("f_max")))
+    same = ((F.col("cnt") == F.col("f_cnt"))
+            & (F.col("sum_cents") == F.col("f_sum"))
+            & (F.col("min_qty") == F.col("f_min"))
+            & (F.col("max_qty") == F.col("f_max")))
+    return (merged.join(full, ["l_returnflag", "l_linestatus"])
+            .select("l_returnflag", "l_linestatus",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.col("sum_cents").cast("long").alias("sum_cents"),
+                    F.col("min_qty").cast("long").alias("min_qty"),
+                    F.col("max_qty").cast("long").alias("max_qty"),
+                    same.cast("long").alias("merge_exact"))
+            .orderBy("l_returnflag", "l_linestatus"))
