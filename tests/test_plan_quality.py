@@ -476,3 +476,32 @@ def test_warc_and_tar_extract_plan_shape(spark):
     plan = _plan(spark, "tar_extract")
     assert "Join" not in plan
     assert _shuffles(plan) <= 4          # bundle group + output sort
+
+
+def test_cc_pipeline_pure_jvm_funnel(spark):
+    """The capstone's claim: the whole extract->langid->gate funnel is
+    JVM column work — no Python stage, no join, one aggregation."""
+    plan = _plan(spark, "cc_pipeline")
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_dq_expectations_fk_check_broadcasts(spark):
+    """q88's FK orphan check must be a broadcast anti-join on the
+    small dimension, and no check materializes violating rows."""
+    plan = _plan(spark, "q88_dq_expectations")
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corpus_no_cartesian(spark):
+    plan = _plan(spark, "dedup_cross_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_single_window_exchange(spark):
+    """q86: the moving average runs over the dense spine with one
+    window exchange on the series key."""
+    plan = _plan(spark, "q86_gap_filled_daily")
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
