@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
     # Round-6 additions (newest of all).
-    "q88_dq_expectations", "q89_incremental_mv_merge", "cc_pipeline", "text_html_extract", "text_url_domains",
+    "sketch_cms_join_size", "q88_dq_expectations", "q89_incremental_mv_merge", "cc_pipeline", "text_html_extract", "text_url_domains",
     "tar_extract", "warc_extract", "dedup_cross_corpus", "multimodal_tiff_roundtrip",
     "multimodal_netpbm_roundtrip", "ann_pq_codes",
     "q85_revenue_percentiles", "q86_gap_filled_daily", "q87_forward_fill",

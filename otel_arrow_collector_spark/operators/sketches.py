@@ -616,3 +616,75 @@ SELECT src, CAST(q AS BIGINT) AS q, value_cents, n FROM (
   FROM qs q JOIN re r ON r.rk = (q.q * r.n + 99) // 100
 ) ORDER BY src, q
 """
+
+
+def sketch_cms_join_size(spark, sf_dir):
+    """Declared query: join-cardinality estimation from two count-min
+    sketches (Cormode & Muthukrishnan's inner-product estimator): for
+    relations A and B (events split by event_id parity, joined on
+    user_id), |A JOIN B| = sum_k a_k * b_k, estimated as the MIN over
+    sketch rows of the per-row counter dot product — always an
+    OVERestimate, like the point query.  This is the optimizer
+    cardinality-estimation shape: at 100 TB the two sketches are d*w
+    integers each, mergeable across partitions, and the estimate costs
+    a 1024-cell join instead of touching either relation again.
+    Published next to the exact join size (one aggregation per side +
+    a key-level product sum — the audit cost), all integer-exact."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    ca = cms_counters(a, "user_id")
+    cb = cms_counters(b, "user_id")
+    est = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"),
+                   ["row_id", "col"])
+           .groupBy("row_id")
+           .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+           .agg(F.min("dot").cast("long").alias("est_join_size")))
+    ka = (a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na")))
+    kb = (b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")))
+    exact = (ka.join(kb, "user_id")
+             .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+                  .alias("exact_join_size")))
+    return (est.crossJoin(exact)
+            .select("est_join_size", "exact_join_size",
+                    (F.col("est_join_size") - F.col("exact_join_size"))
+                    .cast("long").alias("overcount")))
+
+
+QUERIES["sketch_cms_join_size"] = sketch_cms_join_size
+ORACLES["sketch_cms_join_size"] = f"""
+WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+            WHERE event_id % 2 = 0),
+kb AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+       WHERE event_id % 2 = 1),
+cells_a AS ({" UNION ALL ".join(
+    f"SELECT key, {i} AS row_id, " + (
+        lambda h: f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+                  f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)")(
+        f"md5(CAST({i} AS VARCHAR) || ':' || key)") + " AS col FROM ka"
+    for i in range(CMS_DEPTH))}),
+cells_b AS ({" UNION ALL ".join(
+    f"SELECT key, {i} AS row_id, " + (
+        lambda h: f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+                  f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)")(
+        f"md5(CAST({i} AS VARCHAR) || ':' || key)") + " AS col FROM kb"
+    for i in range(CMS_DEPTH))}),
+ca AS (SELECT row_id, col, COUNT(*) AS cnt FROM cells_a
+       GROUP BY row_id, col),
+cb AS (SELECT row_id, col, COUNT(*) AS cnt FROM cells_b
+       GROUP BY row_id, col),
+est AS (
+  SELECT MIN(dot) AS est_join_size FROM (
+    SELECT a.row_id, SUM(a.cnt * b.cnt) AS dot
+    FROM ca a JOIN cb b ON a.row_id = b.row_id AND a.col = b.col
+    GROUP BY a.row_id)),
+exact AS (
+  SELECT SUM(na * nb) AS exact_join_size FROM
+    (SELECT key, COUNT(*) AS na FROM ka GROUP BY key) x
+    JOIN (SELECT key, COUNT(*) AS nb FROM kb GROUP BY key) y
+      ON x.key = y.key)
+SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
+       CAST(exact_join_size AS BIGINT) AS exact_join_size,
+       CAST(est_join_size - exact_join_size AS BIGINT) AS overcount
+FROM est, exact
+"""
