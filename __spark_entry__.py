@@ -51,23 +51,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # Round-6 additions (newest of all).
-    "sketch_cms_join_size", "q88_dq_expectations", "q89_incremental_mv_merge", "cc_pipeline", "text_html_extract", "text_url_domains",
-    "tar_extract", "warc_extract", "dedup_cross_corpus", "multimodal_tiff_roundtrip",
-    "multimodal_netpbm_roundtrip", "ann_pq_codes",
-    "q85_revenue_percentiles", "q86_gap_filled_daily", "q87_forward_fill",
-    "sketch_hll_by_group", "sketch_quantile_sampled",
-    "sample_weighted", "bloom_screen",
-    "multimodal_qoi_roundtrip", "multimodal_adpcm_roundtrip",
-    "graph_triangle_count", "graph_pagerank",
-    "sketch_hll_registers", "sketch_hll_estimate",
-    "sketch_cms_counters", "sketch_cms_point",
-    "ann_knn_graph", "multimodal_g711_roundtrip", "multimodal_gif_decode",
-    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
-    "q83_intransit_peak", "q84_brand_growth",
-    # Round-6 front-load: every query that has never received a driver
-    # CORRECTNESS row (diff of PARITY_r05.txt vs CORRECTNESS_r01..r05 keys)
-    # goes first so CORRECTNESS_r06.json records a green row for each.
+    # FIRST: the 32 queries that had never received a driver
+    # CORRECTNESS row through round 5 (diff of PARITY_r05.txt vs
+    # CORRECTNESS_r01..r05 keys) — the round-6 verdict's top ask is
+    # that every one of them lands a green row in CORRECTNESS_r06, so
+    # they outrank even newer work in the sampling order.
     "q70_tail_latency_outliers", "q71_conversion_funnel",
     "q72_scd2_intervals", "q73_json_extraction",
     "q74_range_frame_moving_sum", "q75_exp_to_explicit_histogram",
@@ -81,7 +69,25 @@ _NEWEST_FIRST = [
     "text_bigram_lm", "text_bm25_search", "text_bpe_tokens",
     "text_df_topterms", "text_pii_scrub", "text_quality_classifier",
     "text_repetition",
-    # Previously-sampled recent additions (keep near the front as backfill).
+    # THEN the round-6 additions, flagship families first; whatever the
+    # sample budget does not reach this round rotates forward next
+    # round (commit-checklist rule: every new query gets a slot here).
+    "sketch_hll_registers", "sketch_hll_estimate", "sketch_hll_by_group",
+    "sketch_cms_counters", "sketch_cms_point", "sketch_cms_join_size",
+    "sketch_quantile_sampled",
+    "graph_triangle_count", "graph_pagerank",
+    "ann_pq_codes", "dedup_cross_corpus", "bloom_screen",
+    "sample_weighted", "cc_pipeline", "text_html_extract",
+    "text_url_domains", "warc_extract", "tar_extract",
+    "multimodal_adpcm_roundtrip", "multimodal_qoi_roundtrip",
+    "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
+    "multimodal_g711_roundtrip", "multimodal_gif_decode",
+    "ann_knn_graph",
+    "q88_dq_expectations", "q89_incremental_mv_merge",
+    "q85_revenue_percentiles", "q86_gap_filled_daily", "q87_forward_fill",
+    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
+    "q83_intransit_peak", "q84_brand_growth",
+    # Previously-sampled recent additions (backfill).
     "text_tfidf_search", "multimodal_video_frames", "q69_forecast_revenue",
     "multimodal_mp4_meta", "dedup_semantic", "q68_waiting_suppliers",
 ]
