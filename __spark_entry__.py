@@ -77,7 +77,8 @@ _NEWEST_FIRST = [
     "sketch_quantile_sampled",
     "graph_triangle_count", "graph_pagerank",
     "ann_pq_codes", "dedup_cross_corpus", "bloom_screen",
-    "sample_weighted", "cc_pipeline", "text_html_extract",
+    "sample_weighted", "cc_pipeline", "text_gopher_rules",
+    "text_html_extract",
     "text_url_domains", "warc_extract", "tar_extract",
     "multimodal_adpcm_roundtrip", "multimodal_qoi_roundtrip",
     "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",

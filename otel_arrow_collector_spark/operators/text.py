@@ -998,3 +998,110 @@ SELECT lang, predicted, CAST(kept AS BIGINT) AS kept,
 FROM gated GROUP BY lang, predicted, kept
 ORDER BY lang, predicted, kept
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, MassiveText filtering)
+# ---------------------------------------------------------------------------
+#
+# The published Gopher/MassiveText document-filter set, restated as
+# INTEGER-exact gates (every ratio threshold cross-multiplied so no
+# float boundary exists anywhere):
+#   G1  50 <= word count <= 100,000
+#   G2  3 <= mean word length <= 10        (sum_len vs 3n / 10n)
+#   G3  symbol-to-word ratio <= 0.1        (hash + ellipsis)
+#   G4  >= 80 % of words contain an alphabetic character
+#   G5  >= 2 distinct stopword hits (the MassiveText "stop word" rule,
+#       against this corpus's lexicons)
+# Rules about bullet/ellipsis line starts need line structure the
+# synthetic corpus lacks; they are intentionally out (documented cut).
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Declared query: the Gopher filter funnel — each rule's pass/fail
+    per document plus the final keep bit, aggregated per (lang, keep)
+    with per-rule failure counts.  The rule set is the published
+    MassiveText heuristic battery; thresholds are cross-multiplied to
+    integers so the DuckDB twin agrees bit for bit.  Pure scan-side
+    column work + one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    sum_len = F.expr(
+        "aggregate(split(text, ' '), 0, (a, w) -> a + length(w))")
+    symbols = (F.length(F.col("text"))
+               - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+    ellipses = F.expr("(length(text) - length(replace(text, '...', '')))"
+                      " div 3")
+    alpha_w = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(F.array_distinct(
+        F.filter(ws, lambda w: w.isin(*(LEXICON["en"] + LEXICON["es"]
+                                        + LEXICON["zh"])))))
+    g1 = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    g2 = (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    g3 = (symbols + ellipses) * 10 <= n
+    g4 = alpha_w * 10 >= n * 8
+    g5 = stops >= 2
+    keep = g1 & g2 & g3 & g4 & g5
+    flags = d.select(
+        "lang",
+        g1.cast("int").alias("g1"), g2.cast("int").alias("g2"),
+        g3.cast("int").alias("g3"), g4.cast("int").alias("g4"),
+        g5.cast("int").alias("g5"), keep.cast("int").alias("keep"))
+    return (flags.groupBy("lang", "keep")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(1 - F.col("g1")).alias("fail_wordcount"),
+                 F.sum(1 - F.col("g2")).alias("fail_meanlen"),
+                 F.sum(1 - F.col("g3")).alias("fail_symbols"),
+                 F.sum(1 - F.col("g4")).alias("fail_alpha"),
+                 F.sum(1 - F.col("g5")).alias("fail_stopwords"))
+            .select("lang", F.col("keep").cast("long").alias("keep"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    *[F.col(c).cast("long").alias(c)
+                      for c in ("fail_wordcount", "fail_meanlen",
+                                "fail_symbols", "fail_alpha",
+                                "fail_stopwords")])
+            .orderBy("lang", "keep"))
+
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+ORACLES["text_gopher_rules"] = f"""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n,
+         list_sum(list_transform(string_split(text, ' '),
+                                 w -> length(w))) AS sum_len,
+         length(text) - length(replace(text, '#', '')) AS symbols,
+         (length(text) - length(replace(text, '...', ''))) // 3
+           AS ellipses,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_w,
+         len(list_distinct(list_filter(string_split(text, ' '),
+             w -> w IN {_sql_in_list(LEXICON['en'] + LEXICON['es']
+                                     + LEXICON['zh'])}))) AS stops
+  FROM documents),
+flags AS (
+  SELECT lang,
+         CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN sum_len >= 3 * n AND sum_len <= 10 * n
+              THEN 1 ELSE 0 END AS g2,
+         CASE WHEN (symbols + ellipses) * 10 <= n THEN 1 ELSE 0 END AS g3,
+         CASE WHEN alpha_w * 10 >= n * 8 THEN 1 ELSE 0 END AS g4,
+         CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS g5
+  FROM t),
+gated AS (
+  SELECT lang, g1, g2, g3, g4, g5,
+         g1 * g2 * g3 * g4 * g5 AS keep
+  FROM flags)
+SELECT lang, CAST(keep AS BIGINT) AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 - g1) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(1 - g2) AS BIGINT) AS fail_meanlen,
+       CAST(SUM(1 - g3) AS BIGINT) AS fail_symbols,
+       CAST(SUM(1 - g4) AS BIGINT) AS fail_alpha,
+       CAST(SUM(1 - g5) AS BIGINT) AS fail_stopwords
+FROM gated GROUP BY lang, keep ORDER BY lang, keep
+"""
