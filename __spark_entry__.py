@@ -76,7 +76,8 @@ _NEWEST_FIRST = [
     "sketch_cms_counters", "sketch_cms_point", "sketch_cms_join_size",
     "sketch_quantile_sampled",
     "graph_triangle_count", "graph_pagerank",
-    "ann_pq_codes", "dedup_cross_corpus", "bloom_screen",
+    "ann_pq_codes", "embedding_mrl_energy",
+    "dedup_cross_corpus", "bloom_screen",
     "sample_weighted", "cc_pipeline", "text_gopher_rules",
     "text_html_extract",
     "text_url_domains", "warc_extract", "tar_extract",

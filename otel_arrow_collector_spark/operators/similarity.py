@@ -960,3 +960,49 @@ SELECT CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
        CAST(SUM(CAST(floor(d * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_nano
 FROM codes GROUP BY s, code ORDER BY s, code
 """
+
+
+def embedding_mrl_energy(spark, sf_dir):
+    """Matryoshka-style truncation accounting (Kusupati et al. 2022):
+    how much of each embedding's squared norm survives at prefix dims
+    8/16/32 of 64 — the measurement that decides whether a store can
+    serve truncated vectors (MRL) at a fraction of the memory.  Ratios
+    are published as integer parts-per-million of the FULL energy
+    (floor), with all four energies computed by the same sequential
+    fold order as the oracle's list_reduce, so every double is
+    bit-identical before the floor.  Map-only: no shuffle, no Python.
+    """
+    be = bucketed_embeddings(spark, sf_dir)
+    def energy(k):
+        return (f"aggregate(sequence(1, {k}), CAST(0 AS DOUBLE), "
+                f"(a, i) -> a + CAST(embedding[i - 1] AS DOUBLE)"
+                f" * CAST(embedding[i - 1] AS DOUBLE))")
+    ppm = lambda k: (f"CAST(floor({energy(k)} * 1000000 / {energy(64)})"
+                     f" AS BIGINT)")
+    return (be.select("vec_id",
+                      F.expr(ppm(8)).alias("ppm_8"),
+                      F.expr(ppm(16)).alias("ppm_16"),
+                      F.expr(ppm(32)).alias("ppm_32"))
+            .orderBy("vec_id").limit(200))
+
+
+QUERIES["embedding_mrl_energy"] = embedding_mrl_energy
+
+
+def _mrl_energy_sql(k: int) -> str:
+    return (f"list_reduce(list_transform(range(1, {k + 1}), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)"
+            f" * CAST(embedding[CAST(i AS INT)] AS DOUBLE)), "
+            f"(a, v) -> a + v)")
+
+
+ORACLES["embedding_mrl_energy"] = f"""
+SELECT vec_id,
+       CAST(floor({_mrl_energy_sql(8)} * 1000000
+                  / {_mrl_energy_sql(64)}) AS BIGINT) AS ppm_8,
+       CAST(floor({_mrl_energy_sql(16)} * 1000000
+                  / {_mrl_energy_sql(64)}) AS BIGINT) AS ppm_16,
+       CAST(floor({_mrl_energy_sql(32)} * 1000000
+                  / {_mrl_energy_sql(64)}) AS BIGINT) AS ppm_32
+FROM embeddings ORDER BY vec_id LIMIT 200
+"""
