@@ -85,6 +85,7 @@ _NEWEST_FIRST = [
     "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
     "multimodal_g711_roundtrip", "multimodal_gif_decode",
     "ann_knn_graph",
+    "q90_tail_sampling", "q91_rate_limit",
     "q88_dq_expectations", "q89_incremental_mv_merge",
     "q85_revenue_percentiles", "q86_gap_filled_daily", "q87_forward_fill",
     "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",

@@ -3362,3 +3362,109 @@ def q89(spark, sf_dir):
                     F.col("max_qty").cast("long").alias("max_qty"),
                     same.cast("long").alias("merge_exact"))
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+@_register("q90_tail_sampling", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+tr AS (
+  SELECT user_id, day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS has_error,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+  FROM e GROUP BY user_id, day),
+dec AS (
+  SELECT n_events,
+         CASE WHEN has_error = 1 THEN 'error'
+              WHEN span_us >= 72000000000 THEN 'latency'
+              WHEN substr(md5('ts:' || CAST(user_id AS VARCHAR) || ':'
+                          || CAST(day AS VARCHAR)), 1, 1)
+                   IN ('0', '1') THEN 'probabilistic'
+              ELSE 'drop' END AS policy
+  FROM tr)
+SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM dec GROUP BY policy ORDER BY policy
+""")
+def q90(spark, sf_dir):
+    """Tail-based sampling decisions (the tail-sampling processor
+    shape): the keep/drop verdict is made per TRACE (user journey here)
+    after the whole trace is visible — error policy first, then a
+    20-hour-span latency policy, then a deterministic 2/16
+    hash-probabilistic policy, else drop (traces = user-days here).  One
+    aggregation to the per-trace row, then the policy CASE — the
+    decision table is |traces|-sized, never |spans|, which is what
+    makes tail sampling feasible at ingest scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type",
+                  (F.col("ts_ns") / 1000).cast("long").alias("us"))
+    e = e.withColumn("day", F.expr("us div 86400000000"))
+    tr = (e.groupBy("user_id", "day")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.max(F.when(F.col("event_type") == "error", 1)
+                     .otherwise(0)).alias("has_error"),
+               (F.max("us") - F.min("us")).alias("span_us")))
+    policy = (F.when(F.col("has_error") == 1, "error")
+              .when(F.col("span_us") >= 72000000000, "latency")
+              .when(F.substring(
+                  F.md5(F.concat(F.lit("ts:"),
+                                 F.col("user_id").cast("string"),
+                                 F.lit(":"),
+                                 F.col("day").cast("string"))), 1, 1)
+                  .isin("0", "1"), "probabilistic")
+              .otherwise("drop"))
+    return (tr.select(policy.alias("policy"), "n_events")
+            .groupBy("policy")
+            .agg(F.count(F.lit(1)).alias("n_traces"),
+                 F.sum("n_events").alias("n_events"))
+            .select("policy",
+                    F.col("n_traces").cast("long").alias("n_traces"),
+                    F.col("n_events").cast("long").alias("n_events"))
+            .orderBy("policy"))
+
+
+@_register("q91_rate_limit", """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS hour,
+         epoch_us(ts) AS us
+  FROM events),
+rk AS (
+  SELECT user_id, hour,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                            ORDER BY us, event_id) AS k
+  FROM e)
+SELECT user_id,
+       CAST(SUM(CASE WHEN k <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(SUM(CASE WHEN k > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled
+FROM rk GROUP BY user_id
+HAVING SUM(CASE WHEN k > 3 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+""")
+def q91(spark, sf_dir):
+    """Quota enforcement (the rate-limiter processor shape): at most 2
+    events per user per day window, the rest throttled — ROW_NUMBER
+    under the total arrival order inside each (user, hour) bucket, so
+    the decision is deterministic and replayable (the property a
+    billing-grade limiter needs).  One window exchange on the composite
+    key; only users that actually throttled are reported.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id",
+                  (F.col("ts_ns") / 1000).cast("long").alias("us"))
+    e = e.withColumn("hour", F.expr("us div 86400000000"))
+    w = Window.partitionBy("user_id", "hour").orderBy("us", "event_id")
+    rk = e.withColumn("k", F.row_number().over(w))
+    return (rk.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("k") <= 2, 1).otherwise(0))
+                 .cast("long").alias("n_allowed"),
+                 F.sum(F.when(F.col("k") > 2, 1).otherwise(0))
+                 .cast("long").alias("n_throttled"))
+            .filter(F.col("n_throttled") > 0)
+            .orderBy("user_id"))
