@@ -9,8 +9,15 @@
 - ``sampling``    — deterministic stratified sampling + train/val/test splits.
 - ``curation``    — sequence packing, contamination screen, shuffle layout.
 - ``multimodal``  — binary-column decode/feature plumbing (mapInPandas).
-- ``sketches``    — Misra-Gries heavy hitters (bounded-state sketch + recount).
+- ``sketches``    — Misra-Gries heavy hitters, HyperLogLog, count-min
+  (point + join-size estimation), sampled rank-exact quantiles.
+- ``graph``       — oriented-wedge triangle counting, integer
+  fixed-point PageRank.
 - ``batching``    — batch processor semantics (size/time/split) in batch mode.
+
+Codec modules consumed by ``multimodal``: ``jpeg`` ``gif`` ``qoi``
+``netpbm`` ``tiff`` ``g711`` ``adpcm`` (plus ``sources/warc.py`` and
+``sources/archive.py`` for the corpus containers).
 
 Each module exposes ``QUERIES`` (name -> callable(spark, sf_dir) ->
 DataFrame) and ``ORACLES`` (name -> DuckDB SQL) consumed by
