@@ -80,7 +80,7 @@ _NEWEST_FIRST = [
     "dedup_cross_corpus", "bloom_screen",
     "sample_weighted", "cc_pipeline", "text_gopher_rules",
     "text_html_extract",
-    "text_url_domains", "warc_extract", "tar_extract",
+    "text_url_domains", "warc_extract", "tar_extract", "jsonl_extract",
     "multimodal_adpcm_roundtrip", "multimodal_qoi_roundtrip",
     "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
     "multimodal_g711_roundtrip", "multimodal_gif_decode",

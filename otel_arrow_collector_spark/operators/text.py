@@ -1105,3 +1105,62 @@ SELECT lang, CAST(keep AS BIGINT) AS keep,
        CAST(SUM(1 - g5) AS BIGINT) AS fail_stopwords
 FROM gated GROUP BY lang, keep ORDER BY lang, keep
 """
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest (the other corpus interchange format next to WARC/tar)
+# ---------------------------------------------------------------------------
+
+def jsonl_extract(spark, sf_dir):
+    """Declared query: JSONL round-trip — each doc serializes to one
+    JSON line (nested meta object, numeric + string fields; corpus text
+    is JSON-safe by construction, asserted) and parses back with the
+    engine's JSON path machinery (get_json_object, JVM/Jackson); the
+    DuckDB twin builds the identical line and extracts with its own
+    json_extract, so both engines must agree on serialization AND
+    path semantics.  Output: per-lang aggregates of the re-extracted
+    fields.  Pure codegen map + one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "chars": '), F.col("n_chars").cast("string"),
+        F.lit('}, "text": "'), F.col("text"), F.lit('"}'))
+    j = d.select("doc_id", line.alias("line"))
+    parsed = j.select(
+        F.get_json_object("line", "$.id").cast("long").alias("pid"),
+        F.get_json_object("line", "$.meta.lang").alias("plang"),
+        F.get_json_object("line", "$.meta.chars").cast("long")
+         .alias("pchars"),
+        F.length(F.get_json_object("line", "$.text")).cast("long")
+         .alias("ptextlen"))
+    return (parsed.groupBy("plang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("pid").cast("long").alias("sum_ids"),
+                 F.sum("pchars").cast("long").alias("sum_chars"),
+                 F.sum("ptextlen").cast("long").alias("sum_textlen"))
+            .orderBy("plang"))
+
+
+QUERIES["jsonl_extract"] = jsonl_extract
+ORACLES["jsonl_extract"] = """
+WITH j AS (
+  SELECT doc_id,
+         '{"id": ' || CAST(doc_id AS VARCHAR)
+         || ', "meta": {"lang": "' || lang
+         || '", "chars": ' || CAST(n_chars AS VARCHAR)
+         || '}, "text": "' || text || '"}' AS line
+  FROM documents),
+parsed AS (
+  SELECT CAST(json_extract_string(line, '$.id') AS BIGINT) AS pid,
+         json_extract_string(line, '$.meta.lang') AS plang,
+         CAST(json_extract_string(line, '$.meta.chars') AS BIGINT)
+           AS pchars,
+         length(json_extract_string(line, '$.text')) AS ptextlen
+  FROM j)
+SELECT plang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pid) AS BIGINT) AS sum_ids,
+       CAST(SUM(pchars) AS BIGINT) AS sum_chars,
+       CAST(SUM(ptextlen) AS BIGINT) AS sum_textlen
+FROM parsed GROUP BY plang ORDER BY plang
+"""
