@@ -1982,3 +1982,59 @@ SELECT doc_id, CAST(bundle AS BIGINT) AS bundle,
                  - 1))), 0) AS BIGINT) AS sum_body
 FROM docs ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Snappy path (sources/snappy.py — pyarrow-cross-interop-pinned)
+# ---------------------------------------------------------------------------
+
+SNAPPY_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("body_len", LongType()),
+    StructField("sum_body", LongType()),
+    StructField("lossless", LongType()),
+])
+
+
+def snappy_roundtrip(spark, sf_dir):
+    """Snappy raw-block compress -> decompress per document, value
+    gated on losslessness (byte sum + length + equality flag).  The
+    codec itself is pinned in BOTH interop directions against
+    pyarrow's bundled snappy (tests/test_snappy.py) — this query gates
+    the Spark-side plumbing and the corpus-shaped inputs.  Map-only
+    plan: one mapInPandas stage."""
+    from ..sources.snappy import snappy_compress, snappy_decompress
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                got = snappy_decompress(snappy_compress(body))
+                rows.append({
+                    "doc_id": doc_id, "body_len": len(got),
+                    "sum_body": int(sum(got)),
+                    "lossless": int(got == body)})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, SNAPPY_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["snappy_roundtrip"] = snappy_roundtrip
+ORACLES["snappy_roundtrip"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS blen
+  FROM documents ORDER BY doc_id LIMIT 300
+)
+SELECT doc_id, CAST(blen AS BIGINT) AS body_len,
+       CAST(COALESCE(list_sum(list_transform(range(0, blen), j ->
+              (strpos('0123456789ABCDEF', substr(hx, j * 2 + 1, 1)) - 1)
+              * 16
+              + (strpos('0123456789ABCDEF', substr(hx, j * 2 + 2, 1))
+                 - 1))), 0) AS BIGINT) AS sum_body,
+       CAST(1 AS BIGINT) AS lossless
+FROM docs ORDER BY doc_id
+"""

@@ -1,0 +1,159 @@
+"""Snappy raw-block codec — the compression under every parquet file
+this engine reads.
+
+Clean-room from the public format description
+(google/snappy format_description.txt): a varint uncompressed-length
+preamble, then tagged elements — literals (tag&3==0, length in the tag
+or 1-4 trailing LE bytes) and back-references (1-byte-offset copies of
+4..11 bytes with the offset's high bits in the tag; 2- and 4-byte
+LE-offset copies of 1..64 bytes).  Copies may self-overlap (offset <
+length repeats the pattern), which the decoder honors byte-at-a-time.
+
+The encoder is a greedy 4-byte-hash matcher emitting 2-byte-offset
+copies — a VALID stream, not necessarily the reference encoder's exact
+bytes; interop is pinned in BOTH directions against pyarrow's bundled
+snappy (our decoder reads its output, its decoder reads ours) plus
+round-trips — tests/test_snappy.py.
+"""
+
+from __future__ import annotations
+
+_MIN_MATCH = 4
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, data: bytes) -> None:
+    n = len(data)
+    if n == 0:
+        return
+    if n <= 60:
+        out.append((n - 1) << 2)
+    elif n <= 0x100:
+        out.append(60 << 2)
+        out.append(n - 1)
+    elif n <= 0x10000:
+        out.append(61 << 2)
+        out += (n - 1).to_bytes(2, "little")
+    elif n <= 0x1000000:
+        out.append(62 << 2)
+        out += (n - 1).to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += (n - 1).to_bytes(4, "little")
+    out += data
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    while length > 0:
+        if length > 64:
+            step = 60 if length - 64 < 4 else 64
+        else:
+            step = length
+        if step >= 4 and step <= 11 and offset < 2048:
+            out.append(1 | ((step - 4) << 2) | ((offset >> 8) << 5))
+            out.append(offset & 0xFF)
+        elif offset < 0x10000:
+            out.append(2 | ((step - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        else:
+            out.append(3 | ((step - 1) << 2))
+            out += offset.to_bytes(4, "little")
+        length -= step
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Greedy hash-match encoder -> valid snappy raw block."""
+    out = bytearray(_varint(len(data)))
+    n = len(data)
+    i = 0
+    lit_start = 0
+    table: dict[int, int] = {}
+    while i + _MIN_MATCH <= n:
+        key = int.from_bytes(data[i:i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and data[cand:cand + 4] == data[i:i + 4]:
+            # extend the match
+            j = i + 4
+            k = cand + 4
+            while j < n and data[j] == data[k]:
+                j += 1
+                k += 1
+            _emit_literal(out, data[lit_start:i])
+            _emit_copy(out, i - cand, j - i)
+            i = j
+            lit_start = i
+        else:
+            i += 1
+    _emit_literal(out, data[lit_start:])
+    return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Snappy raw block -> bytes; raises ValueError on malformed
+    streams (bad varint, zero offsets, overruns, length mismatch)."""
+    # varint preamble
+    total = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= len(data) or shift > 35:
+            raise ValueError("bad snappy length varint")
+        b = data[i]
+        i += 1
+        total |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while i < len(data):
+        tag = data[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:                         # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if i + nb > len(data):
+                    raise ValueError("truncated literal length")
+                ln = int.from_bytes(data[i:i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > len(data):
+                raise ValueError("truncated literal")
+            out += data[i:i + ln]
+            i += ln
+            continue
+        if kind == 1:                         # 1-byte-offset copy
+            if i >= len(data):
+                raise ValueError("truncated copy1")
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif kind == 2:
+            if i + 2 > len(data):
+                raise ValueError("truncated copy2")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[i:i + 2], "little")
+            i += 2
+        else:
+            if i + 4 > len(data):
+                raise ValueError("truncated copy4")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[i:i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError(f"bad copy offset {off}")
+        for _ in range(ln):                   # overlap-safe
+            out.append(out[-off])
+    if len(out) != total:
+        raise ValueError(f"length mismatch: {len(out)} != {total}")
+    return bytes(out)

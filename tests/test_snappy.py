@@ -1,0 +1,63 @@
+"""Snappy raw codec: cross-interop BOTH directions against pyarrow's
+bundled snappy, format hand vectors, overlap copies, fuzz guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from otel_arrow_collector_spark.sources.snappy import (snappy_compress,
+                                                       snappy_decompress)
+
+
+def _cases():
+    rng = np.random.RandomState(8)
+    yield b""
+    yield b"a"
+    yield b"hello hello hello hello worldworldworld" * 3
+    yield bytes(rng.randint(0, 256, 100_000))        # incompressible
+    yield bytes([5]) * 100_000                       # max-run copies
+    yield b"abcd" * 50_000                           # overlap pattern
+    yield bytes(range(256)) * 300                    # long literals
+
+
+def test_cross_interop_both_directions():
+    for d in _cases():
+        assert snappy_decompress(snappy_compress(d)) == d
+        ref = pa.compress(d, codec="snappy", asbytes=True)
+        assert snappy_decompress(ref) == d           # we read theirs
+        assert pa.decompress(snappy_compress(d), decompressed_size=len(d),
+                             codec="snappy", asbytes=True) == d
+
+
+def test_format_hand_vectors():
+    # empty input: just the varint 0
+    assert snappy_compress(b"") == b"\x00"
+    # 3-byte literal: varint 3, tag (3-1)<<2, payload
+    assert snappy_compress(b"abc") == b"\x03" + bytes([2 << 2]) + b"abc"
+    # self-overlapping copy decodes as pattern repeat:
+    # varint 8, literal 'ab', copy offset 2 len 6 -> 'abababab'
+    stream = b"\x08" + bytes([(2 - 1) << 2]) + b"ab" \
+        + bytes([1 | ((6 - 4) << 2) | (0 << 5), 2])
+    assert snappy_decompress(stream) == b"abababab"
+
+
+def test_parquet_page_material():
+    """Decode real parquet bytes (this corpus IS snappy territory)."""
+    raw = open("/root/testdata/sf0.001/documents.parquet", "rb").read()
+    d = raw[:150_000]
+    assert snappy_decompress(snappy_compress(d)) == d
+
+
+def test_malformed_guards():
+    with pytest.raises(ValueError):
+        snappy_decompress(b"\xff" * 8)               # varint overrun
+    with pytest.raises(ValueError):
+        snappy_decompress(b"\x05" + bytes([2 << 2]) + b"ab")  # short lit
+    with pytest.raises(ValueError):
+        # copy before any output: offset 1 with empty window
+        snappy_decompress(b"\x04" + bytes([1 | (0 << 2), 1]))
+    with pytest.raises(ValueError):
+        # declared length != produced length
+        snappy_decompress(b"\x09" + bytes([2 << 2]) + b"abc")
