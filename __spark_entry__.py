@@ -81,7 +81,7 @@ _NEWEST_FIRST = [
     "sample_weighted", "cc_pipeline", "text_gopher_rules",
     "text_html_extract",
     "text_url_domains", "warc_extract", "tar_extract", "jsonl_extract",
-    "snappy_roundtrip",
+    "snappy_roundtrip", "lz4_roundtrip",
     "multimodal_adpcm_roundtrip", "multimodal_qoi_roundtrip",
     "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
     "multimodal_g711_roundtrip", "multimodal_gif_decode",

@@ -2038,3 +2038,31 @@ SELECT doc_id, CAST(blen AS BIGINT) AS body_len,
        CAST(1 AS BIGINT) AS lossless
 FROM docs ORDER BY doc_id
 """
+
+
+def lz4_roundtrip(spark, sf_dir):
+    """LZ4-block compress -> decompress per document (the parquet
+    LZ4_RAW codec), value-gated on losslessness; codec cross-pinned
+    both directions against pyarrow's lz4 (tests/test_lz4.py).
+    Map-only plan."""
+    from ..sources.lz4 import lz4_compress, lz4_decompress
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                got = lz4_decompress(lz4_compress(body), len(body))
+                rows.append({
+                    "doc_id": doc_id, "body_len": len(got),
+                    "sum_body": int(sum(got)),
+                    "lossless": int(got == body)})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, SNAPPY_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["lz4_roundtrip"] = lz4_roundtrip
+ORACLES["lz4_roundtrip"] = ORACLES["snappy_roundtrip"]
