@@ -900,23 +900,26 @@ def ann_pq_codes(spark, sf_dir):
                 f"- element_at(element_at({clit(s)}, k + 1), i)))")
         # NB: Spark [] subscripts are 0-based, element_at/DuckDB 1-based
 
-    def best(s: int, field: str) -> str:
+    def best_struct(s: int) -> str:
         # runtime left fold over candidate codes: strict < keeps the
         # lowest code on ties (== the oracle's ORDER BY d, code).
-        return (f"(aggregate(sequence(0, {len(C[s]) - 1}), "
+        return (f"aggregate(sequence(0, {len(C[s]) - 1}), "
                 f"named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), "
                 f"(acc, k) -> CASE WHEN {dist(s)} < acc.d "
                 f"THEN named_struct('d', {dist(s)}, 'c', k) "
-                f"ELSE acc END)).{field}"
-                )
+                f"ELSE acc END)")
 
     be = bucketed_embeddings(spark, sf_dir)
     ve = be.select("vec_id", F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
-    cells = ve.select("vec_id", F.explode(F.array(*[
+    # one struct-valued fold per subspace: the aggregate materializes
+    # as a column and BOTH fields read from it — one fold per (row, s)
+    folded = ve.select("vec_id", *[
+        F.expr(best_struct(s)).alias(f"b{s}") for s in range(PQ_M)])
+    cells = folded.select("vec_id", F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
-                 F.expr(best(s, "c")).alias("code"),
-                 F.expr(f"CAST(floor({best(s, 'd')} * 1e9) AS BIGINT)")
+                 F.col(f"b{s}.c").alias("code"),
+                 F.expr(f"CAST(floor(b{s}.d * 1e9) AS BIGINT)")
                  .alias("err9"))
         for s in range(PQ_M)])).alias("pc"))
     return (cells.select("pc.s", "pc.code", "pc.err9")
