@@ -142,7 +142,7 @@ def transition_edges(events: DataFrame) -> DataFrame:
     user under the total order (us, event_id), then a pair count."""
     ev = events.select(
         "user_id", "event_type",
-        (F.col("ts_ns") / 1000).cast("long").alias("us"), "event_id")
+        F.expr("ts_ns div 1000").alias("us"), "event_id")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     p = ev.select("event_type",
                   F.lead("event_type").over(w).alias("next_type"))

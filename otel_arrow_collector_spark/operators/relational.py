@@ -2837,7 +2837,7 @@ def q80(spark, sf_dir):
     cross-engine.
     """
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", (F.col("ts_ns") / 1000).cast("long").alias("us"),
+        "user_id", F.expr("ts_ns div 1000").alias("us"),
         "event_id")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flg = ev.withColumn(
@@ -2882,7 +2882,7 @@ def q81(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type",
-        (F.col("ts_ns") / 1000).cast("long").alias("us"), "event_id")
+        F.expr("ts_ns div 1000").alias("us"), "event_id")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     p = ev.select("event_type",
                   F.lead("event_type").over(w).alias("next_type"))
@@ -2926,7 +2926,7 @@ def q82(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     d = (ev.groupBy("event_type",
-                    F.floor(F.col("ts_ns") / 1000 / 86_400_000_000)
+                    F.expr("ts_ns div 1000 div 86400000000")
                      .cast("long").alias("day"))
            .agg(F.count(F.lit(1)).alias("x")))
     w = (Window.partitionBy("event_type").orderBy("day")
@@ -3137,7 +3137,7 @@ def q86(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     d = (ev.select("event_type",
-                   (F.col("ts_ns") / 1000).cast("long").alias("us"))
+                   F.expr("ts_ns div 1000").alias("us"))
            .select("event_type",
                    F.expr("us div 86400000000").alias("day"))
            .groupBy("event_type", "day")
@@ -3194,7 +3194,7 @@ def q87(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
-        "user_id", (F.col("ts_ns") / 1000).cast("long").alias("us"),
+        "user_id", F.expr("ts_ns div 1000").alias("us"),
         "event_id",
         F.when(F.col("event_type") != "view",
                F.floor(F.col("value") * 100).cast("long")).alias("x"))
@@ -3401,7 +3401,7 @@ def q90(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", "event_type",
-                  (F.col("ts_ns") / 1000).cast("long").alias("us"))
+                  F.expr("ts_ns div 1000").alias("us"))
     e = e.withColumn("day", F.expr("us div 86400000000"))
     tr = (e.groupBy("user_id", "day")
           .agg(F.count(F.lit(1)).alias("n_events"),
@@ -3444,7 +3444,7 @@ SELECT user_id,
        CAST(SUM(CASE WHEN k > 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_throttled
 FROM rk GROUP BY user_id
-HAVING SUM(CASE WHEN k > 3 THEN 1 ELSE 0 END) > 0
+HAVING SUM(CASE WHEN k > 2 THEN 1 ELSE 0 END) > 0
 ORDER BY user_id
 """)
 def q91(spark, sf_dir):
@@ -3457,7 +3457,7 @@ def q91(spark, sf_dir):
     """
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", "event_id",
-                  (F.col("ts_ns") / 1000).cast("long").alias("us"))
+                  F.expr("ts_ns div 1000").alias("us"))
     e = e.withColumn("hour", F.expr("us div 86400000000"))
     w = Window.partitionBy("user_id", "hour").orderBy("us", "event_id")
     rk = e.withColumn("k", F.row_number().over(w))

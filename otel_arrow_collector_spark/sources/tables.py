@@ -78,7 +78,7 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     if isinstance(ts_field.dataType, LongType):
         return (
             df.withColumn("ts_ns", F.col("ts"))
-              .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
     if isinstance(ts_field.dataType, TimestampNTZType):
         # parquet timestamp[us] without tz adjustment arrives as NTZ; the
