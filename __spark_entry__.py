@@ -51,49 +51,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the 32 queries that had never received a driver
-    # CORRECTNESS row through round 5 (diff of PARITY_r05.txt vs
-    # CORRECTNESS_r01..r05 keys) — the round-6 verdict's top ask is
-    # that every one of them lands a green row in CORRECTNESS_r06, so
+    # FIRST: the 24 queries that had never received a driver
+    # CORRECTNESS row through round 6 (diff of PARITY_r06.txt vs
+    # CORRECTNESS_r01..r06 keys) — the round-7 verdict's top ask is
+    # that every one of them lands a green row in CORRECTNESS_r07, so
     # they outrank even newer work in the sampling order.
-    "q70_tail_latency_outliers", "q71_conversion_funnel",
-    "q72_scd2_intervals", "q73_json_extraction",
-    "q74_range_frame_moving_sum", "q75_exp_to_explicit_histogram",
-    "q76_timeseries_similarity", "q77_rfm_segments", "q78_cube_matrix",
-    "q79_exact_median",
-    "ann_ivf_multiprobe", "ann_recall_report", "contamination_screen",
-    "curation_pipeline", "dedup_keep_best", "dedup_substring",
-    "embedding_outliers", "embedding_quantize_int8", "heavy_hitter_events",
-    "multimodal_audio_windows", "pack_sequences", "sample_split",
-    "sample_stratified", "shuffle_shards", "temperature_mix",
-    "text_bigram_lm", "text_bm25_search", "text_bpe_tokens",
-    "text_df_topterms", "text_pii_scrub", "text_quality_classifier",
-    "text_repetition",
-    # THEN the round-6 additions, flagship families first; whatever the
-    # sample budget does not reach this round rotates forward next
-    # round (commit-checklist rule: every new query gets a slot here).
-    "sketch_hll_registers", "sketch_hll_estimate", "sketch_hll_by_group",
-    "sketch_cms_counters", "sketch_cms_point", "sketch_cms_join_size",
-    "sketch_quantile_sampled",
-    "graph_triangle_count", "graph_pagerank",
-    "ann_pq_codes", "embedding_mrl_energy",
-    "dedup_cross_corpus", "bloom_screen",
-    "sample_weighted", "cc_pipeline", "text_gopher_rules",
-    "text_html_extract",
-    "text_url_domains", "warc_extract", "tar_extract", "jsonl_extract",
-    "snappy_roundtrip", "lz4_roundtrip",
-    "multimodal_adpcm_roundtrip", "multimodal_qoi_roundtrip",
-    "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
-    "multimodal_g711_roundtrip", "multimodal_gif_decode",
-    "ann_knn_graph",
-    "q90_tail_sampling", "q91_rate_limit",
-    "q88_dq_expectations", "q89_incremental_mv_merge",
-    "q85_revenue_percentiles", "q86_gap_filled_daily", "q87_forward_fill",
+    "ann_knn_graph", "jsonl_extract", "lz4_roundtrip",
+    "multimodal_adpcm_roundtrip", "multimodal_g711_roundtrip",
+    "multimodal_gif_decode", "multimodal_netpbm_roundtrip",
+    "multimodal_qoi_roundtrip", "multimodal_tiff_roundtrip",
     "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
-    "q83_intransit_peak", "q84_brand_growth",
+    "q83_intransit_peak", "q84_brand_growth", "q85_revenue_percentiles",
+    "q86_gap_filled_daily", "q87_forward_fill", "q88_dq_expectations",
+    "q89_incremental_mv_merge", "q90_tail_sampling", "q91_rate_limit",
+    "snappy_roundtrip", "tar_extract", "warc_extract",
+    # THEN the round-7 additions; whatever the sample budget does not
+    # reach this round rotates forward next round (commit-checklist
+    # rule: every new query gets a slot here).
     # Previously-sampled recent additions (backfill).
-    "text_tfidf_search", "multimodal_video_frames", "q69_forecast_revenue",
-    "multimodal_mp4_meta", "dedup_semantic", "q68_waiting_suppliers",
+    "sketch_quantile_sampled", "sketch_hll_estimate", "sketch_cms_point",
+    "graph_triangle_count", "graph_pagerank", "ann_pq_codes",
+    "embedding_mrl_energy", "dedup_cross_corpus", "bloom_screen",
+    "sample_weighted", "cc_pipeline", "text_gopher_rules",
+    "text_html_extract", "text_url_domains",
 ]
 
 

@@ -3430,12 +3430,12 @@ def q90(spark, sf_dir):
 @_register("q91_rate_limit", """
 WITH e AS (
   SELECT user_id, event_id,
-         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS hour,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
          epoch_us(ts) AS us
   FROM events),
 rk AS (
-  SELECT user_id, hour,
-         ROW_NUMBER() OVER (PARTITION BY user_id, hour
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
                             ORDER BY us, event_id) AS k
   FROM e)
 SELECT user_id,
@@ -3450,7 +3450,7 @@ ORDER BY user_id
 def q91(spark, sf_dir):
     """Quota enforcement (the rate-limiter processor shape): at most 2
     events per user per day window, the rest throttled — ROW_NUMBER
-    under the total arrival order inside each (user, hour) bucket, so
+    under the total arrival order inside each (user, day) bucket, so
     the decision is deterministic and replayable (the property a
     billing-grade limiter needs).  One window exchange on the composite
     key; only users that actually throttled are reported.
@@ -3458,8 +3458,8 @@ def q91(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", "event_id",
                   F.expr("ts_ns div 1000").alias("us"))
-    e = e.withColumn("hour", F.expr("us div 86400000000"))
-    w = Window.partitionBy("user_id", "hour").orderBy("us", "event_id")
+    e = e.withColumn("day", F.expr("us div 86400000000"))
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
     rk = e.withColumn("k", F.row_number().over(w))
     return (rk.groupBy("user_id")
             .agg(F.sum(F.when(F.col("k") <= 2, 1).otherwise(0))

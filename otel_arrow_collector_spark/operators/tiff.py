@@ -33,7 +33,13 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+#: TIFF 6.0 field-type sizes (spec §2, "Types").  Real-world encoders
+#: (libtiff, Pillow) attach ASCII (2: ImageDescription/Software) and
+#: RATIONAL (5: XResolution/YResolution) tags to every file; the
+#: decoder must tolerate all of these, not just the raster tags' BYTE/
+#: SHORT/LONG.
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+               9: 4, 10: 8, 11: 4, 12: 8}
 
 
 _LZW_CLEAR = 256
@@ -200,9 +206,15 @@ def packbits_decode(data: bytes, expect: int) -> bytes:
 
 
 def _read_ifd_values(data, e, vtype, count, raw):
+    """Decode one IFD entry's values, or ``None`` for entry types the
+    raster path has no use for (ASCII descriptions, signed/float types,
+    private types) — externally produced files always carry such tags
+    and must still decode (r6 ADVICE).  Only the numeric types the
+    raster tags can legally use (BYTE/SHORT/LONG, plus RATIONAL as
+    flattened numerator/denominator pairs) are interpreted."""
     size = _TYPE_SIZES.get(vtype)
-    if size is None:
-        raise ValueError(f"unsupported IFD type {vtype}")
+    if size is None or vtype not in (1, 3, 4, 5):
+        return None                       # unneeded type: skip, don't raise
     total = size * count
     if total <= 4:
         payload = raw[:total]
@@ -215,9 +227,9 @@ def _read_ifd_values(data, e, vtype, count, raw):
         return list(struct.unpack(e + "H" * count, payload))
     if vtype == 4:
         return list(struct.unpack(e + "I" * count, payload))
-    if vtype == 1:
-        return list(payload)
-    raise ValueError(f"unhandled IFD type {vtype}")
+    if vtype == 5:                        # RATIONAL: LONG num, LONG den
+        return list(struct.unpack(e + "I" * (2 * count), payload))
+    return list(payload)                  # vtype == 1 (BYTE)
 
 
 def tiff_decode(data: bytes) -> np.ndarray:
@@ -242,9 +254,18 @@ def tiff_decode(data: bytes) -> np.ndarray:
     for k in range(n_entries):
         ent = data[ifd_off + 2 + 12 * k: ifd_off + 14 + 12 * k]
         tag, vtype, count = struct.unpack(e + "HHI", ent[:8])
-        tags[tag] = _read_ifd_values(data, e, vtype, count, ent[8:12])
-    w = tags[_TAG_WIDTH][0]
-    h = tags[_TAG_LENGTH][0]
+        vals = _read_ifd_values(data, e, vtype, count, ent[8:12])
+        if vals is not None:
+            tags[tag] = vals
+
+    def req(tag: int, what: str) -> list[int]:
+        if not tags.get(tag):             # absent, skipped type, count=0
+            raise ValueError(f"missing or non-numeric required tag "
+                             f"{what} ({tag})")
+        return tags[tag]
+
+    w = req(_TAG_WIDTH, "ImageWidth")[0]
+    h = req(_TAG_LENGTH, "ImageLength")[0]
     spp = tags.get(_TAG_SPP, [1])[0]
     bits = tags.get(_TAG_BITS, [8] * spp)
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
@@ -255,8 +276,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF compression {comp}")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported photometric {photo}")
-    offs = tags[_TAG_STRIP_OFFSETS]
-    cnts = tags[_TAG_STRIP_COUNTS]
+    offs = req(_TAG_STRIP_OFFSETS, "StripOffsets")
+    cnts = req(_TAG_STRIP_COUNTS, "StripByteCounts")
     rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
     row_bytes = w * spp
     raster = bytearray()

@@ -79,6 +79,12 @@ def tar_unpack(data: bytes) -> list[tuple[str, bytes]]:
         if stored != calc:
             raise ValueError(f"tar checksum mismatch at {pos}")
         name = hdr[:100].rstrip(b"\x00").decode()
+        # ustar prefix field (bytes 345..500): CPython tarfile splits
+        # >100-char paths into prefix + name; rejoin or the path is
+        # silently truncated.
+        prefix = hdr[345:500].rstrip(b"\x00").decode()
+        if prefix:
+            name = prefix + "/" + name
         size = int(hdr[124:136].rstrip(b"\x00 ") or b"0", 8)
         body_at = pos + _BLOCK
         payload = data[body_at:body_at + size]

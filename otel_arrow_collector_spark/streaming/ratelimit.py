@@ -45,7 +45,7 @@ def rate_limit_stream(events: DataFrame, quota: int,
     fed in arrival order within a batch (the source's job, as for any
     limiter)."""
     keyed = events.select("user_id", "event_id", "us",
-                          (F.col("us") / window_us).cast("long")
+                          F.expr(f"us div {int(window_us)}")
                           .alias("window"))
 
     def update(key, pdfs: Iterator[pd.DataFrame],

@@ -61,3 +61,19 @@ def test_malformed_guards():
     gz = tar_pack([("f", b"abc")], gzip_stream=True)
     with pytest.raises(ValueError):
         tar_unpack(gz[:-4])
+
+
+def test_long_path_prefix_field():
+    """CPython tarfile splits >100-char paths into the ustar prefix
+    field (bytes 345..500); tar_unpack must rejoin prefix + '/' + name
+    instead of silently truncating (r6 ADVICE)."""
+    long_name = "/".join(["d" * 40] * 3) + "/leaf.txt"   # 131 chars
+    assert len(long_name) > 100
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(long_name)
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"body"))
+    got = tar_unpack(buf.getvalue())
+    assert got == [(long_name, b"body")]

@@ -160,3 +160,85 @@ def test_decoder_fuzz_never_hangs_or_crashes():
             lzw_decode(blob, 64)
         except ValueError:
             pass
+
+
+def _external_style_tiff() -> tuple[bytes, np.ndarray]:
+    """Hand-built little-endian TIFF carrying the metadata tags every
+    real encoder (libtiff/Pillow) attaches — ImageDescription (ASCII),
+    Software (ASCII), XResolution/YResolution (RATIONAL),
+    ResolutionUnit (SHORT) and a private UNDEFINED tag — around an
+    uncompressed 4x3 grayscale raster.  Pillow is not in this
+    container, so the fixture reproduces its tag layout byte-for-byte
+    from the TIFF 6.0 spec instead of importing it."""
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    raster = img.tobytes()
+    desc = b"external encoder fixture\x00"
+    soft = b"fakelibtiff 4.5\x00\x00"          # even-padded
+    entries = []                                # (tag, type, count, value)
+
+    blobs = bytearray()
+    ifd_off = 8
+    n = 11
+    data_off = ifd_off + 2 + 12 * n + 4         # after IFD
+
+    def ext(payload: bytes) -> int:
+        off = data_off + len(blobs)
+        blobs.extend(payload)
+        return off
+
+    raster_off = ext(raster)
+    desc_off = ext(desc)
+    soft_off = ext(soft)
+    xres_off = ext(struct.pack("<II", 300, 1))
+    yres_off = ext(struct.pack("<II", 300, 1))
+    entries = [
+        (256, 3, 1, struct.pack("<HH", 4, 0)),          # ImageWidth
+        (257, 3, 1, struct.pack("<HH", 3, 0)),          # ImageLength
+        (258, 3, 1, struct.pack("<HH", 8, 0)),          # BitsPerSample
+        (259, 3, 1, struct.pack("<HH", 1, 0)),          # Compression=none
+        (262, 3, 1, struct.pack("<HH", 1, 0)),          # BlackIsZero
+        (270, 2, len(desc), struct.pack("<I", desc_off)),   # ASCII
+        (273, 4, 1, struct.pack("<I", raster_off)),     # StripOffsets
+        (279, 4, 1, struct.pack("<I", len(raster))),    # StripByteCounts
+        (282, 5, 1, struct.pack("<I", xres_off)),       # RATIONAL
+        (283, 5, 1, struct.pack("<I", yres_off)),       # RATIONAL
+        (305, 2, len(soft), struct.pack("<I", soft_off)),   # ASCII
+    ]
+    assert len(entries) == n
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n)
+    for tag, vtype, count, val in sorted(entries):
+        out += struct.pack("<HHI", tag, vtype, count) + val
+    out += struct.pack("<I", 0)                 # next-IFD terminator
+    out += blobs
+    return bytes(out), img
+
+
+def test_external_encoder_tags_do_not_break_decode():
+    """Decode must skip ASCII/RATIONAL metadata tags instead of raising
+    'unhandled IFD type' (r6 ADVICE: every real-world TIFF has them)."""
+    blob, img = _external_style_tiff()
+    assert np.array_equal(tiff_decode(blob), img)
+
+
+def test_private_and_unknown_types_skipped():
+    """UNDEFINED (7), DOUBLE (12) and out-of-spec private types are
+    skipped; a required tag of unusable type raises cleanly."""
+    blob, img = _external_style_tiff()
+    b = bytearray(blob)
+    # rewrite the Software entry (tag 305) as UNDEFINED type in place
+    for k in range(11):
+        off = 10 + 12 * k
+        tag, vtype = struct.unpack_from("<HH", b, off)
+        if tag == 305:
+            struct.pack_into("<H", b, off + 2, 7)
+    assert np.array_equal(tiff_decode(bytes(b)), img)
+    # a required tag with a skipped type -> clean ValueError, not KeyError
+    b2 = bytearray(blob)
+    for k in range(11):
+        off = 10 + 12 * k
+        tag, vtype = struct.unpack_from("<HH", b2, off)
+        if tag == 273:                          # StripOffsets
+            struct.pack_into("<H", b2, off + 2, 12)   # DOUBLE
+    with pytest.raises(ValueError, match="required tag"):
+        tiff_decode(bytes(b2))
