@@ -549,47 +549,192 @@ FROM est e JOIN exact x ON x.grp = e.grp ORDER BY event_type
 QSAMPLE_HEXDIGIT = "0"
 QUANTILES = (50, 90, 99)
 
+#: Feature gate selecting the distributed rank-selection plan (BETA =
+#: on by default: the result is bit-identical to the global window, so
+#: flipping it off is only for the equivalence pin / plan comparison).
+RANK_SELECT_GATE = "engine.rank_select_scale"
+
+#: value-domain cut fan-out for the scale path; the per-bucket count
+#: table (the only driver-side materialization) is bounded by this,
+#: never by the data
+RANK_SELECT_BUCKETS = 1024
+
+
+def _rank_select_enabled() -> bool:
+    from ..plans.featuregate import GateError, Stage, global_registry
+    reg = global_registry()
+    try:
+        return reg.is_enabled(RANK_SELECT_GATE)
+    except GateError:
+        reg.register(RANK_SELECT_GATE, Stage.BETA,
+                     description="exact rank selection via boundary-cut "
+                                 "buckets + per-bucket windows instead of "
+                                 "one single-partition global window")
+        return reg.is_enabled(RANK_SELECT_GATE)
+
+
+def _bucket_expr(lo: int, hi: int, n_buckets: int):
+    """Monotone equal-width cut of the long column ``v`` into
+    1..n_buckets.  Equal-width (vs a quantile sketch) keeps the per-row
+    cost O(1) codegen; balance suffers only under extreme value-domain
+    skew, and balance never affects correctness — any monotone cut
+    yields the same global ranks."""
+    return F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi + 1),
+                          F.lit(n_buckets))
+
+
+def _rank_values_at(df: DataFrame, positions: list[int],
+                    n_buckets: int = RANK_SELECT_BUCKETS) -> DataFrame:
+    """Rows of ``df`` (columns v, l_orderkey, l_linenumber) whose EXACT
+    1-based global rank under (v, l_orderkey, l_linenumber) is in
+    ``positions`` — the classic two-pass distributed selection, with no
+    single-partition window anywhere:
+
+    1. equal-width cut of the value domain (min/max is one cheap 1-row
+       aggregate; ties of ``v`` land in one bucket, so the bucket id is
+       monotone in the global order),
+    2. per-bucket counts collected to the driver — bounded by
+       ``n_buckets`` (the centroids/codebook precedent), never by the
+       data — giving exact lower-bucket offsets AND the set of buckets
+       that contain a requested rank,
+    3. row_number inside ONLY those target buckets (a filter that
+       prunes ~(1 - k/n_buckets) of the rows before the only shuffle)
+       + the bucket's offset = the exact global rank.
+
+    Two full scans + one filtered scan with a tiny shuffle — the plan
+    that survives 100 TB, vs the single-partition sort of
+    ``Window.orderBy`` with no partitioning.
+    """
+    from pyspark.sql import Window
+    mm = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    b = df.withColumn("__bkt", _bucket_expr(lo, hi, n_buckets))
+    counts = sorted(
+        (int(r["__bkt"]), int(r["c"])) for r in
+        b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect())
+    offs, cum = {}, 0
+    for k, c in counts:
+        offs[k] = cum
+        cum += c
+    want = {}
+    for p in positions:
+        for k, c in counts:
+            if offs[k] < p <= offs[k] + c:
+                want[k] = offs[k]
+                break
+    offs_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(k, o) for k, o in sorted(want.items())], "__bkt long, __off long"))
+    w = Window.partitionBy("__bkt").orderBy("v", "l_orderkey",
+                                            "l_linenumber")
+    ranked = (b.filter(F.col("__bkt").isin(list(want)))
+              .join(offs_df, "__bkt")
+              .withColumn("__rk", F.row_number().over(w).cast("long")
+                          + F.col("__off")))
+    return ranked.filter(F.col("__rk").isin([int(p) for p in positions]))
+
 
 def sketch_quantile_sampled(spark, sf_dir):
     """Declared query: sampled vs exact p50/p90/p99 of lineitem
     l_extendedprice (cents, integer-exact), plus sample accounting.
 
-    The exact side is the AUDIT cost (one global rank pass you pay to
-    validate the sample, the ann_recall_report pattern); the sample
-    side is the production path — its global window runs over ~6 % of
-    the rows, and at 100 TB the window is replaced by per-partition
-    selection + merge (KLL-style) while the sample stays the same."""
+    The exact side is the AUDIT cost (a full-data rank pass you pay to
+    validate the sample, the ann_recall_report pattern).  Under the
+    default-on ``engine.rank_select_scale`` gate BOTH sides run the
+    distributed exact selection (:func:`_rank_values_at` — boundary-cut
+    buckets, per-bucket parallel windows, bit-identical result); gate
+    off falls back to the definitional single global window, kept for
+    the equivalence pin."""
+    from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
-    base = li.select(cents.alias("v"), F.col("l_orderkey"),
-                     F.col("l_linenumber"))
     key = F.md5(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
                          F.lit(":"), F.col("l_linenumber").cast("string")))
-    samp = base.filter(F.substring(key, 1, 1) == QSAMPLE_HEXDIGIT)
+    base = li.select(cents.alias("v"), F.col("l_orderkey"),
+                     F.col("l_linenumber"),
+                     (F.substring(key, 1, 1) == QSAMPLE_HEXDIGIT)
+                     .cast("long").alias("s"))
 
-    def ranked(df):
-        from pyspark.sql import Window
-        w = Window.orderBy("v", "l_orderkey", "l_linenumber")
-        return df.withColumn("rk", F.row_number().over(w))
+    order = ["v", "l_orderkey", "l_linenumber"]
 
-    out = []
-    for name, df in (("sample", samp), ("exact", base)):
-        n = df.count()
-        r = ranked(df)
-        rows = []
-        for q in QUANTILES:
-            pos = (q * n + 99) // 100       # ceil(q*n/100)
-            rows.append(
-                r.filter(F.col("rk") == pos)
-                 .select(F.lit(name).alias("src"),
-                         F.lit(q).cast("long").alias("q"),
-                         F.col("v").alias("value_cents"),
-                         F.lit(n).cast("long").alias("n")))
-        d = rows[0]
-        for x in rows[1:]:
-            d = d.unionAll(x)
-        out.append(d)
-    return out[0].unionAll(out[1]).orderBy("src", "q")
+    if _rank_select_enabled():
+        # Fused two-pass distributed selection serving BOTH sides:
+        # equal-width value cut -> one per-bucket (count, sample-count)
+        # aggregate collected to the driver (bounded by
+        # RANK_SELECT_BUCKETS, never by the data) -> a per-bucket
+        # window over ONLY the buckets that contain a requested rank,
+        # carrying the global row_number (exact rank) AND a running
+        # sum of the sample flag (sample rank), each shifted by the
+        # bucket's exact lower-bucket offsets.
+        nb = RANK_SELECT_BUCKETS
+        mm = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.sum("s").alias("ns")).first()
+        n_exact, n_sample = int(mm["n"]), int(mm["ns"] or 0)
+        b = base.withColumn(
+            "__bkt", _bucket_expr(int(mm["lo"]), int(mm["hi"]), nb))
+        counts = sorted(
+            (int(r["__bkt"]), int(r["c"]), int(r["cs"])) for r in
+            b.groupBy("__bkt")
+             .agg(F.count(F.lit(1)).alias("c"), F.sum("s").alias("cs"))
+             .collect())
+        pos_rows = [("exact", q, (q * n_exact + 99) // 100, n_exact)
+                    for q in QUANTILES]
+        pos_rows += [("sample", q, (q * n_sample + 99) // 100, n_sample)
+                     for q in QUANTILES]
+        offs, cum, cum_s = {}, 0, 0
+        for k, c, cs in counts:
+            offs[k] = (cum, cum_s)
+            cum, cum_s = cum + c, cum_s + cs
+        want: dict[int, tuple[int, int]] = {}
+        for src, _, p, _ in pos_rows:
+            for k, c, cs in counts:
+                off, off_s = offs[k]
+                hit = (off < p <= off + c) if src == "exact" \
+                    else (off_s < p <= off_s + cs)
+                if hit:
+                    want[k] = offs[k]
+                    break
+        offs_df = F.broadcast(spark.createDataFrame(
+            [(k, o, os_) for k, (o, os_) in sorted(want.items())],
+            "__bkt long, __off long, __offs long"))
+        w = Window.partitionBy("__bkt").orderBy(*order)
+        ranked = (b.filter(F.col("__bkt").isin(list(want)))
+                  .join(offs_df, "__bkt")
+                  .withColumn("rk_exact",
+                              F.row_number().over(w).cast("long")
+                              + F.col("__off"))
+                  .withColumn("rk_sample",
+                              F.sum("s").over(w) + F.col("__offs")))
+    else:
+        # definitional form, kept for the equivalence pin: one global
+        # single-partition window (the plan the gate avoids)
+        tot = base.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("s").alias("ns")).first()
+        n_exact, n_sample = int(tot["n"]), int(tot["ns"] or 0)
+        pos_rows = [("exact", q, (q * n_exact + 99) // 100, n_exact)
+                    for q in QUANTILES]
+        pos_rows += [("sample", q, (q * n_sample + 99) // 100, n_sample)
+                     for q in QUANTILES]
+        w = Window.orderBy(*order)
+        ranked = (base
+                  .withColumn("rk_exact",
+                              F.row_number().over(w).cast("long"))
+                  .withColumn("rk_sample", F.sum("s").over(w)))
+
+    pos_df = F.broadcast(spark.createDataFrame(
+        pos_rows, "src string, q long, pos long, n long"))
+    exact_pos = [p for s_, _, p, _ in pos_rows if s_ == "exact"]
+    sample_pos = [p for s_, _, p, _ in pos_rows if s_ == "sample"]
+    hits = ranked.filter(
+        F.col("rk_exact").isin(exact_pos)
+        | ((F.col("s") == 1) & F.col("rk_sample").isin(sample_pos)))
+    cond = (((pos_df["src"] == "exact")
+             & (hits["rk_exact"] == pos_df["pos"]))
+            | ((pos_df["src"] == "sample") & (hits["s"] == 1)
+               & (hits["rk_sample"] == pos_df["pos"])))
+    return (hits.join(pos_df, cond)
+            .select("src", "q", F.col("v").alias("value_cents"), "n")
+            .orderBy("src", "q"))
 
 
 QUERIES["sketch_quantile_sampled"] = sketch_quantile_sampled
