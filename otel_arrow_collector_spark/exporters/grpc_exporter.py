@@ -51,6 +51,7 @@ class GrpcCallError(Exception):
 
 def grpc_call(host: str, port: int, path: str, message: bytes, *,
               token: str | None = None, compress: bool = False,
+              metadata: dict[str, str] | None = None,
               timeout_s: float = 10.0) -> bytes:
     """One unary gRPC call over a fresh HTTP/2 connection; returns the
     response message bytes or raises :class:`GrpcCallError`."""
@@ -69,6 +70,10 @@ def grpc_call(host: str, port: int, path: str, message: bytes, *,
             headers.append(("grpc-encoding", "gzip"))
         if token is not None:
             headers.append(("authorization", f"Bearer {token}"))
+        if metadata:
+            # custom call metadata (lower-cased per HTTP/2), e.g. the
+            # identity headers a pluggable authenticator consumes
+            headers.extend((k.lower(), v) for k, v in metadata.items())
         out = [h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1,
                              enc.encode(headers))]
         out += h2.chunk_data_frames(1, frame, end_stream=True)

@@ -27,9 +27,86 @@ SERVICE_PATH = "/debug/servicez"
 PIPELINE_PATH = "/debug/pipelinez"
 EXTENSION_PATH = "/debug/extensionz"
 FEATURE_PATH = "/debug/featurez"
+TRACEZ_PATH = "/debug/tracez"
 
 #: pipelinez filter param (graph/zpages.go:16 zPipelineName)
 PIPELINE_NAME_PARAM = "pipelinenamez"
+
+#: tracez span-name filter param (contrib zpages' zspanname)
+SPAN_NAME_PARAM = "zspanname"
+
+#: tracez latency bucket lower bounds in microseconds — the contrib
+#: zpages defaultBoundaries (10µs, 100µs, 1ms, 10ms, 100ms, 1s, 10s,
+#: 100s), bucket 0 catching everything below 10µs
+TRACEZ_BOUNDS_US = (0, 10, 100, 1_000, 10_000, 100_000,
+                    1_000_000, 10_000_000, 100_000_000)
+_TRACEZ_LABELS = (">0us", ">10us", ">100us", ">1ms", ">10ms", ">100ms",
+                  ">1s", ">10s", ">100s")
+
+
+def _latency_bucket(duration_us: int) -> int:
+    b = 0
+    for i, lo in enumerate(TRACEZ_BOUNDS_US):
+        if duration_us >= lo:
+            b = i
+    return b
+
+
+@dataclass
+class SpanSample:
+    """One recorded operation (the zpagesSpanProcessor's stored span)."""
+
+    name: str
+    start_unix: float
+    duration_us: int
+    error: bool
+    detail: str = ""
+
+
+class SpanRecorder:
+    """Latency-bucketed recent-operation store — the zpages span
+    processor the reference registers on its tracer provider
+    (extension/zpagesextension/zpagesextension.go:45-52: a
+    ``zpagesSpanProcessor`` feeding ``zpages.NewTracezHandler``).
+
+    Bounded state: per (span name, latency bucket) it keeps counts plus
+    the most recent ``samples_per_bucket`` samples; errored operations
+    are counted and sampled separately, like the contrib tracez
+    error row.  Thread-safe; receivers record at operation boundaries
+    (the obsreport instrumentation points).
+    """
+
+    def __init__(self, samples_per_bucket: int = 10):
+        import threading
+        self.samples_per_bucket = samples_per_bucket
+        self._lock = threading.Lock()
+        self._counts: dict[str, list[int]] = {}
+        self._errors: dict[str, int] = {}
+        self._samples: dict[tuple[str, int], list[SpanSample]] = {}
+        self._error_samples: dict[str, list[SpanSample]] = {}
+
+    def record(self, name: str, duration_us: int, *, error: bool = False,
+               detail: str = "") -> None:
+        s = SpanSample(name, time.time(), int(duration_us), error, detail)
+        b = _latency_bucket(s.duration_us)
+        with self._lock:
+            counts = self._counts.setdefault(
+                name, [0] * len(TRACEZ_BOUNDS_US))
+            counts[b] += 1
+            if error:
+                self._errors[name] = self._errors.get(name, 0) + 1
+                keep = self._error_samples.setdefault(name, [])
+            else:
+                keep = self._samples.setdefault((name, b), [])
+            keep.append(s)
+            del keep[:-self.samples_per_bucket]
+
+    def snapshot(self):
+        with self._lock:
+            return ({k: list(v) for k, v in self._counts.items()},
+                    dict(self._errors),
+                    {k: list(v) for k, v in self._samples.items()},
+                    {k: list(v) for k, v in self._error_samples.items()})
 
 
 @dataclass
@@ -57,6 +134,7 @@ class ZPages:
     registry: object | None = None
     extensions: list[str] = field(default_factory=list)
     obsreport: object | None = None
+    tracez_recorder: SpanRecorder | None = None
     start_time: float = field(default_factory=time.time)
 
     # -- dispatch ----------------------------------------------------------
@@ -72,6 +150,8 @@ class ZPages:
             return 200, self.extensionz()
         if path == FEATURE_PATH:
             return 200, self.featurez()
+        if path == TRACEZ_PATH:
+            return 200, self.tracez(query.get(SPAN_NAME_PARAM))
         return None
 
     # -- pages -------------------------------------------------------------
@@ -93,7 +173,8 @@ class ZPages:
         ]))
         for name, endpoint in (("Pipelines", PIPELINE_PATH),
                                ("Extensions", EXTENSION_PATH),
-                               ("Features", FEATURE_PATH)):
+                               ("Features", FEATURE_PATH),
+                               ("Tracez", TRACEZ_PATH)):
             parts.append(
                 f'<p><a href="{endpoint}">{html.escape(name)}</a></p>')
         if self.obsreport is not None:
@@ -158,6 +239,51 @@ class ZPages:
             "Feature Gates",
             ("ID", "Enabled", "Stage", "Description", "From", "To"),
             rows))
+        parts.append(_page_footer())
+        return "".join(parts).encode()
+
+    def tracez(self, span_name: str | None = None) -> bytes:
+        """Latency-bucketed recent operations
+        (extension/zpagesextension/zpagesextension.go:52
+        ``zpages.NewTracezHandler(zpe.zpagesSpanProcessor)``): a
+        summary row per span name with per-bucket counts + errors;
+        with ``zspanname=<name>`` also the retained samples for that
+        name, newest first, errors in their own table."""
+        parts = [_page_header("Tracez")]
+        if self.tracez_recorder is None:
+            parts.append("<p>span recording is not available</p>")
+            parts.append(_page_footer())
+            return "".join(parts).encode()
+        counts, errors, samples, err_samples = \
+            self.tracez_recorder.snapshot()
+        header = ("Span Name", *_TRACEZ_LABELS, "Errors")
+        rows = [(name,
+                 *[str(c) for c in counts[name]],
+                 str(errors.get(name, 0)))
+                for name in sorted(counts)]
+        parts.append(_summary_table("Spans", header, rows))
+        if span_name is not None and span_name in counts:
+            keep: list[SpanSample] = []
+            for b in range(len(TRACEZ_BOUNDS_US)):
+                keep.extend(samples.get((span_name, b), []))
+            keep.sort(key=lambda s: -s.start_unix)
+            srows = [(time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                    time.gmtime(s.start_unix)),
+                      f"{s.duration_us}us",
+                      _TRACEZ_LABELS[_latency_bucket(s.duration_us)],
+                      s.detail)
+                     for s in keep]
+            parts.append(_summary_table(
+                f"Latency samples: {span_name}",
+                ("Start", "Duration", "Bucket", "Detail"), srows))
+            erows = [(time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                    time.gmtime(s.start_unix)),
+                      f"{s.duration_us}us", s.detail)
+                     for s in sorted(err_samples.get(span_name, []),
+                                     key=lambda s: -s.start_unix)]
+            parts.append(_summary_table(
+                f"Error samples: {span_name}",
+                ("Start", "Duration", "Detail"), erows))
         parts.append(_page_footer())
         return "".join(parts).encode()
 

@@ -91,14 +91,19 @@ class OtlpGrpcReceiver:
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, token: str | None = None,
+                 authenticator=None,
                  max_pending_files: int = 100_000,
                  max_msg_bytes: int = 64 * 1024 * 1024,
                  max_stream_bytes: int = 64 * 1024 * 1024,
                  retry_pushback_ms: int = 1000,
                  record_client_info: bool = False):
+        from .auth import resolve_authenticator
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
+        # configauth surface (extension/auth/server.go:18-29): a named/
+        # callable/instance authenticator; token= stays as bearer sugar
+        self.authenticator = resolve_authenticator(authenticator, token)
         self.max_pending_files = max_pending_files
         self.max_msg_bytes = max_msg_bytes
         # Pending-byte budget per Arrow stream (its own knob — NOT the
@@ -303,9 +308,13 @@ class OtlpGrpcReceiver:
         if signal is None:
             self._count("refused_unimplemented")
             return UNIMPLEMENTED, f"unknown method {path}"
-        if self.token is not None:
-            auth = st.headers.get("authorization", "")
-            if auth != f"Bearer {self.token}":
+        principal = "anonymous"
+        if self.authenticator is not None:
+            try:
+                principal = self.authenticator.authenticate(
+                    dict(st.headers))
+            except Exception:
+                # non-retryable refusal (auth/server.go:21-22)
                 self._count(f"refused_unauth_{signal}")
                 return UNAUTHENTICATED, "unauthenticated"
         ctype = st.headers.get("content-type", "")
@@ -335,7 +344,6 @@ class OtlpGrpcReceiver:
         except Exception as e:
             self._count(f"refused_bad_payload_{signal}")
             return INVALID_ARGUMENT, str(e)[:256]
-        principal = "bearer" if self.token is not None else "anonymous"
         self._spool(body, signal, client=(peer, principal))
         self._count(f"accepted_{signal}")
         return OK, ""
@@ -351,9 +359,10 @@ class OtlpGrpcReceiver:
         if st.closed:
             return
         if st.arrow is None:
-            if self.token is not None:
-                auth = st.headers.get("authorization", "")
-                if auth != f"Bearer {self.token}":
+            if self.authenticator is not None:
+                try:
+                    self.authenticator.authenticate(dict(st.headers))
+                except Exception:
                     self._count("refused_unauth_arrow")
                     self._trailers_only(sock, enc, sid,
                                         UNAUTHENTICATED, "unauthenticated")

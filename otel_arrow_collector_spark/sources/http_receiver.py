@@ -39,6 +39,7 @@ import zlib
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _SIGNALS = ("traces", "logs", "metrics")
@@ -88,13 +89,18 @@ class OtlpHttpReceiver:
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, token: str | None = None,
+                 authenticator=None,
                  max_pending_files: int = 100_000,
                  max_body_bytes: int = 64 * 1024 * 1024,
                  tls=None, zpages=None,
                  record_client_info: bool = False):
+        from .auth import resolve_authenticator
         self.spool_dir = spool_dir
         self.host, self._port = host, port
         self.token = token
+        # configauth surface (extension/auth/server.go:18-29): a named/
+        # callable/instance authenticator; token= stays as bearer sugar
+        self.authenticator = resolve_authenticator(authenticator, token)
         self.tls = tls                       # TLSConfig | None (configtls)
         self.zpages = zpages                 # plans.zpages.ZPages | None
         self.max_pending_files = max_pending_files
@@ -142,7 +148,16 @@ class OtlpHttpReceiver:
                 pass
 
             def do_POST(self):                  # noqa: N802 (stdlib name)
-                receiver._handle(self)
+                t0 = time.perf_counter()
+                code = receiver._handle(self)
+                rec = getattr(receiver.zpages, "tracez_recorder", None)
+                if rec is not None:
+                    # operation-boundary span for /debug/tracez
+                    # (zpagesextension.go:45-52 span processor)
+                    rec.record(f"receiver{self.path.split('?', 1)[0]}",
+                               int((time.perf_counter() - t0) * 1e6),
+                               error=(code or 200) >= 400,
+                               detail=f"HTTP {code or 200}")
 
             def do_GET(self):                   # noqa: N802 (stdlib name)
                 receiver._handle_status(self)
@@ -192,9 +207,14 @@ class OtlpHttpReceiver:
         if signal is None:
             self._count("refused_not_found")
             return self._plain(h, 404, b"unknown signal path")
-        if self.token is not None:
-            auth = h.headers.get("Authorization", "")
-            if auth != f"Bearer {self.token}":
+        principal = "anonymous"
+        if self.authenticator is not None:
+            try:
+                principal = self.authenticator.authenticate(
+                    {k.lower(): v for k, v in h.headers.items()})
+            except Exception:
+                # any authenticator error is a non-retryable refusal
+                # (auth/server.go:21-22)
                 self._count(f"refused_unauth_{signal}")
                 return self._plain(h, 401, b"unauthorized")
         ctype = (h.headers.get("Content-Type") or "").split(";")[0].strip()
@@ -211,7 +231,7 @@ class OtlpHttpReceiver:
             h.send_response(503)
             h.send_header("Retry-After", "1")
             h.end_headers()
-            return
+            return 503
         n = int(h.headers.get("Content-Length", 0))
         if n > self.max_body_bytes:
             # the reference caps request size (confighttp max_request_body_
@@ -226,7 +246,6 @@ class OtlpHttpReceiver:
         except Exception as e:                   # malformed -> 400, no spool
             self._count(f"refused_bad_payload_{signal}")
             return self._plain(h, 400, str(e).encode()[:512])
-        principal = "bearer" if self.token is not None else "anonymous"
         self._spool(payload, signal, wire,
                     client=("%s:%s" % h.client_address[:2], principal))
         self._count(f"accepted_{signal}_{wire}")
@@ -237,6 +256,7 @@ class OtlpHttpReceiver:
         h.send_header("Content-Length", str(len(resp)))
         h.end_headers()
         h.wfile.write(resp)
+        return 200
 
     def _handle_status(self, h: BaseHTTPRequestHandler) -> None:
         """GET /status — the zpages-style diagnostics surface
@@ -273,12 +293,13 @@ class OtlpHttpReceiver:
         h.wfile.write(body)
 
     @staticmethod
-    def _plain(h: BaseHTTPRequestHandler, code: int, msg: bytes) -> None:
+    def _plain(h: BaseHTTPRequestHandler, code: int, msg: bytes) -> int:
         h.send_response(code)
         h.send_header("Content-Type", "text/plain")
         h.send_header("Content-Length", str(len(msg)))
         h.end_headers()
         h.wfile.write(msg)
+        return code
 
     def _validate(self, body: bytes, signal: str, wire: str) -> bytes:
         """Decode-before-ack (otlp.go does a full unmarshal): returns the
