@@ -51,6 +51,13 @@ class Collector:
         self.sf_dir = sf_dir
         self.state = State.STARTING
         self.plan: CompiledPlan | None = None
+        # service self-telemetry (service/telemetry/config.go): set by
+        # the config's telemetry: section at _setup time; defaults
+        # until then so logger/tracer access never pre-dates start
+        from .telemetry import TelemetryConfig
+        self.telemetry = TelemetryConfig()
+        self.logger = None
+        self.span_recorder = None
 
     # -- DryRun: parse + validate + compile, never materialize -------------
 
@@ -61,14 +68,30 @@ class Collector:
         """Validate config end-to-end without running any exporter
         (collector.go:209-219).  Raises ConfigError/ResolveError on any
         defect; returns the validated graph."""
-        graph = PipelineGraph(_resolve_with_gates(*config_uris))
+        from .telemetry import parse_telemetry
+        cfg = _resolve_with_gates(*config_uris)
+        parse_telemetry(cfg.pop("telemetry", None))   # validate only
+        graph = PipelineGraph(cfg)
         graph.compile(spark, sources=sources or {}, sf_dir=sf_dir)
         return graph
 
     # -- run cycle ----------------------------------------------------------
 
     def _setup(self) -> CompiledPlan:
-        graph = PipelineGraph(_resolve_with_gates(*self.config_uris))
+        from .telemetry import configure_logger, parse_telemetry
+        cfg = _resolve_with_gates(*self.config_uris)
+        # telemetry: popped before graph build, like feature_gates
+        # (service/telemetry/config.go Validate runs at resolve time)
+        self.telemetry = parse_telemetry(cfg.pop("telemetry", None))
+        self.logger = configure_logger(self.telemetry.logs)
+        if self.telemetry.traces.enabled:
+            from .zpages import SpanRecorder
+            if self.span_recorder is None:
+                self.span_recorder = SpanRecorder(
+                    self.telemetry.traces.samples_per_bucket)
+        else:
+            self.span_recorder = None
+        graph = PipelineGraph(cfg)
         return graph.compile(self.spark, sources=self.sources,
                              sf_dir=self.sf_dir)
 

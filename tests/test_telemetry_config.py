@@ -1,0 +1,94 @@
+"""service telemetry: config section (service/telemetry/config.go) —
+confmap -> Collector mapping, logger configuration (level/encoding/
+sampling), invalid-level rejection, and the always-record self-trace
+sampler rule (otel_trace_sampler.go:20-28)."""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import pytest
+
+from otel_arrow_collector_spark.plans.collector import Collector
+from otel_arrow_collector_spark.plans.pipeline import ConfigError
+from otel_arrow_collector_spark.plans.telemetry import (
+    LogsConfig, configure_logger, parse_telemetry, should_record)
+from otel_arrow_collector_spark.plans.zpages import SpanRecorder
+from tests.conftest import SF_SMALL
+
+_BASE = """yaml:
+receivers: {ev: {kind: table, table: events}}
+exporters: {out: {kind: "null"}}
+pipelines:
+  p1: {receivers: [ev], exporters: [out]}
+telemetry:
+  logs: {level: warn, encoding: json, initial_fields: {service: engine}}
+  metrics: {level: detailed}
+  traces: {enabled: true, samples_per_bucket: 5}
+"""
+
+_BAD_LEVEL = _BASE.replace("level: warn", "level: loud")
+_BAD_MLEVEL = _BASE.replace("level: detailed", "level: verbose")
+_BAD_ENC = _BASE.replace("encoding: json", "encoding: xml")
+
+
+def test_collector_maps_telemetry_section(spark):
+    c = Collector(spark, _BASE, sf_dir=SF_SMALL)
+    c.start()
+    try:
+        assert c.telemetry.logs.level == "warn"
+        assert c.telemetry.logs.encoding == "json"
+        assert c.telemetry.logs.initial_fields == {"service": "engine"}
+        assert c.telemetry.metrics.level == "detailed"
+        assert c.telemetry.traces.enabled is True
+        assert isinstance(c.span_recorder, SpanRecorder)
+        assert c.span_recorder.samples_per_bucket == 5
+        assert c.logger.level == logging.WARNING
+    finally:
+        c.shutdown()
+
+
+def test_invalid_levels_and_encoding_rejected(spark):
+    for bad in (_BAD_LEVEL, _BAD_MLEVEL, _BAD_ENC):
+        with pytest.raises(ConfigError, match="unrecognized"):
+            Collector.dry_run(spark, bad, sf_dir=SF_SMALL)
+    with pytest.raises(ConfigError, match="mapping"):
+        parse_telemetry("nope")
+
+
+def test_defaults_when_section_absent():
+    t = parse_telemetry(None)
+    assert t.logs.level == "info" and t.logs.encoding == "console"
+    assert t.metrics.level == "basic"
+    assert t.traces.enabled is True
+
+
+def test_logger_json_encoding_and_sampling(tmp_path):
+    out = tmp_path / "svc.log"
+    cfg = LogsConfig(level="info", encoding="json",
+                     output_paths=[str(out)],
+                     initial_fields={"service": "engine"},
+                     sampling_initial=2, sampling_thereafter=3)
+    log = configure_logger(cfg, name="telemetry-test")
+    log.debug("below level")              # filtered by level
+    for _ in range(8):
+        log.info("repeated message")
+    for h in log.handlers:
+        h.flush()
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    # sampling: first 2 pass, then every 3rd (occurrences 5 and 8)
+    assert len(lines) == 4
+    assert all(x["msg"] == "repeated message" for x in lines)
+    assert all(x["service"] == "engine" for x in lines)
+    assert all(x["level"] == "info" for x in lines)
+    # reconfigure is idempotent (hot-reload): handlers replaced
+    log2 = configure_logger(cfg, name="telemetry-test")
+    assert len(log2.handlers) == 1
+
+
+def test_always_record_parent_based_sampler():
+    # sampled parent -> sampled; no parent / unsampled -> record-only
+    assert should_record(True) == (True, True)
+    assert should_record(False) == (True, False)
+    assert should_record(None) == (True, False)
