@@ -2066,3 +2066,101 @@ def lz4_roundtrip(spark, sf_dir):
 
 QUERIES["lz4_roundtrip"] = lz4_roundtrip
 ORACLES["lz4_roundtrip"] = ORACLES["snappy_roundtrip"]
+
+
+# ---------------------------------------------------------------------------
+# WARC-fronted crawl-curation capstone (r6 verdict ask #7): the
+# cc_pipeline funnel with a REAL binary front door — each page is
+# packed into a Common Crawl-layout WARC response record (gzip members
+# for odd doc_ids), read back through record framing -> HTTP envelope
+# -> HTML, and only then handed to the JVM-side text chain
+# (strip -> langid -> quality gate).  A framing bug anywhere in the
+# WARC/HTTP leg corrupts the recovered HTML and surfaces as a funnel
+# value mismatch against the cc_pipeline oracle.
+# ---------------------------------------------------------------------------
+
+CC_WARC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("lang", StringType()),
+    StructField("html", StringType()),
+])
+
+
+def cc_pipeline_warc(spark, sf_dir):
+    """Declared query: binary -> HTML -> langid -> quality, end to end.
+
+    Stage 1 (Arrow-batched Python, map-only — the part SQL cannot
+    express): synthesize the page's HTML (byte-identical to
+    cc_pipeline's _synth_html_col), wrap it in an HTTP 200 envelope
+    inside a WARC response record (sources/warc.py, gzip MEMBER framing
+    for odd doc_ids), then parse the record back and recover the HTML.
+    Stage 2 (pure JVM columns, identical to cc_pipeline): strip the
+    HTML with the codegen regex chain, language-ID the recovered text,
+    apply the integer quality gate, aggregate the (lang, predicted,
+    kept) funnel.  Plan: one Python map stage, no join, one hash
+    aggregation — the Common Crawl snapshot loop at any scale."""
+    from ..sources.warc import (build_warc, extract_http_body,
+                                http_response, parse_warc)
+    from .text import (CC_MAX_WORDS, CC_MIN_WORDS, CC_STOPWORD_PER_20,
+                       LEXICON, html_to_text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"],
+                                          pdf["text"]):
+                html = (
+                    "<html><head><title>t</title>"
+                    "<script type='text/javascript'>var x = 1 < 2;"
+                    "</script><style>p { color: red; }</style></head>"
+                    "<body><p>"
+                    + text.replace("&", "&amp;").replace(" ", "</p>\n<p>")
+                    + "</p><!-- note --></body></html>")
+                blob = build_warc([{
+                    "type": "response",
+                    "uri": f"http://corpus/doc/{doc_id}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"<urn:uuid:{doc_id}>",
+                    "payload": http_response(html.encode("utf-8"), 200)}],
+                    gzip_members=int(doc_id) % 2 == 1)
+                st, body = extract_http_body(parse_warc(blob)[0]["payload"])
+                assert st == 200
+                rows.append({"doc_id": doc_id, "lang": lang,
+                             "html": body.decode("utf-8")})
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", "lang", "text") \
+                .mapInPandas(run, CC_WARC_SCHEMA)
+    txt = html_to_text_col(F.col("html"))
+    ws = F.split(txt, " ")
+
+    def hits(lex):
+        return F.size(F.filter(ws, lambda w: w.isin(*lex)))
+
+    s = {lang: hits(lex) for lang, lex in LEXICON.items()}
+    pred = (F.when((s["en"] >= s["es"]) & (s["en"] >= s["zh"]), "en")
+             .when(s["es"] >= s["zh"], "es").otherwise("zh"))
+    n_words = F.size(ws)
+    s_all = s["en"] + s["es"] + s["zh"]
+    keep = ((n_words >= CC_MIN_WORDS) & (n_words <= CC_MAX_WORDS)
+            & (s_all * 20 >= CC_STOPWORD_PER_20 * n_words))
+    return (pages.select("lang", pred.alias("predicted"),
+                         keep.cast("int").alias("kept"),
+                         n_words.alias("n_words"))
+            .groupBy("lang", "predicted", "kept")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("sum_words"))
+            .select("lang", "predicted",
+                    F.col("kept").cast("long").alias("kept"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "sum_words")
+            .orderBy("lang", "predicted", "kept"))
+
+
+QUERIES["cc_pipeline_warc"] = cc_pipeline_warc
+# identical funnel accounting to cc_pipeline: the WARC/HTTP leg is an
+# identity transport for the HTML, so the same oracle gates it — any
+# framing defect breaks the identity and the funnel hashes diverge
+from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
+ORACLES["cc_pipeline_warc"] = _TEXT_ORACLES["cc_pipeline"]

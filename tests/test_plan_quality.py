@@ -486,6 +486,19 @@ def test_cc_pipeline_pure_jvm_funnel(spark):
     assert "Join" not in plan
 
 
+def test_cc_pipeline_warc_one_python_stage(spark):
+    """The WARC-fronted capstone: exactly ONE Arrow-batched Python map
+    stage (the binary leg), the rest stays JVM column work — no join,
+    no second Python worker anywhere."""
+    import re as _re
+    plan = _plan(spark, "cc_pipeline_warc")
+    assert "Join" not in plan
+    n_python = len(_re.findall(r"MapInPandas|ArrowEvalPython|"
+                               r"BatchEvalPython", plan))
+    # formatted explain prints each node twice (tree + detail)
+    assert 1 <= n_python <= 2
+
+
 def test_dq_expectations_fk_check_broadcasts(spark):
     """q88's FK orphan check must be a broadcast anti-join on the
     small dimension, and no check materializes violating rows."""
