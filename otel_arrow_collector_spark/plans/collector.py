@@ -77,7 +77,18 @@ class Collector:
 
     # -- run cycle ----------------------------------------------------------
 
+    def _record_span(self, name: str, t0: float, *, error: bool = False,
+                     detail: str = "") -> None:
+        """Self-trace an operation boundary into the tracez recorder
+        (the always-record sampler: every span is visible to zpages)."""
+        if self.span_recorder is not None:
+            import time as _time
+            self.span_recorder.record(
+                name, int((_time.perf_counter() - t0) * 1e6),
+                error=error, detail=detail)
+
     def _setup(self) -> CompiledPlan:
+        import time as _time
         from .telemetry import configure_logger, parse_telemetry
         cfg = _resolve_with_gates(*self.config_uris)
         # telemetry: popped before graph build, like feature_gates
@@ -91,17 +102,36 @@ class Collector:
                     self.telemetry.traces.samples_per_bucket)
         else:
             self.span_recorder = None
-        graph = PipelineGraph(cfg)
-        return graph.compile(self.spark, sources=self.sources,
-                             sf_dir=self.sf_dir)
+        t0 = _time.perf_counter()
+        try:
+            graph = PipelineGraph(cfg)
+            plan = graph.compile(self.spark, sources=self.sources,
+                                 sf_dir=self.sf_dir)
+        except Exception as e:
+            self._record_span("collector/compile", t0, error=True,
+                              detail=type(e).__name__)
+            raise
+        self._record_span("collector/compile", t0,
+                          detail=f"{len(graph.pipelines)} pipelines")
+        return plan
 
     def start(self) -> dict[str, Any]:
         """Resolve + compile + materialize; returns exporter results."""
         if self.state is State.CLOSED:
             raise RuntimeError("collector is closed")
+        import time as _time
         self.plan = self._setup()
         self.state = State.RUNNING
-        return self.plan.run()
+        t0 = _time.perf_counter()
+        try:
+            res = self.plan.run()
+        except Exception as e:
+            self._record_span("collector/run", t0, error=True,
+                              detail=type(e).__name__)
+            raise
+        self._record_span("collector/run", t0,
+                          detail=f"{len(res)} exporter results")
+        return res
 
     def reload(self, *new_uris: str) -> dict[str, Any]:
         """Hot reload: re-run the whole resolve->compile->run cycle with

@@ -27,10 +27,21 @@ def tar_pack(members: list[tuple[str, bytes]],
     out = bytearray()
     for name, payload in members:
         nb = name.encode()
+        prefix = b""
         if len(nb) > 100:
-            raise ValueError(f"name too long for ustar: {name!r}")
+            # ustar long-path split (POSIX.1-1988): prefix holds the
+            # leading directories (<=155 bytes), name the remainder
+            # (<=100), joined at a '/' — the same split CPython's
+            # tarfile performs
+            cut = nb.rfind(b"/", max(0, len(nb) - 101), len(nb) - 1)
+            if cut <= 0 or cut > 155:
+                raise ValueError(f"name too long for ustar: {name!r}")
+            prefix, nb = nb[:cut], nb[cut + 1:]
+            if len(prefix) > 155 or len(nb) > 100:
+                raise ValueError(f"name too long for ustar: {name!r}")
         hdr = bytearray(_BLOCK)
         hdr[0:len(nb)] = nb
+        hdr[345:345 + len(prefix)] = prefix
         hdr[100:108] = _octal(0o644, 8)
         hdr[108:116] = _octal(0, 8)
         hdr[116:124] = _octal(0, 8)

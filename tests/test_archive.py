@@ -77,3 +77,17 @@ def test_long_path_prefix_field():
         tf.addfile(info, io.BytesIO(b"body"))
     got = tar_unpack(buf.getvalue())
     assert got == [(long_name, b"body")]
+
+
+def test_pack_long_path_prefix_split_tarfile_interop():
+    """tar_pack splits >100-char paths into prefix+name like CPython's
+    tarfile; the archive round-trips through BOTH readers."""
+    long_name = "/".join(["d" * 40] * 3) + "/leaf.txt"
+    blob = tar_pack([(long_name, b"body")])
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == [(long_name, b"body")]
+    assert tar_unpack(blob) == [(long_name, b"body")]
+    # a path with no split point that fits still errors loudly
+    with pytest.raises(ValueError, match="too long"):
+        tar_pack([("x" * 160 + "/" + "y" * 120, b"")])

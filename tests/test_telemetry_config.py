@@ -92,3 +92,33 @@ def test_always_record_parent_based_sampler():
     assert should_record(True) == (True, True)
     assert should_record(False) == (True, False)
     assert should_record(None) == (True, False)
+
+
+def test_collector_self_spans_feed_tracez(spark):
+    """Self-traces: compile + run operations land in the tracez
+    recorder (the always-record rule), so /debug/tracez shows the
+    collector's own operation latency profile."""
+    c = Collector(spark, _BASE, sf_dir=SF_SMALL)
+    c.start()
+    try:
+        counts, errors, samples, _ = c.span_recorder.snapshot()
+        assert "collector/compile" in counts
+        assert "collector/run" in counts
+        assert errors == {}
+        page = __import__(
+            "otel_arrow_collector_spark.plans.zpages",
+            fromlist=["ZPages"]).ZPages(
+                tracez_recorder=c.span_recorder).tracez().decode()
+        assert "collector/compile" in page and "collector/run" in page
+    finally:
+        c.shutdown()
+
+
+def test_traces_disabled_records_nothing(spark):
+    cfg = _BASE.replace("enabled: true", "enabled: false")
+    c = Collector(spark, cfg, sf_dir=SF_SMALL)
+    c.start()
+    try:
+        assert c.span_recorder is None
+    finally:
+        c.shutdown()
