@@ -245,7 +245,11 @@ def sketch_hll_estimate(spark, sf_dir):
                     .cast("long").alias("err_permille")))
 
 
-_HLL_ROWS_SQL = f"""
+def _hll_rows_sql(source: str = "events") -> str:
+    """The (bucket, rho) row derivation as DuckDB SQL, parameterized by
+    the source relation/subquery so multi-relation sketches (union /
+    intersection estimates) reuse the identical hash recipe."""
+    return f"""
   SELECT (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
          + (instr('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
          CASE WHEN nz >= 30 THEN {HLL_RHO_CAP} ELSE
@@ -259,8 +263,11 @@ _HLL_ROWS_SQL = f"""
     FROM (
       SELECT h, substr(h, 3, 30) AS tail,
              length(regexp_extract(substr(h, 3, 30), '^0*', 0)) AS nz
-      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events)))
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM {source})))
 """
+
+
+_HLL_ROWS_SQL = _hll_rows_sql("events")
 
 QUERIES["sketch_hll_registers"] = sketch_hll_registers
 ORACLES["sketch_hll_registers"] = f"""
@@ -299,6 +306,128 @@ SELECT
            // (CAST({HLL_ALPHA_DEN} AS HUGEINT) * s) - exact_distinct)
        * 1000 // exact_distinct AS BIGINT) AS err_permille
 FROM agg, exact
+"""
+
+
+def _hll_estimate_df(regs: DataFrame, out: str) -> DataFrame:
+    """1-row raw-estimate DataFrame from an HLL register state — the
+    same scaled-integer harmonic mean as sketch_hll_estimate, reused
+    for merged (union) sketches."""
+    spark = regs.sparkSession
+    full = (spark.range(HLL_M).select(F.col("id").alias("bucket"))
+            .join(regs, "bucket", "left")
+            .select(F.coalesce("max_rho", F.lit(0)).alias("m_rho")))
+    agg = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({HLL_RHO_CAP} - m_rho AS INT))")).alias("s"))
+    num = (F.lit(HLL_ALPHA_NUM).cast("decimal(38,0)")
+           * F.lit(HLL_M * HLL_M) * F.lit(1 << HLL_RHO_CAP))
+    den = (F.lit(HLL_ALPHA_DEN).cast("decimal(38,0)") * F.col("s"))
+    return agg.select(F.floor(num / den).cast("long").alias(out))
+
+
+def sketch_hll_union(spark, sf_dir):
+    """Declared query: set-union and set-intersection cardinality of
+    two relations from their HLL register states alone — the property
+    that makes the sketch a cross-corpus tool: registers merge by
+    register-wise MAX (union-of-sets == max-of-sketches, exactly), and
+    the intersection falls out by inclusion-exclusion
+    est_a + est_b - est_union (clamped at 0; one-sided error is NOT
+    preserved, which is why the exact audit rides along).
+
+    Relations: events split by event_id parity (the cms_join_size
+    fixture), distinct user_id as the counted set.  A side's sketch is
+    256 integers — at 100 TB the union estimate costs two register
+    merges, never a re-scan of either relation.  Exact audit: one
+    grouped both-parities pass for the intersection, COUNT(DISTINCT)
+    for the union (A∪B = all users here, since every user has some
+    event of one parity)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    ra = hll_registers(a, "user_id")
+    rb = hll_registers(b, "user_id")
+    ru = (ra.unionAll(rb).groupBy("bucket")
+          .agg(F.max("max_rho").alias("max_rho")))
+    est = (_hll_estimate_df(ra, "est_a")
+           .crossJoin(_hll_estimate_df(rb, "est_b"))
+           .crossJoin(_hll_estimate_df(ru, "est_union")))
+    exact_u = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_union"))
+    both = (events.groupBy("user_id")
+            .agg(F.max(((F.col("event_id") % 2) == 0).cast("int"))
+                 .alias("in_a"),
+                 F.max(((F.col("event_id") % 2) == 1).cast("int"))
+                 .alias("in_b")))
+    exact_i = (both.filter((F.col("in_a") == 1) & (F.col("in_b") == 1))
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("exact_intersection")))
+    return (est.crossJoin(exact_u).crossJoin(exact_i)
+            .select("est_a", "est_b", "est_union",
+                    F.greatest(F.lit(0), F.col("est_a") + F.col("est_b")
+                               - F.col("est_union")).cast("long")
+                    .alias("est_intersection"),
+                    "exact_union", "exact_intersection",
+                    F.expr("abs(est_union - exact_union) * 1000"
+                           " div exact_union").cast("long")
+                    .alias("err_permille_union")))
+
+
+QUERIES["sketch_hll_union"] = sketch_hll_union
+
+_HLL_EST_SQL = (f"CAST((CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M}"
+                f" * CAST({1 << HLL_RHO_CAP} AS HUGEINT))"
+                f" // (CAST({HLL_ALPHA_DEN} AS HUGEINT) * {{s}})"
+                f" AS BIGINT)")
+
+ORACLES["sketch_hll_union"] = f"""
+WITH regs_a AS (
+  SELECT bucket, MAX(rho) AS max_rho
+  FROM ({_hll_rows_sql("(SELECT user_id FROM events"
+                       " WHERE event_id % 2 = 0)")}) GROUP BY bucket),
+regs_b AS (
+  SELECT bucket, MAX(rho) AS max_rho
+  FROM ({_hll_rows_sql("(SELECT user_id FROM events"
+                       " WHERE event_id % 2 = 1)")}) GROUP BY bucket),
+regs_u AS (
+  SELECT bucket, MAX(max_rho) AS max_rho FROM (
+    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+  GROUP BY bucket),
+s_a AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP}
+             - COALESCE(r.max_rho, 0))) AS s
+  FROM generate_series(0, {HLL_M - 1}) AS g(i)
+  LEFT JOIN regs_a r ON r.bucket = g.i),
+s_b AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP}
+             - COALESCE(r.max_rho, 0))) AS s
+  FROM generate_series(0, {HLL_M - 1}) AS g(i)
+  LEFT JOIN regs_b r ON r.bucket = g.i),
+s_u AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP}
+             - COALESCE(r.max_rho, 0))) AS s
+  FROM generate_series(0, {HLL_M - 1}) AS g(i)
+  LEFT JOIN regs_u r ON r.bucket = g.i),
+est AS (
+  SELECT {_HLL_EST_SQL.format(s="a.s")} AS est_a,
+         {_HLL_EST_SQL.format(s="b.s")} AS est_b,
+         {_HLL_EST_SQL.format(s="u.s")} AS est_union
+  FROM s_a a, s_b b, s_u u),
+exact_u AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+  FROM events),
+exact_i AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM events GROUP BY user_id
+    HAVING MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) = 1
+       AND MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) = 1))
+SELECT est_a, est_b, est_union,
+       CAST(greatest(0, est_a + est_b - est_union) AS BIGINT)
+         AS est_intersection,
+       exact_union, exact_intersection,
+       CAST(abs(est_union - exact_union) * 1000 // exact_union
+            AS BIGINT) AS err_permille_union
+FROM est, exact_u, exact_i
 """
 
 

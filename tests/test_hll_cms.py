@@ -159,3 +159,46 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
         k = (r.row_id, r.col)
         got[k] = max(got.get(k, 0), r.cnt)   # counters only grow
     assert got == want
+
+
+def test_hll_union_merge_property(spark):
+    """union-of-sets == register-wise MAX of the two sketches, exactly
+    (not approximately): the merged registers must EQUAL the registers
+    of the concatenated input."""
+    from otel_arrow_collector_spark.operators.sketches import hll_registers
+    a = spark.range(0, 500).select(F.col("id").alias("user_id"))
+    b = spark.range(300, 900).select(F.col("id").alias("user_id"))
+    ra, rb = hll_registers(a, "user_id"), hll_registers(b, "user_id")
+    merged = (ra.unionAll(rb).groupBy("bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    direct = hll_registers(a.unionAll(b), "user_id")
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_union_query_audit_columns_exact(spark):
+    """The audit side is exact; the estimate side is the RAW harmonic
+    mean (at sf0.01's 150 users the sketch sits in the linear-counting
+    regime, the same published-raw stance as sketch_hll_estimate)."""
+    from otel_arrow_collector_spark.operators.sketches import QUERIES
+    r = QUERIES["sketch_hll_union"](spark, "/root/testdata/sf0.01").first()
+    assert r.exact_union > 0
+    assert r.est_intersection >= 0
+    assert r.exact_intersection <= r.exact_union
+
+
+def test_hll_union_estimates_at_sketch_scale(spark):
+    """Where the raw estimator is valid (n >> 2.5m), union AND
+    inclusion-exclusion intersection land within HLL error."""
+    from otel_arrow_collector_spark.operators.sketches import (
+        _hll_estimate_df, hll_registers)
+    a = spark.range(0, 30_000).select(F.col("id").alias("user_id"))
+    b = spark.range(18_000, 48_000).select(F.col("id").alias("user_id"))
+    ra, rb = hll_registers(a, "user_id"), hll_registers(b, "user_id")
+    ru = (ra.unionAll(rb).groupBy("bucket")
+          .agg(F.max("max_rho").alias("max_rho")))
+    est = (_hll_estimate_df(ra, "ea").crossJoin(_hll_estimate_df(rb, "eb"))
+           .crossJoin(_hll_estimate_df(ru, "eu")).first())
+    assert abs(est.eu - 48_000) / 48_000 < 0.15          # union
+    inter = est.ea + est.eb - est.eu
+    assert abs(inter - 12_000) / 12_000 < 0.5            # intersection
