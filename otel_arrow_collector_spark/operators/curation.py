@@ -557,12 +557,18 @@ _BHEX = "0123456789abcdef"
 
 
 def _bloom_pos_exprs(sh_col: str, substr_fn: str) -> list[str]:
-    """One 16-bit bit-position expression per hash, both dialects."""
+    """One 16-bit bit-position expression per hash, both dialects.
+
+    All K positions slice ONE md5 digest (hex chars 1-4, 5-8, 9-12) —
+    the standard one-hash Bloom construction: a 128-bit digest carries
+    K independent 16-bit indexes, so the probe costs one hash instead
+    of K salted ones (3x fewer md5 calls per corpus shingle)."""
+    h = f"md5({sh_col})"
     out = []
     for i in range(BLOOM_K):
-        h = f"md5('{i}:' || {sh_col})"
         val = " + ".join(
-            f"(instr('{_BHEX}', {substr_fn}({h}, {j + 1}, 1)) - 1)"
+            f"(instr('{_BHEX}', {substr_fn}({h},"
+            f" {i * BLOOM_HEXCHARS + j + 1}, 1)) - 1)"
             f" * {16 ** (BLOOM_HEXCHARS - 1 - j)}"
             for j in range(BLOOM_HEXCHARS))
         out.append(f"({val})")
@@ -595,29 +601,36 @@ def bloom_screen(spark, sf_dir):
                     F.explode(F.array_distinct(F.expr(_spark_shingles())))
                      .alias("sh")))
     pos = _bloom_pos_exprs("sh", "substring")
-    bits = (sh.filter(F.col("source") == "src0")
-            .select(F.explode(F.array(
-                *[F.expr(p) for p in pos])).alias("bit"))
-            .distinct())
-    corpus = sh.filter(F.col("source") != "src0")
-    probes = corpus.select(
-        "doc_id", "sh",
-        F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit"))
-    maybe = (probes.join(F.broadcast(bits), "bit")
-             .groupBy("doc_id", "sh")
-             .agg(F.count(F.lit(1)).alias("nbits"))
-             .filter(F.col("nbits") == BLOOM_K)
-             .groupBy("doc_id")
-             .agg(F.count(F.lit(1)).alias("n_maybe")))
+    # ONE src0 pass: the distinct benchmark shingles; the filter's bits
+    # derive from that (already-distinct) set
     bench = (sh.filter(F.col("source") == "src0")
              .select("sh").distinct())
-    exact = (corpus.join(F.broadcast(bench), "sh")
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact")))
-    return (maybe.join(exact, "doc_id", "left")
-            .select("doc_id",
-                    F.col("n_maybe").cast("long").alias("n_maybe"),
-                    F.coalesce("n_exact", F.lit(0)).cast("long")
-                    .alias("n_exact"))
+    bits = (bench.select(F.explode(F.array(
+                *[F.expr(p) for p in pos])).alias("bit"))
+            .distinct())
+    # ONE corpus pass: per-shingle bit probes -> maybe candidates via a
+    # broadcast join on the (<= 2^16-row) bit relation.  (Tried and
+    # rejected: collecting the bitset into a 64 KiB literal string and
+    # probing with substring — Spark re-materializes the giant literal
+    # per row, 25x slower than the broadcast-hash probe.)  The exact
+    # membership rides along on the SAME candidates because a Bloom
+    # filter has no false negatives (every bench shingle set all its
+    # bits), so exact hits ⊆ maybe hits
+    corpus = sh.filter(F.col("source") != "src0")
+    cand = (corpus.select(
+                "doc_id", "sh",
+                F.explode(F.array(*[F.expr(p) for p in pos]))
+                .alias("bit"))
+            .join(F.broadcast(bits), "bit")
+            .groupBy("doc_id", "sh")
+            .agg(F.count(F.lit(1)).alias("nbits"))
+            .filter(F.col("nbits") == BLOOM_K))
+    return (cand.join(F.broadcast(bench.withColumn("inb", F.lit(1))),
+                      "sh", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_maybe"),
+                 F.coalesce(F.sum("inb"), F.lit(0)).cast("long")
+                 .alias("n_exact"))
             .orderBy("doc_id").limit(500))
 
 
