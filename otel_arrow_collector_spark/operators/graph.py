@@ -199,13 +199,49 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PR_ITERS,
     return ranks
 
 
+def pagerank_fixed_point_local(edges: list[tuple[str, str, int]],
+                               iters: int = PR_ITERS,
+                               scale: int = PR_SCALE) -> dict[str, int]:
+    """The same fixed-point recurrence as :func:`pagerank_fixed_point`,
+    in plain Python integers (arbitrary precision, so it bit-matches
+    the decimal(38,0) form).  For TYPE-cardinality graphs — the
+    distributed form pays ~10 Spark stages of fixed overhead per
+    iteration, absurd for a 25-edge graph; this is the
+    centroids/codebook driver-math precedent.  Node-cardinality graphs
+    use the distributed operator."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = scale // n
+    tele = (15 * base) // 100
+    wout: dict[str, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        s_in = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            s_in[d] += (rank[s] * w) // wout[s]
+        rank = {v: tele + (PR_DAMP_NUM * s_in[v]) // PR_DAMP_DEN
+                for v in nodes}
+    return rank
+
+
 def graph_pagerank(spark, sf_dir):
     """Declared query: 3-iteration fixed-point PageRank of the event
-    types in the per-user transition graph."""
+    types in the per-user transition graph.
+
+    The fact table is scanned exactly ONCE (the distributed
+    transition-edge aggregation — the expensive part at 100 TB); the
+    resulting edge list is TYPE-cardinality (<= |event types|^2 rows),
+    so the fixed-point itself runs in driver integers
+    (:func:`pagerank_fixed_point_local`, bit-identical recurrence)."""
     events = load_table(spark, sf_dir, "events")
-    return (pagerank_fixed_point(transition_edges(events))
-            .select("node", F.col("rank").cast("long").alias("rank"))
-            .orderBy(F.col("rank").desc(), "node"))
+    rows = [(r["src"], r["dst"], int(r["w"]))
+            for r in transition_edges(events).collect()]
+    rank = pagerank_fixed_point_local(rows)
+    out = spark.createDataFrame(sorted(rank.items()),
+                                "node string, rank long")
+    return out.orderBy(F.col("rank").desc(), "node")
 
 
 def _pr_iter_sql(prev: str, this_c: str, this_r: str) -> str:

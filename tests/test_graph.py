@@ -60,3 +60,15 @@ def test_pagerank_fixed_point_python_twin(spark):
     # ever loses mass, so the total stays at or under the scale.
     assert all(r >= tele for r in got.values())
     assert sum(got.values()) <= PR_SCALE
+
+
+def test_pagerank_local_matches_distributed(spark):
+    """The driver-integer fixed-point must bit-match the distributed
+    decimal(38,0) operator on the same edges."""
+    from otel_arrow_collector_spark.operators.graph import (
+        pagerank_fixed_point, pagerank_fixed_point_local)
+    edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2),
+             ("a", "c", 5), ("c", "b", 4), ("d", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    dist = {r.node: r.rank for r in pagerank_fixed_point(df).collect()}
+    assert pagerank_fixed_point_local(edges) == dist
