@@ -103,9 +103,17 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
 
 def graph_triangle_count(spark, sf_dir):
     """Declared query: the 20 parts participating in the most
-    co-purchase triangles (ties broken by key)."""
+    co-purchase triangles (ties broken by key).
+
+    The edge list (distinct + degree-cap + per-basket self-join) is
+    referenced THREE times by the oriented wedge join (e1/e2/e3), so it
+    is memoized persisted via the shared cache registry — one
+    derivation instead of three, the LSH-candidate-pairs precedent."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (triangle_participation(copurchase_edges(li))
+    from .cache_registry import cached
+    edges = cached("copurchase_edges", spark, sf_dir,
+                   lambda: copurchase_edges(li).persist())
+    return (triangle_participation(edges)
             .select(F.col("node").cast("long").alias("node"),
                     F.col("tri_cnt").cast("long").alias("tri_cnt"))
             .orderBy(F.col("tri_cnt").desc(), "node").limit(20))
