@@ -426,10 +426,30 @@ def test_triangle_count_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan        # top-20, no full sort
 
 
-def test_pagerank_broadcasts_rank_side(spark):
-    """Each PageRank iteration joins the big edge list against the tiny
-    rank table — the rank side must broadcast (no SMJ on edges)."""
+def test_pagerank_scan_once_iterate_local(spark):
+    """graph_pagerank's scale shape: the fact table feeds ONE
+    distributed transition-edge aggregation (consumed by collect() at
+    build time), and the returned plan is the driver-computed rank
+    relation — no iteration joins over re-scanned facts at all."""
     plan = _plan(spark, "graph_pagerank")
+    assert "Join" not in plan
+    assert "Scan parquet" not in plan          # local relation only
+
+
+def test_pagerank_distributed_broadcasts_rank_side(spark):
+    """The distributed operator (node-cardinality graphs): each
+    iteration joins the big edge list against the tiny rank table —
+    the rank side must broadcast (no SMJ on edges)."""
+    from otel_arrow_collector_spark.operators.graph import (
+        pagerank_fixed_point)
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("a", "c", 1)],
+        "src string, dst string, w long")
+    df = pagerank_fixed_point(edges)
+    jpe = df._jdf.queryExecution()
+    plan = jpe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
