@@ -126,10 +126,14 @@ def grpc_call(host: str, port: int, path: str, message: bytes, *,
 
 
 def _call_with_retry_mapping(host, port, path, message, token, compress,
-                             timeout_s) -> None:
-    """Map gRPC/transport failures onto the retry chain's typed errors."""
+                             timeout_s, auth=None) -> None:
+    """Map gRPC/transport failures onto the retry chain's typed errors.
+    ``auth`` is a ClientAuthenticator queried per call (the
+    PerRPCCredentials semantics, client.go:41-49)."""
     try:
         grpc_call(host, port, path, message, token=token,
+                  metadata=auth.auth_headers() if auth is not None
+                  else None,
                   compress=compress, timeout_s=timeout_s)
     except GrpcCallError as e:
         if e.status == 8:                      # RESOURCE_EXHAUSTED
@@ -144,7 +148,8 @@ def _call_with_retry_mapping(host, port, path, message, token, compress,
 
 
 def export_grpc(df: DataFrame, endpoint: str, signal: str = "traces", *,
-                token: str | None = None, compress: bool = False,
+                token: str | None = None, authenticator=None,
+                compress: bool = False,
                 max_rows_per_request: int = 8192,
                 retry_config: RetryConfig | None = None) -> DataFrame:
     """Build the gRPC export stage (lazy; see the HTTP exporter's shape).
@@ -164,6 +169,8 @@ def export_grpc(df: DataFrame, endpoint: str, signal: str = "traces", *,
     path = _PATHS[signal]
     schema = _SCHEMAS[signal]
     cfg = retry_config or RetryConfig()
+    from ..sources.auth import resolve_client_authenticator
+    auth = resolve_client_authenticator(authenticator)
 
     def send_partition(batches):
         import pyarrow as pa
@@ -179,7 +186,8 @@ def export_grpc(df: DataFrame, endpoint: str, signal: str = "traces", *,
             nonlocal attempts
             attempts += 1
             _call_with_retry_mapping(host, port, path, body, token,
-                                     compress, cfg.attempt_timeout_s)
+                                     compress, cfg.attempt_timeout_s,
+                                     auth)
 
         sender = RetrySender(push, cfg, signal=signal)
         for i in range(0, len(rows), max_rows_per_request):

@@ -63,11 +63,15 @@ RESULT_SCHEMA = StructType([
 
 def _post_once(host: str, port: int, path: str, body: bytes,
                token: str | None, compress: bool,
-               timeout_s: float, ssl_ctx=None) -> None:
-    """One POST; raises the retry-chain's typed errors on failure."""
+               timeout_s: float, ssl_ctx=None, auth=None) -> None:
+    """One POST; raises the retry-chain's typed errors on failure.
+    ``auth`` is a ClientAuthenticator, queried per request (client.go
+    RoundTripper semantics: credentials may rotate between calls)."""
     headers = {"Content-Type": "application/x-protobuf"}
     if token is not None:
         headers["Authorization"] = f"Bearer {token}"
+    if auth is not None:
+        headers.update(auth.auth_headers())
     if compress:
         body = _gzip.compress(body)
         headers["Content-Encoding"] = "gzip"
@@ -106,7 +110,8 @@ def _post_once(host: str, port: int, path: str, body: bytes,
 
 
 def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
-                *, token: str | None = None, compress: bool = False,
+                *, token: str | None = None, authenticator=None,
+                compress: bool = False,
                 max_rows_per_request: int = 8192,
                 retry_config: RetryConfig | None = None,
                 tls=None) -> DataFrame:
@@ -137,6 +142,8 @@ def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
     path = (u.path.rstrip("/") or "") + f"/v1/{signal}"
     schema = _SCHEMAS[signal]
     cfg = retry_config or RetryConfig()
+    from ..sources.auth import resolve_client_authenticator
+    auth = resolve_client_authenticator(authenticator)
 
     def send_partition(batches):
         import pyarrow as pa
@@ -153,7 +160,7 @@ def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
             nonlocal attempts
             attempts += 1
             _post_once(host, port, path, body, token, compress,
-                       cfg.attempt_timeout_s, ssl_ctx)
+                       cfg.attempt_timeout_s, ssl_ctx, auth)
 
         sender = RetrySender(push, cfg, signal=signal)
         for i in range(0, len(rows), max_rows_per_request):

@@ -78,21 +78,70 @@ class BearerTokenAuthenticator(ServerAuthenticator):
         return self.principal
 
 
-# -- name-based registry (configauth.go:31-40) ------------------------------
+# -- client side (extension/auth/client.go:18-26) ---------------------------
 
-_REGISTRY: dict[str, ServerAuthenticator] = {}
+class ClientAuthenticator:
+    """Client authenticator: produces the auth metadata an exporter
+    attaches to outgoing requests — the Spark-side analogue of both
+    ``RoundTripper`` (HTTP header injection) and ``PerRPCCredentials``
+    (gRPC call metadata), which in this engine are the same thing: a
+    headers dict evaluated per request (so rotating credentials work).
+    Instances must pickle: exporters call :meth:`auth_headers` inside
+    executor tasks."""
+
+    def auth_headers(self) -> dict[str, str]:
+        raise NotImplementedError
+
+    def start(self) -> None:                 # pragma: no cover
+        pass
+
+    def shutdown(self) -> None:              # pragma: no cover
+        pass
+
+
+class FuncClientAuthenticator(ClientAuthenticator):
+    """Wrap a bare ``() -> headers`` callable
+    (ClientRoundTripperFunc / ClientPerRPCCredentialsFunc,
+    client.go:31-49)."""
+
+    def __init__(self, fn: Callable[[], dict[str, str]]):
+        self._fn = fn
+
+    def auth_headers(self) -> dict[str, str]:
+        return dict(self._fn())
+
+
+class BearerTokenClientAuthenticator(ClientAuthenticator):
+    """Static bearer token on every outgoing request — the client half
+    of :class:`BearerTokenAuthenticator`."""
+
+    def __init__(self, token: str):
+        self.token = token
+
+    def auth_headers(self) -> dict[str, str]:
+        return {"authorization": f"Bearer {self.token}"}
+
+
+# -- name-based registry (configauth.go:31-40) ------------------------------
+#
+# One registry holds both kinds, like the reference's extensions map;
+# resolution type-checks (errNotServer / errNotClient, configauth.go).
+
+_REGISTRY: dict[str, object] = {}
 _LOCK = threading.Lock()
 
 
-def register_authenticator(name: str, auth) -> ServerAuthenticator:
-    """Register a named authenticator; duplicate names error (the
-    extension-id uniqueness rule)."""
-    a = _coerce(auth)
+def register_authenticator(name: str, auth):
+    """Register a named authenticator (server or client instance, or a
+    bare ``headers -> principal`` callable, coerced server-side);
+    duplicate names error (the extension-id uniqueness rule)."""
+    if not isinstance(auth, (ServerAuthenticator, ClientAuthenticator)):
+        auth = _coerce(auth)
     with _LOCK:
         if name in _REGISTRY:
             raise ValueError(f"authenticator {name!r} already registered")
-        _REGISTRY[name] = a
-    return a
+        _REGISTRY[name] = auth
+    return auth
 
 
 def unregister_authenticator(name: str) -> None:
@@ -108,11 +157,22 @@ def _coerce(auth) -> ServerAuthenticator:
     raise TypeError(f"not an authenticator: {auth!r}")
 
 
+def _lookup(name: str):
+    with _LOCK:
+        a = _REGISTRY.get(name)
+    if a is None:
+        raise ValueError(f"failed to resolve authenticator {name!r}: "
+                         f"authenticator not found")
+    return a
+
+
 def resolve_authenticator(spec, token: str | None = None):
-    """Resolve a receiver's auth config to an authenticator or None.
+    """Resolve a receiver's auth config to a server authenticator or
+    None.
 
     ``spec`` may be: None (fall back to ``token`` sugar), a registered
-    name (configauth.GetServerAuthenticator — unknown names raise), an
+    name (configauth.GetServerAuthenticator — unknown names raise, a
+    client-only registration raises the errNotServer analogue), an
     authenticator instance, or a bare callable.
     """
     if spec is None:
@@ -120,11 +180,31 @@ def resolve_authenticator(spec, token: str | None = None):
             return BearerTokenAuthenticator(token)
         return None
     if isinstance(spec, str):
-        with _LOCK:
-            a = _REGISTRY.get(spec)
-        if a is None:
-            raise ValueError(
-                f"failed to resolve authenticator {spec!r}: "
-                f"authenticator not found")
+        a = _lookup(spec)
+        if not isinstance(a, ServerAuthenticator):
+            raise ValueError(f"requested authenticator {spec!r} is not "
+                             f"a server authenticator")
         return a
     return _coerce(spec)
+
+
+def resolve_client_authenticator(spec, token: str | None = None):
+    """Resolve an exporter's auth config to a client authenticator or
+    None (configauth.GetClientAuthenticator; errNotClient on a
+    server-only registration).  A bare ``() -> headers`` callable is
+    coerced."""
+    if spec is None:
+        if token is not None:
+            return BearerTokenClientAuthenticator(token)
+        return None
+    if isinstance(spec, str):
+        a = _lookup(spec)
+        if not isinstance(a, ClientAuthenticator):
+            raise ValueError(f"requested authenticator {spec!r} is not "
+                             f"a client authenticator")
+        return a
+    if isinstance(a := spec, ClientAuthenticator):
+        return a
+    if callable(spec):
+        return FuncClientAuthenticator(spec)
+    raise TypeError(f"not a client authenticator: {spec!r}")

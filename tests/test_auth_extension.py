@@ -125,3 +125,78 @@ def test_grpc_custom_authenticator_live(spark, tmp_path):
             r.stop()
     finally:
         unregister_authenticator("grpc-tenant")
+
+
+# -- client side (extension/auth/client.go) ---------------------------------
+
+def test_client_authenticator_resolution():
+    from otel_arrow_collector_spark.sources.auth import (
+        BearerTokenClientAuthenticator, FuncClientAuthenticator,
+        resolve_client_authenticator)
+    a = resolve_client_authenticator(None, "tok")
+    assert isinstance(a, BearerTokenClientAuthenticator)
+    assert a.auth_headers() == {"authorization": "Bearer tok"}
+    f = resolve_client_authenticator(lambda: {"x-tenant": "acme"})
+    assert isinstance(f, FuncClientAuthenticator)
+    assert f.auth_headers() == {"x-tenant": "acme"}
+    assert resolve_client_authenticator(None) is None
+    # errNotClient: a server-only registration cannot serve as client
+    register_authenticator("srv-only", _tenant_auth)
+    try:
+        with pytest.raises(ValueError, match="not a client"):
+            resolve_client_authenticator("srv-only")
+        with pytest.raises(ValueError, match="not found"):
+            resolve_client_authenticator("no-such")
+    finally:
+        unregister_authenticator("srv-only")
+    # errNotServer: a client registration cannot serve as server
+    from otel_arrow_collector_spark.sources.auth import (
+        resolve_authenticator)
+    register_authenticator("cli-only",
+                           BearerTokenClientAuthenticator("t"))
+    try:
+        with pytest.raises(ValueError, match="not a server"):
+            resolve_authenticator("cli-only")
+        assert resolve_client_authenticator("cli-only").auth_headers() \
+            == {"authorization": "Bearer t"}
+    finally:
+        unregister_authenticator("cli-only")
+
+
+def test_exporter_client_auth_end_to_end(spark, tmp_path):
+    """Full configauth loop on live sockets: the receiver requires a
+    custom server authenticator; the exporter's client authenticator
+    injects the matching identity headers on every executor-side
+    request.  Without it the export fails permanent."""
+    from otel_arrow_collector_spark.exporters.http_exporter import (
+        export_http_now)
+    from otel_arrow_collector_spark.exporters.retry import (
+        PermanentError, RetryConfig)
+    from otel_arrow_collector_spark.model import generate_traces
+
+    r = OtlpHttpReceiver(str(tmp_path / "spool"),
+                         authenticator=_tenant_auth,
+                         record_client_info=True)
+    host, port = r.start()
+    try:
+        df = generate_traces(spark, 6).repartition(2)
+        out = export_http_now(
+            df, f"http://{host}:{port}", "traces",
+            # inline lambda: cloudpickle ships it by value into the
+            # executor closure (a test-module def would not import
+            # on the worker)
+            authenticator=lambda: {"x-tenant": "acme"},
+            retry_config=RetryConfig(enabled=False))
+        assert out["rows_sent"] == 6
+        spooled = r.read_spool(spark, "traces", client_info=True)
+        assert {x.client_principal for x in
+                spooled.select("client_principal").collect()} \
+            == {"tenant:acme"}
+        # no client auth -> 401 -> permanent failure in the retry chain
+        with pytest.raises(Exception) as ei:
+            export_http_now(df, f"http://{host}:{port}", "traces",
+                            retry_config=RetryConfig(enabled=False))
+        assert "PermanentError" in str(ei.getrepr()) \
+            or isinstance(ei.value, PermanentError)
+    finally:
+        r.stop()
