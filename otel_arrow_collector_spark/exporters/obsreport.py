@@ -25,10 +25,23 @@ METRICS = ("accepted", "refused", "sent", "send_failed", "dropped",
            "sent_arrow_batches", "sent_unary_batches")
 
 
-class ObsReport:
-    """Thread-safe monotonic counters per (component, signal, metric)."""
+#: configtelemetry levels (config/configtelemetry/configtelemetry.go:14-21)
+LEVELS = ("none", "basic", "normal", "detailed")
 
-    def __init__(self) -> None:
+
+class ObsReport:
+    """Thread-safe monotonic counters per (component, signal, metric).
+
+    ``level`` is the configtelemetry knob (service ``telemetry:
+    metrics: level``): ``none`` collects nothing (record() validates
+    and returns — misuse still raises, data never accumulates); the
+    other levels all collect this counter set (the repo's counters are
+    the reference's basic tier)."""
+
+    def __init__(self, level: str = "basic") -> None:
+        if level not in LEVELS:
+            raise ValueError(f"unknown telemetry level {level!r}")
+        self.level = level
         self._lock = threading.Lock()
         self._counts: dict[tuple[str, str, str], int] = defaultdict(int)
 
@@ -38,6 +51,8 @@ class ObsReport:
             raise ValueError(f"unknown obs metric {metric!r}")
         if count < 0:
             raise ValueError("counters are monotonic")
+        if self.level == "none":
+            return
         with self._lock:
             self._counts[(component, signal, metric)] += count
 

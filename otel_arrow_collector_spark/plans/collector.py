@@ -95,6 +95,11 @@ class Collector:
         # (service/telemetry/config.go Validate runs at resolve time)
         self.telemetry = parse_telemetry(cfg.pop("telemetry", None))
         self.logger = configure_logger(self.telemetry.logs)
+        # the collector's own counter surface at the configured
+        # metrics level; components built around this collector pass
+        # it as their obsreport= (level "none" collects nothing)
+        from ..exporters.obsreport import ObsReport
+        self.obsreport = ObsReport(level=self.telemetry.metrics.level)
         if self.telemetry.traces.enabled:
             from .zpages import SpanRecorder
             if self.span_recorder is None:

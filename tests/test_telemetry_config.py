@@ -122,3 +122,23 @@ def test_traces_disabled_records_nothing(spark):
         assert c.span_recorder is None
     finally:
         c.shutdown()
+
+
+def test_metrics_level_none_collects_nothing(spark):
+    from otel_arrow_collector_spark.exporters.obsreport import ObsReport
+    o = ObsReport(level="none")
+    o.record("otlp", "traces", "accepted", 5)
+    assert o.snapshot() == {}
+    with pytest.raises(ValueError):           # misuse still validates
+        o.record("otlp", "traces", "nonsense")
+    with pytest.raises(ValueError, match="unknown telemetry level"):
+        ObsReport(level="loud")
+    cfg = _BASE.replace("level: detailed", "level: none")
+    c = Collector(spark, cfg, sf_dir=SF_SMALL)
+    c.start()
+    try:
+        assert c.obsreport.level == "none"
+        c.obsreport.record("otlp", "traces", "accepted", 3)
+        assert c.obsreport.snapshot() == {}
+    finally:
+        c.shutdown()
