@@ -89,3 +89,24 @@ def test_rank_values_at_unit(spark, gate):
         for r in S._rank_values_at(df, [1, 4, 8], n_buckets=4).collect())
     # sorted order: 1,1,3,3,3,5,7,9 -> ranks 1,4,8 = values 1,3,9
     assert got == [(1, 1), (4, 3), (8, 9)]
+
+
+def test_rank_values_at_property(spark):
+    """Property: for random multisets and random rank sets, the
+    distributed selector returns exactly the sorted-order elements at
+    those ranks (hypothesis-style sweep, deterministic seeds)."""
+    import random
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(5, 400)
+        vals = [rng.randint(-50, 50) * 10 for _ in range(n)]
+        rows = [(v, i, i % 3) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "v long, l_orderkey long, l_linenumber long")
+        positions = sorted(rng.sample(range(1, n + 1),
+                                      min(5, n)))
+        got = {int(r["__rk"]): int(r["v"])
+               for r in S._rank_values_at(df, positions,
+                                          n_buckets=16).collect()}
+        truth = sorted(rows, key=lambda t: (t[0], t[1], t[2]))
+        assert got == {p: truth[p - 1][0] for p in positions}
