@@ -1,0 +1,80 @@
+"""Storage extension contract (extension/experimental/storage/
+storage.go semantics): golang-map behavior, in-place Batch gets,
+per-scope isolation, persistence across reopen, nop client."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from otel_arrow_collector_spark.plans.storage import (
+    FileStorageClient, FileStorageExtension, NopStorageClient,
+    delete_op, get_op, set_op)
+
+
+def test_map_semantics(tmp_path):
+    c = FileStorageClient(str(tmp_path / "s.kv"))
+    assert c.get("missing") is None          # not-found is not an error
+    c.set("k", b"v1")
+    c.set("k", b"v2")                        # overwrite, no error
+    assert c.get("k") == b"v2"
+    c.delete("nope")                         # no-op, no error
+    c.delete("k")
+    assert c.get("k") is None
+
+
+def test_batch_in_place_and_validation(tmp_path):
+    c = FileStorageClient(str(tmp_path / "b.kv"))
+    c.set("a", b"1")
+    g1, g2 = get_op("a"), get_op("zz")
+    c.batch(set_op("b", b"\x00\xff"), g1, g2, delete_op("a"))
+    assert g1.value == b"1"                  # result put in-place
+    assert g2.value is None
+    assert c.get("a") is None and c.get("b") == b"\x00\xff"
+    with pytest.raises(ValueError, match="without a value"):
+        c.batch(set_op("x", None))           # type: ignore[arg-type]
+
+
+def test_persistence_across_reopen(tmp_path):
+    p = str(tmp_path / "p.kv")
+    c = FileStorageClient(p)
+    c.set("bin", bytes(range(256)))
+    c.set("empty", b"")
+    c.set("uni", "clé".encode("utf-8"))
+    del c
+    c2 = FileStorageClient(p)
+    assert c2.get("bin") == bytes(range(256))
+    assert c2.get("empty") == b""
+    assert c2.get("uni") == "clé".encode("utf-8")
+    with pytest.raises(ValueError, match="not a storage file"):
+        bad = str(tmp_path / "bad.kv")
+        open(bad, "wb").write(b"garbage")
+        FileStorageClient(bad)
+
+
+def test_extension_scoping(tmp_path):
+    ext = FileStorageExtension(str(tmp_path / "store"))
+    a = ext.get_client("exporter", "otlp/http", "traces")
+    b = ext.get_client("exporter", "otlp/http", "logs")
+    c = ext.get_client("receiver", "otlp/http", "traces")
+    a.set("k", b"A")
+    b.set("k", b"B")
+    assert a.get("k") == b"A" and b.get("k") == b"B"
+    assert c.get("k") is None                # scopes never collide
+    assert ext.get_client("exporter", "otlp/http", "traces") is a
+    # one file per WRITTEN scope on disk (empty scopes persist nothing)
+    assert len(os.listdir(str(tmp_path / "store"))) == 2
+    # reopen the extension: state is still there per scope
+    ext2 = FileStorageExtension(str(tmp_path / "store"))
+    assert ext2.get_client("exporter", "otlp/http", "logs").get("k") == b"B"
+
+
+def test_nop_client():
+    n = NopStorageClient()
+    n.set("k", b"v")
+    assert n.get("k") is None
+    n.delete("k")
+    g = get_op("k")
+    n.batch(set_op("k", b"v"), g)
+    assert g.value is None
