@@ -58,6 +58,7 @@ class Collector:
         self.telemetry = TelemetryConfig()
         self.logger = None
         self.span_recorder = None
+        self.graph = None
 
     # -- DryRun: parse + validate + compile, never materialize -------------
 
@@ -110,6 +111,7 @@ class Collector:
         t0 = _time.perf_counter()
         try:
             graph = PipelineGraph(cfg)
+            self.graph = graph
             plan = graph.compile(self.spark, sources=self.sources,
                                  sf_dir=self.sf_dir)
         except Exception as e:
@@ -154,6 +156,20 @@ class Collector:
             raise
         self.plan = new_plan
         return self.plan.run()
+
+    def zpages(self):
+        """Assemble the debug-pages surface from this collector's live
+        state (servicez resource attrs + obsreport counters, pipelinez
+        from the compiled graph, featurez from the global registry,
+        tracez from the self-trace recorder) — hand it to a live
+        receiver's ``zpages=``."""
+        from ..plans.featuregate import global_registry
+        from .zpages import ZPages
+        return ZPages(graph=self.graph,
+                      registry=global_registry(),
+                      obsreport=self.obsreport,
+                      tracez_recorder=self.span_recorder,
+                      resource=self.telemetry.resource)
 
     def shutdown(self) -> None:
         from ..operators.cache_registry import clear_caches

@@ -135,6 +135,10 @@ class ZPages:
     extensions: list[str] = field(default_factory=list)
     obsreport: object | None = None
     tracez_recorder: SpanRecorder | None = None
+    #: service resource attributes (telemetry: resource, config.go:22-27;
+    #: a None value SUPPRESSES the attribute, per the reference's
+    #: null-YAML-value rule)
+    resource: dict = field(default_factory=dict)
     start_time: float = field(default_factory=time.time)
 
     # -- dispatch ----------------------------------------------------------
@@ -171,6 +175,10 @@ class ZPages:
             ("OS", platform.system().lower()),
             ("Arch", platform.machine()),
         ]))
+        live = {k: v for k, v in self.resource.items() if v is not None}
+        if live:
+            parts.append(_properties_table(
+                "Resource", sorted((k, str(v)) for k, v in live.items())))
         for name, endpoint in (("Pipelines", PIPELINE_PATH),
                                ("Extensions", EXTENSION_PATH),
                                ("Features", FEATURE_PATH),

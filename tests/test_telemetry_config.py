@@ -142,3 +142,20 @@ def test_metrics_level_none_collects_nothing(spark):
         assert c.obsreport.snapshot() == {}
     finally:
         c.shutdown()
+
+
+def test_collector_zpages_assembly_with_resource(spark):
+    cfg = _BASE.replace(
+        "telemetry:",
+        "telemetry:\n  resource: {service.name: engine-x, drop.me: null}")
+    c = Collector(spark, cfg, sf_dir=SF_SMALL)
+    c.start()
+    try:
+        zp = c.zpages()
+        body = zp.servicez().decode()
+        assert "service.name" in body and "engine-x" in body
+        assert "drop.me" not in body           # null suppresses (config.go)
+        assert "collector/run" in zp.tracez().decode()
+        assert "p1" in zp.pipelinez().decode()
+    finally:
+        c.shutdown()
