@@ -962,3 +962,58 @@ SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
        CAST(est_join_size - exact_join_size AS BIGINT) AS overcount
 FROM est, exact
 """
+
+
+# ---------------------------------------------------------------------------
+# Binned (histogram-sketch) quantiles — the oracle-gated batch anchor of
+# streaming/quantiles.py's mergeable cross-batch state
+# ---------------------------------------------------------------------------
+
+#: fixed value-domain cut for the declared query: cents in [0, 2^24),
+#: 256 equal bins of 65536 cents — constants, so the DuckDB twin is a
+#: plain integer division and the cut never depends on the data
+QBIN_LO, QBIN_HI, QBIN_N = 0, (1 << 24) - 1, 256
+
+
+def sketch_quantile_binned(spark, sf_dir):
+    """Declared query: per-l_returnflag p50/p90/p99 of l_extendedprice
+    (cents) from a fixed 256-bin histogram — the mergeable-sketch
+    quantile: the per-group count vector is the ONLY state, mergeable
+    by addition across partitions/shards/days (the streaming twin in
+    streaming/quantiles.py carries the same vector across
+    micro-batches, bit-equal by shared bin operands).  Estimates are
+    the bin's inclusive upper bound at the ceil rank — deterministic
+    integers, no interpolation, which is what makes the oracle a plain
+    integer-division twin."""
+    from ..streaming.quantiles import bin_quantiles_batch
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = li.select(F.col("l_returnflag").alias("grp"),
+                   F.floor(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("v"))
+    return (bin_quantiles_batch(ev, QBIN_LO, QBIN_HI, QBIN_N)
+            .orderBy("grp", "q"))
+
+
+QUERIES["sketch_quantile_binned"] = sketch_quantile_binned
+ORACLES["sketch_quantile_binned"] = f"""
+WITH b AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+           // {(QBIN_HI + 1 - QBIN_LO) // QBIN_N} AS bin
+  FROM lineitem),
+c AS (SELECT grp, bin, COUNT(*) AS cnt FROM b GROUP BY grp, bin),
+cum AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM c),
+qs(q) AS (VALUES (50), (90), (99))
+SELECT grp, CAST(q.q AS BIGINT) AS q,
+       CAST({QBIN_LO} + (MIN(bin) + 1)
+            * {(QBIN_HI + 1 - QBIN_LO) // QBIN_N} - 1 AS BIGINT)
+         AS value_ub,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM cum, qs q
+WHERE cum >= (q.q * n + 99) // 100
+GROUP BY grp, q.q ORDER BY grp, q
+"""

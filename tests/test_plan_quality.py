@@ -538,3 +538,14 @@ def test_gap_fill_single_window_exchange(spark):
     plan = _plan(spark, "q86_gap_filled_daily")
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_binned_windows_over_bin_cardinality(spark):
+    """sketch_quantile_binned's scale claim: the only windows run over
+    the PRE-AGGREGATED (grp, bin) rows (<= groups x 256), never the
+    fact table — the fact-side work is one map + one hash aggregation."""
+    plan = _plan(spark, "sketch_quantile_binned")
+    # windows partition by grp (bin-cardinality input); no global sort
+    # of fact rows feeds any single partition
+    assert "windowspecdefinition(grp" in plan
+    assert "CartesianProduct" not in plan
