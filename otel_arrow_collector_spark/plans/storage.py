@@ -151,6 +151,29 @@ class FileStorageClient(StorageClient):
             del self._data[key]
             self._flush()
 
+    def batch(self, *ops: Operation) -> None:
+        """Apply the whole batch with ONE atomic file replacement (the
+        reference's Batch is a single storage round-trip; per-op
+        flushing would also expose a torn intermediate state on
+        crash)."""
+        mutated = False
+        for op in ops:
+            if op.op == "get":
+                op.value = self._data.get(op.key)
+            elif op.op == "set":
+                if op.value is None:
+                    raise ValueError(f"set {op.key!r} without a value")
+                self._data[op.key] = bytes(op.value)
+                mutated = True
+            elif op.op == "delete":
+                if op.key in self._data:
+                    del self._data[op.key]
+                    mutated = True
+            else:
+                raise ValueError(f"unknown op {op.op!r}")
+        if mutated:
+            self._flush()
+
 
 def _safe(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9._-]", "_", name) or "_"

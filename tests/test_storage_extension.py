@@ -78,3 +78,26 @@ def test_nop_client():
     g = get_op("k")
     n.batch(set_op("k", b"v"), g)
     assert g.value is None
+
+
+def test_batch_is_one_atomic_flush(tmp_path, monkeypatch):
+    """FileStorageClient.batch rewrites the scope file exactly once
+    (one storage round-trip, no torn intermediate state)."""
+    c = FileStorageClient(str(tmp_path / "a.kv"))
+    flushes = []
+    orig = FileStorageClient._flush
+
+    def counting(self):
+        flushes.append(1)
+        orig(self)
+
+    monkeypatch.setattr(FileStorageClient, "_flush", counting)
+    c.batch(set_op("a", b"1"), set_op("b", b"2"), delete_op("a"),
+            get_op("b"))
+    assert len(flushes) == 1
+    assert c.get("b") == b"2" and c.get("a") is None
+    # a read-only batch flushes nothing
+    flushes.clear()
+    g = get_op("b")
+    c.batch(g)
+    assert g.value == b"2" and flushes == []
