@@ -195,13 +195,21 @@ def encode_gif(pixels: bytes, width: int, height: int, *,
     return bytes(out)
 
 
+def _byte(payload: bytes, pos: int) -> int:
+    """Bounds-checked byte read: truncation is a ValueError, never an
+    IndexError escaping to the caller (fuzz contract)."""
+    if pos >= len(payload):
+        raise ValueError("truncated GIF")
+    return payload[pos]
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     """GIF -> (width, height, RGB24 bytes) of the FIRST image frame."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
-    flags = payload[10]
+    flags = _byte(payload, 10)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -216,7 +224,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("GIF contains no image data")
         if block == 0x21:                    # extension: label + subblocks
             pos += 1
-            while payload[pos]:
+            while _byte(payload, pos):
                 pos += 1 + payload[pos]
             pos += 1
             continue
@@ -224,7 +232,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         iw = int.from_bytes(payload[pos + 4:pos + 6], "little")
         ih = int.from_bytes(payload[pos + 6:pos + 8], "little")
-        iflags = payload[pos + 8]
+        iflags = _byte(payload, pos + 8)
         pos += 9
         table = gct
         if iflags & 0x80:                    # local color table
@@ -234,10 +242,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             pos += 3 * entries
         if table is None:
             raise ValueError("GIF image without any color table")
-        min_code_size = payload[pos]
+        min_code_size = _byte(payload, pos)
         pos += 1
         data = bytearray()
-        while payload[pos]:
+        while _byte(payload, pos):
             ln = payload[pos]
             data += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
