@@ -264,12 +264,16 @@ def tiff_decode(data: bytes) -> np.ndarray:
                              f"{what} ({tag})")
         return tags[tag]
 
+    def opt(tag: int, default: int) -> int:
+        vals = tags.get(tag)
+        return int(vals[0]) if vals else default   # count=0 -> default
+
     w = req(_TAG_WIDTH, "ImageWidth")[0]
     h = req(_TAG_LENGTH, "ImageLength")[0]
-    spp = tags.get(_TAG_SPP, [1])[0]
-    bits = tags.get(_TAG_BITS, [8] * spp)
-    comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
+    spp = opt(_TAG_SPP, 1)
+    bits = tags.get(_TAG_BITS) or [8] * spp
+    comp = opt(_TAG_COMPRESSION, 1)
+    photo = opt(_TAG_PHOTOMETRIC, 1)
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise ValueError(f"unsupported TIFF profile bits={bits} spp={spp}")
     if comp not in (1, 5, 32773):
@@ -278,7 +282,9 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported photometric {photo}")
     offs = req(_TAG_STRIP_OFFSETS, "StripOffsets")
     cnts = req(_TAG_STRIP_COUNTS, "StripByteCounts")
-    rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    rps = opt(_TAG_ROWS_PER_STRIP, h)
+    if rps <= 0:
+        raise ValueError("bad RowsPerStrip")
     row_bytes = w * spp
     raster = bytearray()
     for si, (o, c) in enumerate(zip(offs, cnts)):

@@ -831,7 +831,23 @@ def encode_request(rows: list[dict], signal: str) -> bytes:
 
 
 def decode_request(payload: bytes, signal: str) -> list[dict]:
-    """One XData / ExportXServiceRequest payload -> row dicts."""
+    """One XData / ExportXServiceRequest payload -> row dicts.
+
+    Malformed wire bytes raise ValueError (the decode-before-ack 400
+    path): the raw field walk can hit wire-type confusion deep inside a
+    nested message (a varint where a length-delimited submessage was
+    expected decodes to an int and fails arbitrarily later), so the
+    whole decode is fenced and re-raised typed — the fuzz contract."""
+    try:
+        return _decode_request_inner(payload, signal)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed {signal} payload: "
+                         f"{type(e).__name__}: {e}") from e
+
+
+def _decode_request_inner(payload: bytes, signal: str) -> list[dict]:
     rows: list[dict] = []
     for field, _, rs in _fields(payload):
         if field != 1:              # ResourceSpans/Logs/Metrics

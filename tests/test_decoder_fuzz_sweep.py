@@ -10,6 +10,7 @@ finds framing/length-field bugs)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from otel_arrow_collector_spark.operators.adpcm import (adpcm_decode,
                                                         adpcm_encode)
@@ -89,3 +90,38 @@ def test_adpcm_fuzz():
     # the contract here is "never crashes", not "rejects garbage"
     assert _sweep(lambda b: adpcm_decode(b), valid, rng) >= 1
 
+
+
+def test_tiff_empty_tag_and_pb_wire_confusion():
+    """Regression pins from the deep fuzz pass: (a) a TIFF whose
+    optional tag has count=0 must reject, not IndexError; (b) protobuf
+    wire-type confusion (varint where a submessage was expected) must
+    surface as ValueError from decode_request."""
+    import struct
+    from otel_arrow_collector_spark.operators.tiff import (tiff_decode,
+                                                           tiff_encode)
+    from otel_arrow_collector_spark.sources.otlp_pb import decode_request
+
+    blob = bytearray(tiff_encode(np.zeros((2, 2), np.uint8)))
+    # zero out one IFD entry's count field (entry walk: IFD at offset 8)
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        tag = struct.unpack_from("<H", blob, off)[0]
+        if tag == 259:                      # Compression: optional
+            struct.pack_into("<I", blob, off + 4, 0)
+    try:
+        tiff_decode(bytes(blob))            # count=0 -> default, decodes
+    except ValueError:
+        pass                                # rejecting is also legal
+
+    # nested varint where ResourceSpans submessage belongs
+    with pytest.raises(ValueError):
+        decode_request(b"\x0a\x06\x0a\x04\x0a\x02\x08", "traces")
+
+
+def test_pb_decode_fuzz():
+    rng = np.random.RandomState(23)
+    valid = b"\x0a\x06\x0a\x04\x0a\x02\x08\x01"
+    from otel_arrow_collector_spark.sources.otlp_pb import decode_request
+    assert _sweep(lambda b: decode_request(b, "traces"), valid, rng) >= 1
