@@ -225,6 +225,26 @@ def _decode_block(rd: _Bits, dc_tab, ac_tab, q: np.ndarray,
     return px, pred
 
 
+def fenced_decoder(fn):
+    """Decode fence: hostile bytes may fail ANYWHERE inside a bit/box
+    walk (struct.error, zlib.error, KeyError, IndexError); the public
+    contract is ValueError-only (the decode-before-ack 400 path and the
+    fuzz sweep's invariant), so everything else is converted."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed input to {fn.__name__}: "
+                             f"{type(e).__name__}: {e}") from e
+    return wrap
+
+
+@fenced_decoder
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
     (width, height, top-down RGB bytes)."""

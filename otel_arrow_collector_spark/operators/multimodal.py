@@ -51,6 +51,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from ..sources.tables import load_table
+from .jpeg import fenced_decoder
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -209,6 +210,7 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     return header + info + rows
 
 
+@fenced_decoder
 def decode_bmp(payload: bytes) -> dict:
     """Parse a 24-bit uncompressed BMP: geometry + integer mean luminance
     ((r+g+b)//3 per pixel, averaged — integer math, deterministic)."""
@@ -265,6 +267,7 @@ def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+@fenced_decoder
 def decode_wav(payload: bytes) -> dict:
     """Parse RIFF/WAVE PCM16: sample rate, count, duration, mean |amp|."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -313,6 +316,7 @@ def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
     return ftyp + moov
 
 
+@fenced_decoder
 def decode_mp4_meta(payload: bytes) -> dict:
     """Parse the ISO BMFF box tree for container METADATA: duration from
     mvhd (timescale-corrected), width/height from the first video tkhd.
@@ -428,6 +432,7 @@ def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int,
     return ftyp + mdat + moov
 
 
+@fenced_decoder
 def decode_mp4_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Extract the video samples of an MP4 via its REAL sample tables:
     stsd codec gate (Motion-JPEG decodes via ``jpeg.decode_jpeg``; any
@@ -744,6 +749,7 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, flat.tobytes()
 
 
+@fenced_decoder
 def decode_png(payload: bytes) -> dict:
     """Parse a PNG via ``_png_pixels``: geometry + integer mean luminance
     ((r+g+b)//3 per pixel, averaged — same stat as ``decode_bmp``)."""

@@ -44,7 +44,10 @@ def _sweep(decode, valid: bytes, rng, rounds: int = 250) -> int:
         try:
             decode(case)
             ok += 1
-        except ValueError:
+        except (ValueError, NotImplementedError):
+            # NotImplementedError: a corruption can land on a
+            # deliberate loud stub (e.g. a mutated JPEG SOF marker
+            # selecting arithmetic coding) — typed and legal
             pass
     return ok
 
@@ -125,3 +128,26 @@ def test_pb_decode_fuzz():
     valid = b"\x0a\x06\x0a\x04\x0a\x02\x08\x01"
     from otel_arrow_collector_spark.sources.otlp_pb import decode_request
     assert _sweep(lambda b: decode_request(b, "traces"), valid, rng) >= 1
+
+
+def test_media_decoders_fuzz():
+    """JPEG/BMP/WAV/PNG/MP4: all public media decoders are fenced — the
+    box/bit walks fail typed (ValueError), never struct.error /
+    zlib.error / KeyError escapes (found unfenced by the deep fuzz
+    pass; fenced_decoder is the fix)."""
+    from otel_arrow_collector_spark.operators.jpeg import (decode_jpeg,
+                                                           encode_jpeg)
+    from otel_arrow_collector_spark.operators.multimodal import (
+        decode_bmp, decode_mp4_frames, decode_mp4_meta, decode_png,
+        decode_wav, encode_bmp, encode_mp4_mjpeg, encode_png, encode_wav)
+    rng = np.random.RandomState(29)
+    px = (rng.randint(0, 4, (8, 8, 3)) * 60).astype(np.uint8).tobytes()
+    jpg = encode_jpeg(px, 8, 8)
+    mp4 = encode_mp4_mjpeg([jpg, jpg], 8, 8)
+    for dec, valid in ((decode_jpeg, jpg),
+                       (decode_bmp, encode_bmp(px, 8, 8)),
+                       (decode_wav, encode_wav(list(range(-50, 50)))),
+                       (decode_png, encode_png(px, 8, 8)),
+                       (decode_mp4_meta, mp4),
+                       (decode_mp4_frames, mp4)):
+        assert _sweep(dec, valid, rng, rounds=150) >= 1
