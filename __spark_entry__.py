@@ -69,6 +69,7 @@ _NEWEST_FIRST = [
     # reach this round rotates forward next round (commit-checklist
     # rule: every new query gets a slot here).
     "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
+    "multimodal_decode_quarantine",
     # Previously-sampled recent additions (backfill).
     "sketch_quantile_sampled", "sketch_hll_estimate", "sketch_cms_point",
     "graph_triangle_count", "graph_pagerank", "ann_pq_codes",

@@ -2170,3 +2170,102 @@ QUERIES["cc_pipeline_warc"] = cc_pipeline_warc
 # framing defect breaks the identity and the funnel hashes diverge
 from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
 ORACLES["cc_pipeline_warc"] = _TEXT_ORACLES["cc_pipeline"]
+
+
+# ---------------------------------------------------------------------------
+# Quarantine decode — the corrupt-file tolerance a 100 TB corpus scan
+# REQUIRES: a real crawl always contains truncated/bit-rotted media, and
+# an unfenced per-file decode would fail the whole Spark task, not the
+# file.  Bad payloads are flagged and carried (the quarantine pattern),
+# good payloads decode normally — one mapInPandas pass, never a job
+# failure.
+# ---------------------------------------------------------------------------
+
+QUARANTINE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ok", LongType()),
+    StructField("mean_signal", LongType()),
+])
+
+
+def decode_media_quarantine(df):
+    """mapInPandas decode with per-file fault isolation: ValueError
+    (every decoder's fenced contract for hostile bytes) marks the row
+    quarantined instead of propagating into a task failure."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                try:
+                    if b[:2] == b"BM":
+                        f_ = decode_bmp(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        f_ = decode_wav(b)
+                    elif b[:8] == _PNG_SIG:
+                        f_ = decode_png(b)
+                    else:
+                        raise ValueError("unrecognized media signature")
+                    rows.append({"doc_id": doc_id, "ok": 1,
+                                 "mean_signal": int(
+                                     f_.get("mean_luma",
+                                            f_.get("mean_amplitude", 0)))})
+                except (ValueError, NotImplementedError):
+                    rows.append({"doc_id": doc_id, "ok": 0,
+                                 "mean_signal": None})
+            yield pd.DataFrame(rows)
+    return df.mapInPandas(run, QUARANTINE_SCHEMA)
+
+
+def multimodal_decode_quarantine(spark, sf_dir):
+    """Declared query: the corrupt-corpus scan.  Every doc_id % 5 == 0
+    payload is deterministically TRUNCATED to 6 bytes after synthesis
+    (always invalid for BMP/WAV/PNG), then the quarantine decode runs
+    the whole corpus in one pass: bad files come back (ok=0, NULL
+    signal), good files decode to the same stats multimodal_decode_real
+    value-checks — so the oracle verifies BOTH that no corrupt file
+    kills the scan AND that quarantining never perturbs good rows."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(400))
+    media = synthesize_media(docs)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.expr("substring(payload, 1, 6)"))
+        .otherwise(F.col("payload")))
+    return (decode_media_quarantine(corrupted)
+            .select("doc_id", "ok", "mean_signal")
+            .orderBy("doc_id"))
+
+
+QUERIES["multimodal_decode_quarantine"] = multimodal_decode_quarantine
+ORACLES["multimodal_decode_quarantine"] = """
+WITH docs AS (
+  SELECT doc_id, doc_id % 3 AS kind, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 400
+),
+b AS (
+  SELECT d.doc_id, d.kind, g.i, g.i // 3 AS px,
+         (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+1, 1))-1)*16
+       + (strpos('0123456789ABCDEF', substr(d.hx, ((g.i % d.len))*2+2, 1))-1) AS bv
+  FROM docs d, generate_series(0, 191) AS g(i)
+  WHERE g.i < CASE WHEN d.kind = 1 THEN 64 ELSE 192 END
+),
+px AS (
+  SELECT doc_id, px, SUM(bv) // 3 AS luma
+  FROM b WHERE kind <> 1 GROUP BY doc_id, px
+),
+sig AS (
+  SELECT doc_id, SUM(luma) // 64 AS s FROM px GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, SUM(ABS((bv - 128) * 256)) // 64 FROM b
+  WHERE kind = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+  CAST(CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE s.s END AS BIGINT)
+    AS mean_signal
+FROM docs d JOIN sig s USING (doc_id)
+ORDER BY doc_id
+"""
