@@ -101,3 +101,24 @@ def test_batch_is_one_atomic_flush(tmp_path, monkeypatch):
     g = get_op("b")
     c.batch(g)
     assert g.value == b"2" and flushes == []
+
+
+def test_storage_format_roundtrip_property(tmp_path):
+    """Hypothesis-style sweep: random key/value maps (unicode keys,
+    arbitrary bytes incl. empties) survive the length-prefixed file
+    format across reopen, deterministically."""
+    import random
+    for seed in (3, 31, 314):
+        rng = random.Random(seed)
+        data = {}
+        for _ in range(rng.randint(1, 40)):
+            key = "".join(chr(rng.randint(32, 0x2FF))
+                          for _ in range(rng.randint(0, 24)))
+            val = bytes(rng.randint(0, 255)
+                        for _ in range(rng.randint(0, 200)))
+            data[key] = val
+        p = str(tmp_path / f"prop-{seed}.kv")
+        c = FileStorageClient(p)
+        c.batch(*[set_op(k, v) for k, v in data.items()])
+        c2 = FileStorageClient(p)
+        assert {k: c2.get(k) for k in data} == data

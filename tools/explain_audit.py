@@ -29,7 +29,11 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "curation_pipeline", "text_bm25_search", "heavy_hitter_events",
            "sketch_hll_registers", "sketch_cms_counters",
            "graph_triangle_count", "graph_pagerank", "bloom_screen",
-           "sample_weighted", "ann_pq_codes", "dedup_cross_corpus"]
+           "sample_weighted", "ann_pq_codes", "dedup_cross_corpus",
+           # round-7 scale claims
+           "sketch_quantile_sampled", "sketch_quantile_binned",
+           "sketch_hll_union", "cc_pipeline_warc",
+           "multimodal_decode_quarantine"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
