@@ -17,6 +17,7 @@ record stream (no JSON — values are binary).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import struct
@@ -33,6 +34,17 @@ class Operation:
     op: str
     key: str
     value: bytes | None = None
+
+
+def _validate_batch(ops: tuple[Operation, ...]) -> None:
+    """Reject a malformed batch BEFORE any mutation is applied, so a
+    ValueError never leaves a half-applied batch behind (the golang-map
+    contract has no partial-batch state)."""
+    for op in ops:
+        if op.op not in ("get", "set", "delete"):
+            raise ValueError(f"unknown op {op.op!r}")
+        if op.op == "set" and op.value is None:
+            raise ValueError(f"set {op.key!r} without a value")
 
 
 def get_op(key: str) -> Operation:
@@ -60,17 +72,14 @@ class StorageClient:
         raise NotImplementedError
 
     def batch(self, *ops: Operation) -> None:
+        _validate_batch(ops)
         for op in ops:
             if op.op == "get":
                 op.value = self.get(op.key)
             elif op.op == "set":
-                if op.value is None:
-                    raise ValueError(f"set {op.key!r} without a value")
                 self.set(op.key, op.value)
-            elif op.op == "delete":
-                self.delete(op.key)
             else:
-                raise ValueError(f"unknown op {op.op!r}")
+                self.delete(op.key)
 
     def close(self) -> None:                 # pragma: no cover
         pass
@@ -155,22 +164,20 @@ class FileStorageClient(StorageClient):
         """Apply the whole batch with ONE atomic file replacement (the
         reference's Batch is a single storage round-trip; per-op
         flushing would also expose a torn intermediate state on
-        crash)."""
+        crash).  Validation runs over the whole batch before any
+        mutation, so a bad trailing op cannot leave earlier sets
+        applied in memory but unflushed."""
+        _validate_batch(ops)
         mutated = False
         for op in ops:
             if op.op == "get":
                 op.value = self._data.get(op.key)
             elif op.op == "set":
-                if op.value is None:
-                    raise ValueError(f"set {op.key!r} without a value")
                 self._data[op.key] = bytes(op.value)
                 mutated = True
-            elif op.op == "delete":
-                if op.key in self._data:
-                    del self._data[op.key]
-                    mutated = True
-            else:
-                raise ValueError(f"unknown op {op.op!r}")
+            elif op.key in self._data:
+                del self._data[op.key]
+                mutated = True
         if mutated:
             self._flush()
 
@@ -193,7 +200,13 @@ class FileStorageExtension:
                    storage_name: str = "") -> FileStorageClient:
         key = (kind, component_id, storage_name)
         if key not in self._clients:
-            fname = "~".join(_safe(p) for p in key) + ".kv"
+            # _safe() maps every reserved char to '_', so distinct
+            # scopes (e.g. ids 'otlp/http' vs 'otlp_http') could
+            # collide on one file; a digest of the RAW tuple makes the
+            # filename injective while keeping it human-readable.
+            raw = "\x00".join(key).encode("utf-8")
+            tag = hashlib.md5(raw).hexdigest()[:8]
+            fname = "~".join(_safe(p) for p in key) + f"~{tag}.kv"
             self._clients[key] = FileStorageClient(
                 os.path.join(self.directory, fname))
         return self._clients[key]

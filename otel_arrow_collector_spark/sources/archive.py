@@ -32,8 +32,12 @@ def tar_pack(members: list[tuple[str, bytes]],
             # ustar long-path split (POSIX.1-1988): prefix holds the
             # leading directories (<=155 bytes), name the remainder
             # (<=100), joined at a '/' — the same split CPython's
-            # tarfile performs
-            cut = nb.rfind(b"/", max(0, len(nb) - 101), len(nb) - 1)
+            # tarfile performs.  The search window is bounded on BOTH
+            # sides: the slash must leave <=100 bytes of name (start)
+            # and <=155 bytes of prefix (end), so a legal earlier
+            # slash is found even when a later one sits past byte 155.
+            cut = nb.rfind(b"/", max(0, len(nb) - 101),
+                           min(156, len(nb) - 1))
             if cut <= 0 or cut > 155:
                 raise ValueError(f"name too long for ustar: {name!r}")
             prefix, nb = nb[:cut], nb[cut + 1:]

@@ -203,8 +203,8 @@ def resolve_client_authenticator(spec, token: str | None = None):
             raise ValueError(f"requested authenticator {spec!r} is not "
                              f"a client authenticator")
         return a
-    if isinstance(a := spec, ClientAuthenticator):
-        return a
+    if isinstance(spec, ClientAuthenticator):
+        return spec
     if callable(spec):
         return FuncClientAuthenticator(spec)
     raise TypeError(f"not a client authenticator: {spec!r}")

@@ -91,3 +91,23 @@ def test_pack_long_path_prefix_split_tarfile_interop():
     # a path with no split point that fits still errors loudly
     with pytest.raises(ValueError, match="too long"):
         tar_pack([("x" * 160 + "/" + "y" * 120, b"")])
+
+def test_pack_split_prefers_earlier_slash_when_late_slash_past_155():
+    """A slash may sit past byte 155 while an EARLIER slash satisfies
+    both the <=155 prefix and <=100 name limits — tar_pack must find it
+    (the search window is bounded at the prefix limit, like tarfile)."""
+    # slashes at index 150 and 160; total 250 chars: split must use 150
+    name = "a" * 150 + "/" + "b" * 9 + "/" + "c" * 89
+    assert len(name) == 250
+    blob = tar_pack([(name, b"body")])
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == [(name, b"body")]
+    assert tar_unpack(blob) == [(name, b"body")]
+    # and tarfile itself agrees this path is packable
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(name)
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"body"))
+    assert tar_unpack(buf.getvalue()) == [(name, b"body")]

@@ -10,7 +10,7 @@ import pytest
 
 from otel_arrow_collector_spark.plans.storage import (
     FileStorageClient, FileStorageExtension, NopStorageClient,
-    delete_op, get_op, set_op)
+    Operation, delete_op, get_op, set_op)
 
 
 def test_map_semantics(tmp_path):
@@ -122,3 +122,34 @@ def test_storage_format_roundtrip_property(tmp_path):
         c.batch(*[set_op(k, v) for k, v in data.items()])
         c2 = FileStorageClient(p)
         assert {k: c2.get(k) for k in data} == data
+
+def test_scope_filenames_never_collide_after_sanitizing(tmp_path):
+    """_safe() maps '/' and '_' to the same char; the digest suffix
+    keeps the scopes 'otlp/http' and 'otlp_http' on distinct files."""
+    ext = FileStorageExtension(str(tmp_path / "store"))
+    a = ext.get_client("exporter", "otlp/http", "traces")
+    b = ext.get_client("exporter", "otlp_http", "traces")
+    a.set("k", b"slash")
+    b.set("k", b"under")
+    # reopen from disk: both survive independently (no last-writer-wins)
+    ext2 = FileStorageExtension(str(tmp_path / "store"))
+    assert ext2.get_client("exporter", "otlp/http", "traces").get("k") == b"slash"
+    assert ext2.get_client("exporter", "otlp_http", "traces").get("k") == b"under"
+    assert len(os.listdir(str(tmp_path / "store"))) == 2
+
+
+def test_bad_batch_applies_nothing(tmp_path):
+    """Validation runs before ANY mutation: a bad trailing op leaves
+    memory AND disk untouched (no half-applied batch)."""
+    p = str(tmp_path / "v.kv")
+    c = FileStorageClient(p)
+    c.set("keep", b"1")
+    with pytest.raises(ValueError, match="without a value"):
+        c.batch(set_op("x", b"2"), delete_op("keep"), set_op("y", None))
+    with pytest.raises(ValueError, match="unknown op"):
+        c.batch(set_op("x", b"2"), Operation("swap", "k"))
+    assert c.get("x") is None and c.get("keep") == b"1"
+    assert FileStorageClient(p).get("keep") == b"1"   # disk agrees
+    # base-class batch path (NopStorageClient) validates too
+    with pytest.raises(ValueError, match="unknown op"):
+        NopStorageClient().batch(Operation("swap", "k"))
