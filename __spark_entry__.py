@@ -51,11 +51,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the 24 queries that had never received a driver
-    # CORRECTNESS row through round 6 (diff of PARITY_r06.txt vs
-    # CORRECTNESS_r01..r06 keys) — the round-7 verdict's top ask is
-    # that every one of them lands a green row in CORRECTNESS_r07, so
-    # they outrank even newer work in the sampling order.
+    # FIRST: the 10 queries whose only driver CORRECTNESS rows date
+    # from round 1, before six rounds of refactors touched their shared
+    # helpers (round-7 verdict ask #3) — they outrank newer work in the
+    # sampling order so CORRECTNESS_r08 re-greens them.
+    "ann_cosine_topk", "ann_ivf_assign", "ann_ivf_probe",
+    "ann_lsh_buckets", "dedup_simhash", "multimodal_binary_meta",
+    "text_fingerprint", "text_langid", "text_quality_score",
+    "text_token_stats",
+    # THEN any round-8 additions; whatever the sample budget does not
+    # reach this round rotates forward next round (commit-checklist
+    # rule: every new query gets a slot here).
+    # Recently-rotated queries (all driver-green in r07) backfill.
+    "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
+    "multimodal_decode_quarantine",
     "ann_knn_graph", "jsonl_extract", "lz4_roundtrip",
     "multimodal_adpcm_roundtrip", "multimodal_g711_roundtrip",
     "multimodal_gif_decode", "multimodal_netpbm_roundtrip",
@@ -65,17 +74,6 @@ _NEWEST_FIRST = [
     "q86_gap_filled_daily", "q87_forward_fill", "q88_dq_expectations",
     "q89_incremental_mv_merge", "q90_tail_sampling", "q91_rate_limit",
     "snappy_roundtrip", "tar_extract", "warc_extract",
-    # THEN the round-7 additions; whatever the sample budget does not
-    # reach this round rotates forward next round (commit-checklist
-    # rule: every new query gets a slot here).
-    "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
-    "multimodal_decode_quarantine",
-    # Previously-sampled recent additions (backfill).
-    "sketch_quantile_sampled", "sketch_hll_estimate", "sketch_cms_point",
-    "graph_triangle_count", "graph_pagerank", "ann_pq_codes",
-    "embedding_mrl_energy", "dedup_cross_corpus", "bloom_screen",
-    "sample_weighted", "cc_pipeline", "text_gopher_rules",
-    "text_html_extract", "text_url_domains",
 ]
 
 

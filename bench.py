@@ -110,17 +110,28 @@ def main() -> None:
 
     arrow_runs = sorted(arrow_run() for _ in range(3))
 
+    # The driver records only a window of this line, so the headline
+    # numbers (total + slowest-10 + codec throughput) appear BOTH first
+    # and last — whichever side a truncation keeps, they survive.
+    slowest10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    headline = {
+        "n_queries": len(timings),
+        "total_sec": total,
+        "slowest10": slowest10,
+        "pb_decode_spans_per_sec_1thread": runs[-1],
+        "pb_decode_spans_per_sec_1thread_median": runs[1],
+        "arrow_ingest_spans_per_sec_1thread_median": arrow_runs[1],
+    }
     print(json.dumps({
         "metric": "declared_queries_total_time",
         "value": total,
         "unit": "sec",
+        "head": headline,
         "queries": timings,
         "sf": sf,
         "runs_per_query": 2,
         "timing": "min",
-        "pb_decode_spans_per_sec_1thread": runs[-1],
-        "pb_decode_spans_per_sec_1thread_median": runs[1],
-        "arrow_ingest_spans_per_sec_1thread_median": arrow_runs[1],
+        **headline,
     }))
 
 

@@ -1,0 +1,182 @@
+"""CLI front door — the reference's cobra command surface
+(otelcol/command.go:16-50): the root command runs the collector from
+repeatable ``--config`` URIs, plus the ``validate`` subcommand
+(otelcol/command_validate.go:14-42: parse + validate without running)
+and the ``components`` subcommand (otelcol/command_components.go:16-57:
+YAML inventory of the registered factories + build info).
+
+Flags (otelcol/flags.go:34-57):
+
+- ``--config <uri>``   repeatable; one location per flag entry; bare
+                       paths mean ``file:`` (file:/env:/yaml:/http(s):
+                       all resolve through plans/confmap.py).
+- ``--set a.b.c=v``    arbitrary dot-key override, rendered as a
+                       ``yaml:`` document appended AFTER the config
+                       URIs so it wins the deep-merge (flags.go:43-52
+                       does literally ``"yaml:" + key + ": " + value``).
+- ``--feature-gates``  comma-delimited gate ids, ``-`` prefix disables
+                       (featuregate flag syntax).
+
+Exit codes mirror cobra RunE: 0 on success, 1 with the error on stderr.
+
+    python -m otel_arrow_collector_spark --config file:/path/cfg.yaml
+    python -m otel_arrow_collector_spark validate --config cfg.yaml
+    python -m otel_arrow_collector_spark components
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+
+COMMAND = "otel-arrow-collector-spark"
+DESCRIPTION = ("PySpark-native analytics engine with the query surface "
+               "of the OpenTelemetry Arrow collector")
+
+
+def _flags(parser: argparse.ArgumentParser) -> None:
+    """The shared flag set (flags.go builds ONE FlagSet attached to both
+    the root and validate commands)."""
+    parser.add_argument(
+        "--config", action="append", default=[], metavar="URI",
+        help="Locations to the config file(s), note that only a single "
+             "location can be set per flag entry e.g. "
+             "--config=file:/path/to/first --config=file:path/to/second")
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VAL",
+        dest="sets",
+        help="Set arbitrary component config property. The component "
+             "has to be defined in the config file and the flag has a "
+             "higher precedence. Array config properties are overridden "
+             "and maps are joined. Example "
+             "--set=processors.batch.send_batch_size=1024")
+    parser.add_argument(
+        "--feature-gates", action="append", default=[], metavar="IDS",
+        help="Comma-delimited list of feature gate identifiers. Prefix "
+             "with '-' to disable the feature. '+' or no prefix will "
+             "enable the feature.")
+    parser.add_argument(
+        "--sf-dir", default=None, metavar="DIR",
+        help="Base directory for `kind: table` receivers (engine "
+             "extension; not part of the reference flag set).")
+
+
+def _set_to_yaml_uri(s: str) -> str:
+    """--set a.b.c=v  ->  a ``yaml:`` config URI holding the nested
+    override (flags.go:43-52; the value is parsed as YAML so `5` stays
+    an int and `2s` a string)."""
+    idx = s.find("=")
+    if idx == -1:
+        raise ValueError("missing equal sign")
+    keys = [k for k in s[:idx].strip().split(".") if k]
+    if not keys:
+        raise ValueError(f"invalid --set key in {s!r}")
+    value = s[idx + 1:].strip()
+    doc = ""
+    for depth, k in enumerate(keys[:-1]):
+        doc += " " * depth + k + ":\n"
+    doc += " " * (len(keys) - 1) + keys[-1] + ": " + value
+    return "yaml:" + doc
+
+
+def _gather_config_uris(args) -> list[str]:
+    """configs first, --set overrides after (getConfigFlag appends sets
+    to values, flags.go:60-63) — later URIs win the deep-merge."""
+    uris = list(args.config)
+    if not uris:
+        raise ValueError("at least one config flag must be provided")
+    uris += [_set_to_yaml_uri(s) for s in args.sets]
+    return uris
+
+
+def _apply_gate_flags(args) -> None:
+    if args.feature_gates:
+        from .plans.featuregate import global_registry
+        global_registry().apply_flags(",".join(args.feature_gates))
+
+
+def cmd_run(args) -> int:
+    uris = _gather_config_uris(args)
+    _apply_gate_flags(args)
+    from .plans.collector import Collector
+    from .session import get_spark
+    spark = get_spark(COMMAND)
+    col = Collector(spark, *uris, sf_dir=args.sf_dir)
+    try:
+        results = col.start()
+        for key, val in results.items():
+            if isinstance(val, str):
+                print(f"{key}:\n{val}")
+            elif isinstance(val, list):
+                print(f"{key}: {len(val)} rows")
+            else:
+                print(f"{key}: {val}")
+    finally:
+        col.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Validates the config without running the collector: resolve ->
+    feature gates -> telemetry -> graph build -> factory-kind checks.
+    Spark-free (DryRun parses and validates; it starts nothing)."""
+    uris = _gather_config_uris(args)
+    _apply_gate_flags(args)
+    from .plans.collector import _resolve_with_gates
+    from .plans.pipeline import PipelineGraph
+    from .plans.telemetry import parse_telemetry
+    cfg = _resolve_with_gates(*uris)
+    parse_telemetry(cfg.pop("telemetry", None))
+    graph = PipelineGraph(cfg)
+    graph.validate_kinds()
+    return 0
+
+
+def cmd_components(_args) -> int:
+    """YAML inventory of every registered factory, keyed like the
+    reference's componentsOutput struct."""
+    import yaml
+
+    from .plans import pipeline as P
+    out = {
+        "buildinfo": {"command": COMMAND,
+                      "description": DESCRIPTION,
+                      "version": __version__},
+        "receivers": sorted(P.RECEIVER_KINDS),
+        "processors": sorted(P.PROCESSOR_KINDS),
+        "exporters": sorted(P.EXPORTER_KINDS),
+        "connectors": sorted(P.CONNECTOR_KINDS),
+        "extensions": sorted(P.EXTENSION_KINDS),
+    }
+    sys.stdout.write(yaml.safe_dump(out, sort_keys=False))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+
+    parser = argparse.ArgumentParser(prog=COMMAND,
+                                     description=DESCRIPTION)
+    parser.add_argument("--version", action="version",
+                        version=f"{COMMAND} version {__version__}")
+    sub: str | None = None
+    if argv and argv[0] in ("validate", "components"):
+        sub, argv = argv[0], argv[1:]
+        parser.prog = f"{COMMAND} {sub}"
+    if sub != "components":
+        _flags(parser)
+    args = parser.parse_args(argv)
+
+    handler = {"validate": cmd_validate,
+               "components": cmd_components}.get(sub, cmd_run)
+    try:
+        return handler(args)
+    except Exception as e:                       # cobra RunE: error -> 1
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,21 @@ class CompiledPlan:
         return results
 
 
+# Factory inventory — every component type the graph compiler can build
+# (the `components` CLI subcommand dumps this, like the reference's
+# componentsOutput of otelcol/command_components.go:16-57; keep these in
+# lock-step with the dispatch in _build_receiver/_apply_processor/
+# _sink_thunk/_connector_out below).
+RECEIVER_KINDS = ("memory", "table", "parquet", "json", "pb",
+                  "http_spool", "grpc_spool", "arrow_spool")
+PROCESSOR_KINDS = ("filter", "project", "transform", "batch",
+                   "memory_limiter")
+EXPORTER_KINDS = ("console", "parquet", "pb", "http", "grpc", "memory",
+                  "null", "arrow_stream")
+CONNECTOR_KINDS = ("forward", "router", "spanmetrics")
+EXTENSION_KINDS = ("file_storage", "zpages", "bearer_token_auth")
+
+
 class PipelineGraph:
     """Validated pipeline graph, compilable to Spark DataFrames."""
 
@@ -208,6 +223,54 @@ class PipelineGraph:
                     "cycle detected in pipeline graph: "
                     + " -> ".join(f"pipeline {p!r}" for p in cyc))
             path.append(node)
+
+    def validate_kinds(self) -> None:
+        """Config-time component validation without a SparkSession — the
+        `validate` subcommand's depth (command_validate.go DryRun parses
+        and validates, it never starts components): every declared
+        component's kind must be a registered factory, per-kind required
+        keys must be present, and the memory_limiter budget must resolve
+        (its construction errors are config errors in the reference)."""
+        for rid, cfg in self.receivers.items():
+            kind = (cfg or {}).get("kind", "table")
+            if kind not in RECEIVER_KINDS:
+                raise ConfigError(f"receiver {rid!r}: unknown kind {kind!r}")
+            if kind == "table" and "table" not in cfg:
+                raise ConfigError(f"receiver {rid!r}: table kind needs "
+                                  f"a `table:` name")
+            if kind in ("parquet", "json", "pb", "http_spool",
+                        "grpc_spool", "arrow_spool") and "path" not in cfg:
+                raise ConfigError(f"receiver {rid!r}: {kind} kind needs "
+                                  f"a `path:`")
+        for pid, cfg in self.processors.items():
+            kind = (cfg or {}).get("kind")
+            if kind not in PROCESSOR_KINDS:
+                raise ConfigError(f"processor {pid!r}: unknown kind {kind!r}")
+            if kind == "filter" and "where" not in cfg:
+                raise ConfigError(f"processor {pid!r}: filter needs `where:`")
+            if kind == "project" and "exprs" not in cfg:
+                raise ConfigError(f"processor {pid!r}: project needs `exprs:`")
+            if kind == "memory_limiter":
+                from .memlimit import MemLimitConfigError, parse_memlimiter
+                try:
+                    parse_memlimiter(cfg)
+                except MemLimitConfigError as e:
+                    raise ConfigError(f"processor {pid!r}: {e}") from None
+        for eid, cfg in self.exporters.items():
+            kind = (cfg or {}).get("kind", "memory")
+            if kind not in EXPORTER_KINDS:
+                raise ConfigError(f"exporter {eid!r}: unknown kind {kind!r}")
+            if kind in ("parquet", "pb") and "path" not in cfg:
+                raise ConfigError(f"exporter {eid!r}: {kind} kind needs "
+                                  f"a `path:`")
+            if kind in ("http", "grpc", "arrow_stream") \
+                    and "endpoint" not in cfg:
+                raise ConfigError(f"exporter {eid!r}: {kind} kind needs "
+                                  f"an `endpoint:`")
+        for cid, cfg in self.connectors.items():
+            kind = (cfg or {}).get("kind", "forward")
+            if kind not in CONNECTOR_KINDS:
+                raise ConfigError(f"connector {cid!r}: unknown kind {kind!r}")
 
     # ------------------------- compilation -------------------------------
 
@@ -320,7 +383,15 @@ class PipelineGraph:
         if kind == "memory_limiter":
             # Deferred: recorded here, checked at run() against the chain
             # position the limiter occupies (not the final sink plan).
-            ctx["gates"].append((pid, int(cfg["max_rows"]), df))
+            # The full reference config surface (limit_mib / spike /
+            # percentage / check_interval) is validated HERE, at config
+            # time, like memorylimiterprocessor's construction errors.
+            from .memlimit import MemLimitConfigError, parse_memlimiter
+            try:
+                spec = parse_memlimiter(cfg)
+            except MemLimitConfigError as e:
+                raise ConfigError(f"processor {pid!r}: {e}") from None
+            ctx["gates"].append((pid, spec, df))
             return df
         raise ConfigError(f"processor {pid!r}: unknown kind {kind!r}")
 
@@ -336,15 +407,34 @@ class PipelineGraph:
             return thunk
 
         def run():
+            from .memlimit import estimate_row_bytes
             for _, _, gdf in gates:
                 gdf.persist()
             try:
-                for pid, limit, gdf in gates:
-                    # refusal (not truncation): errDataRefused semantics
-                    if gdf.limit(limit + 1).count() > limit:
+                for pid, spec, gdf in gates:
+                    if spec.max_rows is not None:
+                        limit = spec.max_rows
+                        # refusal (not truncation): errDataRefused
+                        if gdf.limit(limit + 1).count() > limit:
+                            raise DataRefusedError(
+                                f"memory_limiter {pid!r}: input exceeds "
+                                f"{limit} rows; data refused (retry "
+                                f"upstream)")
+                        continue
+                    # bytes budget: sampled avg row size x admitted rows
+                    # vs the soft limit (limit - spike), the reference's
+                    # refusal threshold (memorylimiter.go:315-317)
+                    soft = spec.soft_limit_bytes
+                    n = gdf.count()
+                    avg = estimate_row_bytes(gdf.limit(256).collect(),
+                                             gdf.schema)
+                    est = int(avg * n)
+                    if est > soft:
                         raise DataRefusedError(
-                            f"memory_limiter {pid!r}: input exceeds {limit} "
-                            f"rows; data refused (retry upstream)")
+                            f"memory_limiter {pid!r}: estimated input "
+                            f"{est} B exceeds soft limit {soft} B "
+                            f"(limit - spike); data refused (retry "
+                            f"upstream)")
                 return thunk()
             finally:
                 for _, _, gdf in gates:

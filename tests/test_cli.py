@@ -1,0 +1,121 @@
+"""CLI front door — drives ``python -m otel_arrow_collector_spark`` as a
+subprocess, mirroring the reference's cobra surface (otelcol/command.go
+root run, command_validate.go `validate`, command_components.go
+`components`, flags.go --config/--set/--feature-gates) and its exit
+codes (RunE error -> 1)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OK_YAML = """
+receivers:
+  src/events: {kind: parquet, path: /root/testdata/sf0.001/events.parquet}
+processors:
+  keep: {kind: filter, where: "event_type = 'click'"}
+exporters:
+  sink/null: {kind: "null"}
+pipelines:
+  p: {receivers: [src/events], processors: [keep], exporters: [sink/null]}
+"""
+
+
+def _cli(*args: str, timeout: int = 60):
+    return subprocess.run(
+        [sys.executable, "-m", "otel_arrow_collector_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout)
+
+
+def test_components_yaml_inventory():
+    r = _cli("components")
+    assert r.returncode == 0, r.stderr
+    doc = yaml.safe_load(r.stdout)
+    assert doc["buildinfo"]["command"] == "otel-arrow-collector-spark"
+    assert "version" in doc["buildinfo"]
+    for kind_list, member in [("receivers", "parquet"),
+                              ("processors", "memory_limiter"),
+                              ("exporters", "grpc"),
+                              ("connectors", "spanmetrics"),
+                              ("extensions", "file_storage")]:
+        assert member in doc[kind_list], kind_list
+
+
+def test_version_flag():
+    r = _cli("--version")
+    assert r.returncode == 0
+    assert "otel-arrow-collector-spark version" in r.stdout
+
+
+def test_validate_ok(tmp_path):
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(OK_YAML)
+    r = _cli("validate", "--config", str(cfg))
+    assert r.returncode == 0, r.stderr
+    # file: scheme URI form works too (flags.go documents both)
+    r2 = _cli("validate", "--config", f"file:{cfg}")
+    assert r2.returncode == 0, r2.stderr
+
+
+def test_validate_bad_config_exits_nonzero(tmp_path):
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(OK_YAML.replace("kind: filter", "kind: fliter"))
+    r = _cli("validate", "--config", str(cfg))
+    assert r.returncode == 1
+    assert "unknown kind 'fliter'" in r.stderr
+    # invalid memory_limiter combination is a validate-time defect
+    cfg2 = tmp_path / "bad2.yaml"
+    cfg2.write_text(OK_YAML.replace(
+        "{kind: filter, where: \"event_type = 'click'\"}",
+        "{kind: memory_limiter, limit_mib: 10, spike_limit_mib: 99}"))
+    r2 = _cli("validate", "--config", str(cfg2))
+    assert r2.returncode == 1
+    assert "smaller than" in r2.stderr
+
+
+def test_no_config_flag_is_an_error():
+    # newCollectorWithFlags: "at least one config flag must be provided"
+    r = _cli("validate")
+    assert r.returncode == 1
+    assert "at least one config flag" in r.stderr
+    r2 = _cli()
+    assert r2.returncode == 1
+    assert "at least one config flag" in r2.stderr
+
+
+def test_set_flag_overrides_and_merges(tmp_path):
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(OK_YAML)
+    # --set wins over the file (appended after, deep-merged over)
+    r = _cli("validate", "--config", str(cfg),
+             "--set", "processors.keep.kind=bogus")
+    assert r.returncode == 1
+    assert "unknown kind 'bogus'" in r.stderr
+    # a missing '=' is rejected like the reference's Func flag
+    r2 = _cli("validate", "--config", str(cfg), "--set", "novalue")
+    assert r2.returncode == 1
+    assert "missing equal sign" in r2.stderr
+
+
+def test_feature_gates_flag(tmp_path):
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(OK_YAML)
+    r = _cli("validate", "--config", str(cfg),
+             "--feature-gates", "no.such.gate")
+    assert r.returncode == 1
+    assert "no.such.gate" in r.stderr
+
+
+def test_run_end_to_end(tmp_path):
+    """The root command: resolve -> compile -> materialize exporters,
+    results on stdout, exit 0 (subprocess spins a real SparkSession)."""
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(OK_YAML)
+    r = _cli("--config", str(cfg), timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "p/sink/null: 210" in r.stdout
