@@ -161,6 +161,11 @@ def encode_gif(pixels: bytes, width: int, height: int, *,
     """RGB24 pixels (row-major, 3*width*height bytes) -> single-frame
     GIF89a with a global color table.  >256 unique colors is a loud
     error (palette quantization is the caller's decision)."""
+    if not (0 <= width <= 65535 and 0 <= height <= 65535):
+        # logical-screen / image-descriptor fields are 16-bit (GIF89a
+        # spec §18): beyond that struct.pack would overflow
+        raise ValueError(f"GIF dimensions must be 0..65535, got "
+                         f"{width}x{height}")
     if len(pixels) != 3 * width * height:
         raise ValueError("pixel buffer does not match geometry")
     px = np.frombuffer(pixels, np.uint8).reshape(height * width, 3)

@@ -693,7 +693,15 @@ def _component_planes(pixels: bytes, width: int, height: int,
     one block per MCU.  At precision=12 the 8-bit RGB widens to
     v<<4|v>>4 BEFORE color conversion, so chroma stays centered on
     2048."""
-    px = np.frombuffer(pixels[:3 * width * height], np.uint8) \
+    # SOF dimensions are 16-bit fields (T.81 B.2.2): 0 and >65535 are
+    # unrepresentable; a mismatched buffer must be loud, not truncated
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(f"JPEG dimensions must be 1..65535, got "
+                         f"{width}x{height}")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, geometry "
+                         f"{width}x{height} needs {3 * width * height}")
+    px = np.frombuffer(pixels, np.uint8) \
         .reshape(height, width, 3).astype(np.float64)
     if precision == 12:
         px = px * 16.0 + np.floor(px / 16.0)

@@ -196,9 +196,14 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
-    """Render raw BGR triples (len >= 3*w*h, row-major bottom-up) as a
+    """Render raw BGR triples (len == 3*w*h, row-major bottom-up) as a
     well-formed 24-bit uncompressed BMP (BITMAPFILEHEADER +
     BITMAPINFOHEADER, 4-byte-padded rows)."""
+    if len(pixels) != 3 * width * height:
+        # a short buffer would yield rows shorter than the declared
+        # geometry — bytes the reader mis-walks, not a valid BMP
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, geometry "
+                         f"{width}x{height} needs {3 * width * height}")
     row_pad = (-3 * width) % 4
     rows = b""
     for y in range(height):

@@ -111,6 +111,13 @@ def netpbm_encode(img: np.ndarray, kind: int, maxval: int = 255) -> bytes:
     PBM; input is 0/1), 5 (binary PGM), 6 (binary PPM)."""
     if kind not in (2, 4, 5, 6):
         raise ValueError(f"unsupported netpbm kind P{kind}")
+    if not 1 <= maxval <= 65535:
+        # the PNM maxval token is specified as 0 < maxval < 65536; a
+        # header outside that is bytes our own reader rejects
+        raise ValueError(f"maxval must be 1..65535, got {maxval}")
+    if img.size == 0:
+        raise ValueError(f"netpbm needs a non-empty image, got shape "
+                         f"{img.shape}")
     if kind == 6:
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError("P6 needs (H, W, 3)")

@@ -321,6 +321,10 @@ def tiff_encode(img: np.ndarray, packbits: bool = False,
         spp = 1
     else:
         raise ValueError(f"need (H, W) or (H, W, 3), got {img.shape}")
+    if h == 0 or w == 0:
+        # a zero-size strip grid is bytes our own reader rejects
+        # (RowsPerStrip 0 is invalid baseline TIFF)
+        raise ValueError(f"TIFF needs a non-empty image, got {h}x{w}")
     rps = rows_per_strip or h
     row_bytes = w * spp
     flat = img.astype(np.uint8).tobytes()

@@ -18,6 +18,11 @@ _BLOCK = 512
 
 
 def _octal(n: int, width: int) -> bytes:
+    # the field holds width-1 octal digits + NUL; a value outside that
+    # range would silently corrupt the 512-byte header grid
+    if not 0 <= n < 8 ** (width - 1):
+        raise ValueError(f"value {n} does not fit a {width}-byte ustar "
+                         f"octal field")
     return f"{n:0{width - 1}o}".encode() + b"\x00"
 
 

@@ -34,6 +34,15 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     layout)."""
     out = bytearray()
     for r in records:
+        for field in ("type", "record_id", "date", "uri", "content_type"):
+            v = r.get(field)
+            if v is not None and ("\r" in str(v) or "\n" in str(v)):
+                # a CR/LF inside a header value would inject headers and
+                # desync the reader's Content-Length framing — loud
+                # error, never emitted (the same header-smuggling class
+                # HTTP/1.1 forbids)
+                raise ValueError(
+                    f"WARC header field {field!r} contains CR/LF: {v!r}")
         head = bytearray(b"WARC/1.0" + _CRLF)
         head += f"WARC-Type: {r['type']}".encode() + _CRLF
         head += f"WARC-Record-ID: {r['record_id']}".encode() + _CRLF

@@ -1,0 +1,253 @@
+"""Scale-up stress harness — measured evidence for the "survives 100x"
+design claims (the scaling audit the round-7 verdict asked for).
+
+Synthesizes 2x/4x/8x working sets from sf0.1 by unionAll replication
+with KEY RE-SPREADING (each copy's join/group keys shifted into a
+disjoint range, so joins stay linear — k copies produce k times the
+rows, never k^2) and runs the most expensive queries at every scale,
+recording:
+
+(a) the wall-time scaling exponent alpha where t ~ scale^alpha
+    (least-squares slope of log t vs log scale over the replicated
+    scales; alpha <= ~1 + eps is "scales linearly or better"),
+(b) the bounded-collect invariant: every INTERNAL ``DataFrame.collect``
+    a query performs while building/running (rank-select bucket count
+    tables, k-means centroids, PQ codebooks, probe cell lists) stays
+    under a fixed row bound and does NOT grow with data scale,
+(c) the plan shape: the multiset of physical operator node types is
+    identical across scales (no strategy flip, no surprise exchange).
+
+Usage:
+
+    python tools/stress.py [--scales 1,2,4,8] [--queries a,b,...]
+                           [--sf-dir /root/testdata/sf0.1]
+                           [--work-dir /tmp/spark_graft_stress]
+
+Prints one JSON document; non-zero exit if an invariant fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the round-7 bench tail: slowest queries at sf0.1, each a different
+# scale-risk family (shingle explode, pure-map PQ, fact-fact join,
+# Python WARC stage, distributed rank selection, wedge join)
+DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
+                   "cc_pipeline_warc", "sketch_quantile_sampled",
+                   "graph_triangle_count"]
+
+#: tables the default queries read; only these are replicated
+TABLES = ("documents", "embeddings", "lineitem", "orders")
+
+#: per-copy key offsets — disjoint ranges per replica so within-copy
+#: joins line up and cross-copy joins are impossible
+KEY_OFFSETS = {
+    "documents": {"doc_id": 1 << 33},
+    "embeddings": {"vec_id": 1 << 33},
+    "lineitem": {"l_orderkey": 1 << 33, "l_partkey": 1 << 30,
+                 "l_suppkey": 1 << 30},
+    "orders": {"o_orderkey": 1 << 33, "o_custkey": 1 << 30},
+}
+
+#: bound every internal driver materialization must respect (the
+#: rank-select count table is <=1024 by construction; centroids,
+#: codebooks and cell lists are far smaller)
+INTERNAL_COLLECT_MAX_ROWS = 4096
+
+_NUMS = re.compile(r"#\d+|\b\d+\b|\[[^\]]*\]|\([^()]*\)")
+
+
+def build_scaled_dir(spark, src_dir: str, work_dir: str, k: int) -> str:
+    """Materialize the k-times working set under work_dir/x{k} (skipped
+    if already present)."""
+    from pyspark.sql import functions as F
+    out = os.path.join(work_dir, f"x{k}")
+    done = os.path.join(out, ".complete")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        base = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        parts = []
+        for i in range(k):
+            df = base
+            for col, off in KEY_OFFSETS[t].items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * off))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        # one flat parquet dir per table, like the source layout
+        u.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    open(done, "w").close()
+    return out
+
+
+#: node types AQE inserts/varies at RUNTIME as a function of data volume
+#: (partition coalescing, local reads) — their count changing with scale
+#: is adaptive execution working as designed, not a strategy flip
+AQE_RUNTIME_NODES = {"AQEShuffleRead", "ShuffleQueryStage",
+                     "BroadcastQueryStage", "TableCacheQueryStage"}
+
+
+def plan_shape(df) -> Counter:
+    """Multiset of physical node types from the formatted plan,
+    numbers/ids/arguments stripped (the formatted explain prints each
+    node twice — tree + detail — which cancels out in a comparison).
+    AQE's volume-dependent runtime nodes are excluded: the invariant is
+    that no JOIN STRATEGY or EXCHANGE STRUCTURE flips with scale."""
+    txt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    nodes = []
+    for line in txt.splitlines():
+        m = re.match(r"^\s*[*+:\-\s]*\(?(\d+\))?\s*([A-Za-z][A-Za-z0-9_]+)",
+                     line)
+        if m and line.lstrip().startswith(("*", "+", ":", "(")):
+            if m.group(2) not in AQE_RUNTIME_NODES:
+                nodes.append(m.group(2))
+    return Counter(nodes)
+
+
+class CollectRecorder:
+    """Patch DataFrame.collect to record the size of every internal
+    driver materialization a query performs."""
+
+    def __init__(self):
+        self.sizes: list[int] = []
+        self._orig = None
+
+    def __enter__(self):
+        # patch the CONCRETE class (pyspark.sql.DataFrame is the
+        # abstract parent in Spark 4; the classic subclass overrides
+        # collect, so patching the parent would record nothing)
+        from pyspark.sql.classic.dataframe import DataFrame
+        self._cls = DataFrame
+        self._orig = DataFrame.collect
+        rec = self
+
+        def collect(df):
+            rows = rec._orig(df)
+            rec.sizes.append(len(rows))
+            return rows
+        DataFrame.collect = collect
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.collect = self._orig
+        return False
+
+
+def run_query(spark, fn, sf_dir: str):
+    """One timed end-to-end run: cache-cold build + materialize.
+    Returns (seconds, internal_collect_sizes, plan_nodes, n_rows)."""
+    from otel_arrow_collector_spark.operators.cache_registry import \
+        clear_caches
+    clear_caches()
+    with CollectRecorder() as rec:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.collect()
+        dt = time.perf_counter() - t0
+    internal = rec.sizes[:-1]           # last collect is the result
+    return dt, internal, plan_shape(df), len(rows)
+
+
+def fit_exponent(scales: list[int], times: list[float]) -> float:
+    """Least-squares slope of log t vs log scale."""
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(max(t, 1e-9)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--work-dir", default="/tmp/spark_graft_stress")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="timed runs per (query, scale); min is kept")
+    ap.add_argument("--max-exponent", type=float, default=1.35,
+                    help="fail if alpha exceeds this (linear + noise)")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    names = args.queries.split(",")
+
+    from otel_arrow_collector_spark.operators import collect_registry
+    from otel_arrow_collector_spark.session import get_spark
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = collect_registry()
+
+    dirs = {}
+    for k in scales:
+        dirs[k] = (args.sf_dir if k == 1 else
+                   build_scaled_dir(spark, args.sf_dir, args.work_dir, k))
+
+    # JVM/codegen warmup outside every timed region (first-action cost
+    # lands on whichever (query, scale) runs first otherwise)
+    run_query(spark, queries[names[0]], dirs[scales[0]])
+
+    report, failures = {}, []
+    for name in names:
+        fn = queries[name]
+        per_scale = {}
+        base_shape = base_internal = None
+        for k in scales:
+            best = None
+            for _ in range(args.runs):
+                dt, internal, shape, n_rows = run_query(spark, fn, dirs[k])
+                if best is None or dt < best[0]:
+                    best = (dt, internal, shape, n_rows)
+            dt, internal, shape, n_rows = best
+            per_scale[k] = {"sec": round(dt, 3), "rows": n_rows,
+                            "internal_collects": internal}
+            if internal and max(internal) > INTERNAL_COLLECT_MAX_ROWS:
+                failures.append(
+                    f"{name}@x{k}: internal collect of {max(internal)} rows "
+                    f"exceeds {INTERNAL_COLLECT_MAX_ROWS}")
+            if k == scales[0]:
+                base_shape, base_internal = shape, internal
+            else:
+                if shape != base_shape:
+                    diff = (shape - base_shape) + (base_shape - shape)
+                    failures.append(
+                        f"{name}@x{k}: plan shape changed vs x{scales[0]}: "
+                        f"{dict(diff)}")
+                grow = [b for a, b in zip(base_internal, internal)
+                        if b > max(a * 1.1, a + 8)]
+                if grow:
+                    failures.append(
+                        f"{name}@x{k}: internal collects grew with scale: "
+                        f"{base_internal} -> {internal}")
+        rep_scales = [k for k in scales if k > 1] or scales
+        if len(rep_scales) < 2:          # fall back to the full set
+            rep_scales = scales
+        alpha = fit_exponent(rep_scales,
+                             [per_scale[k]["sec"] for k in rep_scales])
+        if alpha > args.max_exponent:
+            failures.append(f"{name}: scaling exponent {alpha:.2f} > "
+                            f"{args.max_exponent}")
+        report[name] = {"scales": per_scale, "alpha": round(alpha, 3)}
+
+    print(json.dumps({"sf_base": args.sf_dir, "scales": scales,
+                      "queries": report, "failures": failures},
+                     indent=1))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
