@@ -62,6 +62,8 @@ _NEWEST_FIRST = [
     # THEN any round-8 additions; whatever the sample budget does not
     # reach this round rotates forward next round (commit-checklist
     # rule: every new query gets a slot here).
+    "dedup_source_overlap", "q92_slo_burn", "q93_scd2_merge",
+    "q94_attribution", "text_cooccur_lift", "ann_loo_accuracy",
     # Recently-rotated queries (all driver-green in r07) backfill.
     "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
     "multimodal_decode_quarantine",

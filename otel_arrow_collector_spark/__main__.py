@@ -124,11 +124,13 @@ def cmd_validate(args) -> int:
     Spark-free (DryRun parses and validates; it starts nothing)."""
     uris = _gather_config_uris(args)
     _apply_gate_flags(args)
-    from .plans.collector import _resolve_with_gates
+    from .plans.collector import _pop_extensions, _resolve_with_gates
+    from .plans.extensions import validate_extensions
     from .plans.pipeline import PipelineGraph
     from .plans.telemetry import parse_telemetry
     cfg = _resolve_with_gates(*uris)
     parse_telemetry(cfg.pop("telemetry", None))
+    validate_extensions(*_pop_extensions(cfg))
     graph = PipelineGraph(cfg)
     graph.validate_kinds()
     return 0

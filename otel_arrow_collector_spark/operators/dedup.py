@@ -839,3 +839,106 @@ SELECT a_doc, b_doc, CAST(n_common AS BIGINT) AS n_common,
 FROM jm WHERE rk = 1 AND jac_milli >= {int(JACCARD_THRESHOLD * 1000)}
 ORDER BY a_doc LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source overlap (MinHash signature agreement + exact audit)
+# ---------------------------------------------------------------------------
+
+#: seeds in the per-SOURCE MinHash signature (corpus-level, coarser than
+#: the 8-hash per-doc signature above — overlap between whole sources)
+SRC_OVERLAP_HASHES = 16
+
+
+def dedup_source_overlap(spark, sf_dir):
+    """Declared query: the corpus-overlap matrix between sources — the
+    question a mixture curator asks BEFORE merging two crawls ("how
+    much of B is already in A?").
+
+    Scale path: each source collapses to a SRC_OVERLAP_HASHES-slot
+    MinHash signature (per (source, seed): the MIN md5 over the
+    source's doc contents — lexicographic min over hex strings, the
+    same engine-portable trick the per-doc LSH uses), so the pairwise
+    comparison is |sources|^2 x 16 signature cells, independent of
+    corpus size.  Signature agreement estimates corpus Jaccard; the
+    EXACT content-hash Jaccard rides along as the audit
+    (|A intersect B| / |A union B| over distinct doc md5s — the full-
+    data side you pay to validate the estimate, the ann_recall
+    pattern).  Published per unordered pair with integer permille.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    seeds = spark.range(SRC_OVERLAP_HASHES).select(
+        F.col("id").cast("int").alias("seed"))
+    # |docs| x 16 hash rows -> one aggregation to |sources| x 16 cells
+    sig = (d.crossJoin(F.broadcast(seeds))
+           .select("source", "seed",
+                   F.md5(F.concat(F.col("seed").cast("string"),
+                                  F.lit(":"), F.col("text"))).alias("h"))
+           .groupBy("source", "seed").agg(F.min("h").alias("minh")))
+    a = sig.select(F.col("source").alias("src_a"), "seed",
+                   F.col("minh").alias("ha"))
+    b = sig.select(F.col("source").alias("src_b"), "seed",
+                   F.col("minh").alias("hb"))
+    est = (a.join(b, "seed")
+           .filter(F.col("src_a") < F.col("src_b"))
+           .groupBy("src_a", "src_b")
+           .agg(F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+                .cast("long").alias("agree")))
+    # exact audit: distinct content hashes per source
+    hs = (load_table(spark, sf_dir, "documents")
+          .select("source", F.md5("text").alias("h")).distinct())
+    sizes = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (hs.alias("x").join(hs.alias("y"), "h")
+             .filter(F.col("x.source") < F.col("y.source"))
+             .groupBy(F.col("x.source").alias("src_a"),
+                      F.col("y.source").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (est
+           .join(sizes.select(F.col("source").alias("src_a"),
+                              F.col("n").alias("n_a")), "src_a")
+           .join(sizes.select(F.col("source").alias("src_b"),
+                              F.col("n").alias("n_b")), "src_b")
+           .join(inter, ["src_a", "src_b"], "left")
+           .select(
+               "src_a", "src_b", "agree",
+               F.expr(f"agree * 1000 div {SRC_OVERLAP_HASHES}")
+                .cast("long").alias("est_permille"),
+               F.coalesce("n_inter", F.lit(0)).cast("long")
+                .alias("n_inter"),
+               F.expr("coalesce(n_inter, 0) * 1000 "
+                      "div (n_a + n_b - coalesce(n_inter, 0))")
+                .cast("long").alias("exact_permille")))
+    return out.orderBy("src_a", "src_b")
+
+
+QUERIES["dedup_source_overlap"] = dedup_source_overlap
+ORACLES["dedup_source_overlap"] = f"""
+WITH sig AS (
+  SELECT source, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || text)) AS minh
+  FROM documents
+  CROSS JOIN generate_series(0, {SRC_OVERLAP_HASHES - 1}) AS s(seed)
+  GROUP BY source, seed),
+est AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+  GROUP BY src_a, src_b),
+hs AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+  GROUP BY src_a, src_b)
+SELECT e.src_a, e.src_b, agree,
+       CAST(agree * 1000 // {SRC_OVERLAP_HASHES} AS BIGINT) AS est_permille,
+       CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(n_inter, 0) * 1000
+            // (sa.n + sb.n - COALESCE(n_inter, 0)) AS BIGINT)
+         AS exact_permille
+FROM est e
+JOIN sizes sa ON sa.source = e.src_a
+JOIN sizes sb ON sb.source = e.src_b
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+"""

@@ -3468,3 +3468,197 @@ def q91(spark, sf_dir):
                  .cast("long").alias("n_throttled"))
             .filter(F.col("n_throttled") > 0)
             .orderBy("user_id"))
+
+
+@_register("q92_slo_burn", """
+WITH hourly AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY hour),
+win AS (
+  SELECT hour, total, errors,
+         CAST(SUM(total) OVER w AS BIGINT) AS total_6h,
+         CAST(SUM(errors) OVER w AS BIGINT) AS errors_6h
+  FROM hourly
+  WINDOW w AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+SELECT hour, total, errors,
+       CAST(errors * 100000 // (21 * total) AS BIGINT)
+         AS burn_permille_1h,
+       CAST(errors_6h * 100000 // (21 * total_6h) AS BIGINT)
+         AS burn_permille_6h,
+       (errors * 100 > 21 * total AND errors_6h * 100 > 21 * total_6h)
+         AS is_burning
+FROM win ORDER BY hour
+""")
+def q92(spark, sf_dir):
+    """Multi-window SLO burn-rate alert (the SRE-workbook shape: page
+    only when BOTH a short and a long window burn the error budget, so
+    a blip doesn't page and a slow leak still does).  Budget target 21%
+    error ratio; burn rate = observed ratio / target, published as
+    integer permille via cross-multiplication (errors*100000 //
+    (21*total)) so no float ratio crosses an engine boundary.
+
+    Scale shape: ONE fact scan collapses to |hours| rows (calendar-
+    bounded, not volume-bounded — a month is 720 rows at any corpus
+    size); the 6h trailing window runs over that tiny frame.  The
+    single-partition window is bounded by TIME, the same adjudication
+    as q86's day spine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.expr("ts_ns div 1000 div 3600000000")
+                          .cast("long").alias("hour"))
+              .agg(F.count(F.lit(1)).cast("long").alias("total"),
+                   F.sum(F.when(F.col("event_type") == "error", 1)
+                         .otherwise(0)).cast("long").alias("errors")))
+    w = Window.orderBy("hour").rangeBetween(-5, 0)
+    win = hourly.select(
+        "hour", "total", "errors",
+        F.sum("total").over(w).cast("long").alias("total_6h"),
+        F.sum("errors").over(w).cast("long").alias("errors_6h"))
+    return (win.select(
+        "hour", "total", "errors",
+        F.expr("errors * 100000 div (21 * total)").cast("long")
+         .alias("burn_permille_1h"),
+        F.expr("errors_6h * 100000 div (21 * total_6h)").cast("long")
+         .alias("burn_permille_6h"),
+        ((F.col("errors") * 100 > 21 * F.col("total"))
+         & (F.col("errors_6h") * 100 > 21 * F.col("total_6h")))
+        .alias("is_burning"))
+        .orderBy("hour"))
+
+
+@_register("q93_scd2_merge", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+chg AS (
+  SELECT user_id, event_type, us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+isl AS (
+  SELECT user_id, event_type, us,
+         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM chg),
+runs AS (
+  SELECT user_id, island, MIN(event_type) AS state,
+         CAST(MIN(us) AS BIGINT) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, island)
+SELECT user_id, state, valid_from,
+       CAST(COALESCE(LEAD(valid_from) OVER
+              (PARTITION BY user_id ORDER BY valid_from), -1) AS BIGINT)
+         AS valid_to,
+       n_events,
+       (LEAD(valid_from) OVER
+          (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+FROM runs ORDER BY user_id, valid_from
+""")
+def q93(spark, sf_dir):
+    """SCD2 history build (the slowly-changing-dimension merge every
+    warehouse pipeline runs nightly): the event stream is a change feed
+    on each user's current activity state; consecutive same-state
+    events collapse into one validity interval
+    [valid_from, valid_to) with the open current row flagged —
+    gaps-and-islands, the q80 machinery pointed at state transitions
+    instead of inactivity gaps.
+
+    Scale shape: the change flag, the running island id, the per-run
+    aggregate, and the valid_to LEAD all key on user_id (prefix rule,
+    q80's adjudication) — ONE hash exchange of the fact by user at any
+    corpus size.  valid_to uses a -1 sentinel instead of NULL so the
+    BIGINT dtype survives both engines.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts_ns div 1000").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = ev.withColumn(
+        "is_chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")),
+               1).otherwise(0))
+    isl = chg.withColumn(
+        "island",
+        F.sum("is_chg").over(
+            Window.partitionBy("user_id").orderBy("us")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)))
+    runs = (isl.groupBy("user_id", "island")
+            .agg(F.min("event_type").alias("state"),
+                 F.min("us").cast("long").alias("valid_from"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+    wl = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wl)
+    return (runs.select(
+        "user_id", "state", "valid_from",
+        F.coalesce(nxt, F.lit(-1)).cast("long").alias("valid_to"),
+        "n_events", nxt.isNull().alias("is_current"))
+        .orderBy("user_id", "valid_from"))
+
+
+@_register("q94_attribution", """
+WITH e AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id
+  FROM events),
+touched AS (
+  SELECT user_id, event_type, value,
+         FIRST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                          THEN event_type END IGNORE NULLS) OVER w
+           AS first_touch,
+         LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS last_touch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+p AS (
+  SELECT COALESCE(first_touch, 'none') AS ft,
+         COALESCE(last_touch, 'none') AS lt, value
+  FROM touched WHERE event_type = 'purchase'),
+both_models AS (
+  SELECT 'first' AS model, ft AS touch_type, value FROM p
+  UNION ALL
+  SELECT 'last' AS model, lt AS touch_type, value FROM p)
+SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 2) AS revenue
+FROM both_models GROUP BY model, touch_type
+ORDER BY model, touch_type
+""")
+def q94(spark, sf_dir):
+    """Marketing-style revenue attribution: every purchase credits the
+    FIRST and the LAST preceding touch event (click/view/signup) in the
+    user's history — the two canonical attribution models, computed in
+    one pass with ignore-nulls running first/last over the per-user
+    order, then pivoted to (model, touch_type) revenue totals.
+
+    Scale shape: one window exchange by user_id carries both models
+    (no per-purchase point lookup, no self-join); the result is
+    |models| x |touch types| <= 8 rows at any corpus size.  stack()
+    unpivots the two models without a second fact scan.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.expr("ts_ns div 1000").alias("us"), "event_id")
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type").isin("click", "view", "signup"),
+                   F.col("event_type"))
+    touched = ev.select(
+        "event_type", "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"))
+    p = (touched.filter(F.col("event_type") == "purchase")
+         .select(F.coalesce("first_touch", F.lit("none")).alias("ft"),
+                 F.coalesce("last_touch", F.lit("none")).alias("lt"),
+                 "value"))
+    unp = p.select(F.expr(
+        "stack(2, 'first', ft, 'last', lt) AS (model, touch_type)"),
+        "value")
+    return (unp.groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("revenue"))
+            .orderBy("model", "touch_type"))

@@ -1009,3 +1009,91 @@ SELECT vec_id,
                   / {_mrl_energy_sql(64)}) AS BIGINT) AS ppm_32
 FROM embeddings ORDER BY vec_id LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out 1-NN label accuracy (the embedding-quality eval)
+# ---------------------------------------------------------------------------
+
+
+def ann_loo_accuracy(spark, sf_dir):
+    """Leave-one-out 1-NN label accuracy — the standard embedding-
+    quality eval (does nearest-neighbor structure recover the labels?),
+    cell-bounded like the kNN graph: every vector's nearest OTHER
+    vector inside its IVF cell votes with its label; accuracy per label
+    in integer permille.  Vectors alone in their cell score nothing and
+    are reported in n_total - n_scored.
+
+    Scale shape: the same co-partitioned per-cell self-join as
+    ann_knn_graph; the 1-NN argmax is a hash-agg max(struct(cos,
+    -dst)) — no window, no sort shuffle — and the result is |labels|
+    rows at any corpus size.
+    """
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"))
+    a = _assignments(spark, sf_dir).join(lab, "vec_id")
+    lhs = a.select("cid", F.col("vec_id").alias("src"),
+                   F.col("embedding").alias("s_emb"),
+                   F.col("v_nrm").alias("s_nrm"),
+                   F.col("label").alias("s_label"))
+    rhs = a.select("cid", F.col("vec_id").alias("dst"),
+                   F.col("embedding").alias("d_emb"),
+                   F.col("v_nrm").alias("d_nrm"),
+                   F.col("label").alias("d_label"))
+    cos = (F.expr(_s_dot("s_emb", "d_emb"))
+           / (F.col("s_nrm") * F.col("d_nrm")))
+    nn = (lhs.join(rhs, "cid")
+          .where(F.col("src") != F.col("dst"))
+          .select("src", "s_label", cos.alias("c"), "dst", "d_label")
+          .groupBy("src", "s_label")
+          .agg(F.max(F.struct(F.col("c"), (-F.col("dst")).alias("nd"),
+                              F.col("d_label").alias("dl"))).alias("b")))
+    scored = (nn.groupBy(F.col("s_label").alias("label"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                   F.sum(F.when(F.col("s_label") == F.col("b.dl"), 1)
+                         .otherwise(0)).cast("long").alias("n_match")))
+    totals = (a.groupBy("label")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_total")))
+    return (totals.join(scored, "label", "left")
+            .select("label", "n_total",
+                    F.coalesce("n_scored", F.lit(0)).cast("long")
+                     .alias("n_scored"),
+                    F.coalesce("n_match", F.lit(0)).cast("long")
+                     .alias("n_match"),
+                    F.expr("CASE WHEN coalesce(n_scored, 0) = 0 THEN -1 "
+                           "ELSE 1000 * n_match div n_scored END")
+                     .cast("long").alias("acc_permille"))
+            .orderBy("label"))
+
+
+QUERIES["ann_loo_accuracy"] = ann_loo_accuracy
+ORACLES["ann_loo_accuracy"] = _DUCK_ASSIGN_CTE + f""",
+lab AS (
+  SELECT a.vec_id, a.cid, a.embedding, CAST(e.label AS BIGINT) AS label
+  FROM assign a JOIN embeddings e USING (vec_id)),
+nn AS (
+  SELECT src, s_label, d_label FROM (
+    SELECT l.vec_id AS src, l.label AS s_label, r.label AS d_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.vec_id
+             ORDER BY {_d_cos("l.embedding", "r.embedding")} DESC,
+                      r.vec_id) AS rk
+    FROM lab l JOIN lab r
+      ON l.cid = r.cid AND l.vec_id != r.vec_id)
+  WHERE rk = 1),
+tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM lab GROUP BY label),
+sc AS (
+  SELECT s_label AS label, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(CASE WHEN s_label = d_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match
+  FROM nn GROUP BY s_label)
+SELECT t.label, t.n_total,
+       CAST(COALESCE(sc.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(COALESCE(sc.n_match, 0) AS BIGINT) AS n_match,
+       CAST(CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN -1
+                 ELSE 1000 * sc.n_match // sc.n_scored END AS BIGINT)
+         AS acc_permille
+FROM tot t LEFT JOIN sc ON sc.label = t.label
+ORDER BY t.label
+"""

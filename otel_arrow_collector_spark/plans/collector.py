@@ -24,12 +24,24 @@ from .pipeline import CompiledPlan, ConfigError, PipelineGraph
 
 
 def _resolve_with_gates(*uris: str) -> dict:
-    """Resolve config and apply its ``feature_gates`` section (flag.go
-    syntax: "gate", "+gate", "-gate") against the global registry before
-    graph build — unknown gates / stage violations fail validation."""
-    cfg = resolve(*uris)
+    """Resolve config, lift the reference's canonical ``service:``
+    layout (service.pipelines/telemetry/extensions -> flat), and apply
+    its ``feature_gates`` section (flag.go syntax: "gate", "+gate",
+    "-gate") against the global registry before graph build — unknown
+    gates / stage violations fail validation."""
+    from .extensions import normalize_service_layout
+    cfg = normalize_service_layout(resolve(*uris))
     global_registry().apply_flags(cfg.pop("feature_gates", None))
     return cfg
+
+
+def _pop_extensions(cfg: dict) -> tuple[dict, list[str]]:
+    """Split the extension sections out of the resolved config:
+    top-level ``extensions:`` declares instances, ``service.extensions``
+    (lifted to ``service_extensions``) enables them."""
+    declared = cfg.pop("extensions", None) or {}
+    enabled = cfg.pop("service_extensions", None) or []
+    return declared, list(enabled)
 
 
 class State(Enum):
@@ -59,6 +71,7 @@ class Collector:
         self.logger = None
         self.span_recorder = None
         self.graph = None
+        self.extensions = None
 
     # -- DryRun: parse + validate + compile, never materialize -------------
 
@@ -69,9 +82,11 @@ class Collector:
         """Validate config end-to-end without running any exporter
         (collector.go:209-219).  Raises ConfigError/ResolveError on any
         defect; returns the validated graph."""
+        from .extensions import validate_extensions
         from .telemetry import parse_telemetry
         cfg = _resolve_with_gates(*config_uris)
         parse_telemetry(cfg.pop("telemetry", None))   # validate only
+        validate_extensions(*_pop_extensions(cfg))    # validate only
         graph = PipelineGraph(cfg)
         graph.compile(spark, sources=sources or {}, sf_dir=sf_dir)
         return graph
@@ -95,6 +110,13 @@ class Collector:
         # telemetry: popped before graph build, like feature_gates
         # (service/telemetry/config.go Validate runs at resolve time)
         self.telemetry = parse_telemetry(cfg.pop("telemetry", None))
+        # extensions build + start before the pipeline graph
+        # (service.go:136-144: Start starts extensions FIRST, then
+        # pipelines); a reload rebuilds them from the fresh config
+        from .extensions import build_extensions
+        if self.extensions is not None:
+            self.extensions.shutdown()
+        self.extensions = build_extensions(*_pop_extensions(cfg))
         self.logger = configure_logger(self.telemetry.logs)
         # the collector's own counter surface at the configured
         # metrics level; components built around this collector pass
@@ -175,4 +197,10 @@ class Collector:
         from ..operators.cache_registry import clear_caches
         self.state = State.CLOSED
         self.plan = None
+        # service.go:181 shutdown order: pipelines, then extensions.
+        # getattr: lifecycle-only instances (tests build via __new__)
+        # have no extensions attribute.
+        if getattr(self, "extensions", None) is not None:
+            self.extensions.shutdown()
+            self.extensions = None
         clear_caches()      # release memoized persisted DataFrames

@@ -549,3 +549,72 @@ def test_quantile_binned_windows_over_bin_cardinality(spark):
     # of fact rows feeds any single partition
     assert "windowspecdefinition(grp" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q92_slo_burn_windows_over_hour_cardinality(spark):
+    """q92: ONE fact scan collapses to |hours| rows before the 6h
+    trailing window — the window's single partition is calendar-bounded
+    (720 rows/month at any corpus size), same adjudication as q86."""
+    plan = _plan(spark, "q92_slo_burn")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "windowspecdefinition(hour" in plan
+
+
+def test_source_overlap_joins_are_keyed(spark):
+    """dedup_source_overlap: the only nested-loop join is the 16-row
+    seed broadcast; the signature pairwise compare keys on seed
+    (|sources|^2 x 16 cells) and the exact audit self-join keys on the
+    content hash — the corpus never cross-joins itself."""
+    plan = _plan(spark, "dedup_source_overlap")
+    assert "CartesianProduct" not in plan
+    # the sig subtree plans twice (a/b sides of the pairwise compare);
+    # both nested-loop joins are the 16-row seed broadcast.  Formatted
+    # explain prints each node twice (tree + detail), so the distinct
+    # BNLJ count is half the string count.
+    nested = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nested <= 2
+    assert plan.count("Join type: Cross") == nested
+
+
+def test_q93_scd2_single_user_exchange(spark):
+    """q93: change flag, island id, run aggregate, and valid_to LEAD all
+    key on user_id (prefix rule) — no join, one fact scan."""
+    plan = _plan(spark, "q93_scd2_merge")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_q94_attribution_one_pass(spark):
+    """q94: both attribution models ride ONE user_id window over ONE
+    fact scan (stack unpivot, no self-join, no per-purchase lookup)."""
+    plan = _plan(spark, "q94_attribution")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_cooccur_vocab_is_partial_topk(spark):
+    """text_cooccur_lift: the vocabulary cap is a TakeOrderedAndProject
+    (per-partition partial top-k, never a global sort of the vocab) and
+    the only nested-loop join is the broadcast 1-row n_docs aggregate;
+    the per-doc pair join keys on doc_id."""
+    plan = _plan(spark, "text_cooccur_lift")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    nested = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nested <= 1                          # the 1-row n_docs side
+    assert plan.count("Join type: Cross") == nested
+
+
+def test_loo_accuracy_is_cell_bounded(spark):
+    """ann_loo_accuracy: same adjudication as ann_knn_graph — the
+    vector-vector compare keys on cid, the argmax is a hash-agg (no
+    window over vectors), nested loops only in the centroid broadcast
+    of the assignment stage."""
+    plan = _plan(spark, "ann_loo_accuracy")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan   # argmax, not row_number
+    assert re.search(r"Left keys \[1\]: \[cid", plan) \
+        or "SortMergeJoin Inner" in plan
