@@ -860,20 +860,24 @@ def dedup_source_overlap(spark, sf_dir):
     source's doc contents — lexicographic min over hex strings, the
     same engine-portable trick the per-doc LSH uses), so the pairwise
     comparison is |sources|^2 x 16 signature cells, independent of
-    corpus size.  Signature agreement estimates corpus Jaccard; the
-    EXACT content-hash Jaccard rides along as the audit
-    (|A intersect B| / |A union B| over distinct doc md5s — the full-
-    data side you pay to validate the estimate, the ann_recall
-    pattern).  Published per unordered pair with integer permille.
+    corpus size.  The document TEXT is hashed exactly once; the 16
+    seed hashes mix the 32-char digest, not the payload — at 100 TB
+    the byte-hashing cost is 1x the corpus, not 16x.  Signature
+    agreement estimates corpus Jaccard; the EXACT content-hash Jaccard
+    rides along as the audit (|A intersect B| / |A union B| over
+    distinct doc md5s — the full-data side you pay to validate the
+    estimate, the ann_recall pattern).  Published per unordered pair
+    with integer permille.
     """
-    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    d = (load_table(spark, sf_dir, "documents")
+         .select("source", F.md5("text").alias("h0")))
     seeds = spark.range(SRC_OVERLAP_HASHES).select(
         F.col("id").cast("int").alias("seed"))
-    # |docs| x 16 hash rows -> one aggregation to |sources| x 16 cells
+    # |docs| x 16 digest-mix rows -> |sources| x 16 cells
     sig = (d.crossJoin(F.broadcast(seeds))
            .select("source", "seed",
                    F.md5(F.concat(F.col("seed").cast("string"),
-                                  F.lit(":"), F.col("text"))).alias("h"))
+                                  F.lit(":"), F.col("h0"))).alias("h"))
            .groupBy("source", "seed").agg(F.min("h").alias("minh")))
     a = sig.select(F.col("source").alias("src_a"), "seed",
                    F.col("minh").alias("ha"))
@@ -913,9 +917,10 @@ def dedup_source_overlap(spark, sf_dir):
 
 QUERIES["dedup_source_overlap"] = dedup_source_overlap
 ORACLES["dedup_source_overlap"] = f"""
-WITH sig AS (
-  SELECT source, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || text)) AS minh
-  FROM documents
+WITH d0 AS (SELECT source, md5(text) AS h0 FROM documents),
+sig AS (
+  SELECT source, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || h0)) AS minh
+  FROM d0
   CROSS JOIN generate_series(0, {SRC_OVERLAP_HASHES - 1}) AS s(seed)
   GROUP BY source, seed),
 est AS (

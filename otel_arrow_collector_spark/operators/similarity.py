@@ -781,6 +781,34 @@ ORDER BY cos, vec_id LIMIT 20
 KNN_K = 3
 
 
+def _knn_edges(spark, sf_dir):
+    """(src, dst, cos_raw, rk<=KNN_K): the cell-bounded k-NN edge list,
+    persisted per (session, dir) — the expensive per-cell pairs pass
+    runs ONCE and every consumer (the graph query, the leave-one-out
+    eval, clustering) reuses the tiny edge relation."""
+    def build():
+        a = _assignments(spark, sf_dir)
+        lhs = a.select("cid", F.col("vec_id").alias("src"),
+                       F.col("embedding").alias("s_emb"),
+                       F.col("v_nrm").alias("s_nrm"))
+        rhs = a.select("cid", F.col("vec_id").alias("dst"),
+                       F.col("embedding").alias("d_emb"),
+                       F.col("v_nrm").alias("d_nrm"))
+        cos = (F.expr(_s_dot("s_emb", "d_emb"))
+               / (F.col("s_nrm") * F.col("d_nrm")))
+        w = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(),
+                                              F.col("dst"))
+        return (lhs.join(rhs, "cid")
+                   .where(F.col("src") != F.col("dst"))
+                   .select("src", "dst", cos.alias("cos_raw"))
+                   .withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") <= KNN_K)
+                   .select("src", "dst", "cos_raw",
+                           F.col("rk").cast("long").alias("rk"))
+                   .persist())
+    return cached("sim.knn_edges", spark, sf_dir, build)
+
+
 def ann_knn_graph(spark, sf_dir):
     """k-NN graph over the WHOLE corpus, candidate-bounded by IVF cell:
     every vector ranks only its own cell's members (the SemDeDup /
@@ -792,24 +820,7 @@ def ann_knn_graph(spark, sf_dir):
     clustering) — computed as one keyed self-join of the edge list on
     the reversed pair, never a second pass over the vectors.
     """
-    a = _assignments(spark, sf_dir)
-    lhs = a.select("cid", F.col("vec_id").alias("src"),
-                   F.col("embedding").alias("s_emb"),
-                   F.col("v_nrm").alias("s_nrm"))
-    rhs = a.select("cid", F.col("vec_id").alias("dst"),
-                   F.col("embedding").alias("d_emb"),
-                   F.col("v_nrm").alias("d_nrm"))
-    cos = (F.expr(_s_dot("s_emb", "d_emb"))
-           / (F.col("s_nrm") * F.col("d_nrm")))
-    w = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(),
-                                          F.col("dst"))
-    edges = (lhs.join(rhs, "cid")
-                .where(F.col("src") != F.col("dst"))
-                .select("src", "dst", cos.alias("cos_raw"))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= KNN_K)
-                .select("src", "dst", "cos_raw",
-                        F.col("rk").cast("long").alias("rk")))
+    edges = _knn_edges(spark, sf_dir)
     rev = edges.select(F.col("src").alias("r_dst"),
                        F.col("dst").alias("r_src"))
     return (edges.join(rev, (edges.src == rev.r_src)
@@ -1024,35 +1035,25 @@ def ann_loo_accuracy(spark, sf_dir):
     in integer permille.  Vectors alone in their cell score nothing and
     are reported in n_total - n_scored.
 
-    Scale shape: the same co-partitioned per-cell self-join as
-    ann_knn_graph; the 1-NN argmax is a hash-agg max(struct(cos,
-    -dst)) — no window, no sort shuffle — and the result is |labels|
-    rows at any corpus size.
+    Scale shape: the 1-NN is the rk=1 edge of the MEMOIZED kNN edge
+    list (_knn_edges — the per-cell pairs pass runs once per session
+    and is shared with ann_knn_graph); this query adds only two keyed
+    label joins against the |V|-row edge relation and collapses to
+    |labels| rows.
     """
     lab = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("label"))
-    a = _assignments(spark, sf_dir).join(lab, "vec_id")
-    lhs = a.select("cid", F.col("vec_id").alias("src"),
-                   F.col("embedding").alias("s_emb"),
-                   F.col("v_nrm").alias("s_nrm"),
-                   F.col("label").alias("s_label"))
-    rhs = a.select("cid", F.col("vec_id").alias("dst"),
-                   F.col("embedding").alias("d_emb"),
-                   F.col("v_nrm").alias("d_nrm"),
-                   F.col("label").alias("d_label"))
-    cos = (F.expr(_s_dot("s_emb", "d_emb"))
-           / (F.col("s_nrm") * F.col("d_nrm")))
-    nn = (lhs.join(rhs, "cid")
-          .where(F.col("src") != F.col("dst"))
-          .select("src", "s_label", cos.alias("c"), "dst", "d_label")
-          .groupBy("src", "s_label")
-          .agg(F.max(F.struct(F.col("c"), (-F.col("dst")).alias("nd"),
-                              F.col("d_label").alias("dl"))).alias("b")))
+    nn = (_knn_edges(spark, sf_dir).filter(F.col("rk") == 1)
+          .select("src", "dst")
+          .join(lab.select(F.col("vec_id").alias("src"),
+                           F.col("label").alias("s_label")), "src")
+          .join(lab.select(F.col("vec_id").alias("dst"),
+                           F.col("label").alias("d_label")), "dst"))
     scored = (nn.groupBy(F.col("s_label").alias("label"))
               .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
-                   F.sum(F.when(F.col("s_label") == F.col("b.dl"), 1)
+                   F.sum(F.when(F.col("s_label") == F.col("d_label"), 1)
                          .otherwise(0)).cast("long").alias("n_match")))
-    totals = (a.groupBy("label")
+    totals = (lab.groupBy("label")
               .agg(F.count(F.lit(1)).cast("long").alias("n_total")))
     return (totals.join(scored, "label", "left")
             .select("label", "n_total",

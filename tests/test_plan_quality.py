@@ -608,13 +608,15 @@ def test_cooccur_vocab_is_partial_topk(spark):
     assert plan.count("Join type: Cross") == nested
 
 
-def test_loo_accuracy_is_cell_bounded(spark):
-    """ann_loo_accuracy: same adjudication as ann_knn_graph — the
-    vector-vector compare keys on cid, the argmax is a hash-agg (no
-    window over vectors), nested loops only in the centroid broadcast
-    of the assignment stage."""
+def test_loo_accuracy_reuses_knn_edge_substrate(spark):
+    """ann_loo_accuracy: the 1-NN comes from the MEMOIZED kNN edge list
+    (InMemoryTableScan of _knn_edges — the per-cell pairs pass is
+    shared with ann_knn_graph, never re-run), and the two label joins
+    are keyed — the corpus never cross-joins itself."""
     plan = _plan(spark, "ann_loo_accuracy")
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition" not in plan   # argmax, not row_number
+    assert "InMemoryTableScan" in plan          # the cached edge relation
+    # the only window/cid-join in the plan is INSIDE the cached
+    # substrate (same adjudication as ann_knn_graph's own pin)
     assert re.search(r"Left keys \[1\]: \[cid", plan) \
         or "SortMergeJoin Inner" in plan
