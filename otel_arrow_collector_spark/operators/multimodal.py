@@ -2274,3 +2274,117 @@ SELECT d.doc_id,
 FROM docs d JOIN sig s USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# audio resampling (decimate 2:1 + midpoint reconstruction, WAV-framed)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_rate", LongType()),
+    StructField("out_rate", LongType()),
+    StructField("n_in", LongType()),
+    StructField("n_down", LongType()),
+    StructField("sum_down", LongType()),
+    StructField("max_err", LongType()),
+])
+
+
+def _pcm16(payload: bytes) -> np.ndarray:
+    """data-chunk PCM16 samples of a RIFF/WAVE payload (int64)."""
+    pos, data = 12, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    return np.frombuffer(data, "<i2").astype(np.int64)
+
+
+def multimodal_resample(spark, sf_dir):
+    """Oracle-gated audio RESAMPLING with the container in the loop:
+    synthesize the corpus's WAV third (samples (byte-128)*256 at
+    8 kHz), decimate 2:1 by integer pair-average (floor), re-encode the
+    half-rate signal as a real 4 kHz WAV and re-parse it, then
+    reconstruct to full rate by midpoint interpolation and publish the
+    max reconstruction error — the downsample/upsample pair every audio
+    pipeline runs before feature extraction.  All stats integer; the
+    DuckDB twin recomputes both resample passes from hex digit pairs,
+    so a framing bug in either WAV leg or an off-by-one in the
+    decimator breaks the value hash.  Map-only plan: one mapInPandas
+    stage, no shuffle.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                samples = [(seed[i % len(seed)] - 128) * 256
+                           for i in range(64)]
+                wav = encode_wav(samples, 8000)
+                meta = decode_wav(wav)                 # real RIFF leg in
+                x = _pcm16(wav)
+                y = (x[0::2] + x[1::2]) // 2           # floor decimation
+                wav2 = encode_wav([int(v) for v in y],
+                                  meta["sample_rate"] // 2)
+                meta2 = decode_wav(wav2)               # real RIFF leg out
+                y2 = _pcm16(wav2)
+                z = np.empty(len(x), np.int64)         # midpoint upsample
+                z[0::2] = y2
+                z[1::2] = (y2 + np.append(y2[1:], y2[-1])) // 2
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "in_rate": int(meta["sample_rate"]),
+                    "out_rate": int(meta2["sample_rate"]),
+                    "n_in": int(meta["n_samples"]),
+                    "n_down": int(meta2["n_samples"]),
+                    "sum_down": int(y2.sum()),
+                    "max_err": int(np.abs(x - z).max())})
+            yield pd.DataFrame(rows)
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(150))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, RESAMPLE_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_resample"] = multimodal_resample
+ORACLES["multimodal_resample"] = """
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 150),
+samples AS (
+  SELECT d.doc_id, g.i,
+         ((strpos('0123456789ABCDEF',
+                  substr(d.hx, (g.i % d.n)*2+1, 1))-1)*16
+        + (strpos('0123456789ABCDEF',
+                  substr(d.hx, (g.i % d.n)*2+2, 1))-1) - 128) * 256 AS s
+  FROM docs d, generate_series(0, 63) AS g(i)),
+down AS (
+  SELECT doc_id, i // 2 AS j,
+         CAST(FLOOR(SUM(s) / 2.0) AS BIGINT) AS d
+  FROM samples GROUP BY doc_id, i // 2),
+up AS (
+  SELECT doc_id, j, d,
+         CAST(FLOOR((d + COALESCE(LEAD(d) OVER w, d)) / 2.0) AS BIGINT)
+           AS mid
+  FROM down WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+recon AS (
+  SELECT doc_id, j * 2 AS i, d AS z FROM up
+  UNION ALL
+  SELECT doc_id, j * 2 + 1 AS i, mid AS z FROM up),
+err AS (
+  SELECT s.doc_id, MAX(ABS(s.s - r.z)) AS max_err
+  FROM samples s JOIN recon r ON r.doc_id = s.doc_id AND r.i = s.i
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(8000 AS BIGINT) AS in_rate, CAST(4000 AS BIGINT) AS out_rate,
+       CAST(64 AS BIGINT) AS n_in, CAST(32 AS BIGINT) AS n_down,
+       CAST((SELECT SUM(dd.d) FROM down dd WHERE dd.doc_id = d.doc_id)
+            AS BIGINT) AS sum_down,
+       CAST(e.max_err AS BIGINT) AS max_err
+FROM docs d JOIN err e USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -620,3 +620,15 @@ def test_loo_accuracy_reuses_knn_edge_substrate(spark):
     # substrate (same adjudication as ann_knn_graph's own pin)
     assert re.search(r"Left keys \[1\]: \[cid", plan) \
         or "SortMergeJoin Inner" in plan
+
+
+def test_resample_one_python_stage(spark):
+    """multimodal_resample: both WAV legs and both resample passes run
+    inside ONE Arrow-batched Python map stage — no join, no shuffle
+    beyond the final presentation sort."""
+    import re as _re
+    plan = _plan(spark, "multimodal_resample")
+    assert "Join" not in plan
+    n_python = len(_re.findall(r"MapInPandas|ArrowEvalPython|"
+                               r"BatchEvalPython", plan))
+    assert 1 <= n_python <= 2
