@@ -3662,3 +3662,53 @@ def q94(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
                  F.round(F.sum("value"), 2).alias("revenue"))
             .orderBy("model", "touch_type"))
+
+
+@_register("q95_cdc_apply", """
+WITH ch AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+           AS op,
+         event_type, value, epoch_us(ts) AS us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events)
+SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions,
+       event_type AS last_type, ROUND(value, 2) AS last_value
+FROM ch WHERE rk = 1 AND op = 'upsert'
+ORDER BY user_id
+""")
+def q95(spark, sf_dir):
+    """CDC apply — the lakehouse MERGE every warehouse ingest runs: the
+    event stream is a keyed change feed (errors are tombstone DELETEs,
+    everything else UPSERTs); last-writer-wins by (commit time,
+    event id) yields the final table state, and keys whose latest
+    change is a tombstone vanish.  n_versions rides along (the compact-
+    ion debt metric).
+
+    Scale shape: ONE hash exchange of the changes by key carries both
+    the LWW rank and the version count (two window functions over the
+    same user_id partitioning); output is |live keys| rows.  No join —
+    the anti-join most MERGE implementations pay is folded into the
+    rank-1 filter.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.expr("ts_ns div 1000").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("us").desc(),
+                                              F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    ch = ev.select(
+        "user_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_versions"))
+    return (ch.filter((F.col("rk") == 1) & (F.col("op") == "upsert"))
+            .select("user_id",
+                    F.col("n_versions").cast("long").alias("n_versions"),
+                    F.col("event_type").alias("last_type"),
+                    F.round("value", 2).alias("last_value"))
+            .orderBy("user_id"))

@@ -632,3 +632,12 @@ def test_resample_one_python_stage(spark):
     n_python = len(_re.findall(r"MapInPandas|ArrowEvalPython|"
                                r"BatchEvalPython", plan))
     assert 1 <= n_python <= 2
+
+
+def test_q95_cdc_one_key_exchange_no_join(spark):
+    """q95: the LWW rank and the version count share ONE user_id
+    exchange; the MERGE anti-join is folded into the rank-1 filter."""
+    plan = _plan(spark, "q95_cdc_apply")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
+    assert "windowspecdefinition(user_id" in plan
