@@ -1,0 +1,63 @@
+"""The examples/ configs are living documentation: every file must
+validate through the CLI, and the two parquet-landing ones must run end
+to end via ``python -m`` with byte-identical results to the equivalent
+DataFrame plan (subprocess, real exit codes — the path a user arriving
+from the reference actually walks)."""
+
+from __future__ import annotations
+
+import glob
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+EXAMPLES = sorted(glob.glob("examples/*.yaml"))
+
+
+def _cli(*argv, timeout=180):
+    return subprocess.run([sys.executable, "-m",
+                           "otel_arrow_collector_spark", *argv],
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_examples_exist():
+    assert len(EXAMPLES) >= 3
+
+
+@pytest.mark.parametrize("cfg", EXAMPLES)
+def test_example_validates(cfg):
+    r = _cli("validate", "--config", cfg)
+    assert r.returncode == 0, r.stderr
+
+
+def test_errors_example_runs_and_lands_parquet(tmp_path):
+    out = str(tmp_path / "errors_out")
+    r = _cli("--config", "examples/errors_to_parquet.yaml",
+             "--set", f"exporters.sink/parquet.path={out}")
+    assert r.returncode == 0, r.stderr
+    con = duckdb.connect()
+    got = con.execute(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    want = con.execute(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE event_type = 'error' AND value > 50").fetchone()[0]
+    assert got == want > 0
+
+
+def test_curation_example_gates_quality(tmp_path):
+    out = str(tmp_path / "curated_out")
+    r = _cli("--config", "examples/curation_to_parquet.yaml",
+             "--set", f"exporters.sink/kept.path={out}")
+    assert r.returncode == 0, r.stderr
+    con = duckdb.connect()
+    got = con.execute(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    want = con.execute("""
+        SELECT COUNT(*) FROM (
+          SELECT len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct
+          FROM '/root/testdata/sf0.001/documents.parquet')
+        WHERE n_tokens >= 8 AND n_distinct * 3 >= n_tokens""").fetchone()[0]
+    assert got == want > 0
+    # the audit console exporter printed sample rows alongside the sink
+    assert "doc_id" in r.stdout
