@@ -1098,3 +1098,92 @@ SELECT t.label, t.n_total,
 FROM tot t LEFT JOIN sc ON sc.label = t.label
 ORDER BY t.label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding drift monitor (did the new crawl shift the representation?)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the drift quantizer (see embedding_drift)
+DRIFT_Q = 1_000_000
+
+
+def embedding_drift(spark, sf_dir):
+    """Embedding drift between two corpus snapshots — the monitoring
+    gate a pipeline runs before accepting a new crawl's embeddings:
+    split by vec_id parity into REF and NEW halves, compare per-label
+    centroids by cosine.  Exact and order-free at any scale: each
+    component quantizes to integer micro-units (floor(x * 1e6), an
+    IEEE-deterministic map), per-(label, half, dim) SUMS are exact
+    int64 hash-aggregates (map-side combinable — no order-pinned
+    collect_list of corpus rows), and the centroid cosine is computed
+    directly on the 64-long sum vectors (cosine is scale-invariant, so
+    dividing by n is unnecessary and no float mean exists anywhere).
+    The only float math is the final 64-term fold, sequential in dim
+    order on both engines (the _s_dot/_d_dot discipline).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).alias("half"), "embedding", "vec_id")
+    q = e.select(
+        "label", "half",
+        F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "half", "pos",
+             F.floor(F.col("x").cast("double") * DRIFT_Q)
+              .cast("long").alias("qv"))
+    s = q.groupBy("label", "half", "pos").agg(F.sum("qv").alias("sv"))
+    v = (s.groupBy("label", "half")
+         .agg(F.expr("transform(array_sort(collect_list(struct(pos, sv))),"
+                     " p -> CAST(p.sv AS DOUBLE))").alias("vec")))
+    n = e.groupBy("label", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a = (v.filter(F.col("half") == 0)
+         .join(n.filter(F.col("half") == 0), ["label", "half"])
+         .select("label", F.col("vec").alias("va"),
+                 F.col("n").alias("n_ref")))
+    b = (v.filter(F.col("half") == 1)
+         .join(n.filter(F.col("half") == 1), ["label", "half"])
+         .select("label", F.col("vec").alias("vb"),
+                 F.col("n").alias("n_new")))
+    cos = (F.expr(_s_dot("va", "vb"))
+           / (F.sqrt(F.expr(_s_dot("va", "va")))
+              * F.sqrt(F.expr(_s_dot("vb", "vb")))))
+    return (a.join(b, "label")
+            .select("label", "n_ref", "n_new",
+                    F.round(cos, 6).alias("drift_cos"))
+            .orderBy("label"))
+
+
+QUERIES["embedding_drift"] = embedding_drift
+ORACLES["embedding_drift"] = f"""
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half, d.dim,
+         CAST(FLOOR(CAST(embedding[CAST(d.dim AS INT)] AS DOUBLE)
+                    * {DRIFT_Q}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS dim) d),
+s AS (SELECT label, half, dim, SUM(qv) AS sv
+      FROM q GROUP BY label, half, dim),
+v AS (SELECT label, half, list(CAST(sv AS DOUBLE) ORDER BY dim) AS vec
+      FROM s GROUP BY label, half),
+n AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label, vec_id % 2),
+dotv AS (
+  SELECT a.label,
+         list_reduce(list_transform(range(1, 65),
+           i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]),
+           (x, y) -> x + y) AS ab,
+         list_reduce(list_transform(range(1, 65),
+           i -> a.vec[CAST(i AS INT)] * a.vec[CAST(i AS INT)]),
+           (x, y) -> x + y) AS aa,
+         list_reduce(list_transform(range(1, 65),
+           i -> b.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]),
+           (x, y) -> x + y) AS bb
+  FROM v a JOIN v b ON a.label = b.label AND a.half = 0 AND b.half = 1)
+SELECT d.label, na.n AS n_ref, nb.n AS n_new,
+       ROUND(d.ab / (sqrt(d.aa) * sqrt(d.bb)), 6) AS drift_cos
+FROM dotv d
+JOIN n na ON na.label = d.label AND na.half = 0
+JOIN n nb ON nb.label = d.label AND nb.half = 1
+ORDER BY d.label
+"""

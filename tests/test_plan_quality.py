@@ -641,3 +641,14 @@ def test_q95_cdc_one_key_exchange_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 2      # one scan, printed twice
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_embedding_drift_is_sum_aggregates_no_order_pin(spark):
+    """embedding_drift: integer quantized SUMs (map-side combinable
+    hash aggregates) — no window, no order-pinned collect of corpus
+    rows (the bounded collect_list groups 64 dim-sums, not vectors),
+    no cartesian; the half joins key on label."""
+    plan = _plan(spark, "embedding_drift")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "Generate" in plan                   # posexplode of dims

@@ -33,7 +33,11 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            # round-7 scale claims
            "sketch_quantile_sampled", "sketch_quantile_binned",
            "sketch_hll_union", "cc_pipeline_warc",
-           "multimodal_decode_quarantine"]
+           "multimodal_decode_quarantine",
+           # round-8 scale claims
+           "q92_slo_burn", "q93_scd2_merge", "q94_attribution",
+           "q95_cdc_apply", "dedup_source_overlap", "text_cooccur_lift",
+           "ann_loo_accuracy", "multimodal_resample", "embedding_drift"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
