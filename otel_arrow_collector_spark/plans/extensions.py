@@ -66,6 +66,13 @@ KNOWN_EXTENSION_TYPES = ("file_storage", "bearer_token_auth", "zpages",
 
 def validate_extensions(declared: dict, enabled: list[str]) -> None:
     """Config-time checks shared by `validate` and the run cycle."""
+    dup = {e for e in enabled if enabled.count(e) > 1}
+    if dup:
+        # extensions.go builds a map keyed by id: one instance per id;
+        # listing an id twice would double-build (and double-register
+        # its authenticator names), so it is a config error here
+        raise ConfigError(
+            f"service.extensions lists {sorted(dup)} more than once")
     for ext_id in enabled:
         if ext_id not in declared:
             raise ConfigError(

@@ -154,3 +154,8 @@ service:
                          "validate", "--config", str(bad)],
                         capture_output=True, text=True, timeout=60)
     assert r2.returncode == 1 and "undeclared extension" in r2.stderr
+
+
+def test_duplicate_enabled_extension_rejected():
+    with pytest.raises(ConfigError, match="more than once"):
+        validate_extensions({"nop": None}, ["nop", "nop"])

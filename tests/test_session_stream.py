@@ -121,3 +121,37 @@ def test_cross_batch_session_fragments_merge(spark, tmp_path):
     got = [(r.user_id, r.start_us, r.n_events, r.dur_sec)
            for r in spark.table("sess_merge").collect() if r.user_id != 999]
     assert got == [(7, 0, 4, 660)]
+
+
+def test_session_state_survives_restart(spark, tmp_path):
+    """The native session-window state store resumes from the
+    checkpoint: a fragment arriving in a SECOND run merges into the
+    session opened in the first run and the session emits once, after
+    the post-restart flush."""
+    d = tempfile.mkdtemp(prefix="sess_restart_")
+    results: list = []
+
+    def run():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (sessionize_stream(stream, watermark_us=WAIT_US)
+             .writeStream
+             .foreachBatch(lambda df, _b: results.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_sr"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    (spark.createDataFrame([(5, 0), (5, 60_000_000)], SCHEMA)
+     .coalesce(1).write.mode("append").parquet(d))
+    run()
+    assert [r for r in results if r.user_id == 5] == []   # still open
+    # second run: a bridging fragment + the watermark flush sentinel
+    (spark.createDataFrame([(5, 2 * 60_000_000)], SCHEMA)
+     .coalesce(1).write.mode("append").parquet(d))
+    (spark.createDataFrame([(999, 20 * DAY_US)], SCHEMA)
+     .coalesce(1).write.mode("append").parquet(d))
+    run()
+    got = [(r.user_id, r.start_us, r.n_events, r.dur_sec)
+           for r in results if r.user_id == 5]
+    assert got == [(5, 0, 3, 120)]
