@@ -2388,3 +2388,141 @@ SELECT d.doc_id,
 FROM docs d JOIN err e USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (aHash + banded Hamming near-dup pairs)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("b0", LongType()),
+    StructField("b1", LongType()),
+    StructField("b2", LongType()),
+    StructField("b3", LongType()),
+])
+
+#: near-dup verdict: Hamming distance over the 64 aHash bits
+PHASH_HAM_MAX = 10
+
+
+def multimodal_phash_dedup(spark, sf_dir):
+    """Image near-dup detection — the multimodal counterpart of the
+    MinHash text dedup, the pipeline every image-training corpus runs:
+    each synthesized BMP decodes (REAL container leg through
+    _image_pixels) to an 8x8 average-hash — bit i set iff pixel i's
+    integer luma clears the image mean (cross-multiplied:
+    luma_i * 64 >= sum_luma, no division) — carried as four 16-bit
+    bands; candidate pairs come from an equality join on ANY shared
+    band (the LSH banding trick transplanted to Hamming space: a pair
+    within distance 6 has <= 6 differing bits over 4 bands, so most
+    near-dups collide on at least one unchanged band); the verify step
+    computes the exact 64-bit Hamming distance via bit_count(xor) and
+    keeps pairs <= PHASH_HAM_MAX (10 of 64 bits, the usual aHash
+    near-dup band).
+
+    Scale shape: hashing is one Arrow-batched map; the candidate join
+    keys on (band_index, band_value) — near-uniform 16-bit keys, never
+    all-pairs; verification touches candidates only.  The oracle
+    recomputes the hash from hex digit pairs (mapping decoded top-down
+    pixel i to the synth BMP's bottom-up triple), so a flipped row, a
+    wrong threshold, or a banding off-by-one breaks the value hash.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = _image_pixels(bytes(payload))
+                px = np.frombuffer(rgb, np.uint8).reshape(w * h, 3)
+                luma = px.astype(np.int64).sum(axis=1) // 3
+                bits = (luma * 64 >= luma.sum()).astype(np.int64)
+                bands = [int((bits[16 * k:16 * k + 16]
+                              << np.arange(16, dtype=np.int64)).sum())
+                         for k in range(4)]
+                rows.append({"doc_id": int(doc_id), "b0": bands[0],
+                             "b1": bands[1], "b2": bands[2],
+                             "b3": bands[3]})
+            yield pd.DataFrame(rows)
+    def build():
+        docs = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 3 == 0)
+                .orderBy("doc_id").limit(200))
+        return (synthesize_media(docs)
+                .select("doc_id", "payload")
+                .mapInPandas(run, PHASH_SCHEMA).persist())
+    # the hash relation feeds FOUR plan sites (two candidate sides, two
+    # verify sides): memoized like the kNN edge list so the Python
+    # decode+hash stage runs once, not four times
+    from .cache_registry import cached
+    hashes = cached("mm.phash", spark, sf_dir, build)
+    bands = hashes.select(
+        "doc_id", F.explode(F.expr(
+            "map(0, b0, 1, b1, 2, b2, 3, b3)")).alias("k", "band"))
+    cand = (bands.alias("x").join(bands.alias("y"), ["k", "band"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    a = hashes.select(F.col("doc_id").alias("doc_a"),
+                      *(F.col(f"b{i}").alias(f"a{i}") for i in range(4)))
+    b = hashes.select(F.col("doc_id").alias("doc_b"),
+                      *(F.col(f"b{i}").alias(f"bb{i}") for i in range(4)))
+    ham = sum(F.bit_count(F.expr(f"a{i} ^ bb{i}")) for i in range(4))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= PHASH_HAM_MAX)
+            .orderBy("doc_a", "doc_b").limit(500))
+
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLES["multimodal_phash_dedup"] = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 200),
+-- decoded top-down pixel i = synth bottom-up pixel p = (7-i//8)*8+i%8;
+-- luma = (byte(3p)+byte(3p+1)+byte(3p+2)) // 3 from seed-cycled bytes
+lum AS (
+  SELECT d.doc_id, g.i,
+         ((strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 % d.n) * 2 + 1, 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 % d.n) * 2 + 2, 1)) - 1)
+        + (strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 + 1) % d.n * 2 + 1, 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 + 1) % d.n * 2 + 2, 1)) - 1)
+        + (strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 + 2) % d.n * 2 + 1, 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(d.hx, (((7 - g.i // 8) * 8 + g.i % 8) * 3 + 2) % d.n * 2 + 2, 1)) - 1)
+         ) // 3 AS luma
+  FROM docs d, generate_series(0, 63) AS g(i)),
+tot AS (SELECT doc_id, SUM(luma) AS s FROM lum GROUP BY doc_id),
+bits AS (
+  SELECT l.doc_id, l.i,
+         CASE WHEN l.luma * 64 >= t.s THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (doc_id)),
+bands AS (
+  SELECT doc_id, i // 16 AS k,
+         CAST(SUM(b * (1 << (i % 16))) AS BIGINT) AS band
+  FROM bits GROUP BY doc_id, i // 16),
+h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k = 0 THEN band END) AS b0,
+         MAX(CASE WHEN k = 1 THEN band END) AS b1,
+         MAX(CASE WHEN k = 2 THEN band END) AS b2,
+         MAX(CASE WHEN k = 3 THEN band END) AS b3
+  FROM bands GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+            + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+            + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS BIGINT)
+           AS hamming
+  FROM cand c JOIN h a ON a.doc_id = c.doc_a
+              JOIN h b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= {PHASH_HAM_MAX}
+ORDER BY doc_a, doc_b LIMIT 500
+"""

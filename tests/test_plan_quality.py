@@ -652,3 +652,18 @@ def test_embedding_drift_is_sum_aggregates_no_order_pin(spark):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert "Generate" in plan                   # posexplode of dims
+
+
+def test_phash_dedup_candidates_are_band_keyed(spark):
+    """multimodal_phash_dedup: ONE Arrow-batched hash stage; candidate
+    pairs come from an equi-join on (band index, band value) — the
+    image corpus never cross-joins itself."""
+    plan = _plan(spark, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the memoized hash relation runs synthesize_media + the hash map
+    # ONCE (persisted, cache-registry keyed); all four consumer sites
+    # read the InMemoryRelation — formatted explain re-prints the
+    # cached plan per scan site, so Python node NAMES repeat in the
+    # string while execution stays single-pass
+    assert "InMemoryTableScan" in plan
