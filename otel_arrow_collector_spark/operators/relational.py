@@ -3712,3 +3712,66 @@ def q95(spark, sf_dir):
                     F.col("event_type").alias("last_type"),
                     F.round("value", 2).alias("last_value"))
             .orderBy("user_id"))
+
+
+@_register("q96_changepoint", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM daily GROUP BY event_type),
+cus AS (
+  SELECT d.event_type, d.day, t.n_days,
+         SUM(t.n_days * d.c - t.s) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM daily d JOIN tot t USING (event_type)),
+best AS (
+  SELECT event_type, day, n_days, ABS(cusum) AS a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, day) AS rk
+  FROM cus)
+SELECT event_type, day AS change_day,
+       CAST(a AS BIGINT) AS max_abs_cusum, n_days
+FROM best WHERE rk = 1 ORDER BY event_type
+""")
+def q96(spark, sf_dir):
+    """Changepoint detection per series (the CUSUM monitor next to
+    q82's anomaly days): per event type, the day where the cumulative
+    deviation of daily volume from the series mean peaks — the classic
+    level-shift locator, in EXACT integers by cross-multiplying the
+    mean out (deviation_i = n_days * c_i - S, so the CUSUM telescopes
+    to 0 at the series end and its extremum marks the shift).
+
+    Scale shape: the fact collapses to |types| x |days| rows (calendar-
+    bounded) in one hash aggregate; the per-type totals broadcast back;
+    the running CUSUM and the argmax run over the tiny daily frame —
+    the same adjudication as q92's hourly spine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.expr("ts_ns div 1000 div 86400000000")
+                         .cast("long").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = (daily.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum("c").cast("long").alias("s")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cus = (daily.join(F.broadcast(tot), "event_type")
+           .select("event_type", "day", "n_days",
+                   F.sum(F.col("n_days") * F.col("c") - F.col("s"))
+                    .over(w).alias("cusum")))
+    best = F.max(F.struct(F.abs("cusum").alias("a"),
+                          (-F.col("day")).alias("nd"),
+                          F.col("n_days").alias("n"))).alias("b")
+    return (cus.groupBy("event_type").agg(best)
+            .select("event_type",
+                    (-F.col("b.nd")).cast("long").alias("change_day"),
+                    F.col("b.a").cast("long").alias("max_abs_cusum"),
+                    F.col("b.n").alias("n_days"))
+            .orderBy("event_type"))

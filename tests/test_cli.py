@@ -119,3 +119,48 @@ def test_run_end_to_end(tmp_path):
     r = _cli("--config", str(cfg), timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "p/sink/null: 210" in r.stdout
+
+
+# -- property sweep: --set override round-trip ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_KEY = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1,
+               max_size=8)
+_SCALAR = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.booleans(),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1,
+            max_size=12))
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys=st.lists(_KEY, min_size=1, max_size=4), value=_SCALAR)
+def test_set_flag_roundtrips_any_dot_key(keys, value):
+    """flags.go renders --set a.b.c=v as a yaml: document; the resolved
+    config must carry exactly the nested override with YAML-native
+    typing (ints stay ints, bools stay bools)."""
+    import yaml
+
+    from otel_arrow_collector_spark.__main__ import _set_to_yaml_uri
+    from otel_arrow_collector_spark.plans.confmap import resolve
+    vs = yaml.safe_dump(value, default_flow_style=True).strip()
+    if vs.endswith("\n..."):
+        vs = vs[:-4].strip()
+    uri = _set_to_yaml_uri(".".join(keys) + "=" + vs)
+    cfg = resolve(uri)
+    node = cfg
+    for k in keys[:-1]:
+        node = node[k]
+    assert node[keys[-1]] == value
+
+
+def test_set_flag_rejects_missing_equals_and_empty_key():
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.__main__ import _set_to_yaml_uri
+    with _pytest.raises(ValueError, match="equal"):
+        _set_to_yaml_uri("no_equals_here")
+    with _pytest.raises(ValueError, match="invalid --set key"):
+        _set_to_yaml_uri("...=v")

@@ -667,3 +667,14 @@ def test_phash_dedup_candidates_are_band_keyed(spark):
     # cached plan per scan site, so Python node NAMES repeat in the
     # string while execution stays single-pass
     assert "InMemoryTableScan" in plan
+
+
+def test_q96_changepoint_windows_over_day_cardinality(spark):
+    """q96: the fact collapses to |types| x |days| rows before the
+    CUSUM window (calendar-bounded, q92's adjudication); the totals
+    join is a broadcast; the argmax is a hash-agg, not a second
+    window."""
+    plan = _plan(spark, "q96_changepoint")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(event_type" in plan
