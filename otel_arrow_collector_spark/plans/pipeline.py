@@ -119,16 +119,41 @@ class PipelineGraph:
     """Validated pipeline graph, compilable to Spark DataFrames."""
 
     def __init__(self, cfg: dict):
-        self.receivers: dict[str, dict] = dict(cfg.get("receivers") or {})
-        self.processors: dict[str, dict] = dict(cfg.get("processors") or {})
-        self.exporters: dict[str, dict] = dict(cfg.get("exporters") or {})
-        self.connectors: dict[str, dict] = dict(cfg.get("connectors") or {})
-        pipes = cfg.get("pipelines") or {}
+        def section(key: str) -> dict:
+            # fence the section TYPE: `receivers: [x]` (a YAML list) or
+            # any other non-mapping must surface as the validate-exit-1
+            # contract, never a raw ValueError out of dict()
+            val = cfg.get(key) or {}
+            if not isinstance(val, dict):
+                raise ConfigError(
+                    f"{key}: must be a mapping of component ids, got "
+                    f"{type(val).__name__}")
+            out = {}
+            for cid, ccfg in val.items():
+                # each component config must be a mapping (or empty):
+                # `receivers: {r: 5}` must be the validate contract,
+                # not an AttributeError out of the kind walk; a YAML
+                # null (`r: ~`) normalizes to {} so every downstream
+                # membership/get walk sees a dict
+                if ccfg is None:
+                    ccfg = {}
+                if not isinstance(ccfg, dict):
+                    raise ConfigError(
+                        f"{key}.{cid}: component config must be a "
+                        f"mapping, got {type(ccfg).__name__}")
+                out[cid] = ccfg
+            return out
+
+        self.receivers: dict[str, dict] = section("receivers")
+        self.processors: dict[str, dict] = section("processors")
+        self.exporters: dict[str, dict] = section("exporters")
+        self.connectors: dict[str, dict] = section("connectors")
+        pipes = section("pipelines")
         if not pipes:
             raise ConfigError("config must declare at least one pipeline")
         self.pipelines: dict[str, Pipeline] = {}
         for name, p in pipes.items():
-            p = p or {}
+            p = p or {}   # section() already fenced non-mapping configs
             self.pipelines[name] = Pipeline(
                 name=name,
                 receivers=_ids(p.get("receivers"), f"pipelines.{name}.receivers"),
