@@ -94,3 +94,17 @@ def test_component_config_type_fences():
                        }).validate_kinds()
     with pytest.raises(ConfigError, match="component config must"):
         PipelineGraph({"pipelines": {"p": 7}})
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz()[]\"',. =!<>-_0123456789${}",
+               max_size=40))
+def test_ottl_statement_parser_never_leaks(text):
+    """The transform processor's statement-text surface obeys the same
+    contract: parse or OttlSyntaxError, never a raw exception."""
+    from otel_arrow_collector_spark.functions.ottl_parser import (
+        OttlSyntaxError, parse_statement)
+    try:
+        parse_statement(text)
+    except OttlSyntaxError as e:
+        assert str(e)
