@@ -38,10 +38,20 @@ class ResolveError(ValueError):
     """Unknown scheme, missing file/env var, or expansion cycle."""
 
 
+def _load_yaml(text: str, what: str):
+    """safe_load fenced to the ResolveError contract: malformed YAML in
+    ANY provider surfaces as the typed config error, never a raw
+    yaml.ParserError/ScannerError out of the resolver."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError as e:
+        raise ResolveError(f"{what}: invalid YAML: {e}") from e
+
+
 def _file_provider(uri: str):
     try:
         with open(uri, encoding="utf-8") as f:
-            return yaml.safe_load(f.read())
+            return _load_yaml(f.read(), f"file provider {uri!r}")
     except OSError as e:
         raise ResolveError(f"file provider: cannot read {uri!r}: {e}") from e
 
@@ -49,11 +59,11 @@ def _file_provider(uri: str):
 def _env_provider(uri: str):
     if uri not in os.environ:
         raise ResolveError(f"env provider: ${uri} is not set")
-    return yaml.safe_load(os.environ[uri])
+    return _load_yaml(os.environ[uri], f"env provider ${uri}")
 
 
 def _yaml_provider(uri: str):
-    return yaml.safe_load(uri)
+    return _load_yaml(uri, "yaml provider")
 
 
 def _http_provider_for(scheme: str) -> Callable[[str], object]:

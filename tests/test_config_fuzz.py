@@ -108,3 +108,18 @@ def test_ottl_statement_parser_never_leaks(text):
         parse_statement(text)
     except OttlSyntaxError as e:
         assert str(e)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz${}:/=.-_ \n'\"[]0123456789",
+               max_size=40))
+def test_confmap_resolve_never_leaks(text):
+    """Any URI string — malformed YAML documents included — resolves or
+    raises ResolveError; raw yaml.ParserError/ScannerError out of a
+    provider is a bug (found by this sweep, fenced in _load_yaml)."""
+    from otel_arrow_collector_spark.plans.confmap import resolve
+    for uri in (text, "yaml:" + text):
+        try:
+            resolve(uri)
+        except ResolveError as e:
+            assert str(e)
