@@ -81,6 +81,30 @@ class TelemetryConfig:
     resource: dict = field(default_factory=dict)
 
 
+def _mapping(val, what: str) -> dict:
+    """dict() fenced to ConfigError for arbitrary config values."""
+    val = val or {}
+    if not isinstance(val, dict):
+        raise ConfigError(f"{what}: must be a mapping, "
+                          f"got {type(val).__name__}")
+    return dict(val)
+
+
+def _str_list(val, what: str, default: list[str]) -> list[str]:
+    """List-of-strings config fence: a bare string means one entry
+    (the friendly YAML shorthand), a list coerces per-element, anything
+    else is the typed config error — list("stderr") exploding into
+    characters is a silent misparse, not a feature."""
+    if val is None:
+        return list(default)
+    if isinstance(val, str):
+        return [val]
+    if isinstance(val, (list, tuple)):
+        return [str(x) for x in val]
+    raise ConfigError(f"{what}: must be a list of strings, "
+                      f"got {type(val).__name__}")
+
+
 def parse_telemetry(section) -> TelemetryConfig:
     """Map a ``telemetry:`` confmap section to :class:`TelemetryConfig`
     with the reference's validation: unknown log/metric levels and
@@ -90,9 +114,10 @@ def parse_telemetry(section) -> TelemetryConfig:
         return TelemetryConfig()
     if not isinstance(section, dict):
         raise ConfigError("telemetry section must be a mapping")
-    logs_d = dict(section.get("logs") or {})
-    metrics_d = dict(section.get("metrics") or {})
-    traces_d = dict(section.get("traces") or {})
+
+    logs_d = _mapping(section.get("logs"), "telemetry.logs")
+    metrics_d = _mapping(section.get("metrics"), "telemetry.metrics")
+    traces_d = _mapping(section.get("traces"), "telemetry.traces")
 
     level = str(logs_d.get("level", "info")).lower()
     if level not in LOG_LEVELS:
@@ -102,7 +127,7 @@ def parse_telemetry(section) -> TelemetryConfig:
     if encoding not in LOG_ENCODINGS:
         raise ConfigError(f"telemetry.logs.encoding: unrecognized "
                           f"encoding {encoding!r}")
-    sampling = dict(logs_d.get("sampling") or {})
+    sampling = _mapping(logs_d.get("sampling"), "telemetry.logs.sampling")
     logs = LogsConfig(
         level=level, encoding=encoding,
         development=bool(logs_d.get("development", False)),
@@ -110,8 +135,10 @@ def parse_telemetry(section) -> TelemetryConfig:
         disable_stacktrace=bool(logs_d.get("disable_stacktrace", False)),
         sampling_initial=int(sampling.get("initial", 0)),
         sampling_thereafter=int(sampling.get("thereafter", 0)),
-        output_paths=list(logs_d.get("output_paths") or ["stderr"]),
-        initial_fields=dict(logs_d.get("initial_fields") or {}),
+        output_paths=_str_list(logs_d.get("output_paths"),
+                               "telemetry.logs.output_paths", ["stderr"]),
+        initial_fields=_mapping(logs_d.get("initial_fields"),
+                                "telemetry.logs.initial_fields"),
     )
 
     mlevel = str(metrics_d.get("level", "basic")).lower()
@@ -133,7 +160,8 @@ def parse_telemetry(section) -> TelemetryConfig:
         raise ConfigError("telemetry.traces.samples_per_bucket must be "
                           ">= 1")
     return TelemetryConfig(logs=logs, metrics=metrics, traces=traces,
-                           resource=dict(section.get("resource") or {}))
+                           resource=_mapping(section.get("resource"),
+                                             "telemetry.resource"))
 
 
 class _JsonFormatter(logging.Formatter):

@@ -123,3 +123,27 @@ def test_confmap_resolve_never_leaks(text):
             resolve(uri)
         except ResolveError as e:
             assert str(e)
+
+
+@settings(max_examples=400, deadline=None)
+@given(cfg=_CFG)
+def test_telemetry_section_never_leaks(cfg):
+    """telemetry: parsing obeys the contract too — arbitrary subsection
+    types (logs: true, resource: -1, output_paths: 3) are ConfigErrors,
+    and a bare-string output_paths means one path, never the
+    list("stderr") character explosion."""
+    from otel_arrow_collector_spark.plans.telemetry import parse_telemetry
+    def call():
+        parse_telemetry(cfg if isinstance(cfg, dict) else {"logs": cfg})
+    _check(call)
+
+
+def test_telemetry_output_paths_shapes():
+    from otel_arrow_collector_spark.plans.pipeline import ConfigError
+    from otel_arrow_collector_spark.plans.telemetry import parse_telemetry
+    import pytest
+    assert parse_telemetry(
+        {"logs": {"output_paths": "stdout"}}).logs.output_paths == ["stdout"]
+    assert parse_telemetry({"logs": {}}).logs.output_paths == ["stderr"]
+    with pytest.raises(ConfigError, match="list of strings"):
+        parse_telemetry({"logs": {"output_paths": 3}})
