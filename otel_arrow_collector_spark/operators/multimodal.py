@@ -2526,3 +2526,72 @@ SELECT doc_a, doc_b, hamming FROM pairs
 WHERE hamming <= {PHASH_HAM_MAX}
 ORDER BY doc_a, doc_b LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# inline data-URI extraction (crawl HTML -> embedded image payloads)
+# ---------------------------------------------------------------------------
+
+#: the crawl-pipeline regex for inline images (RFC 2397 data URIs)
+DATA_URI_RE = r'data:([a-z+/-]+);base64,([A-Za-z0-9+/=]+)'
+
+
+def multimodal_data_uri(spark, sf_dir):
+    """Inline-image extraction — the crawl-pipeline step that pulls
+    data-URI payloads (RFC 2397) out of HTML before media processing:
+    per doc a synthetic HTML line embeds the doc's leading 24 utf-8
+    bytes as an ``<img src="data:image/bmp;base64,...">`` attribute;
+    the extractor regexp-captures mime + base64 body and decodes it —
+    ENTIRELY JVM-side (regexp_extract + unbase64, zero Python) — and
+    publishes the payload digest next to an INDEPENDENTLY computed
+    digest of the source byte slice, so both base64 legs and the regex
+    capture are value-gated cross-engine (the identity-transport
+    property, cc_pipeline's oracle shape).
+
+    Scale shape: pure map over the corpus — one scan, no shuffle
+    before the presentation sort; at 100 TB this is exactly the
+    scan-side extraction a curation funnel fuses with its other gates.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<p>pre</p><img alt="x" src="'),
+        F.lit("data:image/bmp;base64,"),
+        F.base64(F.encode(F.substring("text", 1, 24), "utf-8")),
+        F.lit('"/><p>post</p>'))
+    ex = d.select(
+        "doc_id",
+        F.regexp_extract(html, DATA_URI_RE, 1).alias("mime"),
+        F.unbase64(F.regexp_extract(html, DATA_URI_RE, 2)).alias("payload"),
+        F.encode(F.substring("text", 1, 24), "utf-8").alias("src"))
+    return (ex.select(
+        "doc_id", "mime",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.md5(F.hex("src")).alias("src_md5"))
+        .orderBy("doc_id").limit(300))
+
+
+QUERIES["multimodal_data_uri"] = multimodal_data_uri
+ORACLES["multimodal_data_uri"] = r"""
+WITH d AS (SELECT doc_id, text FROM documents),
+h AS (
+  SELECT doc_id,
+         '<p>pre</p><img alt="x" src="data:image/bmp;base64,'
+         || to_base64(encode(substring(text, 1, 24)))
+         || '"/><p>post</p>' AS html,
+         encode(substring(text, 1, 24)) AS src
+  FROM d),
+ex AS (
+  SELECT doc_id,
+         regexp_extract(html, 'data:([a-z+/-]+);base64,([A-Za-z0-9+/=]+)', 1)
+           AS mime,
+         from_base64(regexp_extract(html,
+           'data:([a-z+/-]+);base64,([A-Za-z0-9+/=]+)', 2)) AS payload,
+         src
+  FROM h)
+SELECT doc_id, mime,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       md5(hex(payload)) AS payload_md5,
+       md5(hex(src)) AS src_md5
+FROM ex ORDER BY doc_id LIMIT 300
+"""

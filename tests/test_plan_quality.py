@@ -678,3 +678,14 @@ def test_q96_changepoint_windows_over_day_cardinality(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition(event_type" in plan
+
+
+def test_data_uri_extraction_is_pure_jvm_map(spark):
+    """multimodal_data_uri: regex capture + base64 decode stay
+    ENTIRELY JVM-side — zero Python stages, zero joins, one scan."""
+    import re as _re
+    plan = _plan(spark, "multimodal_data_uri")
+    assert "Join" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)
+    assert plan.count("Scan parquet") == 2      # one scan, printed twice
