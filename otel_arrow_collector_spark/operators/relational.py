@@ -3533,14 +3533,14 @@ def q92(spark, sf_dir):
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
 chg AS (
-  SELECT user_id, event_type, us,
+  SELECT user_id, event_type, us, event_id,
          CASE WHEN LAG(event_type) OVER w IS NULL
                 OR LAG(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS is_chg
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
 isl AS (
   SELECT user_id, event_type, us,
-         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us
+         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS island
   FROM chg),
 runs AS (
@@ -3583,8 +3583,10 @@ def q93(spark, sf_dir):
                1).otherwise(0))
     isl = chg.withColumn(
         "island",
+        # the SAME (us, event_id) total order as the change flag —
+        # ordering by us alone would make timestamp ties nondeterministic
         F.sum("is_chg").over(
-            Window.partitionBy("user_id").orderBy("us")
+            Window.partitionBy("user_id").orderBy("us", "event_id")
                   .rowsBetween(Window.unboundedPreceding,
                                Window.currentRow)))
     runs = (isl.groupBy("user_id", "island")

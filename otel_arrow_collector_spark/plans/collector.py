@@ -39,9 +39,11 @@ def _pop_extensions(cfg: dict) -> tuple[dict, list[str]]:
     """Split the extension sections out of the resolved config:
     top-level ``extensions:`` declares instances, ``service.extensions``
     (lifted to ``service_extensions``) enables them."""
+    from .extensions import _id_list
     declared = cfg.pop("extensions", None) or {}
-    enabled = cfg.pop("service_extensions", None) or []
-    return declared, list(enabled)
+    enabled = _id_list(cfg.pop("service_extensions", None),
+                       "service.extensions")
+    return declared, enabled
 
 
 class State(Enum):

@@ -64,8 +64,33 @@ KNOWN_EXTENSION_TYPES = ("file_storage", "bearer_token_auth", "zpages",
                          "nop")
 
 
-def validate_extensions(declared: dict, enabled: list[str]) -> None:
+def _id_list(val, what: str) -> list[str]:
+    """Extension-id list fence: a bare string means one id (the YAML
+    shorthand), a list coerces with per-element type checks — never
+    list('zpages') exploding into characters."""
+    if val is None:
+        return []
+    if isinstance(val, str):
+        return [val]
+    if isinstance(val, (list, tuple)):
+        out = []
+        for x in val:
+            if not isinstance(x, str):
+                raise ConfigError(f"{what}: extension ids must be "
+                                  f"strings, got {type(x).__name__}")
+            out.append(x)
+        return out
+    raise ConfigError(f"{what}: must be a list of extension ids, "
+                      f"got {type(val).__name__}")
+
+
+def validate_extensions(declared, enabled) -> None:
     """Config-time checks shared by `validate` and the run cycle."""
+    declared = declared or {}
+    if not isinstance(declared, dict):
+        raise ConfigError(f"extensions: must be a mapping of extension "
+                          f"ids, got {type(declared).__name__}")
+    enabled = _id_list(enabled, "service.extensions")
     dup = {e for e in enabled if enabled.count(e) > 1}
     if dup:
         # extensions.go builds a map keyed by id: one instance per id;
@@ -82,16 +107,34 @@ def validate_extensions(declared: dict, enabled: list[str]) -> None:
         if t not in KNOWN_EXTENSION_TYPES:
             raise ConfigError(f"extension {ext_id!r}: unknown type {t!r}")
         cfg = declared.get(ext_id) or {}
+        if not isinstance(cfg, dict):
+            raise ConfigError(f"extension {ext_id!r}: config must be a "
+                              f"mapping, got {type(cfg).__name__}")
         if t == "bearer_token_auth" and not cfg.get("token"):
             raise ConfigError(f"extension {ext_id!r}: bearer_token_auth "
                               f"needs a `token:`")
 
 
-def build_extensions(declared: dict, enabled: list[str]) -> BuiltExtensions:
+def build_extensions(declared, enabled) -> BuiltExtensions:
     """Build + start the enabled extensions in declaration order
-    (extensions.go Start loop)."""
+    (extensions.go Start loop).  A failure mid-build shuts down the
+    partial set — including unregistering any authenticator names —
+    so a retried Collector.start() does not hit "already registered"
+    on a registry poisoned by the failed attempt."""
     validate_extensions(declared, enabled)
+    declared = declared or {}
+    enabled = _id_list(enabled, "service.extensions")
     built = BuiltExtensions()
+    try:
+        _build_into(built, declared, enabled)
+    except BaseException:
+        built.shutdown()
+        raise
+    return built
+
+
+def _build_into(built: BuiltExtensions, declared: dict,
+                enabled: list[str]) -> None:
     for ext_id in enabled:
         cfg = declared.get(ext_id) or {}
         t = _ext_type(ext_id)
@@ -119,7 +162,6 @@ def build_extensions(declared: dict, enabled: list[str]) -> BuiltExtensions:
         start = getattr(built.instances[ext_id], "start", None)
         if callable(start):
             start()
-    return built
 
 
 def normalize_service_layout(cfg: dict) -> dict:
@@ -145,7 +187,8 @@ def normalize_service_layout(cfg: dict) -> dict:
     if "extensions" in svc:
         if "service_extensions" in out:
             raise ConfigError("service.extensions declared twice")
-        out["service_extensions"] = list(svc["extensions"] or [])
+        out["service_extensions"] = _id_list(svc["extensions"],
+                                             "service.extensions")
     unknown = set(svc) - {"pipelines", "telemetry", "extensions"}
     if unknown:
         raise ConfigError(f"service: unknown keys {sorted(unknown)}")

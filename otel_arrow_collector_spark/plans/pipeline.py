@@ -112,7 +112,7 @@ PROCESSOR_KINDS = ("filter", "project", "transform", "batch",
 EXPORTER_KINDS = ("console", "parquet", "pb", "http", "grpc", "memory",
                   "null", "arrow_stream")
 CONNECTOR_KINDS = ("forward", "router", "spanmetrics")
-EXTENSION_KINDS = ("file_storage", "zpages", "bearer_token_auth")
+EXTENSION_KINDS = ("file_storage", "zpages", "bearer_token_auth", "nop")
 
 
 class PipelineGraph:
@@ -288,6 +288,12 @@ class PipelineGraph:
             if kind in ("parquet", "pb") and "path" not in cfg:
                 raise ConfigError(f"exporter {eid!r}: {kind} kind needs "
                                   f"a `path:`")
+            if kind == "pb" and "signal" not in cfg:
+                # the sink thunk defers cfg["signal"] into its lambda,
+                # so without this check `validate` would pass a config
+                # that dies with a raw KeyError at export time
+                raise ConfigError(f"exporter {eid!r}: pb kind needs "
+                                  f"a `signal:`")
             if kind in ("http", "grpc", "arrow_stream") \
                     and "endpoint" not in cfg:
                 raise ConfigError(f"exporter {eid!r}: {kind} kind needs "

@@ -206,9 +206,14 @@ class FileStorageExtension:
             # filename injective while keeping it human-readable.
             raw = "\x00".join(key).encode("utf-8")
             tag = hashlib.md5(raw).hexdigest()[:8]
-            fname = "~".join(_safe(p) for p in key) + f"~{tag}.kv"
-            self._clients[key] = FileStorageClient(
-                os.path.join(self.directory, fname))
+            stem = "~".join(_safe(p) for p in key)
+            path = os.path.join(self.directory, f"{stem}~{tag}.kv")
+            legacy = os.path.join(self.directory, f"{stem}.kv")
+            if not os.path.exists(path) and os.path.exists(legacy):
+                # state persisted under the pre-digest naming scheme
+                # migrates forward instead of being silently orphaned
+                os.replace(legacy, path)
+            self._clients[key] = FileStorageClient(path)
         return self._clients[key]
 
     def shutdown(self) -> None:

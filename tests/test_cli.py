@@ -164,3 +164,20 @@ def test_set_flag_rejects_missing_equals_and_empty_key():
         _set_to_yaml_uri("no_equals_here")
     with _pytest.raises(ValueError, match="invalid --set key"):
         _set_to_yaml_uri("...=v")
+
+
+def test_validate_requires_pb_exporter_signal(tmp_path):
+    """`validate` must catch the pb exporter's missing signal: the sink
+    thunk defers cfg['signal'] into its lambda, so without the config-
+    time check the run would die with a raw KeyError at export time."""
+    cfg = tmp_path / "pb.yaml"
+    cfg.write_text("""
+receivers:
+  src: {kind: parquet, path: /root/testdata/sf0.001/events.parquet}
+exporters:
+  e: {kind: pb, path: /tmp/out_pb}
+pipelines:
+  p: {receivers: [src], exporters: [e]}
+""")
+    r = _cli("validate", "--config", str(cfg))
+    assert r.returncode == 1 and "needs a `signal:`" in r.stderr

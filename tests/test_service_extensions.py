@@ -159,3 +159,71 @@ service:
 def test_duplicate_enabled_extension_rejected():
     with pytest.raises(ConfigError, match="more than once"):
         validate_extensions({"nop": None}, ["nop", "nop"])
+
+
+def test_partial_build_failure_unregisters_auth(tmp_path):
+    """A failure mid-build must shut down the partial set — including
+    unregistering authenticator names — or every retry in the process
+    hits 'already registered' on the poisoned global registry."""
+    blocked = tmp_path / "blocked"
+    blocked.write_text("not a directory")
+    declared = {"bearer_token_auth/t9": {"token": "x"},
+                "file_storage": {"directory": str(blocked / "sub")}}
+    enabled = ["bearer_token_auth/t9", "file_storage"]
+    with pytest.raises(Exception):
+        build_extensions(declared, enabled)
+    with pytest.raises(ValueError, match="not found"):
+        resolve_authenticator("bearer_token_auth/t9")
+    # and a corrected retry builds cleanly
+    declared["file_storage"]["directory"] = str(tmp_path / "ok")
+    built = build_extensions(declared, enabled)
+    built.shutdown()
+
+
+def test_extension_config_type_fences():
+    """The config-contract sweep's discipline: scalar/list-shaped
+    extension sections are ConfigErrors, never raw AttributeError."""
+    with pytest.raises(ConfigError, match="config must be a mapping"):
+        validate_extensions({"bearer_token_auth/t": "sekrit"},
+                            ["bearer_token_auth/t"])
+    with pytest.raises(ConfigError, match="must be a mapping"):
+        validate_extensions(["nop"], ["nop"])
+    with pytest.raises(ConfigError, match="ids must be strings"):
+        validate_extensions({"nop": None}, [5])
+    # bare-string shorthand means ONE id, not list('zpages') characters
+    validate_extensions({"zpages": {}}, "zpages")
+    cfg = normalize_service_layout(
+        {"service": {"pipelines": {"p": {}}, "extensions": "zpages"}})
+    assert cfg["service_extensions"] == ["zpages"]
+
+
+def test_extension_kinds_inventory_in_lock_step():
+    """The components CLI dumps pipeline.EXTENSION_KINDS; it must agree
+    with the factory types validate/build accept."""
+    from otel_arrow_collector_spark.plans.extensions import \
+        KNOWN_EXTENSION_TYPES
+    from otel_arrow_collector_spark.plans.pipeline import EXTENSION_KINDS
+    assert set(EXTENSION_KINDS) == set(KNOWN_EXTENSION_TYPES)
+
+
+def test_storage_legacy_filename_migrates(tmp_path):
+    """State persisted under the pre-digest naming scheme is picked up
+    (renamed forward), not silently orphaned."""
+    from otel_arrow_collector_spark.plans.storage import (
+        FileStorageClient, FileStorageExtension)
+    ext = FileStorageExtension(str(tmp_path))
+    digest_path = ext.get_client("exporter", "otlp")._path
+    ext.shutdown()
+    # simulate the old layout: the digest-less stem of the same scope
+    stem, _tag = digest_path.rsplit("~", 1)
+    legacy = stem + ".kv"
+    old = FileStorageClient(legacy)
+    old.set("offset", b"42")
+    old.close()
+    import os
+    if os.path.exists(digest_path):
+        os.unlink(digest_path)             # drop the digest-named file
+    ext2 = FileStorageExtension(str(tmp_path))
+    c2 = ext2.get_client("exporter", "otlp")
+    assert c2.get("offset") == b"42"
+    ext2.shutdown()

@@ -262,6 +262,13 @@ def main() -> int:
                     failures.append(
                         f"{name}@x{k}: plan shape changed vs x{scales[0]}: "
                         f"{dict(diff)}")
+                # zip() would silently truncate: EXTRA collects at
+                # higher scale are themselves growth and must fail
+                if len(internal) != len(base_internal):
+                    failures.append(
+                        f"{name}@x{k}: internal collect COUNT changed "
+                        f"with scale: {len(base_internal)} -> "
+                        f"{len(internal)} ({base_internal} -> {internal})")
                 grow = [b for a, b in zip(base_internal, internal)
                         if b > max(a * 1.1, a + 8)]
                 if grow:
