@@ -424,6 +424,16 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
         new = map_put(F.col(col), key, _attr_struct(val))
         return _conditional(df, col, new, cond)
 
+    if fn == "delete_key":
+        # the upstream OTTL spelling (ottlfuncs README: delete_key(map,
+        # "key")) — same semantics as the engine's delete(map["key"])
+        if len(stmt.args) != 2 or stmt.args[1][0] != "str":
+            raise OttlSyntaxError(
+                "delete_key() wants (map_path, \"key\")")
+        col = _map_col(stmt.args[0])
+        new = map_delete(F.col(col), stmt.args[1][1])
+        return _conditional(df, col, new, cond)
+
     if fn == "delete":
         k, path = stmt.args[0]
         kind, col, key = _parse_path(path)

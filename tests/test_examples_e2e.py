@@ -61,3 +61,18 @@ def test_curation_example_gates_quality(tmp_path):
     assert got == want > 0
     # the audit console exporter printed sample rows alongside the sink
     assert "doc_id" in r.stdout
+
+
+def test_relay_example_runs_against_a_real_spool(spark, tmp_path):
+    """examples/otlp_relay.yaml runs end to end: a recorded pb spool of
+    generated traces flows through the OTTL transform + memory limiter
+    to the console exporter via the CLI, and the transform's set/delete
+    statements are visible in the dump."""
+    from otel_arrow_collector_spark.model import generate_traces
+    from otel_arrow_collector_spark.sources.otlp_pb import write_otlp_pb
+    spool = str(tmp_path / "spool_pb")
+    write_otlp_pb(generate_traces(spark, 6), spool, "traces")
+    r = _cli("--config", "examples/otlp_relay.yaml",
+             "--set", f"receivers.src/spool.path={spool}")
+    assert r.returncode == 0, r.stderr
+    assert "env" in r.stdout            # set(attributes["env"], "prod")

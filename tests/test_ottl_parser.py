@@ -284,3 +284,15 @@ def test_converter_calls_in_where_clauses(td):
     out3 = apply_statement(
         td, 'drop() where Substring(name, 0, 9) == "operation"')
     assert out3.count() == 0
+
+
+def test_delete_key_matches_delete_path_form(spark):
+    """delete_key(attributes, "k") — the upstream ottlfuncs spelling —
+    is byte-equivalent to the engine's delete(attributes["k"])."""
+    from otel_arrow_collector_spark.functions.ottl_parser import \
+        apply_statements
+    from otel_arrow_collector_spark.model import generate_traces
+    df = generate_traces(spark, 4)
+    a = apply_statements(df, ['delete_key(attributes, "http.method")'])
+    b = apply_statements(df, ['delete(attributes["http.method"])'])
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
