@@ -275,6 +275,22 @@ class PipelineGraph:
                 raise ConfigError(f"processor {pid!r}: filter needs `where:`")
             if kind == "project" and "exprs" not in cfg:
                 raise ConfigError(f"processor {pid!r}: project needs `exprs:`")
+            if kind == "transform" and cfg.get("statements"):
+                # statement TEXT parses Spark-free: a syntax error must
+                # be the validate contract, not a compile-time surprise
+                from ..functions.ottl_parser import (OttlSyntaxError,
+                                                     parse_statement)
+                stmts = cfg["statements"]
+                if not isinstance(stmts, (list, tuple)):
+                    raise ConfigError(f"processor {pid!r}: statements "
+                                      f"must be a list")
+                for st in stmts:
+                    try:
+                        parse_statement(str(st))
+                    except OttlSyntaxError as e:
+                        raise ConfigError(
+                            f"processor {pid!r}: bad OTTL statement "
+                            f"{st!r}: {e}") from None
             if kind == "memory_limiter":
                 from .memlimit import MemLimitConfigError, parse_memlimiter
                 try:

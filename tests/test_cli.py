@@ -181,3 +181,30 @@ pipelines:
 """)
     r = _cli("validate", "--config", str(cfg))
     assert r.returncode == 1 and "needs a `signal:`" in r.stderr
+
+
+def test_validate_parses_transform_statements(tmp_path):
+    """A transform processor's OTTL statement text is parsed at
+    validate time (Spark-free) — a typo exits 1 with the defect, not a
+    compile-time surprise after `validate` said OK."""
+    cfg = tmp_path / "ottl.yaml"
+    cfg.write_text("""
+receivers:
+  src: {kind: parquet, path: /root/testdata/sf0.001/events.parquet}
+processors:
+  t:
+    kind: transform
+    statements: ['set(attributes["env"], prod']
+exporters:
+  e: {kind: "null"}
+pipelines:
+  p: {receivers: [src], processors: [t], exporters: [e]}
+""")
+    r = _cli("validate", "--config", str(cfg))
+    assert r.returncode == 1 and "bad OTTL statement" in r.stderr
+    ok = tmp_path / "ottl_ok.yaml"
+    ok.write_text(cfg.read_text().replace(
+        "'set(attributes[\"env\"], prod'",
+        "'set(attributes[\"env\"], \"prod\")'"))
+    r2 = _cli("validate", "--config", str(ok))
+    assert r2.returncode == 0, r2.stderr
