@@ -318,6 +318,18 @@ class PipelineGraph:
             kind = (cfg or {}).get("kind", "forward")
             if kind not in CONNECTOR_KINDS:
                 raise ConfigError(f"connector {cid!r}: unknown kind {kind!r}")
+            if kind == "router":
+                routes = cfg.get("routes", [])
+                if not isinstance(routes, (list, tuple)):
+                    raise ConfigError(f"connector {cid!r}: routes must "
+                                      f"be a list")
+                for i, r in enumerate(routes):
+                    if not isinstance(r, dict) or "where" not in r:
+                        # compile reads r["where"] — a malformed route
+                        # must fail validate, not KeyError at compile
+                        raise ConfigError(
+                            f"connector {cid!r}: routes[{i}] needs a "
+                            f"mapping with a `where:`")
 
     # ------------------------- compilation -------------------------------
 

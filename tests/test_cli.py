@@ -208,3 +208,20 @@ pipelines:
         "'set(attributes[\"env\"], \"prod\")'"))
     r2 = _cli("validate", "--config", str(ok))
     assert r2.returncode == 0, r2.stderr
+
+
+def test_validate_checks_router_route_shapes(tmp_path):
+    cfg = tmp_path / "router.yaml"
+    cfg.write_text("""
+receivers:
+  src: {kind: parquet, path: /root/testdata/sf0.001/events.parquet}
+connectors:
+  route: {kind: router, routes: [{pipelines: [out]}]}
+exporters:
+  e: {kind: "null"}
+pipelines:
+  in: {receivers: [src], exporters: [route]}
+  out: {receivers: [route], exporters: [e]}
+""")
+    r = _cli("validate", "--config", str(cfg))
+    assert r.returncode == 1 and "needs a mapping with a `where:`" in r.stderr
