@@ -76,3 +76,29 @@ def test_relay_example_runs_against_a_real_spool(spark, tmp_path):
              "--set", f"receivers.src/spool.path={spool}")
     assert r.returncode == 0, r.stderr
     assert "env" in r.stdout            # set(attributes["env"], "prod")
+
+
+def test_router_example_splits_disjoint_and_complete(tmp_path):
+    """examples/router_split.yaml: the routed stores partition the
+    input — errors land in one sink, everything else in the default,
+    nothing lost, nothing duplicated."""
+    e_out = str(tmp_path / "errors")
+    m_out = str(tmp_path / "main")
+    r = _cli("--config", "examples/router_split.yaml",
+             "--set", f"exporters.sink/errors.path={e_out}",
+             "--set", f"exporters.sink/main.path={m_out}")
+    assert r.returncode == 0, r.stderr
+    con = duckdb.connect()
+    ne = con.execute(f"SELECT COUNT(*) FROM '{e_out}/*.parquet' "
+                     "WHERE event_type = 'error'").fetchone()[0]
+    ne_all = con.execute(
+        f"SELECT COUNT(*) FROM '{e_out}/*.parquet'").fetchone()[0]
+    nm = con.execute(f"SELECT COUNT(*) FROM '{m_out}/*.parquet' "
+                     "WHERE event_type = 'error'").fetchone()[0]
+    nm_all = con.execute(
+        f"SELECT COUNT(*) FROM '{m_out}/*.parquet'").fetchone()[0]
+    total = con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 "
+        "END) FROM '/root/testdata/sf0.001/events.parquet'").fetchone()
+    assert ne == ne_all == total[1] > 0      # every error, only errors
+    assert nm == 0 and nm_all == total[0] - total[1]
