@@ -66,6 +66,7 @@ _NEWEST_FIRST = [
     "q94_attribution", "text_cooccur_lift", "ann_loo_accuracy",
     "multimodal_resample", "q95_cdc_apply", "embedding_drift",
     "multimodal_phash_dedup", "q96_changepoint", "multimodal_data_uri",
+    "text_keywords", "ann_ivf_cell_quality",
     # Recently-rotated queries (all driver-green in r07) backfill.
     "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
     "multimodal_decode_quarantine",

@@ -1187,3 +1187,67 @@ JOIN n na ON na.label = d.label AND na.half = 0
 JOIN n nb ON nb.label = d.label AND nb.half = 1
 ORDER BY d.label
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-quality report (the index-maintenance monitor)
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_cell_quality(spark, sf_dir):
+    """IVF index health report — the per-cell monitor an ANN deployment
+    watches to decide when to re-train: per cell, the member count, the
+    balance ratio vs a perfectly even split (integer permille: 1000 *
+    n * cells // total), and cohesion as the EXACT integer sum of
+    floor(cos_to_centroid * 1e6) per member plus the loosest member's
+    cosine — skewed or loose cells mean the trained centroids no longer
+    fit the corpus.
+
+    Scale shape: one pass over the persisted assignments with the
+    <=8-row centroid relation broadcast; everything aggregates per cid
+    (map-side combinable; |cells| rows out).  The micro-unit floor
+    keeps the cohesion sum order-free and exact at any scale (the
+    embedding_drift discipline); only min_cos is a float, rounded.
+    """
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    cos = (F.expr(_s_dot("embedding", "c_emb"))
+           / (F.col("v_nrm") * F.col("c_nrm")))
+    per = (a.join(F.broadcast(cents), "cid")
+           .select("cid",
+                   F.floor(cos * 1_000_000).cast("long").alias("cos_u"),
+                   cos.alias("cos_raw")))
+    stats = (per.groupBy("cid")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("cos_u").cast("long").alias("cohesion_u"),
+                  F.round(F.min("cos_raw"), 6).alias("min_cos")))
+    tot = stats.select(F.sum("n").alias("total"),
+                       F.count(F.lit(1)).alias("cells"))
+    return (stats.crossJoin(F.broadcast(tot))
+            .select("cid", "n",
+                    F.expr("1000 * n * cells div total").cast("long")
+                     .alias("balance_permille"),
+                    "cohesion_u", "min_cos")
+            .orderBy("cid"))
+
+
+QUERIES["ann_ivf_cell_quality"] = ann_ivf_cell_quality
+ORACLES["ann_ivf_cell_quality"] = _DUCK_ASSIGN_CTE + f""",
+per AS (
+  SELECT a.cid,
+         CAST(FLOOR({_d_cos("a.embedding", "c.c_emb")} * 1000000)
+              AS BIGINT) AS cos_u,
+         {_d_cos("a.embedding", "c.c_emb")} AS cos_raw
+  FROM assign a JOIN c{KMEANS_ITERS} c USING (cid)),
+stats AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cos_u) AS BIGINT) AS cohesion_u,
+         ROUND(MIN(cos_raw), 6) AS min_cos
+  FROM per GROUP BY cid),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS cells FROM stats)
+SELECT s.cid, s.n,
+       CAST(1000 * s.n * t.cells // t.total AS BIGINT)
+         AS balance_permille,
+       s.cohesion_u, s.min_cos
+FROM stats s, tot t ORDER BY s.cid
+"""

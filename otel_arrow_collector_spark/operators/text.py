@@ -1241,3 +1241,70 @@ SELECT word_a, word_b, c_ab,
 FROM pairs, n
 ORDER BY lift_permille DESC, word_a, word_b LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (the tagging/labeling pass)
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def text_keywords(spark, sf_dir):
+    """Per-document keyword extraction — the tagging pass that labels
+    every document with its most salient terms (the index/faceting
+    input): salience = tf x idf-surrogate with the idf kept integer
+    (idf_milli = 1000 * n_docs // df, monotone in ln(N/df) so the
+    RANKING matches true tf-idf), top KEYWORDS_PER_DOC per doc with a
+    total-order tie-break.
+
+    Scale shape: term frequencies are one (doc, word) aggregation of
+    the exploded corpus; document frequencies aggregate the distinct
+    pairs; the salience rank windows PER DOCUMENT (bounded partitions —
+    never a global vocabulary sort), and n_docs rides in as a broadcast
+    1-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (d.select("doc_id", F.explode(_words()).alias("word"))
+             .filter(F.col("word") != ""))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfc, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "word",
+                      F.expr("tf * (1000 * n_docs div df)")
+                       .cast("long").alias("salience")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(),
+                                             "word")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KEYWORDS_PER_DOC)
+            .select("doc_id", F.col("rk").cast("long").alias("rk"),
+                    "word", "salience")
+            .orderBy("doc_id", "rk").limit(600))
+
+
+QUERIES["text_keywords"] = text_keywords
+ORACLES["text_keywords"] = f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf
+       FROM words GROUP BY doc_id, word),
+dfc AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word,
+         CAST(t.tf * (1000 * n.n_docs // d.df) AS BIGINT) AS salience
+  FROM tf t JOIN dfc d USING (word), n),
+ranked AS (
+  SELECT doc_id, word, salience,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY salience DESC, word) AS rk
+  FROM scored)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, salience
+FROM ranked WHERE rk <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rk LIMIT 600
+"""

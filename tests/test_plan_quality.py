@@ -689,3 +689,23 @@ def test_data_uri_extraction_is_pure_jvm_map(spark):
     assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
                           plan)
     assert plan.count("Scan parquet") == 2      # one scan, printed twice
+
+
+def test_keywords_windows_per_document(spark):
+    """text_keywords: the salience rank windows PER DOCUMENT (bounded
+    partitions), the df join is keyed, and n_docs is the broadcast
+    1-row aggregate — never a global vocabulary sort."""
+    plan = _plan(spark, "text_keywords")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+    nested = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nested <= 1                          # the 1-row n_docs side
+    assert "TakeOrderedAndProject" in plan      # presentation top-600
+
+
+def test_cell_quality_is_one_aggregation_pass(spark):
+    """ann_ivf_cell_quality: one pass over the persisted assignments
+    with broadcast centroids; per-cid hash aggregates; no window."""
+    plan = _plan(spark, "ann_ivf_cell_quality")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan

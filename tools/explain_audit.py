@@ -38,7 +38,8 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q92_slo_burn", "q93_scd2_merge", "q94_attribution",
            "q95_cdc_apply", "dedup_source_overlap", "text_cooccur_lift",
            "ann_loo_accuracy", "multimodal_resample", "embedding_drift",
-           "multimodal_phash_dedup", "q96_changepoint", "multimodal_data_uri"]
+           "multimodal_phash_dedup", "q96_changepoint", "multimodal_data_uri",
+           "text_keywords", "ann_ivf_cell_quality"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
