@@ -175,8 +175,12 @@ class Collector:
         try:
             new_plan = self._setup()
         except (ConfigError, ValueError):
-            self.state = State.CLOSED
-            self.plan = None
+            # collector.go failed-apply path is a FULL Shutdown: if
+            # _setup died after build_extensions succeeded, the fresh
+            # extensions are already started and their authenticator
+            # names registered — shutdown() unwinds them so a retry
+            # doesn't hit "already registered" on a poisoned registry.
+            self.shutdown()
             raise
         self.plan = new_plan
         return self.plan.run()

@@ -103,6 +103,10 @@ def validate_extensions(declared, enabled) -> None:
             raise ConfigError(
                 f"service.extensions references undeclared extension "
                 f"{ext_id!r}")
+    # the reference fails unmarshal for ANY declared extension with an
+    # unavailable factory or malformed config, enabled or not — so
+    # validate every declared id, not just the enabled subset
+    for ext_id in declared:
         t = _ext_type(ext_id)
         if t not in KNOWN_EXTENSION_TYPES:
             raise ConfigError(f"extension {ext_id!r}: unknown type {t!r}")

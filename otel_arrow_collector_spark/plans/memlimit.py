@@ -180,10 +180,12 @@ def parse_memlimiter(cfg: dict, *,
 
 # -- row-footprint pricing ---------------------------------------------------
 
-_FIXED = {T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
-          T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
-          T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
-          T.TimestampNTZType: 8}
+# UnsafeRow stores every fixed-width field in one 8-byte word
+# regardless of logical width (bool and long cost the same), so the
+# footprint of any fixed type is exactly one word.
+_FIXED = (T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+          T.FloatType, T.DateType, T.LongType, T.DoubleType,
+          T.TimestampType, T.TimestampNTZType)
 
 
 def _value_bytes(v, dtype) -> int:
@@ -191,9 +193,8 @@ def _value_bytes(v, dtype) -> int:
     accounting shape: 8-byte word per field + variable payloads)."""
     if v is None:
         return 8
-    for t, size in _FIXED.items():
-        if isinstance(dtype, t):
-            return 8 if size <= 8 else size
+    if isinstance(dtype, _FIXED):
+        return 8
     if isinstance(dtype, T.StringType):
         return 8 + len(str(v).encode("utf-8"))
     if isinstance(dtype, T.BinaryType):

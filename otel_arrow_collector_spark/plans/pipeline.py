@@ -488,7 +488,9 @@ class PipelineGraph:
                     avg = estimate_row_bytes(gdf.limit(256).collect(),
                                              gdf.schema)
                     est = int(avg * n)
-                    if est > soft:
+                    # >= : aboveSoftLimit refuses AT the threshold
+                    # (memorylimiter.go:315 Alloc >= limit - spike)
+                    if est >= soft:
                         raise DataRefusedError(
                             f"memory_limiter {pid!r}: estimated input "
                             f"{est} B exceeds soft limit {soft} B "

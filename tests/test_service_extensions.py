@@ -227,3 +227,50 @@ def test_storage_legacy_filename_migrates(tmp_path):
     c2 = ext2.get_client("exporter", "otlp")
     assert c2.get("offset") == b"42"
     ext2.shutdown()
+
+
+_BAD_GRAPH = """
+receivers:
+  mem/src: {kind: memory}
+exporters:
+  sink/mem: {kind: memory}
+extensions:
+  bearer_token_auth/tenant:
+    token: sekrit
+service:
+  extensions: [bearer_token_auth/tenant]
+  pipelines:
+    p: {receivers: [missing_receiver], exporters: [sink/mem]}
+"""
+
+
+def test_failed_reload_unwinds_extensions(spark, tmp_path):
+    """collector.go's failed-apply path is a FULL Shutdown: when reload's
+    _setup dies AFTER build_extensions succeeded (graph compile error),
+    the freshly started extensions must be torn down and their
+    authenticator names unregistered — a later collector reusing the
+    same ids must not hit 'already registered'."""
+    src = spark.range(0, 3)
+    col = Collector(spark, "yaml:" + CANONICAL % str(tmp_path / "s1"),
+                    sources={"mem/src": src})
+    col.start()
+    with pytest.raises(ConfigError):
+        col.reload("yaml:" + _BAD_GRAPH)
+    assert col.extensions is None
+    with pytest.raises(ValueError, match="not found"):
+        resolve_authenticator("bearer_token_auth/tenant")
+    # registry is clean: same ids build again
+    col2 = Collector(spark, "yaml:" + CANONICAL % str(tmp_path / "s2"),
+                     sources={"mem/src": src})
+    col2.start()
+    col2.shutdown()
+
+
+def test_declared_but_not_enabled_extension_still_validated():
+    """The reference fails unmarshal for ANY declared extension with an
+    unknown factory or bad config, even if service.extensions does not
+    enable it."""
+    with pytest.raises(ConfigError, match="unknown type"):
+        validate_extensions({"wat/x": {}}, [])
+    with pytest.raises(ConfigError, match="token"):
+        validate_extensions({"bearer_token_auth/t": {}}, [])
