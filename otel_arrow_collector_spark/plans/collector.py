@@ -74,6 +74,13 @@ class Collector:
         self.span_recorder = None
         self.graph = None
         self.extensions = None
+        # process self-telemetry starts its uptime clock at collector
+        # construction and survives reloads (process_telemetry.go
+        # registers once at service start)
+        from .proctelemetry import ProcessMetrics
+        self.process_metrics = ProcessMetrics()
+        self.exposition = None
+        self._prom_server = None
 
     # -- DryRun: parse + validate + compile, never materialize -------------
 
@@ -125,6 +132,23 @@ class Collector:
         # it as their obsreport= (level "none" collects nothing)
         from ..exporters.obsreport import ObsReport
         self.obsreport = ObsReport(level=self.telemetry.metrics.level)
+        # Prometheus scrape surface (service/telemetry.go:173-209 +
+        # proctelemetry/config.go:148-161): render the collector's
+        # counters + process gauges; a standalone server only when
+        # service.telemetry.metrics.address is configured and the
+        # level isn't none (initOpenCensus is skipped at none)
+        from .proctelemetry import PrometheusExposition, serve_prometheus
+        if self._prom_server is not None:        # reload: rebind address
+            self._prom_server.close()
+            self._prom_server = None
+        self.exposition = PrometheusExposition(
+            obsreport=self.obsreport, process=self.process_metrics,
+            resource=self.telemetry.resource,
+            level=self.telemetry.metrics.level)
+        if (self.telemetry.metrics.address
+                and self.telemetry.metrics.level != "none"):
+            self._prom_server = serve_prometheus(
+                self.exposition, self.telemetry.metrics.address)
         if self.telemetry.traces.enabled:
             from .zpages import SpanRecorder
             if self.span_recorder is None:
@@ -209,4 +233,9 @@ class Collector:
         if getattr(self, "extensions", None) is not None:
             self.extensions.shutdown()
             self.extensions = None
+        # telemetryInitializer.shutdown closes its metric servers
+        # (service/telemetry.go:211-221)
+        if getattr(self, "_prom_server", None) is not None:
+            self._prom_server.close()
+            self._prom_server = None
         clear_caches()      # release memoized persisted DataFrames

@@ -92,7 +92,7 @@ class OtlpHttpReceiver:
                  authenticator=None,
                  max_pending_files: int = 100_000,
                  max_body_bytes: int = 64 * 1024 * 1024,
-                 tls=None, zpages=None,
+                 tls=None, zpages=None, exposition=None,
                  record_client_info: bool = False):
         from .auth import resolve_authenticator
         self.spool_dir = spool_dir
@@ -103,6 +103,11 @@ class OtlpHttpReceiver:
         self.authenticator = resolve_authenticator(authenticator, token)
         self.tls = tls                       # TLSConfig | None (configtls)
         self.zpages = zpages                 # plans.zpages.ZPages | None
+        # plans.proctelemetry.PrometheusExposition | None: attaching one
+        # serves GET /metrics from this receiver's listener, the
+        # confighttp shared-server stance for an empty
+        # telemetry.metrics.address
+        self.exposition = exposition
         self.max_pending_files = max_pending_files
         self.max_body_bytes = max_body_bytes
         # client.Info surface (reference client/client.go:86-151): pb
@@ -264,6 +269,16 @@ class OtlpHttpReceiver:
         occupancy as JSON.  With a ``zpages`` object attached, also
         serves the reference's /debug/{servicez,pipelinez,extensionz,
         featurez} HTML pages (service/zpages.go:17-23)."""
+        if (self.exposition is not None
+                and h.path.split("?", 1)[0] == "/metrics"):
+            body = self.exposition.render()
+            h.send_response(200)
+            h.send_header("Content-Type",
+                          "text/plain; version=0.0.4; charset=utf-8")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            return None
         if self.zpages is not None and h.path.startswith("/debug/"):
             from urllib.parse import parse_qsl, urlsplit
             parts = urlsplit(h.path)
