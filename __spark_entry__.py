@@ -51,17 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the 10 queries whose only driver CORRECTNESS rows date
-    # from round 1, before six rounds of refactors touched their shared
-    # helpers (round-7 verdict ask #3) — they outrank newer work in the
-    # sampling order so CORRECTNESS_r08 re-greens them.
-    "ann_cosine_topk", "ann_ivf_assign", "ann_ivf_probe",
-    "ann_lsh_buckets", "dedup_simhash", "multimodal_binary_meta",
-    "text_fingerprint", "text_langid", "text_quality_score",
-    "text_token_stats",
-    # THEN any round-8 additions; whatever the sample budget does not
-    # reach this round rotates forward next round (commit-checklist
-    # rule: every new query gets a slot here).
+    # FIRST: the stalest driver rows (round-8 verdict ask #3) — the
+    # dedup family's newest CORRECTNESS rows date from r03 and the
+    # q22-q50 relational band from r04; they outrank newer work in the
+    # sampling order so CORRECTNESS_r09 re-greens them.
+    "dedup_cc_keep", "dedup_cc_labels", "dedup_embedding_cosine",
+    "dedup_exact_groups", "dedup_exact_stats", "dedup_minhash_keep",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "q35_tracestate", "q36_exp_histogram_merge", "q37_asof_join",
+    "q40_rate", "q41_histogram_merge", "q42_histogram_quantile",
+    "q45_salted_hot_key_join", "q46_retention_cohorts",
+    "q47_hopping_window", "q48_exp_histogram_quantile",
+    # THEN any round-9 additions (commit-checklist rule: every new
+    # query gets a slot here).
+    # THEN round-8 additions the r08 sample already covered; whatever
+    # the sample budget does not reach rotates forward next round.
     "dedup_source_overlap", "q92_slo_burn", "q93_scd2_merge",
     "q94_attribution", "text_cooccur_lift", "ann_loo_accuracy",
     "multimodal_resample", "q95_cdc_apply", "embedding_drift",

@@ -208,6 +208,19 @@ class Statement:
 
 _WHERE_SPLIT = re.compile(r"\)\s+where\s+", re.DOTALL)
 
+#: Every editor spelling the engine implements — the reference's own
+#: statement surface (docs/processing.md:150-266) plus the upstream
+#: ottlfuncs spellings with identical semantics (the delete_key lesson
+#: generalized).  parse_statement rejects anything else AT VALIDATE
+#: TIME, so a typo'd config fails `validate`, not a later compile.
+ACCEPTED_FUNCTIONS = frozenset({
+    "drop", "set", "delete", "delete_key", "delete_matching_keys",
+    "keep_keys", "keep_matching_keys", "truncate_all", "limit",
+    "replace_match", "replace_all_matches", "replace_pattern",
+    "replace_all_patterns", "replace_wildcards",
+    "group_by", "create_gauge",
+})
+
 
 def parse_statement(text: str) -> Statement:
     """``func(arg, ...) [where cond]`` -> Statement."""
@@ -216,6 +229,10 @@ def parse_statement(text: str) -> Statement:
     if not m:
         raise OttlSyntaxError(f"statement must be a function call: {text!r}")
     func = m.group(1)
+    if func not in ACCEPTED_FUNCTIONS:
+        raise OttlSyntaxError(
+            f"unknown OTTL function {func!r} (accepted: "
+            f"{', '.join(sorted(ACCEPTED_FUNCTIONS))})")
     # find the matching close paren of the call (strings may contain parens)
     depth, i, in_str = 0, m.end() - 1, False
     while i < len(text):
@@ -447,6 +464,72 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
         col = _map_col(stmt.args[0])
         keys = [v for k, v in stmt.args[1:] if k == "str"]
         return _conditional(df, col, keep_keys(F.col(col), *keys), cond)
+
+    if fn in ("delete_matching_keys", "keep_matching_keys"):
+        # upstream ottlfuncs spellings: filter a map by key regex —
+        # delete_matching_keys(map, pattern) drops matching keys,
+        # keep_matching_keys keeps only them
+        if len(stmt.args) != 2 or stmt.args[1][0] != "str":
+            raise OttlSyntaxError(f"{fn}() wants (map_path, \"pattern\")")
+        col, pat = _map_col(stmt.args[0]), stmt.args[1][1]
+        keep = ((lambda k, v: ~k.rlike(pat))
+                if fn == "delete_matching_keys"
+                else (lambda k, v: k.rlike(pat)))
+        return _conditional(df, col, F.map_filter(F.col(col), keep), cond)
+
+    if fn == "replace_pattern":
+        # upstream spelling: replace_pattern(target, regex, replacement)
+        # — replace_match with a real regex instead of a glob
+        (k, path) = stmt.args[0]
+        pat, repl = stmt.args[1][1], stmt.args[2][1]
+        kind, col, key = _parse_path(path)
+        if kind == "column":
+            return _conditional(df, col,
+                                F.regexp_replace(F.col(col), pat, repl),
+                                cond)
+        cur = F.col(col)[key]["s"]
+        upd = map_put(F.col(col), key,
+                      _attr_struct(F.regexp_replace(cur, pat, repl)))
+        keep_cond = F.col(col)[key].isNotNull()
+        keep_cond = keep_cond if cond is None else (keep_cond & cond)
+        return df.withColumn(col, F.when(keep_cond, upd)
+                             .otherwise(F.col(col)))
+
+    if fn == "replace_all_patterns":
+        # upstream spelling: replace_all_patterns(map, mode, regex,
+        # replacement) with mode "key"|"value"; the 3-arg legacy form
+        # means value mode
+        col = _map_col(stmt.args[0])
+        if len(stmt.args) == 4:
+            mode, pat, repl = (stmt.args[1][1], stmt.args[2][1],
+                               stmt.args[3][1])
+        else:
+            mode, pat, repl = "value", stmt.args[1][1], stmt.args[2][1]
+        if mode not in ("key", "value"):
+            raise OttlSyntaxError(
+                f"replace_all_patterns() mode must be key|value, "
+                f"got {mode!r}")
+        if mode == "key":
+            new = F.transform_keys(
+                F.col(col), lambda k, v: F.regexp_replace(k, pat, repl))
+        else:
+            # typed attr model: the regex applies to the string arm
+            new = F.transform_values(
+                F.col(col),
+                lambda k, v: F.when(
+                    v["s"].isNotNull(),
+                    _attr_struct(F.regexp_replace(v["s"], pat, repl))
+                ).otherwise(v))
+        return _conditional(df, col, new, cond)
+
+    if fn == "replace_wildcards":
+        # the reference's own example spelling (docs/processing.md:258:
+        # replace_wildcards(pattern, replacement, target)) — pattern
+        # first; identical semantics to replace_match(target, pat, repl)
+        stmt = Statement("replace_match",
+                         [stmt.args[2], stmt.args[0], stmt.args[1]],
+                         stmt.where)
+        return apply_statement(df, stmt)
 
     if fn == "replace_match":
         (k, path) = stmt.args[0]
