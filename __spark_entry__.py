@@ -64,6 +64,8 @@ _NEWEST_FIRST = [
     "q47_hopping_window", "q48_exp_histogram_quantile",
     # THEN any round-9 additions (commit-checklist rule: every new
     # query gets a slot here).
+    "ann_pq_adc_topk", "sketch_theta_intersection", "text_dedup_spans",
+    "graph_label_propagation", "dedup_contamination",
     # THEN round-8 additions the r08 sample already covered; whatever
     # the sample budget does not reach rotates forward next round.
     "dedup_source_overlap", "q92_slo_burn", "q93_scd2_merge",

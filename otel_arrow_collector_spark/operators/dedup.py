@@ -947,3 +947,82 @@ JOIN sizes sb ON sb.source = e.src_b
 LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
 ORDER BY e.src_a, e.src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination screen
+# ---------------------------------------------------------------------------
+
+#: sliding shingle width (tokens) and the distinct shared-shingle count
+#: at which a training doc counts as contaminated by a benchmark doc
+CONTAM_SHINGLE_W = 3
+CONTAM_MIN_SHARED = 2
+
+
+def dedup_contamination(spark, sf_dir):
+    """Benchmark contamination screen — the decontamination pass every
+    LLM training pipeline runs before a corpus ships (GPT-3 appendix C,
+    PaLM §C.2: strike training docs sharing n-gram spans with the eval
+    sets): a deterministic held-out slice (doc_id % 97 == 0) plays the
+    benchmark; every (train doc, bench doc) pair sharing >=
+    CONTAM_MIN_SHARED distinct CONTAM_SHINGLE_W-token shingles is
+    reported with its shared-shingle count and a contaminated flag.
+    Unlike pairwise near-dup (MinHash), this is the ASYMMETRIC
+    set-vs-corpus shape: the benchmark side is tiny and fixed, the
+    corpus side is the 100 TB operand.
+
+    Scale shape: both sides shingle with a constant-factor explode +
+    per-doc distinct; the benchmark shingle relation is benchmark-sized
+    (broadcast — eval sets are MBs while the corpus is TBs), so the
+    probe is a broadcast hash join against the corpus shingle stream
+    with NO shuffle of the big side; the (train, bench) count is the
+    only exchange, and it is overlap-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    W = CONTAM_SHINGLE_W
+    toks = F.split("text", " ")
+    sh = (d.select("doc_id", toks.alias("ts"), F.size(toks).alias("n"))
+          .filter(F.col("n") >= W)
+          .select("doc_id", F.explode(F.sequence(
+              F.lit(0).cast("long"), F.col("n") - W)).alias("i"),
+              "ts")
+          .select("doc_id",
+                  F.md5(F.array_join(
+                      F.slice("ts", F.col("i").cast("int") + 1, W), " "))
+                  .alias("h"))
+          .distinct())
+    bench = (sh.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_doc"), "h"))
+    train = (sh.filter(F.col("doc_id") % 97 != 0)
+             .select(F.col("doc_id").alias("train_doc"), "h"))
+    return (train.join(F.broadcast(bench), "h")
+            .groupBy("train_doc", "bench_doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .select("train_doc", "bench_doc", "n_shared",
+                    (F.col("n_shared") >= CONTAM_MIN_SHARED)
+                    .alias("contaminated"))
+            .orderBy("train_doc", "bench_doc"))
+
+
+QUERIES["dedup_contamination"] = dedup_contamination
+ORACLES["dedup_contamination"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(
+               list_slice(ts, i.i + 1, i.i + {CONTAM_SHINGLE_W}), ' '))
+           AS h
+  FROM t, unnest(range(0, n - {CONTAM_SHINGLE_W} + 1)) AS i(i)
+  WHERE n >= {CONTAM_SHINGLE_W}),
+bench AS (SELECT doc_id AS bench_doc, h FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id AS train_doc, h FROM sh WHERE doc_id % 97 != 0)
+SELECT tr.train_doc, b.bench_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       (COUNT(*) >= {CONTAM_MIN_SHARED}) AS contaminated
+FROM train tr JOIN bench b USING (h)
+GROUP BY tr.train_doc, b.bench_doc
+ORDER BY tr.train_doc, b.bench_doc
+"""

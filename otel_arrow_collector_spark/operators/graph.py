@@ -296,3 +296,88 @@ r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
 SELECT node, CAST(rank AS BIGINT) AS rank
 FROM r3 ORDER BY rank DESC, node
 """
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+#: synchronous LPA iterations (determinism > convergence, the PR_ITERS
+#: adjudication)
+LPA_ITERS = 3
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the co-purchase graph: every node starts as its own label;
+    each iteration every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — the deterministic variant,
+    so LPA_ITERS unrolled iterations are exactly reproducible in SQL
+    and the oracle gates real community assignments.  (Distinct from
+    dedup's connected components: LPA splits a connected graph into
+    dense communities; CC only finds reachability.)
+
+    Scale shape: per iteration ONE join of the edge list against the
+    |nodes|-row label relation (ranks-side broadcast, the PageRank
+    adjudication), one (node, label) count, one per-node rank window
+    — iteration state is |nodes| rows, never edge-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = copurchase_edges(li)
+    edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionAll(e.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(LPA_ITERS):
+        neigh = (edges.join(
+                    F.broadcast(labels.withColumnRenamed("node", "dst")),
+                    "dst")
+                 .groupBy(F.col("src").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (neigh.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label"))
+    return (labels.select(F.col("node").cast("long").alias("node"),
+                          F.col("label").cast("long").alias("label"))
+            .orderBy("node"))
+
+
+def _lpa_iter_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, r.label,
+           COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, r.label)
+             AS rk
+    FROM edges e JOIN {prev} r ON r.node = e.dst
+    GROUP BY e.src, r.label)
+  WHERE rk = 1)"""
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLES["graph_label_propagation"] = f"""
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+  WHERE instr('{_HEX}',
+              substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1
+        < {BASKET_SAMPLE_HEX}),
+deg AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN deg ON deg.o = ps.o
+          WHERE deg.ns <= {MAX_BASKET}),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs),
+r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{_lpa_iter_sql('r0', 'r1')},
+{_lpa_iter_sql('r1', 'r2')},
+{_lpa_iter_sql('r2', 'r3')}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM r3 ORDER BY node
+"""

@@ -875,6 +875,36 @@ def _dlit(x: float) -> str:
     return f"CAST({x!r} AS DOUBLE)"
 
 
+def _pq_clit(C, s: int) -> str:
+    """Codebook slice for subspace s as a constant nested array."""
+    return ("array(" + ", ".join(
+        "array(" + ", ".join(_dlit(c) for c in C[s][k]) + ")"
+        for k in range(len(C[s]))) + ")")
+
+
+def _pq_dist(C, s: int, vec: str = "ve") -> str:
+    """Squared euclidean of ``vec``'s s-th slice vs candidate k's slice;
+    sequential fold i = 1..PQ_DSUB (oracle-identical order).  k is the
+    enclosing lambda's variable (runtime index into the literal
+    codebook — constant expression size, no CASE blowup)."""
+    return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
+            f"(a, i) -> a + ({vec}[{s * PQ_DSUB} + i - 1] "
+            f"- element_at(element_at({_pq_clit(C, s)}, k + 1), i)) "
+            f"* ({vec}[{s * PQ_DSUB} + i - 1] "
+            f"- element_at(element_at({_pq_clit(C, s)}, k + 1), i)))")
+    # NB: Spark [] subscripts are 0-based, element_at/DuckDB 1-based
+
+
+def _pq_best_struct(C, s: int) -> str:
+    """Runtime left fold over candidate codes: strict < keeps the
+    lowest code on ties (== the oracle's ORDER BY d, code)."""
+    return (f"aggregate(sequence(0, {len(C[s]) - 1}), "
+            f"named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), "
+            f"(acc, k) -> CASE WHEN {_pq_dist(C, s)} < acc.d "
+            f"THEN named_struct('d', {_pq_dist(C, s)}, 'c', k) "
+            f"ELSE acc END)")
+
+
 def ann_pq_codes(spark, sf_dir):
     """Product-quantization encoding accounting: every vector maps to
     PQ_M 3-bit codes (nearest sub-centroid per 8-dim slice, squared
@@ -892,33 +922,7 @@ def ann_pq_codes(spark, sf_dir):
     unrolled k-means CTE chain — reproduces every double bit for bit.
     """
     C = _pq_codebook(spark, sf_dir)
-
-    def clit(s: int) -> str:
-        # codebook slice for subspace s as a constant nested array
-        return ("array(" + ", ".join(
-            "array(" + ", ".join(_dlit(c) for c in C[s][k]) + ")"
-            for k in range(len(C[s]))) + ")")
-
-    def dist(s: int) -> str:
-        # squared euclidean of the s-th slice vs candidate k's slice;
-        # sequential fold i = 1..PQ_DSUB (oracle-identical order).
-        # k is the enclosing lambda's variable (runtime index into the
-        # literal codebook — constant expression size, no CASE blowup).
-        return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
-                f"(a, i) -> a + (ve[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({clit(s)}, k + 1), i)) "
-                f"* (ve[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({clit(s)}, k + 1), i)))")
-        # NB: Spark [] subscripts are 0-based, element_at/DuckDB 1-based
-
-    def best_struct(s: int) -> str:
-        # runtime left fold over candidate codes: strict < keeps the
-        # lowest code on ties (== the oracle's ORDER BY d, code).
-        return (f"aggregate(sequence(0, {len(C[s]) - 1}), "
-                f"named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1), "
-                f"(acc, k) -> CASE WHEN {dist(s)} < acc.d "
-                f"THEN named_struct('d', {dist(s)}, 'c', k) "
-                f"ELSE acc END)")
+    best_struct = lambda s: _pq_best_struct(C, s)  # noqa: E731
 
     be = bucketed_embeddings(spark, sf_dir)
     ve = be.select("vec_id", F.expr(
@@ -945,7 +949,9 @@ def ann_pq_codes(spark, sf_dir):
 
 
 QUERIES["ann_pq_codes"] = ann_pq_codes
-ORACLES["ann_pq_codes"] = f"""
+#: shared oracle prefix: the per-(vector, subspace) PQ code assignment
+#: (reused by ann_pq_codes and ann_pq_adc_topk)
+_PQ_CODES_CTE = f"""
 {_DUCK_ASSIGN_CTE},
 ve AS (
   SELECT vec_id,
@@ -968,11 +974,101 @@ codes AS (
     SELECT vec_id, s, code, d,
            ROW_NUMBER() OVER (PARTITION BY vec_id, s
                               ORDER BY d, code) AS rk
-    FROM dists) WHERE rk = 1)
+    FROM dists) WHERE rk = 1)"""
+
+ORACLES["ann_pq_codes"] = f"""{_PQ_CODES_CTE}
 SELECT CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(SUM(CAST(floor(d * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_nano
 FROM codes GROUP BY s, code ORDER BY s, code
+"""
+
+
+#: ADC top-k size
+ADC_K = 10
+
+
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC, Jegou et al. 2011 §IV): the
+    query vector stays exact; every database vector is its 8 PQ codes;
+    approx distance = sum over subspaces of the squared euclidean from
+    the query's slice to the CODE's sub-centroid.  This is the path a
+    billion-vector store actually serves queries through — codes live
+    in RAM, the codebook-vs-query lookup table is per-query constant
+    work, and the scan is a pure map + TakeOrdered(k).
+
+    Query = the embedding with MIN(vec_id) (deterministic, excluded
+    from results).  Distances are floored to integer nanos before the
+    rank so both engines order identical integers; ties break on
+    vec_id.  The subspace sum is a left-assoc + chain (s = 0..7), the
+    same fold order as the oracle's list_reduce, so every double is
+    bit-identical before the floor.
+
+    Scale shape: one broadcast of the 1-row query, per-row constant
+    fold work inside the scan (no shuffle), then a top-{ADC_K}
+    TakeOrdered — no global sort, no Python.
+    """
+    C = _pq_codebook(spark, sf_dir)
+    be = bucketed_embeddings(spark, sf_dir)
+    ve = be.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
+    qv = (ve.orderBy("vec_id").limit(1)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("ve").alias("qe")))
+    db = (ve.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id")))
+    folded = db.select(
+        "vec_id", "qe",
+        *[F.expr(_pq_best_struct(C, s)).alias(f"b{s}")
+          for s in range(PQ_M)])
+
+    def adc(s: int) -> str:
+        # query slice vs the CHOSEN code's sub-centroid (b{s}.c is a
+        # runtime index into the literal codebook, like the encoder)
+        cb = _pq_clit(C, s)
+        return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
+                f"(a, i) -> a + (qe[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({cb}, b{s}.c + 1), i)) "
+                f"* (qe[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({cb}, b{s}.c + 1), i)))")
+
+    total = " + ".join(f"({adc(s)})" for s in range(PQ_M))
+    scored = folded.select(
+        "vec_id",
+        F.expr(f"CAST(floor(({total}) * 1e9) AS BIGINT)")
+         .alias("adc_nano"))
+    top = scored.orderBy("adc_nano", "vec_id").limit(ADC_K)
+    w = Window.orderBy("adc_nano", "vec_id")
+    return top.select(F.row_number().over(w).cast("long").alias("rk"),
+                      "vec_id", "adc_nano")
+
+
+QUERIES["ann_pq_adc_topk"] = ann_pq_adc_topk
+ORACLES["ann_pq_adc_topk"] = f"""{_PQ_CODES_CTE},
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         vec_id AS q_id
+  FROM embeddings ORDER BY vec_id LIMIT 1),
+dq AS (
+  SELECT c.vec_id, c.s,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                 - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])
+                * (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                   - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])),
+           (a, v) -> a + v) AS d
+  FROM codes c
+  JOIN sub ON sub.s = c.s AND sub.code = c.code
+  CROSS JOIN q
+  WHERE c.vec_id != (SELECT q_id FROM q)),
+adc AS (
+  SELECT vec_id,
+         CAST(floor(list_reduce(list(d ORDER BY s), (a, v) -> a + v)
+                    * 1e9) AS BIGINT) AS adc_nano
+  FROM dq GROUP BY vec_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_nano, vec_id) AS BIGINT)
+         AS rk,
+       vec_id, adc_nano
+FROM adc ORDER BY adc_nano, vec_id LIMIT {ADC_K}
 """
 
 

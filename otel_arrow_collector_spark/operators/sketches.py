@@ -1017,3 +1017,166 @@ FROM cum, qs q
 WHERE cum >= (q.q * n + 99) // 100
 GROUP BY grp, q.q ORDER BY grp, q
 """
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketch: set-expression cardinalities (deterministic, md5-keyed)
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A| and |A ∪ B| (register MAX merges) but cannot estimate
+# |A ∩ B| without inclusion-exclusion error blowup; the theta (KMV)
+# sketch can (Beyer et al. 2007 "On synopses for distinct-value
+# estimation"; the Apache DataSketches theta family).  Keep the K
+# smallest 48-bit hashes per set; theta = the K-th smallest; the
+# intersection estimate counts common retained hashes below the SMALLER
+# theta.  State is K rows per set — mergeable, shuffle-bounded, the
+# 100 TB property.  All arithmetic is integer (hash values are 48-bit
+# md5 prefixes; estimates are (K-1)*2^48 // h_k), so DuckDB re-derives
+# every value exactly.
+
+#: retained minimum hashes per set
+THETA_K = 32
+#: hash range: 12 md5 hex chars
+THETA_RANGE = 1 << 48
+
+#: 48-bit integer from the first 12 hex chars of md5 (instr-based so
+#: both engines evaluate the identical integer polynomial)
+def _theta_hash_sql(key_sql: str, cast: str) -> str:
+    h = f"md5(CAST({key_sql} AS {cast}))"
+    return " + ".join(
+        f"(instr('{_HEX}', substring({h}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (11 - j)}"
+        for j in range(12))
+
+
+def sketch_theta_intersection(spark, sf_dir):
+    """Per event-type pair: KMV theta-sketch estimates of each user set
+    and of their intersection, next to the exact intersection size.
+
+    Scale shape: one distinct pass (hash-agg on (event_type, user_id)),
+    a per-set window rank capped at THETA_K rows retained per set,
+    then all joins run on the tiny K-row-per-set retained relation;
+    the exact audit is a self-join of the distinct pass on user_id.
+    Nothing driver-side, no Python.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    dist = events.select("event_type", "user_id").distinct()
+    h = dist.select(
+        "event_type", "user_id",
+        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
+         .alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    kept = rk.filter(F.col("rk") <= THETA_K)
+    theta = (kept.groupBy("event_type")
+             .agg(F.max("n").alias("n"),
+                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
+                   .alias("hk"))
+             .select(
+                 "event_type",
+                 F.when(F.col("n") >= THETA_K, F.col("hk"))
+                  .otherwise(F.lit(THETA_RANGE)).alias("th"),
+                 F.when(F.col("n") >= THETA_K,
+                        F.expr(f"{(THETA_K - 1) * THETA_RANGE} div hk"))
+                  .otherwise(F.col("n")).cast("long").alias("est")))
+    ka = kept.select(F.col("event_type").alias("type_a"),
+                     F.col("hv").alias("hv"))
+    kb = kept.select(F.col("event_type").alias("type_b"),
+                     F.col("hv").alias("hv"))
+    ta = theta.select(F.col("event_type").alias("type_a"),
+                      F.col("th").alias("th_a"),
+                      F.col("est").alias("est_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"),
+                      F.col("th").alias("th_b"),
+                      F.col("est").alias("est_b"))
+    common = (ka.join(kb, "hv")
+              .filter(F.col("type_a") < F.col("type_b"))
+              .join(F.broadcast(ta), "type_a")
+              .join(F.broadcast(tb), "type_b")
+              .filter(F.col("hv") < F.least("th_a", "th_b"))
+              .groupBy("type_a", "type_b", "th_a", "th_b",
+                       "est_a", "est_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    pairs = (ta.crossJoin(tb)
+             .filter(F.col("type_a") < F.col("type_b"))
+             .join(common.select("type_a", "type_b", "n_common"),
+                   ["type_a", "type_b"], "left")
+             .withColumn("n_common",
+                         F.coalesce("n_common", F.lit(0))))
+    exact = (dist.alias("x").join(dist.alias("y"), "user_id")
+             .filter(F.col("x.event_type") < F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("type_a"),
+                      F.col("y.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("exact_intersection")))
+    return (pairs.join(exact, ["type_a", "type_b"], "left")
+            .select(
+                "type_a", "type_b",
+                F.col("est_a").cast("long").alias("est_a"),
+                F.col("est_b").cast("long").alias("est_b"),
+                F.col("n_common").cast("long").alias("n_common"),
+                F.expr(f"n_common * {THETA_RANGE} div least(th_a, th_b)")
+                 .cast("long").alias("est_intersection"),
+                F.coalesce("exact_intersection", F.lit(0)).cast("long")
+                 .alias("exact_intersection"))
+            .orderBy("type_a", "type_b"))
+
+
+QUERIES["sketch_theta_intersection"] = sketch_theta_intersection
+ORACLES["sketch_theta_intersection"] = f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST({_theta_hash_sql("user_id", "VARCHAR")} AS BIGINT) AS hv
+  FROM dist),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h),
+kept AS (SELECT * FROM rk WHERE rk <= {THETA_K}),
+theta AS (
+  SELECT event_type,
+         CASE WHEN MAX(n) >= {THETA_K}
+              THEN MAX(CASE WHEN rk = {THETA_K} THEN hv END)
+              ELSE {THETA_RANGE} END AS th,
+         CASE WHEN MAX(n) >= {THETA_K}
+              THEN {(THETA_K - 1) * THETA_RANGE}
+                   // MAX(CASE WHEN rk = {THETA_K} THEN hv END)
+              ELSE MAX(n) END AS est
+  FROM kept GROUP BY event_type),
+common AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_common
+  FROM kept a
+  JOIN kept b ON a.hv = b.hv AND a.event_type < b.event_type
+  JOIN theta ta ON ta.event_type = a.event_type
+  JOIN theta tb ON tb.event_type = b.event_type
+  WHERE a.hv < LEAST(ta.th, tb.th)
+  GROUP BY 1, 2),
+exact AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS exact_intersection
+  FROM dist x JOIN dist y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+       CAST(ta.est AS BIGINT) AS est_a, CAST(tb.est AS BIGINT) AS est_b,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(c.n_common, 0) * {THETA_RANGE}
+            // LEAST(ta.th, tb.th) AS BIGINT) AS est_intersection,
+       CAST(COALESCE(e.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection
+FROM theta ta
+JOIN theta tb ON ta.event_type < tb.event_type
+LEFT JOIN common c ON c.type_a = ta.event_type
+                  AND c.type_b = tb.event_type
+LEFT JOIN exact e ON e.type_a = ta.event_type
+                 AND e.type_b = tb.event_type
+ORDER BY type_a, type_b
+"""

@@ -1308,3 +1308,99 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, salience
 FROM ranked WHERE rk <= {KEYWORDS_PER_DOC}
 ORDER BY doc_id, rk LIMIT 600
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-span boilerplate removal (paragraph dedup at the span level)
+# ---------------------------------------------------------------------------
+
+#: non-overlapping span width (tokens) and the distinct-document
+#: frequency at which a span counts as boilerplate
+SPAN_TOKENS = 4
+BOILER_DF = 3
+
+
+def text_dedup_spans(spark, sf_dir):
+    """Boilerplate-span removal — the paragraph-dedup stage every CC
+    pipeline runs (repeated nav/footer/disclaimer text is struck from
+    each document, the document itself survives): documents split into
+    non-overlapping SPAN_TOKENS-token spans; a span whose exact
+    content occurs in >= BOILER_DF distinct documents is boilerplate; each document
+    is reassembled from its kept spans in order.  Published per doc:
+    span counts, surviving token count, and the md5 of the cleaned
+    text (so a reassembly-order bug breaks the value hash).
+
+    Scale shape: the span explode is a constant-factor flatMap before
+    any shuffle; the document-frequency relation groups on the span
+    hash (near-uniform md5 keys — no skew), and the one join back runs
+    hash-to-hash; reassembly is a per-doc hash aggregate
+    (collect_list + array_sort, bounded by document length).  No
+    Python, no window over the corpus, no driver state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    W = SPAN_TOKENS
+    t = (d.select("doc_id", toks.alias("ts"), n.alias("n"),
+                  F.explode(F.sequence(
+                      F.lit(0).cast("long"),
+                      F.ceil(n / F.lit(float(W))).cast("long") - 1))
+                  .alias("i"))
+         .filter(F.col("i") * W < F.col("n")))
+    span = F.slice("ts", F.col("i").cast("int") * W + 1, W)
+    sp = t.select("doc_id", "i",
+                  F.array_join(span, " ").alias("txt"),
+                  F.size(span).cast("long").alias("w"))
+    sp = sp.withColumn("h", F.md5("txt"))
+    dfr = sp.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("span_df"))
+    j = sp.join(dfr, "h")
+    keep = F.col("span_df") < BOILER_DF
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                 F.sum((~keep).cast("long")).cast("long")
+                  .alias("n_boiler"),
+                 F.sum(F.when(keep, F.col("w")).otherwise(0))
+                  .cast("long").alias("kept_tokens"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("i", "txt")))),
+                         lambda x: x["txt"]),
+                     " ")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+QUERIES["text_dedup_spans"] = text_dedup_spans
+ORACLES["text_dedup_spans"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+ix AS (
+  SELECT doc_id, ts, n,
+         unnest(range(0, CAST(ceil(n / {SPAN_TOKENS}.0) AS BIGINT)))
+           AS i
+  FROM t),
+sp AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ts, i*{SPAN_TOKENS}+1,
+                                    i*{SPAN_TOKENS}+{SPAN_TOKENS}),
+                         ' ') AS txt,
+         len(list_slice(ts, i*{SPAN_TOKENS}+1,
+                        i*{SPAN_TOKENS}+{SPAN_TOKENS})) AS w
+  FROM ix WHERE i * {SPAN_TOKENS} < n),
+hs AS (SELECT *, md5(txt) AS h FROM sp),
+dfr AS (SELECT h, COUNT(DISTINCT doc_id) AS span_df FROM hs GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN span_df >= {BOILER_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN span_df < {BOILER_DF} THEN w ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       md5(COALESCE(string_agg(
+             CASE WHEN span_df < {BOILER_DF} THEN txt END, ' '
+             ORDER BY i), '')) AS clean_md5
+FROM hs JOIN dfr USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -709,3 +709,55 @@ def test_cell_quality_is_one_aggregation_pass(spark):
     plan = _plan(spark, "ann_ivf_cell_quality")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_adc_topk_is_map_plus_take_ordered(spark):
+    """ann_pq_adc_topk: the 1-row query broadcasts (nested-loop against
+    one row is the != join), fold work stays in the scan projection,
+    and the top-k is TakeOrdered — never a global sort of the corpus."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only join is the broadcast of the 1-row query vector
+    nested = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nested <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_sketch_retains_k_rows_per_set(spark):
+    """sketch_theta_intersection: per-set rank window (bounded at
+    THETA_K retained), all downstream joins on the retained relation,
+    thetas broadcast; no cartesian."""
+    plan = _plan(spark, "sketch_theta_intersection")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_dedup_spans_joins_on_span_hash(spark):
+    """text_dedup_spans: the df join keys on the md5 span hash (near-
+    uniform), reassembly is a hash aggregate — no window over the
+    corpus, no cartesian, no Python."""
+    plan = _plan(spark, "text_dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "array_sort" in plan                 # in-group reassembly
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_label_propagation_broadcasts_label_relation(spark):
+    """graph_label_propagation: each iteration joins the edge list
+    against the |nodes|-row label side as a BROADCAST (the PageRank
+    adjudication) with per-node rank windows; no cartesian."""
+    plan = _plan(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "windowspecdefinition(node" in plan
+
+
+def test_contamination_probe_broadcasts_bench_side(spark):
+    """dedup_contamination: the benchmark shingle relation broadcasts
+    (eval sets are MBs; the corpus side must not shuffle for the probe
+    join); no cartesian."""
+    plan = _plan(spark, "dedup_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -58,7 +58,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    "cc_pipeline_warc", "sketch_quantile_sampled",
                    "graph_triangle_count",
                    "q93_scd2_merge", "dedup_source_overlap",
-                   "text_cooccur_lift"]
+                   "text_cooccur_lift",
+                   # round-9 additions: per-doc tf-idf windows, per-cell
+                   # IVF health pass, banded-Hamming near-dup join
+                   "text_keywords", "ann_ivf_cell_quality",
+                   "multimodal_phash_dedup"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
