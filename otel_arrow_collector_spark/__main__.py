@@ -27,6 +27,7 @@ Exit codes mirror cobra RunE: 0 on success, 1 with the error on stderr.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from . import __version__
@@ -75,9 +76,13 @@ def _set_to_yaml_uri(s: str) -> str:
         raise ValueError(f"invalid --set key in {s!r}")
     value = s[idx + 1:].strip()
     doc = ""
+    # Keys are always strings (they came from a dot-split), so emit them
+    # double-quoted: a bare `no:` / `on:` / `012:` would YAML-resolve to
+    # bool/int and the override would land under the wrong key.  The
+    # VALUE stays bare on purpose — it must keep YAML-native typing.
     for depth, k in enumerate(keys[:-1]):
-        doc += " " * depth + k + ":\n"
-    doc += " " * (len(keys) - 1) + keys[-1] + ": " + value
+        doc += " " * depth + json.dumps(k) + ":\n"
+    doc += " " * (len(keys) - 1) + json.dumps(keys[-1]) + ": " + value
     return "yaml:" + doc
 
 

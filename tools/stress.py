@@ -62,7 +62,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # round-9 additions: per-doc tf-idf windows, per-cell
                    # IVF health pass, banded-Hamming near-dup join
                    "text_keywords", "ann_ivf_cell_quality",
-                   "multimodal_phash_dedup"]
+                   "multimodal_phash_dedup",
+                   # round-9 additions: iterative label joins, broadcast
+                   # set-vs-corpus shingle probe, ADC table-lookup scan
+                   "graph_label_propagation", "dedup_contamination",
+                   "ann_pq_adc_topk"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
