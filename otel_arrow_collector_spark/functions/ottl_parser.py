@@ -262,7 +262,25 @@ def parse_statement(text: str) -> Statement:
             raise OttlSyntaxError(f"unexpected trailing text {rest!r}")
         where = wm.group(1).strip()
     args = [_parse_arg(tok) for tok in _split_args(argtext)]
+    bounds = _ARITY.get(func)
+    if bounds and not (bounds[0] <= len(args) <= bounds[1]):
+        want = (str(bounds[0]) if bounds[0] == bounds[1]
+                else f"{bounds[0]}-{bounds[1]}")
+        raise OttlSyntaxError(
+            f"{func}() takes {want} arguments, got {len(args)}: {text!r}")
     return Statement(func, args, where)
+
+
+#: parse-time arity fences — everything the apply branches index into
+#: must be rejected by ``validate`` (which only parses), not crash at
+#: compile with a bare IndexError (the delete_key lesson generalized)
+_ARITY = {
+    "replace_pattern": (3, 3),
+    "replace_all_patterns": (3, 4),
+    "replace_wildcards": (3, 3),
+    "replace_match": (3, 3),
+    "replace_all_matches": (3, 3),
+}
 
 
 def _parse_arg(tok: str):
@@ -490,7 +508,11 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
         cur = F.col(col)[key]["s"]
         upd = map_put(F.col(col), key,
                       _attr_struct(F.regexp_replace(cur, pat, repl)))
-        keep_cond = F.col(col)[key].isNotNull()
+        # guard on the STRING arm, not mere key presence: an int/bool/
+        # double-armed attribute must pass through untouched (upstream
+        # replace_pattern is a no-op on non-string targets), not be
+        # overwritten with an all-null struct
+        keep_cond = cur.isNotNull()
         keep_cond = keep_cond if cond is None else (keep_cond & cond)
         return df.withColumn(col, F.when(keep_cond, upd)
                              .otherwise(F.col(col)))
@@ -510,8 +532,22 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
                 f"replace_all_patterns() mode must be key|value, "
                 f"got {mode!r}")
         if mode == "key":
-            new = F.transform_keys(
-                F.col(col), lambda k, v: F.regexp_replace(k, pat, repl))
+            # transform_keys alone dies under mapKeyDedupPolicy=EXCEPTION
+            # when the regex collapses two keys to one name; rebuild from
+            # entries keeping the LAST occurrence per renamed key (a
+            # deterministic pick where upstream's Go map insert order is
+            # not).  Attribute maps are small, so the per-entry lookahead
+            # scan is bounded.
+            renamed = F.transform(
+                F.map_entries(F.col(col)),
+                lambda e: F.struct(
+                    F.regexp_replace(e["key"], pat, repl).alias("key"),
+                    e["value"].alias("value")))
+            new = F.map_from_entries(F.filter(
+                renamed,
+                lambda e, i: ~F.exists(
+                    F.slice(renamed, i + F.lit(2), F.size(renamed)),
+                    lambda x: x["key"] == e["key"])))
         else:
             # typed attr model: the regex applies to the string arm
             new = F.transform_values(

@@ -175,7 +175,16 @@ class Collector:
         if self.state is State.CLOSED:
             raise RuntimeError("collector is closed")
         import time as _time
-        self.plan = self._setup()
+        try:
+            self.plan = self._setup()
+        except (ConfigError, ValueError):
+            # collector.go's Run error path shuts the service down in
+            # full: if _setup died after build_extensions succeeded, the
+            # extensions are started and their authenticator names
+            # registered — unwind them (same poisoned-registry fence as
+            # the reload() failed-apply path).
+            self.shutdown()
+            raise
         self.state = State.RUNNING
         t0 = _time.perf_counter()
         try:

@@ -388,3 +388,46 @@ def test_replace_wildcards_is_pattern_first_replace_match(td):
             '"/user/{userId}/list/{listId}", attributes["http.target"])')
     assert all(r.attributes["http.target"].s == "/user/{userId}/list/{listId}"
                for r in out.select("attributes").collect())
+
+
+def test_replace_pattern_nonstring_attr_is_noop(spark, td):
+    """Upstream replace_pattern only rewrites string-valued targets; an
+    int/bool/double-armed attribute must pass through untouched — not be
+    overwritten with an all-null struct (the key-presence guard bug)."""
+    df = spark.sql(
+        "SELECT map('retries', named_struct("
+        "  's', CAST(NULL AS STRING), 'i', CAST(3 AS BIGINT),"
+        "  'd', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS BOOLEAN),"
+        "  'json', CAST(NULL AS STRING))) AS attributes, 'opA' AS name")
+    out = apply_statement(
+        df, 'replace_pattern(attributes["retries"], "3", "9")')
+    r = out.select("attributes").collect()[0]
+    assert r.attributes["retries"].i == 3
+    assert r.attributes["retries"].s is None
+
+
+def test_replace_all_patterns_key_collision_last_wins(td):
+    """A key-mode regex that collapses two keys to one name must yield a
+    single deterministic entry (last occurrence wins), not die under
+    spark.sql.mapKeyDedupPolicy=EXCEPTION."""
+    td2 = apply_statement(td, 'set(attributes["web.target"], "W")')
+    out = apply_statement(
+        td2,
+        'replace_all_patterns(attributes, "key", "^(http|web)\\\\.", "url.")')
+    for r in out.select("attributes").collect():
+        assert set(r.attributes) == {"url.target"}
+        assert r.attributes["url.target"].s == "W"
+
+
+def test_parse_time_arity_fences():
+    """validate only parses — wrong-arity editor calls must be
+    OttlSyntaxError at parse time, never a bare IndexError at compile
+    (the delete_key lesson generalized)."""
+    for bad in ('replace_pattern(name, "x")',
+                'replace_all_patterns(attributes, "key")',
+                'replace_all_patterns(attributes, "key", "a", "b", "c")',
+                'replace_wildcards("/a/*", "/b")',
+                'replace_match(name, "x*")',
+                'replace_all_matches(attributes, "x*")'):
+        with pytest.raises(OttlSyntaxError, match="arguments"):
+            parse_statement(bad)

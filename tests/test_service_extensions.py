@@ -274,3 +274,22 @@ def test_declared_but_not_enabled_extension_still_validated():
         validate_extensions({"wat/x": {}}, [])
     with pytest.raises(ConfigError, match="token"):
         validate_extensions({"bearer_token_auth/t": {}}, [])
+
+
+def test_failed_start_unwinds_extensions(spark):
+    """collector.go's Run error path performs a full Shutdown: when the
+    FIRST start()'s _setup dies after build_extensions succeeded (graph
+    compile error), the already-started extensions must be torn down and
+    their authenticator names unregistered — otherwise a corrected
+    collector reusing the same ids hits 'already registered'."""
+    src = spark.range(0, 3)
+    col = Collector(spark, "yaml:" + _BAD_GRAPH, sources={"mem/src": src})
+    with pytest.raises(ConfigError):
+        col.start()
+    assert col.extensions is None
+    with pytest.raises(ValueError, match="not found"):
+        resolve_authenticator("bearer_token_auth/tenant")
+    # registry is clean: the same extension id builds again immediately
+    built = build_extensions({"bearer_token_auth/tenant": {"token": "s"}},
+                             ["bearer_token_auth/tenant"])
+    built.shutdown()
