@@ -1026,3 +1026,74 @@ FROM train tr JOIN bench b USING (h)
 GROUP BY tr.train_doc, b.bench_doc
 ORDER BY tr.train_doc, b.bench_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocked fuzzy matching (record linkage)
+# ---------------------------------------------------------------------------
+
+ER_MAX_DIST = 2       # levenshtein acceptance threshold
+
+
+def dedup_er_blocking(spark, sf_dir):
+    """Entity resolution by blocking + edit-distance verify over
+    ``customer``: candidate pairs are generated ONLY inside a blocking
+    key (c_nationkey, c_mktsegment) — the classic record-linkage plan —
+    then verified with levenshtein(name_a, name_b) <= ER_MAX_DIST.
+    Output is the per-block linkage report: member count, candidate
+    pair count, and verified-match count (all exact integers).
+
+    Scale shape: the self-join is an equality join on the block key
+    (ONE shuffle of each side; never all-pairs), and the quadratic
+    verify cost is bounded by the largest block — at 100 TB you keep
+    blocks bounded by refining the key (soundex/prefix salts), exactly
+    like LSH bands bound the near-dup verify.  levenshtein is
+    bit-identical in Spark and DuckDB, so the verify carries a full
+    oracle."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.col("c_nationkey").alias("nat"),
+                 F.col("c_mktsegment").alias("seg"),
+                 "c_custkey", "c_name"))
+    members = (c.groupBy("nat", "seg")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_members")))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (a.join(b, ["nat", "seg"])
+             .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+             .select("nat", "seg",
+                     F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+                      .alias("dist")))
+    pair_agg = (pairs.groupBy("nat", "seg")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                     F.sum((F.col("dist") <= ER_MAX_DIST).cast("long"))
+                      .cast("long").alias("n_matches")))
+    return (members.join(pair_agg, ["nat", "seg"], "left")
+            .select("nat", "seg", "n_members",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                     .alias("n_pairs"),
+                    F.coalesce("n_matches", F.lit(0)).cast("long")
+                     .alias("n_matches"))
+            .orderBy("nat", "seg"))
+
+
+QUERIES["dedup_er_blocking"] = dedup_er_blocking
+ORACLES["dedup_er_blocking"] = f"""
+WITH c AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg, c_custkey, c_name
+  FROM customer),
+members AS (
+  SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM c GROUP BY nat, seg),
+pair_agg AS (
+  SELECT a.nat, a.seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name)
+                            <= {ER_MAX_DIST} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches
+  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+                   AND a.c_custkey < b.c_custkey
+  GROUP BY a.nat, a.seg)
+SELECT m.nat, m.seg, m.n_members,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(p.n_matches, 0) AS BIGINT) AS n_matches
+FROM members m LEFT JOIN pair_agg p USING (nat, seg)
+ORDER BY nat, seg
+"""

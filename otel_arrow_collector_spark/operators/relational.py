@@ -3777,3 +3777,52 @@ def q96(spark, sf_dir):
                     F.col("b.a").cast("long").alias("max_abs_cusum"),
                     F.col("b.n").alias("n_days"))
             .orderBy("event_type"))
+
+@_register("q97_seasonal_spike", """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day, hod),
+base AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM hourly GROUP BY event_type, hod)
+SELECT h.event_type, h.day, h.hod, h.c, b.s AS hod_total,
+       b.n_cells
+FROM hourly h JOIN base b USING (event_type, hod)
+WHERE h.c * b.n_cells > 2 * b.s
+ORDER BY h.event_type, h.day, h.hod
+""")
+def q97(spark, sf_dir):
+    """Seasonal-baseline spike detection (the SRE shape next to q82's
+    anomaly days and q96's changepoint): per (event_type, hour-of-day)
+    cell, the cross-day mean hourly volume is the seasonal baseline;
+    emit the day-hours whose count exceeds 2x their own hour-of-day
+    baseline.  EXACT integers throughout: the mean is cross-multiplied
+    out (c > 2*s/n  <=>  c*n > 2*s), so there is no float division to
+    disagree on.
+
+    Scale shape: the fact collapses to |types| x |days| x 24 rows in
+    ONE hash aggregate; the baseline is a second aggregate of that tiny
+    frame (|types| x 24 rows) broadcast back.  Nothing after the first
+    aggregate touches the fact again — the q92/q96 hourly-spine
+    adjudication.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+                  "event_type",
+                  F.expr("ts_ns div 1000 div 86400000000")
+                   .cast("long").alias("day"),
+                  F.expr("(ts_ns div 1000 % 86400000000) div 3600000000")
+                   .cast("long").alias("hod"))
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    base = (hourly.groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("c").cast("long").alias("s")))
+    return (hourly.join(F.broadcast(base), ["event_type", "hod"])
+            .filter(F.col("c") * F.col("n_cells") > 2 * F.col("s"))
+            .select("event_type", "day", "hod", "c",
+                    F.col("s").alias("hod_total"), "n_cells")
+            .orderBy("event_type", "day", "hod"))

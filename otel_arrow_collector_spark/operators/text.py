@@ -1404,3 +1404,155 @@ SELECT doc_id,
 FROM hs JOIN dfr USING (h)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction: one merge-selection step
+# ---------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def text_bpe_merge(spark, sf_dir):
+    """One BPE training step: the corpus-weighted frequency of every
+    adjacent character pair, ranked — the argmax is the next merge rule
+    (Sennrich et al. 2016, the algorithm behind every production
+    tokenizer's vocab).  The classic scale trick is applied: pair counts
+    are computed over the DISTINCT-WORD vocabulary weighted by word
+    frequency, never over the raw corpus — the explode is vocab-sized
+    (thousands of rows), not corpus-sized (trillions of tokens at
+    100 TB).
+
+    Plan: corpus -> word counts (one hash aggregate, the only pass over
+    the data) -> per-word pair explode over the tiny vocab -> weighted
+    pair aggregate -> TakeOrdered top-k.  Both halves are pure column
+    expressions; substring/sequence semantics are bit-identical in
+    DuckDB, so the op carries a full oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(_words()).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc")))
+    pairs = vocab.select(
+        "wc",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("weight"),
+                 F.count(F.lit(1)).cast("long").alias("n_word_types"))
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(BPE_TOP_MERGES))
+
+
+QUERIES["text_bpe_merge"] = text_bpe_merge
+ORACLES["text_bpe_merge"] = f"""
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substring(w, CAST(i.i AS INT), 2) AS pair, wc
+  FROM vocab, unnest(range(1, length(w))) AS i(i))
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair LIMIT {BPE_TOP_MERGES}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier / URL-level dedup)
+# ---------------------------------------------------------------------------
+
+def text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the crawl-pipeline step BEFORE url-level
+    dedup: scheme+host lower-cased, default ports stripped, duplicate
+    path slashes collapsed, trailing slash trimmed, tracking params
+    (utm_*) dropped, fragment dropped.  Messy spellings are synthesized
+    deterministically per doc_id (case noise, :80/:443, //, utm_ params,
+    #frag) so several raw variants collapse onto one canonical URL; the
+    report counts docs and distinct raw spellings per canonical form.
+
+    Every step is regexp/array surgery in the Java/RE2 common subset —
+    one whole-stage-codegen map over the scan, zero Python, full DuckDB
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://"))
+         .otherwise(F.lit("https://")),
+        F.lit("WWW."), F.lit("Example"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".ORG"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80"))
+         .when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+         .otherwise(F.lit("")),
+        F.lit("/a"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("//")).otherwise(F.lit("/")),
+        F.lit("p"), (F.col("doc_id") % 6).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=s&id="), (F.col("doc_id") % 4).cast("string"),
+        F.lit("&utm_campaign=c#frag"))
+    d = d.select("doc_id", raw.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract("raw", r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path0 = F.regexp_extract("raw", r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path0, r"/{2,}", "/"),
+                            r"(.)/$", "$1")
+    query = F.expr(
+        "array_join(filter(split("
+        "  regexp_extract(raw, '\\\\?([^#]*)', 1), '&'),"
+        "  x -> x NOT LIKE 'utm\\\\_%' AND x != ''), '&')")
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)))
+    return (d.select("doc_id", "raw", canonical.alias("canonical"))
+            .groupBy("canonical")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("raw").cast("long").alias("n_raw_variants"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .orderBy("canonical"))
+
+
+QUERIES["text_url_canonicalize"] = text_url_canonicalize
+ORACLES["text_url_canonicalize"] = r"""
+WITH raws AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'WWW.Example' || CAST(doc_id % 3 AS VARCHAR) || '.ORG'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                  WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+         || '/a' || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '/' END)
+         || 'p' || CAST(doc_id % 6 AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || '?utm_source=s&id=' || CAST(doc_id % 4 AS VARCHAR)
+         || '&utm_campaign=c#frag' AS raw
+  FROM documents),
+parts AS (
+  SELECT doc_id, raw,
+         lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(
+           lower(regexp_extract(raw, '^[^:/?#]+://([^/?#]*)', 1)),
+           ':(80|443)$', '') AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(raw, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+             '/{2,}', '/', 'g'),
+           '(.)/$', '\1') AS path,
+         array_to_string(
+           list_filter(
+             string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+             x -> x NOT LIKE 'utm\_%' ESCAPE '\' AND x != ''), '&') AS q
+  FROM raws),
+canon AS (
+  SELECT doc_id, raw,
+         scheme || '://' || host
+         || (CASE WHEN path = '' THEN '/' ELSE path END)
+         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical
+  FROM parts)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY canonical ORDER BY canonical
+"""

@@ -761,3 +761,46 @@ def test_contamination_probe_broadcasts_bench_side(spark):
     plan = _plan(spark, "dedup_contamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q97_seasonal_spike_baseline_is_broadcast(spark):
+    """q97: the fact collapses to the hourly spine in ONE hash
+    aggregate; the |types| x 24 baseline joins back as a broadcast —
+    no sort-merge join, no window, no cartesian."""
+    plan = _plan(spark, "q97_seasonal_spike")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_er_blocking_join_is_keyed_never_all_pairs(spark):
+    """dedup_er_blocking: the candidate self-join is an EQUALITY join
+    on the blocking key — a cartesian/nested-loop plan would mean the
+    blocking stopped bounding the verify."""
+    plan = _plan(spark, "dedup_er_blocking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_merge_explodes_vocab_not_corpus(spark):
+    """text_bpe_merge: the pair explode runs over the DISTINCT-WORD
+    aggregate (vocab-sized), i.e. AFTER the word-count hash aggregate —
+    never over the raw corpus rows."""
+    import re as _re
+    plan = _plan(spark, "text_bpe_merge")
+    # the pair explode's direct child in the plan tree is the vocab
+    # hash aggregate (explode-over-aggregate, not explode-over-scan)
+    assert _re.search(r"Generate \(\d+\)\n\s*\+- HashAggregate", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_canonicalize_is_pure_scan_map(spark):
+    """text_url_canonicalize: regexp/array surgery is one whole-stage
+    map over the scan — zero joins, zero Python, zero windows."""
+    import re as _re
+    plan = _plan(spark, "text_url_canonicalize")
+    assert "Join" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)
+    assert "windowspecdefinition" not in plan
