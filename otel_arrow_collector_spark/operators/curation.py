@@ -671,3 +671,59 @@ ORDER BY m.doc_id LIMIT 500
 
 
 ORACLES["bloom_screen"] = _bloom_oracle()
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+#: power-of-two context-length ladder (tokens)
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_buckets(spark, sf_dir):
+    """Length-bucketed batching report — the training-efficiency
+    counterpart of ``pack_sequences``: when sequences are NOT packed but
+    padded (SFT / eval batching), docs are binned to the smallest
+    power-of-two context that fits and the bill is the padding.  Per
+    bucket: doc count, real tokens, padded slots, and the utilization
+    in exact permille (sum_tokens * 1000 div capacity) — the number a
+    batch scheduler watches to decide when packing pays for itself.
+
+    The bucket ladder is a CASE ladder over integer word counts — no
+    float log2 to disagree on; one codegen map + one hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
+    return (d.select(bucket.cast("long").alias("bucket"),
+                     n_tok.alias("n_tok"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("sum_tokens"))
+            .select("bucket", "n_docs", "sum_tokens",
+                    (F.col("n_docs") * F.col("bucket")
+                     - F.col("sum_tokens")).cast("long").alias("padding"),
+                    F.expr("sum_tokens * 1000 div (n_docs * bucket)")
+                     .cast("long").alias("util_permille"))
+            .orderBy("bucket"))
+
+
+QUERIES["curation_length_buckets"] = length_buckets
+_BUCKET_LADDER_SQL = "CASE " + " ".join(
+    f"WHEN n_tok <= {b} THEN {b}" for b in LENGTH_BUCKETS
+) + f" ELSE {LENGTH_BUCKETS[-1]} END"
+ORACLES["curation_length_buckets"] = f"""
+WITH toks AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+binned AS (
+  SELECT CAST({_BUCKET_LADDER_SQL} AS BIGINT) AS bucket, n_tok FROM toks)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket - SUM(n_tok) AS BIGINT) AS padding,
+       CAST(SUM(n_tok) * 1000 // (COUNT(*) * bucket) AS BIGINT)
+         AS util_permille
+FROM binned GROUP BY bucket ORDER BY bucket
+"""

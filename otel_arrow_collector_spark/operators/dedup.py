@@ -1097,3 +1097,62 @@ SELECT m.nat, m.seg, m.n_members,
 FROM members m LEFT JOIN pair_agg p USING (nat, seg)
 ORDER BY nat, seg
 """
+
+
+def dedup_er_clusters(spark, sf_dir):
+    """The second half of the record-linkage pipeline: the verified
+    match pairs from ``dedup_er_blocking``'s plan become an undirected
+    graph and transitive closure groups them into ENTITIES (a customer
+    matching A and B links A to B even when A-B itself missed the
+    threshold).  Output is the scale-stable entity-size histogram:
+    how many entities have 2, 3, ... linked records.
+
+    Plan: blocked equality self-join (never all-pairs) -> levenshtein
+    verify -> ``connected_components`` (driver union-find under the
+    1M-edge bound, pointer-jumping min-label propagation above it —
+    identical labels either way)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.col("c_nationkey").alias("nat"),
+                 F.col("c_mktsegment").alias("seg"),
+                 "c_custkey", "c_name"))
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (a.join(b, ["nat", "seg"])
+             .filter((F.col("a.c_custkey") < F.col("b.c_custkey"))
+                     & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+                        <= ER_MAX_DIST))
+             .select(F.col("a.c_custkey").alias("d1"),
+                     F.col("b.c_custkey").alias("d2")))
+    labels = connected_components(pairs)
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_entities"),
+                 (F.count(F.lit(1)) * F.first("cluster_size")).cast("long")
+                  .alias("n_customers"))
+            .orderBy("cluster_size"))
+
+
+QUERIES["dedup_er_clusters"] = dedup_er_clusters
+ORACLES["dedup_er_clusters"] = f"""
+WITH RECURSIVE c AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg, c_custkey, c_name
+  FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+                   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}),
+bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+walk(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) t
+    UNION
+    SELECT e.b, w.r FROM walk w JOIN bidir e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(r) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_customers
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""

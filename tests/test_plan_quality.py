@@ -804,3 +804,22 @@ def test_url_canonicalize_is_pure_scan_map(spark):
     assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
                           plan)
     assert "windowspecdefinition" not in plan
+
+
+def test_er_clusters_edge_join_is_keyed(spark):
+    """dedup_er_clusters: the match-pair generation stays a keyed
+    blocked join (the er_blocking contract) feeding the CC labeler."""
+    plan = _plan(spark, "dedup_er_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_buckets_single_scan_single_agg(spark):
+    """curation_length_buckets: CASE-ladder map + one hash aggregate —
+    no join, no window, no Python."""
+    import re as _re
+    plan = _plan(spark, "curation_length_buckets")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)

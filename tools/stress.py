@@ -66,7 +66,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # round-9 additions: iterative label joins, broadcast
                    # set-vs-corpus shingle probe, ADC table-lookup scan
                    "graph_label_propagation", "dedup_contamination",
-                   "ann_pq_adc_topk"]
+                   "ann_pq_adc_topk",
+                   # round-9 additions: blocked self-join verify (the
+                   # quadratic-in-block bound is the contract under
+                   # test), vocab-sized pair explode
+                   "dedup_er_blocking", "text_bpe_merge"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
