@@ -579,7 +579,9 @@ def apply_statement(df: DataFrame, stmt: Statement | str) -> DataFrame:
         cur = F.col(col)[key]["s"]
         new_val = F.when(cur.rlike(pat), F.lit(repl)).otherwise(cur)
         upd = map_put(F.col(col), key, _attr_struct(new_val))
-        keep_cond = F.col(col)[key].isNotNull()
+        # guard on the STRING arm (the replace_pattern discipline): an
+        # int/bool/double-armed attribute passes through untouched
+        keep_cond = cur.isNotNull()
         keep_cond = keep_cond if cond is None else (keep_cond & cond)
         return df.withColumn(col, F.when(keep_cond, upd)
                              .otherwise(F.col(col)))

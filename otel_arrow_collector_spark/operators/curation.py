@@ -690,19 +690,27 @@ def length_buckets(spark, sf_dir):
     in exact permille (sum_tokens * 1000 div capacity) — the number a
     batch scheduler watches to decide when packing pays for itself.
 
-    The bucket ladder is a CASE ladder over integer word counts — no
-    float log2 to disagree on; one codegen map + one hash aggregate."""
+    Docs longer than the top bucket are TRUNCATED to it (what SFT
+    batching actually does to oversize rows) and counted in
+    n_truncated, so padding stays >= 0 and utilization <= 1000 by
+    construction.  The bucket ladder is a CASE ladder over integer word
+    counts — no float log2 to disagree on; one codegen map + one hash
+    aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    top = LENGTH_BUCKETS[-1]
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    bucket = F.lit(LENGTH_BUCKETS[-1])
+    bucket = F.lit(top)
     for b in reversed(LENGTH_BUCKETS):
         bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
     return (d.select(bucket.cast("long").alias("bucket"),
-                     n_tok.alias("n_tok"))
+                     F.least(n_tok, F.lit(top).cast("long"))
+                      .alias("n_tok"),
+                     (n_tok > top).cast("long").alias("truncated"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum("n_tok").cast("long").alias("sum_tokens"))
-            .select("bucket", "n_docs", "sum_tokens",
+                 F.sum("n_tok").cast("long").alias("sum_tokens"),
+                 F.sum("truncated").cast("long").alias("n_truncated"))
+            .select("bucket", "n_docs", "sum_tokens", "n_truncated",
                     (F.col("n_docs") * F.col("bucket")
                      - F.col("sum_tokens")).cast("long").alias("padding"),
                     F.expr("sum_tokens * 1000 div (n_docs * bucket)")
@@ -719,9 +727,14 @@ WITH toks AS (
   SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents),
 binned AS (
-  SELECT CAST({_BUCKET_LADDER_SQL} AS BIGINT) AS bucket, n_tok FROM toks)
+  SELECT CAST({_BUCKET_LADDER_SQL} AS BIGINT) AS bucket,
+         LEAST(n_tok, {LENGTH_BUCKETS[-1]}) AS n_tok,
+         CASE WHEN n_tok > {LENGTH_BUCKETS[-1]} THEN 1 ELSE 0 END
+           AS truncated
+  FROM toks)
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(truncated) AS BIGINT) AS n_truncated,
        CAST(COUNT(*) * bucket - SUM(n_tok) AS BIGINT) AS padding,
        CAST(SUM(n_tok) * 1000 // (COUNT(*) * bucket) AS BIGINT)
          AS util_permille

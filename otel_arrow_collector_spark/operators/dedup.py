@@ -1035,6 +1035,28 @@ ORDER BY tr.train_doc, b.bench_doc
 ER_MAX_DIST = 2       # levenshtein acceptance threshold
 
 
+def _er_customers(spark, sf_dir):
+    """Blocking-keyed customer relation: (nat, seg, c_custkey, c_name)."""
+    return (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_nationkey").alias("nat"),
+                    F.col("c_mktsegment").alias("seg"),
+                    "c_custkey", "c_name"))
+
+
+def _er_candidates(c):
+    """Blocked candidate pairs with their edit distance — the ONE
+    definition of the ER contract (blocking key + ordering + verify
+    metric) shared by dedup_er_blocking and dedup_er_clusters."""
+    a, b = c.alias("a"), c.alias("b")
+    return (a.join(b, ["nat", "seg"])
+            .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+            .select("nat", "seg",
+                    F.col("a.c_custkey").alias("d1"),
+                    F.col("b.c_custkey").alias("d2"),
+                    F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+                     .alias("dist")))
+
+
 def dedup_er_blocking(spark, sf_dir):
     """Entity resolution by blocking + edit-distance verify over
     ``customer``: candidate pairs are generated ONLY inside a blocking
@@ -1050,19 +1072,10 @@ def dedup_er_blocking(spark, sf_dir):
     like LSH bands bound the near-dup verify.  levenshtein is
     bit-identical in Spark and DuckDB, so the verify carries a full
     oracle."""
-    c = (load_table(spark, sf_dir, "customer")
-         .select(F.col("c_nationkey").alias("nat"),
-                 F.col("c_mktsegment").alias("seg"),
-                 "c_custkey", "c_name"))
+    c = _er_customers(spark, sf_dir)
     members = (c.groupBy("nat", "seg")
                .agg(F.count(F.lit(1)).cast("long").alias("n_members")))
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (a.join(b, ["nat", "seg"])
-             .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-             .select("nat", "seg",
-                     F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-                      .alias("dist")))
-    pair_agg = (pairs.groupBy("nat", "seg")
+    pair_agg = (_er_candidates(c).groupBy("nat", "seg")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                      F.sum((F.col("dist") <= ER_MAX_DIST).cast("long"))
                       .cast("long").alias("n_matches")))
@@ -1111,17 +1124,9 @@ def dedup_er_clusters(spark, sf_dir):
     verify -> ``connected_components`` (driver union-find under the
     1M-edge bound, pointer-jumping min-label propagation above it —
     identical labels either way)."""
-    c = (load_table(spark, sf_dir, "customer")
-         .select(F.col("c_nationkey").alias("nat"),
-                 F.col("c_mktsegment").alias("seg"),
-                 "c_custkey", "c_name"))
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (a.join(b, ["nat", "seg"])
-             .filter((F.col("a.c_custkey") < F.col("b.c_custkey"))
-                     & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-                        <= ER_MAX_DIST))
-             .select(F.col("a.c_custkey").alias("d1"),
-                     F.col("b.c_custkey").alias("d2")))
+    pairs = (_er_candidates(_er_customers(spark, sf_dir))
+             .filter(F.col("dist") <= ER_MAX_DIST)
+             .select("d1", "d2"))
     labels = connected_components(pairs)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))

@@ -1433,13 +1433,16 @@ def text_bpe_merge(spark, sf_dir):
              .filter(F.length("w") >= 2)
              .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc")))
     pairs = vocab.select(
-        "wc",
+        "w", "wc",
         F.explode(F.expr(
             "transform(sequence(1, length(w) - 1),"
             " i -> substring(w, i, 2))")).alias("pair"))
+    # weight counts POSITIONS (a pair occurring twice in a word merges
+    # twice per word occurrence — the BPE objective); n_word_types is
+    # the DISTINCT vocabulary words containing the pair
     return (pairs.groupBy("pair")
             .agg(F.sum("wc").cast("long").alias("weight"),
-                 F.count(F.lit(1)).cast("long").alias("n_word_types"))
+                 F.countDistinct("w").cast("long").alias("n_word_types"))
             .orderBy(F.col("weight").desc(), "pair")
             .limit(BPE_TOP_MERGES))
 
@@ -1451,10 +1454,10 @@ WITH vocab AS (
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE length(w) >= 2 GROUP BY w),
 pairs AS (
-  SELECT substring(w, CAST(i.i AS INT), 2) AS pair, wc
+  SELECT w, substring(w, CAST(i.i AS INT), 2) AS pair, wc
   FROM vocab, unnest(range(1, length(w))) AS i(i))
 SELECT pair, CAST(SUM(wc) AS BIGINT) AS weight,
-       CAST(COUNT(*) AS BIGINT) AS n_word_types
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_word_types
 FROM pairs GROUP BY pair
 ORDER BY weight DESC, pair LIMIT {BPE_TOP_MERGES}
 """

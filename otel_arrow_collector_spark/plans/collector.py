@@ -177,12 +177,13 @@ class Collector:
         import time as _time
         try:
             self.plan = self._setup()
-        except (ConfigError, ValueError):
+        except Exception:
             # collector.go's Run error path shuts the service down in
-            # full: if _setup died after build_extensions succeeded, the
-            # extensions are started and their authenticator names
-            # registered — unwind them (same poisoned-registry fence as
-            # the reload() failed-apply path).
+            # full on ANY setup error (config, graph compile, telemetry
+            # server bind, ...): if _setup died after build_extensions
+            # succeeded, the extensions are started and their
+            # authenticator names registered — unwind them (same
+            # poisoned-registry fence as the reload() failed-apply path).
             self.shutdown()
             raise
         self.state = State.RUNNING
@@ -207,12 +208,13 @@ class Collector:
             self.config_uris = list(new_uris)
         try:
             new_plan = self._setup()
-        except (ConfigError, ValueError):
-            # collector.go failed-apply path is a FULL Shutdown: if
-            # _setup died after build_extensions succeeded, the fresh
-            # extensions are already started and their authenticator
-            # names registered — shutdown() unwinds them so a retry
-            # doesn't hit "already registered" on a poisoned registry.
+        except Exception:
+            # collector.go failed-apply path is a FULL Shutdown on ANY
+            # setup error: if _setup died after build_extensions
+            # succeeded, the fresh extensions are already started and
+            # their authenticator names registered — shutdown() unwinds
+            # them so a retry doesn't hit "already registered" on a
+            # poisoned registry.
             self.shutdown()
             raise
         self.plan = new_plan

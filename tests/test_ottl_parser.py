@@ -431,3 +431,18 @@ def test_parse_time_arity_fences():
                 'replace_all_matches(attributes, "x*")'):
         with pytest.raises(OttlSyntaxError, match="arguments"):
             parse_statement(bad)
+
+
+def test_replace_match_nonstring_attr_is_noop(spark):
+    """Same guard as replace_pattern: replace_match (and wildcards,
+    which delegates to it) must not clobber typed attributes."""
+    df = spark.sql(
+        "SELECT map('retries', named_struct("
+        "  's', CAST(NULL AS STRING), 'i', CAST(3 AS BIGINT),"
+        "  'd', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS BOOLEAN),"
+        "  'json', CAST(NULL AS STRING))) AS attributes, 'opA' AS name")
+    out = apply_statement(
+        df, 'replace_match(attributes["retries"], "3*", "9")')
+    r = out.select("attributes").collect()[0]
+    assert r.attributes["retries"].i == 3
+    assert r.attributes["retries"].s is None

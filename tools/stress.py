@@ -73,7 +73,8 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    "dedup_er_blocking", "text_bpe_merge"]
 
 #: tables the default queries read; only these are replicated
-TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
+TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
+          "customer")
 
 #: per-copy key offsets — disjoint ranges per replica so within-copy
 #: joins line up and cross-copy joins are impossible.  events keeps its
@@ -87,6 +88,12 @@ KEY_OFFSETS = {
                  "l_suppkey": 1 << 30},
     "orders": {"o_orderkey": 1 << 33, "o_custkey": 1 << 30},
     "events": {"event_id": 1 << 33, "user_id": 1 << 30},
+    # the BLOCKING key re-spreads too: a k-times customer base has
+    # k-times the blocking cells (more nations), NOT k-times-larger
+    # cells — block size is the ER contract's bounded quantity, so
+    # replicating it unchanged would measure a modeling artifact
+    # (k^2 pairs per block), not the operator
+    "customer": {"c_custkey": 1 << 33, "c_nationkey": 1 << 8},
 }
 
 #: bound every internal driver materialization must respect (the
