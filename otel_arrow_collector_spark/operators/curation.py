@@ -740,3 +740,73 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS util_permille
 FROM binned GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# dataset card: the per-source corpus report
+# ---------------------------------------------------------------------------
+
+def dataset_card(spark, sf_dir):
+    """The dataset-card summary a corpus release ships: per source —
+    doc count, total whitespace tokens, distinct languages, the
+    majority language (count DESC, lang ASC tie-break), and the exact-
+    duplicate rate (docs whose md5(text) appears more than once WITHIN
+    the source) in permille.  One number sheet joining the signals the
+    individual operators compute.
+
+    Plan: two hash aggregates over the scan (md5 groups, then source
+    rollup) + a per-source top-1 window over the |sources| x |langs|
+    frame — nothing wider than the tiny lang frame is ever sorted."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.size(F.split(F.col("text"), " ")))
+                  .cast("long").alias("n_tokens"),
+                 F.countDistinct("lang").cast("long").alias("n_langs")))
+    lang_counts = (d.groupBy("source", "lang")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top_lang = (lang_counts.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("source", F.col("lang").alias("top_lang")))
+    dups = (d.groupBy("source", F.md5(F.col("text")).alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("c") > 1, F.col("c"))
+                       .otherwise(F.lit(0))).cast("long")
+                  .alias("n_dup_docs")))
+    return (base.join(top_lang, "source").join(dups, "source")
+            .select("source", "n_docs", "n_tokens", "n_langs", "top_lang",
+                    "n_dup_docs",
+                    F.expr("n_dup_docs * 1000 div n_docs").cast("long")
+                     .alias("dup_permille"))
+            .orderBy("source"))
+
+
+QUERIES["curation_dataset_card"] = dataset_card
+ORACLES["curation_dataset_card"] = """
+WITH base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source),
+lc AS (
+  SELECT source, lang, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rk
+  FROM documents GROUP BY source, lang),
+dups AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM (SELECT source, md5(text) AS h, COUNT(*) AS c
+        FROM documents GROUP BY source, md5(text))
+  GROUP BY source)
+SELECT b.source, b.n_docs, b.n_tokens, b.n_langs,
+       l.lang AS top_lang, d.n_dup_docs,
+       CAST(d.n_dup_docs * 1000 // b.n_docs AS BIGINT) AS dup_permille
+FROM base b
+JOIN lc l ON l.source = b.source AND l.rk = 1
+JOIN dups d ON d.source = b.source
+ORDER BY b.source
+"""

@@ -1559,3 +1559,64 @@ SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
 FROM canon GROUP BY canonical ORDER BY canonical
 """
+
+
+# ---------------------------------------------------------------------------
+# encoding-damage (mojibake) detection
+# ---------------------------------------------------------------------------
+
+def text_mojibake(spark, sf_dir):
+    """Mojibake (encoding-damage) detection — the crawl-hygiene gate
+    that catches UTF-8 read as Latin-1: the telltale is 'Ã' followed by
+    another high-Latin-1 char (the two-byte UTF-8 sequences of accented
+    letters mis-decoded).  Damage is synthesized deterministically
+    (doc_id % 5 == 0 docs get 'a' -> 'Ã¡', % 7 == 0 get 'e' -> 'Ã©' —
+    overlapping classes exercise multi-pattern docs) and the detector
+    reports per-doc suspicious-sequence counts and a keep/quarantine
+    verdict, aggregated per source.
+
+    Pure regexp_count over the scan — one codegen map, full DuckDB
+    oracle (same regex in the RE2/Java common subset)."""
+    d = load_table(spark, sf_dir, "documents")
+    damaged = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡"))
+    ).otherwise(F.col("text"))
+    damaged = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(damaged, F.lit("e"), F.lit("Ã©"))
+    ).otherwise(damaged)
+    hits = F.expr(
+        "regexp_count(dmg, 'Ã[ -¿]')").cast("long")
+    return (d.select("doc_id", "source", damaged.alias("dmg"))
+            .select("source", hits.alias("n_hits"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("n_hits") > 0).cast("long")).cast("long")
+                  .alias("n_damaged"),
+                 F.sum("n_hits").cast("long").alias("total_hits"))
+            .orderBy("source"))
+
+
+QUERIES["text_mojibake"] = text_mojibake
+ORACLES["text_mojibake"] = """
+WITH dmg AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN replace(
+                CASE WHEN doc_id % 5 = 0
+                     THEN replace(text, 'a', 'Ã¡') ELSE text END,
+                'e', 'Ã©')
+              WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã¡')
+              ELSE text END AS dmg
+  FROM documents),
+hits AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(dmg, 'Ã[ -¿]')) AS BIGINT)
+           AS n_hits
+  FROM dmg)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_damaged,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM hits GROUP BY source ORDER BY source
+"""

@@ -823,3 +823,23 @@ def test_length_buckets_single_scan_single_agg(spark):
     assert "windowspecdefinition" not in plan
     assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
                           plan)
+
+
+def test_mojibake_is_pure_scan_map(spark):
+    """text_mojibake: damage synthesis + regexp_count stay one codegen
+    map over the scan — no join, no window, no Python."""
+    import re as _re
+    plan = _plan(spark, "text_mojibake")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)
+
+
+def test_dataset_card_windows_lang_frame_only(spark):
+    """curation_dataset_card: the top-1 window runs over the tiny
+    (source, lang) aggregate, never the corpus; the three signal
+    branches join on source (broadcast-size) with no cartesian."""
+    plan = _plan(spark, "curation_dataset_card")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(source" in plan
