@@ -1347,3 +1347,89 @@ SELECT s.cid, s.n,
        s.cohesion_u, s.min_cos
 FROM stats s, tot t ORDER BY s.cid
 """
+
+
+def ann_pq_recall(spark, sf_dir):
+    """Recall@k of the PQ-ADC search against the EXACT euclidean top-k
+    for the same query — the acceptance metric that sizes PQ_M/codebook
+    depth in production (the ADC counterpart of ann_recall_report's
+    IVF/nprobe knob).  Both sides are the engine's own operators: the
+    ADC ranking is ann_pq_adc_topk verbatim; the ground truth is one
+    exact scan with the identical left-assoc fold order and nano floor,
+    so both engines rank identical integers.  Output is one row:
+    (q_id, k, n_hits, recall_permille) in exact integers.
+
+    Scale shape: the 1-row query broadcasts into both rankings; each is
+    a pure scan map + TakeOrdered(k); the comparison joins two k-row
+    relations.  The full-scan ground truth is the audit cost you pay
+    once per acceptance run, exactly like ann_recall_report."""
+    adc = ann_pq_adc_topk(spark, sf_dir).select("vec_id")
+    be = bucketed_embeddings(spark, sf_dir)
+    ve = be.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
+    qv = (ve.orderBy("vec_id").limit(1)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("ve").alias("qe")))
+    db = ve.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
+    dist = ("aggregate(sequence(1, 64), CAST(0 AS DOUBLE), "
+            "(a, i) -> a + (qe[i - 1] - ve[i - 1]) "
+            "* (qe[i - 1] - ve[i - 1]))")
+    gt = (db.select("vec_id",
+                    F.expr(f"CAST(floor(({dist}) * 1e9) AS BIGINT)")
+                     .alias("d_nano"))
+          .orderBy("d_nano", "vec_id").limit(ADC_K)
+          .select("vec_id"))
+    hits = (gt.join(adc, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (qv.select("q_id").crossJoin(hits)
+            .select("q_id", F.lit(ADC_K).cast("long").alias("k"),
+                    "n_hits",
+                    F.expr(f"n_hits * 1000 div {ADC_K}").cast("long")
+                     .alias("recall_permille")))
+
+
+QUERIES["ann_pq_recall"] = ann_pq_recall
+ORACLES["ann_pq_recall"] = f"""{_PQ_CODES_CTE},
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         vec_id AS q_id
+  FROM embeddings ORDER BY vec_id LIMIT 1),
+dq AS (
+  SELECT c.vec_id, c.s,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                 - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])
+                * (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                   - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])),
+           (a, v) -> a + v) AS d
+  FROM codes c
+  JOIN sub ON sub.s = c.s AND sub.code = c.code
+  CROSS JOIN q
+  WHERE c.vec_id != (SELECT q_id FROM q)),
+adc AS (
+  SELECT vec_id,
+         CAST(floor(list_reduce(list(d ORDER BY s), (a, v) -> a + v)
+                    * 1e9) AS BIGINT) AS adc_nano
+  FROM dq GROUP BY vec_id),
+adc_top AS (
+  SELECT vec_id FROM adc ORDER BY adc_nano, vec_id LIMIT {ADC_K}),
+gt AS (
+  SELECT e.vec_id,
+         CAST(floor(list_reduce(list_transform(range(1, 65),
+           i -> (q.qe[CAST(i AS INT)]
+                 - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+                * (q.qe[CAST(i AS INT)]
+                   - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))),
+           (a, v) -> a + v) * 1e9) AS BIGINT) AS d_nano
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != (SELECT q_id FROM q)),
+gt_top AS (
+  SELECT vec_id FROM gt ORDER BY d_nano, vec_id LIMIT {ADC_K})
+SELECT (SELECT q_id FROM q) AS q_id,
+       CAST({ADC_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM gt_top g
+             JOIN adc_top a ON a.vec_id = g.vec_id) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM gt_top g
+             JOIN adc_top a ON a.vec_id = g.vec_id) * 1000 // {ADC_K}
+            AS BIGINT) AS recall_permille
+"""

@@ -843,3 +843,15 @@ def test_dataset_card_windows_lang_frame_only(spark):
     plan = _plan(spark, "curation_dataset_card")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(source" in plan
+
+
+def test_pq_recall_both_rankings_are_take_ordered(spark):
+    """ann_pq_recall: ADC ranking and exact ground truth are each a
+    broadcast-query scan map + TakeOrdered(k) — no cartesian, no global
+    sort, no Python stage."""
+    import re as _re
+    plan = _plan(spark, "ann_pq_recall")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)
