@@ -102,3 +102,34 @@ def test_router_example_splits_disjoint_and_complete(tmp_path):
         "END) FROM '/root/testdata/sf0.001/events.parquet'").fetchone()
     assert ne == ne_all == total[1] > 0      # every error, only errors
     assert nm == 0 and nm_all == total[0] - total[1]
+
+
+def test_monitored_example_serves_prometheus(spark, tmp_path):
+    """The monitored_pipeline example end to end IN PROCESS: the
+    pipeline lands parquet and the engine's own counters + process
+    gauges scrape as Prometheus text at the configured address while
+    the collector is up (the path an operator pointing a scraper at
+    the engine actually walks)."""
+    import urllib.request
+    from otel_arrow_collector_spark.plans.collector import Collector
+
+    import yaml
+    out = str(tmp_path / "purchases_out")
+    cfg = yaml.safe_load(open("examples/monitored_pipeline.yaml"))
+    cfg["exporters"]["sink/parquet"]["path"] = out
+    col = Collector(spark, "yaml:" + yaml.safe_dump(cfg))
+    col.start()
+    try:
+        assert col._prom_server is not None
+        with urllib.request.urlopen(col._prom_server.endpoint) as r:
+            body = r.read().decode()
+        assert "otelcol_process_uptime" in body
+        assert "otelcol_process_memory_rss" in body
+    finally:
+        col.shutdown()
+    con = duckdb.connect()
+    n = con.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    want = con.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE event_type = 'purchase'").fetchone()[0]
+    assert n == want
