@@ -73,8 +73,21 @@ def _post_once(host: str, port: int, path: str, body: bytes,
     if auth is not None:
         headers.update(auth.auth_headers())
     if compress:
-        body = _gzip.compress(body)
-        headers["Content-Encoding"] = "gzip"
+        # configcompression surface (config/configcompression/
+        # compressionType.go + confighttp compressor.go): a named coding
+        # or bool sugar (True = gzip, the reference's default)
+        coding = "gzip" if compress is True else str(compress).lower()
+        if coding == "gzip":
+            body = _gzip.compress(body)
+        elif coding == "zstd":
+            import pyarrow as pa
+            body = bytes(pa.Codec("zstd").compress(body))
+        elif coding in ("zlib", "deflate"):
+            import zlib as _zlib
+            body = _zlib.compress(body)
+        else:
+            raise PermanentError(f"unsupported compression: {coding}")
+        headers["Content-Encoding"] = coding
     if ssl_ctx is not None:
         conn = http.client.HTTPSConnection(host, port, timeout=timeout_s,
                                            context=ssl_ctx)
@@ -111,7 +124,7 @@ def _post_once(host: str, port: int, path: str, body: bytes,
 
 def export_http(df: DataFrame, endpoint: str, signal: str = "traces",
                 *, token: str | None = None, authenticator=None,
-                compress: bool = False,
+                compress: bool | str = False,
                 max_rows_per_request: int = 8192,
                 retry_config: RetryConfig | None = None,
                 tls=None) -> DataFrame:

@@ -17,7 +17,7 @@ independently.
 Faithful HTTP semantics (otlp.go + config.go):
 - content types: ``application/json`` and ``application/x-protobuf``
   (415 otherwise, like the reference's fallback handler)
-- ``Content-Encoding: gzip`` accepted
+- ``Content-Encoding``: gzip/zstd/zlib/deflate accepted (capped), others 400
 - success: 200 with an empty partial-success body in the request's
   content type
 - malformed payload: 400 (the reference decodes before acking)
@@ -48,16 +48,20 @@ _SIGNALS = ("traces", "logs", "metrics")
 _ROUTES = {f"/v1/{s}": s for s in _SIGNALS}
 
 
-def _gunzip_capped(data: bytes, cap: int, chunk: int = 1 << 20) -> bytes:
-    """Inflate gzip `data`, rejecting as soon as output exceeds `cap`.
+def _inflate_capped(data: bytes, cap: int, wbits: int,
+                    chunk: int = 1 << 20) -> bytes:
+    """Inflate zlib-family `data`, rejecting as soon as output exceeds
+    `cap`.
 
     confighttp caps bytes read from the *decompressed* stream incrementally
     (config/confighttp compression.go wraps the body in a limited reader);
-    a one-shot gzip.decompress() would materialize an arbitrarily large
+    a one-shot decompress() would materialize an arbitrarily large
     bomb before any size check runs. wbits=47 accepts gzip and zlib
-    framing, matching stdlib gzip tolerance.
+    framing (stdlib gzip tolerance); wbits=15 is plain zlib — the
+    reference's "deflate" decoder is zlib.NewReader, i.e. zlib-framed
+    (compression.go:113-119).
     """
-    d = zlib.decompressobj(wbits=47)
+    d = zlib.decompressobj(wbits=wbits)
     out: list[bytes] = []
     total = 0
     buf = data
@@ -71,8 +75,68 @@ def _gunzip_capped(data: bytes, cap: int, chunk: int = 1 << 20) -> bytes:
         if d.eof:
             break
         if not buf and not piece:
-            raise ValueError("truncated gzip body")
+            raise ValueError("truncated compressed body")
     return b"".join(out)
+
+
+def _gunzip_capped(data: bytes, cap: int) -> bytes:
+    return _inflate_capped(data, cap, wbits=47)
+
+
+def _zstd_capped(data: bytes, cap: int) -> bytes:
+    """Decompress one zstd frame with the size cap enforced BEFORE any
+    allocation: the RFC 8878 frame header's Frame_Content_Size field is
+    parsed first (clean-room; magic + FHD flags -> FCS width/offset) and
+    checked against `cap`, then pyarrow's bundled zstd does the actual
+    decode with that exact size.  Frames that omit the content size
+    (streaming-mode encoders) are refused loudly — the one-shot client
+    frames the reference's zstd.NewReader typically sees always carry
+    it, and accepting sizeless frames would reopen the bomb window the
+    capped readers exist to close."""
+    if len(data) < 6 or data[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = data[4]
+    if fhd & 0x08:
+        raise ValueError("reserved bit set in zstd frame header")
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    did_size = (0, 1, 2, 4)[fhd & 0x03]
+    pos = 5 + (0 if single_segment else 1) + did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError(
+                "zstd frame without Frame_Content_Size unsupported")
+        size = data[pos]
+    elif fcs_flag == 1:
+        size = int.from_bytes(data[pos:pos + 2], "little") + 256
+    elif fcs_flag == 2:
+        size = int.from_bytes(data[pos:pos + 4], "little")
+    else:
+        size = int.from_bytes(data[pos:pos + 8], "little")
+    if size > cap:
+        raise ValueError("decompressed body exceeds limit")
+    import pyarrow as pa
+    return bytes(pa.Codec("zstd").decompress(data, size))
+
+
+#: Content-Encoding -> capped decoder — the reference decompressor's
+#: decoder map (confighttp/compression.go:83-123: "" none, gzip, zstd,
+#: zlib, deflate=zlib); anything else is 400 "unsupported".
+_BODY_DECODERS = {
+    "gzip": _gunzip_capped,
+    "zstd": _zstd_capped,
+    "zlib": lambda b, cap: _inflate_capped(b, cap, wbits=15),
+    "deflate": lambda b, cap: _inflate_capped(b, cap, wbits=15),
+}
+
+
+def _decompress_body(encoding: str, body: bytes, cap: int) -> bytes:
+    if not encoding:
+        return body
+    dec = _BODY_DECODERS.get(encoding)
+    if dec is None:
+        raise ValueError(f"unsupported Content-Encoding: {encoding}")
+    return dec(body, cap)
 
 
 class OtlpHttpReceiver:
@@ -245,8 +309,9 @@ class OtlpHttpReceiver:
             return self._plain(h, 413, b"request body too large")
         try:
             body = h.rfile.read(n)
-            if h.headers.get("Content-Encoding", "").lower() == "gzip":
-                body = _gunzip_capped(body, self.max_body_bytes)
+            body = _decompress_body(
+                h.headers.get("Content-Encoding", "").lower(),
+                body, self.max_body_bytes)
             payload = self._validate(body, signal, wire)
         except Exception as e:                   # malformed -> 400, no spool
             self._count(f"refused_bad_payload_{signal}")

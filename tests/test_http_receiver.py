@@ -343,3 +343,61 @@ def test_http_body_size_limit(spark, tmp_path):
         assert rcv.counters["refused_too_large_traces"] == 1
     finally:
         rcv.stop()
+
+
+def test_http_all_reference_content_encodings(spark, rcv):
+    """The reference decompressor's decoder map (confighttp/
+    compression.go:83-123): gzip, zstd, zlib, AND deflate (=zlib) all
+    accepted with the bomb cap; an unknown coding is 400 'unsupported',
+    never a silent passthrough."""
+    import pyarrow as pa
+    import zlib as _z
+    td = generate_traces(spark, 2)
+    body = _json_body(td, "traces")
+    for enc, blob in (
+            ("zstd", bytes(pa.Codec("zstd").compress(body))),
+            ("zlib", _z.compress(body)),
+            ("deflate", _z.compress(body))):
+        status, _ = _post(rcv, "/v1/traces", blob,
+                          headers={"Content-Encoding": enc})
+        assert status == 200, enc
+    assert rcv.read_spool(spark, "traces").count() == 3 * td.count()
+    status, resp = _post(rcv, "/v1/traces", body,
+                         headers={"Content-Encoding": "br"})
+    assert status == 400 and b"unsupported" in resp
+
+
+def test_http_zstd_bomb_and_sizeless_frames_rejected(spark, rcv):
+    """The zstd cap is enforced from the FRAME HEADER (RFC 8878
+    Frame_Content_Size) before any allocation; frames that omit the
+    content size are refused rather than decoded uncapped."""
+    import pyarrow as pa
+    huge = b" " * (70 * 1024 * 1024)            # > default 64 MiB cap
+    blob = bytes(pa.Codec("zstd").compress(huge))
+    status, resp = _post(rcv, "/v1/traces", blob,
+                         headers={"Content-Encoding": "zstd"})
+    assert status == 400 and b"exceeds limit" in resp
+    # a hand-built sizeless frame header (FCS flag 0, not single-segment)
+    sizeless = b"\x28\xb5\x2f\xfd" + bytes([0x00, 0x00]) + b"\x00" * 8
+    status, resp = _post(rcv, "/v1/traces", sizeless,
+                         headers={"Content-Encoding": "zstd"})
+    assert status == 400
+
+
+def test_http_exporter_named_compressions_land(spark, tmp_path):
+    """configcompression codings on the CLIENT side: zstd and zlib
+    bodies survive the full exporter->receiver loop (the receiver's
+    decoder map matches the exporter's encoder map)."""
+    from otel_arrow_collector_spark.exporters.http_exporter import \
+        export_http_now
+    rcv = OtlpHttpReceiver(str(tmp_path / "exp_codings"))
+    rcv.start()
+    try:
+        ld = generate_logs(spark, 4)
+        for coding in ("zstd", "zlib"):
+            stats = export_http_now(ld, rcv.endpoint, "logs",
+                                    compress=coding)
+            assert stats["rows_sent"] == 4, coding
+        assert rcv.read_spool(spark, "logs").count() == 8
+    finally:
+        rcv.stop()
