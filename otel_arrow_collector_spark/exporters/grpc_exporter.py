@@ -50,15 +50,25 @@ class GrpcCallError(Exception):
 
 
 def grpc_call(host: str, port: int, path: str, message: bytes, *,
-              token: str | None = None, compress: bool = False,
+              token: str | None = None, compress: bool | str = False,
               metadata: dict[str, str] | None = None,
               timeout_s: float = 10.0) -> bytes:
     """One unary gRPC call over a fresh HTTP/2 connection; returns the
     response message bytes or raises :class:`GrpcCallError`."""
     body = message
+    coding = None
     if compress:
-        body = _gzip.compress(body)
-    frame = h2.grpc_frame(body, compressed=compress)
+        # configgrpc compressor names (gzip default; zstd mirrors the
+        # receiver's capped decoder; True = gzip sugar)
+        coding = "gzip" if compress is True else str(compress).lower()
+        if coding == "gzip":
+            body = _gzip.compress(body)
+        elif coding == "zstd":
+            import pyarrow as pa
+            body = bytes(pa.Codec("zstd").compress(body))
+        else:
+            raise ValueError(f"unsupported grpc compression: {coding}")
+    frame = h2.grpc_frame(body, compressed=bool(compress))
     with socket.create_connection((host, port), timeout=timeout_s) as sock:
         sock.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0))
         enc, dec = HpackEncoder(), HpackDecoder()
@@ -66,8 +76,8 @@ def grpc_call(host: str, port: int, path: str, message: bytes, *,
                    (":path", path), (":authority", f"{host}:{port}"),
                    ("content-type", "application/grpc"),
                    ("te", "trailers")]
-        if compress:
-            headers.append(("grpc-encoding", "gzip"))
+        if coding is not None:
+            headers.append(("grpc-encoding", coding))
         if token is not None:
             headers.append(("authorization", f"Bearer {token}"))
         if metadata:

@@ -32,7 +32,7 @@ import threading
 
 from . import h2
 from .hpack import HpackDecoder, HpackEncoder
-from .http_receiver import _gunzip_capped
+from .http_receiver import _gunzip_capped, _zstd_capped
 
 _SIGNALS = ("traces", "logs", "metrics")
 
@@ -335,10 +335,19 @@ class OtlpGrpcReceiver:
         compressed, body = msgs[0]
         try:
             if compressed:
-                if st.headers.get("grpc-encoding") != "gzip":
-                    raise ValueError("compressed message without "
-                                     "grpc-encoding: gzip")
-                body = _gunzip_capped(body, self.max_msg_bytes)
+                # configgrpc's compressor registry (configgrpc.go:384-392:
+                # gzip/snappy/zstd); snappy is a documented cut — the gRPC
+                # side uses snappy's FRAMED stream format whose chunk CRCs
+                # are CRC32C, which this container has no fast primitive
+                # for (our sources/snappy.py is the raw block format)
+                enc = st.headers.get("grpc-encoding")
+                if enc == "gzip":
+                    body = _gunzip_capped(body, self.max_msg_bytes)
+                elif enc == "zstd":
+                    body = _zstd_capped(body, self.max_msg_bytes)
+                else:
+                    raise ValueError("compressed message with unsupported "
+                                     f"grpc-encoding: {enc!r}")
             from .otlp_pb import decode_request
             decode_request(body, signal)        # decode-before-ack
         except Exception as e:

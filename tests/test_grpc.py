@@ -771,3 +771,72 @@ def test_arrow_per_signal_service_paths(spark, rcv):
     assert receiver.counters["accepted_arrow_traces"] >= 1
     assert receiver.counters["accepted_arrow_logs"] >= 1
     assert receiver.counters["accepted_arrow_metrics"] >= 1
+
+
+def test_grpc_zstd_message_and_unknown_coding(spark, rcv):
+    """configgrpc's compressor registry beyond gzip (configgrpc.go:
+    384-392): zstd round-trips through the live server with the capped
+    frame-header decoder; an unknown grpc-encoding on a compressed
+    message is INVALID_ARGUMENT, not a crash."""
+    body, n = _pb_body(spark, 3)
+    grpc_call(rcv.host, rcv._port, _PATHS["traces"], body, compress="zstd")
+    assert rcv.read_spool(spark, "traces").count() == n
+    import gzip as _g
+    from otel_arrow_collector_spark.sources import h2 as _h2
+    from otel_arrow_collector_spark.sources.hpack import (HpackDecoder,
+                                                          HpackEncoder)
+    # hand-rolled call claiming snappy: server must refuse cleanly
+    with pytest.raises(GrpcCallError) as ei:
+        _raw_call_with_encoding(rcv, _PATHS["traces"],
+                                _g.compress(body), "snappy")
+    assert ei.value.status == 3          # INVALID_ARGUMENT
+    assert "unsupported" in ei.value.message
+
+
+def _raw_call_with_encoding(rcv, path, compressed_body, coding):
+    """grpc_call but with an arbitrary grpc-encoding header (the client
+    helper itself refuses unknown codings, which is also pinned here)."""
+    from otel_arrow_collector_spark.exporters.grpc_exporter import grpc_call
+    with pytest.raises(ValueError, match="unsupported grpc compression"):
+        grpc_call(rcv.host, rcv._port, path, b"", compress=coding)
+    # drive the wire directly via a monkeypatched coding: simplest is the
+    # low-level frame send mirroring grpc_call with the coding header
+    import socket as _socket
+    import struct as _struct
+    from otel_arrow_collector_spark.sources import h2
+    from otel_arrow_collector_spark.sources.hpack import (HpackDecoder,
+                                                          HpackEncoder)
+    frame = h2.grpc_frame(compressed_body, compressed=True)
+    with _socket.create_connection((rcv.host, rcv._port), timeout=10) as s:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0))
+        enc, dec = HpackEncoder(), HpackDecoder()
+        headers = [(":method", "POST"), (":scheme", "http"),
+                   (":path", path),
+                   (":authority", f"{rcv.host}:{rcv._port}"),
+                   ("content-type", "application/grpc"),
+                   ("te", "trailers"), ("grpc-encoding", coding)]
+        out = [h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1,
+                             enc.encode(headers))]
+        out += h2.chunk_data_frames(1, frame, end_stream=True)
+        s.sendall(b"".join(out))
+        resp_headers = {}
+        frag = bytearray()
+        while True:
+            ftype, flags, sid, payload = h2.recv_frame(s)
+            if ftype == h2.SETTINGS and not flags & h2.FLAG_ACK:
+                s.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+            elif ftype in (h2.HEADERS, h2.CONTINUATION):
+                body_ = payload
+                if ftype == h2.HEADERS:
+                    body_ = h2.strip_padding(flags, payload)
+                frag += body_
+                if flags & h2.FLAG_END_HEADERS:
+                    resp_headers.update(dict(dec.decode(bytes(frag))))
+                    frag.clear()
+                if flags & h2.FLAG_END_STREAM:
+                    break
+            elif ftype == h2.DATA:
+                if flags & h2.FLAG_END_STREAM:
+                    break
+    status = int(resp_headers.get("grpc-status", "2"))
+    raise GrpcCallError(status, resp_headers.get("grpc-message", ""))
