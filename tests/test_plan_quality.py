@@ -855,3 +855,22 @@ def test_pq_recall_both_rankings_are_take_ordered(spark):
     assert "CartesianProduct" not in plan
     assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
                           plan)
+
+
+def test_er_queries_share_one_candidate_build(spark):
+    """The three ER queries share ONE memoized candidate relation (the
+    _knn_edges discipline): after any of them runs, the registry holds
+    the 'dedup.er_pairs' artifact and the others consume it instead of
+    re-running the quadratic-in-block verify.  (The relation cannot be
+    plan-pinned on er_clusters/er_canonical: connected_components'
+    driver fast path consumes it at BUILD time, so the returned plan
+    only contains the label table.)"""
+    from otel_arrow_collector_spark.operators import cache_registry as cr
+    QUERIES["dedup_er_blocking"](spark, SF_SMALL).collect()
+    assert any(k[0] == "dedup.er_pairs" for k in cr._ENTRIES)
+    before = [k for k in cr._ENTRIES if k[0] == "dedup.er_pairs"]
+    QUERIES["dedup_er_canonical"](spark, SF_SMALL).collect()
+    after = [k for k in cr._ENTRIES if k[0] == "dedup.er_pairs"]
+    assert before == after            # reused, not rebuilt under a new key
+    plan = _plan(spark, "dedup_er_canonical")
+    assert "CartesianProduct" not in plan
