@@ -147,3 +147,27 @@ def test_telemetry_output_paths_shapes():
     assert parse_telemetry({"logs": {}}).logs.output_paths == ["stderr"]
     with pytest.raises(ConfigError, match="list of strings"):
         parse_telemetry({"logs": {"output_paths": 3}})
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.data())
+def test_ottl_wellformed_calls_never_leak(data):
+    """Grammar-directed OTTL sweep: ACCEPTED function names with
+    arbitrary argument/where shapes must parse or raise OttlSyntaxError
+    (the arity-fence surface) — never IndexError out of an apply branch
+    at compile time."""
+    from otel_arrow_collector_spark.functions.ottl_parser import (
+        ACCEPTED_FUNCTIONS, OttlSyntaxError, parse_statement)
+    func = data.draw(st.sampled_from(sorted(ACCEPTED_FUNCTIONS)))
+    args = data.draw(st.lists(st.sampled_from(
+        ['name', '"x"', "'y'", '5', '2.5', 'attributes["k"]', '2m',
+         '0x0a1b', 'attributes', 'resource.attributes["a.b"]', '"ut%"',
+         'TraceID(0x00)', 'Concat("a", name)', '"key|value"']),
+        max_size=6))
+    where = data.draw(st.sampled_from(
+        ["", ' where name == "a"', ' where attributes["k"] != "v"']))
+    text = f"{func}({', '.join(args)}){where}"
+    try:
+        parse_statement(text)
+    except OttlSyntaxError as e:
+        assert str(e)
