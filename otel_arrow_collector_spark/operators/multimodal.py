@@ -215,24 +215,58 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     return header + info + rows
 
 
-@fenced_decoder
-def decode_bmp(payload: bytes) -> dict:
-    """Parse a 24-bit uncompressed BMP: geometry + integer mean luminance
-    ((r+g+b)//3 per pixel, averaged — integer math, deterministic)."""
+def _bmp_raster(payload: bytes):
+    """BI_RGB BMP raster at 8 (palette), 24, or 32 bpp -> (width,
+    signed_height, (h, w, 3) BGR uint8 array in STORED row order).
+
+    8-bit rows index the BGRA color table that follows the info header
+    (biClrUsed entries, 0 meaning the full 256); 32-bit rows are BGRA
+    with the alpha byte dropped.  Compressed rasters (BI_RLE8/RLE4/
+    BITFIELDS...) and other depths stay loud NotImplementedErrors."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pix_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
-    if bpp != 24:
-        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
-    row_size = (3 * width + 3) // 4 * 4
+    hdr_size, width, height, _, bpp = struct.unpack_from(
+        "<IiiHH", payload, 14)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"only BI_RGB (uncompressed) BMP supported, "
+            f"got compression {compression}")
     h = abs(height)
-    arr = np.frombuffer(payload, np.uint8, count=h * row_size,
-                        offset=pix_off)
-    px = (arr.reshape(h, row_size)[:, :3 * width]
-             .reshape(h, width, 3).astype(np.int64))
-    # per-pixel integer luma (b+g+r)//3, then integer mean — exactly the
-    # scalar formula, vectorized
+    if bpp == 24:
+        row_size = (3 * width + 3) // 4 * 4
+        arr = np.frombuffer(payload, np.uint8, count=h * row_size,
+                            offset=pix_off)
+        px = arr.reshape(h, row_size)[:, :3 * width].reshape(h, width, 3)
+    elif bpp == 32:
+        arr = np.frombuffer(payload, np.uint8, count=h * 4 * width,
+                            offset=pix_off)
+        px = arr.reshape(h, width, 4)[:, :, :3]
+    elif bpp == 8:
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = (np.frombuffer(payload, np.uint8, count=4 * clr_used,
+                             offset=14 + hdr_size)
+               .reshape(clr_used, 4)[:, :3])
+        row_size = (width + 3) // 4 * 4
+        idx = (np.frombuffer(payload, np.uint8, count=h * row_size,
+                             offset=pix_off)
+               .reshape(h, row_size)[:, :width])
+        px = pal[idx]
+    else:
+        raise NotImplementedError(
+            f"only 8/24/32-bit BI_RGB BMP supported, got {bpp}")
+    return width, height, px
+
+
+@fenced_decoder
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed BMP (8-bit palette / 24-bit / 32-bit):
+    geometry + integer mean luminance ((r+g+b)//3 per pixel, averaged —
+    integer math, deterministic, channel-order invariant)."""
+    width, height, px = _bmp_raster(payload)
+    h = abs(height)
+    px = px.astype(np.int64)
     luma = int((px.sum(axis=2) // 3).sum())
     total = h * width
     return {"format": "image/bmp", "width": width, "height": h,
@@ -241,25 +275,16 @@ def decode_bmp(payload: bytes) -> dict:
 
 
 def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """24-bit BMP -> (width, height, top-down row-major RGB bytes).
+    """Uncompressed BMP -> (width, height, top-down row-major RGB bytes).
 
     BMP rows are stored bottom-up when height is positive; this flips
     them so downstream consumers (resize) see conventional image order.
     """
-    if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    pix_off = struct.unpack_from("<I", payload, 10)[0]
-    _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
-    if bpp != 24:
-        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
-    row_size = (3 * width + 3) // 4 * 4
-    h = abs(height)
-    arr = np.frombuffer(payload, np.uint8, count=h * row_size,
-                        offset=pix_off)
-    px = arr.reshape(h, row_size)[:, :3 * width].reshape(h, width, 3)
+    width, height, px = _bmp_raster(payload)
     if height > 0:              # bottom-up storage -> flip to top-down
         px = px[::-1]
-    return width, h, np.ascontiguousarray(px[..., ::-1]).tobytes()  # BGR->RGB
+    return width, abs(height), \
+        np.ascontiguousarray(px[..., ::-1]).tobytes()   # BGR->RGB
 
 
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:

@@ -887,3 +887,54 @@ def test_video_thumbnails_end_to_end(spark):
         r = out[idx]
         assert (r.width, r.height) == (4, 4)
         assert set(r.thumbnail) == {want} and len(r.thumbnail) == 48
+
+
+def test_bmp_palette_and_32bit_variants():
+    """The non-24-bit BI_RGB depths are real now: 8-bit palette rows
+    index the BGRA color table; 32-bit rows drop the alpha byte; both
+    agree with the equivalent 24-bit encode on geometry, luma, and the
+    top-down RGB raster.  Compressed rasters stay loud."""
+    import struct as _s
+    import pytest as _pt
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _bmp_pixels, decode_bmp, encode_bmp)
+
+    # ground truth: a 3x2 24-bit image (BGR triples, bottom-up rows)
+    rows_bu = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+               [(5, 15, 25), (35, 45, 55), (65, 75, 85)]]
+    flat = bytes(v for row in rows_bu for px in row for v in px)
+    ref = decode_bmp(encode_bmp(flat, 3, 2))
+    ref_px = _bmp_pixels(encode_bmp(flat, 3, 2))
+
+    def headers(bpp, img_bytes, n_colors=0, clr_used=0):
+        info = _s.pack("<IiiHHIIiiII", 40, 3, 2, 1, bpp, 0,
+                       len(img_bytes), 2835, 2835, clr_used, 0)
+        off = 14 + 40 + 4 * n_colors
+        hdr = _s.pack("<2sIHHI", b"BM", off + len(img_bytes), 0, 0, off)
+        return hdr + info
+
+    # 8-bit palette: 6 distinct colors, one index per pixel, rows padded
+    colors = [px for row in rows_bu for px in row]
+    table = b"".join(bytes(c) + b"\x00" for c in colors)
+    idx_rows = b"".join(bytes(range(r * 3, r * 3 + 3)) + b"\x00"
+                        for r in range(2))          # pad 3 -> 4
+    bmp8 = headers(8, idx_rows, n_colors=6, clr_used=6) + table + idx_rows
+    got8 = decode_bmp(bmp8)
+    assert (got8["width"], got8["height"], got8["mean_luma"]) == \
+        (ref["width"], ref["height"], ref["mean_luma"])
+    assert _bmp_pixels(bmp8) == ref_px
+
+    # 32-bit BGRA with junk alpha
+    px32 = b"".join(bytes(px) + b"\xaa" for row in rows_bu for px in row)
+    bmp32 = headers(32, px32) + px32
+    got32 = decode_bmp(bmp32)
+    assert got32["mean_luma"] == ref["mean_luma"]
+    assert _bmp_pixels(bmp32) == ref_px
+
+    # compressed (BI_RLE8) refuses loudly
+    info = _s.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 1,
+                   len(idx_rows), 2835, 2835, 6, 0)
+    rle = _s.pack("<2sIHHI", b"BM", 14 + 40 + 24 + len(idx_rows), 0, 0,
+                  14 + 40 + 24) + info + table + idx_rows
+    with _pt.raises(NotImplementedError, match="BI_RGB"):
+        _bmp_pixels(rle)
