@@ -69,7 +69,14 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    "ann_pq_adc_topk",
                    # round-9 additions: blocked self-join verify (the
                    # quadratic-in-block bound is the contract under
-                   # test), vocab-sized pair explode
+                   # test), vocab-sized pair explode.  dedup_er_clusters/
+                   # _canonical are EXCLUDED like the IVF-cell family:
+                   # connected_components' driver fast path collects the
+                   # edge list below CC_DRIVER_MAX_EDGES by design, so its
+                   # internal collect legitimately grows with scale until
+                   # the distributed pointer-jumping path takes over —
+                   # the bounded-collect invariant would flag the adaptive
+                   # cutover, not a defect
                    "dedup_er_blocking", "text_bpe_merge"]
 
 #: tables the default queries read; only these are replicated
