@@ -2620,3 +2620,189 @@ SELECT doc_id, mime,
        md5(hex(src)) AS src_md5
 FROM ex ORDER BY doc_id LIMIT 300
 """
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: extract + scrub (the privacy pass an image corpus runs)
+# ---------------------------------------------------------------------------
+
+def build_exif_app1(orientation: int, datetime_str: str,
+                    gps: bool = False) -> bytes:
+    """A complete JPEG APP1 Exif segment (marker + length + "Exif\\0\\0"
+    + a little-endian TIFF structure): IFD0 with Orientation (0x0112
+    SHORT) and DateTime (0x0132 ASCII, the spec's fixed 20 bytes), plus
+    an optional GPS IFD pointer (0x8825) carrying GPSVersionID — enough
+    structure that a scrubber must actually walk the IFD to know the
+    payload is location-bearing."""
+    dt = datetime_str.encode("ascii")
+    if len(dt) != 19:
+        raise ValueError("EXIF DateTime must be 'YYYY:MM:DD HH:MM:SS'")
+    dt += b"\x00"
+    n = 3 if gps else 2
+    data_off = 8 + 2 + 12 * n + 4            # IFD0 ends, value area starts
+    entries = [
+        struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH",
+                                                        orientation, 0),
+        struct.pack("<HHII", 0x0132, 2, 20, data_off),
+    ]
+    if gps:
+        gps_off = data_off + 20
+        entries.append(struct.pack("<HHII", 0x8825, 4, 1, gps_off))
+    ifd0 = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    body = b"II" + struct.pack("<HI", 42, 8) + ifd0 + dt
+    if gps:
+        gps_ifd = (struct.pack("<H", 1)
+                   + struct.pack("<HHI", 0x0000, 1, 4) + b"\x02\x03\x00\x00"
+                   + struct.pack("<I", 0))
+        body += gps_ifd
+    payload = b"Exif\x00\x00" + body
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_segments(data: bytes):
+    """Yield (marker, start, end) for each segment up to and including
+    SOS; everything from SOS onward is entropy-coded payload."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            yield marker, i, i + 2
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        yield marker, i, i + 2 + seg_len
+        if marker == 0xDA:                   # SOS: entropy data follows
+            return
+        i += 2 + seg_len
+
+
+def parse_exif(data: bytes) -> dict | None:
+    """Extract Orientation / DateTime / GPS-presence from a JPEG's APP1
+    Exif segment, or None when the image carries none (e.g. after
+    :func:`scrub_exif`)."""
+    for marker, s, e in _jpeg_segments(data):
+        if marker != 0xE1 or data[s + 4:s + 10] != b"Exif\x00\x00":
+            continue
+        t = data[s + 10:e]
+        endian = {"II": "<", "MM": ">"}.get(t[:2].decode("latin-1"))
+        if endian is None:
+            raise ValueError("bad EXIF TIFF endianness")
+        magic, ifd_off = struct.unpack(endian + "HI", t[2:8])
+        if magic != 42:
+            raise ValueError("bad EXIF TIFF magic")
+        n = struct.unpack_from(endian + "H", t, ifd_off)[0]
+        out = {"orientation": None, "datetime": None, "has_gps": False}
+        for k in range(n):
+            tag, vtype, count = struct.unpack_from(
+                endian + "HHI", t, ifd_off + 2 + 12 * k)
+            raw = t[ifd_off + 10 + 12 * k: ifd_off + 14 + 12 * k]
+            if tag == 0x0112 and vtype == 3:
+                out["orientation"] = struct.unpack(endian + "HH", raw)[0]
+            elif tag == 0x0132 and vtype == 2:
+                off = struct.unpack(endian + "I", raw)[0]
+                out["datetime"] = (t[off:off + count].rstrip(b"\x00")
+                                   .decode("ascii", "replace"))
+            elif tag == 0x8825:
+                out["has_gps"] = True
+        return out
+    return None
+
+
+def scrub_exif(data: bytes) -> bytes:
+    """Strip every APP1 Exif segment (the privacy scrub a training-data
+    image pipeline runs before publication); all other segments and the
+    entropy-coded payload pass through byte-identical."""
+    out = bytearray(data[:2])
+    last = 2
+    for marker, s, e in _jpeg_segments(data):
+        out += data[last:s]
+        if not (marker == 0xE1
+                and data[s + 4:s + 10] == b"Exif\x00\x00"):
+            out += data[s:e]
+        last = e
+    out += data[last:]
+    return bytes(out)
+
+
+#: the two deterministic APP1 sizes the audit's oracle predicts
+_EXIF_LEN_PLAIN = len(build_exif_app1(1, "2024:01:01 00:00:00", False))
+_EXIF_LEN_GPS = len(build_exif_app1(1, "2024:01:01 00:00:00", True))
+
+_EXIF_ROW_SCHEMA = StructType([
+    StructField("orientation", LongType()),
+    StructField("has_gps", LongType()),
+    StructField("bytes_removed", LongType()),
+    StructField("clean", LongType()),
+])
+
+
+def multimodal_exif_audit(spark, sf_dir):
+    """Oracle-gated EXIF privacy pass over real JPEG bytes: per doc,
+    render a solid-gray 8x8 baseline JPEG, inject an APP1 Exif segment
+    (orientation 1 + doc_id%8, a doc_id-derived DateTime, GPS IFD iff
+    doc_id%2==0), then PARSE it back and SCRUB it — reporting, per
+    orientation, the doc count, location-bearing count, exact bytes the
+    scrub removed, and how many scrubbed files parse as EXIF-free.
+    Every output is a deterministic integer function of doc_id, so the
+    DuckDB twin predicts the whole report arithmetically — a parser or
+    scrubber that mis-walks a single segment breaks the value hash.
+
+    Plan: ONE Arrow-batched Python stage over a 150-doc slice + one
+    hash aggregate; zero joins."""
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = (37 * d + 53) % 256
+                base = encode_jpeg(bytes([g] * (3 * 64)), 8, 8)
+                dt = ("2024:01:%02d 00:00:%02d"
+                      % (1 + d % 28, d % 60))
+                gps = d % 2 == 0
+                app1 = build_exif_app1(1 + d % 8, dt, gps)
+                tagged = base[:2] + app1 + base[2:]
+                meta = parse_exif(tagged)
+                scrubbed = scrub_exif(tagged)
+                ok_dt = meta["datetime"] == dt
+                rows.append({
+                    "orientation": int(meta["orientation"]) if ok_dt else -1,
+                    "has_gps": int(meta["has_gps"]),
+                    "bytes_removed": len(tagged) - len(scrubbed),
+                    "clean": int(parse_exif(scrubbed) is None
+                                 and scrubbed == base)})
+            yield pd.DataFrame(rows)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 2).orderBy("doc_id").limit(150))
+    per_doc = docs.select("doc_id").mapInPandas(run, _EXIF_ROW_SCHEMA)
+    return (per_doc.groupBy("orientation")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("has_gps").cast("long").alias("n_gps"),
+                 F.sum("bytes_removed").cast("long").alias("bytes_removed"),
+                 F.sum("clean").cast("long").alias("n_clean"))
+            .orderBy("orientation"))
+
+
+QUERIES["multimodal_exif_audit"] = multimodal_exif_audit
+ORACLES["multimodal_exif_audit"] = f"""
+WITH sel AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+  ORDER BY doc_id LIMIT 150),
+pred AS (
+  SELECT CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_gps,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN {_EXIF_LEN_GPS}
+                   ELSE {_EXIF_LEN_PLAIN} END AS BIGINT) AS bytes_removed
+  FROM sel)
+SELECT orientation, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_gps) AS BIGINT) AS n_gps,
+       CAST(SUM(bytes_removed) AS BIGINT) AS bytes_removed,
+       CAST(COUNT(*) AS BIGINT) AS n_clean
+FROM pred GROUP BY orientation ORDER BY orientation
+"""

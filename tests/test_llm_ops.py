@@ -938,3 +938,46 @@ def test_bmp_palette_and_32bit_variants():
                   14 + 40 + 24) + info + table + idx_rows
     with _pt.raises(NotImplementedError, match="BI_RGB"):
         _bmp_pixels(rle)
+
+
+def test_exif_build_parse_scrub_laws():
+    """EXIF walker laws: round-trip of every injected field, big-endian
+    (MM) TIFF bodies parse, non-Exif APP1 (XMP) segments survive the
+    scrub, and scrubbing is idempotent + exact (byte-identical to the
+    pre-injection file)."""
+    import struct as _s
+    from otel_arrow_collector_spark.operators.jpeg import encode_jpeg
+    from otel_arrow_collector_spark.operators.multimodal import (
+        build_exif_app1, parse_exif, scrub_exif)
+
+    base = encode_jpeg(bytes([99] * (3 * 64)), 8, 8)
+    app1 = build_exif_app1(6, "2023:12:31 23:59:59", gps=True)
+    tagged = base[:2] + app1 + base[2:]
+    meta = parse_exif(tagged)
+    assert meta == {"orientation": 6, "datetime": "2023:12:31 23:59:59",
+                    "has_gps": True}
+    assert parse_exif(base) is None
+    scrubbed = scrub_exif(tagged)
+    assert scrubbed == base
+    assert scrub_exif(scrubbed) == scrubbed          # idempotent
+
+    # big-endian TIFF body: same fields, MM byte order
+    dt = b"2020:05:06 07:08:09\x00"
+    ifd = (_s.pack(">H", 2)
+           + _s.pack(">HHI", 0x0112, 3, 1) + _s.pack(">HH", 3, 0)
+           + _s.pack(">HHII", 0x0132, 2, 20, 8 + 2 + 24 + 4)
+           + _s.pack(">I", 0))
+    body = b"MM" + _s.pack(">HI", 42, 8) + ifd + dt
+    payload = b"Exif\x00\x00" + body
+    seg = b"\xff\xe1" + _s.pack(">H", len(payload) + 2) + payload
+    mm = parse_exif(base[:2] + seg + base[2:])
+    assert mm == {"orientation": 3, "datetime": "2020:05:06 07:08:09",
+                  "has_gps": False}
+
+    # a non-Exif APP1 (XMP) must NOT be scrubbed
+    xmp_payload = b"http://xmp\x00"
+    xmp = (b"\xff\xe1" + _s.pack(">H", len(xmp_payload) + 2)
+           + xmp_payload)
+    with_xmp = base[:2] + xmp + app1 + base[2:]
+    out = scrub_exif(with_xmp)
+    assert xmp in out and b"Exif\x00\x00" not in out

@@ -874,3 +874,12 @@ def test_er_queries_share_one_candidate_build(spark):
     assert before == after            # reused, not rebuilt under a new key
     plan = _plan(spark, "dedup_er_canonical")
     assert "CartesianProduct" not in plan
+
+
+def test_exif_audit_single_python_stage_no_join(spark):
+    """multimodal_exif_audit: exactly one Arrow-batched Python stage
+    over the doc slice + one hash aggregate — zero joins."""
+    import re as _re
+    plan = _plan(spark, "multimodal_exif_audit")
+    assert "Join" not in plan
+    assert len(_re.findall(r"\bMapInPandas\b", plan)) <= 2  # tree+detail
