@@ -19,7 +19,6 @@ permanent.
 
 from __future__ import annotations
 
-import gzip as _gzip
 import socket
 import struct
 import urllib.parse
@@ -58,16 +57,12 @@ def grpc_call(host: str, port: int, path: str, message: bytes, *,
     body = message
     coding = None
     if compress:
-        # configgrpc compressor names (gzip default; zstd mirrors the
-        # receiver's capped decoder; True = gzip sugar)
-        coding = "gzip" if compress is True else str(compress).lower()
-        if coding == "gzip":
-            body = _gzip.compress(body)
-        elif coding == "zstd":
-            import pyarrow as pa
-            body = bytes(pa.Codec("zstd").compress(body))
-        else:
-            raise ValueError(f"unsupported grpc compression: {coding}")
+        from ..sources.compression import GRPC_CODINGS, encode_body
+        try:
+            coding, body = encode_body(compress, body, GRPC_CODINGS)
+        except ValueError as e:
+            raise ValueError(f"unsupported grpc compression: "
+                             f"{compress}") from e
     frame = h2.grpc_frame(body, compressed=bool(compress))
     with socket.create_connection((host, port), timeout=timeout_s) as sock:
         sock.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0))

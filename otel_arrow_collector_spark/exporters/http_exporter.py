@@ -20,7 +20,6 @@ a throttle hint), everything else permanent.
 
 from __future__ import annotations
 
-import gzip as _gzip
 import http.client
 import ssl
 import urllib.parse
@@ -73,20 +72,11 @@ def _post_once(host: str, port: int, path: str, body: bytes,
     if auth is not None:
         headers.update(auth.auth_headers())
     if compress:
-        # configcompression surface (config/configcompression/
-        # compressionType.go + confighttp compressor.go): a named coding
-        # or bool sugar (True = gzip, the reference's default)
-        coding = "gzip" if compress is True else str(compress).lower()
-        if coding == "gzip":
-            body = _gzip.compress(body)
-        elif coding == "zstd":
-            import pyarrow as pa
-            body = bytes(pa.Codec("zstd").compress(body))
-        elif coding in ("zlib", "deflate"):
-            import zlib as _zlib
-            body = _zlib.compress(body)
-        else:
-            raise PermanentError(f"unsupported compression: {coding}")
+        from ..sources.compression import HTTP_CODINGS, encode_body
+        try:
+            coding, body = encode_body(compress, body, HTTP_CODINGS)
+        except ValueError as e:               # misconfiguration: no retry
+            raise PermanentError(str(e)) from e
         headers["Content-Encoding"] = coding
     if ssl_ctx is not None:
         conn = http.client.HTTPSConnection(host, port, timeout=timeout_s,

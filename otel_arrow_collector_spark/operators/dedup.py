@@ -1070,6 +1070,15 @@ def _er_candidates_cached(spark, sf_dir):
     return cached("dedup.er_pairs", spark, sf_dir, build)
 
 
+def _er_labels(spark, sf_dir):
+    """Entity labels: verified match pairs -> connected components —
+    the shared step of dedup_er_clusters and dedup_er_canonical."""
+    pairs = (_er_candidates_cached(spark, sf_dir)
+             .filter(F.col("dist") <= ER_MAX_DIST)
+             .select("d1", "d2"))
+    return connected_components(pairs)
+
+
 def dedup_er_blocking(spark, sf_dir):
     """Entity resolution by blocking + edit-distance verify over
     ``customer``: candidate pairs are generated ONLY inside a blocking
@@ -1137,10 +1146,7 @@ def dedup_er_clusters(spark, sf_dir):
     verify -> ``connected_components`` (driver union-find under the
     1M-edge bound, pointer-jumping min-label propagation above it —
     identical labels either way)."""
-    pairs = (_er_candidates_cached(spark, sf_dir)
-             .filter(F.col("dist") <= ER_MAX_DIST)
-             .select("d1", "d2"))
-    labels = connected_components(pairs)
+    labels = _er_labels(spark, sf_dir)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
     return (sizes.groupBy("cluster_size")
@@ -1189,10 +1195,7 @@ def dedup_er_canonical(spark, sf_dir):
     dedup_er_clusters), then one aggregation of the |linked| labels
     joined back to the slim customer columns — never a second pass over
     the full table."""
-    pairs = (_er_candidates_cached(spark, sf_dir)
-             .filter(F.col("dist") <= ER_MAX_DIST)
-             .select("d1", "d2"))
-    labels = connected_components(pairs)
+    labels = _er_labels(spark, sf_dir)
     c = _er_customers(spark, sf_dir)
     members = (labels.join(
         c.select(F.col("c_custkey").alias("node"), "c_name"),

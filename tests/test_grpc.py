@@ -782,9 +782,6 @@ def test_grpc_zstd_message_and_unknown_coding(spark, rcv):
     grpc_call(rcv.host, rcv._port, _PATHS["traces"], body, compress="zstd")
     assert rcv.read_spool(spark, "traces").count() == n
     import gzip as _g
-    from otel_arrow_collector_spark.sources import h2 as _h2
-    from otel_arrow_collector_spark.sources.hpack import (HpackDecoder,
-                                                          HpackEncoder)
     # hand-rolled call claiming snappy: server must refuse cleanly
     with pytest.raises(GrpcCallError) as ei:
         _raw_call_with_encoding(rcv, _PATHS["traces"],
