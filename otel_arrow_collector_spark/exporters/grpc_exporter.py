@@ -148,6 +148,10 @@ def _call_with_retry_mapping(host, port, path, message, token, compress,
         if e.status in _RETRY_BACKOFF:
             raise TransientError(str(e)) from e
         raise PermanentError(str(e)) from e
+    except ValueError as e:
+        # misconfiguration (e.g. unsupported compression): no retry can
+        # heal it — keep the typed-error contract the RetrySender expects
+        raise PermanentError(str(e)) from e
     except (h2.H2Error, ConnectionError, OSError, socket.timeout) as e:
         raise TransientError(f"transport: {e}") from e
 

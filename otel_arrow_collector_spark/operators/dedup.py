@@ -1193,17 +1193,13 @@ def dedup_er_canonical(spark, sf_dir):
 
     Plan: the blocked candidate join + CC labeler (shared with
     dedup_er_clusters), then one aggregation of the |linked| labels
-    joined back to the slim customer columns — never a second pass over
-    the full table."""
+    joined back to the balance column — ONE scan of customer, keyed on
+    the tiny label relation."""
     labels = _er_labels(spark, sf_dir)
-    c = _er_customers(spark, sf_dir)
-    members = (labels.join(
-        c.select(F.col("c_custkey").alias("node"), "c_name"),
-        "node"))
     bal = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("node"),
         F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("cents"))
-    return (members.join(bal, "node")
+    return (labels.join(bal, "node")
             .groupBy("cluster_id")
             .agg(F.min("node").cast("long").alias("canonical_custkey"),
                  F.count(F.lit(1)).cast("long").alias("n_merged"),

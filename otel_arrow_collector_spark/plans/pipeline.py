@@ -115,6 +115,19 @@ CONNECTOR_KINDS = ("forward", "router", "spanmetrics")
 EXTENSION_KINDS = ("file_storage", "zpages", "bearer_token_auth", "nop")
 
 
+def _compress_cfg(cfg: dict, eid: str):
+    """Exporter ``compress:`` config: bool (gzip sugar) or a named
+    configcompression coding string — NEVER bool()-coerced, which would
+    silently turn ``compress: zstd`` into gzip."""
+    v = cfg.get("compress", False)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v
+    raise ConfigError(f"exporter {eid!r}: compress must be a bool or a "
+                      f"coding name, got {type(v).__name__}")
+
+
 class PipelineGraph:
     """Validated pipeline graph, compilable to Spark DataFrames."""
 
@@ -539,7 +552,10 @@ class PipelineGraph:
             return lambda: export_http_now(
                 df, cfg["endpoint"], cfg.get("signal", "traces"),
                 token=cfg.get("token"),
-                compress=bool(cfg.get("compress", False)),
+                # configcompression: bool OR a named coding (zstd/zlib/
+                # deflate) — bool() would silently degrade every named
+                # coding to gzip
+                compress=_compress_cfg(cfg, eid),
                 max_rows_per_request=int(
                     cfg.get("max_rows_per_request", 8192)))
         if kind == "grpc":
@@ -549,7 +565,7 @@ class PipelineGraph:
             return lambda: export_grpc_now(
                 df, cfg["endpoint"], cfg.get("signal", "traces"),
                 token=cfg.get("token"),
-                compress=bool(cfg.get("compress", False)),
+                compress=_compress_cfg(cfg, eid),
                 max_rows_per_request=int(
                     cfg.get("max_rows_per_request", 8192)))
         if kind == "memory":

@@ -401,3 +401,32 @@ def test_http_exporter_named_compressions_land(spark, tmp_path):
         assert rcv.read_spool(spark, "logs").count() == 8
     finally:
         rcv.stop()
+
+
+def test_http_pipeline_exporter_named_compression(spark, rcv):
+    """`compress: zstd` in a pipeline config must reach the wire as
+    zstd — a bool() coercion would silently degrade every named coding
+    to gzip (caught by review; pinned here end-to-end)."""
+    from otel_arrow_collector_spark.plans.pipeline import (ConfigError,
+                                                           PipelineGraph)
+    td = generate_traces(spark, 4)
+    g = PipelineGraph({
+        "receivers": {"mem": {"kind": "memory"}},
+        "exporters": {"push": {"kind": "http", "endpoint": rcv.endpoint,
+                               "signal": "traces", "compress": "zstd"}},
+        "pipelines": {"traces": {"receivers": ["mem"],
+                                 "exporters": ["push"]}},
+    })
+    stats = g.compile(spark, sources={"mem": td}).run()["traces/push"]
+    assert stats["rows_sent"] == 4
+    # a non-bool non-string compress value is a ConfigError at run
+    import pytest as _pt
+    g2 = PipelineGraph({
+        "receivers": {"mem": {"kind": "memory"}},
+        "exporters": {"push": {"kind": "http", "endpoint": rcv.endpoint,
+                               "signal": "traces", "compress": 3}},
+        "pipelines": {"traces": {"receivers": ["mem"],
+                                 "exporters": ["push"]}},
+    })
+    with _pt.raises(ConfigError, match="compress"):
+        g2.compile(spark, sources={"mem": td}).run()

@@ -7,8 +7,10 @@ same way in both engines on one machine (the q93 lesson: both engines
 shared the ambiguity, so parity alone would have flaked later rather
 than failed now).  This sweep forces different physical orders by
 re-running each query under several ``spark.sql.shuffle.partitions``
-settings (runtime-settable) and comparing the full row multisets AND
-the row order of explicitly ordered outputs.
+settings (runtime-settable) and comparing the FULL row lists — values
+and order both, which is the registry's contract: every queries() entry
+ends in an explicit ORDER BY / deterministic top-k, so an order flip is
+itself a determinism defect.
 
     python tools/determinism_check.py [sf_dir] [query ...]
 
@@ -44,6 +46,7 @@ def main() -> int:
     failures = []
     for name in names:
         base = None
+        failed = False
         for parts in PARTITION_SETTINGS:
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             clear_caches()          # memoized substrates rebuild per setting
@@ -51,6 +54,7 @@ def main() -> int:
                 got = _rows(queries[name](spark, sf_dir))
             except Exception as e:
                 failures.append(f"{name}@parts={parts}: {e}")
+                failed = True
                 break
             if base is None:
                 base = got
@@ -61,10 +65,9 @@ def main() -> int:
                     f"(rows {len(base)} vs {len(got)}, {n_diff} positions "
                     f"changed) — missing tie-break or partition-dependent "
                     f"expression")
+                failed = True
                 break
-        status = "FAIL" if failures and failures[-1].startswith(name) \
-            else "ok"
-        print(f"  {status:4s}  {name}")
+        print(f"  {'FAIL' if failed else 'ok':4s}  {name}")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     if failures:
         print(f"== {len(failures)} DETERMINISM FAILURES")
