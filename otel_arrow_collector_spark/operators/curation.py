@@ -810,3 +810,177 @@ JOIN lc l ON l.source = b.source AND l.rk = 1
 JOIN dups d ON d.source = b.source
 ORDER BY b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (data versioning)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff — the data-versioning report a release
+    pipeline prints between crawls: per source, how many docs were
+    ADDED, REMOVED, MODIFIED (same id, different content hash), and
+    UNCHANGED.  Snapshots are synthesized deterministically from the one
+    corpus (OLD drops doc_id%19==0, NEW drops doc_id%17==0 and rewrites
+    the text of doc_id%23==0), so the report is arithmetic for the
+    oracle while the engine runs the REAL plan: a full outer join on
+    doc_id comparing md5(text) — the delta shape every lakehouse diff
+    (Delta/Iceberg snapshot compare) executes.
+
+    One hash exchange per side on doc_id; the compare is row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    old = (d.filter(F.col("doc_id") % 19 != 0)
+           .select("doc_id", "source", F.md5("text").alias("h_old")))
+    new = (d.filter(F.col("doc_id") % 17 != 0)
+           .select("doc_id", "source",
+                   F.md5(F.when(F.col("doc_id") % 23 == 0,
+                                F.concat(F.lit("v2 "), F.col("text")))
+                          .otherwise(F.col("text"))).alias("h_new")))
+    j = (old.withColumnRenamed("source", "src_old")
+         .join(new.withColumnRenamed("source", "src_new"),
+               "doc_id", "full_outer"))
+    status = (F.when(F.col("h_old").isNull(), "added")
+              .when(F.col("h_new").isNull(), "removed")
+              .when(F.col("h_old") != F.col("h_new"), "modified")
+              .otherwise("unchanged"))
+    return (j.select(F.coalesce("src_old", "src_new").alias("source"),
+                     status.alias("status"))
+            .groupBy("source")
+            .agg(F.sum((F.col("status") == "added").cast("long"))
+                  .cast("long").alias("n_added"),
+                 F.sum((F.col("status") == "removed").cast("long"))
+                  .cast("long").alias("n_removed"),
+                 F.sum((F.col("status") == "modified").cast("long"))
+                  .cast("long").alias("n_modified"),
+                 F.sum((F.col("status") == "unchanged").cast("long"))
+                  .cast("long").alias("n_unchanged"))
+            .orderBy("source"))
+
+
+QUERIES["curation_snapshot_diff"] = snapshot_diff
+ORACLES["curation_snapshot_diff"] = """
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS h_old
+  FROM documents WHERE doc_id % 19 != 0),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 23 = 0 THEN 'v2 ' || text
+                  ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 17 != 0),
+j AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         CASE WHEN o.h_old IS NULL THEN 'added'
+              WHEN n.h_new IS NULL THEN 'removed'
+              WHEN o.h_old != n.h_new THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n USING (doc_id))
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modified,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget waterfilling (fair per-source allocation)
+# ---------------------------------------------------------------------------
+
+#: global budget as a fraction of the corpus, in permille (deterministic)
+WATERFILL_BUDGET_PERMILLE = 600
+
+
+def budget_waterfill(spark, sf_dir):
+    """Token-budget waterfilling — the fair-share allocator a mixture
+    builder runs when the training budget is smaller than the corpus:
+    every source keeps all its tokens up to a common cap, and the cap is
+    the largest value that spends exactly (up to integer floor) the
+    budget.  The classic iterative waterfill has a CLOSED FORM over the
+    sources sorted by size: source i (ascending) is uncapped iff
+    n_i * (N - i + 1) <= B - cum_{i-1}; with k = the last uncapped index
+    the cap is (B - cum_k) div (N - k).  Both the cutoff test and the
+    cap are integer-exact cross-multiplications — no float division.
+
+    Plan: one aggregate to the |sources| frame, then windows over that
+    tiny frame plus a 1-row broadcast of (B, k, cap).  The corpus is
+    scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (d.groupBy("source")
+               .agg(F.sum(F.size(F.split(F.col("text"), " ")))
+                     .cast("long").alias("n_tok")))
+    w = Window.orderBy("n_tok", "source")
+    wall = Window.partitionBy()
+    t = (per_src
+         .withColumn("i", F.row_number().over(w))
+         .withColumn("cum", F.sum("n_tok").over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("n_src", F.count(F.lit(1)).over(wall))
+         .withColumn("budget",
+                     F.expr(f"sum(n_tok) over () "
+                            f"* {WATERFILL_BUDGET_PERMILLE} div 1000")))
+    t = t.withColumn(
+        "uncapped",
+        F.col("n_tok") * (F.col("n_src") - F.col("i") + 1)
+        <= F.col("budget") - (F.col("cum") - F.col("n_tok")))
+    cut = (t.groupBy()
+           .agg(F.max(F.when(F.col("uncapped"), F.col("i")))
+                 .alias("k"),
+                F.max(F.when(F.col("uncapped"), F.col("cum")))
+                 .alias("cum_k"),
+                F.first("n_src").alias("n"),
+                F.first("budget").alias("b"))
+           .select(F.coalesce("k", F.lit(0)).alias("k"),
+                   F.coalesce("cum_k", F.lit(0)).alias("cum_k"),
+                   "n", "b"))
+    out = (t.crossJoin(F.broadcast(cut))
+           .withColumn(
+               "cap",
+               F.when(F.col("k") < F.col("n"),
+                      F.expr("(b - cum_k) div (n - k)"))
+                .otherwise(F.lit(None).cast("long")))
+           .select("source", "n_tok",
+                   F.when(F.col("i") <= F.col("k"), F.col("n_tok"))
+                    .otherwise(F.col("cap")).cast("long")
+                    .alias("allocated"),
+                   (F.col("i") > F.col("k")).alias("capped"))
+           .orderBy("source"))
+    return out
+
+
+QUERIES["curation_budget_waterfill"] = budget_waterfill
+ORACLES["curation_budget_waterfill"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tok
+  FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok, source) AS i,
+         SUM(n_tok) OVER (ORDER BY n_tok, source
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER () AS n_src,
+         SUM(n_tok) OVER () * {WATERFILL_BUDGET_PERMILLE} // 1000
+           AS budget
+  FROM per_src),
+flags AS (
+  SELECT *, n_tok * (n_src - i + 1) <= budget - (cum - n_tok)
+           AS uncapped
+  FROM t),
+cut AS (
+  SELECT COALESCE(MAX(CASE WHEN uncapped THEN i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN uncapped THEN cum END), 0) AS cum_k,
+         ANY_VALUE(n_src) AS n, ANY_VALUE(budget) AS b
+  FROM flags)
+SELECT f.source, f.n_tok,
+       CAST(CASE WHEN f.i <= c.k THEN f.n_tok
+                 ELSE (c.b - c.cum_k) // (c.n - c.k) END AS BIGINT)
+         AS allocated,
+       f.i > c.k AS capped
+FROM flags f CROSS JOIN cut c
+ORDER BY f.source
+"""

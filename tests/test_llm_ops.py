@@ -981,3 +981,37 @@ def test_exif_build_parse_scrub_laws():
     with_xmp = base[:2] + xmp + app1 + base[2:]
     out = scrub_exif(with_xmp)
     assert xmp in out and b"Exif\x00\x00" not in out
+
+
+def test_waterfill_closed_form_matches_iterative(spark):
+    """The closed-form waterfill equals the textbook iterative
+    algorithm (raise the cap until the budget is spent), and spends
+    within one cap-floor of the budget without exceeding it."""
+    from otel_arrow_collector_spark.operators.curation import (
+        WATERFILL_BUDGET_PERMILLE, budget_waterfill)
+    rows = budget_waterfill(spark, SF_SMALL).collect()
+    toks = {r.source: r.n_tok for r in rows}
+    budget = sum(toks.values()) * WATERFILL_BUDGET_PERMILLE // 1000
+
+    # iterative reference: grow the common cap one unit of "fill" at a
+    # time over the sorted sizes (closed form per level, still the
+    # textbook semantics)
+    sizes = sorted(toks.values())
+    n = len(sizes)
+    spent, k = 0, 0
+    while k < n and sizes[k] * (n - k) <= budget - spent:
+        spent += sizes[k]
+        k += 1
+    cap = None if k == n else (budget - spent) // (n - k)
+    order = sorted(toks.items(), key=lambda kv: (kv[1], kv[0]))
+    want = {}
+    for i, (s, t) in enumerate(order, start=1):
+        want[s] = t if i <= k else cap
+    got = {r.source: r.allocated for r in rows}
+    assert got == want
+    total_alloc = sum(got.values())
+    assert total_alloc <= budget
+    if cap is not None:
+        assert budget - total_alloc < (n - k) or n == k
+    assert all(r.capped == (got[r.source] != toks[r.source])
+               or toks[r.source] == got[r.source] for r in rows)

@@ -883,3 +883,24 @@ def test_exif_audit_single_python_stage_no_join(spark):
     plan = _plan(spark, "multimodal_exif_audit")
     assert "Join" not in plan
     assert len(_re.findall(r"\bMapInPandas\b", plan)) <= 2  # tree+detail
+
+
+def test_snapshot_diff_is_two_scans_one_join(spark):
+    """curation_snapshot_diff: each snapshot leg is a pushed-filter scan
+    and the compare is ONE keyed full-outer join — no cartesian, no
+    window over the corpus."""
+    plan = _plan(spark, "curation_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_waterfill_windows_only_the_source_frame(spark):
+    """curation_budget_waterfill: the corpus collapses to |sources| rows
+    in ONE hash aggregate; windows and the 1-row cut broadcast operate
+    on that tiny frame only (a SinglePartition window over ~20 rows is
+    the intended plan, NOT a smell here)."""
+    plan = _plan(spark, "curation_budget_waterfill")
+    # the corpus-side aggregate happens before any window (the 1-row cut
+    # crossJoin may legally plan as a broadcast nested loop — the
+    # dedup_cc_keep adjudication)
+    assert plan.index("HashAggregate") < plan.index("windowspecdefinition")
