@@ -233,11 +233,15 @@ class _PromServer:
                     body = b"not found"
                     self.send_response(404)
                 else:
-                    body = expo.render()
+                    from ..sources.compression import encode_response
+                    coding, body = encode_response(
+                        self.headers.get("Accept-Encoding"), expo.render())
                     self.send_response(200)
                     self.send_header(
                         "Content-Type",
                         "text/plain; version=0.0.4; charset=utf-8")
+                    if coding is not None:
+                        self.send_header("Content-Encoding", coding)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

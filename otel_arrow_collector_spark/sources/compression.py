@@ -32,3 +32,23 @@ def encode_body(compress, body: bytes,
         import pyarrow as pa
         return coding, bytes(pa.Codec("zstd").compress(body))
     return coding, zlib.compress(body)        # zlib / deflate
+
+
+def encode_response(accept_encoding: str | None, body: bytes,
+                    min_size: int = 256) -> tuple[str | None, bytes]:
+    """Server-side response compression — the OTHER half of confighttp
+    (compressor.go wraps the ResponseWriter when the request advertises
+    a supported coding): pick the FIRST supported coding in the
+    client's Accept-Encoding list (gzip or zstd; Prometheus scrapers
+    send gzip by default), leave small bodies uncompressed.  Returns
+    (coding-or-None, payload)."""
+    if not accept_encoding or len(body) < min_size:
+        return None, body
+    for token in accept_encoding.split(","):
+        coding = token.split(";", 1)[0].strip().lower()
+        if coding == "gzip":
+            return "gzip", gzip.compress(body)
+        if coding == "zstd":
+            import pyarrow as pa
+            return "zstd", bytes(pa.Codec("zstd").compress(body))
+    return None, body

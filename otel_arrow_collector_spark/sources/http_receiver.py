@@ -336,10 +336,14 @@ class OtlpHttpReceiver:
         featurez} HTML pages (service/zpages.go:17-23)."""
         if (self.exposition is not None
                 and h.path.split("?", 1)[0] == "/metrics"):
-            body = self.exposition.render()
+            from .compression import encode_response
+            coding, body = encode_response(
+                h.headers.get("Accept-Encoding"), self.exposition.render())
             h.send_response(200)
             h.send_header("Content-Type",
                           "text/plain; version=0.0.4; charset=utf-8")
+            if coding is not None:
+                h.send_header("Content-Encoding", coding)
             h.send_header("Content-Length", str(len(body)))
             h.end_headers()
             h.wfile.write(body)

@@ -200,3 +200,32 @@ def test_collector_level_none_starts_no_server(spark):
         assert col.exposition.render() == b""
     finally:
         col.shutdown()
+
+
+def test_scrape_respects_accept_encoding_gzip():
+    """Server-side response compression (confighttp's other half): a
+    scraper advertising Accept-Encoding: gzip gets a gzip body with the
+    matching Content-Encoding header; a client without the header gets
+    identity; the decompressed bytes equal the identity response."""
+    import gzip as _g
+    import urllib.request
+    obs = ObsReport()
+    for i in range(8):          # enough families to clear the 256-byte
+        obs.record(f"recv/otlp{i}", "traces", "accepted", 40 + i)
+    expo = PrometheusExposition(obsreport=obs, level="normal")
+    srv = serve_prometheus(expo, "127.0.0.1:0")
+    try:
+        plain = urllib.request.urlopen(srv.endpoint).read()
+        req = urllib.request.Request(srv.endpoint,
+                                     headers={"Accept-Encoding": "gzip"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Encoding") == "gzip"
+            assert _g.decompress(r.read()) == plain
+        # an unsupported coding falls back to identity, no header
+        req2 = urllib.request.Request(srv.endpoint,
+                                      headers={"Accept-Encoding": "br"})
+        with urllib.request.urlopen(req2) as r2:
+            assert r2.headers.get("Content-Encoding") is None
+            assert r2.read() == plain
+    finally:
+        srv.close()
