@@ -71,6 +71,7 @@ _NEWEST_FIRST = [
     "curation_length_buckets", "text_mojibake", "curation_dataset_card",
     "ann_pq_recall", "dedup_er_canonical", "multimodal_exif_audit",
     "curation_snapshot_diff", "curation_budget_waterfill",
+    "text_classifier_calibration",
     # THEN round-8 additions the r08 sample already covered; whatever
     # the sample budget does not reach rotates forward next round.
     "dedup_source_overlap", "q92_slo_burn", "q93_scd2_merge",

@@ -1620,3 +1620,99 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_hits) AS BIGINT) AS total_hits
 FROM hits GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration (reliability diagram data)
+# ---------------------------------------------------------------------------
+
+CALIB_BIN_WIDTH = 200
+
+
+def text_classifier_calibration(spark, sf_dir):
+    """Reliability-diagram data for the quality classifier — the eval
+    artifact that decides whether a gate's SCORE is trustworthy as a
+    sampling weight, not just as a threshold: docs are binned by the
+    classifier's integer score (width CALIB_BIN_WIDTH) and each bin
+    reports how often an INDEPENDENT quality signal (the full Gopher
+    rule battery) agrees.  A well-calibrated score shows monotone
+    gopher-pass rates across bins; exact integer permille so the oracle
+    gates values.
+
+    One scan computes both signals as column expressions; one hash
+    aggregate on the bin id."""
+    from .text_score import quality_score_col
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    sum_len = F.expr(
+        "aggregate(split(text, ' '), 0, (a, w) -> a + length(w))")
+    symbols = (F.length(F.col("text"))
+               - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+    ellipses = F.expr("(length(text) - length(replace(text, '...', '')))"
+                      " div 3")
+    alpha_w = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(F.array_distinct(
+        F.filter(ws, lambda w: w.isin(*(LEXICON["en"] + LEXICON["es"]
+                                        + LEXICON["zh"])))))
+    gopher_keep = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+                   & (sum_len >= 3 * n) & (sum_len <= 10 * n)
+                   & ((symbols + ellipses) * 10 <= n)
+                   & (alpha_w * 10 >= n * 8) & (stops >= 2))
+    score = quality_score_col()
+    b = (d.select(score.alias("score"),
+                  gopher_keep.cast("long").alias("ok"))
+         .select(F.expr(f"score div {CALIB_BIN_WIDTH}").cast("long")
+                  .alias("bin"),
+                 "score", "ok"))
+    return (b.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("ok").cast("long").alias("n_gopher_pass"),
+                 F.min("score").cast("long").alias("score_min"),
+                 F.max("score").cast("long").alias("score_max"))
+            .select("bin", "n_docs", "n_gopher_pass",
+                    F.expr("n_gopher_pass * 1000 div n_docs").cast("long")
+                     .alias("pass_permille"),
+                    "score_min", "score_max")
+            .orderBy("bin"))
+
+
+QUERIES["text_classifier_calibration"] = text_classifier_calibration
+ORACLES["text_classifier_calibration"] = f"""
+WITH f AS (
+  SELECT text,
+    len(string_split(text, ' ')) AS n,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_words,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x IN ('the','a','fast','slow'))) AS stop_hits,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    len(list_distinct(list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> ''))) AS n_distinct,
+    list_reduce(list_transform(string_split(text, ' '),
+                               w -> length(w)), (a, v) -> a + v) AS sum_len,
+    length(text) - length(replace(text, '#', '')) AS symbols,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+    len(list_filter(string_split(text, ' '),
+        w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_w,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        w -> w IN {_sql_in_list(LEXICON["en"] + LEXICON["es"]
+                                + LEXICON["zh"])}))) AS stops
+  FROM documents),
+s AS (
+  SELECT 2*n_words + 50*stop_hits - 10*n_digits
+           + (n_distinct*1000) // n_words AS score,
+         CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+                   AND sum_len >= 3*n AND sum_len <= 10*n
+                   AND (symbols + ellipses) * 10 <= n
+                   AND alpha_w * 10 >= n * 8 AND stops >= 2
+              THEN 1 ELSE 0 END AS ok
+  FROM f)
+SELECT CAST(score // {CALIB_BIN_WIDTH} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_gopher_pass,
+       CAST(SUM(ok) * 1000 // COUNT(*) AS BIGINT) AS pass_permille,
+       CAST(MIN(score) AS BIGINT) AS score_min,
+       CAST(MAX(score) AS BIGINT) AS score_max
+FROM s GROUP BY bin ORDER BY bin
+"""

@@ -904,3 +904,15 @@ def test_waterfill_windows_only_the_source_frame(spark):
     # crossJoin may legally plan as a broadcast nested loop — the
     # dedup_cc_keep adjudication)
     assert plan.index("HashAggregate") < plan.index("windowspecdefinition")
+
+
+def test_calibration_single_scan_single_agg(spark):
+    """text_classifier_calibration: both signals (score + gopher keep)
+    are column expressions over ONE scan; one hash aggregate on the bin
+    — no join, no window, no Python."""
+    import re as _re
+    plan = _plan(spark, "text_classifier_calibration")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
+                          plan)
