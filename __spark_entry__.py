@@ -30,8 +30,14 @@ def _prepare(spark: SparkSession) -> SparkSession:
     driver's session lacks it, events.ts loading falls back to the
     timestamp branch of the loader (sources/tables.py handles both).
     Timezone IS runtime-settable and must be UTC for calendar parity.
+    ANSI mode is also runtime-settable: PySpark 4.x defaults it ON, while
+    the engine's own sessions pin it OFF (session.py) — set it here so a
+    driver-provided session evaluates the same arithmetic the builder's
+    parity gate verified (overflow/cast/div-by-zero behavior included).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -1042,10 +1042,16 @@ THETA_RANGE = 1 << 48
 #: 48-bit integer from the first 12 hex chars of md5 (instr-based so
 #: both engines evaluate the identical integer polynomial)
 def _theta_hash_sql(key_sql: str, cast: str) -> str:
+    # Every term is forced to BIGINT before the multiply: Spark's
+    # instr() returns INT and 16^(11-j) is an INT literal for j >= 4,
+    # so without the CAST the INT*INT product overflows for any hex
+    # digit >= 8 in positions 5..12 — throwing under ANSI sessions and
+    # silently wrapping (wrong hash) under non-ANSI ones.  DuckDB's
+    # instr returns BIGINT natively, so only the Spark side needed it.
     h = f"md5(CAST({key_sql} AS {cast}))"
     return " + ".join(
-        f"(instr('{_HEX}', substring({h}, {j + 1}, 1)) - 1) "
-        f"* {16 ** (11 - j)}"
+        f"(CAST(instr('{_HEX}', substring({h}, {j + 1}, 1)) AS BIGINT)"
+        f" - 1) * {16 ** (11 - j)}"
         for j in range(12))
 
 

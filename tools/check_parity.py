@@ -5,7 +5,14 @@ Runs every ``__spark_entry__.queries()`` entry through Spark and its
 row-count + column names + order-insensitive value multiset (columns sorted
 by name, values stringified).  Usage:
 
-    python tools/check_parity.py [sf_dir] [query_name ...]
+    python tools/check_parity.py [--ansi] [sf_dir] [query_name ...]
+
+``--ansi`` runs the raw query registry under ``spark.sql.ansi.enabled=true``
+(the PySpark 4.x default the driver session starts with before ``_prepare``
+flips it off).  Non-ANSI mode silently WRAPS integer overflow; ANSI mode
+throws — so this sweep turns any silent-wrong-arithmetic divergence into a
+loud local failure (the round-9 theta-hash bug class).  It bypasses the
+``queries()`` wrapper because ``_prepare`` pins ansi=false.
 """
 
 from __future__ import annotations
@@ -18,8 +25,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    ansi = "--ansi" in argv
+    if ansi:
+        argv.remove("--ansi")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from otel_arrow_collector_spark.oracle import compare, register_duckdb_views
@@ -30,7 +41,14 @@ def main() -> int:
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    if ansi:
+        from otel_arrow_collector_spark.operators import collect_registry
+        raw, oracles = collect_registry()
+        qs = dict(raw)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("== ANSI sweep: spark.sql.ansi.enabled=true ==")
+    else:
+        qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
