@@ -1659,7 +1659,11 @@ def text_classifier_calibration(spark, sf_dir):
                    & (sum_len >= 3 * n) & (sum_len <= 10 * n)
                    & ((symbols + ellipses) * 10 <= n)
                    & (alpha_w * 10 >= n * 8) & (stops >= 2))
-    score = quality_score_col()
+    # Scores are clamped at 0 before binning: Spark's `div` truncates
+    # toward zero while DuckDB's `//` floors, so a negative score
+    # (digit-heavy, few words) would land in different bins in the two
+    # engines; the scale's floor is 0 anyway.
+    score = F.greatest(quality_score_col(), F.lit(0))
     b = (d.select(score.alias("score"),
                   gopher_keep.cast("long").alias("ok"))
          .select(F.expr(f"score div {CALIB_BIN_WIDTH}").cast("long")
@@ -1700,8 +1704,8 @@ WITH f AS (
                                 + LEXICON["zh"])}))) AS stops
   FROM documents),
 s AS (
-  SELECT 2*n_words + 50*stop_hits - 10*n_digits
-           + (n_distinct*1000) // n_words AS score,
+  SELECT greatest(2*n_words + 50*stop_hits - 10*n_digits
+           + (n_distinct*1000) // n_words, 0) AS score,
          CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
                    AND sum_len >= 3*n AND sum_len <= 10*n
                    AND (symbols + ellipses) * 10 <= n

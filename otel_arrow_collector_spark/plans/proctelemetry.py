@@ -186,18 +186,31 @@ class PrometheusExposition:
             fam[1].append((self._labels(labels), value))
 
         if self.obsreport is not None:
-            queue_depth: dict[tuple[str, str], int] = {}
+            # Signal-independent families (no {item} in the template)
+            # and the queue gauge are summed ACROSS signals per
+            # component first: emitting one series per (comp, signal)
+            # under a comp-only label set would produce duplicate
+            # label sets within a family — invalid exposition 0.0.4
+            # that strict scrapers reject.
+            queue_depth: dict[str, int] = {}
+            itemless: dict[tuple[str, str], float] = {}
             for (comp, signal, metric), n in sorted(
                     self.obsreport.snapshot().items()):
                 kind, tmpl = _OBS_NAMES[metric]
-                add(tmpl.format(item=_item(signal)), "counter",
-                    {kind: comp}, float(n))
+                if "{item}" in tmpl:
+                    add(tmpl.format(item=_item(signal)), "counter",
+                        {kind: comp}, float(n))
+                else:
+                    key = (tmpl, kind, comp)
+                    itemless[key] = itemless.get(key, 0.0) + n
                 if metric in ("enqueued", "dequeued"):
-                    d = queue_depth.setdefault((comp, signal), 0)
-                    queue_depth[(comp, signal)] = (
+                    d = queue_depth.setdefault(comp, 0)
+                    queue_depth[comp] = (
                         d + n if metric == "enqueued" else d - n)
+            for (tmpl, kind, comp), total in sorted(itemless.items()):
+                add(tmpl, "counter", {kind: comp}, total)
             # queued_retry.go queue_size view: current occupancy
-            for (comp, signal), depth in sorted(queue_depth.items()):
+            for comp, depth in sorted(queue_depth.items()):
                 add("exporter_queue_size", "gauge", {"exporter": comp},
                     float(depth))
         if self.process is not None:

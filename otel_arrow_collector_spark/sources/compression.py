@@ -10,11 +10,16 @@ from __future__ import annotations
 import gzip
 import zlib
 
-#: what confighttp clients may send (compressor.go registry)
+#: what confighttp clients may send (compressor.go registry).  NOTE:
+#: upstream confighttp clients can also SEND snappy, but the reference
+#: SERVER's decoder map (compression.go:83-123) does not accept it —
+#: this engine keeps the same asymmetry on the HTTP side and supports
+#: snappy only where the reference does (the gRPC registry).
 HTTP_CODINGS = frozenset({"gzip", "zstd", "zlib", "deflate"})
-#: what configgrpc clients may send (configgrpc.go:384-392; snappy is
-#: the receiver's documented cut, so the client refuses it too)
-GRPC_CODINGS = frozenset({"gzip", "zstd"})
+#: what configgrpc clients may send (configgrpc.go:384-392:
+#: gzip/snappy/zstd; snappy is the FRAMED stream format —
+#: go-grpc-compression wraps golang/snappy's buffered writer)
+GRPC_CODINGS = frozenset({"gzip", "zstd", "snappy"})
 
 
 def encode_body(compress, body: bytes,
@@ -31,6 +36,9 @@ def encode_body(compress, body: bytes,
     if coding == "zstd":
         import pyarrow as pa
         return coding, bytes(pa.Codec("zstd").compress(body))
+    if coding == "snappy":
+        from .snappy import frame_compress
+        return coding, frame_compress(body)
     return coding, zlib.compress(body)        # zlib / deflate
 
 
@@ -41,11 +49,24 @@ def encode_response(accept_encoding: str | None, body: bytes,
     a supported coding): pick the FIRST supported coding in the
     client's Accept-Encoding list (gzip or zstd; Prometheus scrapers
     send gzip by default), leave small bodies uncompressed.  Returns
-    (coding-or-None, payload)."""
+    (coding-or-None, payload).  Tokens carrying ``q=0`` are the client
+    EXCLUDING that coding (RFC 9110 §12.4.2) and are skipped."""
     if not accept_encoding or len(body) < min_size:
         return None, body
     for token in accept_encoding.split(","):
-        coding = token.split(";", 1)[0].strip().lower()
+        coding, _, params = token.partition(";")
+        coding = coding.strip().lower()
+        q = 1.0
+        for p in params.split(";"):
+            k, _, v = p.partition("=")
+            if k.strip().lower() == "q":
+                try:
+                    q = float(v.strip())
+                except ValueError:
+                    q = 0.0
+                break
+        if q <= 0.0:
+            continue
         if coding == "gzip":
             return "gzip", gzip.compress(body)
         if coding == "zstd":

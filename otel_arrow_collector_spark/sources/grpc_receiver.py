@@ -336,15 +336,17 @@ class OtlpGrpcReceiver:
         try:
             if compressed:
                 # configgrpc's compressor registry (configgrpc.go:384-392:
-                # gzip/snappy/zstd); snappy is a documented cut — the gRPC
-                # side uses snappy's FRAMED stream format whose chunk CRCs
-                # are CRC32C, which this container has no fast primitive
-                # for (our sources/snappy.py is the raw block format)
+                # gzip/snappy/zstd); snappy is the FRAMED stream format
+                # (go-grpc-compression wraps golang/snappy's buffered
+                # writer) — chunk CRC32C verified, cap enforced per chunk
                 enc = st.headers.get("grpc-encoding")
                 if enc == "gzip":
                     body = _gunzip_capped(body, self.max_msg_bytes)
                 elif enc == "zstd":
                     body = _zstd_capped(body, self.max_msg_bytes)
+                elif enc == "snappy":
+                    from .snappy import frame_decompress
+                    body = frame_decompress(body, self.max_msg_bytes)
                 else:
                     raise ValueError("compressed message with unsupported "
                                      f"grpc-encoding: {enc!r}")

@@ -85,14 +85,18 @@ def _gunzip_capped(data: bytes, cap: int) -> bytes:
 
 def _zstd_capped(data: bytes, cap: int) -> bytes:
     """Decompress one zstd frame with the size cap enforced BEFORE any
-    allocation: the RFC 8878 frame header's Frame_Content_Size field is
-    parsed first (clean-room; magic + FHD flags -> FCS width/offset) and
-    checked against `cap`, then pyarrow's bundled zstd does the actual
-    decode with that exact size.  Frames that omit the content size
-    (streaming-mode encoders) are refused loudly — the one-shot client
-    frames the reference's zstd.NewReader typically sees always carry
-    it, and accepting sizeless frames would reopen the bomb window the
-    capped readers exist to close."""
+    oversized allocation.  Two shapes arrive in practice:
+
+    - one-shot encoders write the RFC 8878 Frame_Content_Size field —
+      parse it first (clean-room; magic + FHD flags -> FCS width/
+      offset), refuse over-cap claims pre-allocation, then decode with
+      pyarrow at that exact size;
+    - the reference's own HTTP/gRPC clients compress with a STREAMING
+      ``zstd.NewWriter`` (confighttp/compressor.go:31), which emits
+      frames WITHOUT the content-size field — those are decompressed
+      incrementally through pyarrow's CompressedInputStream with the
+      cap enforced per 64 KiB chunk (mirror of ``_inflate_capped``),
+      so a zstd bomb still dies at the cap, never at allocation."""
     if len(data) < 6 or data[:4] != b"\x28\xb5\x2f\xfd":
         raise ValueError("not a zstd frame")
     fhd = data[4]
@@ -102,10 +106,19 @@ def _zstd_capped(data: bytes, cap: int) -> bytes:
     fcs_flag = fhd >> 6
     did_size = (0, 1, 2, 4)[fhd & 0x03]
     pos = 5 + (0 if single_segment else 1) + did_size
+    import pyarrow as pa
+    if fcs_flag == 0 and not single_segment:
+        # Sizeless streaming-mode frame: bounded incremental decode.
+        out = bytearray()
+        rd = pa.CompressedInputStream(pa.BufferReader(data), "zstd")
+        while True:
+            chunk = rd.read(65536)
+            if not chunk:
+                return bytes(out)
+            out += chunk
+            if len(out) > cap:
+                raise ValueError("decompressed body exceeds limit")
     if fcs_flag == 0:
-        if not single_segment:
-            raise ValueError(
-                "zstd frame without Frame_Content_Size unsupported")
         size = data[pos]
     elif fcs_flag == 1:
         size = int.from_bytes(data[pos:pos + 2], "little") + 256
@@ -115,7 +128,6 @@ def _zstd_capped(data: bytes, cap: int) -> bytes:
         size = int.from_bytes(data[pos:pos + 8], "little")
     if size > cap:
         raise ValueError("decompressed body exceeds limit")
-    import pyarrow as pa
     return bytes(pa.Codec("zstd").decompress(data, size))
 
 

@@ -157,3 +157,126 @@ def snappy_decompress(data: bytes) -> bytes:
     if len(out) != total:
         raise ValueError(f"length mismatch: {len(out)} != {total}")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Framed stream format (framing_format.txt) — what the reference's gRPC
+# snappy compressor speaks (go-grpc-compression/snappy wraps
+# golang/snappy's NewBufferedWriter/NewReader, the framing format), and
+# what confighttp clients emit for compression: snappy.
+# ---------------------------------------------------------------------------
+
+_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_MAX_CHUNK = 65536            # max uncompressed bytes per data chunk
+
+#: CRC32C (Castagnoli, reflected 0x82F63B78) slicing-by-8 tables —
+#: table-driven pure Python; messages on this path are size-capped, so
+#: throughput is bounded-work by construction.
+_CRC32C_POLY = 0x82F63B78
+
+
+def _crc32c_tables():
+    t0 = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (_CRC32C_POLY if c & 1 else 0)
+        t0.append(c)
+    tables = [t0]
+    for k in range(1, 8):
+        prev = tables[k - 1]
+        tables.append([t0[prev[n] & 0xFF] ^ (prev[n] >> 8)
+                       for n in range(256)])
+    return tables
+
+
+_T = _crc32c_tables()
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    n = len(data)
+    i = 0
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T
+    end8 = n - (n % 8)
+    while i < end8:
+        crc ^= int.from_bytes(data[i:i + 4], "little")
+        b4, b5, b6, b7 = data[i + 4], data[i + 5], data[i + 6], data[i + 7]
+        crc = (t7[crc & 0xFF] ^ t6[(crc >> 8) & 0xFF]
+               ^ t5[(crc >> 16) & 0xFF] ^ t4[crc >> 24]
+               ^ t3[b4] ^ t2[b5] ^ t1[b6] ^ t0[b7])
+        i += 8
+    while i < n:
+        crc = t0[(crc ^ data[i]) & 0xFF] ^ (crc >> 8)
+        i += 1
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    """The framing format stores CRCs masked (rotate right 15 +
+    0xa282ead8) so CRCs of CRC-bearing data don't fixate."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def frame_compress(data: bytes) -> bytes:
+    """bytes -> snappy framing-format stream: stream identifier, then
+    one compressed (type 0x00) — or uncompressed (0x01) when
+    compression doesn't pay — chunk per 64 KiB, each carrying the
+    masked CRC32C of its UNCOMPRESSED content."""
+    out = bytearray(_STREAM_ID)
+    for i in range(0, len(data), _MAX_CHUNK) if data else [0]:
+        chunk = data[i:i + _MAX_CHUNK]
+        crc = _mask_crc(_crc32c(chunk)).to_bytes(4, "little")
+        comp = snappy_compress(chunk)
+        if len(comp) < len(chunk):
+            payload, kind = crc + comp, 0x00
+        else:
+            payload, kind = crc + chunk, 0x01
+        out.append(kind)
+        out += len(payload).to_bytes(3, "little")
+        out += payload
+    return bytes(out)
+
+
+def frame_decompress(data: bytes, cap: int | None = None) -> bytes:
+    """Framing-format stream -> bytes; verifies the stream identifier,
+    every chunk CRC, and (when ``cap`` is given) enforces the
+    decompressed-size cap incrementally — a snappy bomb dies at the
+    cap, not at allocation.  Skippable chunks (0x80-0xfd, 0xfe pad)
+    are skipped; reserved unskippable types (0x02-0x7f) are errors,
+    all per framing_format.txt."""
+    if not data.startswith(_STREAM_ID):
+        raise ValueError("missing snappy stream identifier")
+    i = len(_STREAM_ID)
+    out = bytearray()
+    while i < len(data):
+        if i + 4 > len(data):
+            raise ValueError("truncated chunk header")
+        kind = data[i]
+        ln = int.from_bytes(data[i + 1:i + 4], "little")
+        i += 4
+        if i + ln > len(data):
+            raise ValueError("truncated chunk payload")
+        payload = data[i:i + ln]
+        i += ln
+        if kind in (0x00, 0x01):
+            if ln < 4:
+                raise ValueError("chunk too short for CRC")
+            want = int.from_bytes(payload[:4], "little")
+            chunk = (snappy_decompress(payload[4:]) if kind == 0x00
+                     else bytes(payload[4:]))
+            if len(chunk) > _MAX_CHUNK:
+                raise ValueError("chunk exceeds 65536-byte format limit")
+            if _mask_crc(_crc32c(chunk)) != want:
+                raise ValueError("snappy chunk CRC mismatch")
+            out += chunk
+            if cap is not None and len(out) > cap:
+                raise ValueError("decompressed body exceeds limit")
+        elif kind == 0xFF:
+            if payload != _STREAM_ID[4:]:
+                raise ValueError("bad repeated stream identifier")
+        elif kind >= 0x80:
+            continue                          # skippable / padding
+        else:
+            raise ValueError(f"reserved unskippable chunk 0x{kind:02x}")
+    return bytes(out)

@@ -1,0 +1,109 @@
+"""Config-watch hot reload: a running collector picks up file edits
+(otelcol/collector.go:236-252 Watch loop -> reloadConfiguration
+194-208); invalid edits are dry-run-rejected and keep the old plan."""
+
+from __future__ import annotations
+
+import time
+
+from otel_arrow_collector_spark.plans.collector import Collector, State
+from otel_arrow_collector_spark.plans.watcher import ConfigWatcher
+from tests.conftest import SF_SMALL
+
+_FILTERED = """\
+receivers: {ev: {kind: table, table: events}}
+processors: {only_errors: {kind: filter, where: "event_type = 'error'"}}
+exporters: {out: {kind: "null"}}
+pipelines:
+  p1: {receivers: [ev], processors: [only_errors], exporters: [out]}
+"""
+
+_UNFILTERED = """\
+receivers: {ev: {kind: table, table: events}}
+exporters: {out: {kind: "null"}}
+pipelines:
+  p1: {receivers: [ev], exporters: [out]}
+"""
+
+_BAD = """\
+receivers: {ev: {kind: table, table: events}}
+exporters: {out: {kind: "null"}}
+pipelines:
+  p1: {receivers: [missing_receiver], exporters: [out]}
+"""
+
+
+def _write(path, text):
+    # A fresh mtime even on coarse-granularity filesystems.
+    path.write_text(text)
+    now = time.time()
+    import os
+    os.utime(path, (now, now))
+
+
+def test_watcher_fires_reload_on_config_edit(spark, tmp_path):
+    cfg = tmp_path / "collector.yaml"
+    _write(cfg, _FILTERED)
+    c = Collector(spark, str(cfg), sf_dir=SF_SMALL)
+    res = c.start()
+    n_filtered = res["p1/out"]
+
+    with ConfigWatcher(c) as w:
+        _write(cfg, _UNFILTERED)
+        assert w.wait_for(1), "watcher never fired"
+    assert [e.kind for e in w.events] == ["reloaded"]
+    assert c.state is State.RUNNING
+    # the live plan now reflects the edited config (filter dropped)
+    assert w.events[0].detail["p1/out"] > n_filtered
+    c.shutdown()
+
+
+def test_invalid_edit_keeps_old_plan_running(spark, tmp_path):
+    cfg = tmp_path / "collector.yaml"
+    _write(cfg, _FILTERED)
+    c = Collector(spark, str(cfg), sf_dir=SF_SMALL)
+    n_before = c.start()["p1/out"]
+
+    with ConfigWatcher(c) as w:
+        _write(cfg, _BAD)
+        assert w.wait_for(1), "watcher never fired"
+        assert w.events[0].kind == "rejected"
+        assert c.state is State.RUNNING          # old plan still live
+        assert c.plan.run()["p1/out"] == n_before
+
+        # fixing the file while the watcher is still up recovers
+        _write(cfg, _UNFILTERED)
+        assert w.wait_for(2), "watcher never fired on the fix"
+    assert w.events[1].kind == "reloaded"
+    assert c.state is State.RUNNING
+    assert w.events[1].detail["p1/out"] > n_before
+    c.shutdown()
+
+
+def test_debounce_collapses_write_burst(spark, tmp_path):
+    cfg = tmp_path / "collector.yaml"
+    _write(cfg, _FILTERED)
+    c = Collector(spark, str(cfg), sf_dir=SF_SMALL)
+    c.start()
+
+    with ConfigWatcher(c, interval=0.05, debounce=0.4) as w:
+        # an editor-style burst: several writes inside one debounce
+        # window must produce ONE reload of the final content
+        for text in (_UNFILTERED, _FILTERED, _UNFILTERED):
+            _write(cfg, text)
+            time.sleep(0.1)
+        assert w.wait_for(1)
+        time.sleep(0.6)          # would surface any extra firings
+    assert [e.kind for e in w.events] == ["reloaded"]
+    c.shutdown()
+
+
+def test_watcher_requires_file_uris(spark):
+    c = Collector(spark, "yaml:exporters: {out: {kind: 'null'}}",
+                  sf_dir=SF_SMALL)
+    try:
+        ConfigWatcher(c).start()
+    except ValueError as e:
+        assert "file-based" in str(e)
+    else:
+        raise AssertionError("expected ValueError for yaml:-only URIs")

@@ -781,21 +781,38 @@ def test_grpc_zstd_message_and_unknown_coding(spark, rcv):
     body, n = _pb_body(spark, 3)
     grpc_call(rcv.host, rcv._port, _PATHS["traces"], body, compress="zstd")
     assert rcv.read_spool(spark, "traces").count() == n
+    # snappy: the reference registry's third coding (framed stream
+    # format, CRC32C-verified) round-trips through the live server
+    grpc_call(rcv.host, rcv._port, _PATHS["traces"], body,
+              compress="snappy")
+    assert rcv.read_spool(spark, "traces").count() == 2 * n
+    # a corrupted snappy chunk CRC is INVALID_ARGUMENT, not a crash
+    from otel_arrow_collector_spark.sources.snappy import frame_compress
+    blob = bytearray(frame_compress(body))
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises(GrpcCallError) as ei:
+        _raw_call_with_encoding(rcv, _PATHS["traces"], bytes(blob),
+                                "snappy", client_refuses=False)
+    assert ei.value.status == 3          # INVALID_ARGUMENT
     import gzip as _g
-    # hand-rolled call claiming snappy: server must refuse cleanly
+    # hand-rolled call claiming an unregistered coding: refused cleanly
     with pytest.raises(GrpcCallError) as ei:
         _raw_call_with_encoding(rcv, _PATHS["traces"],
-                                _g.compress(body), "snappy")
+                                _g.compress(body), "br")
     assert ei.value.status == 3          # INVALID_ARGUMENT
     assert "unsupported" in ei.value.message
 
 
-def _raw_call_with_encoding(rcv, path, compressed_body, coding):
+def _raw_call_with_encoding(rcv, path, compressed_body, coding,
+                            client_refuses=True):
     """grpc_call but with an arbitrary grpc-encoding header (the client
-    helper itself refuses unknown codings, which is also pinned here)."""
+    helper itself refuses unknown codings, which is also pinned here;
+    ``client_refuses=False`` for codings the client DOES support when
+    the point is sending a hand-corrupted body)."""
     from otel_arrow_collector_spark.exporters.grpc_exporter import grpc_call
-    with pytest.raises(ValueError, match="unsupported grpc compression"):
-        grpc_call(rcv.host, rcv._port, path, b"", compress=coding)
+    if client_refuses:
+        with pytest.raises(ValueError, match="unsupported grpc compression"):
+            grpc_call(rcv.host, rcv._port, path, b"", compress=coding)
     # drive the wire directly via a monkeypatched coding: simplest is the
     # low-level frame send mirroring grpc_call with the coding header
     import socket as _socket

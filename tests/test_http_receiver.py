@@ -367,21 +367,41 @@ def test_http_all_reference_content_encodings(spark, rcv):
     assert status == 400 and b"unsupported" in resp
 
 
-def test_http_zstd_bomb_and_sizeless_frames_rejected(spark, rcv):
+def test_http_zstd_bomb_and_sizeless_frames(spark, rcv):
     """The zstd cap is enforced from the FRAME HEADER (RFC 8878
-    Frame_Content_Size) before any allocation; frames that omit the
-    content size are refused rather than decoded uncapped."""
+    Frame_Content_Size) before any allocation when the size is present;
+    sizeless streaming-writer frames — what the reference's
+    zstd.NewWriter clients actually send (confighttp/compressor.go:31)
+    — are ACCEPTED via bounded incremental decode, with the same cap."""
     import pyarrow as pa
     huge = b" " * (70 * 1024 * 1024)            # > default 64 MiB cap
     blob = bytes(pa.Codec("zstd").compress(huge))
     status, resp = _post(rcv, "/v1/traces", blob,
                          headers={"Content-Encoding": "zstd"})
     assert status == 400 and b"exceeds limit" in resp
-    # a hand-built sizeless frame header (FCS flag 0, not single-segment)
-    sizeless = b"\x28\xb5\x2f\xfd" + bytes([0x00, 0x00]) + b"\x00" * 8
-    status, resp = _post(rcv, "/v1/traces", sizeless,
+
+    # streaming-writer frame (no Frame_Content_Size): must decode
+    td = generate_traces(spark, 2)
+    body = _json_body(td, "traces")
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as s:
+        s.write(body)
+    sizeless = sink.getvalue().to_pybytes()
+    assert sizeless[4] >> 6 == 0 and not (sizeless[4] >> 5) & 1
+    status, _ = _post(rcv, "/v1/traces", sizeless,
+                      headers={"Content-Encoding": "zstd"})
+    assert status == 200
+    assert rcv.read_spool(spark, "traces").count() >= td.count()
+
+    # a sizeless BOMB still dies at the cap (chunked, never allocated)
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as s:
+        s.write(huge)
+    bomb = sink.getvalue().to_pybytes()
+    assert bomb[4] >> 6 == 0
+    status, resp = _post(rcv, "/v1/traces", bomb,
                          headers={"Content-Encoding": "zstd"})
-    assert status == 400
+    assert status == 400 and b"exceeds limit" in resp
 
 
 def test_http_exporter_named_compressions_land(spark, tmp_path):

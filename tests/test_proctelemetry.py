@@ -229,3 +229,39 @@ def test_scrape_respects_accept_encoding_gzip():
             assert r2.read() == plain
     finally:
         srv.close()
+
+
+def test_exposition_no_duplicate_label_sets():
+    """Signal-independent families (queue gauge, arrow/unary batch
+    counters) must sum across signals per component — one series per
+    label set within a family is the exposition 0.0.4 validity rule
+    strict scrapers enforce."""
+    obs = ObsReport(level="detailed")
+    for signal in ("traces", "logs", "metrics"):
+        obs.record("q", signal, "enqueued", 10)
+        obs.record("q", signal, "dequeued", 4)
+        obs.record("q", signal, "sent_arrow_batches", 2)
+        obs.record("q", signal, "sent_unary_batches", 1)
+    text = PrometheusExposition(obsreport=obs).render().decode()
+    series = [ln for ln in text.splitlines() if not ln.startswith("#")]
+    keys = [ln.rsplit(" ", 1)[0] for ln in series]
+    assert len(keys) == len(set(keys)), f"duplicate series: {keys}"
+    assert 'otelcol_exporter_queue_size{exporter="q"} 18' in text
+    assert 'otelcol_exporter_sent_arrow_batches{exporter="q"} 6' in text
+    assert 'otelcol_exporter_sent_unary_batches{exporter="q"} 3' in text
+
+
+def test_scrape_accept_encoding_q_values():
+    """'gzip;q=0, zstd' means the client REFUSES gzip (RFC 9110
+    12.4.2): the response must pick zstd, never the q=0 coding."""
+    from otel_arrow_collector_spark.sources.compression import \
+        encode_response
+    body = b"x" * 1024
+    coding, payload = encode_response("gzip;q=0, zstd", body)
+    assert coding == "zstd"
+    coding, _ = encode_response("gzip;q=0.8, zstd;q=0.9", body)
+    assert coding == "gzip"       # q>0: first supported token wins
+    coding, payload = encode_response("gzip;q=0, zstd;q=0", body)
+    assert coding is None and payload == body
+    coding, _ = encode_response("br;q=1, gzip;q=garbage", body)
+    assert coding is None         # unparseable q treated as exclusion

@@ -61,3 +61,51 @@ def test_malformed_guards():
     with pytest.raises(ValueError):
         # declared length != produced length
         snappy_decompress(b"\x09" + bytes([2 << 2]) + b"abc")
+
+
+# ---------------------------------------------------------------------------
+# framing format (framing_format.txt) — the gRPC snappy wire shape
+# ---------------------------------------------------------------------------
+
+def test_frame_roundtrip_shapes():
+    from otel_arrow_collector_spark.sources.snappy import (frame_compress,
+                                                           frame_decompress)
+    import os
+    for payload in (b"", b"a", b"hello world " * 500,
+                    os.urandom(100_000),          # incompressible chunks
+                    b"\x00" * 200_000):           # multi-chunk, compressible
+        assert frame_decompress(frame_compress(payload)) == payload
+
+
+def test_frame_crc32c_is_castagnoli_masked():
+    """The chunk checksum is the MASKED CRC32C of the uncompressed
+    data — pinned against the canonical Castagnoli test vector."""
+    from otel_arrow_collector_spark.sources.snappy import _crc32c, _mask_crc
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _mask_crc(0) == 0xA282EAD8
+
+
+def test_frame_rejects_corruption_and_bombs():
+    import pytest
+
+    from otel_arrow_collector_spark.sources.snappy import (frame_compress,
+                                                           frame_decompress)
+    blob = bytearray(frame_compress(b"payload " * 1000))
+    blob[14] ^= 0x01          # stored CRC lives right after stream id
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        frame_decompress(bytes(blob))
+    blob[14] ^= 0x01
+    blob[-3] ^= 0x01          # body corruption dies too (block decode)
+    with pytest.raises(ValueError):
+        frame_decompress(bytes(blob))
+    with pytest.raises(ValueError, match="stream identifier"):
+        frame_decompress(b"\x00\x04\x00\x00abcd")
+    with pytest.raises(ValueError, match="reserved unskippable"):
+        frame_decompress(
+            frame_compress(b"") + b"\x02\x01\x00\x00x")
+    big = frame_compress(b" " * 300_000)
+    with pytest.raises(ValueError, match="exceeds limit"):
+        frame_decompress(big, cap=100_000)
+    # skippable chunk types are skipped, padding ignored
+    ok = frame_compress(b"data") + b"\xfe\x03\x00\x00pad"
+    assert frame_decompress(ok) == b"data"
