@@ -57,46 +57,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the stalest driver rows (round-8 verdict ask #3) — the
-    # dedup family's newest CORRECTNESS rows date from r03 and the
-    # q22-q50 relational band from r04; they outrank newer work in the
-    # sampling order so CORRECTNESS_r09 re-greens them.
-    "dedup_cc_keep", "dedup_cc_labels", "dedup_embedding_cosine",
-    "dedup_exact_groups", "dedup_exact_stats", "dedup_minhash_keep",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "q35_tracestate", "q36_exp_histogram_merge", "q37_asof_join",
-    "q40_rate", "q41_histogram_merge", "q42_histogram_quantile",
-    "q45_salted_hot_key_join", "q46_retention_cohorts",
-    "q47_hopping_window", "q48_exp_histogram_quantile",
-    # THEN any round-9 additions (commit-checklist rule: every new
-    # query gets a slot here).
-    "ann_pq_adc_topk", "sketch_theta_intersection", "text_dedup_spans",
-    "graph_label_propagation", "dedup_contamination",
-    "q97_seasonal_spike", "dedup_er_blocking", "text_bpe_merge",
-    "text_url_canonicalize", "dedup_er_clusters",
+    # FIRST: the round-10 theta-hash fix (verdict ask #1 — the one
+    # driver-red r09 row; its green r10 row closes the bug) and the
+    # round-10 additions (commit-checklist rule: every new query gets
+    # a slot here).
+    "sketch_theta_intersection", "sketch_theta_difference",
+    "graph_k_core", "ann_ivf_pq", "q98_weighted_median",
+    "q99_revenue_gini", "text_readability",
+    # THEN the stalest driver rows (verdict ask #4): the q22-q50
+    # relational band's newest CORRECTNESS rows date from r04 ...
+    "q22_dense_rank", "q23_topk", "q24_union_all", "q25_intersect",
+    "q26_except", "q27_string_fns", "q28_datetime_fns", "q29_math_fns",
+    "q30_conditional", "q31_tumbling_window", "q32_sessionization",
+    "q33_exact_dedup_count", "q34_text_groupstats", "q38_pivot",
+    "q39_unpivot", "q43_shipping_priority",
+    "q44_local_supplier_volume", "q49_ntile_deciles",
+    "q50_market_share",
+    # ... and the q09-q21 + TPC-H q63-q69 bands from r05.
+    "q09_grouping_sets", "q10_histogram_buckets", "q11_quantiles",
+    "q12_inner_join", "q13_star_join", "q14_left_join", "q15_semi_join",
+    "q16_anti_join", "q17_self_join", "q18_interval_join",
+    "q19_first_n_per_group", "q20_lag_lead", "q21_running_sum",
+    "text_tfidf_search", "multimodal_video_frames",
+    "q69_forecast_revenue", "multimodal_mp4_meta", "dedup_semantic",
+    "q68_waiting_suppliers", "q63_volume_shipping", "q64_product_profit",
+    "q65_min_acctbal_supplier", "q66_important_parts",
+    "q67_dominant_suppliers",
+    # Round-9 additions (all driver-green in r09) backfill whatever
+    # budget remains; everything else follows in registry order.
+    "ann_pq_adc_topk", "text_dedup_spans", "graph_label_propagation",
+    "dedup_contamination", "q97_seasonal_spike", "dedup_er_blocking",
+    "text_bpe_merge", "text_url_canonicalize", "dedup_er_clusters",
     "curation_length_buckets", "text_mojibake", "curation_dataset_card",
     "ann_pq_recall", "dedup_er_canonical", "multimodal_exif_audit",
     "curation_snapshot_diff", "curation_budget_waterfill",
     "text_classifier_calibration",
-    # THEN round-8 additions the r08 sample already covered; whatever
-    # the sample budget does not reach rotates forward next round.
-    "dedup_source_overlap", "q92_slo_burn", "q93_scd2_merge",
-    "q94_attribution", "text_cooccur_lift", "ann_loo_accuracy",
-    "multimodal_resample", "q95_cdc_apply", "embedding_drift",
-    "multimodal_phash_dedup", "q96_changepoint", "multimodal_data_uri",
-    "text_keywords", "ann_ivf_cell_quality",
-    # Recently-rotated queries (all driver-green in r07) backfill.
-    "cc_pipeline_warc", "sketch_hll_union", "sketch_quantile_binned",
-    "multimodal_decode_quarantine",
-    "ann_knn_graph", "jsonl_extract", "lz4_roundtrip",
-    "multimodal_adpcm_roundtrip", "multimodal_g711_roundtrip",
-    "multimodal_gif_decode", "multimodal_netpbm_roundtrip",
-    "multimodal_qoi_roundtrip", "multimodal_tiff_roundtrip",
-    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
-    "q83_intransit_peak", "q84_brand_growth", "q85_revenue_percentiles",
-    "q86_gap_filled_daily", "q87_forward_fill", "q88_dq_expectations",
-    "q89_incremental_mv_merge", "q90_tail_sampling", "q91_rate_limit",
-    "snappy_roundtrip", "tar_extract", "warc_extract",
 ]
 
 

@@ -381,3 +381,127 @@ r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
 FROM r3 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel)
+# ---------------------------------------------------------------------------
+
+#: the core order reported — at the testdata's scale-invariant degree
+#: distribution (median ~21) this peels ~40% of nodes per graph while
+#: leaving a real surviving core at every SF
+KCORE_K = 18
+#: unrolled peel rounds (determinism > convergence — the PR_ITERS /
+#: LPA_ITERS adjudication; the oracle unrolls the same count)
+KCORE_PEELS = 4
+#: driver fast-path gate: collect + peel in the driver below this many
+#: edges (the dedup-CC union-find precedent); distributed peel above
+KCORE_DRIVER_EDGE_CAP = 2_000_000
+
+
+def graph_k_core(spark, sf_dir):
+    """Approximate K-core of the co-purchase graph by KCORE_PEELS
+    unrolled peeling rounds (Matula & Beck 1983 degeneracy peeling,
+    bounded): each round recomputes degrees over the subgraph induced
+    by the surviving node set and drops nodes of degree < K.  Reports
+    each surviving node with its residual degree — the dense backbone
+    a curation pipeline treats as "canonical co-occurrence structure"
+    (vs LPA's communities and CC's reachability).
+
+    Scale shape: the dedup-CC precedent — a COUNTED edge-cap gate
+    picks the path.  Under the cap the edge list (already the shared
+    memoized substrate) is collected once and peeled in the driver
+    (set arithmetic; graph iteration on a sub-cap graph is pure
+    per-stage overhead in Spark).  Over the cap the peel runs
+    distributed: the EDGE list stays static (cached, scanned once per
+    round); iteration state is the NODE-sized alive set, persisted +
+    forced per round so the lazy plan stays linear (without
+    materialization the alive set appears twice per round and the
+    plan grows 2^rounds subtrees — the GraphX checkpoint discipline).
+    Per round: two broadcast semi-joins + one |nodes|-row hash agg;
+    nothing edge-sized is ever re-materialized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from .cache_registry import cached
+    e = cached("copurchase_edges", spark, sf_dir,
+               lambda: copurchase_edges(li).persist())
+    edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionAll(e.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"))))
+
+    def induced_deg(alive):
+        sub = edges
+        if alive is not None:
+            sub = (sub.join(F.broadcast(alive), "src", "left_semi")
+                   .join(F.broadcast(
+                       alive.withColumnRenamed("src", "dst")),
+                       "dst", "left_semi"))
+        return sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    def build():
+        if e.count() <= KCORE_DRIVER_EDGE_CAP:
+            adj: dict[int, list[int]] = {}
+            for r in e.collect():          # bounded by the counted cap
+                adj.setdefault(r.u, []).append(r.v)
+                adj.setdefault(r.v, []).append(r.u)
+            alive = set(adj)
+            for _ in range(KCORE_PEELS):
+                alive = {v for v in alive
+                         if sum(w in alive for w in adj[v]) >= KCORE_K}
+            rows = sorted(
+                (v, sum(w in alive for w in adj[v])) for v in alive)
+            return spark.createDataFrame(
+                rows or [], "node long, deg long").persist()
+        alive = None
+        for _ in range(KCORE_PEELS):
+            nxt = (induced_deg(alive)
+                   .filter(F.col("deg") >= KCORE_K)
+                   .select("src").persist())
+            nxt.count()
+            if alive is not None:
+                alive.unpersist()
+            alive = nxt
+        return (induced_deg(alive)
+                .select(F.col("src").alias("node"),
+                        F.col("deg")).persist())
+
+    core = cached("graph.kcore_deg", spark, sf_dir, build)
+    return (core.select(F.col("node").cast("long").alias("node"),
+                        F.col("deg").cast("long").alias("deg"))
+            .orderBy("node"))
+
+
+def _kcore_iter_sql(prev: str, this: str) -> str:
+    on_prev = ("" if prev is None else
+               f"  JOIN {prev} s ON s.src = e.src\n"
+               f"  JOIN {prev} d ON d.src = e.dst\n")
+    return f"""{this} AS (
+  SELECT e.src FROM e0 e
+{on_prev}  GROUP BY e.src HAVING COUNT(*) >= {KCORE_K})"""
+
+
+QUERIES["graph_k_core"] = graph_k_core
+ORACLES["graph_k_core"] = f"""
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+  WHERE instr('{_HEX}',
+              substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1
+        < {BASKET_SAMPLE_HEX}),
+deg0 AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN deg0 ON deg0.o = ps.o
+          WHERE deg0.ns <= {MAX_BASKET}),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+e0 AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+{", ".join(_kcore_iter_sql(None if i == 0 else f"a{i}", f"a{i + 1}")
+           for i in range(KCORE_PEELS))}
+SELECT CAST(e.src AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS deg
+FROM e0 e
+JOIN a{KCORE_PEELS} s ON s.src = e.src
+JOIN a{KCORE_PEELS} d ON d.src = e.dst
+GROUP BY e.src ORDER BY node
+"""

@@ -3826,3 +3826,118 @@ def q97(spark, sf_dir):
             .select("event_type", "day", "hod", "c",
                     F.col("s").alias("hod_total"), "n_cells")
             .orderBy("event_type", "day", "hod"))
+
+
+# ---------------------------------------------------------------------------
+# q98/q99: weighted order statistics + inequality (round 10)
+# ---------------------------------------------------------------------------
+
+@_register("q98_weighted_median", """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+c AS (
+  SELECT grp, cents, w,
+         SUM(w) OVER (PARTITION BY grp
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY grp) AS tot
+  FROM v)
+SELECT grp,
+       CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+       CAST(MIN(tot) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cum >= tot GROUP BY grp ORDER BY grp
+""")
+def q98(spark, sf_dir):
+    """Exact weighted median (weight = quantity) of extended price per
+    return flag: the smallest value whose cumulative weight reaches
+    half the group's total — the weighted generalization of q79's rank
+    median, the robust "typical priced unit" statistic a revenue
+    dashboard wants when line items carry multiplicities.
+
+    One window shuffle keyed by the group serves both running and
+    total weight (same partitioning, two frames); the answer collapses
+    via MIN over the qualifying suffix — no second pass, no sort
+    beyond the group-local window order.  Integer cents + a total
+    tie-break keep both engines bit-identical.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+         .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey", "l_linenumber")
+    wo = (Window.partitionBy("grp")
+          .orderBy("cents", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("grp")
+    c = v.select("grp", "cents",
+                 F.sum("w").over(wo).alias("cum"),
+                 F.sum("w").over(wt).alias("tot"))
+    return (c.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("grp")
+            .agg(F.min("cents").cast("long")
+                  .alias("weighted_median_cents"),
+                 F.min("tot").cast("long").alias("total_weight"))
+            .orderBy("grp"))
+
+
+@_register("q99_revenue_gini", """
+WITH cust AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+rk AS (
+  SELECT nation, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY nation) AS n,
+         SUM(cents) OVER (PARTITION BY nation) AS tot
+  FROM cust)
+SELECT nation,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST(2000 * SUM(i * cents) // (MAX(n) * MAX(tot))
+            - 1000 * (MAX(n) + 1) // MAX(n) AS BIGINT) AS gini_milli
+FROM rk GROUP BY nation ORDER BY nation
+""")
+def q99(spark, sf_dir):
+    """Revenue-concentration Gini coefficient per customer nation in
+    exact integer permille: G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over
+    rank-ordered per-customer revenue (the standard rank formula).
+    The inequality measure a data-mixture curator runs on source
+    contributions; computed here on the TPC-H revenue skew.
+
+    Two shuffles total: one hash-agg to per-(nation, customer) revenue
+    (customer side joined broadcast), one nation-keyed window for
+    rank/count/total — the final permille arithmetic folds in the same
+    partitioning.  All terms stay in BIGINT: max rank*cents is ~1e14,
+    floor-division (both engines) keeps the published value exact.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    cust = (o.join(F.broadcast(cu),
+                   F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy(F.col("c_nationkey").alias("nation"),
+                     "o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("cents")))
+    wr = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    wn = Window.partitionBy("nation")
+    rk = cust.select(
+        "nation", "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cents").over(wn).alias("tot"))
+    return (rk.groupBy("nation")
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.max("tot").cast("long").alias("total_cents"),
+                 (F.expr("2000 * sum(i * cents) div (max(n) * max(tot))")
+                  - F.expr("1000 * (max(n) + 1) div max(n)"))
+                 .cast("long").alias("gini_milli"))
+            .orderBy("nation"))

@@ -1433,3 +1433,115 @@ SELECT (SELECT q_id FROM q) AS q_id,
              JOIN adc_top a ON a.vec_id = g.vec_id) * 1000 // {ADC_K}
             AS BIGINT) AS recall_permille
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell probe + ADC re-rank (the production ANN serving
+# composition — FAISS IndexIVFPQ; Jegou et al. 2011 §V)
+# ---------------------------------------------------------------------------
+
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ search: each probe query ranks the coarse centroids,
+    scans only its top-NPROBE cells from the cell-partitioned store,
+    and orders THOSE candidates by PQ asymmetric distance (query slice
+    vs each candidate's code sub-centroid).  This is the composition a
+    billion-vector store actually serves: coarse quantizer prunes the
+    corpus to nprobe/k of its cells, PQ codes keep the candidate scan
+    in RAM, the exact query vector keeps the distance asymmetric.
+
+    Scale shape: cell selection is a |queries| x N_CENTROIDS broadcast
+    rank; the candidate scan partition-prunes to a LITERAL cid IN
+    (...) on the store (no runtime DPP reliance); PQ encoding + ADC
+    are whole-stage-codegen folds over the pruned scan (codebook
+    inlined as literals); one per-query top-{ADC_K} window on the
+    pruned candidate set.  No shuffle touches the full corpus.
+    """
+    C = _pq_codebook(spark, sf_dir)
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("v_nrm").alias("q_nrm")))
+    c_cos = (F.expr(_s_dot("q_emb", "c_emb"))
+             / (F.col("q_nrm") * F.col("c_nrm")))
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(),
+                                            F.col("cid"))
+    qc = (q.crossJoin(cents)
+           .select("q_id", "q_emb", "cid", c_cos.alias("c_cos"))
+           .withColumn("prk", F.row_number().over(wc))
+           .filter(F.col("prk") <= NPROBE)
+           .select("q_id",
+                   F.expr("transform(q_emb, x -> CAST(x AS DOUBLE))")
+                    .alias("qe"),
+                   "cid"))
+    probe_cells = sorted({r.cid for r in qc.select("cid").collect()})
+    cand = (load_cell_store(spark, sf_dir)
+            .filter(F.col("cid").isin(*probe_cells))
+            .select("cid", "vec_id", F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))")
+                .alias("ve")))
+    folded = (F.broadcast(qc)
+              .join(cand, (qc.cid == cand.cid)
+                    & (F.col("q_id") != cand.vec_id))
+              .select("q_id", "qe", "vec_id", *[
+                  F.expr(_pq_best_struct(C, s)).alias(f"b{s}")
+                  for s in range(PQ_M)]))
+
+    def adc(s: int) -> str:
+        cb = _pq_clit(C, s)
+        return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
+                f"(a, i) -> a + (qe[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({cb}, b{s}.c + 1), i)) "
+                f"* (qe[{s * PQ_DSUB} + i - 1] "
+                f"- element_at(element_at({cb}, b{s}.c + 1), i)))")
+
+    total = " + ".join(f"({adc(s)})" for s in range(PQ_M))
+    scored = folded.select(
+        "q_id", "vec_id",
+        F.expr(f"CAST(floor(({total}) * 1e9) AS BIGINT)")
+         .alias("adc_nano"))
+    w = Window.partitionBy("q_id").orderBy("adc_nano", "vec_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= ADC_K)
+            .select("q_id", F.col("rk").cast("long").alias("rk"),
+                    "vec_id", "adc_nano")
+            .orderBy("q_id", "rk"))
+
+
+QUERIES["ann_ivf_pq"] = ann_ivf_pq
+ORACLES["ann_ivf_pq"] = f"""{_PQ_CODES_CTE},
+q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+             embedding AS q_emb
+      FROM assign WHERE vec_id IN ({_probe_list})),
+pc AS (SELECT q_id, cid FROM (
+  SELECT q.q_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY {_d_cos("q.q_emb", "c.c_emb")} DESC, c.cid) AS prk
+  FROM q CROSS JOIN c{KMEANS_ITERS} c) WHERE prk <= {NPROBE}),
+dq AS (
+  SELECT q.q_id, c.vec_id, c.s,
+         list_reduce(list_transform(range(1, {PQ_DSUB + 1}),
+           i -> (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                 - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])
+                * (q.qe[CAST(i + c.s * {PQ_DSUB} AS INT)]
+                   - sub.c_emb[CAST(i + c.s * {PQ_DSUB} AS INT)])),
+           (a, v) -> a + v) AS d
+  FROM q
+  JOIN pc ON pc.q_id = q.q_id
+  JOIN assign a ON a.cid = pc.cid AND a.vec_id != q.q_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN sub ON sub.s = c.s AND sub.code = c.code),
+adc AS (
+  SELECT q_id, vec_id,
+         CAST(floor(list_reduce(list(d ORDER BY s), (a, v) -> a + v)
+                    * 1e9) AS BIGINT) AS adc_nano
+  FROM dq GROUP BY q_id, vec_id)
+SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, adc_nano FROM (
+  SELECT q_id, vec_id, adc_nano,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_nano, vec_id) AS rk
+  FROM adc) WHERE rk <= {ADC_K}
+ORDER BY q_id, rk
+"""

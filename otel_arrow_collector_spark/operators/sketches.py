@@ -1186,3 +1186,138 @@ LEFT JOIN exact e ON e.type_a = ta.event_type
                  AND e.type_b = tb.event_type
 ORDER BY type_a, type_b
 """
+
+
+def sketch_theta_difference(spark, sf_dir):
+    """Per ordered event-type pair (a != b): the KMV a-not-b estimate
+    |A \\ B| (the DataSketches AnotB operation) next to the exact
+    difference.
+
+    Estimator: with combined threshold theta = min(theta_A, theta_B),
+    both retained sets are uniform samples of their sets below theta;
+    the A-sample hashes below theta ABSENT from B's sample estimate
+    |A \\ B| as n_diff * 2^48 // theta.  Exact audit is the closed
+    form |A| - |A intersect B| — no second anti-join pass.
+
+    Scale shape: same as the intersection sketch — one distinct pass,
+    per-set top-K window (<= THETA_K rows per set retained), then all
+    pair arithmetic on the tiny K-row-per-set relation with the
+    per-set theta/count relation broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    dist = events.select("event_type", "user_id").distinct()
+    h = dist.select(
+        "event_type", "user_id",
+        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
+         .alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    kept = rk.filter(F.col("rk") <= THETA_K)
+    theta = (kept.groupBy("event_type")
+             .agg(F.max("n").alias("n"),
+                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
+                   .alias("hk"))
+             .select(
+                 "event_type", F.col("n").alias("n_exact_kept"),
+                 F.when(F.col("n") >= THETA_K, F.col("hk"))
+                  .otherwise(F.lit(THETA_RANGE)).alias("th")))
+    ka = kept.select(F.col("event_type").alias("type_a"), "hv")
+    kb = kept.select(F.col("event_type").alias("type_b"), "hv")
+    ta = theta.select(F.col("event_type").alias("type_a"),
+                      F.col("th").alias("th_a"),
+                      F.col("n_exact_kept").alias("n_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"),
+                      F.col("th").alias("th_b"),
+                      F.col("n_exact_kept").alias("n_b"))
+    th_pairs = (ta.crossJoin(tb)
+                .filter(F.col("type_a") != F.col("type_b"))
+                .withColumn("th", F.least("th_a", "th_b")))
+    in_b = kb.select("type_b", F.col("hv").alias("hv"))
+    n_diff = (ka.join(F.broadcast(th_pairs.select("type_a", "type_b",
+                                                  "th")),
+                      "type_a")
+              .filter(F.col("hv") < F.col("th"))
+              .join(in_b, ["type_b", "hv"], "left_anti")
+              .groupBy("type_a", "type_b")
+              .agg(F.count(F.lit(1)).alias("n_diff")))
+    # exact |A \ B| = |A| - |A n B| (one equality self-join)
+    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
+             .filter(F.col("x.event_type") != F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("type_a"),
+                      F.col("y.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = dist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_set"))
+    return (th_pairs
+            .join(n_diff, ["type_a", "type_b"], "left")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_set").alias("size_a"))), "type_a")
+            .join(inter, ["type_a", "type_b"], "left")
+            .select(
+                "type_a", "type_b",
+                F.coalesce("n_diff", F.lit(0)).cast("long")
+                 .alias("n_diff"),
+                F.expr(f"coalesce(n_diff, 0) * {THETA_RANGE} div th")
+                 .cast("long").alias("est_difference"),
+                (F.col("size_a") - F.coalesce("n_inter", F.lit(0)))
+                 .cast("long").alias("exact_difference"))
+            .orderBy("type_a", "type_b"))
+
+
+QUERIES["sketch_theta_difference"] = sketch_theta_difference
+ORACLES["sketch_theta_difference"] = f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST({{hash_sql}} AS BIGINT) AS hv
+  FROM dist),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h),
+kept AS (SELECT * FROM rk WHERE rk <= {THETA_K}),
+theta AS (
+  SELECT event_type,
+         CASE WHEN MAX(n) >= {THETA_K}
+              THEN MAX(CASE WHEN rk = {THETA_K} THEN hv END)
+              ELSE {THETA_RANGE} END AS th
+  FROM kept GROUP BY event_type),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         LEAST(ta.th, tb.th) AS th
+  FROM theta ta JOIN theta tb ON ta.event_type <> tb.event_type),
+nd AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS n_diff
+  FROM pairs p
+  JOIN kept a ON a.event_type = p.type_a AND a.hv < p.th
+  WHERE NOT EXISTS (SELECT 1 FROM kept b
+                    WHERE b.event_type = p.type_b AND b.hv = a.hv)
+  GROUP BY 1, 2),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS n_inter
+  FROM dist x JOIN dist y
+    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n_set FROM dist GROUP BY event_type)
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(nd.n_diff, 0) AS BIGINT) AS n_diff,
+       CAST(COALESCE(nd.n_diff, 0) * {THETA_RANGE} // p.th AS BIGINT)
+         AS est_difference,
+       CAST(s.n_set - COALESCE(i.n_inter, 0) AS BIGINT)
+         AS exact_difference
+FROM pairs p
+LEFT JOIN nd ON nd.type_a = p.type_a AND nd.type_b = p.type_b
+JOIN sizes s ON s.event_type = p.type_a
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+""".replace("{hash_sql}", _theta_hash_sql("user_id", "VARCHAR"))

@@ -916,3 +916,66 @@ def test_calibration_single_scan_single_agg(spark):
     assert "windowspecdefinition" not in plan
     assert not _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython",
                           plan)
+
+
+def test_theta_difference_plan_mirrors_intersection(spark):
+    """sketch_theta_difference: same bounded shape as the intersection
+    sketch — per-set rank window, K-row retained relation, broadcast
+    theta pairs, anti-join for the AnotB survivors; no cartesian over
+    anything data-sized."""
+    plan = _plan(spark, "sketch_theta_difference")
+    assert "windowspecdefinition(event_type" in plan
+    assert "LeftAnti" in plan
+    # the only cross product is the |types| x |types| theta-pair frame
+    assert plan.count("CartesianProduct") <= 1
+
+
+def test_ivf_pq_prunes_cells_and_stays_codegen(spark):
+    """ann_ivf_pq: candidates come from the cell-partitioned store
+    with a LITERAL cid filter (partition pruning, not runtime DPP);
+    the PQ fold is codegen (no Python); the per-query rank windows on
+    q_id; no corpus-sized cartesian."""
+    plan = _plan(spark, "ann_ivf_pq")
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", plan)
+    assert "windowspecdefinition(q_id" in plan
+    assert "mapInPandas" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_core_result_is_node_sized(spark):
+    """graph_k_core: the registered query's plan reads the memoized
+    (node, deg) core relation — node-sized scan, one presentation
+    sort, nothing edge-sized recomputed per call."""
+    plan = _plan(spark, "graph_k_core")
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan \
+        or "LocalTableScan" in plan
+    assert "Generate explode" not in plan       # no basket re-expansion
+
+
+def test_weighted_median_single_window_shuffle(spark):
+    """q98: one group-keyed exchange serves both window frames; the
+    aggregation collapses in the same partitioning — 2 shuffles max
+    (window + final group), no join."""
+    plan = _plan(spark, "q98_weighted_median")
+    assert "Join" not in plan
+    # 2 real shuffles (window + presentation sort); formatted explain
+    # lists each node twice
+    assert _shuffles(plan) <= 4
+
+
+def test_gini_broadcasts_customer_dimension(spark):
+    """q99: the customer dimension joins broadcast; the rank window
+    and final aggregate share the nation partitioning."""
+    plan = _plan(spark, "q99_revenue_gini")
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(nation" in plan
+
+
+def test_readability_is_pure_scan_map(spark):
+    """text_readability: row-local regexp counters — no shuffle before
+    the presentation sort, no join, no Python."""
+    plan = _plan(spark, "text_readability")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # presentation sort only; formatted explain lists each node twice
+    assert _shuffles(plan) <= 2
