@@ -62,6 +62,19 @@ def _flags(parser: argparse.ArgumentParser) -> None:
         "--sf-dir", default=None, metavar="DIR",
         help="Base directory for `kind: table` receivers (engine "
              "extension; not part of the reference flag set).")
+    parser.add_argument(
+        "--watch", action="store_true",
+        help="Stay alive after the first run and re-run the whole "
+             "resolve->compile->run cycle whenever a file-based config "
+             "URI changes (the reference's provider Watch loop, "
+             "otelcol/collector.go:236-252; mtime poll). An invalid "
+             "edit is rejected by dry-run validation and the running "
+             "plan is kept.")
+    parser.add_argument(
+        "--watch-duration", type=float, default=None, metavar="SEC",
+        help="With --watch: exit after this many seconds instead of "
+             "running until interrupted (engine extension for "
+             "scripted/CI use).")
 
 
 def _set_to_yaml_uri(s: str) -> str:
@@ -109,8 +122,8 @@ def cmd_run(args) -> int:
     from .session import get_spark
     spark = get_spark(COMMAND)
     col = Collector(spark, *uris, sf_dir=args.sf_dir)
-    try:
-        results = col.start()
+
+    def show(results) -> None:
         for key, val in results.items():
             if isinstance(val, str):
                 print(f"{key}:\n{val}")
@@ -118,6 +131,39 @@ def cmd_run(args) -> int:
                 print(f"{key}: {len(val)} rows")
             else:
                 print(f"{key}: {val}")
+
+    watcher = None
+    if args.watch:
+        from .plans.watcher import ConfigWatcher, WatchEvent
+
+        def on_event(ev: WatchEvent) -> None:
+            if ev.kind == "reloaded":
+                print("config reloaded:", flush=True)
+                show(ev.detail)
+            else:
+                print(f"config change {ev.kind}: {ev.detail}",
+                      flush=True)
+
+        # constructed BEFORE start(): the baseline mtime snapshot then
+        # covers the same config state the first run resolves, so an
+        # edit racing the startup is a detected change
+        watcher = ConfigWatcher(col, on_event=on_event)
+    try:
+        show(col.start())
+        if watcher is not None:
+            import time
+
+            from .plans.collector import State
+            deadline = (None if args.watch_duration is None
+                        else time.monotonic() + args.watch_duration)
+            with watcher:
+                try:
+                    while col.state is State.RUNNING and (
+                            deadline is None
+                            or time.monotonic() < deadline):
+                        time.sleep(0.1)
+                except KeyboardInterrupt:
+                    pass
     finally:
         col.shutdown()
     return 0

@@ -85,13 +85,17 @@ class ConfigWatcher:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.paths = _file_paths(collector.config_uris)
+        if not self.paths:
+            raise ValueError("no file-based config URIs to watch")
+        # Baseline at CONSTRUCTION, not thread start: callers build the
+        # watcher next to (or before) the config resolve they want to
+        # watch from; an edit landing in the construct->start gap is
+        # then a detected change, not a silently absorbed baseline.
+        self._base = _snapshot(self.paths)
 
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> "ConfigWatcher":
-        if not self.paths:
-            raise ValueError("no file-based config URIs to watch")
-        self._base = _snapshot(self.paths)
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="config-watcher")
         self._thread.start()

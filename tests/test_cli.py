@@ -225,3 +225,41 @@ pipelines:
 """)
     r = _cli("validate", "--config", str(cfg))
     assert r.returncode == 1 and "needs a mapping with a `where:`" in r.stderr
+
+
+def test_run_watch_reloads_on_edit(tmp_path):
+    """--watch: the root command stays alive, picks up a config edit
+    (filter dropped -> more rows), prints the reloaded results, and
+    exits at --watch-duration (collector.go:236-252 Watch loop)."""
+    import time
+
+    cfg = tmp_path / "w.yaml"
+    cfg.write_text(OK_YAML)
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "otel_arrow_collector_spark",
+         "--config", str(cfg), "--watch", "--watch-duration", "45"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO)
+    try:
+        first = []
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            line = p.stdout.readline()
+            if not line:
+                break
+            first.append(line)
+            if "p/sink/null:" in line:
+                break
+        assert any("p/sink/null: 210" in ln for ln in first), first
+        # edit: drop the filter -> the full event count
+        cfg.write_text(OK_YAML.replace("processors: [keep], ", ""))
+        out, err = p.communicate(timeout=240)
+        full = "".join(first) + out
+        assert "config reloaded:" in full, (full, err[-1500:])
+        after = [ln for ln in full.splitlines()
+                 if "p/sink/null:" in ln and "210" not in ln]
+        assert after, full
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0

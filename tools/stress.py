@@ -77,7 +77,21 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # the distributed pointer-jumping path takes over —
                    # the bounded-collect invariant would flag the adaptive
                    # cutover, not a defect
-                   "dedup_er_blocking", "text_bpe_merge"]
+                   "dedup_er_blocking", "text_bpe_merge",
+                   # round-10 additions (verdict ask #6): PQ recall's
+                   # deliberate exact-scan audit, span-level explode ->
+                   # hash join dedup, the bounded Arrow-batched EXIF
+                   # slice; plus the new IVF-PQ composition (pruned-cell
+                   # ADC), the theta AnotB K-row pair algebra, and the
+                   # nation-window Gini.  graph_k_core is EXCLUDED for
+                   # the same reason as dedup_er_clusters: its driver
+                   # fast path collects the edge list below
+                   # KCORE_DRIVER_EDGE_CAP by design, so the internal
+                   # collect legitimately grows until the distributed
+                   # node-state peel takes over.
+                   "ann_pq_recall", "text_dedup_spans",
+                   "multimodal_exif_audit", "ann_ivf_pq",
+                   "sketch_theta_difference", "q99_revenue_gini"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
