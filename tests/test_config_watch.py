@@ -107,3 +107,33 @@ def test_watcher_requires_file_uris(spark):
         assert "file-based" in str(e)
     else:
         raise AssertionError("expected ValueError for yaml:-only URIs")
+
+
+def test_apply_failure_after_valid_dryrun_closes_collector(spark, tmp_path):
+    """The third event kind: a config that VALIDATES but fails to
+    APPLY (telemetry metrics address already bound) goes through
+    reload()'s reference-faithful failed-apply path — full shutdown —
+    and the watcher records it as 'failed' and stops."""
+    import socket
+
+    from otel_arrow_collector_spark.plans.watcher import WatchEvent
+
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    port = blocker.getsockname()[1]
+    try:
+        cfg = tmp_path / "collector.yaml"
+        _write(cfg, _FILTERED)
+        c = Collector(spark, str(cfg), sf_dir=SF_SMALL)
+        c.start()
+        with ConfigWatcher(c) as w:
+            _write(cfg, _FILTERED + (
+                "telemetry:\n  metrics:\n    level: basic\n"
+                f"    address: 127.0.0.1:{port}\n"))
+            assert w.wait_for(1), "watcher never fired"
+        assert isinstance(w.events[0], WatchEvent)
+        assert w.events[0].kind == "failed"
+        assert c.state is State.CLOSED
+    finally:
+        blocker.close()
