@@ -64,6 +64,8 @@ _NEWEST_FIRST = [
     "sketch_theta_intersection", "sketch_theta_difference",
     "graph_k_core", "ann_ivf_pq", "q98_weighted_median",
     "q99_revenue_gini", "text_readability",
+    "graph_link_prediction", "text_zipf", "text_heaps",
+    "q100_pareto_curve",
     # THEN the stalest driver rows (verdict ask #4): the q22-q50
     # relational band's newest CORRECTNESS rows date from r04 ...
     "q22_dense_rank", "q23_topk", "q24_union_all", "q25_intersect",

@@ -3941,3 +3941,65 @@ def q99(spark, sf_dir):
                   - F.expr("1000 * (max(n) + 1) div max(n)"))
                  .cast("long").alias("gini_milli"))
             .orderBy("nation"))
+
+
+@_register("q100_pareto_curve", """
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+dec AS (
+  SELECT cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM cust),
+agg AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS cents
+  FROM dec GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(10000 * SUM(cents) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING)
+            // SUM(cents) OVER () AS BIGINT) AS cum_share_bp
+FROM agg ORDER BY decile
+""")
+def q100(spark, sf_dir):
+    """Pareto revenue-concentration curve: customers tiered into
+    revenue deciles (richest first), reporting each decile's customer
+    count, exact revenue cents, and the cumulative revenue share in
+    basis points (floor division — exact integers end to end).  The
+    'does the top 10% carry 50% of the corpus' read a data-mixture
+    curator does on source contributions; the curve twin of q99's
+    scalar Gini.
+
+    One hash agg to per-customer cents, one global NTILE over the
+    AGGREGATED (customer-count-sized) relation — the q49 exact-tiering
+    precedent, with the same documented approx-percentile scale
+    switch — then a 10-row cumulative window.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("cents")))
+    dec = cust.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(),
+                                        "o_custkey")).alias("decile"))
+    agg = (dec.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.sum("cents").alias("cents")))
+    wc = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (agg.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.expr("10000").cast("long").alias("_tenk"),
+        F.sum("cents").over(wc).alias("_cum"),
+        F.sum("cents").over(wt).alias("_tot"))
+        .select("decile", "n_customers", "revenue_cents",
+                F.expr("_tenk * _cum div _tot").cast("long")
+                .alias("cum_share_bp"))
+        .orderBy("decile"))

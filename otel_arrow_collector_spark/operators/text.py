@@ -1789,3 +1789,128 @@ SELECT doc_id,
          AS fk_grade_milli
 FROM f ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level statistics: Zipf rank-frequency and Heaps vocabulary growth
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPN = 50
+HEAPS_BUCKETS = 10
+
+
+def text_zipf(spark, sf_dir):
+    """Zipf rank-frequency table: the ZIPF_TOPN most frequent tokens
+    with their rank and the Zipf product rank*freq (Zipf's law predicts
+    it near-constant; a curator reads its drift as a corpus-mixture
+    smell, e.g. boilerplate flooding rank 1-5).  All integers, so the
+    oracle gates exact values.
+
+    Scale shape: one corpus-sized explode feeding a hash agg with
+    map-side combine (vocab is sublinear in the corpus), then a
+    TakeOrdered top-N; the rank window runs over the N surviving rows
+    only — never over the full vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(_words()).alias("token"))
+            .filter(F.col("token") != ""))
+    top = (toks.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("freq"))
+           .orderBy(F.col("freq").desc(), "token")
+           .limit(ZIPF_TOPN))
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "token", F.col("freq").cast("long").alias("freq"))
+        .withColumn("zipf_c", (F.col("rnk") * F.col("freq"))
+                    .cast("long"))
+        .orderBy("rnk"))
+
+
+QUERIES["text_zipf"] = text_zipf
+ORACLES["text_zipf"] = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents),
+f AS (SELECT token, COUNT(*) AS freq FROM t
+      WHERE token <> '' GROUP BY token),
+r AS (SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM f)
+SELECT CAST(rnk AS BIGINT) AS rnk, token, CAST(freq AS BIGINT) AS freq,
+       CAST(rnk * freq AS BIGINT) AS zipf_c
+FROM r WHERE rnk <= {ZIPF_TOPN} ORDER BY rnk
+"""
+
+
+def text_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: documents are split into
+    HEAPS_BUCKETS equal corpus slices (ntile over doc_id), and each
+    slice reports its token count, the number of token TYPES first
+    seen in it, and the cumulative totals — the vocab-vs-corpus-size
+    curve (Heaps 1978) a curator reads to decide whether more data
+    still buys new vocabulary.  All integers.
+
+    Scale shape: the ntile window runs over the PROJECTED doc_id
+    column only (8 bytes/row through the sort, never the text
+    payload), and the decile map joins back on doc_id as an ordinary
+    shuffle join; first-seen slice per type is a hash agg MIN; the
+    cumulative window runs over HEAPS_BUCKETS rows.  At extreme scale
+    the single-partition id sort swaps for a range-partitioned rank
+    (sortWithinPartitions + partition-offset cumsum) without touching
+    the rest of the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dec_map = d.select("doc_id").withColumn(
+        "bucket", F.ntile(HEAPS_BUCKETS).over(Window.orderBy("doc_id")))
+    toks = (d.select("doc_id", F.explode(_words()).alias("token"))
+            .filter(F.col("token") != "")
+            .join(dec_map, "doc_id")
+            .select("bucket", "token"))
+    per_bucket = (toks.groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("n_tokens")))
+    new_types = (toks.groupBy("token")
+                 .agg(F.min("bucket").alias("bucket"))
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("new_types")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_bucket.join(new_types, "bucket", "left")
+            .select("bucket", "n_tokens",
+                    F.coalesce("new_types", F.lit(0)).alias("new_types"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("new_types").cast("long").alias("new_types"),
+                    F.sum("n_tokens").over(w).cast("long")
+                    .alias("tokens_cum"),
+                    F.sum("new_types").over(w).cast("long")
+                    .alias("vocab_cum"))
+            .orderBy("bucket"))
+
+
+QUERIES["text_heaps"] = text_heaps
+ORACLES["text_heaps"] = f"""
+WITH dec AS (
+  SELECT doc_id, NTILE({HEAPS_BUCKETS}) OVER (ORDER BY doc_id) AS bucket
+  FROM documents),
+toks AS (
+  SELECT dec.bucket, t.token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  JOIN dec ON dec.doc_id = t.doc_id
+  WHERE t.token <> ''),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY bucket),
+new_types AS (
+  SELECT bucket, COUNT(*) AS new_types
+  FROM (SELECT token, MIN(bucket) AS bucket FROM toks GROUP BY token)
+  GROUP BY bucket)
+SELECT CAST(p.bucket AS BIGINT) AS bucket,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+ORDER BY bucket
+"""

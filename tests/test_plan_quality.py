@@ -979,3 +979,47 @@ def test_readability_is_pure_scan_map(spark):
     assert "BatchEvalPython" not in plan
     # presentation sort only; formatted explain lists each node twice
     assert _shuffles(plan) <= 2
+
+
+def test_link_prediction_broadcasts_degrees_anti_joins_edges(spark):
+    """graph_link_prediction: the node-sized degree relation joins
+    broadcast onto the wedge stream; existing edges leave via an
+    anti-join; candidates come from the wedge join only — no
+    pair-squared cartesian, no Python."""
+    plan = _plan(spark, "graph_link_prediction")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zipf_rank_window_follows_topn(spark):
+    """text_zipf: the corpus collapses through a map-side-combined
+    hash agg into a TakeOrdered top-N; the rank window runs AFTER the
+    top-N cut (over ZIPF_TOPN rows), never over the full vocabulary."""
+    plan = _plan(spark, "text_zipf")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("TakeOrderedAndProject") \
+        < plan.index("windowspecdefinition")
+    assert "Join" not in plan
+
+
+def test_heaps_ntile_sorts_ids_not_text(spark):
+    """text_heaps: the ntile sort ingests the PROJECTED doc_id column
+    only — the text payload reaches the explode branch, not the
+    single-partition window sort."""
+    plan = _plan(spark, "text_heaps")
+    m = re.search(r"Arguments: \[doc_id[^\]]*ASC[^\]]*\], false, 0",
+                  plan)
+    assert m, "expected a doc_id-only global sort feeding ntile"
+    assert "windowspecdefinition" in plan
+    assert "explode(split" in plan
+
+
+def test_pareto_ntile_runs_on_aggregated_relation(spark):
+    """q100_pareto_curve: the global NTILE ingests the per-customer
+    AGGREGATE (customer-count-sized), not raw orders — the hash agg
+    precedes the window; no join anywhere."""
+    plan = _plan(spark, "q100_pareto_curve")
+    assert plan.index("HashAggregate") < plan.index("windowspecdefinition")
+    assert "Join" not in plan
