@@ -1234,3 +1234,105 @@ SELECT CAST(MIN(node) AS BIGINT) AS canonical_custkey,
 FROM cc JOIN customer cu ON cu.c_custkey = cc.node
 GROUP BY cluster_id ORDER BY canonical_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs similarity join via prefix filtering (Bayardo 2007)
+# ---------------------------------------------------------------------------
+
+def dedup_allpairs_prefix(spark, sf_dir):
+    """EXACT all-pairs near-dup join by prefix filtering — the
+    deterministic complement of the MinHash-LSH path (which trades
+    false negatives for speed): every pair with 3-gram Jaccard >=
+    JACCARD_THRESHOLD is found, guaranteed (Bayardo, Ma & Srikant 2007
+    "Scaling up all pairs similarity search"; Xiao et al. 2008 PPJoin
+    prefix lemma).  Shingles are globally ordered by document
+    frequency ascending (rarest first); a doc with n shingles keeps
+    only its first n - ceil(tau*n) + 1 as its PREFIX, and any
+    qualifying pair must collide on a prefix shingle — so the
+    candidate join runs on rare tokens only, never all-pairs.
+    Candidates then verify by exact set intersection.  Output shape
+    matches dedup_ngram_jaccard (which it must contain: LSH candidates
+    are a subset of the exact result — pinned in tests).
+
+    Scale shape: one global DF hash agg, one per-doc rank window
+    (partitioned by doc_id — no global sort), one equality self-join
+    keyed on PREFIX shingles (df-ascending order puts the rarest
+    shingles in prefixes, so bucket sizes stay small — the published
+    reason prefix filtering beats naive token joins), then the blocked
+    exact verify on the candidate set only.  No LSH bands, no
+    probabilistic misses; at 100 TB the prefix join is the standard
+    exact-dedup discipline (candidate count bounded by
+    sum-over-rare-tokens of df^2, tunable via tau).
+    """
+    from pyspark.sql import Window
+
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (shd.join(df, "sh")
+              .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
+              .join(sizes, "doc_id")
+              # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2)
+              .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+              .select("doc_id", "sh"))
+    cand = (ranked.alias("a")
+            .join(ranked.alias("b"), "sh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+    common = (cand
+              .join(shd.select(F.col("doc_id").alias("d1"),
+                               F.col("sh")), "d1")
+              .join(shd.select(F.col("doc_id").alias("d2"),
+                               F.col("sh")), ["d2", "sh"])
+              .groupBy("d1", "d2")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    z1 = sizes.select(F.col("doc_id").alias("d1"),
+                      F.col("n_sh").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"),
+                      F.col("n_sh").alias("n2"))
+    j = (common.join(z1, "d1").join(z2, "d2")
+         .withColumn("j", F.col("n_common")
+                     / (F.col("n1") + F.col("n2") - F.col("n_common"))))
+    return (j.filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("d1", "d2", "n_common",
+                    F.round("j", 4).alias("jaccard"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_allpairs_prefix"] = dedup_allpairs_prefix
+ORACLES["dedup_allpairs_prefix"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, {_duck_shingles()} AS shs FROM docs),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM shd GROUP BY sh),
+ranked AS (
+  SELECT shd.doc_id, shd.sh,
+         ROW_NUMBER() OVER (PARTITION BY shd.doc_id
+                            ORDER BY df.df, shd.sh) AS rn,
+         z.n_sh
+  FROM shd JOIN df ON df.sh = shd.sh
+  JOIN sizes z ON z.doc_id = shd.doc_id),
+pref AS (SELECT doc_id, sh FROM ranked WHERE rn <= n_sh // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+common AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shd s1 ON s1.doc_id = c.d1
+  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (z1.n_sh + z2.n_sh - n_common), 4) AS jaccard
+FROM common JOIN sizes z1 ON z1.doc_id = d1
+JOIN sizes z2 ON z2.doc_id = d2
+WHERE CAST(n_common AS DOUBLE)
+      / (z1.n_sh + z2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2 LIMIT 500
+"""

@@ -4003,3 +4003,73 @@ def q100(spark, sf_dir):
                 F.expr("_tenk * _cum div _tot").cast("long")
                 .alias("cum_share_bp"))
         .orderBy("decile"))
+
+
+#: EWMA decay ratio 3/4 (alpha = 1/4) over a 10-day truncated window —
+#: weights 3^lag * 4^(EWMA_W - lag) keep every term integer-exact;
+#: max term: daily cents ~1e9 at 100x scale * 4^10 ~ 1e6 => ~1e15,
+#: x 11 terms ~1e16 — an order of magnitude of BIGINT headroom even
+#: three data doublings past that.
+EWMA_W = 10
+
+
+@_register("q101_ewma_smoothing", f"""
+WITH daily AS (
+  SELECT o_orderpriority AS pr, o_orderdate AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+hops AS (
+  SELECT pr, d + TO_DAYS(CAST(lag AS INTEGER)) AS td,
+         cents * CAST(3 ** lag AS BIGINT)
+               * CAST(4 ** ({EWMA_W} - lag) AS BIGINT) AS term
+  FROM daily, unnest(range(0, {EWMA_W} + 1)) AS t(lag)),
+sm AS (
+  SELECT pr, td AS d, SUM(term) AS num FROM hops GROUP BY pr, td)
+SELECT daily.pr AS pr, CAST(daily.d AS DATE) AS day,
+       CAST(daily.cents AS BIGINT) AS revenue_cents,
+       CAST(sm.num // {4 ** EWMA_W} AS BIGINT) AS ewma_scaled
+FROM daily JOIN sm ON sm.pr = daily.pr AND sm.d = daily.d
+WHERE daily.d >= DATE '1997-01-01' AND daily.d < DATE '1998-01-01'
+ORDER BY pr, day
+""")
+def q101(spark, sf_dir):
+    """Exact fixed-point EWMA revenue smoothing per order priority:
+    smoothed_t = sum over lag 0..W of x_(t-lag) * 3^lag * 4^(W-lag),
+    published as num // 4^W — the truncated exponential smoother
+    (decay 3/4) in pure integer arithmetic, so the oracle gates exact
+    values (the PageRank fixed-point discipline applied to time-series
+    smoothing; the trend signal a mixture curator watches per source).
+
+    Scale shape: the hop-explosion identity (streaming/slo.py's trick,
+    batch form) — instead of a per-row backward-looking range join,
+    each daily observation EXPLODES its 11 forward contributions
+    (lag 0..W) and one hash re-aggregation on (priority, day) sums
+    them; sparse days cost nothing, no range join, no window over an
+    unbounded frame.  The corpus-sized work is the one daily hash agg;
+    everything after runs on days x priorities rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("pr"),
+                       F.col("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("cents")))
+    hops = (daily
+            .select("pr", "d", "cents",
+                    F.explode(F.expr(f"sequence(0, {EWMA_W})"))
+                    .alias("lag"))
+            .select("pr",
+                    F.expr("date_add(d, lag)").alias("td"),
+                    (F.col("cents")
+                     * F.expr(f"CAST(power(3, lag) AS BIGINT)")
+                     * F.expr(f"CAST(power(4, {EWMA_W} - lag) AS BIGINT)")
+                     ).alias("term")))
+    sm = hops.groupBy("pr", F.col("td").alias("d")) \
+             .agg(F.sum("term").alias("num"))
+    return (daily.join(sm, ["pr", "d"])
+            .filter((F.col("d") >= F.lit("1997-01-01"))
+                    & (F.col("d") < F.lit("1998-01-01")))
+            .select("pr", F.col("d").cast("date").alias("day"),
+                    F.col("cents").cast("long").alias("revenue_cents"),
+                    F.expr(f"num div {4 ** EWMA_W}").cast("long")
+                    .alias("ewma_scaled"))
+            .orderBy("pr", "day"))

@@ -1015,3 +1015,33 @@ def test_waterfill_closed_form_matches_iterative(spark):
         assert budget - total_alloc < (n - k) or n == k
     assert all(r.capped == (got[r.source] != toks[r.source])
                or toks[r.source] == got[r.source] for r in rows)
+
+
+def test_allpairs_prefix_is_exact_and_contains_lsh(spark):
+    """dedup_allpairs_prefix is EXACT: (a) it contains every
+    LSH-verified pair (LSH can only miss, never invent), and (b) it
+    equals the brute-force result computed from ALL shared-shingle
+    pairs (any J >= 0.5 pair shares a shingle, so the shd self-join is
+    a complete candidate set — feasible at sf0.001 only)."""
+    from pyspark.sql import functions as F
+
+    exact = {(r.d1, r.d2) for r in
+             dedup.dedup_allpairs_prefix(spark, SF_SMALL).collect()}
+    lsh = {(r.d1, r.d2) for r in
+           dedup.dedup_ngram_jaccard(spark, SF_SMALL).collect()}
+    assert lsh <= exact
+
+    shd = dedup._doc_shingle_sets(spark, SF_SMALL)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    brute_pairs = (shd.alias("a").join(shd.alias("b"), "sh")
+                   .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                   .groupBy(F.col("a.doc_id").alias("d1"),
+                            F.col("b.doc_id").alias("d2"))
+                   .agg(F.count(F.lit(1)).alias("c")))
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    brute = {(r.d1, r.d2) for r in
+             (brute_pairs.join(z1, "d1").join(z2, "d2")
+              .filter(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+                      >= dedup.JACCARD_THRESHOLD)).collect()}
+    assert exact == brute

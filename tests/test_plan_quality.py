@@ -1023,3 +1023,24 @@ def test_pareto_ntile_runs_on_aggregated_relation(spark):
     plan = _plan(spark, "q100_pareto_curve")
     assert plan.index("HashAggregate") < plan.index("windowspecdefinition")
     assert "Join" not in plan
+
+
+def test_allpairs_prefix_no_cartesian_docwise_window(spark):
+    """dedup_allpairs_prefix: the rank window partitions by doc_id (a
+    per-doc sort, never a global one); candidates come from the prefix
+    equality self-join — no cartesian anywhere, no Python."""
+    plan = _plan(spark, "dedup_allpairs_prefix")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_hop_explosion_not_range_join(spark):
+    """q101_ewma_smoothing: the smoother is explode(sequence) + hash
+    re-agg (the hop-explosion identity) joined back by EQUALITY — no
+    range join, no nested-loop, no window frame over the corpus."""
+    plan = _plan(spark, "q101_ewma_smoothing")
+    # Catalyst constant-folds sequence(0, W) to a literal array
+    assert re.search(r"Generate.*\n.*|explode\(", plan) and "explode(" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -91,7 +91,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # node-state peel takes over.
                    "ann_pq_recall", "text_dedup_spans",
                    "multimodal_exif_audit", "ann_ivf_pq",
-                   "sketch_theta_difference", "q99_revenue_gini"]
+                   "sketch_theta_difference", "q99_revenue_gini",
+                   # round-10 additions: the link-prediction wedge join
+                   # (the new bench heavyweight) and the Heaps corpus
+                   # explode + id-sort + first-seen agg
+                   "graph_link_prediction", "text_heaps"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
