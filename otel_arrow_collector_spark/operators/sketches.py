@@ -1321,3 +1321,165 @@ JOIN sizes s ON s.event_type = p.type_a
 LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
 ORDER BY p.type_a, p.type_b
 """.replace("{hash_sql}", _theta_hash_sql("user_id", "VARCHAR"))
+
+
+def sketch_theta_union(spark, sf_dir):
+    """Per event-type pair (a < b): the KMV theta-sketch UNION estimate
+    |A u B| next to the exact union size — completing the theta set
+    algebra (union here, intersection and AnotB above; the DataSketches
+    Union operation).
+
+    Estimator: with combined threshold theta = min(theta_A, theta_B),
+    the DISTINCT retained hashes of both sketches below theta form a
+    uniform sample of A u B; if >= K survive, re-truncate to bottom-K
+    and estimate (K-1) * 2^48 // kth (the fresh-sketch rule), else
+    n_kept * 2^48 // theta (the sample-at-theta rule — exact when both
+    inputs were exact, since theta is then the full range).
+
+    Scale shape: identical to the intersection sketch — one distinct
+    pass, per-set top-K window, then every pair computation on the
+    <= 2K-rows-per-pair retained relation with the per-set theta
+    relation broadcast.  The exact audit reuses the one equality
+    self-join (|A| + |B| - |A n B|), no extra corpus pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    dist = events.select("event_type", "user_id").distinct()
+    h = dist.select(
+        "event_type", "user_id",
+        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
+         .alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    kept = rk.filter(F.col("rk") <= THETA_K)
+    theta = (kept.groupBy("event_type")
+             .agg(F.max("n").alias("n"),
+                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
+                   .alias("hk"))
+             .select("event_type",
+                     F.when(F.col("n") >= THETA_K, F.col("hk"))
+                      .otherwise(F.lit(THETA_RANGE)).alias("th")))
+    ta = theta.select(F.col("event_type").alias("type_a"),
+                      F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"),
+                      F.col("th").alias("th_b"))
+    pairs = (ta.crossJoin(tb)
+             .filter(F.col("type_a") < F.col("type_b"))
+             .select("type_a", "type_b",
+                     F.least("th_a", "th_b").alias("th")))
+    ka = kept.select(F.col("event_type").alias("type_a"), "hv")
+    kb = kept.select(F.col("event_type").alias("type_b"), "hv")
+    ua = ka.join(F.broadcast(pairs), "type_a") \
+           .select("type_a", "type_b", "th", "hv")
+    ub = kb.join(F.broadcast(pairs), "type_b") \
+           .select("type_a", "type_b", "th", "hv")
+    u = (ua.unionByName(ub)
+         .filter(F.col("hv") < F.col("th"))
+         .select("type_a", "type_b", "th", "hv").distinct())
+    wp = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    ur = u.select(
+        "type_a", "type_b", "th", "hv",
+        F.row_number().over(wp).alias("urk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("type_a", "type_b")).alias("n_u"))
+    stats = (ur.groupBy("type_a", "type_b", "th")
+             .agg(F.max("n_u").alias("n_u"),
+                  F.max(F.when(F.col("urk") == THETA_K, F.col("hv")))
+                   .alias("kth")))
+    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
+             .filter(F.col("x.event_type") < F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("type_a"),
+                      F.col("y.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = dist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_set"))
+    return (pairs.drop("th")
+            .join(stats, ["type_a", "type_b"], "left")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_set").alias("size_a"))), "type_a")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_set").alias("size_b"))), "type_b")
+            .join(inter, ["type_a", "type_b"], "left")
+            .select(
+                "type_a", "type_b",
+                F.coalesce("n_u", F.lit(0)).cast("long")
+                 .alias("n_union_kept"),
+                F.when(F.col("n_u") >= THETA_K,
+                       F.expr(f"{(THETA_K - 1) * THETA_RANGE} div kth"))
+                 .otherwise(F.expr(
+                     f"coalesce(n_u, 0) * {THETA_RANGE} div th"))
+                 .cast("long").alias("est_union"),
+                (F.col("size_a") + F.col("size_b")
+                 - F.coalesce("n_inter", F.lit(0))).cast("long")
+                 .alias("exact_union"))
+            .orderBy("type_a", "type_b"))
+
+
+QUERIES["sketch_theta_union"] = sketch_theta_union
+ORACLES["sketch_theta_union"] = f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST({{hash_sql}} AS BIGINT) AS hv
+  FROM dist),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h),
+kept AS (SELECT * FROM rk WHERE rk <= {THETA_K}),
+theta AS (
+  SELECT event_type,
+         CASE WHEN MAX(n) >= {THETA_K}
+              THEN MAX(CASE WHEN rk = {THETA_K} THEN hv END)
+              ELSE {THETA_RANGE} END AS th
+  FROM kept GROUP BY event_type),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         LEAST(ta.th, tb.th) AS th
+  FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type),
+u AS (
+  SELECT DISTINCT p.type_a, p.type_b, p.th, k.hv
+  FROM pairs p
+  JOIN kept k ON (k.event_type = p.type_a OR k.event_type = p.type_b)
+             AND k.hv < p.th),
+ur AS (
+  SELECT type_a, type_b, th, hv,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                            ORDER BY hv) AS urk,
+         COUNT(*) OVER (PARTITION BY type_a, type_b) AS n_u
+  FROM u),
+stats AS (
+  SELECT type_a, type_b, th, MAX(n_u) AS n_u,
+         MAX(CASE WHEN urk = {THETA_K} THEN hv END) AS kth
+  FROM ur GROUP BY 1, 2, 3),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS n_inter
+  FROM dist x JOIN dist y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n_set FROM dist GROUP BY event_type)
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(s.n_u, 0) AS BIGINT) AS n_union_kept,
+       CAST(CASE WHEN s.n_u >= {THETA_K}
+                 THEN {(THETA_K - 1) * THETA_RANGE} // s.kth
+                 ELSE COALESCE(s.n_u, 0) * {THETA_RANGE} // p.th
+            END AS BIGINT) AS est_union,
+       CAST(za.n_set + zb.n_set - COALESCE(i.n_inter, 0) AS BIGINT)
+         AS exact_union
+FROM pairs p
+LEFT JOIN stats s ON s.type_a = p.type_a AND s.type_b = p.type_b
+JOIN sizes za ON za.event_type = p.type_a
+JOIN sizes zb ON zb.event_type = p.type_b
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+""".replace("{hash_sql}", _theta_hash_sql("user_id", "VARCHAR"))

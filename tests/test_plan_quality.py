@@ -1044,3 +1044,14 @@ def test_ewma_hop_explosion_not_range_join(spark):
     assert re.search(r"Generate.*\n.*|explode\(", plan) and "explode(" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theta_union_stays_k_row_bounded(spark):
+    """sketch_theta_union: same bounded shape as intersection/AnotB —
+    per-set rank window, the pair-union window partitions by the pair
+    key (<= 2K rows per pair), one |types| x |types| theta-pair frame
+    as the only cross product."""
+    plan = _plan(spark, "sketch_theta_union")
+    assert "windowspecdefinition(event_type" in plan
+    assert "windowspecdefinition(type_a" in plan
+    assert plan.count("CartesianProduct") <= 1
