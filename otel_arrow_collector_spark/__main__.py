@@ -147,7 +147,13 @@ def cmd_run(args) -> int:
         # constructed BEFORE start(): the baseline mtime snapshot then
         # covers the same config state the first run resolves, so an
         # edit racing the startup is a detected change
-        watcher = ConfigWatcher(col, on_event=on_event)
+        try:
+            watcher = ConfigWatcher(col, on_event=on_event)
+        except ValueError as e:
+            # env:/yaml:/http:-only configs have no file to poll — a
+            # flag-validation error, not a traceback
+            print(f"error: --watch: {e}", file=sys.stderr)
+            return 2
     try:
         show(col.start())
         if watcher is not None:

@@ -448,8 +448,13 @@ def graph_k_core(spark, sf_dir):
             for _ in range(KCORE_PEELS):
                 alive = {v for v in alive
                          if sum(w in alive for w in adj[v]) >= KCORE_K}
+            # residual degree 0 is possible (every neighbor peeled in
+            # the final round); the distributed path's induced_deg and
+            # the oracle's edge join both omit such nodes — match them
+            # so results cannot flip at the edge-cap cutover
             rows = sorted(
-                (v, sum(w in alive for w in adj[v])) for v in alive)
+                (v, d) for v in alive
+                if (d := sum(w in alive for w in adj[v])) > 0)
             return spark.createDataFrame(
                 rows or [], "node long, deg long").persist()
         alive = None

@@ -3902,7 +3902,8 @@ rk AS (
 SELECT nation,
        CAST(MAX(n) AS BIGINT) AS n_customers,
        CAST(MAX(tot) AS BIGINT) AS total_cents,
-       CAST(2000 * SUM(i * cents) // (MAX(n) * MAX(tot))
+       CAST(2000 * SUM(CAST(i AS HUGEINT) * cents)
+              // (CAST(MAX(n) AS HUGEINT) * MAX(tot))
             - 1000 * (MAX(n) + 1) // MAX(n) AS BIGINT) AS gini_milli
 FROM rk GROUP BY nation ORDER BY nation
 """)
@@ -3916,8 +3917,12 @@ def q99(spark, sf_dir):
     Two shuffles total: one hash-agg to per-(nation, customer) revenue
     (customer side joined broadcast), one nation-keyed window for
     rank/count/total — the final permille arithmetic folds in the same
-    partitioning.  All terms stay in BIGINT: max rank*cents is ~1e14,
-    floor-division (both engines) keeps the published value exact.
+    partitioning.  The rank-weighted sum is held in decimal(38,0) /
+    HUGEINT: per nation, 2000 * sum(i * cents) ~ avg_cents * n^2 *
+    1000 passes 2^63 already at a few thousand customers per nation
+    (~SF2), so BIGINT would silently wrap under non-ANSI Spark while
+    DuckDB raises — the theta-hash overflow class, one level up.
+    Floor-division (both engines) keeps the published value exact.
     """
     o = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
@@ -3937,7 +3942,9 @@ def q99(spark, sf_dir):
     return (rk.groupBy("nation")
             .agg(F.max("n").cast("long").alias("n_customers"),
                  F.max("tot").cast("long").alias("total_cents"),
-                 (F.expr("2000 * sum(i * cents) div (max(n) * max(tot))")
+                 (F.expr("2000 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+                         " div (CAST(max(n) AS DECIMAL(38,0))"
+                         " * max(tot))")
                   - F.expr("1000 * (max(n) + 1) div max(n)"))
                  .cast("long").alias("gini_milli"))
             .orderBy("nation"))
@@ -3958,8 +3965,8 @@ agg AS (
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(n_customers AS BIGINT) AS n_customers,
        CAST(cents AS BIGINT) AS revenue_cents,
-       CAST(10000 * SUM(cents) OVER (ORDER BY decile
-            ROWS UNBOUNDED PRECEDING)
+       CAST(10000 * CAST(SUM(cents) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS HUGEINT)
             // SUM(cents) OVER () AS BIGINT) AS cum_share_bp
 FROM agg ORDER BY decile
 """)
@@ -3975,7 +3982,9 @@ def q100(spark, sf_dir):
     One hash agg to per-customer cents, one global NTILE over the
     AGGREGATED (customer-count-sized) relation — the q49 exact-tiering
     precedent, with the same documented approx-percentile scale
-    switch — then a 10-row cumulative window.
+    switch — then a 10-row cumulative window.  The share numerator
+    10000 * cum_cents is held in decimal(38,0) / HUGEINT: total corpus
+    cents ~2e13 per SF, so BIGINT's 9.2e18 would wrap near SF40.
     """
     o = _t(spark, sf_dir, "orders")
     cust = (o.groupBy("o_custkey")
@@ -4000,16 +4009,19 @@ def q100(spark, sf_dir):
         F.sum("cents").over(wc).alias("_cum"),
         F.sum("cents").over(wt).alias("_tot"))
         .select("decile", "n_customers", "revenue_cents",
-                F.expr("_tenk * _cum div _tot").cast("long")
-                .alias("cum_share_bp"))
+                F.expr("_tenk * CAST(_cum AS DECIMAL(38,0)) div _tot")
+                .cast("long").alias("cum_share_bp"))
         .orderBy("decile"))
 
 
 #: EWMA decay ratio 3/4 (alpha = 1/4) over a 10-day truncated window —
-#: weights 3^lag * 4^(EWMA_W - lag) keep every term integer-exact;
-#: max term: daily cents ~1e9 at 100x scale * 4^10 ~ 1e6 => ~1e15,
-#: x 11 terms ~1e16 — an order of magnitude of BIGINT headroom even
-#: three data doublings past that.
+#: weights 3^lag * 4^(EWMA_W - lag) keep every term integer-exact.
+#: The weighted terms are held in decimal(38,0) / HUGEINT: per
+#: (priority, day) cents reaches ~2e11 at SF100, so a term
+#: (cents * 4^10 ~ 2e17) times 11 lags brushes BIGINT's 9.2e18 with
+#: only ~4x headroom — not enough margin to publish as a BIGINT
+#: contract.  The final // 4^W collapses back to cents scale, which
+#: is BIGINT-safe at any realistic SF.
 EWMA_W = 10
 
 
@@ -4020,7 +4032,7 @@ WITH daily AS (
   FROM orders GROUP BY 1, 2),
 hops AS (
   SELECT pr, d + TO_DAYS(CAST(lag AS INTEGER)) AS td,
-         cents * CAST(3 ** lag AS BIGINT)
+         CAST(cents AS HUGEINT) * CAST(3 ** lag AS BIGINT)
                * CAST(4 ** ({EWMA_W} - lag) AS BIGINT) AS term
   FROM daily, unnest(range(0, {EWMA_W} + 1)) AS t(lag)),
 sm AS (
@@ -4059,8 +4071,8 @@ def q101(spark, sf_dir):
                     .alias("lag"))
             .select("pr",
                     F.expr("date_add(d, lag)").alias("td"),
-                    (F.col("cents")
-                     * F.expr(f"CAST(power(3, lag) AS BIGINT)")
+                    (F.col("cents").cast("decimal(38,0)")
+                     * F.expr("CAST(power(3, lag) AS BIGINT)")
                      * F.expr(f"CAST(power(4, {EWMA_W} - lag) AS BIGINT)")
                      ).alias("term")))
     sm = hops.groupBy("pr", F.col("td").alias("d")) \

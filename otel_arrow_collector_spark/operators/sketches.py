@@ -1055,6 +1055,54 @@ def _theta_hash_sql(key_sql: str, cast: str) -> str:
         for j in range(12))
 
 
+def _theta_base(spark, sf_dir):
+    """The scaffold shared by the three theta queries: ``dist`` (the
+    corpus-distinct (event_type, user_id) relation the exact audits
+    re-derive from) and ``kept`` (the bottom-THETA_K 48-bit hashes per
+    set, with rank ``rk`` and set size ``n``).  ``kept`` is
+    K * |types| rows and is memoized through the shared cache registry
+    so union/intersection/difference see ONE sketch state per
+    (session, dir) — the ER-trio desynchronization discipline."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    dist = events.select("event_type", "user_id").distinct()
+
+    def build():
+        h = dist.select(
+            "event_type",
+            F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
+             .alias("hv"))
+        w = Window.partitionBy("event_type").orderBy("hv")
+        rk = h.select(
+            "event_type", "hv",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type")).alias("n"))
+        kept = rk.filter(F.col("rk") <= THETA_K).persist()
+        kept.count()
+        return kept
+
+    from .cache_registry import cached
+    return dist, cached("sketches.theta_kept", spark, sf_dir, build)
+
+
+def _theta_stats(kept):
+    """Per set: size ``n`` and the K-th smallest hash ``hk`` (null when
+    the set holds fewer than K values) — the raw material each theta
+    query projects its threshold/estimate from."""
+    return (kept.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
+                  .alias("hk")))
+
+
+def _theta_th():
+    """Threshold column: hk for saturated sets, else the full hash
+    range (built lazily — Columns need an active SparkContext)."""
+    return (F.when(F.col("n") >= THETA_K, F.col("hk"))
+            .otherwise(F.lit(THETA_RANGE)))
+
+
 def sketch_theta_intersection(spark, sf_dir):
     """Per event-type pair: KMV theta-sketch estimates of each user set
     and of their intersection, next to the exact intersection size.
@@ -1065,28 +1113,11 @@ def sketch_theta_intersection(spark, sf_dir):
     the exact audit is a self-join of the distinct pass on user_id.
     Nothing driver-side, no Python.
     """
-    events = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-    dist = events.select("event_type", "user_id").distinct()
-    h = dist.select(
-        "event_type", "user_id",
-        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
-         .alias("hv"))
-    w = Window.partitionBy("event_type").orderBy("hv")
-    rk = h.select(
-        "event_type", "hv",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("event_type")).alias("n"))
-    kept = rk.filter(F.col("rk") <= THETA_K)
-    theta = (kept.groupBy("event_type")
-             .agg(F.max("n").alias("n"),
-                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
-                   .alias("hk"))
+    dist, kept = _theta_base(spark, sf_dir)
+    theta = (_theta_stats(kept)
              .select(
                  "event_type",
-                 F.when(F.col("n") >= THETA_K, F.col("hk"))
-                  .otherwise(F.lit(THETA_RANGE)).alias("th"),
+                 _theta_th().alias("th"),
                  F.when(F.col("n") >= THETA_K,
                         F.expr(f"{(THETA_K - 1) * THETA_RANGE} div hk"))
                   .otherwise(F.col("n")).cast("long").alias("est")))
@@ -1204,28 +1235,11 @@ def sketch_theta_difference(spark, sf_dir):
     pair arithmetic on the tiny K-row-per-set relation with the
     per-set theta/count relation broadcast.
     """
-    events = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-    dist = events.select("event_type", "user_id").distinct()
-    h = dist.select(
-        "event_type", "user_id",
-        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
-         .alias("hv"))
-    w = Window.partitionBy("event_type").orderBy("hv")
-    rk = h.select(
-        "event_type", "hv",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("event_type")).alias("n"))
-    kept = rk.filter(F.col("rk") <= THETA_K)
-    theta = (kept.groupBy("event_type")
-             .agg(F.max("n").alias("n"),
-                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
-                   .alias("hk"))
+    dist, kept = _theta_base(spark, sf_dir)
+    theta = (_theta_stats(kept)
              .select(
                  "event_type", F.col("n").alias("n_exact_kept"),
-                 F.when(F.col("n") >= THETA_K, F.col("hk"))
-                  .otherwise(F.lit(THETA_RANGE)).alias("th")))
+                 _theta_th().alias("th")))
     ka = kept.select(F.col("event_type").alias("type_a"), "hv")
     kb = kept.select(F.col("event_type").alias("type_b"), "hv")
     ta = theta.select(F.col("event_type").alias("type_a"),
@@ -1342,27 +1356,10 @@ def sketch_theta_union(spark, sf_dir):
     relation broadcast.  The exact audit reuses the one equality
     self-join (|A| + |B| - |A n B|), no extra corpus pass.
     """
-    events = load_table(spark, sf_dir, "events")
+    dist, kept = _theta_base(spark, sf_dir)
     from pyspark.sql import Window
-    dist = events.select("event_type", "user_id").distinct()
-    h = dist.select(
-        "event_type", "user_id",
-        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
-         .alias("hv"))
-    w = Window.partitionBy("event_type").orderBy("hv")
-    rk = h.select(
-        "event_type", "hv",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("event_type")).alias("n"))
-    kept = rk.filter(F.col("rk") <= THETA_K)
-    theta = (kept.groupBy("event_type")
-             .agg(F.max("n").alias("n"),
-                  F.max(F.when(F.col("rk") == THETA_K, F.col("hv")))
-                   .alias("hk"))
-             .select("event_type",
-                     F.when(F.col("n") >= THETA_K, F.col("hk"))
-                      .otherwise(F.lit(THETA_RANGE)).alias("th")))
+    theta = (_theta_stats(kept)
+             .select("event_type", _theta_th().alias("th")))
     ta = theta.select(F.col("event_type").alias("type_a"),
                       F.col("th").alias("th_a"))
     tb = theta.select(F.col("event_type").alias("type_b"),

@@ -102,9 +102,15 @@ class ConfigWatcher:
         return self
 
     def stop(self) -> None:
+        """Signal the poll loop and wait for it to exit.  The join is
+        UNBOUNDED on purpose: an in-flight ``reload()`` (a Spark job —
+        easily longer than any fixed timeout) must finish before the
+        caller proceeds to ``Collector.shutdown()``; returning early
+        would race the reload's apply phase against the shutdown and
+        tear extensions down under a running recompile."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._thread.join()
             self._thread = None
 
     def __enter__(self) -> "ConfigWatcher":

@@ -97,9 +97,30 @@ def snappy_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _declared_length(data: bytes) -> int:
+    """The varint uncompressed-length preamble of a raw block —
+    readable without decoding, so callers can enforce size limits
+    BEFORE paying the byte-at-a-time decode."""
+    total = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= len(data) or shift > 35:
+            raise ValueError("bad snappy length varint")
+        b = data[i]
+        i += 1
+        total |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return total
+        shift += 7
+
+
 def snappy_decompress(data: bytes) -> bytes:
     """Snappy raw block -> bytes; raises ValueError on malformed
-    streams (bad varint, zero offsets, overruns, length mismatch)."""
+    streams (bad varint, zero offsets, overruns, length mismatch).
+    Output is bounded by the DECLARED length as it grows — an element
+    pushing past it aborts within one element (<= 64 bytes), so a
+    crafted stream cannot expand far beyond its preamble's claim."""
     # varint preamble
     total = 0
     shift = 0
@@ -131,6 +152,8 @@ def snappy_decompress(data: bytes) -> bytes:
                 raise ValueError("truncated literal")
             out += data[i:i + ln]
             i += ln
+            if len(out) > total:
+                raise ValueError("output exceeds declared length")
             continue
         if kind == 1:                         # 1-byte-offset copy
             if i >= len(data):
@@ -154,6 +177,8 @@ def snappy_decompress(data: bytes) -> bytes:
             raise ValueError(f"bad copy offset {off}")
         for _ in range(ln):                   # overlap-safe
             out.append(out[-off])
+        if len(out) > total:
+            raise ValueError("output exceeds declared length")
     if len(out) != total:
         raise ValueError(f"length mismatch: {len(out)} != {total}")
     return bytes(out)
@@ -263,8 +288,17 @@ def frame_decompress(data: bytes, cap: int | None = None) -> bytes:
             if ln < 4:
                 raise ValueError("chunk too short for CRC")
             want = int.from_bytes(payload[:4], "little")
-            chunk = (snappy_decompress(payload[4:]) if kind == 0x00
-                     else bytes(payload[4:]))
+            if kind == 0x00:
+                # validate the declared size BEFORE the pure-Python
+                # decode: a chunk claiming more than the format's
+                # 64 KiB limit dies here, never as a hundreds-of-MB
+                # bytearray mid-decode (the chunk-bomb path)
+                if _declared_length(payload[4:]) > _MAX_CHUNK:
+                    raise ValueError(
+                        "chunk exceeds 65536-byte format limit")
+                chunk = snappy_decompress(payload[4:])
+            else:
+                chunk = bytes(payload[4:])
             if len(chunk) > _MAX_CHUNK:
                 raise ValueError("chunk exceeds 65536-byte format limit")
             if _mask_crc(_crc32c(chunk)) != want:

@@ -65,7 +65,9 @@ def ewma_stream(orders: DataFrame,
                                       + F.col("lag") * F.lit(DAY_US))
                    .alias("ts_shift"),
                    (F.col("lag") == 0).cast("long").alias("is_cur"),
-                   (F.col("cents")
+                   # decimal(38,0) terms — q101's overflow discipline:
+                   # cents * 4^W brushes BIGINT at large SF
+                   (F.col("cents").cast("decimal(38,0)")
                     * F.expr("CAST(power(3, lag) AS BIGINT)")
                     * F.expr(f"CAST(power(4, {EWMA_W} - lag) AS BIGINT)")
                     ).alias("term"),
@@ -77,7 +79,7 @@ def ewma_stream(orders: DataFrame,
            .agg(F.sum(F.col("is_cur") * F.col("cents")).cast("long")
                 .alias("revenue_cents"),
                 F.sum("is_cur").cast("long").alias("n_cur"),
-                F.sum("term").cast("long").alias("num")))
+                F.sum("term").alias("num")))
     # days with no shift-0 rows carry only spill-over from earlier
     # days; q101's inner join back to the daily frame has no such row
     return (agg.filter(F.col("n_cur") > 0)

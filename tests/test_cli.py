@@ -235,10 +235,14 @@ def test_run_watch_reloads_on_edit(tmp_path):
 
     cfg = tmp_path / "w.yaml"
     cfg.write_text(OK_YAML)
+    # stderr goes to a FILE, not a pipe: Spark logs verbosely there,
+    # and an undrained 64 KiB pipe would block the child mid-write
+    # while this side blocks in stdout.readline() — a mutual deadlock
+    errfile = open(tmp_path / "w.stderr", "w+")
     p = subprocess.Popen(
         [sys.executable, "-u", "-m", "otel_arrow_collector_spark",
          "--config", str(cfg), "--watch", "--watch-duration", "45"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        stdout=subprocess.PIPE, stderr=errfile, text=True,
         cwd=REPO)
     try:
         first = []
@@ -253,7 +257,9 @@ def test_run_watch_reloads_on_edit(tmp_path):
         assert any("p/sink/null: 210" in ln for ln in first), first
         # edit: drop the filter -> the full event count
         cfg.write_text(OK_YAML.replace("processors: [keep], ", ""))
-        out, err = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=240)
+        errfile.seek(0)
+        err = errfile.read()
         full = "".join(first) + out
         assert "config reloaded:" in full, (full, err[-1500:])
         after = [ln for ln in full.splitlines()
@@ -262,4 +268,19 @@ def test_run_watch_reloads_on_edit(tmp_path):
     finally:
         if p.poll() is None:
             p.kill()
+        errfile.close()
     assert p.returncode == 0
+
+
+def test_run_watch_without_file_uri_is_clean_error():
+    """--watch with only non-file config URIs (nothing to poll) exits
+    with a flag-validation error (rc 2, message on stderr), not a raw
+    ValueError traceback, and never leaks a started collector."""
+    p = subprocess.run(
+        [sys.executable, "-m", "otel_arrow_collector_spark",
+         "--config", "env:W_CFG", "--watch", "--watch-duration", "5"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+        env={**os.environ, "W_CFG": OK_YAML})
+    assert p.returncode == 2, (p.stdout, p.stderr[-800:])
+    assert "error: --watch" in p.stderr
+    assert "Traceback" not in p.stderr

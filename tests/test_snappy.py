@@ -109,3 +109,31 @@ def test_frame_rejects_corruption_and_bombs():
     # skippable chunk types are skipped, padding ignored
     ok = frame_compress(b"data") + b"\xfe\x03\x00\x00pad"
     assert frame_decompress(ok) == b"data"
+
+
+def test_chunk_bomb_rejected_before_decode():
+    """A framed chunk whose raw block DECLARES more than the 64 KiB
+    format limit is rejected from the preamble alone — never expanded
+    in Python first (the DoS-hardening contract); and a raw block
+    whose elements try to run PAST the declared length aborts within
+    one element."""
+    import pytest
+
+    from otel_arrow_collector_spark.sources.snappy import (
+        _MAX_CHUNK, _STREAM_ID, _crc32c, _mask_crc, _varint,
+        frame_decompress, snappy_decompress)
+
+    # (a) framed: declared length 10 MB -> refused pre-decode
+    bomb_block = _varint(10 * 1024 * 1024) + b"\x00" * 100
+    payload = _mask_crc(_crc32c(b"")).to_bytes(4, "little") + bomb_block
+    framed = bytearray(_STREAM_ID)
+    framed.append(0x00)
+    framed += len(payload).to_bytes(3, "little")
+    framed += payload
+    with pytest.raises(ValueError, match="65536"):
+        frame_decompress(bytes(framed))
+
+    # (b) raw: declares 8 bytes, emits a 100-byte literal -> aborts
+    lying = _varint(8) + bytes([60 << 2, 100 - 1]) + b"x" * 100
+    with pytest.raises(ValueError, match="exceeds declared"):
+        snappy_decompress(lying)
