@@ -66,7 +66,7 @@ _NEWEST_FIRST = [
     "q99_revenue_gini", "text_readability",
     "graph_link_prediction", "text_zipf", "text_heaps",
     "q100_pareto_curve", "dedup_allpairs_prefix", "q101_ewma_smoothing",
-    "sketch_theta_union",
+    "sketch_theta_union", "sample_bootstrap", "q102_time_to_convert",
     # THEN the stalest driver rows (verdict ask #4): the q22-q50
     # relational band's newest CORRECTNESS rows date from r04 ...
     "q22_dense_rank", "q23_topk", "q24_union_all", "q25_intersect",

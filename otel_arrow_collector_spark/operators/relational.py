@@ -4085,3 +4085,100 @@ def q101(spark, sf_dir):
                     F.expr(f"num div {4 ** EWMA_W}").cast("long")
                     .alias("ewma_scaled"))
             .orderBy("pr", "day"))
+
+
+@_register("q102_time_to_convert", """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS p_us FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+conv AS (
+  SELECT fv.user_id, fv.v_us // 604800000000 AS week,
+         (fp.p_us - fv.v_us) // 1000000 AS lat_s
+  FROM fv JOIN fp ON fp.user_id = fv.user_id
+  WHERE fp.p_us >= fv.v_us),
+viewed AS (
+  SELECT v_us // 604800000000 AS week, COUNT(*) AS n_viewed
+  FROM fv GROUP BY 1),
+rk AS (
+  SELECT week, lat_s,
+         ROW_NUMBER() OVER (PARTITION BY week
+                            ORDER BY lat_s, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY week) AS n
+  FROM conv),
+agg AS (
+  SELECT week, MAX(n) AS n_converted,
+         SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                  THEN lat_s ELSE 0 END) AS median_x2_s,
+         SUM(CASE WHEN rn = (9 * n + 9) // 10
+                  THEN lat_s ELSE 0 END) AS p90_s
+  FROM rk GROUP BY week)
+SELECT CAST(v.week AS BIGINT) AS week,
+       CAST(v.n_viewed AS BIGINT) AS n_viewed,
+       CAST(COALESCE(a.n_converted, 0) AS BIGINT) AS n_converted,
+       CAST(1000 * COALESCE(a.n_converted, 0) // v.n_viewed AS BIGINT)
+         AS conv_permille,
+       CAST(COALESCE(a.median_x2_s, 0) AS BIGINT) AS median_x2_s,
+       CAST(COALESCE(a.p90_s, 0) AS BIGINT) AS p90_s
+FROM viewed v LEFT JOIN agg a ON a.week = v.week
+ORDER BY week
+""")
+def q102(spark, sf_dir):
+    """Conversion-latency distribution per first-view week cohort:
+    each user's first 'view' to first subsequent 'purchase', with the
+    cohort's viewer count, converter count, conversion permille, exact
+    rank-selected median (q79's 2x trick — exact for both parities
+    without float division) and exact p90 latency in whole seconds.
+    The time-to-convert read a funnel owner does after q71's stage
+    counts; all integers, oracle-gated.
+
+    Scale shape: two filtered user-keyed hash aggs (first view / first
+    purchase — map-side combine over the corpus), one user-keyed join,
+    then every window runs keyed by the WEEK cohort (never a global
+    sort); the final percentile arithmetic folds in the same
+    partitioning.
+    """
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    fv = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min(us).alias("v_us")))
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min(us).alias("p_us")))
+    conv = (fv.join(fp, "user_id")
+            .filter(F.col("p_us") >= F.col("v_us"))
+            .select("user_id",
+                    F.expr("v_us div 604800000000").alias("week"),
+                    F.expr("(p_us - v_us) div 1000000").alias("lat_s")))
+    viewed = (fv.groupBy(F.expr("v_us div 604800000000").alias("week"))
+              .agg(F.count(F.lit(1)).alias("n_viewed")))
+    wr = Window.partitionBy("week").orderBy("lat_s", "user_id")
+    wn = Window.partitionBy("week")
+    rk = conv.select(
+        "week", "lat_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    agg = (rk.groupBy("week")
+           .agg(F.max("n").alias("n_converted"),
+                F.sum(F.when(
+                    F.expr("rn IN ((n + 1) div 2, (n + 2) div 2)"),
+                    F.col("lat_s")).otherwise(F.lit(0)))
+                .alias("median_x2_s"),
+                F.sum(F.when(F.expr("rn = (9 * n + 9) div 10"),
+                             F.col("lat_s")).otherwise(F.lit(0)))
+                .alias("p90_s")))
+    return (viewed.join(agg, "week", "left")
+            .select(
+                F.col("week").cast("long").alias("week"),
+                F.col("n_viewed").cast("long").alias("n_viewed"),
+                F.coalesce("n_converted", F.lit(0)).cast("long")
+                 .alias("n_converted"),
+                F.expr("1000 * coalesce(n_converted, 0) div n_viewed")
+                 .cast("long").alias("conv_permille"),
+                F.coalesce("median_x2_s", F.lit(0)).cast("long")
+                 .alias("median_x2_s"),
+                F.coalesce("p90_s", F.lit(0)).cast("long")
+                 .alias("p90_s"))
+            .orderBy("week"))

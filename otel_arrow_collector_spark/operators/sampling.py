@@ -164,3 +164,95 @@ SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
 FROM pri WHERE rk <= {WEIGHTED_K}
 ORDER BY lang, priority, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-Poisson bootstrap (resampling without data copies)
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates
+BOOTSTRAP_B = 16
+#: 28-bit hash range (7 hex chars — the overflow-audited width)
+_BOOT_RANGE = 16 ** 7
+
+
+def _poisson1_thresholds(max_k: int = 9) -> list[int]:
+    """Cumulative Poisson(1) CDF scaled to the 28-bit hash range —
+    LITERAL constants embedded identically in both engines' SQL, so
+    the float math runs once here, never per row or per engine.  A
+    uniform 28-bit hash h draws weight w = #{k: h >= T_k}, giving
+    P(w=k) = Poisson(1) pmf to ~1e-8 (k capped at max_k; the tail
+    beyond is one part in 10^6 of replicas)."""
+    import math
+    cum, out = 0.0, []
+    for k in range(max_k):
+        cum += math.exp(-1) / math.factorial(k)
+        out.append(min(int(cum * _BOOT_RANGE), _BOOT_RANGE))
+    return out
+
+
+def sample_bootstrap(spark, sf_dir):
+    """BOOTSTRAP_B bootstrap replicates of mean order value WITHOUT
+    copying the data: each (order, replicate) pair draws a Poisson(1)
+    multiplicity from a deterministic 28-bit hash (the online-bootstrap
+    identity — resampling n-with-replacement converges to i.i.d.
+    Poisson(1) weights; Oza & Russell 2001), so the B resamples are
+    B weighted aggregations over ONE scan, reproducible bit-for-bit.
+    Publishes each replicate's effective count and floor-div mean in
+    exact cents — the spread across replicates IS the bootstrap CI a
+    mixture curator reads.
+
+    Scale shape: one constant-factor explode (x B) feeding one
+    map-side-combinable hash agg on the replicate id; weights are pure
+    column arithmetic (9 comparisons against literal thresholds); no
+    joins, no windows, no driver state.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ts = _poisson1_thresholds()
+    h = _hexint_sql(
+        "md5(concat('boot:', CAST(b AS STRING), ':',"
+        " CAST(o_orderkey AS STRING)))", 7, "substring")
+    w_expr = " + ".join(
+        f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)" for t in ts)
+    return (o.select(F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("cents"),
+                     "o_orderkey",
+                     F.explode(F.expr(
+                         f"sequence(0, {BOOTSTRAP_B - 1})")).alias("b"))
+            .select("cents", "b",
+                    F.expr(h).cast("long").alias("hv"))
+            .select("cents", "b", F.expr(w_expr).alias("w"))
+            .groupBy("b")
+            .agg(F.sum("w").cast("long").alias("n_eff"),
+                 F.sum(F.col("w") * F.col("cents")).alias("tot"))
+            .select(F.col("b").cast("long").alias("b"), "n_eff",
+                    F.expr("tot div n_eff").cast("long")
+                    .alias("mean_cents"))
+            .orderBy("b"))
+
+
+QUERIES["sample_bootstrap"] = sample_bootstrap
+
+
+def _bootstrap_oracle() -> str:
+    ts = _poisson1_thresholds()
+    h = _hexint_sql(
+        "md5(concat('boot:', CAST(b AS VARCHAR), ':',"
+        " CAST(o_orderkey AS VARCHAR)))", 7, "substr")
+    w_expr = " + ".join(
+        f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)" for t in ts)
+    return f"""
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey, t.b
+  FROM orders, unnest(range(0, {BOOTSTRAP_B})) AS t(b)),
+hv AS (SELECT cents, b, {h} AS hv FROM e),
+w AS (SELECT cents, b, {w_expr} AS w FROM hv)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+FROM w GROUP BY b ORDER BY b
+"""
+
+
+ORACLES["sample_bootstrap"] = _bootstrap_oracle()

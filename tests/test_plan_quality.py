@@ -1055,3 +1055,23 @@ def test_theta_union_stays_k_row_bounded(spark):
     assert "windowspecdefinition(event_type" in plan
     assert "windowspecdefinition(type_a" in plan
     assert plan.count("CartesianProduct") <= 1
+
+
+def test_bootstrap_is_explode_plus_one_agg(spark):
+    """sample_bootstrap: B resamples are ONE constant-factor explode
+    into one map-side-combinable hash agg — no join, no window, no
+    Python; weights are literal-threshold comparisons."""
+    plan = _plan(spark, "sample_bootstrap")
+    assert "explode(" in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_time_to_convert_windows_are_cohort_keyed(spark):
+    """q102: the rank/count windows partition by the week cohort —
+    never a global (single-partition) sort over converters."""
+    plan = _plan(spark, "q102_time_to_convert")
+    assert "windowspecdefinition(week" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
