@@ -95,7 +95,10 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # round-10 additions: the link-prediction wedge join
                    # (the new bench heavyweight) and the Heaps corpus
                    # explode + id-sort + first-seen agg
-                   "graph_link_prediction", "text_heaps"]
+                   "graph_link_prediction", "text_heaps",
+                   # bootstrap explode x16 (constant factor) and the
+                   # cohort-windowed conversion-latency percentiles
+                   "sample_bootstrap", "q102_time_to_convert"]
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
