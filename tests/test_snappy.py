@@ -137,3 +137,35 @@ def test_chunk_bomb_rejected_before_decode():
     lying = _varint(8) + bytes([60 << 2, 100 - 1]) + b"x" * 100
     with pytest.raises(ValueError, match="exceeds declared"):
         snappy_decompress(lying)
+
+
+def test_frame_fuzz_roundtrip_and_corruption():
+    """Hypothesis-style fuzz (deterministic seeds): arbitrary byte
+    shapes round-trip the framing layer; flipping any single byte of a
+    framed stream either still decodes to the SAME bytes (a flip in a
+    skippable region) or raises ValueError — never a crash or a
+    silent wrong answer."""
+    import random
+
+    from otel_arrow_collector_spark.sources.snappy import (
+        frame_compress, frame_decompress)
+
+    rng = random.Random(1234)
+    shapes = [b"", b"\x00", rng.randbytes(100), rng.randbytes(70_000),
+              b"ab" * 40_000, bytes(range(256)) * 300]
+    for data in shapes:
+        framed = frame_compress(data)
+        assert frame_decompress(framed) == data
+        assert frame_decompress(framed, cap=len(data)) == data
+    data = rng.randbytes(5_000)
+    framed = bytearray(frame_compress(data))
+    for _ in range(300):
+        i = rng.randrange(len(framed))
+        orig = framed[i]
+        framed[i] ^= 1 + rng.randrange(255)
+        try:
+            got = frame_decompress(bytes(framed))
+            assert got == data, "corruption decoded to different bytes"
+        except ValueError:
+            pass
+        framed[i] = orig
