@@ -4182,3 +4182,51 @@ def q102(spark, sf_dir):
                 F.coalesce("p90_s", F.lit(0)).cast("long")
                  .alias("p90_s"))
             .orderBy("week"))
+
+
+@_register("q103_path_trigrams", """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+paths AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+cnt AS (
+  SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+  FROM paths WHERE b IS NOT NULL AND c IS NOT NULL
+  GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM cnt)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(1000 * n // t AS BIGINT) AS share_permille
+FROM cnt, tot
+ORDER BY n DESC, path LIMIT 25
+""")
+def q103(spark, sf_dir):
+    """Top 25 three-step behavioral paths (event-type trigrams per
+    user's time-ordered stream) with exact permille share — the
+    path-analysis read after q81's single-step Markov matrix; the
+    session-pattern mining shape (two LEADs under one per-user window,
+    so both offsets share ONE exchange).
+
+    One user-keyed window exchange serves both LEADs, one hash agg on
+    the path key (|types|^3 cardinality at most), a 1-row total
+    broadcast, TakeOrdered top-25 — the corpus is touched once.
+    """
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id")
+    p = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"))
+    cnt = (p.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+           .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+           .groupBy("path").agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("path", F.col("n").cast("long").alias("n"),
+                    F.expr("1000 * n div t").cast("long")
+                    .alias("share_permille"))
+            .orderBy(F.col("n").desc(), "path").limit(25))

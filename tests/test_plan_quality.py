@@ -1075,3 +1075,15 @@ def test_time_to_convert_windows_are_cohort_keyed(spark):
     assert "windowspecdefinition(week" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_path_trigrams_one_window_exchange(spark):
+    """q103: both LEAD offsets ride ONE per-user window exchange; the
+    1-row total joins broadcast (a broadcast nested-loop over one row
+    is the legal dedup_cc_keep shape); TakeOrdered top-25."""
+    plan = _plan(spark, "q103_path_trigrams")
+    assert plan.count("windowspecdefinition") >= 1
+    assert "TakeOrderedAndProject" in plan
+    # one real window exchange + the agg exchanges; never two sorts
+    # over the corpus for the two offsets
+    assert plan.count("Sort [user_id") <= 2  # formatted lists nodes twice

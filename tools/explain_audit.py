@@ -28,6 +28,8 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "embedding_quantize_int8", "pack_sequences",
            "curation_pipeline", "text_bm25_search", "heavy_hitter_events",
            "sketch_hll_registers", "sketch_cms_counters",
+           "graph_link_prediction", "dedup_allpairs_prefix",
+           "q101_ewma_smoothing", "sample_bootstrap",
            "graph_triangle_count", "graph_pagerank", "bloom_screen",
            "sample_weighted", "ann_pq_codes", "dedup_cross_corpus",
            # round-7 scale claims
