@@ -99,6 +99,15 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # bootstrap explode x16 (constant factor) and the
                    # cohort-windowed conversion-latency percentiles
                    "sample_bootstrap", "q102_time_to_convert"]
+# dedup_allpairs_prefix is EXCLUDED like the IVF-cell family:
+# unionAll content replication makes every cross-copy document
+# pair a REAL near-duplicate (identical text), so the exact
+# all-pairs output -- and therefore wall time -- legitimately
+# grows ~k^2 with replication; the harness would flag
+# output-faithful growth, not an operator defect.  The actual
+# scale bound (candidates = sum over prefix tokens of df^2,
+# rarest-first ordering keeps df small) is pinned by the plan
+# test + the brute-force-equality pytest instead.
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
