@@ -67,7 +67,7 @@ _NEWEST_FIRST = [
     "graph_link_prediction", "text_zipf", "text_heaps",
     "q100_pareto_curve", "dedup_allpairs_prefix", "q101_ewma_smoothing",
     "sketch_theta_union", "sample_bootstrap", "q102_time_to_convert",
-    "q103_path_trigrams",
+    "q103_path_trigrams", "graph_modularity",
     # THEN the stalest driver rows (verdict ask #4): the q22-q50
     # relational band's newest CORRECTNESS rows date from r04 ...
     "q22_dense_rank", "q23_topk", "q24_union_all", "q25_intersect",

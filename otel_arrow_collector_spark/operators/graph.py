@@ -307,6 +307,42 @@ FROM r3 ORDER BY rank DESC, node
 LPA_ITERS = 3
 
 
+def _lpa_labels(spark, sf_dir):
+    """LPA_ITERS synchronous label-propagation iterations over the
+    (memoized) co-purchase graph, returning the |nodes|-row
+    (node, label) relation — shared by graph_label_propagation and
+    graph_modularity through the cache registry so assignment and
+    evaluation cannot desynchronize (the theta-scaffold discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from .cache_registry import cached
+    e = cached("copurchase_edges", spark, sf_dir,
+               lambda: copurchase_edges(li).persist())
+    edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionAll(e.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst"))))
+
+    def build():
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .select("node", F.col("node").alias("label")))
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label").asc())
+        for _ in range(LPA_ITERS):
+            neigh = (edges.join(
+                        F.broadcast(labels.withColumnRenamed("node",
+                                                             "dst")),
+                        "dst")
+                     .groupBy(F.col("src").alias("node"), "label")
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+            labels = (neigh.withColumn("rk", F.row_number().over(w))
+                      .filter(F.col("rk") == 1)
+                      .select("node", "label"))
+        out = labels.persist()
+        out.count()
+        return out
+
+    return e, edges, cached("graph.lpa_labels", spark, sf_dir, build)
+
+
 def graph_label_propagation(spark, sf_dir):
     """Synchronous label-propagation communities (Raghavan et al. 2007)
     over the co-purchase graph: every node starts as its own label;
@@ -322,24 +358,7 @@ def graph_label_propagation(spark, sf_dir):
     adjudication), one (node, label) count, one per-node rank window
     — iteration state is |nodes| rows, never edge-sized.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    e = copurchase_edges(li)
-    edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-             .unionAll(e.select(F.col("v").alias("src"),
-                                F.col("u").alias("dst"))))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label")))
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc())
-    for _ in range(LPA_ITERS):
-        neigh = (edges.join(
-                    F.broadcast(labels.withColumnRenamed("node", "dst")),
-                    "dst")
-                 .groupBy(F.col("src").alias("node"), "label")
-                 .agg(F.count(F.lit(1)).alias("cnt")))
-        labels = (neigh.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") == 1)
-                  .select("node", "label"))
+    _, _, labels = _lpa_labels(spark, sf_dir)
     return (labels.select(F.col("node").cast("long").alias("node"),
                           F.col("label").cast("long").alias("label"))
             .orderBy("node"))
@@ -606,4 +625,117 @@ FROM cand c JOIN deg d ON d.w = c.w
 GROUP BY c.u, c.v
 ORDER BY ra_micro DESC, common_neighbors DESC, u, v
 LIMIT {LINKPRED_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Community-quality evaluation: Newman modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for per-community modularity contributions
+MOD_SCALE = 1_000_000
+
+
+def graph_modularity(spark, sf_dir):
+    """Newman modularity (Newman & Girvan 2004) of the LPA communities
+    over the co-purchase graph, per community in exact integer
+    micro-units: q_c = MOD_SCALE*m_c // m  -  MOD_SCALE*d_c^2 //
+    (4*m^2), where m = |undirected edges|, m_c = intra-community
+    edges, d_c = the community's degree sum — the partition-quality
+    read that turns LPA's labels into an evaluated clustering (a
+    curator accepts the community structure only when sum(q_c) is
+    materially positive).  Floors are per community, so the published
+    values are order-independent and the DuckDB oracle gates them
+    exactly; d_c^2 is held in decimal(38,0)/HUGEINT (at 100 TB the
+    degree sum is edge-scaled, and its square passes 2^63 — the q99
+    overflow class, applied proactively).
+
+    Scale shape: the label relation (|nodes| rows, memoized — shared
+    with graph_label_propagation so assignment and evaluation can
+    never desynchronize) joins broadcast onto the edge list twice
+    (both endpoints); intra-edge and degree sums are two hash aggs;
+    the 1-row (m) frame broadcasts onto the |communities|-row result.
+    """
+    e, edges, labels = _lpa_labels(spark, sf_dir)
+    la = F.broadcast(labels)
+    both = (e.join(la.select(F.col("node").alias("u"),
+                             F.col("label").alias("lu")), "u")
+            .join(la.select(F.col("node").alias("v"),
+                            F.col("label").alias("lv")), "v"))
+    intra = (both.filter(F.col("lu") == F.col("lv"))
+             .groupBy(F.col("lu").alias("label"))
+             .agg(F.count(F.lit(1)).alias("intra_edges")))
+    deg = (edges.join(la.select(F.col("node").alias("src"), "label"),
+                      "src")
+           .groupBy("label")
+           .agg(F.count(F.lit(1)).alias("degree_sum")))
+    nn = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    m_tot = e.agg(F.count(F.lit(1)).alias("m"))
+    return (nn.join(deg, "label", "left")
+            .join(intra, "label", "left")
+            .crossJoin(F.broadcast(m_tot))
+            .select(
+                F.col("label").cast("long").alias("label"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.coalesce("intra_edges", F.lit(0)).cast("long")
+                 .alias("intra_edges"),
+                F.coalesce("degree_sum", F.lit(0)).cast("long")
+                 .alias("degree_sum"),
+                (F.expr(f"{MOD_SCALE} * coalesce(intra_edges, 0)"
+                        f" div m")
+                 - F.expr(f"{MOD_SCALE}"
+                          f" * CAST(coalesce(degree_sum, 0)"
+                          f" AS DECIMAL(38,0))"
+                          f" * coalesce(degree_sum, 0)"
+                          f" div (4 * CAST(m AS DECIMAL(38,0)) * m)"))
+                .cast("long").alias("q_micro"))
+            .orderBy("label"))
+
+
+QUERIES["graph_modularity"] = graph_modularity
+ORACLES["graph_modularity"] = f"""
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+  WHERE instr('{_HEX}',
+              substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1
+        < {BASKET_SAMPLE_HEX}),
+deg0 AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN deg0 ON deg0.o = ps.o
+          WHERE deg0.ns <= {MAX_BASKET}),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs),
+r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{_lpa_iter_sql('r0', 'r1')},
+{_lpa_iter_sql('r1', 'r2')},
+{_lpa_iter_sql('r2', 'r3')},
+m_tot AS (SELECT COUNT(*) AS m FROM pairs),
+intra AS (
+  SELECT la.label, COUNT(*) AS intra_edges
+  FROM pairs p
+  JOIN r3 la ON la.node = p.u
+  JOIN r3 lb ON lb.node = p.v AND lb.label = la.label
+  GROUP BY la.label),
+degs AS (
+  SELECT la.label, COUNT(*) AS degree_sum
+  FROM edges e JOIN r3 la ON la.node = e.src
+  GROUP BY la.label),
+nn AS (SELECT label, COUNT(*) AS n_nodes FROM r3 GROUP BY label)
+SELECT CAST(nn.label AS BIGINT) AS label,
+       CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(COALESCE(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+       CAST({MOD_SCALE} * COALESCE(i.intra_edges, 0) // m.m
+            - {MOD_SCALE} * CAST(COALESCE(d.degree_sum, 0) AS HUGEINT)
+              * COALESCE(d.degree_sum, 0)
+              // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT)
+         AS q_micro
+FROM nn
+LEFT JOIN degs d ON d.label = nn.label
+LEFT JOIN intra i ON i.label = nn.label
+CROSS JOIN m_tot m
+ORDER BY label
 """

@@ -1087,3 +1087,15 @@ def test_path_trigrams_one_window_exchange(spark):
     # one real window exchange + the agg exchanges; never two sorts
     # over the corpus for the two offsets
     assert plan.count("Sort [user_id") <= 2  # formatted lists nodes twice
+
+
+def test_modularity_broadcasts_labels_onto_edges(spark):
+    """graph_modularity: the |nodes|-row label relation joins
+    broadcast onto the edge list (both endpoints); the 1-row m frame
+    is the only cross product; no Python."""
+    plan = _plan(spark, "graph_modularity")
+    assert "BroadcastHashJoin" in plan
+    # the 1-row m frame only (formatted explain lists each node twice)
+    assert plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in plan
