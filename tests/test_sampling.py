@@ -31,3 +31,31 @@ def test_bootstrap_replicates_bracket_truth(spark):
         assert abs(r.mean_cents - mu) < 6 * se
     means = [r.mean_cents for r in reps]
     assert min(means) < mu < max(means)
+
+
+def test_hexint_sql_matches_python_hex_parse(spark):
+    """_hexint_sql (the 28-bit hash the sampling/bootstrap family
+    shares) equals Python's int(hexdigest[:7], 16) for keys whose
+    high hex digits exercise every nibble — the theta-hash pin
+    applied to the 7-char polynomial, under BOTH ANSI modes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from otel_arrow_collector_spark.operators.sampling import _hexint_sql
+
+    keys = [f"boot:{b}:{k}" for b in (0, 7, 15) for k in
+            ("1", "42", "999983", "zq9")]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    expr = _hexint_sql("md5(k)", 7, "substring")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            got = {r.k: r.hv for r in
+                   df.select("k", F.expr(expr).alias("hv")).collect()}
+            for k in keys:
+                want = int(hashlib.md5(k.encode()).hexdigest()[:7], 16)
+                assert got[k] == want, (mode, k)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
