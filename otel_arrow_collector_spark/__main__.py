@@ -154,6 +154,7 @@ def cmd_run(args) -> int:
             # flag-validation error, not a traceback
             print(f"error: --watch: {e}", file=sys.stderr)
             return 2
+    died = False
     try:
         show(col.start())
         if watcher is not None:
@@ -170,9 +171,19 @@ def cmd_run(args) -> int:
                         time.sleep(0.1)
                 except KeyboardInterrupt:
                     pass
+            # A reload apply-failure closes the collector; the reference
+            # treats a failed reloadConfiguration as a fatal collector
+            # error (otelcol/collector.go:249-251), so scripted callers
+            # must see a non-zero exit — not be fooled into reading a
+            # dead --watch loop as clean --watch-duration expiry
+            # (r10 ADVICE).
+            died = col.state is not State.RUNNING
+            if died:
+                print("error: --watch: collector left RUNNING state "
+                      "(failed reload)", file=sys.stderr)
     finally:
         col.shutdown()
-    return 0
+    return 1 if died else 0
 
 
 def cmd_validate(args) -> int:

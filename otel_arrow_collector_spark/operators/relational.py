@@ -4110,8 +4110,9 @@ rk AS (
   FROM conv),
 agg AS (
   SELECT week, MAX(n) AS n_converted,
-         SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
-                  THEN lat_s ELSE 0 END) AS median_x2_s,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN lat_s ELSE 0 END)
+           + SUM(CASE WHEN rn = (n + 2) // 2 THEN lat_s ELSE 0 END)
+           AS median_x2_s,
          SUM(CASE WHEN rn = (9 * n + 9) // 10
                   THEN lat_s ELSE 0 END) AS p90_s
   FROM rk GROUP BY week)
@@ -4162,9 +4163,14 @@ def q102(spark, sf_dir):
         F.count(F.lit(1)).over(wn).alias("n"))
     agg = (rk.groupBy("week")
            .agg(F.max("n").alias("n_converted"),
-                F.sum(F.when(
-                    F.expr("rn IN ((n + 1) div 2, (n + 2) div 2)"),
-                    F.col("lat_s")).otherwise(F.lit(0)))
+                # Two separate rank-hit sums so the odd-n middle row is
+                # counted TWICE (rank (n+1)/2 == (n+2)/2 when n is odd):
+                # median_x2_s is exactly 2x the median for BOTH parities,
+                # so a consumer halving it is always correct (r10 ADVICE).
+                (F.sum(F.when(F.expr("rn = (n + 1) div 2"),
+                              F.col("lat_s")).otherwise(F.lit(0)))
+                 + F.sum(F.when(F.expr("rn = (n + 2) div 2"),
+                                F.col("lat_s")).otherwise(F.lit(0))))
                 .alias("median_x2_s"),
                 F.sum(F.when(F.expr("rn = (9 * n + 9) div 10"),
                              F.col("lat_s")).otherwise(F.lit(0)))

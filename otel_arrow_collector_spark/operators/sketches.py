@@ -1383,7 +1383,11 @@ def sketch_theta_union(spark, sf_dir):
         F.row_number().over(wp).alias("urk"),
         F.count(F.lit(1)).over(
             Window.partitionBy("type_a", "type_b")).alias("n_u"))
-    stats = (ur.groupBy("type_a", "type_b", "th")
+    # th intentionally NOT in the grouping: the final select must read
+    # pairs.th (as the oracle does), which survives even when a pair has
+    # zero retained union hashes and stats has no row (r10 ADVICE —
+    # stats.th would be NULL through the left join in that case).
+    stats = (ur.groupBy("type_a", "type_b")
              .agg(F.max("n_u").alias("n_u"),
                   F.max(F.when(F.col("urk") == THETA_K, F.col("hv")))
                    .alias("kth")))
@@ -1394,7 +1398,7 @@ def sketch_theta_union(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_inter")))
     sizes = dist.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_set"))
-    return (pairs.drop("th")
+    return (pairs
             .join(stats, ["type_a", "type_b"], "left")
             .join(F.broadcast(sizes.select(
                 F.col("event_type").alias("type_a"),

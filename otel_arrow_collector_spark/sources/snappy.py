@@ -247,9 +247,11 @@ def frame_compress(data: bytes) -> bytes:
     """bytes -> snappy framing-format stream: stream identifier, then
     one compressed (type 0x00) — or uncompressed (0x01) when
     compression doesn't pay — chunk per 64 KiB, each carrying the
-    masked CRC32C of its UNCOMPRESSED content."""
+    masked CRC32C of its UNCOMPRESSED content.  Empty input emits just
+    the stream identifier, matching golang/snappy's BufferedWriter
+    (r10 ADVICE: no zero-length data chunk on the wire)."""
     out = bytearray(_STREAM_ID)
-    for i in range(0, len(data), _MAX_CHUNK) if data else [0]:
+    for i in range(0, len(data), _MAX_CHUNK):
         chunk = data[i:i + _MAX_CHUNK]
         crc = _mask_crc(_crc32c(chunk)).to_bytes(4, "little")
         comp = snappy_compress(chunk)

@@ -75,6 +75,10 @@ def test_frame_roundtrip_shapes():
                     os.urandom(100_000),          # incompressible chunks
                     b"\x00" * 200_000):           # multi-chunk, compressible
         assert frame_decompress(frame_compress(payload)) == payload
+    # empty payload: just the stream identifier, no zero-length data
+    # chunk (golang/snappy BufferedWriter wire parity; r10 ADVICE)
+    from otel_arrow_collector_spark.sources.snappy import _STREAM_ID
+    assert frame_compress(b"") == _STREAM_ID
 
 
 def test_frame_crc32c_is_castagnoli_masked():
