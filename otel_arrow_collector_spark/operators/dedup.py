@@ -1336,3 +1336,206 @@ WHERE CAST(n_common AS DOUBLE)
       / (z1.n_sh + z2.n_sh - n_common) >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2 LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup (new-shard-vs-persisted-signature-store)
+# ---------------------------------------------------------------------------
+
+#: deterministic ~10% slice of ``documents`` modeling the newly arrived
+#: ingest shard; the remaining 90% is the already-deduped corpus whose
+#: signatures live in the persisted store.  doc_id >= 0 in the testdata,
+#: so Spark ``pmod`` and DuckDB ``%`` agree.
+INCR_SHARD_MOD = 10
+INCR_SHARD_REM = 7
+_SPARK_SHARD = f"pmod(doc_id, {INCR_SHARD_MOD}) = {INCR_SHARD_REM}"
+_DUCK_SHARD = f"doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
+
+
+def build_signature_store(docs):
+    """(doc_id, band) MinHash-LSH band rows for a documents DataFrame —
+    the persistable signature store of the incremental dedup path (same
+    shingle -> signature -> band pipeline as the batch LSH operators, so
+    store rows and fresh rows are join-compatible by construction).
+
+    Production shape: built ONCE over the corpus and persisted (parquet;
+    the roundtrip is pytest-pinned lossless), then only APPENDED to as
+    shards arrive — the corpus is never re-shingled.  4 rows/doc
+    (N_BANDS), each an md5 hex string: ~150 B/doc, uniform keys, no skew.
+    """
+    return (docs.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+            .select("doc_id", F.array(*[F.expr(_spark_sig(j))
+                                        for j in range(K_HASHES)]).alias("sig"))
+            .select("doc_id",
+                    F.explode(F.expr(_spark_bands())).alias("band")))
+
+
+def incremental_pairs(spark, documents, store_bands, shard_docs):
+    """Verified near-dup pairs TOUCHING the new shard, without ever
+    re-signing the corpus: shingle+sign ONLY ``shard_docs``, band-join
+    the shard bands against ``store_bands`` (corpus) plus themselves
+    (intra-shard dups), then exact-Jaccard verify.  Corpus text is
+    re-read ONLY for docs that matched a candidate (semi-join on the
+    candidate id set — bounded by candidates, not corpus size).
+
+    Equivalence (pytest-pinned and oracle-gated): identical to running
+    the full batch LSH dedup over corpus UNION shard, restricted to
+    pairs with at least one endpoint in the shard.
+
+    Magnitude at 100x: no BIGINT products — n_common <= shingles/doc
+    (~1e3) and all counts <= corpus rows (1e12 << 2^63).
+    """
+    n_parts = spark.sparkContext.defaultParallelism
+    shard_bands = build_signature_store(
+        shard_docs.repartition(n_parts)).persist()
+    shard_bands.count()   # materialize: referenced on both join sides
+    a = shard_bands.alias("a")
+    b = store_bands.unionByName(shard_bands).alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("d2"))
+            .distinct())
+    ids = (cand.select(F.col("d1").alias("doc_id"))
+           .unionByName(cand.select(F.col("d2").alias("doc_id")))
+           .distinct())
+    shd = (documents.join(ids, "doc_id", "semi")
+           .select("doc_id", F.split("text", " ").alias("ws"))
+           .repartition(n_parts)
+           .select("doc_id",
+                   F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                    .alias("sh"))
+           .persist())
+    shd.count()   # materialize before the multi-reference verify join
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (cand
+              .join(shd.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+              .join(shd.alias("s2"), (F.col("d2") == F.col("s2.doc_id"))
+                    & (F.col("s1.sh") == F.col("s2.sh")))
+              .groupBy("d1", "d2")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
+            .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+            .select("d1", "d2", "n_common",
+                    (F.col("n_common").cast("double")
+                     / (F.col("z1.n_sh") + F.col("z2.n_sh")
+                        - F.col("n_common"))).alias("j")))
+
+
+def _incr_store(spark, sf_dir):
+    """Persisted corpus-side signature store for the sf_dir's documents
+    minus the shard slice (session-memoized — the production analogue is
+    the parquet store build_signature_store documents)."""
+    def build():
+        d = (load_table(spark, sf_dir, "documents")
+             .filter(~F.expr(_SPARK_SHARD))
+             .repartition(spark.sparkContext.defaultParallelism))
+        st = build_signature_store(d).persist()
+        st.count()
+        return st
+    return cached("dedup.incr_store", spark, sf_dir, build)
+
+
+def _incr_verified(spark, sf_dir):
+    """Verified shard-touching pairs (d1, d2, n_common, j), memoized —
+    shared by dedup_incremental (the pair report) and
+    dedup_incremental_delta (the store append)."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        out = incremental_pairs(
+            spark, d, _incr_store(spark, sf_dir),
+            d.filter(F.expr(_SPARK_SHARD))).persist()
+        out.count()
+        return out
+    return cached("dedup.incr_verified", spark, sf_dir, build)
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup — the production 100 TB ingest shape:
+    a NEW shard (deterministic slice ``doc_id % 10 = 7``) arrives, is
+    shingled+signed alone, and band-joins against the PERSISTED corpus
+    signature store; the corpus is never re-shingled (the store was
+    built once).  Emits every exact-Jaccard-verified near-dup pair with
+    at least one endpoint in the shard.
+
+    Reference parity: extends the reference's idempotent redelivery
+    surface (exporter/internal/persistent_storage.go:278-345) to
+    content-level incremental dedup; the store-vs-recompute equivalence
+    is the oracle (DuckDB recomputes BOTH sides from scratch — equality
+    proves the store is lossless).
+    """
+    return (_incr_verified(spark, sf_dir)
+            .filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("d1", "d2", "n_common",
+                    F.round("j", 4).alias("jaccard"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+#: shard-touching verified pairs, recomputed FROM SCRATCH (no store) —
+#: shared by the incremental pair + delta oracles.
+_DUCK_INCR_CTE = _DUCK_PAIR_CTE + f""",
+tpairs AS (SELECT d1, d2 FROM pairs
+           WHERE d1 % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+              OR d2 % {INCR_SHARD_MOD} = {INCR_SHARD_REM}),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM tpairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2),
+verified AS (
+  SELECT d1, d2, n_common,
+         CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common) AS j
+  FROM common JOIN sizes z1 ON z1.doc_id = d1
+              JOIN sizes z2 ON z2.doc_id = d2)
+"""
+ORACLES["dedup_incremental"] = _DUCK_INCR_CTE + f"""
+SELECT d1, d2, n_common, ROUND(j, 4) AS jaccard
+FROM verified WHERE j >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2 LIMIT 500
+"""
+
+
+def dedup_incremental_delta(spark, sf_dir):
+    """The store APPEND of the incremental ingest step: band rows for
+    every shard doc that SURVIVES dedup.  A shard doc is dropped if a
+    verified pair links it to any corpus doc (the corpus is already
+    canonical, so the newcomer always loses) or to a LOWER-id shard doc
+    (greedy keep-first within the shard, dedup_minhash_keep semantics).
+    Appending exactly these rows keeps the store equal to a from-scratch
+    rebuild over the deduped corpus — the invariant that makes the next
+    shard's join correct.
+    """
+    shard = (load_table(spark, sf_dir, "documents")
+             .filter(F.expr(_SPARK_SHARD))
+             .repartition(spark.sparkContext.defaultParallelism))
+    verified = (_incr_verified(spark, sf_dir)
+                .filter(F.col("j") >= JACCARD_THRESHOLD))
+    is_shard = f"% {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
+    dropped = (verified
+               .select(F.expr(
+                   f"CASE WHEN d1 {is_shard} AND NOT (d2 {is_shard}) "
+                   "THEN d1 ELSE d2 END").alias("doc_id"))
+               .distinct())
+    return (build_signature_store(shard)
+            .join(dropped, "doc_id", "left_anti")
+            .orderBy("doc_id", "band").limit(500))
+
+
+QUERIES["dedup_incremental_delta"] = dedup_incremental_delta
+ORACLES["dedup_incremental_delta"] = _DUCK_INCR_CTE + f""",
+dropped AS (
+  SELECT DISTINCT CASE WHEN d1 % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+                        AND d2 % {INCR_SHARD_MOD} <> {INCR_SHARD_REM}
+                       THEN d1 ELSE d2 END AS doc_id
+  FROM verified WHERE j >= {JACCARD_THRESHOLD})
+SELECT doc_id, unnest({_duck_bands()}) AS band
+FROM sig
+WHERE doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id, band LIMIT 500
+"""

@@ -1,0 +1,97 @@
+"""Streaming incremental corpus dedup — the stateful twin of
+``operators/dedup.dedup_incremental`` (shard = micro-batch, signature
+store = keyed state).
+
+The persisted signature store of the batch operator is re-expressed as
+per-BAND state: for each LSH band value, the state holds the doc_ids of
+every previously seen document carrying that band.  A new micro-batch's
+band rows group by band; each group emits (new doc x stored docs) plus
+(new x new within the batch) candidate pairs, then appends the new docs
+to the state — exactly the band-join the batch operator runs against
+the store, unrolled over arrival order.  Re-delivery of an already
+stored doc_id emits nothing and changes nothing (set semantics — the
+idempotence the reference's redelivery path gets from its persistent
+queue, exporter/internal/persistent_storage.go:278-345).
+
+Equivalence (pytest-pinned): the union of per-batch candidate emissions
+over any batch split / arrival order / duplication of ``documents``
+equals the batch operator's LSH candidate pair set.  Verification
+(exact Jaccard) stays a downstream batch join over the emitted pairs —
+bounded by candidates — via ``operators.dedup.incremental_pairs``.
+
+Scale shape: state is keyed by uniform md5 band values (no skew); each
+state entry is one band bucket, the same bucket the batch join
+materializes.  State size is the store size — the production analogue
+persists it in the checkpoint exactly as the batch path persists its
+parquet store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, LongType, StructField,
+                               StructType)
+
+from ..operators.dedup import (K_HASHES, _spark_bands, _spark_shingles,
+                               _spark_sig)
+
+OUT_SCHEMA = StructType([
+    StructField("d1", LongType()),
+    StructField("d2", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("doc_ids", ArrayType(LongType())),
+])
+
+
+def _emit_pairs(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    stored = set(state.get[0]) if state.exists else set()
+    fresh: list[int] = []
+    seen = set(stored)
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            if d not in seen:           # re-delivery: no-op
+                seen.add(d)
+                fresh.append(d)
+    if not fresh:
+        yield pd.DataFrame({"d1": [], "d2": []}).astype("int64")
+        return
+    d1s: list[int] = []
+    d2s: list[int] = []
+    for i, d in enumerate(fresh):
+        for e in stored:                # new x store
+            d1s.append(min(d, e))
+            d2s.append(max(d, e))
+        for e in fresh[:i]:             # new x new (within batch)
+            d1s.append(min(d, e))
+            d2s.append(max(d, e))
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"d1": d1s, "d2": d2s})
+
+
+def incr_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming LSH candidate emission: ``docs`` (doc_id, text) ->
+    update-mode (d1, d2) candidate pairs touching each arriving batch.
+    The band projection is the SAME SQL the batch store builder uses
+    (shingle -> signature -> band), so stream and batch cannot diverge
+    on bucketing."""
+    bands = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+             .select("doc_id",
+                     F.array(*[F.expr(_spark_sig(j))
+                               for j in range(K_HASHES)]).alias("sig"))
+             .select("doc_id",
+                     F.explode(F.expr(_spark_bands())).alias("band")))
+    return (bands.groupBy("band")
+            .applyInPandasWithState(
+                _emit_pairs, OUT_SCHEMA, _STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
