@@ -65,11 +65,12 @@ def _flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--watch", action="store_true",
         help="Stay alive after the first run and re-run the whole "
-             "resolve->compile->run cycle whenever a file-based config "
-             "URI changes (the reference's provider Watch loop, "
-             "otelcol/collector.go:236-252; mtime poll). An invalid "
-             "edit is rejected by dry-run validation and the running "
-             "plan is kept.")
+             "resolve->compile->run cycle whenever a file-based or "
+             "http(s) config URI changes (the reference's provider "
+             "Watch loop, otelcol/collector.go:236-252; mtime poll for "
+             "files, conditional GET for http). An invalid edit is "
+             "rejected by dry-run validation and the running plan is "
+             "kept.")
     parser.add_argument(
         "--watch-duration", type=float, default=None, metavar="SEC",
         help="With --watch: exit after this many seconds instead of "
@@ -150,8 +151,8 @@ def cmd_run(args) -> int:
         try:
             watcher = ConfigWatcher(col, on_event=on_event)
         except ValueError as e:
-            # env:/yaml:/http:-only configs have no file to poll — a
-            # flag-validation error, not a traceback
+            # env:/yaml:-only configs have nothing external to poll —
+            # a flag-validation error, not a traceback
             print(f"error: --watch: {e}", file=sys.stderr)
             return 2
     died = False

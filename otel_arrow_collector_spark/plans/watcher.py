@@ -5,7 +5,10 @@ and re-runs the whole resolve->compile->run cycle
 (``reloadConfiguration``, collector.go:194-208) whenever a provider
 reports a change; the fileprovider itself has no inotify hook, so this
 watcher polls file mtimes (the same fidelity class, with debounce to
-collapse editor write bursts).
+collapse editor write bursts).  ``http(s):`` config URIs are watched
+too — the reference's Watch interface is provider-agnostic — via
+conditional GET (ETag / Last-Modified validators, body-hash fallback)
+at a slower cadence than the local mtime poll.
 
 One deliberate divergence, guarded up front rather than after teardown:
 the reference's ``reloadConfiguration`` shuts the old service down
@@ -32,30 +35,92 @@ from typing import Any, Callable
 from .collector import Collector, State
 
 
-def _file_paths(uris: list[str]) -> list[str]:
-    """The watchable subset of config URIs: ``file:`` scheme or bare
-    paths (env:/yaml:/http: providers have no local mtime to poll)."""
-    out = []
+class _FileProbe:
+    """(mtime, size) change token for a local path; a vanished file
+    probes as (-1, -1) so deletion registers as a change (and the
+    eventual re-write as another)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def probe(self) -> tuple:
+        try:
+            st = os.stat(self.path)
+            return (st.st_mtime, st.st_size)
+        except OSError:
+            return (-1.0, -1)
+
+
+class _HttpProbe:
+    """Conditional-GET change token for an ``http(s):`` config URI
+    (the reference's Watch interface is provider-agnostic,
+    otelcol/collector.go:236-252; this is the polling analogue for the
+    httpprovider).  Sends ``If-None-Match`` when the server gave an
+    ETag, else ``If-Modified-Since`` off Last-Modified; 304 keeps the
+    current token, 200 re-derives it (ETag > Last-Modified > body
+    sha256).  A TRANSIENT fetch error keeps the current token — a
+    network blip is no information about the config, and reload-cycling
+    on it would tear a healthy plan down; an actually vanished source
+    still surfaces on the next successful probe or at resolve time.
+    Polled at its own (slower) cadence than local files: ``interval``
+    here is seconds between real GETs; off-cadence probes return the
+    cached token."""
+
+    def __init__(self, url: str, interval: float):
+        self.url = url
+        self.interval = interval
+        self._etag: str | None = None
+        self._last_modified: str | None = None
+        self._token: tuple = ("init",)
+        self._next_due = 0.0   # first probe() fetches immediately
+
+    def probe(self) -> tuple:
+        now = time.monotonic()
+        if now < self._next_due:
+            return self._token
+        self._next_due = now + self.interval
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(self.url)
+        if self._etag is not None:
+            req.add_header("If-None-Match", self._etag)
+        elif self._last_modified is not None:
+            req.add_header("If-Modified-Since", self._last_modified)
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                body = resp.read()
+                self._etag = resp.headers.get("ETag")
+                self._last_modified = resp.headers.get("Last-Modified")
+        except urllib.error.HTTPError as e:
+            if e.code == 304:
+                return self._token        # validated unchanged
+            return self._token            # server error: no information
+        except (urllib.error.URLError, OSError):
+            return self._token            # transient: no information
+        if self._etag is not None:
+            self._token = ("etag", self._etag)
+        elif self._last_modified is not None:
+            self._token = ("lm", self._last_modified)
+        else:
+            import hashlib
+            self._token = ("sha", hashlib.sha256(body).hexdigest())
+        return self._token
+
+
+def _probes(uris: list[str],
+            http_interval: float) -> dict[str, object]:
+    """The watchable subset of config URIs: ``file:`` scheme (or bare
+    paths) by mtime poll, ``http:``/``https:`` by conditional GET
+    (env:/yaml: are inline — nothing external can change)."""
+    out: dict[str, object] = {}
     for u in uris:
         m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(.*)$", u, re.DOTALL)
         scheme, rest = (m.group(1), m.group(2)) if m else ("file", u)
         if scheme == "file":
-            out.append(rest)
+            out[u] = _FileProbe(rest)
+        elif scheme in ("http", "https"):
+            out[u] = _HttpProbe(u, http_interval)
     return out
-
-
-def _snapshot(paths: list[str]) -> dict[str, tuple[float, int]]:
-    """(mtime, size) per path; a vanished file snapshots as (-1, -1)
-    so deletion registers as a change (and the eventual re-write as
-    another)."""
-    snap = {}
-    for p in paths:
-        try:
-            st = os.stat(p)
-            snap[p] = (st.st_mtime, st.st_size)
-        except OSError:
-            snap[p] = (-1.0, -1)
-    return snap
 
 
 @dataclass
@@ -76,6 +141,7 @@ class ConfigWatcher:
 
     def __init__(self, collector: Collector, *,
                  interval: float = 0.10, debounce: float = 0.15,
+                 http_interval: float = 2.0,
                  on_event: Callable[[WatchEvent], None] | None = None):
         self.collector = collector
         self.interval = interval
@@ -84,14 +150,15 @@ class ConfigWatcher:
         self.events: list[WatchEvent] = []
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        self.paths = _file_paths(collector.config_uris)
-        if not self.paths:
-            raise ValueError("no file-based config URIs to watch")
+        self._probes = _probes(collector.config_uris, http_interval)
+        if not self._probes:
+            raise ValueError(
+                "no file-based or http(s) config URIs to watch")
         # Baseline at CONSTRUCTION, not thread start: callers build the
         # watcher next to (or before) the config resolve they want to
         # watch from; an edit landing in the construct->start gap is
         # then a detected change, not a silently absorbed baseline.
-        self._base = _snapshot(self.paths)
+        self._base = self._snapshot()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -121,9 +188,12 @@ class ConfigWatcher:
 
     # -- poll loop ---------------------------------------------------------
 
+    def _snapshot(self) -> dict[str, tuple]:
+        return {u: p.probe() for u, p in self._probes.items()}
+
     def _run(self) -> None:
         while not self._stop.wait(self.interval):
-            cur = _snapshot(self.paths)
+            cur = self._snapshot()
             if cur == self._base:
                 continue
             # Debounce: wait until the file set has been stable for one
@@ -132,7 +202,7 @@ class ConfigWatcher:
             stable_since = time.monotonic()
             last = cur
             while not self._stop.wait(self.interval):
-                nxt = _snapshot(self.paths)
+                nxt = self._snapshot()
                 if nxt != last:
                     last, stable_since = nxt, time.monotonic()
                 elif time.monotonic() - stable_since >= self.debounce:

@@ -137,3 +137,115 @@ def test_apply_failure_after_valid_dryrun_closes_collector(spark, tmp_path):
         assert c.state is State.CLOSED
     finally:
         blocker.close()
+
+
+# --- http(s) provider watch (conditional GET; r10 verdict ask #4) ----------
+
+class _ConfigHTTPServer:
+    """Local HTTP config server with a mutable document, optional ETag /
+    Last-Modified validators, and a request log of conditional hits."""
+
+    def __init__(self, body: str, *, etag: bool = True):
+        import http.server
+        import threading
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                outer.requests.append(
+                    self.headers.get("If-None-Match"))
+                if (etag and outer.etag is not None
+                        and self.headers.get("If-None-Match")
+                        == outer.etag):
+                    self.send_response(304)
+                    self.end_headers()
+                    return
+                data = outer.body.encode()
+                self.send_response(200)
+                if etag:
+                    self.send_header("ETag", outer.etag)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        self.requests: list = []
+        self.body = body
+        self.etag = '"v1"' if etag else None
+        self._etag_on = etag
+        self.srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.srv.server_address[1]}/c.yaml"
+        threading.Thread(target=self.srv.serve_forever,
+                         daemon=True).start()
+
+    def set_body(self, body: str):
+        self.body = body
+        if self._etag_on:
+            self.etag = f'"v{len(self.requests)}-{hash(body) & 0xffff}"'
+
+    def close(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+
+
+def test_http_watch_reloads_on_change_and_rejects_invalid(spark):
+    """An http(s): config URI is watched via conditional GET: a served
+    change fires a reload; serving an INVALID config is dry-run
+    rejected and the old plan keeps running; fixing it recovers."""
+    srv = _ConfigHTTPServer(_FILTERED)
+    try:
+        c = Collector(spark, srv.url, sf_dir=SF_SMALL)
+        res = c.start()
+        n_filtered = res["p1/out"]
+        with ConfigWatcher(c, http_interval=0.05) as w:
+            srv.set_body(_UNFILTERED)
+            assert w.wait_for(1), "watcher never fired on http change"
+            assert [e.kind for e in w.events] == ["reloaded"]
+            assert w.events[0].detail["p1/out"] > n_filtered
+            srv.set_body(_BAD)
+            assert w.wait_for(2), "watcher never saw the bad config"
+            assert w.events[1].kind == "rejected"
+            assert c.state is State.RUNNING
+            srv.set_body(_FILTERED)
+            assert w.wait_for(3), "watcher never fired on the fix"
+            assert w.events[2].kind == "reloaded"
+        assert c.state is State.RUNNING
+        # the 304 path actually ran: conditional headers were sent
+        assert any(h is not None for h in srv.requests)
+        c.shutdown()
+    finally:
+        srv.close()
+
+
+def test_http_watch_no_validators_falls_back_to_body_hash(spark):
+    """A server with no ETag/Last-Modified still watches correctly —
+    the token degrades to the body sha256 (every poll is a full GET)."""
+    srv = _ConfigHTTPServer(_FILTERED, etag=False)
+    try:
+        c = Collector(spark, srv.url, sf_dir=SF_SMALL)
+        c.start()
+        with ConfigWatcher(c, http_interval=0.05) as w:
+            srv.set_body(_UNFILTERED)
+            assert w.wait_for(1), "watcher never fired without validators"
+            assert w.events[0].kind == "reloaded"
+        assert c.state is State.RUNNING
+        c.shutdown()
+    finally:
+        srv.close()
+
+
+def test_http_watch_transient_error_is_not_a_change(spark):
+    """Killing the config server mid-watch must NOT fire a reload cycle
+    — a network blip carries no information about the config (unlike a
+    vanished file, which is a local fact)."""
+    srv = _ConfigHTTPServer(_FILTERED)
+    c = Collector(spark, srv.url, sf_dir=SF_SMALL)
+    c.start()
+    with ConfigWatcher(c, http_interval=0.05) as w:
+        srv.close()              # server gone; probes now error
+        time.sleep(0.8)
+        assert w.events == []
+        assert c.state is State.RUNNING
+    c.shutdown()
