@@ -57,45 +57,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the round-10 theta-hash fix (verdict ask #1 — the one
-    # driver-red r09 row; its green r10 row closes the bug) and the
-    # round-10 additions (commit-checklist rule: every new query gets
-    # a slot here).
-    "sketch_theta_intersection", "sketch_theta_difference",
-    "graph_k_core", "ann_ivf_pq", "q98_weighted_median",
-    "q99_revenue_gini", "text_readability",
-    "graph_link_prediction", "text_zipf", "text_heaps",
-    "q100_pareto_curve", "dedup_allpairs_prefix", "q101_ewma_smoothing",
-    "sketch_theta_union", "sample_bootstrap", "q102_time_to_convert",
-    "q103_path_trigrams", "graph_modularity",
-    # THEN the stalest driver rows (verdict ask #4): the q22-q50
-    # relational band's newest CORRECTNESS rows date from r04 ...
-    "q22_dense_rank", "q23_topk", "q24_union_all", "q25_intersect",
-    "q26_except", "q27_string_fns", "q28_datetime_fns", "q29_math_fns",
-    "q30_conditional", "q31_tumbling_window", "q32_sessionization",
-    "q33_exact_dedup_count", "q34_text_groupstats", "q38_pivot",
-    "q39_unpivot", "q43_shipping_priority",
-    "q44_local_supplier_volume", "q49_ntile_deciles",
-    "q50_market_share",
-    # ... and the q09-q21 + TPC-H q63-q69 bands from r05.
-    "q09_grouping_sets", "q10_histogram_buckets", "q11_quantiles",
-    "q12_inner_join", "q13_star_join", "q14_left_join", "q15_semi_join",
-    "q16_anti_join", "q17_self_join", "q18_interval_join",
-    "q19_first_n_per_group", "q20_lag_lead", "q21_running_sum",
-    "text_tfidf_search", "multimodal_video_frames",
-    "q69_forecast_revenue", "multimodal_mp4_meta", "dedup_semantic",
-    "q68_waiting_suppliers", "q63_volume_shipping", "q64_product_profit",
-    "q65_min_acctbal_supplier", "q66_important_parts",
-    "q67_dominant_suppliers",
-    # Round-9 additions (all driver-green in r09) backfill whatever
-    # budget remains; everything else follows in registry order.
-    "ann_pq_adc_topk", "text_dedup_spans", "graph_label_propagation",
-    "dedup_contamination", "q97_seasonal_spike", "dedup_er_blocking",
-    "text_bpe_merge", "text_url_canonicalize", "dedup_er_clusters",
-    "curation_length_buckets", "text_mojibake", "curation_dataset_card",
-    "ann_pq_recall", "dedup_er_canonical", "multimodal_exif_audit",
-    "curation_snapshot_diff", "curation_budget_waterfill",
-    "text_classifier_calibration",
+    # FIRST: the round-11 additions (commit-checklist rule: every new
+    # query gets a slot here), led by the incremental-dedup flagship.
+    "dedup_incremental", "dedup_incremental_delta",
+    "sketch_theta_jaccard", "graph_clustering_coefficient",
+    "graph_assortativity", "q104_skyline", "q105_market_basket",
+    "sample_reservoir", "dedup_containment", "ann_range_search",
+    # The r10-ADVICE-touched queries (semantics changed this round —
+    # q102's median_x2_s definition, theta_union's fallback column):
+    "q102_time_to_convert", "sketch_theta_union",
+    # THEN the stalest driver rows (verdict ask #2): newest
+    # CORRECTNESS evidence r05 —
+    "q51_pricing_summary", "q52_returned_item_ranking",
+    "q53_large_volume_orders", "q54_order_priority_check",
+    "q55_priority_line_counts", "q56_customer_order_distribution",
+    "q57_promo_revenue", "q58_parts_supplier_relationship",
+    "q59_small_quantity_revenue", "q60_disjunctive_revenue",
+    "q61_dormant_rich_customers", "q62_top_supplier",
+    "text_perplexity_gate", "doc_chunks", "mixture_report",
+    "stratified_sample", "multimodal_decode_real",
+    "multimodal_decode_stub",
+    # — and r06 (q70+ analytics band, sketches, curation/text r06 era):
+    "q70_tail_latency_outliers", "q71_conversion_funnel",
+    "q72_scd2_intervals", "q73_json_extraction",
+    "q74_range_frame_moving_sum", "q75_exp_to_explicit_histogram",
+    "q76_timeseries_similarity", "q77_rfm_segments", "q78_cube_matrix",
+    "q79_exact_median", "ann_ivf_multiprobe", "ann_recall_report",
+    "contamination_screen", "curation_pipeline", "dedup_keep_best",
+    "dedup_substring", "embedding_outliers", "embedding_quantize_int8",
+    "heavy_hitter_events", "pack_sequences", "sample_split",
+    "sample_stratified", "shuffle_shards", "temperature_mix",
+    "text_bigram_lm", "text_bm25_search", "text_bpe_tokens",
+    "text_df_topterms", "text_pii_scrub", "text_quality_classifier",
+    "text_repetition", "sketch_hll_registers", "sketch_hll_by_group",
+    "sketch_cms_counters", "sketch_cms_join_size",
+    # r07-era rows backfill whatever sampling budget remains;
+    # everything else follows in registry order.
+    "q01_scan_project", "q02_filter", "q03_compound_filter",
+    "q04_global_agg", "q05_groupby", "q06_multikey_having",
+    "q07_count_distinct", "q08_rollup", "sketch_hll_estimate",
+    "sketch_cms_point", "sketch_quantile_sampled",
+    "graph_triangle_count", "graph_pagerank", "ann_pq_codes",
+    "embedding_mrl_energy", "dedup_cross_corpus", "bloom_screen",
+    "sample_weighted", "cc_pipeline", "text_gopher_rules",
+    "text_html_extract", "text_url_domains", "tar_extract",
+    "warc_extract",
 ]
 
 

@@ -1539,3 +1539,72 @@ WHERE doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
   AND doc_id NOT IN (SELECT doc_id FROM dropped)
 ORDER BY doc_id, band LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_PERMILLE = 700
+
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment over the LSH candidate pairs:
+    C = |A ∩ B| / min(|A|, |B|) — the measure that catches a short doc
+    QUOTED inside a long one, which symmetric Jaccard dilutes below
+    threshold (Broder 1997 distinguishes resemblance from containment
+    for exactly this case).  Emits candidates whose containment clears
+    ``CONTAINMENT_PERMILLE`` even when their Jaccard does not, with
+    both values side by side.  Candidate recall is the LSH band join's
+    (documented: banded MinHash recalls by resemblance; a
+    containment-complete screen would band the shorter side's prefix —
+    dedup_allpairs_prefix covers the exact path).
+
+    Magnitude at 100x: 1000 * n_common <= 1000 * shingles/doc ~ 1e6 —
+    trivially BIGINT; no products of aggregates.
+
+    Scale shape: reuses the memoized candidate pairs + shingle sets
+    (bounded by candidates, never n^2); two broadcastable size joins.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (pairs
+              .join(shd.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+              .join(shd.alias("s2"), (F.col("d2") == F.col("s2.doc_id"))
+                    & (F.col("s1.sh") == F.col("s2.sh")))
+              .groupBy("d1", "d2")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
+            .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+            .select("d1", "d2", "n_common",
+                    F.expr("1000 * n_common div least(z1.n_sh, z2.n_sh)")
+                     .cast("long").alias("cont_permille"),
+                    F.expr("1000 * n_common div "
+                           "(z1.n_sh + z2.n_sh - n_common)")
+                     .cast("long").alias("jaccard_permille"))
+            .filter(F.col("cont_permille") >= CONTAINMENT_PERMILLE)
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = _DUCK_PAIR_CTE + f""",
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2)
+SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+       CAST(1000 * n_common // LEAST(z1.n_sh, z2.n_sh) AS BIGINT)
+         AS cont_permille,
+       CAST(1000 * n_common // (z1.n_sh + z2.n_sh - n_common) AS BIGINT)
+         AS jaccard_permille
+FROM common JOIN sizes z1 ON z1.doc_id = d1
+            JOIN sizes z2 ON z2.doc_id = d2
+WHERE 1000 * n_common // LEAST(z1.n_sh, z2.n_sh)
+      >= {CONTAINMENT_PERMILLE}
+ORDER BY d1, d2 LIMIT 500
+"""

@@ -739,3 +739,144 @@ LEFT JOIN intra i ON i.label = nn.label
 CROSS JOIN m_tot m
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient + degree assortativity
+# ---------------------------------------------------------------------------
+
+#: the shared DuckDB scaffold: sampled baskets -> capped edges -> degrees
+_DUCK_EDGE_DEG_CTE = f"""
+WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+            WHERE instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1))
+                  - 1 < {BASKET_SAMPLE_HEX}),
+dsz AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN dsz ON dsz.o = ps.o
+          WHERE dsz.ns <= {MAX_BASKET}),
+edges AS (SELECT DISTINCT a.s AS u, b.s AS v
+          FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node)
+"""
+
+
+def _edge_degrees(spark, sf_dir):
+    """(edges, deg) over the memoized co-purchase edge substrate —
+    degree is the endpoint count over both orientations."""
+    from .cache_registry import cached
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cached("copurchase_edges", spark, sf_dir,
+                   lambda: copurchase_edges(li).persist())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    return edges, deg
+
+
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node (Watts-Strogatz 1998):
+    cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), published as an
+    exact permille via BIGINT div — the community-density read next to
+    graph_triangle_count's raw counts.  Top 20 by coefficient
+    (tie-broken by triangle count then node — deterministic).
+
+    Magnitude at 100x: 2000 * tri(v) <= 1000 * deg(v)^2 ~ 1e11 at
+    deg 1e4 and deg*(deg-1) ~ 1e8 — both far inside BIGINT; no
+    products of global aggregates.
+
+    Scale shape: the memoized edge substrate feeds one wedge join
+    (triangle_participation — the same plan triangle_count pins) and
+    one union-all degree agg; the final join is node-keyed.
+    """
+    edges, deg = _edge_degrees(spark, sf_dir)
+    tri = triangle_participation(edges)
+    return (deg.filter(F.col("d") >= 2)
+            .join(tri, "node", "left")
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce("tri_cnt", F.lit(0)).cast("long")
+                     .alias("tri_cnt"),
+                    F.expr("2000 * coalesce(tri_cnt, 0) div (d * (d - 1))")
+                     .cast("long").alias("cc_permille"))
+            .orderBy(F.col("cc_permille").desc(),
+                     F.col("tri_cnt").desc(), "node")
+            .limit(20))
+
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+ORACLES["graph_clustering_coefficient"] = _DUCK_EDGE_DEG_CTE + """,
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT node, COUNT(*) AS tri_cnt FROM (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+       GROUP BY node)
+SELECT CAST(deg.node AS BIGINT) AS node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       CAST(2000 * COALESCE(tc.tri_cnt, 0) // (deg.d * (deg.d - 1))
+            AS BIGINT) AS cc_permille
+FROM deg LEFT JOIN tc ON tc.node = deg.node
+WHERE deg.d >= 2
+ORDER BY cc_permille DESC, tri_cnt DESC, node LIMIT 20
+"""
+
+
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman 2002,
+    "Assortative mixing in networks", eq. 4): the Pearson correlation
+    of endpoint degrees over edges, computed EXACTLY in integer sums —
+    r = (4*M*Se - S1^2) / (2*M*S2 - S1^2) with S1 = sum(du+dv),
+    S2 = sum(du^2+dv^2), Se = sum(du*dv) over the M edges.  Published
+    as r_micro = 1e6 * num div den (both engines' integral division
+    truncates toward zero, so the negative case agrees too).
+
+    Magnitude at 100x: deg <= ~1e4 under the basket cap's hub guard,
+    M ~ 1e11, so Se ~ 1e19, 4*M*Se ~ 4e30 and S1^2 ~ 4e30 — inside
+    decimal(38,0)/HUGEINT with 7 digits to spare; BIGINT would wrap.
+
+    Scale shape: two node-keyed joins pin degrees onto edges (the
+    degree relation is |nodes|, broadcastable), then ONE map-side
+    combinable global agg; no windows, no driver state.
+    """
+    edges, deg = _edge_degrees(spark, sf_dir)
+    dec = "decimal(38,0)"
+    ed = (edges
+          .join(deg.select(F.col("node").alias("u"),
+                           F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("node").alias("v"),
+                           F.col("d").alias("dv")), "v")
+          .select(F.col("du").cast(dec).alias("du"),
+                  F.col("dv").cast(dec).alias("dv")))
+    s = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(F.col("du") + F.col("dv")).cast(dec).alias("s1"),
+        F.sum(F.col("du") * F.col("du")
+              + F.col("dv") * F.col("dv")).cast(dec).alias("s2"),
+        F.sum(F.col("du") * F.col("dv")).cast(dec).alias("se"))
+    return s.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.expr("CAST(1000000 * (4 * m * se - s1 * s1) "
+               "div (2 * m * s2 - s1 * s1) AS BIGINT)")
+         .alias("r_micro"))
+
+
+QUERIES["graph_assortativity"] = graph_assortativity
+ORACLES["graph_assortativity"] = _DUCK_EDGE_DEG_CTE + """,
+ed AS (SELECT CAST(da.d AS HUGEINT) AS du, CAST(db.d AS HUGEINT) AS dv
+       FROM edges e JOIN deg da ON da.node = e.u
+                    JOIN deg db ON db.node = e.v),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             SUM(du + dv) AS s1,
+             SUM(du * du + dv * dv) AS s2,
+             SUM(du * dv) AS se
+      FROM ed)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(1000000 * (4 * m * se - s1 * s1)
+            // (2 * m * s2 - s1 * s1) AS BIGINT) AS r_micro
+FROM s
+"""

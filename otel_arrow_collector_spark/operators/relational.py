@@ -4236,3 +4236,135 @@ def q103(spark, sf_dir):
                     F.expr("1000 * n div t").cast("long")
                     .alias("share_permille"))
             .orderBy(F.col("n").desc(), "path").limit(25))
+
+
+@_register("q104_skyline", """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part),
+pp AS (SELECT price_cents, MAX(p_size) AS mx FROM p GROUP BY price_cents),
+ppr AS (
+  SELECT price_cents, mx,
+         MAX(mx) OVER (ORDER BY price_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev
+  FROM pp)
+SELECT p.p_partkey, p.p_brand, p.price_cents, p.p_size
+FROM p JOIN ppr ON ppr.price_cents = p.price_cents
+WHERE p.p_size = ppr.mx AND p.p_size > COALESCE(ppr.prev, -1)
+ORDER BY p.price_cents, p.p_partkey
+""")
+def q104(spark, sf_dir):
+    """Skyline (Pareto-front) of parts: minimize price, maximize size —
+    the classic skyline operator (Borzsonyi, Kossmann & Stocker, ICDE
+    2001).  A part survives iff no other part is <= in price AND >= in
+    size with one strict.
+
+    Instead of the naive dominance anti-join (O(n^2)), the 2-D case
+    reduces to a prefix-max: collapse to one (price, max_size) row per
+    DISTINCT price (a hash agg over the fact), run ONE window over that
+    collapsed relation (bounded by distinct price points — ~20k ticks
+    regardless of fact size, so the unpartitioned sort is over a tiny
+    frame, never the corpus), then a survivors join keyed on price.
+    A part survives iff it carries its price's max size AND beats every
+    strictly-cheaper price's running max.
+
+    Magnitude at 100x: prices in cents <= ~1e7 and sizes <= 50 — no
+    large arithmetic anywhere; the integer cents recipe (per-row ROUND)
+    keeps the money column bit-exact in both engines.
+    """
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand",
+                 F.round(F.col("p_retailprice") * 100).cast("long")
+                  .alias("price_cents"),
+                 F.col("p_size").cast("long").alias("p_size")))
+    pp = p.groupBy("price_cents").agg(F.max("p_size").alias("mx"))
+    w = (Window.orderBy("price_cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ppr = pp.select("price_cents", "mx",
+                    F.max("mx").over(w).alias("prev"))
+    return (p.join(ppr, "price_cents")
+            .filter((F.col("p_size") == F.col("mx"))
+                    & (F.col("p_size")
+                       > F.coalesce("prev", F.lit(-1))))
+            .select("p_partkey", "p_brand", "price_cents", "p_size")
+            .orderBy("price_cents", "p_partkey"))
+
+
+@_register("q105_market_basket", """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n_tot AS (SELECT COUNT(DISTINCT o) AS n FROM ob),
+na AS (SELECT b, COUNT(*) AS n_b FROM ob GROUP BY b),
+pair AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2)
+SELECT pair.brand_a, pair.brand_b,
+       CAST(pair.n_ab AS BIGINT) AS support,
+       CAST(1000 * pair.n_ab // za.n_b AS BIGINT) AS conf_permille,
+       CAST(1000000 * CAST(t.n AS HUGEINT) * pair.n_ab
+            // (CAST(za.n_b AS HUGEINT) * zb.n_b) AS BIGINT) AS lift_ppm
+FROM pair JOIN na za ON za.b = pair.brand_a
+          JOIN na zb ON zb.b = pair.brand_b
+CROSS JOIN n_tot t
+ORDER BY support DESC, brand_a, brand_b LIMIT 50
+""")
+def q105(spark, sf_dir):
+    """Market-basket association rules at brand granularity: pairwise
+    support, confidence(a -> b), and lift over orders (Agrawal &
+    Srikant 1994's A-priori first pass, done set-at-a-time).  Brand
+    collapses the pair space to <= |brands|^2 rows regardless of fact
+    size — the granularity a 100 TB co-purchase screen actually runs.
+
+    Magnitude at 100x: 1e6 * N * n_ab with N ~ 1.5e10 baskets and
+    n_ab <= N is ~1e26 — wraps BIGINT, so the lift numerator runs in
+    decimal(38,0)/HUGEINT (12 digits of headroom); conf at 1000 * n_ab
+    ~ 1e13 stays BIGINT.
+
+    Scale shape: ONE distinct hash agg to (order, brand), a self-join
+    keyed on the order (baskets are small — bounded pairs per order),
+    two broadcastable brand-count joins, and a 1-row broadcast total;
+    no windows, nothing driver-side.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(pt),
+                  li.l_partkey == pt.p_partkey)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("b"))
+          .distinct())
+    n_tot = ob.agg(F.countDistinct("o").alias("n"))
+    na = ob.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    pair = (ob.alias("a")
+            .join(ob.alias("c"), (F.col("a.o") == F.col("c.o"))
+                  & (F.col("a.b") < F.col("c.b")))
+            .groupBy(F.col("a.b").alias("brand_a"),
+                     F.col("c.b").alias("brand_b"))
+            .agg(F.count(F.lit(1)).alias("n_ab")))
+    dec = "decimal(38,0)"
+    return (pair
+            .join(F.broadcast(na.select(F.col("b").alias("brand_a"),
+                                        F.col("n_b").alias("n_a"))),
+                  "brand_a")
+            .join(F.broadcast(na.select(F.col("b").alias("brand_b"),
+                                        F.col("n_b").alias("nb"))),
+                  "brand_b")
+            .crossJoin(F.broadcast(n_tot))
+            .select("brand_a", "brand_b",
+                    F.col("n_ab").cast("long").alias("support"),
+                    F.expr("1000 * n_ab div n_a").cast("long")
+                     .alias("conf_permille"),
+                    (F.lit(1000000).cast(dec) * F.col("n").cast(dec)
+                     * F.col("n_ab").cast(dec)).cast(dec)
+                    .alias("_num"),
+                    (F.col("n_a").cast(dec) * F.col("nb").cast(dec))
+                    .alias("_den"))
+            .select("brand_a", "brand_b", "support", "conf_permille",
+                    F.expr("CAST(_num div _den AS BIGINT)")
+                     .alias("lift_ppm"))
+            .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+            .limit(50))

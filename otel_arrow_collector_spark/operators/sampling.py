@@ -256,3 +256,56 @@ FROM w GROUP BY b ORDER BY b
 
 
 ORACLES["sample_bootstrap"] = _bootstrap_oracle()
+
+
+RESERVOIR_K = 12
+
+
+def sample_reservoir(spark, sf_dir):
+    """Deterministic distributed reservoir sample: ``RESERVOIR_K`` docs
+    per language, selected as the bottom-K by md5('rsv:' || doc_id) —
+    the hash-rank formulation of reservoir sampling (Vitter 1985
+    Algorithm R gives each item equal inclusion probability; ranking a
+    uniform hash gives the SAME marginal law while being mergeable,
+    rerun-stable, and order-independent — the property a distributed /
+    streaming reservoir actually needs, and the same bottom-K state the
+    theta sketch keeps).  Unlike sample_stratified's fixed-rate filter,
+    the output size per stratum is exactly min(K, n) regardless of
+    corpus size.
+
+    Magnitude at 100x: the 28-bit hash key and row ranks only — no
+    arithmetic beyond the window rank.
+
+    Scale shape: the hash is a map-side expression; per-stratum
+    selection is one window top-k partitioned by lang (the q19 /
+    sample_weighted pattern) — no global sort, no driver state.
+    """
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    hv = _hexint_sql("md5('rsv:' || CAST(doc_id AS STRING))", 7,
+                     "substring")
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (d.select("lang", "doc_id",
+                     F.expr(f"CAST({hv} AS BIGINT)").alias("hkey"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= RESERVOIR_K)
+            .select("lang", "doc_id", "hkey",
+                    F.col("rk").cast("long").alias("rk"))
+            .orderBy("lang", "rk"))
+
+
+QUERIES["sample_reservoir"] = sample_reservoir
+ORACLES["sample_reservoir"] = f"""
+WITH pri AS (
+  SELECT lang, doc_id,
+         CAST({_hexint_sql("md5('rsv:' || CAST(doc_id AS VARCHAR))",
+                           7, "substr")} AS BIGINT) AS hkey,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_hexint_sql(
+                                "md5('rsv:' || CAST(doc_id AS VARCHAR))",
+                                7, "substr")}, doc_id) AS rk
+  FROM documents)
+SELECT lang, doc_id, hkey, CAST(rk AS BIGINT) AS rk
+FROM pri WHERE rk <= {RESERVOIR_K}
+ORDER BY lang, rk
+"""

@@ -1545,3 +1545,77 @@ SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, adc_nano FROM (
   FROM adc) WHERE rk <= {ADC_K}
 ORDER BY q_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# range (radius) search: all neighbors above a similarity threshold
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.2
+
+
+def ann_range_search(spark, sf_dir):
+    """Range (radius) search: every corpus vector with cosine >=
+    ``RANGE_TAU`` of each probe query, scanned over the query's
+    top-NPROBE IVF cells — the FAISS ``range_search`` counterpart of
+    the top-k probes, used when the consumer wants "everything this
+    similar", not a fixed k (near-dup blocking, semantic recall
+    screens).
+
+    Scale path identical to ann_ivf_multiprobe: probed cell ids become
+    a LITERAL ``cid IN (...)`` over the cell-partitioned store (static
+    directory pruning), the tiny query map broadcasts, and — unlike the
+    top-k probes — there is NO window at all: the threshold filter is a
+    map-side predicate, so the operator is one broadcast join + filter.
+    Output size is data-dependent (that is the point of range search);
+    the threshold bounds it the way the radius does in FAISS.
+
+    Magnitude at 100x: float cosine only; no integer products.
+    """
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    q = (a.filter(F.col("vec_id").isin(*PROBE_IDS))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("v_nrm").alias("q_nrm")))
+    c_cos = (F.expr(_s_dot("q_emb", "c_emb"))
+             / (F.col("q_nrm") * F.col("c_nrm")))
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(),
+                                            F.col("cid"))
+    qc = (q.crossJoin(cents)
+          .select("q_id", "q_emb", "q_nrm", "cid", c_cos.alias("c_cos"))
+          .withColumn("prk", F.row_number().over(wc))
+          .filter(F.col("prk") <= NPROBE)
+          .select("q_id", "q_emb", "q_nrm", "cid"))
+    probe_cells = sorted({r.cid for r in qc.select("cid").collect()})
+    cand = (load_cell_store(spark, sf_dir)
+            .filter(F.col("cid").isin(*probe_cells))
+            .select("cid", "vec_id", "embedding", "v_nrm"))
+    cos = (F.expr(_s_dot("q_emb", "embedding"))
+           / (F.col("q_nrm") * F.col("v_nrm")))
+    return (F.broadcast(qc)
+            .join(cand, (qc.cid == cand.cid)
+                  & (F.col("q_id") != cand.vec_id))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .filter(F.col("cos_raw") >= RANGE_TAU)
+            .select("q_id", "vec_id", F.round("cos_raw", 6).alias("cos"))
+            .orderBy("q_id", "vec_id"))
+
+
+QUERIES["ann_range_search"] = ann_range_search
+ORACLES["ann_range_search"] = _DUCK_ASSIGN_CTE + f""",
+q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      FROM assign WHERE vec_id IN ({_probe_list})),
+pc AS (SELECT q_id, cid FROM (
+  SELECT q.q_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY {_d_cos("q.q_emb", "c.c_emb")} DESC, c.cid) AS prk
+  FROM q CROSS JOIN c{KMEANS_ITERS} c) WHERE prk <= {NPROBE}),
+probed AS (SELECT q.q_id, a.vec_id,
+                  {_d_cos("q.q_emb", "a.embedding")} AS cos_raw
+           FROM q JOIN pc ON pc.q_id = q.q_id
+                JOIN assign a ON a.cid = pc.cid AND a.vec_id != q.q_id)
+SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos
+FROM probed WHERE cos_raw >= {RANGE_TAU}
+ORDER BY q_id, vec_id
+"""

@@ -1484,3 +1484,144 @@ JOIN sizes zb ON zb.event_type = p.type_b
 LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
 ORDER BY p.type_a, p.type_b
 """.replace("{hash_sql}", _theta_hash_sql("user_id", "VARCHAR"))
+
+
+def sketch_theta_jaccard(spark, sf_dir):
+    """Per event-type pair: KMV theta-sketch Jaccard estimate next to
+    the exact value — the resemblance read a dedup owner does on the
+    sketch state instead of the corpus (Beyer et al. 2007, "On synopses
+    for distinct-value estimation"; datasketches theta JaccardSimilarity).
+    Below the COMBINED threshold th = least(th_a, th_b), the retained
+    union and intersection are exact samples of the true ones, so
+    J ~= n_inter_kept / n_union_kept.
+
+    Integer surface: permille ratios via BIGINT div (magnitude at 100x:
+    1000 * counts <= 1000 * corpus rows ~ 1e15 << 2^63; no products of
+    aggregates).
+
+    Scale shape: everything after the memoized bottom-K scaffold
+    (_theta_base) runs on K rows per set; the exact audit is the same
+    distinct self-join the other theta queries carry.
+    """
+    dist, kept = _theta_base(spark, sf_dir)
+    theta = (_theta_stats(kept)
+             .select("event_type", _theta_th().alias("th")))
+    ta = theta.select(F.col("event_type").alias("type_a"),
+                      F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"),
+                      F.col("th").alias("th_b"))
+    pairs = (ta.crossJoin(tb)
+             .filter(F.col("type_a") < F.col("type_b"))
+             .select("type_a", "type_b",
+                     F.least("th_a", "th_b").alias("th")))
+    ka = kept.select(F.col("event_type").alias("type_a"), "hv")
+    kb = kept.select(F.col("event_type").alias("type_b"), "hv")
+    u = (ka.join(F.broadcast(pairs), "type_a")
+         .select("type_a", "type_b", "th", "hv")
+         .unionByName(kb.join(F.broadcast(pairs), "type_b")
+                      .select("type_a", "type_b", "th", "hv"))
+         .filter(F.col("hv") < F.col("th")))
+    nu = (u.select("type_a", "type_b", "hv").distinct()
+          .groupBy("type_a", "type_b")
+          .agg(F.count(F.lit(1)).alias("n_union_kept")))
+    ni = (ka.join(kb, "hv")
+          .filter(F.col("type_a") < F.col("type_b"))
+          .join(F.broadcast(pairs), ["type_a", "type_b"])
+          .filter(F.col("hv") < F.col("th"))
+          .groupBy("type_a", "type_b")
+          .agg(F.count(F.lit(1)).alias("n_inter_kept")))
+    sizes = dist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_set"))
+    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
+             .filter(F.col("x.event_type") < F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("type_a"),
+                      F.col("y.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (pairs
+            .join(nu, ["type_a", "type_b"], "left")
+            .join(ni, ["type_a", "type_b"], "left")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_set").alias("size_a"))), "type_a")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_set").alias("size_b"))), "type_b")
+            .join(inter, ["type_a", "type_b"], "left")
+            .select(
+                "type_a", "type_b",
+                F.coalesce("n_inter_kept", F.lit(0)).cast("long")
+                 .alias("n_inter_kept"),
+                F.coalesce("n_union_kept", F.lit(0)).cast("long")
+                 .alias("n_union_kept"),
+                F.expr("CASE WHEN coalesce(n_union_kept, 0) > 0 THEN "
+                       "1000 * coalesce(n_inter_kept, 0) "
+                       "div n_union_kept ELSE 0 END")
+                 .cast("long").alias("est_jaccard_permille"),
+                F.expr("1000 * coalesce(n_inter, 0) div "
+                       "(size_a + size_b - coalesce(n_inter, 0))")
+                 .cast("long").alias("exact_jaccard_permille"))
+            .orderBy("type_a", "type_b"))
+
+
+QUERIES["sketch_theta_jaccard"] = sketch_theta_jaccard
+ORACLES["sketch_theta_jaccard"] = f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST({{hash_sql}} AS BIGINT) AS hv
+  FROM dist),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h),
+kept AS (SELECT * FROM rk WHERE rk <= {THETA_K}),
+theta AS (
+  SELECT event_type,
+         CASE WHEN MAX(n) >= {THETA_K}
+              THEN MAX(CASE WHEN rk = {THETA_K} THEN hv END)
+              ELSE {THETA_RANGE} END AS th
+  FROM kept GROUP BY event_type),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         LEAST(ta.th, tb.th) AS th
+  FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type),
+nu AS (
+  SELECT type_a, type_b, COUNT(*) AS n_union_kept FROM (
+    SELECT DISTINCT p.type_a, p.type_b, k.hv
+    FROM pairs p
+    JOIN kept k ON (k.event_type = p.type_a OR k.event_type = p.type_b)
+               AND k.hv < p.th)
+  GROUP BY type_a, type_b),
+ni AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS n_inter_kept
+  FROM pairs p
+  JOIN kept a ON a.event_type = p.type_a AND a.hv < p.th
+  JOIN kept b ON b.event_type = p.type_b AND b.hv = a.hv
+  GROUP BY p.type_a, p.type_b),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS n_inter
+  FROM dist x JOIN dist y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n_set FROM dist GROUP BY event_type)
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(i.n_inter_kept, 0) AS BIGINT) AS n_inter_kept,
+       CAST(COALESCE(u.n_union_kept, 0) AS BIGINT) AS n_union_kept,
+       CAST(CASE WHEN COALESCE(u.n_union_kept, 0) > 0
+                 THEN 1000 * COALESCE(i.n_inter_kept, 0) // u.n_union_kept
+                 ELSE 0 END AS BIGINT) AS est_jaccard_permille,
+       CAST(1000 * COALESCE(x.n_inter, 0)
+            // (za.n_set + zb.n_set - COALESCE(x.n_inter, 0)) AS BIGINT)
+         AS exact_jaccard_permille
+FROM pairs p
+LEFT JOIN nu u ON u.type_a = p.type_a AND u.type_b = p.type_b
+LEFT JOIN ni i ON i.type_a = p.type_a AND i.type_b = p.type_b
+JOIN sizes za ON za.event_type = p.type_a
+JOIN sizes zb ON zb.event_type = p.type_b
+LEFT JOIN inter x ON x.type_a = p.type_a AND x.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+""".replace("{hash_sql}", _theta_hash_sql("user_id", "VARCHAR"))
