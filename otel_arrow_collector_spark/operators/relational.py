@@ -4368,3 +4368,149 @@ def q105(spark, sf_dir):
                      .alias("lift_ppm"))
             .orderBy(F.col("support").desc(), "brand_a", "brand_b")
             .limit(50))
+
+
+@_register("q106_mad_dispersion", """
+WITH x AS (
+  SELECT n_name,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey),
+r1 AS (
+  SELECT n_name, cents,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM x),
+med AS (
+  SELECT n_name, MAX(n) AS n,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+           + SUM(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+           AS med_x2
+  FROM r1 GROUP BY n_name),
+dev AS (
+  SELECT x.n_name, ABS(2 * x.cents - m.med_x2) AS d
+  FROM x JOIN med m ON m.n_name = x.n_name),
+r2 AS (
+  SELECT n_name, d,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM dev)
+SELECT r2.n_name, CAST(MAX(m.n) AS BIGINT) AS n_orders,
+       CAST(MAX(m.med_x2) AS BIGINT) AS median_cents_x2,
+       CAST(SUM(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.d ELSE 0 END)
+            + SUM(CASE WHEN r2.rn = (r2.n + 2) // 2 THEN r2.d ELSE 0 END)
+            AS BIGINT) AS mad_cents_x4
+FROM r2 JOIN med m ON m.n_name = r2.n_name
+GROUP BY r2.n_name ORDER BY r2.n_name
+""")
+def q106(spark, sf_dir):
+    """Median absolute deviation of order value per nation — the robust
+    dispersion statistic (Hampel 1974) next to q79's exact median:
+    median_cents_x2 is exactly 2x the median (both parities — the
+    two-rank-hit trick with the odd middle counted twice, q102's fixed
+    form), deviations are computed in DOUBLED cents so no halving ever
+    happens, and mad_cents_x4 is exactly 4x the MAD.  Consumers divide
+    at the edge; every intermediate is integer-exact in both engines.
+
+    Magnitude at 100x: cents <= ~1e8, so 2*cents and |2c - med2| <=
+    ~2e8, and the rank-hit sums pick at most two rows — no aggregate
+    products, everything far inside BIGINT.
+
+    Scale shape: all four windows/aggs key on the NATION cohort (never
+    a global sort); the deviation pass re-joins the 25-row median
+    relation broadcast onto the fact.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .select("n_name", "cents"))
+    wr = Window.partitionBy("n_name").orderBy("cents")
+    wn = Window.partitionBy("n_name")
+    r1 = x.select("n_name", "cents",
+                  F.row_number().over(wr).alias("rn"),
+                  F.count(F.lit(1)).over(wn).alias("n"))
+    med = (r1.groupBy("n_name")
+           .agg(F.max("n").alias("n"),
+                (F.sum(F.when(F.expr("rn = (n + 1) div 2"),
+                              F.col("cents")).otherwise(F.lit(0)))
+                 + F.sum(F.when(F.expr("rn = (n + 2) div 2"),
+                                F.col("cents")).otherwise(F.lit(0))))
+                .alias("med_x2")))
+    dev = (x.join(F.broadcast(med), "n_name")
+           .select("n_name", "n", "med_x2",
+                   F.abs(F.lit(2) * F.col("cents") - F.col("med_x2"))
+                    .alias("d")))
+    wr2 = Window.partitionBy("n_name").orderBy("d")
+    r2 = dev.select("n_name", "n", "med_x2", "d",
+                    F.row_number().over(wr2).alias("rn"))
+    return (r2.groupBy("n_name")
+            .agg(F.max("n").cast("long").alias("n_orders"),
+                 F.max("med_x2").cast("long").alias("median_cents_x2"),
+                 (F.sum(F.when(F.expr("rn = (n + 1) div 2"),
+                               F.col("d")).otherwise(F.lit(0)))
+                  + F.sum(F.when(F.expr("rn = (n + 2) div 2"),
+                                 F.col("d")).otherwise(F.lit(0))))
+                 .cast("long").alias("mad_cents_x4"))
+            .orderBy("n_name"))
+
+
+#: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's law first-digit
+#: expectations, embedded as integer literals so neither engine ever
+#: evaluates a logarithm.
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END")
+
+
+@_register("q107_benford_screen", f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS t FROM cnt)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(1000000 * n // t AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE.replace("CASE digit", "CASE digit")}
+            AS BIGINT) AS benford_ppm,
+       CAST(1000000 * n // t - {_BENFORD_CASE} AS BIGINT) AS delta_ppm
+FROM cnt CROSS JOIN tot
+ORDER BY digit
+""")
+def q107(spark, sf_dir):
+    """Benford's-law first-digit screen over order values — the classic
+    data-quality / fraud sniff (Benford 1938; Nigrini 1996): observed
+    first-digit shares in ppm next to the law's expectation, embedded
+    as integer literals (floor(1e6 * log10(1 + 1/d))) so no engine
+    evaluates a log.  delta_ppm > a few thousand on a digit is the
+    "look here" signal.
+
+    Magnitude at 100x: 1e6 * n with n <= orders ~ 1.5e10 is ~1.5e16 —
+    inside BIGINT; the only other arithmetic is a CASE lookup.
+
+    Scale shape: one map-side digit projection (string head of the
+    integer cents — no pow/log), one 9-row hash agg, one 1-row
+    broadcast total.
+    """
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr("CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS "
+               "BIGINT) AS STRING), 1, 1) AS BIGINT)").alias("digit"))
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.col("n").cast("long").alias("n"),
+                    F.expr("1000000 * n div t").cast("long")
+                     .alias("obs_ppm"),
+                    F.expr(_BENFORD_CASE).cast("long")
+                     .alias("benford_ppm"),
+                    F.expr(f"1000000 * n div t - {_BENFORD_CASE}")
+                     .cast("long").alias("delta_ppm"))
+            .orderBy("digit"))

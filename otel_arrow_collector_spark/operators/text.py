@@ -1914,3 +1914,93 @@ SELECT CAST(p.bucket AS BIGINT) AS bucket,
 FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift (training-mix monitoring)
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP_TERMS = 50
+
+
+def text_source_drift(spark, sf_dir):
+    """Per-source unigram drift against the corpus: the L1 distance (in
+    ppm) between each source's token-share distribution and the whole
+    corpus's, evaluated over the corpus's top-``DRIFT_TOP_TERMS`` terms
+    — the mix-monitoring read a training-data owner does when a new
+    crawl snapshot lands (is src7 suddenly different language/domain?).
+    All-integer: shares are 1e6-scaled BIGINT div ratios, the distance
+    is a sum of absolute differences of those — cross-engine exact,
+    no floats.
+
+    Magnitude at 100x: shares <= 1e6; the L1 sum <= 2e6 * 50 = 1e8;
+    term counts <= corpus tokens ~ 1e13 and 1e6 * count ~ 1e19 — moved
+    to decimal(38,0)/HUGEINT headroom for the share numerators.
+
+    Scale shape: one token-count agg each for corpus and (source,
+    term), a 50-row broadcast of the reference terms, and a
+    |sources| x 50 bounded join frame — the heavy shuffles are the two
+    hash aggs over the exploded tokens (map-side combinable).
+    """
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"),
+            lambda x: x != "")).alias("token"))
+    corp = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    w = Window.orderBy(F.col("n_t").desc(), "token")
+    top = (corp.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= DRIFT_TOP_TERMS)
+           .select("token", "n_t"))
+    src_tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"))
+    src_cnt = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n_st"))
+    dec = "decimal(38,0)"
+    frame = (src_tot.crossJoin(F.broadcast(top))
+             .join(src_cnt, ["source", "token"], "left")
+             .crossJoin(F.broadcast(n_total))
+             .select("source",
+                     F.expr(f"CAST(1000000 AS {dec}) * "
+                            f"coalesce(n_st, 0) div n_s")
+                      .cast("long").alias("sp"),
+                     F.expr(f"CAST(1000000 AS {dec}) * n_t "
+                            "div n_corpus")
+                      .cast("long").alias("cp")))
+    return (frame.groupBy("source")
+            .agg(F.sum(F.abs(F.col("sp") - F.col("cp")))
+                 .cast("long").alias("l1_ppm"))
+            .orderBy("source"))
+
+
+QUERIES["text_source_drift"] = text_source_drift
+ORACLES["text_source_drift"] = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+corp AS (SELECT token, COUNT(*) AS n_t FROM toks GROUP BY token),
+n_total AS (SELECT COUNT(*) AS n_corpus FROM toks),
+top AS (SELECT token, n_t FROM (
+          SELECT token, n_t,
+                 ROW_NUMBER() OVER (ORDER BY n_t DESC, token) AS rn
+          FROM corp) WHERE rn <= {DRIFT_TOP_TERMS}),
+src_tot AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY source),
+src_cnt AS (SELECT source, token, COUNT(*) AS n_st
+            FROM toks GROUP BY source, token),
+frame AS (
+  SELECT st.source,
+         CAST(CAST(1000000 AS HUGEINT) * COALESCE(sc.n_st, 0)
+              // st.n_s AS BIGINT) AS sp,
+         CAST(CAST(1000000 AS HUGEINT) * t.n_t
+              // n.n_corpus AS BIGINT) AS cp
+  FROM src_tot st CROSS JOIN top t
+  LEFT JOIN src_cnt sc ON sc.source = st.source AND sc.token = t.token
+  CROSS JOIN n_total n)
+SELECT source, CAST(SUM(ABS(sp - cp)) AS BIGINT) AS l1_ppm
+FROM frame GROUP BY source ORDER BY source
+"""

@@ -98,7 +98,19 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    "graph_link_prediction", "text_heaps",
                    # bootstrap explode x16 (constant factor) and the
                    # cohort-windowed conversion-latency percentiles
-                   "sample_bootstrap", "q102_time_to_convert"]
+                   "sample_bootstrap", "q102_time_to_convert",
+                   # round-11 additions (r10 verdict ask #6): the theta
+                   # K-row union algebra and the modularity evaluation
+                   # of the memoized LPA labels; plus the new brand
+                   # market-basket self-join (order-keyed, bounded
+                   # baskets) and the containment verify over LSH
+                   # candidates
+                   "sketch_theta_union", "graph_modularity",
+                   "q105_market_basket", "dedup_containment"]
+# dedup_incremental / dedup_incremental_delta scale on the SHARD axis
+# (corpus fixed) — tools/stress_incremental.py covers them; whole-table
+# replication would scale the corpus side too and measure the store
+# rebuild, not the ingest step.
 # dedup_allpairs_prefix is EXCLUDED like the IVF-cell family:
 # unionAll content replication makes every cross-copy document
 # pair a REAL near-duplicate (identical text), so the exact
