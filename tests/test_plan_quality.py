@@ -1099,3 +1099,81 @@ def test_modularity_broadcasts_labels_onto_edges(spark):
     assert plan.count("CartesianProduct") + plan.count(
         "BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_semi_joins_touched_docs_only(spark):
+    """dedup_incremental (round-11 flagship): verification text is
+    re-read via a SEMI join on the candidate id set (bounded by
+    candidates, never the corpus); the band join is an equality hash
+    join on uniform md5 keys — no cartesian, no Python, no global
+    window."""
+    plan = _plan(spark, "dedup_incremental")
+    assert re.search(r"LeftSemi", plan)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_skyline_window_runs_on_collapsed_prices(spark):
+    """q104_skyline: the one unpartitioned window runs AFTER the
+    price-collapse hash agg (distinct price points, not parts) — the
+    plan must show the aggregate feeding the window, and the survivors
+    join is an equality join."""
+    plan = _plan(spark, "q104_skyline")
+    assert "windowspecdefinition(price_cents" in plan
+    assert "CartesianProduct" not in plan
+    # the window input is the collapsed relation: max(p_size) agg
+    assert re.search(r"max\(p_size", plan)
+
+
+def test_market_basket_joins_on_order_key(spark):
+    """q105_market_basket: the pair self-join keys on the ORDER (never
+    brand x brand over the fact); brand counts and the 1-row total
+    broadcast."""
+    plan = _plan(spark, "q105_market_basket")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\[o(#\d+L?)?\]", plan) or "o#" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_search_prunes_cells_and_has_no_result_window(spark):
+    """ann_range_search: the cell store scan carries the LITERAL
+    ``cid IN (...)`` partition filter (static directory pruning), and
+    the only window in the plan is the |queries| x |centroids| probe
+    ranking (windowspecdefinition(q_id..., one node printed twice by
+    formatted explain) — the candidate/result side has NO window:
+    threshold filtering is map-side."""
+    plan = _plan(spark, "ann_range_search")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cid" in ln and " IN (" in ln for ln in pf)
+    assert plan.count("windowspecdefinition") == plan.count(
+        "windowspecdefinition(q_id")
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_is_stratum_keyed_topk(spark):
+    """sample_reservoir: the rank window partitions by lang (never a
+    global sort) and nothing python-side appears."""
+    plan = _plan(spark, "sample_reservoir")
+    assert "windowspecdefinition(lang" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_assortativity_single_global_agg(spark):
+    """graph_assortativity: ONE global aggregate row; the degree joins
+    are equality joins; no window, no cartesian."""
+    plan = _plan(spark, "graph_assortativity")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_drift_frame_is_bounded_cross(spark):
+    """text_source_drift: the only cross products are the 50-row top
+    terms and the 1-row corpus total broadcast onto the |sources| frame
+    — bounded models, not data; token counting is hash aggs."""
+    plan = _plan(spark, "text_source_drift")
+    assert "BatchEvalPython" not in plan
+    # formatted explain prints nodes twice: 2 crosses x 2 = 4 max
+    assert (plan.count("CartesianProduct")
+            + plan.count("BroadcastNestedLoopJoin")) <= 4
