@@ -64,6 +64,7 @@ _NEWEST_FIRST = [
     "graph_assortativity", "q104_skyline", "q105_market_basket",
     "sample_reservoir", "dedup_containment", "ann_range_search",
     "text_source_drift", "q106_mad_dispersion", "q107_benford_screen",
+    "curation_ingest_funnel",
     # The r10-ADVICE-touched queries (semantics changed this round —
     # q102's median_x2_s definition, theta_union's fallback column):
     "q102_time_to_convert", "sketch_theta_union",

@@ -1608,3 +1608,118 @@ WHERE 1000 * n_common // LEAST(z1.n_sh, z2.n_sh)
       >= {CONTAINMENT_PERMILLE}
 ORDER BY d1, d2 LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# shard-ingest funnel (quality gate -> incremental dedup -> keep)
+# ---------------------------------------------------------------------------
+
+INGEST_QUALITY_GATE = 800
+
+
+def curation_ingest_funnel(spark, sf_dir):
+    """The end-to-end shard-ingest funnel, per shard source: how many
+    docs ARRIVED, failed the QUALITY gate (the shared linear classifier
+    below ``INGEST_QUALITY_GATE``), were near-DUPs of the corpus or of
+    a lower-id quality-passing shard sibling (incremental LSH + exact
+    Jaccard — the dedup_incremental machinery), and were KEPT.  This is
+    the acceptance report a 100 TB ingest run publishes per landing
+    crawl; quality runs FIRST, so a rejected doc can neither enter the
+    store nor suppress a sibling.
+
+    Magnitude at 100x: funnel counts only (<= shard rows); the score
+    arithmetic is the classifier's (bounded by doc length).
+
+    Scale shape: the score is one codegen map over the SHARD only; dup
+    flags ride the memoized shard-touching verified pairs (bounded by
+    candidates); the funnel is one |sources|-row hash agg.
+    """
+    from .text_score import quality_score_col
+    d = load_table(spark, sf_dir, "documents")
+    shard = (d.filter(F.expr(_SPARK_SHARD))
+             .select("doc_id", "source",
+                     (quality_score_col()
+                      >= INGEST_QUALITY_GATE).alias("qpass")))
+    verified = (_incr_verified(spark, sf_dir)
+                .filter(F.col("j") >= JACCARD_THRESHOLD))
+    is_shard = f"% {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
+    qp = shard.select("doc_id", "qpass")
+    # a pair suppresses its shard endpoint if the OTHER side is a
+    # corpus doc, or a lower-id shard doc that itself passed quality
+    v = (verified
+         .join(qp.select(F.col("doc_id").alias("d1"),
+                         F.col("qpass").alias("q1")), "d1", "left")
+         .join(qp.select(F.col("doc_id").alias("d2"),
+                         F.col("qpass").alias("q2")), "d2", "left"))
+    dropped = (v.select(F.expr(
+        f"CASE WHEN d1 {is_shard} AND NOT (d2 {is_shard}) THEN d1 "
+        f"WHEN NOT (d1 {is_shard}) AND d2 {is_shard} THEN d2 "
+        f"WHEN coalesce(q1, false) THEN d2 END").alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+        .withColumn("is_dup", F.lit(True)))
+    return (shard.join(dropped, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_arrived"),
+                 F.sum(F.when(~F.col("qpass"), 1).otherwise(0))
+                  .cast("long").alias("n_quality_fail"),
+                 F.sum(F.when(F.col("qpass")
+                              & F.coalesce("is_dup", F.lit(False)),
+                              1).otherwise(0))
+                  .cast("long").alias("n_dup"),
+                 F.sum(F.when(F.col("qpass")
+                              & ~F.coalesce("is_dup", F.lit(False)),
+                              1).otherwise(0))
+                  .cast("long").alias("n_kept"))
+            .select("source",
+                    F.col("n_arrived").cast("long").alias("n_arrived"),
+                    "n_quality_fail", "n_dup", "n_kept")
+            .orderBy("source"))
+
+
+QUERIES["curation_ingest_funnel"] = curation_ingest_funnel
+ORACLES["curation_ingest_funnel"] = _DUCK_INCR_CTE + f""",
+f AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_words,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x IN ('the','a','fast','slow'))) AS stop_hits,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    len(list_distinct(list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> ''))) AS n_distinct
+  FROM documents WHERE doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}),
+shard AS (
+  SELECT d.doc_id, d.source,
+         (2*f.n_words + 50*f.stop_hits - 10*f.n_digits
+          + (f.n_distinct*1000) // f.n_words)
+           >= {INGEST_QUALITY_GATE} AS qpass
+  FROM documents d JOIN f ON f.doc_id = d.doc_id
+  WHERE d.doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}),
+vq AS (
+  SELECT v.d1, v.d2, q1.qpass AS q1, q2.qpass AS q2
+  FROM verified v
+  LEFT JOIN shard q1 ON q1.doc_id = v.d1
+  LEFT JOIN shard q2 ON q2.doc_id = v.d2
+  WHERE v.j >= {JACCARD_THRESHOLD}),
+dropped AS (
+  SELECT DISTINCT CASE
+    WHEN d1 % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+         AND d2 % {INCR_SHARD_MOD} <> {INCR_SHARD_REM} THEN d1
+    WHEN d1 % {INCR_SHARD_MOD} <> {INCR_SHARD_REM}
+         AND d2 % {INCR_SHARD_MOD} = {INCR_SHARD_REM} THEN d2
+    WHEN COALESCE(q1, false) THEN d2 END AS doc_id
+  FROM vq)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_arrived,
+       CAST(SUM(CASE WHEN NOT s.qpass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_fail,
+       CAST(SUM(CASE WHEN s.qpass AND dr.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN s.qpass AND dr.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM shard s
+LEFT JOIN (SELECT doc_id FROM dropped WHERE doc_id IS NOT NULL) dr
+       ON dr.doc_id = s.doc_id
+GROUP BY s.source ORDER BY s.source
+"""
