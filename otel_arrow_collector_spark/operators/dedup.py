@@ -1415,13 +1415,21 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
                     & (F.col("s1.sh") == F.col("s2.sh")))
               .groupBy("d1", "d2")
               .agg(F.count(F.lit(1)).alias("n_common")))
-    return (common
-            .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
-            .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
-            .select("d1", "d2", "n_common",
-                    (F.col("n_common").cast("double")
-                     / (F.col("z1.n_sh") + F.col("z2.n_sh")
-                        - F.col("n_common"))).alias("j")))
+    res = (common
+           .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
+           .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+           .select("d1", "d2", "n_common",
+                   (F.col("n_common").cast("double")
+                    / (F.col("z1.n_sh") + F.col("z2.n_sh")
+                       - F.col("n_common"))).alias("j"))
+           .persist())
+    res.count()   # materialize, then release the stage-local persists
+    # (they are NOT registry-tracked; leaving them pinned would leak
+    # executor storage across repeated cache-cold runs — stress runs
+    # clear_caches() between scales and would re-pin new copies)
+    shard_bands.unpersist(False)
+    shd.unpersist(False)
+    return res
 
 
 def _incr_store(spark, sf_dir):
@@ -1444,11 +1452,10 @@ def _incr_verified(spark, sf_dir):
     dedup_incremental_delta (the store append)."""
     def build():
         d = load_table(spark, sf_dir, "documents")
-        out = incremental_pairs(
-            spark, d, _incr_store(spark, sf_dir),
-            d.filter(F.expr(_SPARK_SHARD))).persist()
-        out.count()
-        return out
+        # incremental_pairs returns an already-persisted, materialized
+        # relation; cached() registration owns its unpersist-on-evict
+        return incremental_pairs(spark, d, _incr_store(spark, sf_dir),
+                                 d.filter(F.expr(_SPARK_SHARD)))
     return cached("dedup.incr_verified", spark, sf_dir, build)
 
 

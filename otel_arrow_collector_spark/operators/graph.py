@@ -858,10 +858,14 @@ def graph_assortativity(spark, sf_dir):
         F.sum(F.col("du") * F.col("du")
               + F.col("dv") * F.col("dv")).cast(dec).alias("s2"),
         F.sum(F.col("du") * F.col("dv")).cast(dec).alias("se"))
+    # den = 0 iff every endpoint degree is equal (a regular graph —
+    # assortativity undefined); publish 0 instead of NULL-vs-ANSI-throw
+    # divergence (non-ANSI Spark and DuckDB return NULL, ANSI throws)
     return s.select(
         F.col("m").cast("long").alias("m_edges"),
-        F.expr("CAST(1000000 * (4 * m * se - s1 * s1) "
-               "div (2 * m * s2 - s1 * s1) AS BIGINT)")
+        F.expr("CAST(CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN 0 "
+               "ELSE 1000000 * (4 * m * se - s1 * s1) "
+               "div (2 * m * s2 - s1 * s1) END AS BIGINT)")
          .alias("r_micro"))
 
 
@@ -876,7 +880,8 @@ s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
              SUM(du * dv) AS se
       FROM ed)
 SELECT CAST(m AS BIGINT) AS m_edges,
-       CAST(1000000 * (4 * m * se - s1 * s1)
-            // (2 * m * s2 - s1 * s1) AS BIGINT) AS r_micro
+       CAST(CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN 0
+            ELSE 1000000 * (4 * m * se - s1 * s1)
+                 // (2 * m * s2 - s1 * s1) END AS BIGINT) AS r_micro
 FROM s
 """

@@ -1942,7 +1942,6 @@ def text_source_drift(spark, sf_dir):
     |sources| x 50 bounded join frame — the heavy shuffles are the two
     hash aggs over the exploded tokens (map-side combinable).
     """
-    from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
@@ -1951,9 +1950,10 @@ def text_source_drift(spark, sf_dir):
             lambda x: x != "")).alias("token"))
     corp = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
     n_total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
-    w = Window.orderBy(F.col("n_t").desc(), "token")
-    top = (corp.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= DRIFT_TOP_TERMS)
+    # TakeOrdered top-N, never a rank window over the full vocabulary
+    # (the text_zipf discipline — vocab is ~1e8 at 100x)
+    top = (corp.orderBy(F.col("n_t").desc(), "token")
+           .limit(DRIFT_TOP_TERMS)
            .select("token", "n_t"))
     src_tot = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_s"))

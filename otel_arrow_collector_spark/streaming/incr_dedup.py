@@ -90,7 +90,13 @@ def incr_dedup_stream(docs: DataFrame) -> DataFrame:
                      F.array(*[F.expr(_spark_sig(j))
                                for j in range(K_HASHES)]).alias("sig"))
              .select("doc_id",
-                     F.explode(F.expr(_spark_bands())).alias("band")))
+                     F.explode(F.expr(_spark_bands())).alias("band"))
+             # a <3-word doc signs to NULL bands; the batch equality
+             # join can never match NULL = NULL, but a streaming
+             # groupBy would collect all such docs into ONE null-key
+             # state group and emit phantom pairs — drop them here so
+             # stream and batch agree on tiny docs too
+             .filter(F.col("band").isNotNull()))
     return (bands.groupBy("band")
             .applyInPandasWithState(
                 _emit_pairs, OUT_SCHEMA, _STATE_SCHEMA,
