@@ -41,7 +41,15 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q95_cdc_apply", "dedup_source_overlap", "text_cooccur_lift",
            "ann_loo_accuracy", "multimodal_resample", "embedding_drift",
            "multimodal_phash_dedup", "q96_changepoint", "multimodal_data_uri",
-           "text_keywords", "ann_ivf_cell_quality"]
+           "text_keywords", "ann_ivf_cell_quality",
+           # round-11 scale claims
+           "dedup_incremental", "dedup_incremental_delta",
+           "q104_skyline", "q105_market_basket", "ann_range_search",
+           "graph_clustering_coefficient", "graph_assortativity",
+           "text_source_drift", "sample_reservoir",
+           "curation_ingest_funnel", "q106_mad_dispersion",
+           "q107_benford_screen", "sketch_theta_jaccard",
+           "dedup_containment"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:
