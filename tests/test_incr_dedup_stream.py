@@ -139,3 +139,18 @@ def test_delta_is_kept_shard_bands(spark):
                  .select("doc_id").collect()}
     assert dropped and dropped <= shard_ids
     assert set(counts) == shard_ids - dropped
+
+
+def test_ingest_funnel_reconciles(spark):
+    """curation_ingest_funnel: every arrived doc lands in exactly one
+    bucket (quality-fail / dup / kept), and the totals match the shard
+    slice."""
+    from pyspark.sql import functions as F
+
+    rows = dedup.curation_ingest_funnel(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_arrived == r.n_quality_fail + r.n_dup + r.n_kept
+    n_shard = (dedup.load_table(spark, SF_SMALL, "documents")
+               .filter(F.expr(dedup._SPARK_SHARD)).count())
+    assert sum(r.n_arrived for r in rows) == n_shard
