@@ -4297,7 +4297,7 @@ def q104(spark, sf_dir):
 WITH ob AS (
   SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-n_tot AS (SELECT COUNT(DISTINCT o) AS n FROM ob),
+n_tot AS (SELECT COUNT(*) AS n FROM orders),
 na AS (SELECT b, COUNT(*) AS n_b FROM ob GROUP BY b),
 pair AS (
   SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS n_ab
@@ -4337,7 +4337,13 @@ def q105(spark, sf_dir):
           .select(F.col("l_orderkey").alias("o"),
                   F.col("p_brand").alias("b"))
           .distinct())
-    n_tot = ob.agg(F.countDistinct("o").alias("n"))
+    # N = |orders| (every order carries >= 1 line item, so the basket
+    # universe IS the orders table) — a plain global count whose plan
+    # is volume-stable, where a distinct-count over the fact expands
+    # extra partial-merge HashAggregate stages once the input outgrows
+    # one partition (caught by the r11 stress plan-shape invariant)
+    n_tot = (_t(spark, sf_dir, "orders")
+             .agg(F.count(F.lit(1)).alias("n")))
     na = ob.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
     pair = (ob.alias("a")
             .join(ob.alias("c"), (F.col("a.o") == F.col("c.o"))

@@ -123,7 +123,7 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
-          "customer")
+          "customer", "part")
 
 #: per-copy key offsets — disjoint ranges per replica so within-copy
 #: joins line up and cross-copy joins are impossible.  events keeps its
@@ -143,6 +143,11 @@ KEY_OFFSETS = {
     # replicating it unchanged would measure a modeling artifact
     # (k^2 pairs per block), not the operator
     "customer": {"c_custkey": 1 << 33, "c_nationkey": 1 << 8},
+    # matches lineitem's l_partkey offset so within-copy part joins
+    # line up; p_brand deliberately stays fixed — the market-basket
+    # contract is a BOUNDED brand-pair space, so k x corpus must mean
+    # k x work per pair, never more pairs
+    "part": {"p_partkey": 1 << 30},
 }
 
 #: bound every internal driver materialization must respect (the
@@ -159,10 +164,13 @@ def build_scaled_dir(spark, src_dir: str, work_dir: str, k: int) -> str:
     from pyspark.sql import functions as F
     out = os.path.join(work_dir, f"x{k}")
     done = os.path.join(out, ".complete")
-    if os.path.exists(done):
-        return out
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
+        # per-TABLE idempotence (not one dir-level marker): adding a
+        # table to TABLES must backfill it into working sets built by
+        # an earlier round without rebuilding the rest
+        if os.path.exists(os.path.join(out, f"{t}.parquet")):
+            continue
         base = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
         parts = []
         for i in range(k):
@@ -199,25 +207,42 @@ EQUI_JOINS = {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
 STRATEGY_COMPANIONS = {"Exchange", "BroadcastExchange", "Sort"}
 
 
+_AGG_NODES = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
+
+
 def plan_shape(df) -> Counter:
-    """Multiset of SEMANTIC physical node types from the formatted plan,
-    numbers/ids/arguments stripped (the formatted explain prints each
-    node twice — tree + detail — which cancels out in a comparison).
-    AQE's volume-dependent runtime nodes are excluded and the size-gated
-    equi-join strategies normalize to one label: the invariant is that
-    no RISK NODE (cartesian/nested-loop), no extra join, and no
-    aggregate/window/Python-stage change appears with scale."""
+    """Multiset of SEMANTIC physical node types from the formatted plan.
+    Each node is counted ONCE by its unique ``(n)`` id from the detail
+    section (the tree re-prints subtrees under AQE stage reuse, so raw
+    line counting drifts with runtime re-planning).  AQE's
+    volume-dependent runtime nodes are excluded and the size-gated
+    equi-join strategies normalize to one label; hash-aggregate
+    partial/merge/final stages of the SAME logical aggregate collapse
+    to one entry keyed by their grouping keys — AQE re-planning around
+    a normalized join flip legitimately inserts/removes a partial
+    stage.  A hash->sort aggregate flip still fails (different node
+    name), as do cartesian/nested-loop appearances, extra joins, new
+    windows/generates, and Python stages."""
     txt = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     nodes = []
-    for line in txt.splitlines():
-        m = re.match(r"^\s*[*+:\-\s]*\(?(\d+\))?\s*([A-Za-z][A-Za-z0-9_]+)",
-                     line)
-        if m and line.lstrip().startswith(("*", "+", ":", "(")):
-            name = m.group(2)
-            if name in AQE_RUNTIME_NODES or name in STRATEGY_COMPANIONS:
-                continue
-            nodes.append("EquiJoin" if name in EQUI_JOINS else name)
+    agg_sigs: dict[str, set] = {}
+    details = list(re.finditer(
+        r"^\((\d+)\)\s+([A-Za-z][A-Za-z0-9_]+)", txt, re.M))
+    for i, m in enumerate(details):
+        name = m.group(2)
+        if name in AQE_RUNTIME_NODES or name in STRATEGY_COMPANIONS:
+            continue
+        if name in _AGG_NODES:
+            end = details[i + 1].start() if i + 1 < len(details) else len(txt)
+            keys = re.search(r"Keys(?: \[\d+\])?: \[([^\]]*)\]",
+                             txt[m.start():end])
+            sig = re.sub(r"#\d+L?", "", keys.group(1)) if keys else ""
+            agg_sigs.setdefault(name, set()).add(sig)
+            continue
+        nodes.append("EquiJoin" if name in EQUI_JOINS else name)
+    for name, sigs in agg_sigs.items():
+        nodes.extend([name] * len(sigs))
     return Counter(nodes)
 
 
