@@ -1397,6 +1397,27 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
             .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
                     F.greatest("a.doc_id", "b.doc_id").alias("d2"))
             .distinct())
+    res = verify_candidate_pairs(spark, documents, cand)
+    # release the stage-local persist (res is already materialized; the
+    # band relation is NOT registry-tracked, and leaving it pinned
+    # would leak executor storage across repeated cache-cold runs —
+    # stress runs clear_caches() between scales and would re-pin new
+    # copies)
+    shard_bands.unpersist(False)
+    return res
+
+
+def verify_candidate_pairs(spark, documents, cand):
+    """Exact-Jaccard verification of an arbitrary candidate pair
+    relation ``cand`` (d1, d2): re-read documents ONLY for docs
+    appearing in a candidate (semi-join on the id set — bounded by
+    candidates, never corpus size), shingle them, and emit
+    (d1, d2, n_common, j).  The verify stage shared by the batch
+    incremental operator and the streaming ingest composition (the
+    twin emits candidates; this is the downstream batch join the
+    docstring of streaming/incr_dedup.py promises).  Returns a
+    persisted, materialized relation sized by the candidate count."""
+    n_parts = spark.sparkContext.defaultParallelism
     ids = (cand.select(F.col("d1").alias("doc_id"))
            .unionByName(cand.select(F.col("d2").alias("doc_id")))
            .distinct())
@@ -1423,11 +1444,7 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
                     / (F.col("z1.n_sh") + F.col("z2.n_sh")
                        - F.col("n_common"))).alias("j"))
            .persist())
-    res.count()   # materialize, then release the stage-local persists
-    # (they are NOT registry-tracked; leaving them pinned would leak
-    # executor storage across repeated cache-cold runs — stress runs
-    # clear_caches() between scales and would re-pin new copies)
-    shard_bands.unpersist(False)
+    res.count()   # materialize, then release the stage-local persist
     shd.unpersist(False)
     return res
 

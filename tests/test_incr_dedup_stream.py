@@ -154,3 +154,29 @@ def test_ingest_funnel_reconciles(spark):
     n_shard = (dedup.load_table(spark, SF_SMALL, "documents")
                .filter(F.expr(dedup._SPARK_SHARD)).count())
     assert sum(r.n_arrived for r in rows) == n_shard
+
+
+def test_streaming_ingest_composition_end_to_end(spark, tmp_path):
+    """The full streaming ingest shape the twin's docstring promises:
+    candidates emitted by the band-keyed state op, verified by the
+    shared exact-Jaccard stage (verify_candidate_pairs) — the union
+    over batches equals the batch operator's full verified relation."""
+    import tempfile
+
+    rows = _docs(spark)
+    random.Random(3).shuffle(rows)
+    d = tempfile.mkdtemp(prefix="incr_ingest_e2e_")
+    per = (len(rows) + 2) // 3
+    for b in range(3):
+        batch = rows[b * per:(b + 1) * per]
+        if batch:
+            (spark.createDataFrame(batch, SCHEMA)
+             .coalesce(1).write.mode("append").parquet(d))
+    cand = _run_foreach(spark, d, str(tmp_path / "ckpt"))
+    cand_df = spark.createDataFrame(sorted(cand), ["d1", "d2"])
+    docs = dedup.load_table(spark, SF_SMALL, "documents")
+    got = {(r.d1, r.d2, r.n_common, round(r.j, 9)) for r in
+           dedup.verify_candidate_pairs(spark, docs, cand_df).collect()}
+    want = {(r.d1, r.d2, r.n_common, round(r.j, 9)) for r in
+            dedup._jaccard_verified(spark, SF_SMALL).collect()}
+    assert got == want and got
