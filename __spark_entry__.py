@@ -64,7 +64,8 @@ _NEWEST_FIRST = [
     "graph_assortativity", "q104_skyline", "q105_market_basket",
     "sample_reservoir", "dedup_containment", "ann_range_search",
     "text_source_drift", "q106_mad_dispersion", "q107_benford_screen",
-    "curation_ingest_funnel",
+    "curation_ingest_funnel", "curation_store_stats",
+    "graph_degree_distribution",
     # The r10-ADVICE-touched queries (semantics changed this round —
     # q102's median_x2_s definition, theta_union's fallback column):
     "q102_time_to_convert", "sketch_theta_union",

@@ -1747,3 +1747,49 @@ LEFT JOIN (SELECT doc_id FROM dropped WHERE doc_id IS NOT NULL) dr
        ON dr.doc_id = s.doc_id
 GROUP BY s.source ORDER BY s.source
 """
+
+
+def curation_store_stats(spark, sf_dir):
+    """Signature-store health report — the monitor an incremental-dedup
+    owner reads before trusting the next band join: store row count,
+    distinct docs, distinct band buckets, the largest bucket (the join's
+    worst-case fan-out — md5 bands should keep it tiny), and how many
+    buckets hold more than one doc (real collision candidates).
+
+    Magnitude at 100x: counts only (store rows = 4 x corpus docs).
+
+    Scale shape: two hash aggs over the memoized store relation (one
+    bucket-keyed, one global roll-up); nothing driver-side.
+    """
+    st = _incr_store(spark, sf_dir)
+    per_bucket = st.groupBy("band").agg(
+        F.count(F.lit(1)).alias("bs"))
+    totals = st.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (per_bucket.agg(
+        F.sum("bs").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("bs").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("bs") > 1, 1).otherwise(0)).cast("long")
+         .alias("n_collision_buckets"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.col("n_docs").cast("long").alias("n_docs"),
+                "n_rows", "n_buckets", "max_bucket",
+                "n_collision_buckets"))
+
+
+QUERIES["curation_store_stats"] = curation_store_stats
+ORACLES["curation_store_stats"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+              WHERE doc_id % {INCR_SHARD_MOD} <> {INCR_SHARD_REM}),
+sh AS (SELECT doc_id, {_duck_shingles()} AS shs FROM docs),
+sig AS (SELECT doc_id, [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig FROM sh),
+bands AS (SELECT doc_id, unnest({_duck_bands()}) AS band FROM sig),
+pb AS (SELECT band, COUNT(*) AS bs FROM bands GROUP BY band)
+SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM bands) AS BIGINT) AS n_docs,
+       CAST(SUM(bs) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bs) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN bs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collision_buckets
+FROM pb
+"""

@@ -885,3 +885,37 @@ SELECT CAST(m AS BIGINT) AS m_edges,
                  // (2 * m * s2 - s1 * s1) END AS BIGINT) AS r_micro
 FROM s
 """
+
+
+def graph_degree_distribution(spark, sf_dir):
+    """Power-of-two degree histogram of the co-purchase graph — the
+    first summary a graph owner reads (is the degree tail heavy enough
+    to need hub guards?).  Bucket = length(bin(degree)) = floor(log2)+1
+    computed on the BINARY STRING so both engines bucket integer-exactly
+    (float log2 at exact powers of two is an engine-rounding trap).
+
+    Magnitude at 100x: counts only; sum(degree) = 2M <= 2e11 — BIGINT.
+
+    Scale shape: the memoized edge substrate, one union-all degree agg,
+    one |buckets|-row histogram agg (<= 64 rows by construction).
+    """
+    _edges, deg = _edge_degrees(spark, sf_dir)
+    return (deg.select(F.expr("length(bin(d))").cast("long")
+                       .alias("bucket"), "d")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("d").cast("long").alias("min_degree"),
+                 F.max("d").cast("long").alias("max_degree"),
+                 F.sum("d").cast("long").alias("sum_degree"))
+            .orderBy("bucket"))
+
+
+QUERIES["graph_degree_distribution"] = graph_degree_distribution
+ORACLES["graph_degree_distribution"] = _DUCK_EDGE_DEG_CTE + """
+SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(d) AS BIGINT) AS sum_degree
+FROM deg GROUP BY 1 ORDER BY bucket
+"""
