@@ -1352,6 +1352,30 @@ _SPARK_SHARD = f"pmod(doc_id, {INCR_SHARD_MOD}) = {INCR_SHARD_REM}"
 _DUCK_SHARD = f"doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
 
 
+def _shard_pred(rem: int):
+    """SQL predicate factory: is column ``c`` in the shard slice ``rem``?
+    doc_id >= 0 in the testdata, so Spark pmod and DuckDB % agree."""
+    return lambda c: f"pmod({c}, {INCR_SHARD_MOD}) = {rem}"
+
+
+_SPARK_SHARD_PRED = _shard_pred(INCR_SHARD_REM)
+
+
+def keepfirst_dropped(verified, pred):
+    """doc_ids of shard docs DROPPED by greedy keep-first dedup over a
+    verified pair relation (d1 < d2, already thresholded): a shard doc
+    loses to any non-shard endpoint (the store side is already
+    canonical) and to any LOWER-id shard doc (dedup_minhash_keep
+    semantics).  ``pred(col)`` renders the is-shard SQL predicate.
+    Shared by the single-epoch delta and both epoch-2 steps so the
+    keep-first rule cannot diverge between epochs."""
+    return (verified
+            .select(F.expr(
+                f"CASE WHEN ({pred('d1')}) AND NOT ({pred('d2')}) "
+                "THEN d1 ELSE d2 END").alias("doc_id"))
+            .distinct())
+
+
 def build_signature_store(docs):
     """(doc_id, band) MinHash-LSH band rows for a documents DataFrame —
     the persistable signature store of the incremental dedup path (same
@@ -1539,15 +1563,14 @@ def dedup_incremental_delta(spark, sf_dir):
              .repartition(spark.sparkContext.defaultParallelism))
     verified = (_incr_verified(spark, sf_dir)
                 .filter(F.col("j") >= JACCARD_THRESHOLD))
-    is_shard = f"% {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
-    dropped = (verified
-               .select(F.expr(
-                   f"CASE WHEN d1 {is_shard} AND NOT (d2 {is_shard}) "
-                   "THEN d1 ELSE d2 END").alias("doc_id"))
-               .distinct())
+    dropped = keepfirst_dropped(verified, _SPARK_SHARD_PRED)
+    # asc_nulls_last: a <3-word doc signs to NULL bands; Spark sorts
+    # NULLS FIRST by default while DuckDB sorts NULLS LAST, so under
+    # the LIMIT the two engines could select different rows on data
+    # containing tiny docs (ADVICE r11)
     return (build_signature_store(shard)
             .join(dropped, "doc_id", "left_anti")
-            .orderBy("doc_id", "band").limit(500))
+            .orderBy("doc_id", F.asc_nulls_last("band")).limit(500))
 
 
 QUERIES["dedup_incremental_delta"] = dedup_incremental_delta
@@ -1561,6 +1584,205 @@ SELECT doc_id, unnest({_duck_bands()}) AS band
 FROM sig
 WHERE doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
   AND doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id, band LIMIT 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-epoch composition: corpus -> (+shard A delta) -> shard B
+# ---------------------------------------------------------------------------
+
+#: epoch-B shard slice; epoch A reuses :data:`INCR_SHARD_REM` (7).  The
+#: corpus for the two-epoch pipeline is everything in NEITHER slice.
+INCR2_REM_B = 3
+_SPARK_SHARD_B = f"pmod(doc_id, {INCR_SHARD_MOD}) = {INCR2_REM_B}"
+_SPARK_SHARD_B_PRED = _shard_pred(INCR2_REM_B)
+_SPARK_CORPUS0 = (f"pmod(doc_id, {INCR_SHARD_MOD}) NOT IN "
+                  f"({INCR_SHARD_REM}, {INCR2_REM_B})")
+
+
+def apply_store_delta(store_bands, delta_bands):
+    """The epoch-boundary append: store ∪ delta.  Pure unionByName — at
+    production scale this is a parquet APPEND to the store table (the
+    roundtrip is pytest-pinned lossless); nothing is re-shingled."""
+    return store_bands.unionByName(delta_bands)
+
+
+def _incr2_store0(spark, sf_dir):
+    """Epoch-0 signature store: bands of the two-epoch corpus (docs in
+    neither shard slice), persisted + materialized (session-memoized)."""
+    def build():
+        d = (load_table(spark, sf_dir, "documents")
+             .filter(F.expr(_SPARK_CORPUS0))
+             .repartition(spark.sparkContext.defaultParallelism))
+        st = build_signature_store(d).persist()
+        st.count()
+        return st
+    return cached("dedup.incr2_store0", spark, sf_dir, build)
+
+
+def _incr2_verified_a(spark, sf_dir):
+    """Epoch-A verified pairs: shard A (doc_id%10=7) joined against the
+    epoch-0 store ALONE — shard B does not exist yet.  Memoized; shared
+    by the epoch-A delta and (transitively) everything epoch-B."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return incremental_pairs(spark, d, _incr2_store0(spark, sf_dir),
+                                 d.filter(F.expr(_SPARK_SHARD)))
+    return cached("dedup.incr2_verifiedA", spark, sf_dir, build)
+
+
+def incr2_delta_a(spark, sf_dir):
+    """Epoch-A store delta: band rows of every shard-A doc surviving
+    keep-first dedup against the epoch-0 store (same rule as
+    dedup_incremental_delta, restricted to the two-epoch corpus)."""
+    shard_a = (load_table(spark, sf_dir, "documents")
+               .filter(F.expr(_SPARK_SHARD))
+               .repartition(spark.sparkContext.defaultParallelism))
+    dropped_a = keepfirst_dropped(
+        _incr2_verified_a(spark, sf_dir)
+        .filter(F.col("j") >= JACCARD_THRESHOLD), _SPARK_SHARD_PRED)
+    return (build_signature_store(shard_a)
+            .join(dropped_a, "doc_id", "left_anti"))
+
+
+def _incr2_store1(spark, sf_dir):
+    """The store AFTER epoch A: store0 ∪ delta-A, persisted +
+    materialized.  This is the relation whose correctness the epoch-B
+    oracle proves: if the delta append lost or invented any band row,
+    epoch B's pairs would diverge from the from-scratch recompute."""
+    def build():
+        st = apply_store_delta(_incr2_store0(spark, sf_dir),
+                               incr2_delta_a(spark, sf_dir)).persist()
+        st.count()
+        return st
+    return cached("dedup.incr2_store1", spark, sf_dir, build)
+
+
+def _incr2_verified_b(spark, sf_dir):
+    """Epoch-B verified pairs: shard B signed ALONE, band-joined against
+    store0+deltaA (corpus never re-shingled, shard A never re-shingled
+    past its own epoch), exact-Jaccard verified over candidates only."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return incremental_pairs(spark, d, _incr2_store1(spark, sf_dir),
+                                 d.filter(F.expr(_SPARK_SHARD_B)))
+    return cached("dedup.incr2_verifiedB", spark, sf_dir, build)
+
+
+def dedup_incremental_epoch2(spark, sf_dir):
+    """Two-epoch incremental dedup — the composition proof the
+    single-epoch operator's delta docstring promises: partition
+    documents into corpus (doc_id%10 ∉ {7,3}) / shard A (%10=7) /
+    shard B (%10=3); build the store over the corpus ONCE, apply shard
+    A's keep-first delta, then run shard B incrementally against
+    store+delta.  Emits shard-B's verified near-dup pairs.
+
+    The oracle recomputes the ENTIRE two-epoch pipeline from scratch in
+    DuckDB (global LSH pairs -> epoch-A keep-first drops -> epoch-B
+    pairs restricted to survivors), so a green row proves the delta
+    APPEND composes: store0 + deltaA behaves identically to a
+    from-scratch rebuild over the deduped corpus ∪ A.  In particular a
+    pair (B-doc × dropped-A-doc) must be ABSENT — the dropped doc's
+    bands never entered the store.
+
+    Reference parity: composes the idempotent-redelivery store shape
+    (exporter/internal/persistent_storage.go:278-345) across epochs.
+
+    Magnitude at 100x: identical to dedup_incremental — counts bounded
+    by shingles/doc (~1e3) and corpus rows; no products of aggregates.
+    Scale shape: epoch cost is the SHARD's (sign shard, band-join
+    against store, verify bounded by candidates) — the store is only
+    ever appended to, never rebuilt; shard-axis stress covers the
+    single-epoch core this composes.
+    """
+    return (_incr2_verified_b(spark, sf_dir)
+            .filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("d1", "d2", "n_common",
+                    F.round("j", 4).alias("jaccard"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_incremental_epoch2"] = dedup_incremental_epoch2
+
+_DUCK_A = f"% {INCR_SHARD_MOD} = {INCR_SHARD_REM}"
+_DUCK_B = f"% {INCR_SHARD_MOD} = {INCR2_REM_B}"
+
+#: from-scratch two-epoch recompute shared by the epoch-2 pair + delta
+#: oracles: global LSH pairs -> verify (restricted to pairs touching
+#: either shard) -> epoch-A keep-first drops (shard B not yet arrived:
+#: pairs with a B endpoint excluded) -> epoch-B pairs over survivors.
+_DUCK_INCR2_CTE = _DUCK_PAIR_CTE + f""",
+abpairs AS (SELECT d1, d2 FROM pairs
+            WHERE d1 % {INCR_SHARD_MOD} IN ({INCR_SHARD_REM}, {INCR2_REM_B})
+               OR d2 % {INCR_SHARD_MOD} IN ({INCR_SHARD_REM}, {INCR2_REM_B})),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM abpairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2),
+verified AS (
+  SELECT d1, d2, n_common,
+         CAST(n_common AS DOUBLE) / (z1.n_sh + z2.n_sh - n_common) AS j
+  FROM common JOIN sizes z1 ON z1.doc_id = d1
+              JOIN sizes z2 ON z2.doc_id = d2),
+dropped_a AS (
+  SELECT DISTINCT CASE WHEN d1 {_DUCK_A} AND NOT (d2 {_DUCK_A})
+                       THEN d1 ELSE d2 END AS doc_id
+  FROM verified
+  WHERE j >= {JACCARD_THRESHOLD}
+    AND NOT (d1 {_DUCK_B}) AND NOT (d2 {_DUCK_B})
+    AND (d1 {_DUCK_A} OR d2 {_DUCK_A})),
+epoch_b AS (
+  SELECT d1, d2, n_common, j FROM verified
+  WHERE j >= {JACCARD_THRESHOLD}
+    AND (d1 {_DUCK_B} OR d2 {_DUCK_B})
+    AND d1 NOT IN (SELECT doc_id FROM dropped_a)
+    AND d2 NOT IN (SELECT doc_id FROM dropped_a))
+"""
+ORACLES["dedup_incremental_epoch2"] = _DUCK_INCR2_CTE + """
+SELECT d1, d2, n_common, ROUND(j, 4) AS jaccard
+FROM epoch_b ORDER BY d1, d2 LIMIT 500
+"""
+
+
+def dedup_incremental_epoch2_delta(spark, sf_dir):
+    """The epoch-B store APPEND: band rows of every shard-B doc that
+    survives keep-first dedup against store0+deltaA — the delta that
+    would seed epoch C.  Together with dedup_incremental_epoch2 this
+    gates the full epoch cycle (join -> report -> append) at depth 2;
+    the delta-then-rebuild identity (store0 ∪ deltaA ∪ deltaB ==
+    from-scratch store over kept docs) is pytest-pinned.
+
+    Magnitude/scale: same as the epoch-1 delta — 4 uniform md5 band
+    rows per surviving shard doc; the anti-join's right side is the
+    dropped set (bounded by verified pairs, not corpus).
+    """
+    shard_b = (load_table(spark, sf_dir, "documents")
+               .filter(F.expr(_SPARK_SHARD_B))
+               .repartition(spark.sparkContext.defaultParallelism))
+    dropped_b = keepfirst_dropped(
+        _incr2_verified_b(spark, sf_dir)
+        .filter(F.col("j") >= JACCARD_THRESHOLD), _SPARK_SHARD_B_PRED)
+    # asc_nulls_last: engine-independent ordering under the LIMIT on
+    # data containing <3-word docs (NULL bands) — ADVICE r11
+    return (build_signature_store(shard_b)
+            .join(dropped_b, "doc_id", "left_anti")
+            .orderBy("doc_id", F.asc_nulls_last("band")).limit(500))
+
+
+QUERIES["dedup_incremental_epoch2_delta"] = dedup_incremental_epoch2_delta
+ORACLES["dedup_incremental_epoch2_delta"] = _DUCK_INCR2_CTE + f""",
+dropped_b AS (
+  SELECT DISTINCT CASE WHEN d1 {_DUCK_B} AND NOT (d2 {_DUCK_B})
+                       THEN d1 ELSE d2 END AS doc_id
+  FROM epoch_b)
+SELECT doc_id, unnest({_duck_bands()}) AS band
+FROM sig
+WHERE doc_id {_DUCK_B}
+  AND doc_id NOT IN (SELECT doc_id FROM dropped_b)
 ORDER BY doc_id, band LIMIT 500
 """
 
