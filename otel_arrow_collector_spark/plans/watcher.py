@@ -56,21 +56,34 @@ class _HttpProbe:
     (the reference's Watch interface is provider-agnostic,
     otelcol/collector.go:236-252; this is the polling analogue for the
     httpprovider).  Sends ``If-None-Match`` when the server gave an
-    ETag, else ``If-Modified-Since`` off Last-Modified; 304 keeps the
-    current token, 200 re-derives it (ETag > Last-Modified > body
-    sha256).  A TRANSIENT fetch error keeps the current token — a
-    network blip is no information about the config, and reload-cycling
-    on it would tear a healthy plan down; an actually vanished source
-    still surfaces on the next successful probe or at resolve time.
-    Polled at its own (slower) cadence than local files: ``interval``
-    here is seconds between real GETs; off-cadence probes return the
-    cached token."""
+    ETag; 304 keeps the current token, 200 re-derives it.  Without an
+    ETag every poll is a full GET hashed by body sha256 — Last-Modified
+    is deliberately NOT used as a change token or conditional validator
+    (its 1-second granularity silently swallows successive edits within
+    the same second; ADVICE r11), it only costs one body transfer per
+    (slow-cadence) poll to be exact instead.
+
+    Errors: a TRANSIENT fetch error (network, 5xx) keeps the current
+    token forever — a blip is no information about the config, and
+    reload-cycling on it would tear a healthy plan down.  A PERSISTENT
+    client error (:data:`GONE_AFTER` consecutive 4xx responses) flips
+    the token to ``("gone", code)`` — a deleted remote config is a fact
+    about the config, exactly as a vanished local file probes (-1, -1);
+    the watcher's dry-run then surfaces it as a rejected event while
+    the old plan keeps running.  Polled at its own (slower) cadence
+    than local files: ``interval`` here is seconds between real GETs;
+    off-cadence probes return the cached token."""
+
+    #: consecutive 4xx probes before a remote config counts as deleted
+    #: (one 404 can be a deploy race / LB blip; three on the slow
+    #: cadence is a durable fact).
+    GONE_AFTER = 3
 
     def __init__(self, url: str, interval: float):
         self.url = url
         self.interval = interval
         self._etag: str | None = None
-        self._last_modified: str | None = None
+        self._client_errs = 0
         self._token: tuple = ("init",)
         self._next_due = 0.0   # first probe() fetches immediately
 
@@ -84,23 +97,28 @@ class _HttpProbe:
         req = urllib.request.Request(self.url)
         if self._etag is not None:
             req.add_header("If-None-Match", self._etag)
-        elif self._last_modified is not None:
-            req.add_header("If-Modified-Since", self._last_modified)
         try:
             with urllib.request.urlopen(req, timeout=10) as resp:
                 body = resp.read()
                 self._etag = resp.headers.get("ETag")
-                self._last_modified = resp.headers.get("Last-Modified")
         except urllib.error.HTTPError as e:
             if e.code == 304:
+                self._client_errs = 0
                 return self._token        # validated unchanged
-            return self._token            # server error: no information
+            if 400 <= e.code < 500:
+                self._client_errs += 1
+                if self._client_errs >= self.GONE_AFTER:
+                    self._token = ("gone", e.code)
+                    # drop the validator: once deleted, a restored
+                    # config must arrive as a full 200 (a 304 against
+                    # the stale ETag would pin the gone-token forever)
+                    self._etag = None
+            return self._token            # 5xx: no information
         except (urllib.error.URLError, OSError):
             return self._token            # transient: no information
+        self._client_errs = 0
         if self._etag is not None:
             self._token = ("etag", self._etag)
-        elif self._last_modified is not None:
-            self._token = ("lm", self._last_modified)
         else:
             import hashlib
             self._token = ("sha", hashlib.sha256(body).hexdigest())

@@ -50,9 +50,26 @@ _STATE_SCHEMA = StructType([
     StructField("doc_ids", ArrayType(LongType())),
 ])
 
+#: per-band state bound: a band bucket holding more doc_ids than this is
+#: a degenerate corpus (thousands of near-identical docs hashing to one
+#: LSH bucket) whose candidate emission grows quadratically — refuse
+#: LOUDLY (memlimit semantics: a hard bound beats an OOM'd executor)
+#: instead of letting one bucket's state and output grow unbounded.
+#: 10k stored docs in ONE band already implies ~10k pairs per new doc.
+MAX_BAND_DOCS = 10_000
+
+
+class BandStateOverflowError(RuntimeError):
+    """A single LSH band bucket exceeded :data:`MAX_BAND_DOCS` stored
+    documents — the degenerate-corpus guard of the streaming twin (the
+    batch path's analogue is curation_store_stats' max_bucket monitor,
+    which exists to watch exactly this fan-out)."""
+
 
 def _emit_pairs(key, pdfs: Iterator[pd.DataFrame],
-                state: GroupState) -> Iterator[pd.DataFrame]:
+                state: GroupState,
+                max_band_docs: int = MAX_BAND_DOCS
+                ) -> Iterator[pd.DataFrame]:
     stored = set(state.get[0]) if state.exists else set()
     fresh: list[int] = []
     seen = set(stored)
@@ -62,6 +79,13 @@ def _emit_pairs(key, pdfs: Iterator[pd.DataFrame],
             if d not in seen:           # re-delivery: no-op
                 seen.add(d)
                 fresh.append(d)
+    if len(seen) > max_band_docs:
+        raise BandStateOverflowError(
+            f"band {key[0]!r}: {len(seen)} docs in one LSH bucket "
+            f"(cap {max_band_docs}) — degenerate near-identical corpus; "
+            "pair emission for this bucket is quadratic. Raise "
+            "max_band_docs only with the executor memory to match, or "
+            "pre-screen exact duplicates (dedup_exact) upstream.")
     if not fresh:
         yield pd.DataFrame({"d1": [], "d2": []}).astype("int64")
         return
@@ -78,12 +102,20 @@ def _emit_pairs(key, pdfs: Iterator[pd.DataFrame],
     yield pd.DataFrame({"d1": d1s, "d2": d2s})
 
 
-def incr_dedup_stream(docs: DataFrame) -> DataFrame:
+def incr_dedup_stream(docs: DataFrame,
+                      max_band_docs: int = MAX_BAND_DOCS) -> DataFrame:
     """Streaming LSH candidate emission: ``docs`` (doc_id, text) ->
     update-mode (d1, d2) candidate pairs touching each arriving batch.
     The band projection is the SAME SQL the batch store builder uses
     (shingle -> signature -> band), so stream and batch cannot diverge
-    on bucketing."""
+    on bucketing.  ``max_band_docs`` bounds per-band state (closure-
+    carried so it reaches the executors); past it the query fails with
+    :class:`BandStateOverflowError` rather than growing one bucket's
+    state and emission quadratically."""
+
+    def emit(key, pdfs, state):
+        return _emit_pairs(key, pdfs, state, max_band_docs)
+
     bands = (docs.select("doc_id", F.split("text", " ").alias("ws"))
              .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
              .select("doc_id",
@@ -99,5 +131,5 @@ def incr_dedup_stream(docs: DataFrame) -> DataFrame:
              .filter(F.col("band").isNotNull()))
     return (bands.groupBy("band")
             .applyInPandasWithState(
-                _emit_pairs, OUT_SCHEMA, _STATE_SCHEMA,
+                emit, OUT_SCHEMA, _STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))

@@ -145,7 +145,8 @@ class _ConfigHTTPServer:
     """Local HTTP config server with a mutable document, optional ETag /
     Last-Modified validators, and a request log of conditional hits."""
 
-    def __init__(self, body: str, *, etag: bool = True):
+    def __init__(self, body: str, *, etag: bool = True,
+                 last_modified: str | None = None):
         import http.server
         import threading
         outer = self
@@ -154,6 +155,9 @@ class _ConfigHTTPServer:
             def do_GET(self):
                 outer.requests.append(
                     self.headers.get("If-None-Match"))
+                if outer.gone:
+                    self.send_error(404)
+                    return
                 if (etag and outer.etag is not None
                         and self.headers.get("If-None-Match")
                         == outer.etag):
@@ -164,6 +168,8 @@ class _ConfigHTTPServer:
                 self.send_response(200)
                 if etag:
                     self.send_header("ETag", outer.etag)
+                if last_modified is not None:
+                    self.send_header("Last-Modified", last_modified)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -173,6 +179,7 @@ class _ConfigHTTPServer:
 
         self.requests: list = []
         self.body = body
+        self.gone = False
         self.etag = '"v1"' if etag else None
         self._etag_on = etag
         self.srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
@@ -232,6 +239,50 @@ def test_http_watch_no_validators_falls_back_to_body_hash(spark):
             assert w.events[0].kind == "reloaded"
         assert c.state is State.RUNNING
         c.shutdown()
+    finally:
+        srv.close()
+
+
+def test_http_probe_persistent_404_registers_as_deletion():
+    """A permanently deleted remote config (consecutive 4xx) must
+    surface as a change — like a vanished local file — while the first
+    few 4xx stay 'no information' (a deploy race is not a deletion),
+    and the gone-token is stable (no reload-cycling on repeat 404s).
+    ADVICE r11."""
+    from otel_arrow_collector_spark.plans.watcher import _HttpProbe
+    srv = _ConfigHTTPServer(_FILTERED)
+    try:
+        p = _HttpProbe(srv.url, interval=0.0)
+        t0 = p.probe()
+        assert t0[0] == "etag"
+        srv.gone = True
+        assert p.probe() == t0          # 1st 404: could be a blip
+        assert p.probe() == t0          # 2nd: still no information
+        t_gone = p.probe()              # 3rd consecutive: a fact
+        assert t_gone == ("gone", 404)
+        assert p.probe() == t_gone      # stable — one event, not a cycle
+        srv.gone = False                # restored: registers as change
+        assert p.probe() == t0
+    finally:
+        srv.close()
+
+
+def test_http_probe_lastmod_only_detects_subsecond_edit():
+    """With only a Last-Modified validator the probe must hash the
+    body, not trust the validator: two different bodies served under
+    the SAME Last-Modified second must produce different tokens
+    (ADVICE r11 — the 1-second granularity miss)."""
+    from otel_arrow_collector_spark.plans.watcher import _HttpProbe
+    srv = _ConfigHTTPServer(
+        _FILTERED, etag=False,
+        last_modified="Wed, 21 Oct 2015 07:28:00 GMT")
+    try:
+        p = _HttpProbe(srv.url, interval=0.0)
+        t0 = p.probe()
+        assert t0[0] == "sha"
+        srv.body = _UNFILTERED         # same Last-Modified, new body
+        t1 = p.probe()
+        assert t1 != t0 and t1[0] == "sha"
     finally:
         srv.close()
 

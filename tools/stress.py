@@ -238,6 +238,20 @@ def plan_shape(df) -> Counter:
             keys = re.search(r"Keys(?: \[\d+\])?: \[([^\]]*)\]",
                              txt[m.start():end])
             sig = re.sub(r"#\d+L?", "", keys.group(1)) if keys else ""
+            if not sig:
+                # key-less (global) aggregates would otherwise ALL share
+                # the empty signature, so any number of distinct global
+                # aggregates per node type count as one and a NEW one
+                # appearing at scale would slip through (ADVICE r11) —
+                # discriminate by the normalized function list, with the
+                # partial/merge stage prefixes stripped so the stage
+                # collapse still works.
+                fns = re.search(r"Functions(?: \[\d+\])?: \[([^\]]*)\]",
+                                txt[m.start():end])
+                if fns:
+                    sig = "()" + re.sub(
+                        r"\b(?:partial_|merge_|finalmerge_)", "",
+                        re.sub(r"#\d+L?", "", fns.group(1)))
             agg_sigs.setdefault(name, set()).add(sig)
             continue
         nodes.append("EquiJoin" if name in EQUI_JOINS else name)
