@@ -57,54 +57,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the round-11 additions (commit-checklist rule: every new
-    # query gets a slot here), led by the incremental-dedup flagship.
-    "dedup_incremental", "dedup_incremental_delta",
-    "sketch_theta_jaccard", "graph_clustering_coefficient",
-    "graph_assortativity", "q104_skyline", "q105_market_basket",
-    "sample_reservoir", "dedup_containment", "ann_range_search",
-    "text_source_drift", "q106_mad_dispersion", "q107_benford_screen",
-    "curation_ingest_funnel", "curation_store_stats",
-    "graph_degree_distribution",
-    # The r10-ADVICE-touched queries (semantics changed this round —
-    # q102's median_x2_s definition, theta_union's fallback column):
-    "q102_time_to_convert", "sketch_theta_union",
-    # THEN the stalest driver rows (verdict ask #2): newest
-    # CORRECTNESS evidence r05 —
-    "q51_pricing_summary", "q52_returned_item_ranking",
-    "q53_large_volume_orders", "q54_order_priority_check",
-    "q55_priority_line_counts", "q56_customer_order_distribution",
-    "q57_promo_revenue", "q58_parts_supplier_relationship",
-    "q59_small_quantity_revenue", "q60_disjunctive_revenue",
-    "q61_dormant_rich_customers", "q62_top_supplier",
-    "text_perplexity_gate", "doc_chunks", "mixture_report",
-    "stratified_sample", "multimodal_decode_real",
-    "multimodal_decode_stub",
-    # — and r06 (q70+ analytics band, sketches, curation/text r06 era):
-    "q70_tail_latency_outliers", "q71_conversion_funnel",
-    "q72_scd2_intervals", "q73_json_extraction",
-    "q74_range_frame_moving_sum", "q75_exp_to_explicit_histogram",
-    "q76_timeseries_similarity", "q77_rfm_segments", "q78_cube_matrix",
-    "q79_exact_median", "ann_ivf_multiprobe", "ann_recall_report",
-    "contamination_screen", "curation_pipeline", "dedup_keep_best",
-    "dedup_substring", "embedding_outliers", "embedding_quantize_int8",
-    "heavy_hitter_events", "pack_sequences", "sample_split",
-    "sample_stratified", "shuffle_shards", "temperature_mix",
-    "text_bigram_lm", "text_bm25_search", "text_bpe_tokens",
-    "text_df_topterms", "text_pii_scrub", "text_quality_classifier",
-    "text_repetition", "sketch_hll_registers", "sketch_hll_by_group",
-    "sketch_cms_counters", "sketch_cms_join_size",
-    # r07-era rows backfill whatever sampling budget remains;
+    # FIRST: the round-12 additions (commit-checklist rule: every new
+    # query gets a slot here), led by the two-epoch composition proof.
+    "dedup_incremental_epoch2", "dedup_incremental_epoch2_delta",
+    "q108_bitmap_distinct", "q109_user_streaks", "q110_corr_screen",
+    "q111_time_weighted_avg", "dedup_minhash_estimate_error",
+    "graph_two_hop_reach", "sketch_bloom_fpr", "text_simpson_diversity",
+    # THEN the stalest driver rows (verdict r11 ask #3): q63-q69
+    # (newest evidence r06) —
+    "q63_volume_shipping", "q64_product_profit",
+    "q65_min_acctbal_supplier", "q66_important_parts",
+    "q67_dominant_suppliers", "q68_waiting_suppliers",
+    "q69_forecast_revenue",
+    # — the r06-era codec roundtrips —
+    "lz4_roundtrip", "snappy_roundtrip", "multimodal_adpcm_roundtrip",
+    "multimodal_g711_roundtrip", "multimodal_qoi_roundtrip",
+    "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
+    "warc_extract", "tar_extract", "jsonl_extract",
+    # — and the q80-q101 analytics band (newest evidence r07-r10):
+    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
+    "q83_intransit_peak", "q84_brand_growth", "q85_revenue_percentiles",
+    "q86_gap_filled_daily", "q87_forward_fill", "q88_dq_expectations",
+    "q89_incremental_mv_merge", "q90_tail_sampling", "q91_rate_limit",
+    "q92_slo_burn", "q93_scd2_merge", "q94_attribution",
+    "q95_cdc_apply", "q96_changepoint", "q97_seasonal_spike",
+    "q98_weighted_median", "q99_revenue_gini", "q100_pareto_curve",
+    "q101_ewma_smoothing",
+    # r11 flagship family keeps a toe-hold in the sampling budget;
     # everything else follows in registry order.
-    "q01_scan_project", "q02_filter", "q03_compound_filter",
-    "q04_global_agg", "q05_groupby", "q06_multikey_having",
-    "q07_count_distinct", "q08_rollup", "sketch_hll_estimate",
-    "sketch_cms_point", "sketch_quantile_sampled",
-    "graph_triangle_count", "graph_pagerank", "ann_pq_codes",
-    "embedding_mrl_energy", "dedup_cross_corpus", "bloom_screen",
-    "sample_weighted", "cc_pipeline", "text_gopher_rules",
-    "text_html_extract", "text_url_domains", "tar_extract",
-    "warc_extract",
+    "dedup_incremental", "dedup_incremental_delta",
 ]
 
 

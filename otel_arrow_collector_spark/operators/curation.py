@@ -984,3 +984,111 @@ SELECT f.source, f.n_tok,
 FROM flags f CROSS JOIN cut c
 ORDER BY f.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter health: measured false-positive rate (round 12)
+# ---------------------------------------------------------------------------
+
+def sketch_bloom_fpr(spark, sf_dir):
+    """Filter-level health report for EXACTLY the Bloom filter
+    ``bloom_screen`` ships: geometry (m = 2^16 bits, k = 3), load
+    (n_inserted distinct benchmark shingles, bits_set, fill in
+    permille), and the MEASURED false-positive rate — corpus shingles
+    that are definitively NOT in the benchmark set (anti-join) yet
+    pass all k bit probes, in ppm.  The observed-fpr-vs-fill row is
+    what decides when the filter must be resized before it silently
+    degrades the screen to noise (Bloom 1970's trade made observable;
+    the dedup battery's measured-accuracy discipline, see
+    dedup_minhash_estimate_error).
+
+    Magnitude: 1e6 * fp <= 1e6 * |corpus shingles| ~ 1e18 at 100x —
+    BIGINT-safe; everything else is <= 2^16 or a count.
+
+    Scale shape: one distinct-agg per side, the probe is the same
+    broadcast join on the <= 2^16-row bit relation bloom_screen uses
+    (the filter is the broadcastable thing by design), all finals are
+    single-row global aggregates.
+    """
+    from .dedup import _spark_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select("source", F.split("text", " ").alias("ws"))
+          .select("source",
+                  F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                  .alias("sh")))
+    pos = _bloom_pos_exprs("sh", "substring")
+    bench = (sh.filter(F.col("source") == "src0")
+             .select("sh").distinct())
+    bits = (bench.select(F.explode(F.array(
+        *[F.expr(p) for p in pos])).alias("bit"))
+        .distinct())
+    probes = (sh.filter(F.col("source") != "src0")
+              .select("sh").distinct()
+              .join(bench, "sh", "left_anti"))
+    fp = (probes.select(
+        "sh", F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy("sh").agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == BLOOM_K))
+    m_bits = 16 ** BLOOM_HEXCHARS
+    stats = (bench.agg(F.count(F.lit(1)).alias("n_inserted"))
+             .crossJoin(bits.agg(F.count(F.lit(1)).alias("bits_set")))
+             .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probes")))
+             .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_false_pos"))))
+    return stats.select(
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+        F.col("n_inserted").cast("long").alias("n_inserted"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.expr(f"1000 * bits_set div {m_bits}").cast("long")
+        .alias("fill_permille"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.expr("CASE WHEN n_probes = 0 THEN NULL "
+               "ELSE 1000000 * n_false_pos div n_probes END")
+        .cast("long").alias("fpr_ppm"))
+
+
+QUERIES["sketch_bloom_fpr"] = sketch_bloom_fpr
+
+
+def _bloom_fpr_oracle() -> str:
+    pos = _bloom_pos_exprs("sh", "substr")
+    bits_union = " UNION ALL ".join(
+        f"SELECT DISTINCT {p} AS bit FROM bench_sh" for p in pos)
+    probe_union = " UNION ALL ".join(
+        f"SELECT sh, {p} AS bit FROM probes" for p in pos)
+    m_bits = 16 ** BLOOM_HEXCHARS
+    return f"""
+WITH docs AS (SELECT source, string_split(text, ' ') AS ws
+              FROM documents),
+sh AS (SELECT source,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS sh
+       FROM docs),
+bench_sh AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+bits AS (SELECT DISTINCT bit FROM ({bits_union})),
+probes AS (
+  SELECT DISTINCT sh FROM sh WHERE source != 'src0'
+  EXCEPT SELECT sh FROM bench_sh),
+fp AS (
+  SELECT p.sh FROM ({probe_union}) p
+  JOIN bits b ON b.bit = p.bit
+  GROUP BY p.sh HAVING COUNT(*) = {BLOOM_K})
+SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       CAST((SELECT COUNT(*) FROM bench_sh) AS BIGINT) AS n_inserted,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+       CAST(1000 * (SELECT COUNT(*) FROM bits) // {m_bits} AS BIGINT)
+         AS fill_permille,
+       CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probes,
+       CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_false_pos,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM probes) = 0 THEN NULL
+            ELSE 1000000 * (SELECT COUNT(*) FROM fp)
+                 // (SELECT COUNT(*) FROM probes) END AS BIGINT)
+         AS fpr_ppm
+"""
+
+
+ORACLES["sketch_bloom_fpr"] = _bloom_fpr_oracle()

@@ -2015,3 +2015,104 @@ SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM bands) AS BIGINT) AS n_docs,
          AS n_collision_buckets
 FROM pb
 """
+
+
+# ---------------------------------------------------------------------------
+# minhash signature accuracy: estimated vs exact Jaccard (round 12)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_estimate_error(spark, sf_dir):
+    """Measured accuracy of the MinHash sketch itself: for every LSH
+    candidate pair, the signature-estimated Jaccard (matching
+    components / K_HASHES — Broder 1997's unbiased estimator) next to
+    the exact shingle Jaccard, with the absolute error, all in integer
+    permille (K_HASHES = 8 divides 1000*matches exactly: est = 125 *
+    matches).  The dedup battery's analogue of ann_recall_report:
+    every sketch in the engine publishes its measured error, not just
+    its output.
+
+    Magnitude at 100x: 1000 * n_common <= 1e6 — trivial; the estimate
+    is <= 1000 by construction.
+
+    Scale shape: signatures are recomputed ONLY for docs appearing in
+    a candidate pair (semi-join on the id set — the verify-stage
+    discipline); the estimate join is two broadcast-able id lookups
+    against the candidate relation, the exact side reuses the memoized
+    verified relation.  No new shuffle over the corpus.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (pairs.select(F.col("d1").alias("doc_id"))
+           .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+           .distinct())
+    sig = (docs.join(ids, "doc_id", "semi")
+           .select("doc_id", F.split("text", " ").alias("ws"))
+           .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+           .select("doc_id",
+                   F.array(*[F.expr(_spark_sig(j))
+                             for j in range(K_HASHES)]).alias("sig")))
+    est = (pairs
+           .join(sig.select(F.col("doc_id").alias("d1"),
+                            F.col("sig").alias("sig1")), "d1")
+           .join(sig.select(F.col("doc_id").alias("d2"),
+                            F.col("sig").alias("sig2")), "d2")
+           .select("d1", "d2",
+                   F.expr("aggregate(zip_with(sig1, sig2, (a, b) -> "
+                          "CASE WHEN a = b THEN 1 ELSE 0 END), 0, "
+                          "(acc, x) -> acc + x)").alias("n_match")))
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exact = (_jaccard_verified(spark, sf_dir)
+             .join(sizes.alias("z1"),
+                   F.col("d1") == F.col("z1.doc_id"))
+             .join(sizes.alias("z2"),
+                   F.col("d2") == F.col("z2.doc_id"))
+             .select("d1", "d2",
+                     F.expr("1000 * n_common div "
+                            "(z1.n_sh + z2.n_sh - n_common)")
+                     .cast("long").alias("exact_permille")))
+    k_scale = 1000 // K_HASHES
+    return (est.join(exact, ["d1", "d2"])
+            .select("d1", "d2",
+                    F.col("n_match").cast("long").alias("n_sig_match"),
+                    (F.col("n_match") * k_scale).cast("long")
+                    .alias("est_permille"),
+                    "exact_permille",
+                    F.abs(F.col("n_match") * k_scale
+                          - F.col("exact_permille")).cast("long")
+                    .alias("err_permille"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_minhash_estimate_error"] = dedup_minhash_estimate_error
+ORACLES["dedup_minhash_estimate_error"] = _DUCK_PAIR_CTE + f""",
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (SELECT p.d1, p.d2, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd s1 ON s1.doc_id = p.d1
+           JOIN shd s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+           GROUP BY p.d1, p.d2),
+est AS (
+  SELECT p.d1, p.d2,
+         list_sum(list_transform(range(1, {K_HASHES + 1}),
+           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+           AS n_match
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.d1
+  JOIN sig b ON b.doc_id = p.d2)
+SELECT e.d1, e.d2,
+       CAST(e.n_match AS BIGINT) AS n_sig_match,
+       CAST(e.n_match * {1000 // K_HASHES} AS BIGINT) AS est_permille,
+       CAST(1000 * c.n_common // (z1.n_sh + z2.n_sh - c.n_common)
+            AS BIGINT) AS exact_permille,
+       CAST(abs(e.n_match * {1000 // K_HASHES}
+                - 1000 * c.n_common
+                  // (z1.n_sh + z2.n_sh - c.n_common))
+            AS BIGINT) AS err_permille
+FROM est e
+JOIN common c ON c.d1 = e.d1 AND c.d2 = e.d2
+JOIN sizes z1 ON z1.doc_id = e.d1
+JOIN sizes z2 ON z2.doc_id = e.d2
+ORDER BY e.d1, e.d2 LIMIT 500
+"""

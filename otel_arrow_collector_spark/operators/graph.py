@@ -919,3 +919,82 @@ SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
        CAST(SUM(d) AS BIGINT) AS sum_degree
 FROM deg GROUP BY 1 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach (neighborhood-size expansion)
+# ---------------------------------------------------------------------------
+
+def graph_two_hop_reach(spark, sf_dir):
+    """Top-20 parts by two-hop reach: |{w : dist(node, w) <= 2}| over
+    the co-purchase graph, published next to the one-hop degree — the
+    neighborhood-growth profile (how fast does the graph ball expand?),
+    the local lens on the same substrate the clustering coefficient
+    reads, and the candidate-volume estimator for any
+    friend-of-a-friend recommender over the graph.
+
+    Scale shape: the expansion is ONE self-join of the bidirectional
+    edge list on the middle node (the wedge join triangle counting
+    already pays) followed by a distinct + count keyed by the source
+    node — never an n x n matrix; the hub guard (MAX_BASKET) bounds
+    each node's fan-out so the wedge stream is O(sum deg^2) with
+    bounded deg.  The memoized edge substrate is shared with the five
+    other graph operators (one derivation per session/dir).
+
+    Magnitude: reach <= |nodes| <= 2e8 parts at 100x — trivial BIGINT.
+
+    Reference analogue: none (engine-added scale operator; the
+    reference has no graph surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from .cache_registry import cached
+    edges = cached("copurchase_edges", spark, sf_dir,
+                   lambda: copurchase_edges(li).persist())
+    bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+             .unionAll(edges.select(F.col("v").alias("a"),
+                                    F.col("u").alias("b"))))
+    one = bidir.select("a", F.col("b").alias("x"))
+    two = (bidir.join(bidir.select(F.col("a").alias("b"),
+                                   F.col("b").alias("w")), "b")
+           .filter(F.col("w") != F.col("a"))
+           .select("a", F.col("w").alias("x")))
+    reach = (one.unionByName(two).distinct()
+             .groupBy("a").agg(F.count(F.lit(1)).alias("reach2")))
+    deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    return (reach.join(deg, "a")
+            .select(F.col("a").cast("long").alias("node"),
+                    F.col("deg").cast("long").alias("deg"),
+                    F.col("reach2").cast("long").alias("reach2"))
+            .orderBy(F.col("reach2").desc(), "node").limit(20))
+
+
+QUERIES["graph_two_hop_reach"] = graph_two_hop_reach
+ORACLES["graph_two_hop_reach"] = f"""
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+  WHERE instr('{_HEX}',
+              substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1
+        < {BASKET_SAMPLE_HEX}),
+deg0 AS (SELECT o, COUNT(*) AS ns FROM ps GROUP BY o),
+small AS (SELECT ps.o, ps.s FROM ps JOIN deg0 ON deg0.o = ps.o
+          WHERE deg0.ns <= {MAX_BASKET}),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM small a JOIN small b ON a.o = b.o AND a.s < b.s),
+bidir AS (
+  SELECT u AS a, v AS b FROM pairs
+  UNION ALL SELECT v AS a, u AS b FROM pairs),
+hop AS (
+  SELECT a, b AS x FROM bidir
+  UNION
+  SELECT e1.a, e2.b AS x
+  FROM bidir e1 JOIN bidir e2 ON e2.a = e1.b
+  WHERE e2.b <> e1.a),
+reach AS (SELECT a, COUNT(*) AS reach2 FROM hop GROUP BY a),
+deg AS (SELECT a, COUNT(*) AS deg FROM bidir GROUP BY a)
+SELECT CAST(r.a AS BIGINT) AS node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(r.reach2 AS BIGINT) AS reach2
+FROM reach r JOIN deg d ON d.a = r.a
+ORDER BY reach2 DESC, node LIMIT 20
+"""

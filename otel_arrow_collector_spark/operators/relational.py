@@ -4520,3 +4520,277 @@ def q107(spark, sf_dir):
                     F.expr(f"1000000 * n div t - {_BENFORD_CASE}")
                      .cast("long").alias("delta_ppm"))
             .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# q108-q111: bitmap distinct / streaks / exact-decimal correlation / TWA
+# (round 12)
+# ---------------------------------------------------------------------------
+
+#: bitmap word width for q108 — 32 bits, NOT 64: DuckDB's checked
+#: ``<<`` raises Out of Range on ``1::BIGINT << 63``, and bit 31 keeps
+#: every word positive so no engine touches sign semantics.
+BITMAP_BITS = 32
+
+
+@_register("q108_bitmap_distinct", f"""
+WITH b AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         user_id // {BITMAP_BITS} AS word_idx,
+         bit_or((1::BIGINT) << (user_id % {BITMAP_BITS})) AS word
+  FROM events GROUP BY 1, 2),
+bm AS (
+  SELECT day, CAST(SUM(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM b GROUP BY day),
+ex AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+  FROM events GROUP BY 1)
+SELECT bm.day, bm.n_users_bitmap, ex.n_users_exact, bm.n_words
+FROM bm JOIN ex ON ex.day = bm.day
+ORDER BY bm.day
+""")
+def q108(spark, sf_dir):
+    """Daily distinct users via BITMAP words — the distributed
+    distinct-count-as-bitmap pattern (the roaring-bitmap rollup shape,
+    Chambi et al. 2016): user u sets bit u%32 of word u//32, words OR
+    together under a map-side-combinable bit_or, and the day's distinct
+    count is the sum of per-word popcounts.  Published NEXT TO the
+    exact COUNT(DISTINCT) so every green row is itself the proof that
+    the bitmap path is lossless.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) shuffles every (day,
+    user) pair; the bitmap pre-aggregates to |days| x |user_space|/32
+    words with bit_or partials combining on the map side, and bitmap
+    unions across time windows come free (OR is associative — the
+    HLL-vs-exact trade without the error).
+
+    Magnitude: words are 32-bit patterns in BIGINT (always positive);
+    popcount sums <= distinct users <= 2^63.  Scale shape: two hash
+    aggs on (day, word) / (day), one day-keyed join of two day-sized
+    relations.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 1000 div 86400000000").cast("long")
+    b = (ev.select(day.alias("day"),
+                   F.expr(f"user_id div {BITMAP_BITS}").alias("word_idx"),
+                   F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST(pmod(user_id, {BITMAP_BITS}) AS INT))")
+                   .alias("bit"))
+         .groupBy("day", "word_idx")
+         .agg(F.expr("bit_or(bit)").alias("word")))
+    bm = (b.groupBy("day")
+          .agg(F.sum(F.bit_count("word")).cast("long")
+               .alias("n_users_bitmap"),
+               F.count(F.lit(1)).cast("long").alias("n_words")))
+    ex = (ev.select(day.alias("day"), "user_id")
+          .groupBy("day")
+          .agg(F.countDistinct("user_id").cast("long")
+               .alias("n_users_exact")))
+    return (bm.join(ex, "day")
+            .select("day", "n_users_bitmap", "n_users_exact", "n_words")
+            .orderBy("day"))
+
+
+@_register("q109_user_streaks", """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM isl GROUP BY user_id, island)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+ORDER BY longest_streak DESC, user_id LIMIT 20
+""")
+def q109(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands rewrite: on the DISTINCT (user, day) relation,
+    day - row_number() is constant exactly along a run of consecutive
+    days, so one window + one hash agg replaces any self-join over
+    date arithmetic.  Top-20 by streak, ties by user.
+
+    Scale shape: the window partitions by user_id (high cardinality,
+    no skew) over the COLLAPSED distinct-days relation — |users| x
+    |active days| rows, not the fact table; the global top-20 runs as
+    TakeOrderedAndProject.  Magnitude: streak lengths <= days — trivial.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.select("user_id",
+                   F.expr("ts_ns div 1000 div 86400000000")
+                   .cast("long").alias("day"))
+         .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select("user_id", "day",
+                   (F.col("day") - F.row_number().over(w)).alias("island"))
+    runs = (isl.groupBy("user_id", "island")
+            .agg(F.count(F.lit(1)).alias("len")))
+    return (runs.groupBy("user_id")
+            .agg(F.max("len").cast("long").alias("longest_streak"),
+                 F.sum("len").cast("long").alias("n_active_days"))
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "longest_streak", "n_active_days")
+            .orderBy(F.col("longest_streak").desc(), "user_id")
+            .limit(20))
+
+
+@_register("q110_corr_screen", """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS HUGEINT) AS x,
+         CAST(round(l_discount * 10000) AS HUGEINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM v GROUP BY grp),
+t AS (
+  SELECT grp, n,
+         n*sxy - sx*sy AS num,
+         n*sxx - sx*sx AS d1,
+         n*syy - sy*sy AS d2
+  FROM m)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS sign_r,
+       CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+            ELSE ((1000000 * abs(num)) // d1) * abs(num) // d2
+            END AS BIGINT) AS r2_ppm,
+       CAST(CASE WHEN d1 = 0 THEN NULL
+            ELSE (1000000 * num) // d1 END AS BIGINT) AS slope_micro
+FROM t ORDER BY grp
+""")
+def q110(spark, sf_dir):
+    """Exact-arithmetic Pearson correlation screen between quantity and
+    discount per return flag: r^2 in ppm plus the sign and the OLS
+    slope in micro-units — the does-discount-drive-volume sanity check,
+    computed without a single float crossing an engine boundary (the
+    corr() builtin is float and merge-order-dependent; this is the
+    integerized moment form).
+
+    Overflow discipline (the q99/theta class, one level up): num^2
+    would need ~1e49 at 100x (n ~ 1e10), PAST decimal(38) — so r^2 is
+    staged as ((1e6*|num|) div d1) * |num| div d2, keeping every
+    intermediate <= 1e6 * d2 ~ 1e32 by Cauchy-Schwarz (|num| <=
+    sqrt(d1*d2)).  Negative num never meets integer division (abs
+    first; Spark div and DuckDB // both truncate toward zero, but
+    non-negative operands make the question moot); zero variance
+    degrades to NULL in both engines via CASE, not a throw under ANSI.
+
+    Scale shape: one map-side-combinable 7-moment hash agg over the
+    fact table -> 3 rows; everything after is per-row arithmetic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast(dec).alias("x"),
+        F.round(F.col("l_discount") * 10000).cast(dec).alias("y"))
+    m = (v.groupBy("grp")
+         .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    t = m.select(
+        "grp", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("d1"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("d2"))
+    return (t.select(
+        "grp", F.col("n").cast("long").alias("n"),
+        F.expr("CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 "
+               "ELSE 0 END").cast("long").alias("sign_r"),
+        F.expr("CASE WHEN d1 = 0 OR d2 = 0 THEN NULL "
+               "ELSE ((1000000 * abs(num)) div d1) * abs(num) div d2 "
+               "END").cast("long").alias("r2_ppm"),
+        F.expr("CASE WHEN d1 = 0 THEN NULL "
+               "ELSE (1000000 * num) div d1 END").cast("long")
+        .alias("slope_micro"))
+        .orderBy("grp"))
+
+
+@_register("q111_time_weighted_avg", """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         event_id
+  FROM events),
+iv AS (
+  SELECT event_type, day, v_cents,
+         LEAD(ts_us) OVER (PARTITION BY event_type, day
+                           ORDER BY ts_us, event_id) - ts_us AS dt_us
+  FROM e),
+s AS (
+  SELECT event_type, day,
+         SUM(CAST(v_cents AS HUGEINT) * dt_us) AS wsum,
+         SUM(CAST(dt_us AS HUGEINT)) AS tsum,
+         COUNT(*) AS n_iv
+  FROM iv WHERE dt_us IS NOT NULL
+  GROUP BY event_type, day)
+SELECT event_type, day,
+       CAST(CASE WHEN tsum = 0 THEN NULL
+            ELSE wsum // tsum END AS BIGINT) AS twa_cents,
+       CAST(n_iv AS BIGINT) AS n_intervals
+FROM s ORDER BY event_type, day LIMIT 300
+""")
+def q111(spark, sf_dir):
+    """Time-weighted average of the event gauge per (type, day): each
+    observation holds its value until the next one, so the day's TWA is
+    sum(value_i * dt_i) / sum(dt_i) over the LEAD intervals — the
+    metrics-correct mean for irregularly sampled gauges (a plain AVG
+    over-weights bursts), the gauge twin of q40's rate.
+
+    Integer end to end: values in cents (2-decimal source), interval
+    widths in exact integer microseconds off ts_ns div 1000 (never a
+    ts/1000 double divide — the 2^53 loader lesson), the weighted sum
+    in decimal(38) (cents ~ 1e4 x dt ~ 1e11 us x 1e6 rows/day-type
+    ~ 1e21 at 100x), published as floor-div cents.  A zero-width day
+    (all events same microsecond) degrades to NULL in both engines via
+    CASE rather than an ANSI throw.
+
+    Scale shape: the LEAD window partitions by (type, day) — bounded
+    frames, high cardinality, never the whole fact in one partition;
+    the rest is one hash agg in the same key space.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("ts_ns div 1000 div 86400000000").cast("long")
+        .alias("day"),
+        F.expr("ts_ns div 1000").cast("long").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        "event_id")
+    w = Window.partitionBy("event_type", "day").orderBy("ts_us",
+                                                        "event_id")
+    iv = e.select("event_type", "day", "v_cents",
+                  (F.lead("ts_us").over(w) - F.col("ts_us"))
+                  .alias("dt_us"))
+    dec = "decimal(38,0)"
+    s = (iv.filter(F.col("dt_us").isNotNull())
+         .groupBy("event_type", "day")
+         .agg(F.sum(F.col("v_cents").cast(dec) * F.col("dt_us"))
+              .alias("wsum"),
+              F.sum(F.col("dt_us").cast(dec)).alias("tsum"),
+              F.count(F.lit(1)).alias("n_iv")))
+    return (s.select(
+        "event_type", "day",
+        F.expr("CASE WHEN tsum = 0 THEN NULL ELSE wsum div tsum END")
+        .cast("long").alias("twa_cents"),
+        F.col("n_iv").cast("long").alias("n_intervals"))
+        .orderBy("event_type", "day").limit(300))

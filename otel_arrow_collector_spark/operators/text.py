@@ -2004,3 +2004,77 @@ frame AS (
 SELECT source, CAST(SUM(ABS(sp - cp)) AS BIGINT) AS l1_ppm
 FROM frame GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Simpson lexical diversity (round 12)
+# ---------------------------------------------------------------------------
+
+def text_simpson_diversity(spark, sf_dir):
+    """Simpson concentration per source in exact ppm: lambda =
+    sum c_i*(c_i-1) / (N*(N-1)) over token counts — the probability two
+    tokens drawn without replacement are the SAME type (Simpson 1949).
+    High lambda = repetitive/templated text, low = lexically diverse;
+    next to Heaps (vocab growth) and Zipf (rank law) this completes the
+    corpus-diversity triptych, per source so a curator can rank feeds
+    by boilerplate before mixing.  Published with token/type counts and
+    the inverse-Simpson effective-type count (how many equally-common
+    types would look this concentrated) in integer milli-units.
+
+    Division-free discipline: both ratios are single floor-divisions
+    of decimal(38) sums — c^2 sums pass 2^63 as soon as one type
+    crosses ~3e9 tokens in a source (a stopword at ~SF30), so BIGINT
+    would wrap under non-ANSI Spark while DuckDB's HUGEINT widens (the
+    theta-hash overflow class); N*(N-1) = 0 (empty/1-token source)
+    degrades to NULL via CASE in both engines, never an ANSI throw.
+
+    Scale shape: one (source, token) hash agg (map-side combinable),
+    one source-keyed moment agg — no windows, no joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("source", F.explode(_words()).alias("token"))
+            .filter(F.col("token") != ""))
+    cnt = (toks.groupBy("source", "token")
+           .agg(F.count(F.lit(1)).alias("c")))
+    dec = "decimal(38,0)"
+    m = (cnt.groupBy("source")
+         .agg(F.sum("c").cast(dec).alias("n_tokens"),
+              F.count(F.lit(1)).alias("n_types"),
+              F.sum(F.col("c").cast(dec) * (F.col("c") - 1))
+              .alias("coll")))
+    return (m.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr("CASE WHEN n_tokens * (n_tokens - 1) = 0 THEN NULL "
+               "ELSE 1000000 * coll div (n_tokens * (n_tokens - 1)) "
+               "END").cast("long").alias("simpson_ppm"),
+        F.expr("CASE WHEN coll = 0 THEN NULL "
+               "ELSE 1000 * n_tokens * (n_tokens - 1) div coll END")
+        .cast("long").alias("inv_simpson_milli"))
+        .orderBy("source"))
+
+
+QUERIES["text_simpson_diversity"] = text_simpson_diversity
+ORACLES["text_simpson_diversity"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+cnt AS (
+  SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM toks WHERE token != '' GROUP BY source, token),
+m AS (
+  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         SUM(c * (c - 1)) AS coll
+  FROM cnt GROUP BY source)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(CASE WHEN n_tokens * (n_tokens - 1) = 0 THEN NULL
+            ELSE 1000000 * coll // (n_tokens * (n_tokens - 1))
+            END AS BIGINT) AS simpson_ppm,
+       CAST(CASE WHEN coll = 0 THEN NULL
+            ELSE 1000 * n_tokens * (n_tokens - 1) // coll
+            END AS BIGINT) AS inv_simpson_milli
+FROM m ORDER BY source
+"""

@@ -1177,3 +1177,90 @@ def test_source_drift_frame_is_bounded_cross(spark):
     # formatted explain prints nodes twice: 2 crosses x 2 = 4 max
     assert (plan.count("CartesianProduct")
             + plan.count("BroadcastNestedLoopJoin")) <= 4
+
+
+# --- round 12 additions -----------------------------------------------------
+
+def test_bitmap_distinct_is_two_hash_aggs_no_window(spark):
+    """q108: the bitmap path is bit_or hash aggs (map-side combinable)
+    — no window, no cartesian; the day join is an equality join."""
+    plan = _plan(spark, "q108_bitmap_distinct")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"bit_or\(", plan)
+
+
+def test_user_streaks_window_is_user_keyed_topk(spark):
+    """q109: gaps-and-islands window partitions by user_id over the
+    COLLAPSED distinct-days relation; the global top-20 is
+    TakeOrderedAndProject, never a full sort."""
+    plan = _plan(spark, "q109_user_streaks")
+    assert "windowspecdefinition(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corr_screen_is_one_moment_agg(spark):
+    """q110: one map-side-combinable moment aggregation over the fact —
+    no window, no join of any kind."""
+    plan = _plan(spark, "q110_corr_screen")
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twa_window_is_type_day_keyed(spark):
+    """q111: the LEAD window partitions by (event_type, day) — bounded
+    frames, never the fact table in one partition."""
+    plan = _plan(spark, "q111_time_weighted_avg")
+    assert "windowspecdefinition(event_type" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_estimate_error_stays_candidate_bounded(spark):
+    """dedup_minhash_estimate_error: signatures recomputed only behind
+    a semi-join on candidate ids (LeftSemi in plan), no window, no
+    cartesian, no python."""
+    plan = _plan(spark, "dedup_minhash_estimate_error")
+    assert "LeftSemi" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_two_hop_reach_is_equality_joins_topk(spark):
+    """graph_two_hop_reach: the expansion is equality joins on the
+    middle node; top-20 via TakeOrderedAndProject; no window."""
+    plan = _plan(spark, "graph_two_hop_reach")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_fpr_bits_join_is_broadcast(spark):
+    """sketch_bloom_fpr: the probe joins the <= 2^16-row bit relation
+    broadcast (the filter IS the broadcastable artifact); the only
+    nested-loop joins are the 1-row stat crosses."""
+    plan = _plan(spark, "sketch_bloom_fpr")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_simpson_diversity_is_pure_hash_aggs(spark):
+    """text_simpson_diversity: two hash-agg levels, nothing else — no
+    window, no join, no python."""
+    plan = _plan(spark, "text_simpson_diversity")
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_epoch2_reuses_store_and_has_no_cartesian(spark):
+    """dedup_incremental_epoch2: the composed path stays an equality
+    band join + semi-join verify — no cartesian, no window, no
+    python anywhere in the two-epoch plan."""
+    plan = _plan(spark, "dedup_incremental_epoch2")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan

@@ -106,7 +106,29 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # baskets) and the containment verify over LSH
                    # candidates
                    "sketch_theta_union", "graph_modularity",
-                   "q105_market_basket", "dedup_containment"]
+                   "q105_market_basket", "dedup_containment",
+                   # round-12 additions (r11 verdict ask #5): the wedge
+                   # join behind the clustering coefficient, the
+                   # two-degree-join assortativity aggregate, and the
+                   # theta-sketch Jaccard algebra
+                   "graph_clustering_coefficient", "graph_assortativity",
+                   "sketch_theta_jaccard",
+                   # round-12 new heavies: the two-hop wedge expansion,
+                   # the corpus-shingle bloom probe (distinct collapses
+                   # replicated text, so work is the linear explode),
+                   # the (source, token) moment aggs, the bitmap bit_or
+                   # rollup, and the (type, day) LEAD window
+                   "graph_two_hop_reach", "sketch_bloom_fpr",
+                   "text_simpson_diversity", "q108_bitmap_distinct",
+                   "q111_time_weighted_avg"]
+# dedup_minhash_estimate_error is EXCLUDED for the dedup_allpairs_prefix
+# reason: whole-table replication copies document TEXT verbatim, so
+# every cross-copy doc pair is a real near-duplicate and the candidate
+# relation (hence the estimate join's output) legitimately grows ~k^2 —
+# the harness would flag output-faithful growth, not a defect; its
+# candidate-bounded shape is pinned by the LeftSemi plan test instead
+# (curation_ingest_funnel scales on the shard axis in
+# tools/stress_incremental.py, where content IS re-spread per copy).
 # dedup_incremental / dedup_incremental_delta scale on the SHARD axis
 # (corpus fixed) — tools/stress_incremental.py covers them; whole-table
 # replication would scale the corpus side too and measure the store

@@ -79,7 +79,11 @@ def main() -> int:
     queries, _ = collect_registry()
 
     report, failures = {}, []
-    for name in ("dedup_incremental", "dedup_incremental_delta"):
+    # curation_ingest_funnel rides the same shard axis (r11 verdict ask
+    # #5): the quality gate runs on the shard BEFORE dedup, so its cost
+    # must also scale with the shard, not the corpus
+    for name in ("dedup_incremental", "dedup_incremental_delta",
+                 "curation_ingest_funnel"):
         fn = queries[name]
         per_scale = {}
         base_shape = None
