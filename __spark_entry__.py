@@ -59,6 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     # FIRST: the round-12 additions (commit-checklist rule: every new
     # query gets a slot here), led by the two-epoch composition proof.
+    "q112_interval_coverage", "q113_autocorrelation", "q114_herfindahl",
+    "sample_systematic", "text_ngram_novelty", "text_vocab_overlap",
+    "multimodal_bmp_roundtrip",
     "dedup_incremental_epoch2", "dedup_incremental_epoch2_delta",
     "q108_bitmap_distinct", "q109_user_streaks", "q110_corr_screen",
     "q111_time_weighted_avg", "dedup_minhash_estimate_error",

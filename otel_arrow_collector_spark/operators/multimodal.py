@@ -2806,3 +2806,87 @@ SELECT orientation, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_clean
 FROM pred GROUP BY orientation ORDER BY orientation
 """
+
+
+BMP_RT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_px", LongType()),
+    StructField("sum_b", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_r", LongType()),
+    StructField("lossless", LongType()),
+])
+
+#: deliberately NOT a multiple of 4: 15*3 = 45 bytes/row forces 3 pad
+#: bytes per row — the 4-byte row alignment is where BMP readers break.
+BMP_RT_W, BMP_RT_H = 15, 17
+
+
+def multimodal_bmp_roundtrip(spark, sf_dir):
+    """BMP encode -> decode over synthesized 15x17 BGR images (pixel
+    bytes = text bytes cycled, the QOI/g711 recipe), value-gated on the
+    DECODED raster: per-channel sums must equal the source sums (BI_RGB
+    is uncompressed) and ``lossless`` asserts exact byte equality.  The
+    15-pixel width makes every row carry 3 alignment pad bytes, so any
+    off-by-one in the 4-byte row padding (the classic BMP reader bug —
+    reference file-format handling: exporter/fileexporter marshals
+    whole payloads, never rasters, so this is engine-added multimodal
+    surface) shears the raster and flips a channel sum.  The DuckDB
+    twin re-derives the source sums from the same cycled-byte recipe
+    (buffer channel of byte j is j % 3 = B,G,R).
+
+    Map-only plan: one mapInPandas stage, images independent per row —
+    at 100 TB this is embarrassingly parallel with zero shuffle.
+    """
+    n_bytes = 3 * BMP_RT_W * BMP_RT_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = text.encode("utf-8") or b"\x00"
+                raw = (seed * (n_bytes // len(seed) + 1))[:n_bytes]
+                bmp = encode_bmp(raw, BMP_RT_W, BMP_RT_H)
+                w, h, px = _bmp_raster(bmp)
+                src = np.frombuffer(raw, np.uint8).reshape(
+                    BMP_RT_H, BMP_RT_W, 3)
+                d = px.astype(np.int64)
+                rows.append({
+                    "doc_id": doc_id, "n_px": BMP_RT_W * BMP_RT_H,
+                    "sum_b": int(d[:, :, 0].sum()),
+                    "sum_g": int(d[:, :, 1].sum()),
+                    "sum_r": int(d[:, :, 2].sum()),
+                    "lossless": int(w == BMP_RT_W and abs(h) == BMP_RT_H
+                                    and (px == src).all())})
+            yield pd.DataFrame(rows)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(300))
+    return (docs.select("doc_id", "text")
+                .mapInPandas(run, BMP_RT_SCHEMA).orderBy("doc_id"))
+
+
+QUERIES["multimodal_bmp_roundtrip"] = multimodal_bmp_roundtrip
+# Source-channel sums re-derived from the cycled-byte recipe; channel
+# of byte j is j % 3 (B, G, R).  lossless == 1 is part of the contract.
+ORACLES["multimodal_bmp_roundtrip"] = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS len
+  FROM documents ORDER BY doc_id LIMIT 300
+),
+bytes AS (
+  SELECT d.doc_id, g.j % 3 AS chan,
+         (strpos('0123456789ABCDEF',
+                 substr(d.hx, ((g.j % d.len)) * 2 + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(d.hx, ((g.j % d.len)) * 2 + 2, 1)) - 1) AS bv
+  FROM docs d, generate_series(0, {3 * BMP_RT_W * BMP_RT_H - 1}) AS g(j)
+)
+SELECT doc_id, CAST({BMP_RT_W * BMP_RT_H} AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN chan = 0 THEN bv ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN chan = 1 THEN bv ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN chan = 2 THEN bv ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(1 AS BIGINT) AS lossless
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""

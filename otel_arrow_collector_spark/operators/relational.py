@@ -4794,3 +4794,244 @@ def q111(spark, sf_dir):
         .cast("long").alias("twa_cents"),
         F.col("n_iv").cast("long").alias("n_intervals"))
         .orderBy("event_type", "day").limit(300))
+
+
+@_register("q112_interval_coverage", """
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + 60000000 AS t,
+         event_id
+  FROM events),
+marked AS (
+  SELECT event_type, user_id, s, t, event_id,
+         CASE WHEN MAX(t) OVER (PARTITION BY event_type, user_id
+                                ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > MAX(t) OVER (PARTITION BY event_type, user_id
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM e),
+numbered AS (
+  SELECT event_type, user_id, s, t,
+         SUM(new_isl) OVER (PARTITION BY event_type, user_id
+                            ORDER BY s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked),
+islands AS (
+  SELECT event_type, user_id, isl,
+         MIN(s) AS st, MAX(t) AS en, COUNT(*) AS n_ev
+  FROM numbered GROUP BY event_type, user_id, isl)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us,
+       CAST(1000 * SUM(CAST(en - st AS HUGEINT))
+            // (60000000 * SUM(CAST(n_ev AS HUGEINT))) AS BIGINT)
+         AS coverage_permille
+FROM islands GROUP BY event_type ORDER BY event_type
+""")
+def q112(spark, sf_dir):
+    """Union-of-intervals coverage: each event opens a fixed 60-second
+    activity lease [ts, ts+60s); per (event_type, user) the overlapping
+    leases merge into islands (the classic prefix-max sweep: a row
+    starts a new island iff its start exceeds the running max end), and
+    the per-type report publishes users, islands, merged coverage in
+    exact integer microseconds, and the merged/raw ratio in permille —
+    the dedup factor a capacity planner reads.  The reference's
+    interval semantics live in its session/window processors; this is
+    the batch union-length form (Arrow has no native interval-union).
+
+    Both windows (prefix max end, running island id) share one
+    (type, user)-keyed sort — a single shuffle serves both frames, then
+    two hash aggs in the same key space.  The partition key is high
+    cardinality (|types| x |users|), never the fact table in one
+    partition.  Magnitude: covered_us <= 60e6 * n_events per group;
+    the permille numerator 1000 * sum(covered) ~ 6e19 at 100x passes
+    BIGINT, so it rides decimal(38)/HUGEINT.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id",
+        F.expr("ts_ns div 1000").cast("long").alias("s"),
+        (F.expr("ts_ns div 1000").cast("long") + F.lit(60_000_000))
+        .alias("t"),
+        "event_id")
+    w = Window.partitionBy("event_type", "user_id").orderBy("s",
+                                                            "event_id")
+    prev_end = F.max("t").over(w.rowsBetween(Window.unboundedPreceding,
+                                             -1))
+    marked = e.select(
+        "event_type", "user_id", "s", "t", "event_id",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0).alias("new_isl"))
+    numbered = marked.select(
+        "event_type", "user_id", "s", "t",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding,
+                                            0)).alias("isl"))
+    islands = (numbered.groupBy("event_type", "user_id", "isl")
+               .agg(F.min("s").alias("st"), F.max("t").alias("en"),
+                    F.count(F.lit(1)).alias("n_ev")))
+    dec = "decimal(38,0)"
+    return (islands.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("n_users"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum("n_ev").cast("long").alias("n_events"),
+                 F.sum(F.col("en") - F.col("st")).cast("long")
+                 .alias("covered_us"),
+                 F.expr(f"CAST(1000 * SUM(CAST(en - st AS {dec}))"
+                        f" div (60000000 * SUM(CAST(n_ev AS {dec})))"
+                        " AS BIGINT)").alias("coverage_permille"))
+            .orderBy("event_type"))
+
+
+@_register("q113_autocorrelation", """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS HUGEINT) AS x
+  FROM orders GROUP BY 1),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+p AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM p GROUP BY lag),
+t AS (
+  SELECT lag, n,
+         n*sxy - sx*sy AS num,
+         n*sxx - sx*sx AS d1,
+         n*syy - sy*sy AS d2
+  FROM m)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS sign_r,
+       CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+            ELSE ((1000000 * abs(num)) // d1) * abs(num) // d2
+            END AS BIGINT) AS r2_ppm
+FROM t ORDER BY lag
+""")
+def q113(spark, sf_dir):
+    """Sample autocorrelation of the daily order-arrival series at lags
+    1..7 — the weekly-seasonality screen a forecaster runs before
+    fitting anything (a lag-7 spike says day-of-week structure; the
+    Pearson-on-pairs ACF variant, computed on calendar-day lags so
+    missing days drop pairs instead of shifting them).  Exact integer
+    arithmetic end to end via the q110 staged form: sign + r^2 in ppm,
+    every intermediate bounded by Cauchy-Schwarz under decimal(38)/
+    HUGEINT, zero-variance lags degrade to NULL via CASE in both
+    engines rather than an ANSI throw.
+
+    Scale shape: ONE map-side-combinable hash agg collapses the fact
+    table to |days| rows (~2.4k regardless of SF); the 7-lag explode,
+    the day+lag self-join, and the moment aggs all run on that
+    collapsed relation — broadcast-sized at any scale, so the fact
+    table is scanned exactly once.  Magnitude: x ~ orders/day ~ 6e3 at
+    100x, num ~ n * (n*x)^2 ~ 2.4e3 * 2e14 ~ 5e17; the staged division
+    keeps the r^2 numerator <= 1e6 * d2 ~ 1e24.
+    """
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.groupBy(F.expr("unix_timestamp(o_orderdate) div 86400")
+                       .cast("long").alias("day"))
+             .agg(F.count(F.lit(1)).cast(dec).alias("x")))
+    lags = spark.range(1, 8).select(F.col("id").cast("long")
+                                    .alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("y"))
+    p = a.join(b, F.col("bday") == F.col("day") + F.col("lag"))
+    m = (p.groupBy("lag")
+         .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    t = m.select(
+        "lag", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("d1"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("d2"))
+    return (t.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr("CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 "
+               "ELSE 0 END").cast("long").alias("sign_r"),
+        F.expr("CASE WHEN d1 = 0 OR d2 = 0 THEN NULL "
+               "ELSE ((1000000 * abs(num)) div d1) * abs(num) div d2 "
+               "END").cast("long").alias("r2_ppm"))
+        .orderBy("lag"))
+
+
+@_register("q114_herfindahl", """
+WITH sup AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT nation, SUM(CAST(cents AS HUGEINT)) AS total_cents,
+         COUNT(*) AS n_suppliers
+  FROM sup GROUP BY nation),
+sh AS (
+  SELECT s.nation, t.n_suppliers, t.total_cents,
+         (10000 * CAST(s.cents AS HUGEINT)) // t.total_cents AS bp
+  FROM sup s JOIN tot t ON t.nation = s.nation)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+       CAST(MAX(total_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(bp * bp) // 10000 AS BIGINT) AS hhi_bp
+FROM sh GROUP BY nation ORDER BY nation
+""")
+def q114(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    supplier nation, in exact integer basis points (0..10000): each
+    supplier's share is floored to basis points and HHI = sum(share^2)
+    / 10000 — the concentration scalar (Herfindahl 1950; the antitrust
+    screen) that complements q99's Gini and q100's Pareto curve: HHI
+    weights the head, Gini the whole curve.  A data-mixture curator
+    reads it on per-source token contributions.
+
+    Scale shape: one hash agg to per-(nation, supplier) cents (the
+    supplier dim joined broadcast), one nation-keyed agg for totals
+    joined back broadcast-small (|nations| rows), one final agg — the
+    fact table is scanned once and every join after the first agg is
+    against <=25-row relations.  Magnitude: 10000 * supplier_cents ~
+    1e15 at SF1 but 1e19 at 100x — past BIGINT, so the share numerator
+    rides decimal(38)/HUGEINT; sum(bp^2) <= n_suppliers * 1e8 stays
+    comfortably integral.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    dec = "decimal(38,0)"
+    sup = (li.join(F.broadcast(su),
+                   F.col("s_suppkey") == F.col("l_suppkey"))
+           .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("cents")))
+    tot = (sup.groupBy("nation")
+           .agg(F.sum(F.col("cents").cast(dec)).alias("total_cents"),
+                F.count(F.lit(1)).alias("n_suppliers")))
+    sh = (sup.join(F.broadcast(tot), "nation")
+          .select("nation", "n_suppliers", "total_cents",
+                  F.expr(f"(10000 * CAST(cents AS {dec}))"
+                         " div total_cents").alias("bp")))
+    return (sh.groupBy("nation")
+            .agg(F.max("n_suppliers").cast("long").alias("n_suppliers"),
+                 F.max("total_cents").cast("long").alias("total_cents"),
+                 F.expr("CAST(SUM(bp * bp) div 10000 AS BIGINT)")
+                 .alias("hhi_bp"))
+            .select(F.col("nation").cast("long").alias("nation"),
+                    "n_suppliers", "total_cents", "hhi_bp")
+            .orderBy("nation"))

@@ -309,3 +309,55 @@ SELECT lang, doc_id, hkey, CAST(rk AS BIGINT) AS rk
 FROM pri WHERE rk <= {RESERVOIR_K}
 ORDER BY lang, rk
 """
+
+
+SYSTEMATIC_K = 7
+
+
+def sample_systematic(spark, sf_dir):
+    """Systematic (every-k-th) sample per source stratum: documents are
+    ordered by md5('sys:' || doc_id) inside each source and every
+    ``SYSTEMATIC_K``-th row is kept (rank % k == 1) — the classic
+    survey-sampling design (hash order stands in for the frame order,
+    making the pass reproducible and immune to storage order).  Unlike
+    the fixed-rate hash filter (sample_stratified), systematic
+    selection guarantees the per-stratum sample size is ceil(n/k)
+    EXACTLY, with the sample spread evenly through the hash-ordered
+    frame — the property a curator wants when a source must contribute
+    a predictable row budget.  Reference parity: probabilistic
+    sampling policies in the reference decide per item
+    (processor/probabilisticsampler); this is the frame-based batch
+    twin.
+
+    Scale shape: one window rank partitioned by source over an
+    8-byte hash key + doc_id — map-side hash, one shuffle on the
+    stratum key, filter folds into the rank projection; no join, no
+    global sort.  Magnitude: ranks only — no arithmetic past n.
+    """
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (d.select("source", "doc_id",
+                     F.md5(F.concat(F.lit("sys:"),
+                                    F.col("doc_id").cast("string")))
+                     .alias("hkey"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") % SYSTEMATIC_K) == 1)
+            .select("source", "doc_id",
+                    F.col("rk").cast("long").alias("rk"))
+            .orderBy("source", "rk"))
+
+
+QUERIES["sample_systematic"] = sample_systematic
+ORACLES["sample_systematic"] = f"""
+WITH rk AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('sys:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk % {SYSTEMATIC_K} = 1
+ORDER BY source, rk
+"""

@@ -2078,3 +2078,138 @@ SELECT source,
             END AS BIGINT) AS inv_simpson_milli
 FROM m ORDER BY source
 """
+
+
+def text_ngram_novelty(spark, sf_dir):
+    """Train/test n-gram novelty: documents split 80/20 by doc_id mod
+    10, and each language reports how many of its DISTINCT test-side
+    word trigrams never occur on the train side — the n-gram-level
+    generalization/contamination screen (a near-zero novelty rate says
+    the held-out split is memorized boilerplate; doc-level screens like
+    contamination_screen miss partial quotation).  Published as exact
+    counts + floor ppm.
+
+    Scale shape: trigrams are built inside a map-side higher-order
+    ``transform`` over the split-token array (no posexplode self-join
+    — the corpus is scanned once per side), collapsed to DISTINCT
+    (lang, trigram) hash aggs, and compared with one LEFT ANTI join on
+    the (lang, trigram) key — all shuffles are on the collapsed
+    distinct relations, sublinear in the corpus (Heaps).  Magnitude:
+    counts and one 1e6-scaled division; n_test * 1e6 ~ 1e13 at 100x —
+    inside BIGINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tri_expr = ("CASE WHEN size(a) >= 3 THEN "
+                "transform(sequence(0, size(a) - 3), "
+                "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2])) "
+                "ELSE array() END")
+    base = (d.select("lang", "doc_id",
+                     F.expr("filter(split(text, ' '), x -> x <> '')")
+                     .alias("a"))
+            .select("lang", "doc_id",
+                    F.explode(F.expr(tri_expr)).alias("tg")))
+    train = (base.filter(F.col("doc_id") % 10 < 8)
+             .select("lang", "tg").distinct())
+    test = (base.filter(F.col("doc_id") % 10 >= 8)
+            .select("lang", "tg").distinct())
+    novel = (test.join(train, ["lang", "tg"], "left_anti")
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_novel")))
+    tot = test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test"))
+    return (tot.join(novel, "lang", "left")
+            .select("lang", F.col("n_test").cast("long").alias("n_test"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.expr("coalesce(n_novel, 0) * 1000000 div n_test")
+                    .cast("long").alias("novel_ppm"))
+            .orderBy("lang"))
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+ORACLES["text_ngram_novelty"] = """
+WITH base AS (
+  SELECT lang, doc_id,
+         unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                               i -> a[i] || ' ' || a[i+1] || ' '
+                                    || a[i+2])) AS tg
+  FROM (SELECT lang, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS a
+        FROM documents)),
+train AS (SELECT DISTINCT lang, tg FROM base WHERE doc_id % 10 < 8),
+test AS (SELECT DISTINCT lang, tg FROM base WHERE doc_id % 10 >= 8),
+novel AS (
+  SELECT t.lang, COUNT(*) AS n_novel
+  FROM test t ANTI JOIN train r ON r.lang = t.lang AND r.tg = t.tg
+  GROUP BY t.lang),
+tot AS (SELECT lang, COUNT(*) AS n_test FROM test GROUP BY lang)
+SELECT tot.lang, CAST(n_test AS BIGINT) AS n_test,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(n_novel, 0) * 1000000 // n_test AS BIGINT)
+         AS novel_ppm
+FROM tot LEFT JOIN novel ON novel.lang = tot.lang
+ORDER BY tot.lang
+"""
+
+
+def text_vocab_overlap(spark, sf_dir):
+    """Pairwise source VOCABULARY Jaccard: the lexical-similarity
+    matrix between sources over distinct word types — the
+    token-level twin of dedup_source_overlap's content-hash matrix
+    (two crawls can share almost no documents yet be lexically
+    near-identical; a curator reads vocab Jaccard to predict whether
+    merging them buys new language).  Exact integer permille.
+
+    Scale shape: the corpus collapses to DISTINCT (source, token) — a
+    vocab-sized relation, sublinear in the corpus (Heaps) — then one
+    self-join on token with src_a < src_b and per-source size counts
+    joined back; at 100 TB every post-collapse relation is vocabulary-
+    scale, and the token join key is high-cardinality (no skew beyond
+    stopwords, which |sources|^2 bounds per key).  Magnitude:
+    n_inter * 1000 ~ 1e9 — trivially inside BIGINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = (d.select("source", F.explode(_words()).alias("token"))
+         .filter(F.col("token") != "")
+         .distinct())
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "token")
+    b = v.select(F.col("source").alias("src_b"), "token")
+    inter = (a.join(b, "token")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("source").alias("src_a"),
+                               F.col("n").alias("n_a")), "src_a")
+            .join(sizes.select(F.col("source").alias("src_b"),
+                               F.col("n").alias("n_b")), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    F.expr("n_inter * 1000 div (n_a + n_b - n_inter)")
+                    .cast("long").alias("jaccard_permille"))
+            .orderBy("src_a", "src_b"))
+
+
+QUERIES["text_vocab_overlap"] = text_vocab_overlap
+ORACLES["text_vocab_overlap"] = """
+WITH v AS (
+  SELECT DISTINCT source, t.token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE t.token <> ''),
+sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+  FROM v x JOIN v y ON y.token = x.token AND x.source < y.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter * 1000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
+         AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY i.src_a, i.src_b
+"""

@@ -1,0 +1,176 @@
+"""Property pins for the round-12 additions beyond the DuckDB oracle
+gate: structural invariants the oracle's value-hash can't state
+directly (coverage bounds, exact systematic sample size, BMP padding
+shear, ACF bounds, HHI bounds, novelty monotonicity)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# q112_interval_coverage
+# ---------------------------------------------------------------------------
+
+def test_interval_coverage_bounds(spark):
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = _rows(QUERIES["q112_interval_coverage"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        # merged coverage can never exceed the raw sum of lease widths,
+        # and a single un-merged event contributes exactly 60s
+        assert 0 < r["covered_us"] <= 60_000_000 * r["n_events"]
+        assert 1 <= r["n_islands"] <= r["n_events"]
+        assert r["n_users"] <= r["n_islands"]
+        assert 0 < r["coverage_permille"] <= 1000
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Three overlapping leases + one disjoint must merge to 2 islands
+    with the exact union width (hand-checkable micro-case)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({
+        "k": ["a"] * 4,
+        "s": [0, 30_000_000, 50_000_000, 300_000_000],
+        "eid": [1, 2, 3, 4]})
+    df = spark.createDataFrame(pdf).withColumn(
+        "t", F.col("s") + 60_000_000)
+    w = Window.partitionBy("k").orderBy("s", "eid")
+    prev_end = F.max("t").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = df.select(
+        "k", "s", "t", "eid",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0).alias("new_isl"))
+    numbered = marked.select(
+        "k", "s", "t",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"))
+    islands = (numbered.groupBy("k", "isl")
+               .agg(F.min("s").alias("st"), F.max("t").alias("en")))
+    got = {(r["isl"], r["en"] - r["st"]) for r in islands.collect()}
+    # [0, 110s) merged from the first three, [300s, 360s) alone
+    assert got == {(1, 110_000_000), (2, 60_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# q113_autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_autocorrelation_bounds(spark):
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = _rows(QUERIES["q113_autocorrelation"](spark, SF_SMALL))
+    assert [r["lag"] for r in out] == [1, 2, 3, 4, 5, 6, 7]
+    for r in out:
+        assert r["sign_r"] in (-1, 0, 1)
+        # Cauchy-Schwarz: r^2 <= 1 (ppm scale, floor-div so strict <=)
+        if r["r2_ppm"] is not None:
+            assert 0 <= r["r2_ppm"] <= 1_000_000
+        assert r["n_pairs"] > 0
+
+
+# ---------------------------------------------------------------------------
+# q114_herfindahl
+# ---------------------------------------------------------------------------
+
+def test_herfindahl_bounds(spark):
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = _rows(QUERIES["q114_herfindahl"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        # floor-rounded shares: HHI in (0, 10000]; a monopoly nation
+        # would print exactly 10000, perfect fragmentation ~ 1e8/n/1e4
+        assert 0 < r["hhi_bp"] <= 10_000
+        # lower bound: sum of squares minimized at equal shares
+        assert r["hhi_bp"] >= 10_000 // r["n_suppliers"] - 1
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic
+# ---------------------------------------------------------------------------
+
+def test_systematic_exact_size(spark):
+    from otel_arrow_collector_spark.operators.sampling import (
+        SYSTEMATIC_K, QUERIES)
+    from otel_arrow_collector_spark.sources.tables import load_table
+    out = _rows(QUERIES["sample_systematic"](spark, SF_SMALL))
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+        assert r["rk"] % SYSTEMATIC_K == 1
+    n_src = {r["source"]: r["n"] for r in
+             load_table(spark, SF_SMALL, "documents")
+             .groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    # systematic guarantee: EXACTLY ceil(n/k) rows per stratum
+    for src, n in n_src.items():
+        assert per.get(src, 0) == -(-n // SYSTEMATIC_K)
+
+
+def test_systematic_rerun_stable(spark):
+    from otel_arrow_collector_spark.operators.sampling import QUERIES
+    a = {(r["source"], r["doc_id"])
+         for r in QUERIES["sample_systematic"](spark, SF_SMALL).collect()}
+    b = {(r["source"], r["doc_id"])
+         for r in QUERIES["sample_systematic"](spark, SF_SMALL).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_bounds(spark):
+    from otel_arrow_collector_spark.operators.text import QUERIES
+    out = _rows(QUERIES["text_ngram_novelty"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        assert 0 <= r["n_novel"] <= r["n_test"]
+        assert 0 <= r["novel_ppm"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_overlap
+# ---------------------------------------------------------------------------
+
+def test_vocab_overlap_symmetric_bounds(spark):
+    from otel_arrow_collector_spark.operators.text import QUERIES
+    out = _rows(QUERIES["text_vocab_overlap"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["jaccard_permille"] <= 1000
+
+
+# ---------------------------------------------------------------------------
+# multimodal BMP padding
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_padded_geometry():
+    """15x17 rows carry 3 pad bytes each; the raster must come back
+    byte-identical (the oracle pins sums, this pins every byte)."""
+    from otel_arrow_collector_spark.operators.multimodal import (
+        _bmp_raster, encode_bmp)
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=15 * 17 * 3, dtype=np.uint8)
+    bmp = encode_bmp(raw.tobytes(), 15, 17)
+    # encoded row stride is 45 + 3 pad = 48 bytes
+    assert len(bmp) == 54 + 48 * 17
+    w, h, px = _bmp_raster(bmp)
+    assert (w, h) == (15, 17)
+    assert (px.reshape(-1) == raw).all()
+
+
+def test_bmp_query_lossless_column(spark):
+    from otel_arrow_collector_spark.operators.multimodal import QUERIES
+    out = _rows(QUERIES["multimodal_bmp_roundtrip"](spark, SF_SMALL))
+    assert out and all(r["lossless"] == 1 for r in out)

@@ -49,7 +49,15 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "text_source_drift", "sample_reservoir",
            "curation_ingest_funnel", "q106_mad_dispersion",
            "q107_benford_screen", "sketch_theta_jaccard",
-           "dedup_containment"]
+           "dedup_containment",
+           # round-12 scale claims
+           "dedup_incremental_epoch2", "q108_bitmap_distinct",
+           "q109_user_streaks", "q110_corr_screen",
+           "q111_time_weighted_avg", "q112_interval_coverage",
+           "q113_autocorrelation", "q114_herfindahl",
+           "sample_systematic", "text_ngram_novelty",
+           "text_vocab_overlap", "graph_two_hop_reach",
+           "sketch_bloom_fpr", "dedup_minhash_estimate_error"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:

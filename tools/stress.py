@@ -120,7 +120,18 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # rollup, and the (type, day) LEAD window
                    "graph_two_hop_reach", "sketch_bloom_fpr",
                    "text_simpson_diversity", "q108_bitmap_distinct",
-                   "q111_time_weighted_avg"]
+                   "q111_time_weighted_avg",
+                   # round-12 second wave: the (type, user)-keyed
+                   # interval-union double window, the |days|-collapse
+                   # ACF self-join, the two-level HHI agg, the
+                   # per-stratum systematic rank window, and the two
+                   # distinct-collapse text screens (replication copies
+                   # text verbatim so the distinct relations are
+                   # fixed points — the measured work is the linear
+                   # explode feeding them, the sketch_bloom_fpr shape)
+                   "q112_interval_coverage", "q113_autocorrelation",
+                   "q114_herfindahl", "sample_systematic",
+                   "text_ngram_novelty", "text_vocab_overlap"]
 # dedup_minhash_estimate_error is EXCLUDED for the dedup_allpairs_prefix
 # reason: whole-table replication copies document TEXT verbatim, so
 # every cross-copy doc pair is a real near-duplicate and the candidate
