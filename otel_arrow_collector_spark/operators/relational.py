@@ -4796,6 +4796,32 @@ def q111(spark, sf_dir):
         .orderBy("event_type", "day").limit(300))
 
 
+def interval_islands(e: DataFrame) -> DataFrame:
+    """Merge (event_type, user_id, s, t, event_id) leases into disjoint
+    islands: the classic prefix-max sweep (a row opens a new island iff
+    its start exceeds the running max end seen so far in the key's
+    time order).  Shared by q112_interval_coverage and the streaming
+    twin's equivalence pin (tests/test_interval_union_stream.py), so
+    batch and stream cannot diverge on merge semantics.  Returns one
+    row per island: (event_type, user_id, isl, st, en, n_ev).  Both
+    windows share one (type, user)-keyed sort."""
+    w = Window.partitionBy("event_type", "user_id").orderBy("s",
+                                                            "event_id")
+    prev_end = F.max("t").over(w.rowsBetween(Window.unboundedPreceding,
+                                             -1))
+    marked = e.select(
+        "event_type", "user_id", "s", "t", "event_id",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0).alias("new_isl"))
+    numbered = marked.select(
+        "event_type", "user_id", "s", "t",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding,
+                                            0)).alias("isl"))
+    return (numbered.groupBy("event_type", "user_id", "isl")
+            .agg(F.min("s").alias("st"), F.max("t").alias("en"),
+                 F.count(F.lit(1)).alias("n_ev")))
+
+
 @_register("q112_interval_coverage", """
 WITH e AS (
   SELECT event_type, user_id,
@@ -4861,21 +4887,7 @@ def q112(spark, sf_dir):
         (F.expr("ts_ns div 1000").cast("long") + F.lit(60_000_000))
         .alias("t"),
         "event_id")
-    w = Window.partitionBy("event_type", "user_id").orderBy("s",
-                                                            "event_id")
-    prev_end = F.max("t").over(w.rowsBetween(Window.unboundedPreceding,
-                                             -1))
-    marked = e.select(
-        "event_type", "user_id", "s", "t", "event_id",
-        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
-        .otherwise(0).alias("new_isl"))
-    numbered = marked.select(
-        "event_type", "user_id", "s", "t",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding,
-                                            0)).alias("isl"))
-    islands = (numbered.groupBy("event_type", "user_id", "isl")
-               .agg(F.min("s").alias("st"), F.max("t").alias("en"),
-                    F.count(F.lit(1)).alias("n_ev")))
+    islands = interval_islands(e)
     dec = "decimal(38,0)"
     return (islands.groupBy("event_type")
             .agg(F.countDistinct("user_id").cast("long")
