@@ -2116,3 +2116,185 @@ JOIN sizes z1 ON z1.doc_id = e.d1
 JOIN sizes z2 ON z2.doc_id = e.d2
 ORDER BY e.d1, e.d2 LIMIT 500
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH band-geometry sensitivity (the b/r tuning report)
+# ---------------------------------------------------------------------------
+
+#: the geometries under comparison: (rows_per_band r, n_bands b) with
+#: r*b == K_HASHES.  r=1 collides on ANY shared minhash (recall
+#: superset), r=2 is the production geometry, r=4 the conservative one.
+BAND_GEOMETRIES = [(1, 8), (2, 4), (4, 2)]
+
+
+def _spark_geo_bands(r: int) -> str:
+    b = K_HASHES // r
+    parts = []
+    for i in range(b):
+        cells = ", ".join(f"sig[{i * r + k}]" for k in range(r))
+        parts.append(f"md5(concat_ws('|', '{r}x{i}', {cells}))")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _duck_geo_bands(r: int) -> str:
+    b = K_HASHES // r
+    parts = []
+    for i in range(b):
+        cells = ", ".join(f"sig[{i * r + k + 1}]" for k in range(r))
+        parts.append(f"md5(concat_ws('|', '{r}x{i}', {cells}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+def _geo_pairs(spark, sf_dir):
+    """Distinct candidate pairs per band geometry (r, d1, d2), memoized
+    per (session, dir): ONE signature pass feeds all three band
+    explosions; the stage-local signature persist is released once the
+    pair relation (candidate-bounded) is materialized."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        n_parts = spark.sparkContext.defaultParallelism
+        sig = (d.select("doc_id", F.split("text", " ").alias("ws"))
+               .repartition(n_parts)
+               .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+               .select("doc_id",
+                       F.array(*[F.expr(_spark_sig(j))
+                                 for j in range(K_HASHES)]).alias("sig"))
+               .persist())
+        sig.count()   # one signature pass feeds all three geometries
+        bands = None
+        for r, _b in BAND_GEOMETRIES:
+            part = (sig.select(F.lit(r).alias("r"), "doc_id",
+                               F.explode(F.expr(_spark_geo_bands(r)))
+                               .alias("band")))
+            bands = part if bands is None else bands.unionByName(part)
+        a, b2 = bands.alias("a"), bands.alias("b")
+        pairs = (a.join(b2, (F.col("a.r") == F.col("b.r"))
+                        & (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.r").alias("r"),
+                         F.col("a.doc_id").alias("d1"),
+                         F.col("b.doc_id").alias("d2"))
+                 .distinct().persist())
+        pairs.count()
+        sig.unpersist(False)
+        return pairs
+    return cached("dedup.band_geo_pairs", spark, sf_dir, build)
+
+
+def dedup_band_sensitivity(spark, sf_dir):
+    """LSH band-geometry tuning report: the SAME 8-hash MinHash
+    signature banded three ways — r=1 (8 bands: collide on any shared
+    hash), r=2 (production), r=4 (2 bands, conservative) — with each
+    geometry's candidate count, true-duplicate catch, recall and
+    precision in permille.  The S-curve trade (Broder 1997; Leskovec/
+    Rajaraman/Ullman ch.3: collision prob = 1-(1-s^r)^b) measured on
+    the corpus instead of assumed — the report a curator reads before
+    committing a 100 TB dedup pass to one geometry.  Ground truth is
+    the exact-Jaccard (>= 0.5) verification of the r=1 candidate set,
+    which SUPERSETS every coarser geometry's candidates (agreeing on a
+    band's r hashes implies agreeing on each singleton hash), so truth
+    is complete for all three rows by construction.
+
+    Scale shape: ONE signature pipeline (the corpus-linear cost) feeds
+    all three band explosions; candidate pairs stay distinct per
+    geometry; truth verification is bounded by the r=1 candidate count
+    via the shared verify join (semi-join doc re-read).  r=1's bucket
+    fan-out is the worst case (popular min-shingles pool documents) —
+    acceptable for a tuning report run on a corpus SAMPLE in
+    production, and exactly the fan-out curation_store_stats exists to
+    watch.  Magnitude: counts and 1000-scaled divisions only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _geo_pairs(spark, sf_dir)
+    # verify_candidate_pairs returns a persisted, materialized relation;
+    # memoizing it hands ownership to the cache registry (unpersist on
+    # evict) instead of re-pinning a fresh copy per cache-cold run
+    truth = cached(
+        "dedup.band_truth", spark, sf_dir,
+        lambda: verify_candidate_pairs(
+            spark, d, pairs.filter(F.col("r") == 1).select("d1", "d2"))
+    ).filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2")
+    n_true = truth.count()
+    caught = (pairs.join(truth, ["d1", "d2"], "semi")
+              .groupBy("r").agg(F.count(F.lit(1)).alias("n_caught")))
+    out = (pairs.groupBy("r")
+           .agg(F.count(F.lit(1)).alias("n_candidates"))
+           .join(caught, "r", "left")
+           .select(F.col("r").cast("long").alias("rows_per_band"),
+                   F.expr(f"CAST({K_HASHES} div r AS BIGINT)")
+                   .alias("n_bands"),
+                   F.col("n_candidates").cast("long")
+                   .alias("n_candidates"),
+                   F.coalesce("n_caught", F.lit(0)).cast("long")
+                   .alias("n_caught"),
+                   F.lit(n_true).cast("long").alias("n_true_total"),
+                   F.expr(f"CASE WHEN {n_true} = 0 THEN NULL ELSE "
+                          f"coalesce(n_caught, 0) * 1000 div {n_true} "
+                          "END").cast("long").alias("recall_permille"),
+                   F.expr("coalesce(n_caught, 0) * 1000 "
+                          "div n_candidates").cast("long")
+                   .alias("precision_permille"))
+           .orderBy("rows_per_band"))
+    return out
+
+
+QUERIES["dedup_band_sensitivity"] = dedup_band_sensitivity
+
+
+def _band_sensitivity_oracle() -> str:
+    geo_pairs = []
+    for r, _b in BAND_GEOMETRIES:
+        geo_pairs.append(f"""
+  SELECT {r} AS r, a.doc_id AS d1, b.doc_id AS d2
+  FROM (SELECT doc_id, unnest({_duck_geo_bands(r)}) AS band FROM sig) a
+  JOIN (SELECT doc_id, unnest({_duck_geo_bands(r)}) AS band FROM sig) b
+    ON a.band = b.band AND a.doc_id < b.doc_id""")
+    union = " UNION ALL ".join(f"({q})" for q in geo_pairs)
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (SELECT doc_id, {_duck_shingles()} AS shs FROM docs),
+sig AS (SELECT doc_id,
+        [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig
+        FROM sh),
+gp AS (SELECT DISTINCT r, d1, d2 FROM ({union})),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh
+        WHERE doc_id IN (SELECT d1 FROM gp WHERE r = 1
+                         UNION SELECT d2 FROM gp WHERE r = 1)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+common AS (
+  SELECT p.d1, p.d2, COUNT(*) AS n_common
+  FROM (SELECT d1, d2 FROM gp WHERE r = 1) p
+  JOIN shd s1 ON s1.doc_id = p.d1
+  JOIN shd s2 ON s2.doc_id = p.d2 AND s2.s = s1.s
+  GROUP BY p.d1, p.d2),
+truth AS (
+  SELECT c.d1, c.d2
+  FROM common c
+  JOIN sizes z1 ON z1.doc_id = c.d1
+  JOIN sizes z2 ON z2.doc_id = c.d2
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (z1.n_sh + z2.n_sh - c.n_common) >= {JACCARD_THRESHOLD}),
+nt AS (SELECT COUNT(*) AS n_true FROM truth),
+caught AS (
+  SELECT gp.r, COUNT(*) AS n_caught
+  FROM gp SEMI JOIN truth t ON t.d1 = gp.d1 AND t.d2 = gp.d2
+  GROUP BY gp.r),
+cand AS (SELECT r, COUNT(*) AS n_candidates FROM gp GROUP BY r)
+SELECT CAST(cand.r AS BIGINT) AS rows_per_band,
+       CAST({K_HASHES} // cand.r AS BIGINT) AS n_bands,
+       CAST(cand.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(caught.n_caught, 0) AS BIGINT) AS n_caught,
+       CAST(nt.n_true AS BIGINT) AS n_true_total,
+       CAST(CASE WHEN nt.n_true = 0 THEN NULL
+            ELSE COALESCE(caught.n_caught, 0) * 1000 // nt.n_true
+            END AS BIGINT) AS recall_permille,
+       CAST(COALESCE(caught.n_caught, 0) * 1000 // cand.n_candidates
+            AS BIGINT) AS precision_permille
+FROM cand CROSS JOIN nt
+LEFT JOIN caught ON caught.r = cand.r
+ORDER BY rows_per_band
+"""
+
+
+ORACLES["dedup_band_sensitivity"] = _band_sensitivity_oracle()

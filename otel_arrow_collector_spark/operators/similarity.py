@@ -1619,3 +1619,65 @@ SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos
 FROM probed WHERE cos_raw >= {RANGE_TAU}
 ORDER BY q_id, vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cell-stratified diversity sample (SemDeDup-style representative coreset)
+# ---------------------------------------------------------------------------
+
+#: per-cell representative budget
+DIVERSITY_M = 6
+
+
+def curation_diversity_sample(spark, sf_dir):
+    """Cell-stratified representative coreset: from every IVF cell keep
+    the ``DIVERSITY_M`` members NEAREST their own centroid — a fixed
+    per-semantic-cluster budget, so the sample covers every region of
+    embedding space instead of oversampling the dense head (the
+    curation move SemDeDup/coreset-selection papers make after
+    clustering; embedding_outliers is its inverse — this keeps the
+    prototypes, that flags the strays).
+
+    Scale shape: reuses the persisted assignments and the broadcast
+    centroid set; each vector scores ONE cosine against its own
+    centroid (map-side), then a window top-M partitioned by cell id.
+    With the test-scale N_CENTROIDS=8 that is 8 sort partitions — fine
+    here, a skew hazard at 100 TB; production IVF sizing puts k ~
+    sqrt(corpus) cells (the standard nlist rule), which keeps each
+    cell's rank partition bounded AND is already how the cell store is
+    laid out (one directory per cell, each task ranks one directory).
+    Magnitude: cosines only, 6dp-rounded by the same deterministic
+    fold as every probe operator.
+    """
+    a = _assignments(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    cos = (F.expr(_s_dot("embedding", "c_emb"))
+           / (F.col("v_nrm") * F.col("c_nrm")))
+    w = Window.partitionBy("cid").orderBy(F.col("cos_raw").desc(),
+                                          "vec_id")
+    return (a.join(F.broadcast(cents), "cid")
+             .select("cid", "vec_id", cos.alias("cos_raw"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= DIVERSITY_M)
+             .select(F.col("cid").cast("long").alias("cid"),
+                     "vec_id", F.col("rk").cast("long").alias("rk"),
+                     F.round("cos_raw", 6).alias("cos"))
+             .orderBy("cid", "rk"))
+
+
+QUERIES["curation_diversity_sample"] = curation_diversity_sample
+ORACLES["curation_diversity_sample"] = _DUCK_ASSIGN_CTE + f""",
+scored AS (
+  SELECT a.cid, a.vec_id,
+         {_d_cos("a.embedding", "c.c_emb")} AS cos_raw
+  FROM assign a JOIN c{KMEANS_ITERS} c USING (cid)),
+ranked AS (
+  SELECT cid, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY cos_raw DESC, vec_id) AS rk
+  FROM scored)
+SELECT CAST(cid AS BIGINT) AS cid, vec_id, CAST(rk AS BIGINT) AS rk,
+       ROUND(cos_raw, 6) AS cos
+FROM ranked WHERE rk <= {DIVERSITY_M}
+ORDER BY cid, rk
+"""

@@ -174,3 +174,48 @@ def test_bmp_query_lossless_column(spark):
     from otel_arrow_collector_spark.operators.multimodal import QUERIES
     out = _rows(QUERIES["multimodal_bmp_roundtrip"](spark, SF_SMALL))
     assert out and all(r["lossless"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# curation_diversity_sample
+# ---------------------------------------------------------------------------
+
+def test_diversity_sample_per_cell_budget(spark):
+    from otel_arrow_collector_spark.operators.similarity import (
+        DIVERSITY_M, QUERIES)
+    out = _rows(QUERIES["curation_diversity_sample"](spark, SF_SMALL))
+    per: dict = {}
+    for r in out:
+        per.setdefault(r["cid"], []).append(r)
+    for cid, rows in per.items():
+        assert len(rows) <= DIVERSITY_M
+        assert [x["rk"] for x in
+                sorted(rows, key=lambda x: x["rk"])] == \
+            list(range(1, len(rows) + 1))
+        # within a cell, rank order == descending cosine order
+        cs = [x["cos"] for x in sorted(rows, key=lambda x: x["rk"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup_band_sensitivity
+# ---------------------------------------------------------------------------
+
+def test_band_sensitivity_scurve_monotone(spark):
+    """LSH theory: fewer rows per band => more candidates and >= recall
+    (r=1 candidates strictly superset coarser geometries)."""
+    from otel_arrow_collector_spark.operators.dedup import QUERIES
+    out = sorted(_rows(QUERIES["dedup_band_sensitivity"](spark,
+                                                         SF_SMALL)),
+                 key=lambda r: r["rows_per_band"])
+    assert [r["rows_per_band"] for r in out] == [1, 2, 4]
+    cands = [r["n_candidates"] for r in out]
+    caught = [r["n_caught"] for r in out]
+    assert cands[0] >= cands[1] >= cands[2]
+    assert caught[0] >= caught[1] >= caught[2]
+    for r in out:
+        assert r["n_caught"] <= r["n_true_total"]
+        assert r["n_caught"] <= r["n_candidates"]
+    # r=1 collides on any shared hash: it must catch EVERY true dup
+    # (truth was verified from its own candidate set)
+    assert caught[0] == out[0]["n_true_total"]

@@ -57,7 +57,8 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "q113_autocorrelation", "q114_herfindahl",
            "sample_systematic", "text_ngram_novelty",
            "text_vocab_overlap", "graph_two_hop_reach",
-           "sketch_bloom_fpr", "dedup_minhash_estimate_error"]
+           "sketch_bloom_fpr", "dedup_minhash_estimate_error",
+           "curation_diversity_sample", "dedup_band_sensitivity"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:

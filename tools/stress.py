@@ -131,7 +131,17 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # explode feeding them, the sketch_bloom_fpr shape)
                    "q112_interval_coverage", "q113_autocorrelation",
                    "q114_herfindahl", "sample_systematic",
-                   "text_ngram_novelty", "text_vocab_overlap"]
+                   "text_ngram_novelty", "text_vocab_overlap",
+                   # the per-cell cosine + top-M rank over the
+                   # (distinct-vec_id-collapsed) assignment relation
+                   "curation_diversity_sample"]
+# dedup_band_sensitivity is EXCLUDED for the dedup_allpairs_prefix /
+# dedup_minhash_estimate_error reason: whole-table replication copies
+# document TEXT verbatim, so the r=1 (collide-on-any-hash) candidate
+# relation legitimately grows ~k^2 with the replication factor — the
+# harness would flag output-faithful growth, not a defect.  Its
+# candidate-bounded verify stage is the shared verify_candidate_pairs
+# join already pinned by the incremental-dedup stress record.
 # dedup_minhash_estimate_error is EXCLUDED for the dedup_allpairs_prefix
 # reason: whole-table replication copies document TEXT verbatim, so
 # every cross-copy doc pair is a real near-duplicate and the candidate
