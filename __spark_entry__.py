@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     # FIRST: the round-12 additions (commit-checklist rule: every new
     # query gets a slot here), led by the two-epoch composition proof.
-    "curation_diversity_sample", "dedup_band_sensitivity",
+    "q115_winsorize", "curation_diversity_sample",
+    "dedup_band_sensitivity",
     "q112_interval_coverage", "q113_autocorrelation", "q114_herfindahl",
     "sample_systematic", "text_ngram_novelty", "text_vocab_overlap",
     "multimodal_bmp_roundtrip",

@@ -5047,3 +5047,98 @@ def q114(spark, sf_dir):
             .select(F.col("nation").cast("long").alias("nation"),
                     "n_suppliers", "total_cents", "hhi_bp")
             .orderBy("nation"))
+
+
+@_register("q115_winsorize", """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY round(l_extendedprice * 100),
+                                     l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+th AS (
+  SELECT grp, MAX(n) AS n,
+         MAX(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100)
+             THEN cents END) AS p05_cents,
+         MAX(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100)
+             THEN cents END) AS p95_cents
+  FROM v GROUP BY grp)
+SELECT v.grp, CAST(th.n AS BIGINT) AS n,
+       CAST(th.p05_cents AS BIGINT) AS p05_cents,
+       CAST(th.p95_cents AS BIGINT) AS p95_cents,
+       CAST(SUM(CAST(v.cents AS HUGEINT)) // th.n AS BIGINT)
+         AS mean_cents,
+       CAST(SUM(CAST(least(greatest(v.cents, th.p05_cents),
+                           th.p95_cents) AS HUGEINT)) // th.n
+            AS BIGINT) AS wins_mean_cents,
+       CAST(SUM(CASE WHEN v.cents < th.p05_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN v.cents > th.p95_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high
+FROM v JOIN th ON th.grp = v.grp
+GROUP BY v.grp, th.n, th.p05_cents, th.p95_cents
+ORDER BY v.grp
+""")
+def q115(spark, sf_dir):
+    """Winsorized mean per return flag: revenue cents clipped at the
+    exact p05/p95 ORDER STATISTICS (rank ceil(n*q) under a total
+    tie-broken order — the q79 exact-selection pattern, never a float
+    percentile), reporting the raw vs winsorized mean and how many
+    rows each tail clipped — the robust-mean cleaning step (Tukey/
+    Hampel robust statistics; the outlier guard a feature pipeline
+    applies before z-scoring) with the thresholds published so the
+    clip is auditable.
+
+    Scale shape: ONE group-keyed window sort serves rank and count
+    (same partitioning, two frames); thresholds collapse to a |groups|-
+    row relation joined back broadcast; the winsorized aggregate is a
+    map-side-combinable hash agg.  The window key is low-cardinality
+    (3 return flags) — the q79/q98 selection class; at extreme scale
+    the exact order statistic swaps for a range-partitioned rank
+    (sortWithinPartitions + partition-offset cumsum, the text_heaps
+    note) without touching the threshold/clip stages.  Magnitude: sum(cents) ~ 2e13 per SF
+    group and ~2e15 at 100x — the mean numerator rides decimal(38)/
+    HUGEINT rather than trusting BIGINT headroom at 1000x.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    wr = (Window.partitionBy("grp")
+          .orderBy("cents", "l_orderkey", "l_linenumber"))
+    wn = Window.partitionBy("grp")
+    v = (li.select(F.col("l_returnflag").alias("grp"),
+                   F.round(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("cents"),
+                   "l_orderkey", "l_linenumber")
+         .select("grp", "cents",
+                 F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n")))
+    th = (v.groupBy("grp")
+          .agg(F.max("n").alias("n"),
+               F.max(F.expr("CASE WHEN rn = greatest(1, (n * 5 + 99)"
+                            " div 100) THEN cents END"))
+               .alias("p05_cents"),
+               F.max(F.expr("CASE WHEN rn = greatest(1, (n * 95 + 99)"
+                            " div 100) THEN cents END"))
+               .alias("p95_cents")))
+    dec = "decimal(38,0)"
+    return (v.select("grp", "cents")
+            .join(F.broadcast(th), "grp")
+            .groupBy("grp", "n", "p05_cents", "p95_cents")
+            .agg(F.expr(f"CAST(SUM(CAST(cents AS {dec})) div n"
+                        " AS BIGINT)").alias("mean_cents"),
+                 F.expr(f"CAST(SUM(CAST(least(greatest(cents,"
+                        f" p05_cents), p95_cents) AS {dec})) div n"
+                        " AS BIGINT)").alias("wins_mean_cents"),
+                 F.sum(F.when(F.col("cents") < F.col("p05_cents"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_clipped_low"),
+                 F.sum(F.when(F.col("cents") > F.col("p95_cents"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_clipped_high"))
+            .select("grp", F.col("n").cast("long").alias("n"),
+                    F.col("p05_cents").cast("long").alias("p05_cents"),
+                    F.col("p95_cents").cast("long").alias("p95_cents"),
+                    "mean_cents", "wins_mean_cents",
+                    "n_clipped_low", "n_clipped_high")
+            .orderBy("grp"))

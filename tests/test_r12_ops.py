@@ -219,3 +219,20 @@ def test_band_sensitivity_scurve_monotone(spark):
     # r=1 collides on any shared hash: it must catch EVERY true dup
     # (truth was verified from its own candidate set)
     assert caught[0] == out[0]["n_true_total"]
+
+
+# ---------------------------------------------------------------------------
+# q115_winsorize
+# ---------------------------------------------------------------------------
+
+def test_winsorize_invariants(spark):
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = _rows(QUERIES["q115_winsorize"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        assert r["p05_cents"] <= r["p95_cents"]
+        # clipping both tails pulls the mean toward the middle band
+        assert r["p05_cents"] <= r["wins_mean_cents"] <= r["p95_cents"]
+        # each tail clips < 5% of rows (rank-exclusive strict compare)
+        assert r["n_clipped_low"] <= r["n"] * 5 // 100
+        assert r["n_clipped_high"] <= r["n"] * 5 // 100

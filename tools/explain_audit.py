@@ -58,7 +58,8 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "sample_systematic", "text_ngram_novelty",
            "text_vocab_overlap", "graph_two_hop_reach",
            "sketch_bloom_fpr", "dedup_minhash_estimate_error",
-           "curation_diversity_sample", "dedup_band_sensitivity"]
+           "curation_diversity_sample", "dedup_band_sensitivity",
+           "q115_winsorize"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:

@@ -134,7 +134,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    "text_ngram_novelty", "text_vocab_overlap",
                    # the per-cell cosine + top-M rank over the
                    # (distinct-vec_id-collapsed) assignment relation
-                   "curation_diversity_sample"]
+                   "curation_diversity_sample",
+                   # the 3-key window selection + broadcast-threshold
+                   # clip agg (low-cardinality sort partitions: per-
+                   # partition n log n, alpha ~ 1 by construction)
+                   "q115_winsorize"]
 # dedup_band_sensitivity is EXCLUDED for the dedup_allpairs_prefix /
 # dedup_minhash_estimate_error reason: whole-table replication copies
 # document TEXT verbatim, so the r=1 (collide-on-any-hash) candidate
