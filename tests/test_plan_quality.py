@@ -1264,3 +1264,98 @@ def test_epoch2_reuses_store_and_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- round 12 second wave ----------------------------------------------------
+
+def test_interval_coverage_windows_share_user_key(spark):
+    """q112: both windows (prefix-max end, running island id) partition
+    by (event_type, user_id) — high cardinality, never SinglePartition;
+    the aggregates after are joins-free."""
+    plan = _plan(spark, "q112_interval_coverage")
+    assert "windowspecdefinition(event_type" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_autocorrelation_collapses_before_joining(spark):
+    """q113: the fact table collapses to |days| rows in one hash agg;
+    the 7-lag explode is a broadcast nested-loop of a 7-row relation
+    (never a cartesian of facts) and no window exists anywhere."""
+    plan = _plan(spark, "q113_autocorrelation")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_herfindahl_joins_are_broadcast(spark):
+    """q114: supplier dim and the |nations|-row totals both join
+    broadcast; no window."""
+    plan = _plan(spark, "q114_herfindahl")
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_one_window_broadcast_thresholds(spark):
+    """q115: the rank/count window is grp-keyed; the |groups|-row
+    threshold relation joins back broadcast."""
+    plan = _plan(spark, "q115_winsorize")
+    assert "windowspecdefinition(grp" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_systematic_window_is_stratum_keyed_no_join(spark):
+    """sample_systematic: one source-keyed rank window, zero joins."""
+    plan = _plan(spark, "sample_systematic")
+    assert "windowspecdefinition(source" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_ngram_novelty_is_anti_join_no_python(spark):
+    """text_ngram_novelty: trigrams built map-side (no posexplode
+    self-join), compared with ONE left-anti join; no window, no
+    python."""
+    plan = _plan(spark, "text_ngram_novelty")
+    assert "LeftAnti" in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_overlap_equality_joins_only(spark):
+    """text_vocab_overlap: distinct-collapse hash aggs + equality
+    joins on token/source — no window, no cartesian, no python."""
+    plan = _plan(spark, "text_vocab_overlap")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bmp_roundtrip_is_single_map_stage(spark):
+    """multimodal_bmp_roundtrip: one Arrow-batched python map over the
+    bounded doc slice — no join, no window."""
+    plan = _plan(spark, "multimodal_bmp_roundtrip")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_diversity_sample_window_is_cell_keyed(spark):
+    """curation_diversity_sample: the top-M rank partitions by cid
+    (the cell), never SinglePartition; no cartesian beyond the
+    broadcast centroid crosses inside the memoized assignment."""
+    plan = _plan(spark, "curation_diversity_sample")
+    assert "windowspecdefinition(cid" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_sensitivity_semi_join_no_window(spark):
+    """dedup_band_sensitivity: truth membership via LeftSemi on the
+    candidate pairs; equality band joins only; no window anywhere."""
+    plan = _plan(spark, "dedup_band_sensitivity")
+    assert "LeftSemi" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
