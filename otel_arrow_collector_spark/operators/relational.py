@@ -4593,6 +4593,20 @@ def q108(spark, sf_dir):
             .orderBy("day"))
 
 
+def streak_runs(d: DataFrame) -> DataFrame:
+    """Per-user consecutive-day run lengths from a DISTINCT (user_id,
+    day) relation: day - row_number() is constant exactly along a run
+    (the gaps-and-islands rewrite).  Returns (user_id, island, len).
+    Shared by q109_user_streaks and the streaming twin's equivalence
+    pin (tests/test_streaks_stream.py), so batch and stream cannot
+    diverge on run semantics."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select("user_id", "day",
+                   (F.col("day") - F.row_number().over(w)).alias("island"))
+    return (isl.groupBy("user_id", "island")
+            .agg(F.count(F.lit(1)).alias("len")))
+
+
 @_register("q109_user_streaks", """
 WITH d AS (
   SELECT DISTINCT user_id,
@@ -4629,12 +4643,8 @@ def q109(spark, sf_dir):
                    F.expr("ts_ns div 1000 div 86400000000")
                    .cast("long").alias("day"))
          .distinct())
-    w = Window.partitionBy("user_id").orderBy("day")
-    isl = d.select("user_id", "day",
-                   (F.col("day") - F.row_number().over(w)).alias("island"))
-    runs = (isl.groupBy("user_id", "island")
-            .agg(F.count(F.lit(1)).alias("len")))
-    return (runs.groupBy("user_id")
+    return (streak_runs(d)
+            .groupBy("user_id")
             .agg(F.max("len").cast("long").alias("longest_streak"),
                  F.sum("len").cast("long").alias("n_active_days"))
             .select(F.col("user_id").cast("long").alias("user_id"),
