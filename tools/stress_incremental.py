@@ -32,19 +32,24 @@ from stress import fit_exponent, run_query  # noqa: E402
 
 
 def build_shard_scaled_dir(spark, src_dir: str, work_dir: str,
-                           k: int) -> str:
+                           k: int, shard_expr: str | None = None,
+                           tag: str = "shard") -> str:
+    """Scale ONLY the ``shard_expr`` slice k-fold (corpus + any other
+    slice stay fixed).  ``tag`` separates work dirs when two different
+    slices are scaled (epoch-A vs epoch-B axes)."""
     from pyspark.sql import functions as F
 
     from otel_arrow_collector_spark.operators.dedup import (INCR_SHARD_MOD,
                                                             _SPARK_SHARD)
-    out = os.path.join(work_dir, f"shard_x{k}")
+    shard_expr = shard_expr or _SPARK_SHARD
+    out = os.path.join(work_dir, f"{tag}_x{k}")
     done = os.path.join(out, ".complete")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
     base = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
-    corpus = base.filter(~F.expr(_SPARK_SHARD))
-    shard = base.filter(F.expr(_SPARK_SHARD))
+    corpus = base.filter(~F.expr(shard_expr))
+    shard = base.filter(F.expr(shard_expr))
     parts = [corpus, shard]
     for i in range(1, k):
         off = i * (1 << 33) * INCR_SHARD_MOD
@@ -82,14 +87,24 @@ def main() -> int:
     # curation_ingest_funnel rides the same shard axis (r11 verdict ask
     # #5): the quality gate runs on the shard BEFORE dedup, so its cost
     # must also scale with the shard, not the corpus
-    for name in ("dedup_incremental", "dedup_incremental_delta",
-                 "curation_ingest_funnel"):
+    from otel_arrow_collector_spark.operators.dedup import _SPARK_SHARD_B
+    # dedup_incremental_epoch2 scales the EPOCH-B slice (doc_id%10=3)
+    # with corpus AND epoch-A fixed: its production claim is that the
+    # second epoch's ingest cost tracks shard B, the store+deltaA side
+    # being a fixed, already-materialized relation.
+    axes = {"dedup_incremental": None, "dedup_incremental_delta": None,
+            "curation_ingest_funnel": None,
+            "dedup_incremental_epoch2": _SPARK_SHARD_B}
+    for name, axis_expr in axes.items():
         fn = queries[name]
         per_scale = {}
         base_shape = None
         for k in scales:
             d = build_shard_scaled_dir(spark, args.sf_dir,
-                                       args.work_dir, k)
+                                       args.work_dir, k,
+                                       shard_expr=axis_expr,
+                                       tag="shard" if axis_expr is None
+                                       else "shard_b")
             best = None
             for _ in range(args.runs):
                 dt, internal, shape, n_rows = run_query(spark, fn, d)
