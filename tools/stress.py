@@ -170,7 +170,7 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
 
 #: tables the default queries read; only these are replicated
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events",
-          "customer", "part")
+          "customer", "part", "supplier")
 
 #: per-copy key offsets — disjoint ranges per replica so within-copy
 #: joins line up and cross-copy joins are impossible.  events keeps its
@@ -195,6 +195,11 @@ KEY_OFFSETS = {
     # contract is a BOUNDED brand-pair space, so k x corpus must mean
     # k x work per pair, never more pairs
     "part": {"p_partkey": 1 << 30},
+    # matches lineitem's l_suppkey offset so within-copy supplier joins
+    # line up; s_nationkey deliberately stays fixed — q114's HHI
+    # contract is a BOUNDED nation space, so k x suppliers means k x
+    # linear work per nation, never more nations
+    "supplier": {"s_suppkey": 1 << 30},
 }
 
 #: bound every internal driver materialization must respect (the
