@@ -2090,36 +2090,43 @@ def text_ngram_novelty(spark, sf_dir):
     counts + floor ppm.
 
     Scale shape: trigrams are built inside a map-side higher-order
-    ``transform`` over the split-token array (no posexplode self-join
-    — the corpus is scanned once per side), collapsed to DISTINCT
-    (lang, trigram) hash aggs, and compared with one LEFT ANTI join on
-    the (lang, trigram) key — all shuffles are on the collapsed
-    distinct relations, sublinear in the corpus (Heaps).  Magnitude:
-    counts and one 1e6-scaled division; n_test * 1e6 ~ 1e13 at 100x —
-    inside BIGINT.
+    ``transform`` over the split-token array (no posexplode self-join),
+    and the corpus is scanned EXACTLY ONCE: each exploded trigram row
+    carries its side flag, one (lang, trigram)-keyed hash agg records
+    which sides the type occurs on (max of flags — map-side
+    combinable), and the per-lang counts fall out of a second agg over
+    the vocab-sized relation.  No join at all — the side comparison is
+    a flag, not an anti-join — so the plan is volume-invariant by
+    construction (the dual-referenced-subtree reuse flip the stress
+    harness caught in the join form cannot exist).  All shuffles are
+    on collapsed distinct-type relations, sublinear in the corpus
+    (Heaps).  Magnitude: counts and one 1e6-scaled division;
+    n_test * 1e6 ~ 1e13 at 100x — inside BIGINT.
     """
     d = load_table(spark, sf_dir, "documents")
     tri_expr = ("CASE WHEN size(a) >= 3 THEN "
                 "transform(sequence(0, size(a) - 3), "
                 "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2])) "
                 "ELSE array() END")
-    base = (d.select("lang", "doc_id",
+    base = (d.select("lang",
+                     (F.col("doc_id") % 10 >= 8).alias("is_test"),
                      F.expr("filter(split(text, ' '), x -> x <> '')")
                      .alias("a"))
-            .select("lang", "doc_id",
+            .select("lang", "is_test",
                     F.explode(F.expr(tri_expr)).alias("tg")))
-    train = (base.filter(F.col("doc_id") % 10 < 8)
-             .select("lang", "tg").distinct())
-    test = (base.filter(F.col("doc_id") % 10 >= 8)
-            .select("lang", "tg").distinct())
-    novel = (test.join(train, ["lang", "tg"], "left_anti")
-             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_novel")))
-    tot = test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test"))
-    return (tot.join(novel, "lang", "left")
+    per_tg = (base.groupBy("lang", "tg")
+              .agg(F.max(F.when(F.col("is_test"), 1).otherwise(0))
+                   .alias("in_test"),
+                   F.max(F.when(~F.col("is_test"), 1).otherwise(0))
+                   .alias("in_train")))
+    return (per_tg.filter(F.col("in_test") == 1)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.col("in_train") == 0, 1).otherwise(0))
+                 .alias("n_novel"))
             .select("lang", F.col("n_test").cast("long").alias("n_test"),
-                    F.coalesce("n_novel", F.lit(0)).cast("long")
-                    .alias("n_novel"),
-                    F.expr("coalesce(n_novel, 0) * 1000000 div n_test")
+                    F.col("n_novel").cast("long").alias("n_novel"),
+                    F.expr("n_novel * 1000000 div n_test")
                     .cast("long").alias("novel_ppm"))
             .orderBy("lang"))
 

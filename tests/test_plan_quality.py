@@ -1314,12 +1314,14 @@ def test_systematic_window_is_stratum_keyed_no_join(spark):
     assert "Join" not in plan
 
 
-def test_ngram_novelty_is_anti_join_no_python(spark):
-    """text_ngram_novelty: trigrams built map-side (no posexplode
-    self-join), compared with ONE left-anti join; no window, no
-    python."""
+def test_ngram_novelty_single_scan_no_join(spark):
+    """text_ngram_novelty: trigrams built map-side and the corpus
+    scanned ONCE — side membership is a flag aggregation, so the plan
+    carries NO join of any kind (the anti-join form's dual-referenced
+    subtree was reuse-planned differently by volume — a stress-harness
+    catch), no window, no python."""
     plan = _plan(spark, "text_ngram_novelty")
-    assert "LeftAnti" in plan
+    assert "Join" not in plan
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
 
