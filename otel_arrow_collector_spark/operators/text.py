@@ -2080,6 +2080,17 @@ FROM m ORDER BY source
 """
 
 
+#: word-trigram array from a pre-split token array ``a`` — guarded so
+#: <3-word docs yield an empty array (Spark sequence() would descend on
+#: a negative stop).  Shared by text_ngram_novelty and the streaming
+#: Bloom-novelty twin's feed (tests/test_bloom_novelty_stream.py), so
+#: batch and stream cannot diverge on trigram derivation.
+TRIGRAM_EXPR = ("CASE WHEN size(a) >= 3 THEN "
+                "transform(sequence(0, size(a) - 3), "
+                "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2])) "
+                "ELSE array() END")
+
+
 def text_ngram_novelty(spark, sf_dir):
     """Train/test n-gram novelty: documents split 80/20 by doc_id mod
     10, and each language reports how many of its DISTINCT test-side
@@ -2104,16 +2115,12 @@ def text_ngram_novelty(spark, sf_dir):
     n_test * 1e6 ~ 1e13 at 100x — inside BIGINT.
     """
     d = load_table(spark, sf_dir, "documents")
-    tri_expr = ("CASE WHEN size(a) >= 3 THEN "
-                "transform(sequence(0, size(a) - 3), "
-                "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2])) "
-                "ELSE array() END")
     base = (d.select("lang",
                      (F.col("doc_id") % 10 >= 8).alias("is_test"),
                      F.expr("filter(split(text, ' '), x -> x <> '')")
                      .alias("a"))
             .select("lang", "is_test",
-                    F.explode(F.expr(tri_expr)).alias("tg")))
+                    F.explode(F.expr(TRIGRAM_EXPR)).alias("tg")))
     per_tg = (base.groupBy("lang", "tg")
               .agg(F.max(F.when(F.col("is_test"), 1).otherwise(0))
                    .alias("in_test"),
