@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     # FIRST: the round-12 additions (commit-checklist rule: every new
     # query gets a slot here), led by the two-epoch composition proof.
+    "q116_zorder_pruning", "q117_fuzzy_name_match",
     "q115_winsorize", "curation_diversity_sample",
     "dedup_band_sensitivity",
     "q112_interval_coverage", "q113_autocorrelation", "q114_herfindahl",

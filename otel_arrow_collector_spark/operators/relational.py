@@ -5152,3 +5152,149 @@ def q115(spark, sf_dir):
                     "mean_cents", "wins_mean_cents",
                     "n_clipped_low", "n_clipped_high")
             .orderBy("grp"))
+
+
+@_register("q116_zorder_pruning", """
+WITH mm AS (
+  SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+         MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+  FROM lineitem),
+base AS (
+  SELECT l_orderkey,
+         (l_partkey - mm.xmin) * 65535
+           // greatest(mm.xmax - mm.xmin, 1) AS x16,
+         (l_suppkey - mm.ymin) * 65535
+           // greatest(mm.ymax - mm.ymin, 1) AS y16
+  FROM lineitem CROSS JOIN mm),
+z AS (SELECT l_orderkey, x16, y16, ((x16 // 1) % 2) * 1 + ((y16 // 1) % 2) * 2 + ((x16 // 2) % 2) * 4 + ((y16 // 2) % 2) * 8 + ((x16 // 4) % 2) * 16 + ((y16 // 4) % 2) * 32 + ((x16 // 8) % 2) * 64 + ((y16 // 8) % 2) * 128 + ((x16 // 16) % 2) * 256 + ((y16 // 16) % 2) * 512 + ((x16 // 32) % 2) * 1024 + ((y16 // 32) % 2) * 2048 + ((x16 // 64) % 2) * 4096 + ((y16 // 64) % 2) * 8192 + ((x16 // 128) % 2) * 16384 + ((y16 // 128) % 2) * 32768 + ((x16 // 256) % 2) * 65536 + ((y16 // 256) % 2) * 131072 + ((x16 // 512) % 2) * 262144 + ((y16 // 512) % 2) * 524288 + ((x16 // 1024) % 2) * 1048576 + ((y16 // 1024) % 2) * 2097152 + ((x16 // 2048) % 2) * 4194304 + ((y16 // 2048) % 2) * 8388608 + ((x16 // 4096) % 2) * 16777216 + ((y16 // 4096) % 2) * 33554432 + ((x16 // 8192) % 2) * 67108864 + ((y16 // 8192) % 2) * 134217728 + ((x16 // 16384) % 2) * 268435456 + ((y16 // 16384) % 2) * 536870912 + ((x16 // 32768) % 2) * 1073741824 + ((y16 // 32768) % 2) * 2147483648 AS zv FROM base),
+b AS (
+  SELECT 'hash' AS layout, l_orderkey % 64 AS bucket, x16, y16 FROM z
+  UNION ALL
+  SELECT 'xrange' AS layout, x16 // 1024 AS bucket, x16, y16 FROM z
+  UNION ALL
+  SELECT 'zorder' AS layout, zv // 67108864 AS bucket, x16, y16 FROM z),
+stats AS (
+  SELECT layout, bucket, COUNT(*) AS n,
+         MIN(x16) AS min_x, MAX(x16) AS max_x,
+         MIN(y16) AS min_y, MAX(y16) AS max_y
+  FROM b GROUP BY layout, bucket),
+flagged AS (
+  SELECT layout, n,
+         CASE WHEN max_x < 16384 OR min_x > 24575
+                OR max_y < 16384 OR min_y > 24575
+              THEN 1 ELSE 0 END AS pruned
+  FROM stats)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+       CAST(SUM(pruned) * 1000 // COUNT(*) AS BIGINT)
+         AS pruned_permille,
+       CAST(SUM(CASE WHEN pruned = 0 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_scanned
+FROM flagged GROUP BY layout ORDER BY layout
+""")
+def q116(spark, sf_dir):
+    """Data-layout pruning study: the SAME fact rows bucketed three
+    ways — hash (orderkey mod 64: the default write layout), x-range
+    (sorted by one key), and Z-ORDER (Morton-interleaved x/y bits: the
+    space-filling-curve clustering Delta/Iceberg OPTIMIZE ZORDER
+    applies) — each bucket carrying min/max column stats, then a fixed
+    two-column range predicate is evaluated against the stats alone
+    and the report shows how many buckets each layout can SKIP
+    (Morton 1966; the multi-dimensional-clustering result: a z-curve
+    bucket is a near-rectangle in (x, y) space, so BOTH predicates
+    prune, where x-range prunes only one and hash prunes nothing).
+    The quantified 100 TB layout decision — which physical order makes
+    PartitionFilters/row-group skipping actually fire — measured on
+    the engine's own data, in exact integers.
+
+    Scale shape: one global min/max agg (broadcast back as a 1-row
+    cross), one map-side Morton expression (pure arithmetic — the
+    32-term bit interleave constant-folds into codegen), a 3x stack,
+    and two hash aggs; no window, no join beyond the 1-row broadcast.
+    Magnitude: (key - min) * 65535 ~ 1e12 at 100x key ranges — inside
+    BIGINT by 6 orders.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    mm = li.agg(F.min("l_partkey").alias("xmin"),
+                F.max("l_partkey").alias("xmax"),
+                F.min("l_suppkey").alias("ymin"),
+                F.max("l_suppkey").alias("ymax"))
+    base = (li.select("l_orderkey", "l_partkey", "l_suppkey")
+            .crossJoin(F.broadcast(mm))
+            .select("l_orderkey",
+                    F.expr("(l_partkey - xmin) * 65535"
+                           " div greatest(xmax - xmin, 1)").alias("x16"),
+                    F.expr("(l_suppkey - ymin) * 65535"
+                           " div greatest(ymax - ymin, 1)").alias("y16")))
+    z = base.select("l_orderkey", "x16", "y16",
+                    F.expr("((x16 div 1) % 2) * 1 + ((y16 div 1) % 2) * 2 + ((x16 div 2) % 2) * 4 + ((y16 div 2) % 2) * 8 + ((x16 div 4) % 2) * 16 + ((y16 div 4) % 2) * 32 + ((x16 div 8) % 2) * 64 + ((y16 div 8) % 2) * 128 + ((x16 div 16) % 2) * 256 + ((y16 div 16) % 2) * 512 + ((x16 div 32) % 2) * 1024 + ((y16 div 32) % 2) * 2048 + ((x16 div 64) % 2) * 4096 + ((y16 div 64) % 2) * 8192 + ((x16 div 128) % 2) * 16384 + ((y16 div 128) % 2) * 32768 + ((x16 div 256) % 2) * 65536 + ((y16 div 256) % 2) * 131072 + ((x16 div 512) % 2) * 262144 + ((y16 div 512) % 2) * 524288 + ((x16 div 1024) % 2) * 1048576 + ((y16 div 1024) % 2) * 2097152 + ((x16 div 2048) % 2) * 4194304 + ((y16 div 2048) % 2) * 8388608 + ((x16 div 4096) % 2) * 16777216 + ((y16 div 4096) % 2) * 33554432 + ((x16 div 8192) % 2) * 67108864 + ((y16 div 8192) % 2) * 134217728 + ((x16 div 16384) % 2) * 268435456 + ((y16 div 16384) % 2) * 536870912 + ((x16 div 32768) % 2) * 1073741824 + ((y16 div 32768) % 2) * 2147483648").alias("zv"))
+    b = z.selectExpr(
+        "stack(3, 'hash',   l_orderkey % 64,"
+        "         'xrange', x16 div 1024,"
+        "         'zorder', zv div 67108864) AS (layout, bucket)",
+        "x16", "y16")
+    stats = (b.groupBy("layout", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("x16").alias("min_x"), F.max("x16").alias("max_x"),
+                  F.min("y16").alias("min_y"), F.max("y16").alias("max_y")))
+    flagged = stats.select(
+        "layout", "n",
+        F.expr("CASE WHEN max_x < 16384 OR min_x > 24575"
+               " OR max_y < 16384 OR min_y > 24575"
+               " THEN 1 ELSE 0 END").alias("pruned"))
+    return (flagged.groupBy("layout")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                 F.sum("pruned").cast("long").alias("n_pruned"),
+                 F.expr("SUM(pruned) * 1000 div COUNT(*)").cast("long")
+                 .alias("pruned_permille"),
+                 F.sum(F.when(F.col("pruned") == 0, F.col("n"))
+                       .otherwise(0)).cast("long").alias("rows_scanned"))
+            .orderBy("layout"))
+
+
+@_register("q117_fuzzy_name_match", """
+WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+pairs AS (
+  SELECT a.p_brand AS brand,
+         a.p_partkey AS k1, b.p_partkey AS k2,
+         a.p_name AS n1, b.p_name AS n2,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b
+    ON b.p_brand = a.p_brand AND a.p_partkey < b.p_partkey)
+SELECT brand, CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2,
+       n1, n2, CAST(dist AS BIGINT) AS dist
+FROM pairs WHERE dist <= 3 AND dist > 0
+ORDER BY brand, dist, k1, k2 LIMIT 200
+""")
+def q117(spark, sf_dir):
+    """Blocked fuzzy string matching: part-name pairs within a brand
+    block at Levenshtein distance 1..3 — the catalog-entity-resolution
+    primitive (typo'd SKUs, OCR'd product feeds) the exact-key ER trio
+    cannot catch, using the JVM built-in edit distance (identical
+    classic unit-cost Levenshtein in both engines, UDF-free).
+
+    Scale shape: the self-join is keyed on the BLOCK (brand) — the
+    dedup_er_blocking contract: candidate pairs are sum(block^2),
+    never all-pairs; blocks are bounded by construction of the
+    blocking key.  The distance is a codegen scalar on each candidate
+    pair; output is a deterministic TakeOrdered top-200.  Magnitude:
+    distances <= max(name length) — trivial.
+    """
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_name"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("b.p_brand") == F.col("a.p_brand"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.p_brand").alias("brand"),
+                     F.col("a.p_partkey").alias("k1"),
+                     F.col("b.p_partkey").alias("k2"),
+                     F.col("a.p_name").alias("n1"),
+                     F.col("b.p_name").alias("n2"),
+                     F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                     .alias("dist")))
+    return (pairs.filter((F.col("dist") <= 3) & (F.col("dist") > 0))
+            .select("brand", F.col("k1").cast("long").alias("k1"),
+                    F.col("k2").cast("long").alias("k2"),
+                    "n1", "n2", F.col("dist").cast("long").alias("dist"))
+            .orderBy("brand", "dist", "k1", "k2").limit(200))

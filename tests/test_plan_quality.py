@@ -1361,3 +1361,24 @@ def test_band_sensitivity_semi_join_no_window(spark):
     assert "LeftSemi" in plan
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_study_is_map_plus_hash_aggs(spark):
+    """q116: the Morton interleave is a codegen map expression; the
+    only join is the 1-row min/max broadcast cross; no window."""
+    plan = _plan(spark, "q116_zorder_pruning")
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan   # the 1-row stats cross
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_match_is_block_keyed_topk(spark):
+    """q117: the self-join is keyed on the brand BLOCK (equality join,
+    never a cartesian); the distance is a codegen scalar; output is a
+    deterministic TakeOrdered top-200."""
+    plan = _plan(spark, "q117_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan

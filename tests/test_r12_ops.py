@@ -236,3 +236,55 @@ def test_winsorize_invariants(spark):
         # each tail clips < 5% of rows (rank-exclusive strict compare)
         assert r["n_clipped_low"] <= r["n"] * 5 // 100
         assert r["n_clipped_high"] <= r["n"] * 5 // 100
+
+
+# ---------------------------------------------------------------------------
+# q116_zorder_pruning
+# ---------------------------------------------------------------------------
+
+def test_zorder_prunes_at_least_as_well_as_xrange(spark):
+    """The layout hierarchy the study exists to demonstrate: hash
+    prunes nothing, x-range prunes on one dimension, z-order prunes on
+    both — and every layout scans the rows its stats cannot exclude."""
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = {r["layout"]: r for r in
+           _rows(QUERIES["q116_zorder_pruning"](spark, SF_SMALL))}
+    assert set(out) == {"hash", "xrange", "zorder"}
+    assert out["hash"]["n_pruned"] == 0
+    assert out["zorder"]["n_pruned"] >= out["xrange"]["n_pruned"] > 0
+    assert out["zorder"]["rows_scanned"] <= out["xrange"]["rows_scanned"]
+    for r in out.values():
+        assert 0 <= r["n_pruned"] <= r["n_buckets"]
+
+
+def test_morton_interleave_micro():
+    """The 32-term arithmetic interleave == the bit-twiddled Morton
+    code on a sample grid."""
+    def arith(x, y):
+        return sum((((x >> i) & 1) << (2 * i))
+                   + (((y >> i) & 1) << (2 * i + 1)) for i in range(16))
+    # independent reference: textbook part1by1 spreading
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    for x in (0, 1, 5, 255, 65535, 12345):
+        for y in (0, 1, 7, 1024, 65535):
+            assert arith(x, y) == spread(x) | (spread(y) << 1)
+
+
+# ---------------------------------------------------------------------------
+# q117_fuzzy_name_match
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_match_within_blocks_and_bounds(spark):
+    from otel_arrow_collector_spark.operators.relational import QUERIES
+    out = _rows(QUERIES["q117_fuzzy_name_match"](spark, SF_SMALL))
+    assert out
+    for r in out:
+        assert 1 <= r["dist"] <= 3
+        assert r["k1"] < r["k2"]
+        assert r["n1"] != r["n2"]  # dist > 0 excludes exact twins

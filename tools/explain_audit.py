@@ -59,7 +59,7 @@ DEFAULT = ["q02_filter", "q12_inner_join", "q13_star_join",
            "text_vocab_overlap", "graph_two_hop_reach",
            "sketch_bloom_fpr", "dedup_minhash_estimate_error",
            "curation_diversity_sample", "dedup_band_sensitivity",
-           "q115_winsorize"]
+           "q115_winsorize", "q116_zorder_pruning", "q117_fuzzy_name_match"]
 
 
 def audit(spark, fn, sf_dir: str) -> dict:

@@ -138,7 +138,18 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # the 3-key window selection + broadcast-threshold
                    # clip agg (low-cardinality sort partitions: per-
                    # partition n log n, alpha ~ 1 by construction)
-                   "q115_winsorize"]
+                   "q115_winsorize",
+                   # the Morton-interleave map + two hash aggs (key
+                   # re-spreading widens the min/max frame; the
+                   # normalization adapts — pure linear map work)
+                   "q116_zorder_pruning"]
+# q117_fuzzy_name_match is EXCLUDED: part replication deliberately
+# keeps p_brand FIXED (the market-basket bounded-brand contract), so a
+# k-times part table has k-times-LARGER brand blocks and the blocked
+# self-join legitimately grows ~k^2 — the harness would flag the
+# blocking model's miscalibration, not the operator (dedup_er_blocking
+# stays IN because its blocking key re-spreads: more blocks, same
+# block size).  The sum(block^2)-never-all-pairs bound is plan-pinned.
 # dedup_band_sensitivity is EXCLUDED for the dedup_allpairs_prefix /
 # dedup_minhash_estimate_error reason: whole-table replication copies
 # document TEXT verbatim, so the r=1 (collide-on-any-hash) candidate
