@@ -1373,12 +1373,16 @@ def test_zorder_study_is_map_plus_hash_aggs(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_fuzzy_match_is_block_keyed_topk(spark):
-    """q117: the self-join is keyed on the brand BLOCK (equality join,
-    never a cartesian); the distance is a codegen scalar; output is a
-    deterministic TakeOrdered top-200."""
+def test_fuzzy_match_collapses_dp_to_distinct_names(spark):
+    """q117: the edit-distance DP runs only on the distinct-name cross
+    (a broadcast nested-loop of vocabulary-sized relations); the part-
+    level path is pure equi-joins with the qualified name pairs
+    broadcast — no cartesian, no DP on the fact path, deterministic
+    TakeOrdered top-200."""
     plan = _plan(spark, "q117_fuzzy_name_match")
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan   # names x names only
+    assert "BroadcastHashJoin" in plan         # membership equi-joins
     assert "TakeOrderedAndProject" in plan
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan

@@ -144,12 +144,13 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # normalization adapts — pure linear map work)
                    "q116_zorder_pruning"]
 # q117_fuzzy_name_match is EXCLUDED: part replication deliberately
-# keeps p_brand FIXED (the market-basket bounded-brand contract), so a
-# k-times part table has k-times-LARGER brand blocks and the blocked
-# self-join legitimately grows ~k^2 — the harness would flag the
-# blocking model's miscalibration, not the operator (dedup_er_blocking
-# stays IN because its blocking key re-spreads: more blocks, same
-# block size).  The sum(block^2)-never-all-pairs bound is plan-pinned.
+# keeps p_brand and p_name FIXED (the market-basket bounded-brand
+# contract), so a k-times part table has k-times-larger brand blocks
+# and the MATCHED PAIR OUTPUT legitimately grows ~k^2 — output-
+# faithful growth the harness would misread as a defect.  The
+# expensive side (the edit-distance DP) is collapsed to the distinct-
+# name cross and pinned by plan test; dedup_er_blocking stays IN
+# because its blocking key re-spreads (more blocks, same block size).
 # dedup_band_sensitivity is EXCLUDED for the dedup_allpairs_prefix /
 # dedup_minhash_estimate_error reason: whole-table replication copies
 # document TEXT verbatim, so the r=1 (collide-on-any-hash) candidate
