@@ -2164,6 +2164,21 @@ ORDER BY tot.lang
 """
 
 
+def _source_vocab(spark, sf_dir):
+    """DISTINCT (source, token) — the vocab substrate, memoized per
+    (session, dir): four branches of the overlap query consume it."""
+    from .cache_registry import cached
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        v = (d.select("source", F.explode(_words()).alias("token"))
+             .filter(F.col("token") != "")
+             .distinct().persist())
+        v.count()
+        return v
+    return cached("text.source_vocab", spark, sf_dir, build)
+
+
 def text_vocab_overlap(spark, sf_dir):
     """Pairwise source VOCABULARY Jaccard: the lexical-similarity
     matrix between sources over distinct word types — the
@@ -2173,17 +2188,19 @@ def text_vocab_overlap(spark, sf_dir):
     merging them buys new language).  Exact integer permille.
 
     Scale shape: the corpus collapses to DISTINCT (source, token) — a
-    vocab-sized relation, sublinear in the corpus (Heaps) — then one
-    self-join on token with src_a < src_b and per-source size counts
-    joined back; at 100 TB every post-collapse relation is vocabulary-
+    vocab-sized relation, sublinear in the corpus (Heaps) — which is
+    memoized + persisted (the dedup.pairs / sim.assign substrate
+    pattern) because FOUR plan branches reference it (both self-join
+    sides + both size lookups): without the persist each branch
+    re-reads and re-explodes the full corpus, the exact 4x-scan waste
+    a 100 TB plan cannot carry (caught by the explain audit).  Then
+    one self-join on token with src_a < src_b and per-source size
+    counts joined back — every post-collapse relation is vocabulary-
     scale, and the token join key is high-cardinality (no skew beyond
     stopwords, which |sources|^2 bounds per key).  Magnitude:
     n_inter * 1000 ~ 1e9 — trivially inside BIGINT.
     """
-    d = load_table(spark, sf_dir, "documents")
-    v = (d.select("source", F.explode(_words()).alias("token"))
-         .filter(F.col("token") != "")
-         .distinct())
+    v = _source_vocab(spark, sf_dir)
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = v.select(F.col("source").alias("src_a"), "token")
     b = v.select(F.col("source").alias("src_b"), "token")
