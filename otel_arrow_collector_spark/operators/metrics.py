@@ -184,9 +184,17 @@ def merge_exp_histograms(points: DataFrame) -> DataFrame:
     reduce), everything whole-stage-codegen SQL.
     """
     df = _with_series_key(points).filter(F.col("metric_type") == 4)
-    win = Window.partitionBy(*SERIES_KEY)
+    # Target scale per series = COARSEST scale.  Computed as a partial-
+    # aggregable groupBy joined back, NOT a window over the series key: a
+    # window needs a full-data exchange + sort on the series key and
+    # cannot split a partition, so low-cardinality series (e.g. 5 metric
+    # names over 100 TB of points) would serialize onto 5 tasks.  The agg
+    # side is one narrow row per series (== merge output cardinality);
+    # AQE broadcasts it at runtime, so the big side never shuffles here.
+    targets = (df.groupBy(*SERIES_KEY)
+                 .agg(F.min("scale").alias("__ts")))
     empty = "CAST(array() AS ARRAY<BIGINT>)"
-    df = (df.withColumn("__ts", F.min("scale").over(win))
+    df = (df.join(targets, SERIES_KEY)
             .withColumn("__shift", F.col("scale") - F.col("__ts"))
             .withColumn("__pos", F.expr(_downscale_sql(
                 "coalesce(positive_offset, 0)",

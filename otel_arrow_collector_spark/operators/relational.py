@@ -1020,7 +1020,7 @@ def q41(spark, sf_dir):
                "value >= 50 AND value < 100, "
                "value >= 100 AND value < 200, value >= 200), "
                "b -> CAST(IF(b, 1, 0) AS BIGINT))").alias("bucket_counts"))
-    m = merge_histograms(pts)
+    m = merge_histograms(pts, check_bounds=False)
     # Same driver-harness shape as q36: arrays serialized to comma-joined
     # strings (pandas canonicalization cannot sort list cells); Spark's
     # double->string rendering ('50.0') matches DuckDB array_to_string.
@@ -1075,6 +1075,7 @@ def q42(spark, sf_dir):
     merge_histograms, as q41) and interpolates from the merged
     bucket_counts.  Estimates are derived from integer counts with the
     byte-identical CASE text in both engines — cross-engine exact.
+    ``check_bounds=False`` as in q41 (constant literal bounds).
     """
     from .metrics import merge_histograms
     ev = _t(spark, sf_dir, "events")
@@ -1096,7 +1097,7 @@ def q42(spark, sf_dir):
                "value >= 50 AND value < 100, "
                "value >= 100 AND value < 200, value >= 200), "
                "b -> CAST(IF(b, 1, 0) AS BIGINT))").alias("bucket_counts"))
-    m = (merge_histograms(pts)
+    m = (merge_histograms(pts, check_bounds=False)
          .select(F.col("metric_name").alias("grp"),
                  F.col("count").alias("n"),
                  *[F.element_at("bucket_counts", i + 1).cast("double")

@@ -1386,3 +1386,20 @@ def test_fuzzy_match_collapses_dp_to_distinct_names(spark):
     assert "TakeOrderedAndProject" in plan
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_exp_histogram_merge_has_no_window(spark):
+    """q36/q48 (merge_exp_histograms): the per-series target scale is a
+    partial-aggregable groupBy joined back to the points — NOT a window
+    over the series key, whose exchange+sort would serialize onto
+    n_distinct(series) tasks at scale (r13: removed the WindowExec).
+    AQE may or may not broadcast the tiny targets side at this SF, so
+    only the absence of the window is pinned."""
+    for name in ("q36_exp_histogram_merge", "q48_exp_histogram_quantile"):
+        plan = _plan(spark, name)
+        if name == "q36_exp_histogram_merge":
+            assert "windowspecdefinition" not in plan
+        else:  # q48 keeps the post-merge cumulative-rank windows only
+            assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
