@@ -57,41 +57,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: the round-12 additions (commit-checklist rule: every new
-    # query gets a slot here), led by the two-epoch composition proof.
+    # FIRST: round-13 additions (commit-checklist rule: every new query
+    # gets a slot here).
+    # THEN the 26 stalest driver rows (verdict r12 ask #2 — newest
+    # driver evidence r05/r06; all pass the r12 263/263 local parity
+    # sweep, but the driver's own ledger is 6+ rounds old):
+    "dedup_semantic", "multimodal_mp4_meta", "multimodal_video_frames",
+    "text_tfidf_search", "dedup_keep_best", "dedup_substring",
+    "embedding_outliers", "embedding_quantize_int8",
+    "heavy_hitter_events", "multimodal_audio_windows", "pack_sequences",
+    "sample_split", "sample_stratified", "shuffle_shards",
+    "sketch_cms_counters", "sketch_cms_join_size", "sketch_hll_by_group",
+    "sketch_hll_registers", "temperature_mix", "text_bigram_lm",
+    "text_bm25_search", "text_bpe_tokens", "text_df_topterms",
+    "text_pii_scrub", "text_quality_classifier",
+    # — the next-stalest (r07) band —
+    "ann_cosine_topk", "ann_ivf_probe", "dedup_ngram_jaccard",
+    "dedup_simhash", "text_langid", "text_quality_score",
+    # The histogram-merge family re-timed/re-planned in r13
+    # (HIST_PROFILE_r13.json) — fresh driver rows wanted:
+    "q36_exp_histogram_merge", "q41_histogram_merge",
+    "q42_histogram_quantile", "q48_exp_histogram_quantile",
+    # Round-12 additions keep a toe-hold; everything else follows in
+    # registry order (all have green driver rows r08-r12).
     "q116_zorder_pruning", "q117_fuzzy_name_match",
-    "q115_winsorize", "curation_diversity_sample",
-    "dedup_band_sensitivity",
-    "q112_interval_coverage", "q113_autocorrelation", "q114_herfindahl",
-    "sample_systematic", "text_ngram_novelty", "text_vocab_overlap",
-    "multimodal_bmp_roundtrip",
     "dedup_incremental_epoch2", "dedup_incremental_epoch2_delta",
-    "q108_bitmap_distinct", "q109_user_streaks", "q110_corr_screen",
-    "q111_time_weighted_avg", "dedup_minhash_estimate_error",
-    "graph_two_hop_reach", "sketch_bloom_fpr", "text_simpson_diversity",
-    # THEN the stalest driver rows (verdict r11 ask #3): q63-q69
-    # (newest evidence r06) —
-    "q63_volume_shipping", "q64_product_profit",
-    "q65_min_acctbal_supplier", "q66_important_parts",
-    "q67_dominant_suppliers", "q68_waiting_suppliers",
-    "q69_forecast_revenue",
-    # — the r06-era codec roundtrips —
-    "lz4_roundtrip", "snappy_roundtrip", "multimodal_adpcm_roundtrip",
-    "multimodal_g711_roundtrip", "multimodal_qoi_roundtrip",
-    "multimodal_tiff_roundtrip", "multimodal_netpbm_roundtrip",
-    "warc_extract", "tar_extract", "jsonl_extract",
-    # — and the q80-q101 analytics band (newest evidence r07-r10):
-    "q80_sessionization", "q81_event_transitions", "q82_anomaly_days",
-    "q83_intransit_peak", "q84_brand_growth", "q85_revenue_percentiles",
-    "q86_gap_filled_daily", "q87_forward_fill", "q88_dq_expectations",
-    "q89_incremental_mv_merge", "q90_tail_sampling", "q91_rate_limit",
-    "q92_slo_burn", "q93_scd2_merge", "q94_attribution",
-    "q95_cdc_apply", "q96_changepoint", "q97_seasonal_spike",
-    "q98_weighted_median", "q99_revenue_gini", "q100_pareto_curve",
-    "q101_ewma_smoothing",
-    # r11 flagship family keeps a toe-hold in the sampling budget;
-    # everything else follows in registry order.
-    "dedup_incremental", "dedup_incremental_delta",
 ]
 
 
