@@ -20,7 +20,20 @@ Cross-engine determinism (so every op carries a DuckDB oracle):
 Scale stance: candidate generation is explode -> shuffle-join on the band
 hash (the standard distributed LSH plan); verification joins are bounded by
 candidate count, not n^2.  At 100 TB: band-hash join keys are uniform md5
-strings — no skew; `spark.sql.adaptive` handles residual imbalance.
+strings, so the EXCHANGE never skews — but identical *signatures* still
+land in one bucket regardless of hashing, and boilerplate text shared
+across a large doc fraction can dominate the per-component min and produce
+one mega-bucket per band whose pair count is quadratic in the hot-doc
+count (measured: tools/stress_skew.py, STRESS_SKEW_r13.json).  Both
+engines therefore drop band buckets larger than ``LSH_BUCKET_CAP`` before
+the pair join (the standard production mitigation — common-shingle
+suppression a la web-dedup stop-shingles, applied at the bucket level so
+signatures and the oracle stay byte-identical).  The cap is ~20x the
+largest bucket any real corpus here produces (13 at sf0.1), so results on
+non-adversarial data are unchanged; a LEGITIMATE >cap-sized near-dup
+cluster is exact-dup-grade redundancy, which the hash-groupBy exact pass
+(dedup_exact_*) collapses before LSH ever runs.  `spark.sql.adaptive`
+handles residual imbalance.
 """
 
 from __future__ import annotations
@@ -37,6 +50,13 @@ K_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (r = K_HASHES / N_BANDS = 2)
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
+#: Band buckets larger than this are dropped before the pair join (module
+#: docstring, "Scale stance"): they arise from shared boilerplate
+#: dominating the signature min, and their pair count is quadratic in
+#: bucket size.  20x the largest legitimate bucket observed (13 @ sf0.1);
+#: inert on real corpora, load-bearing under adversarial df skew
+#: (STRESS_SKEW_r13.json: caps a 611/1202/2387-doc mega-bucket).
+LSH_BUCKET_CAP = 256
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +104,10 @@ _DUCK_PAIR_CTE = f"""
 WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
 sh AS (SELECT doc_id, {_duck_shingles()} AS shs FROM docs),
 sig AS (SELECT doc_id, [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig FROM sh),
-bands AS (SELECT doc_id, unnest({_duck_bands()}) AS band FROM sig),
+bands0 AS (SELECT doc_id, unnest({_duck_bands()}) AS band FROM sig),
+bands AS (SELECT doc_id, band FROM bands0
+          WHERE band NOT IN (SELECT band FROM bands0
+                             GROUP BY band HAVING COUNT(*) > {LSH_BUCKET_CAP})),
 pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
 """
@@ -102,6 +125,18 @@ def _lsh_candidate_pairs(spark, sf_dir):
                   lambda: _build_lsh_candidate_pairs(spark, sf_dir).persist())
 
 
+def _cap_buckets(bands):
+    """Drop band buckets larger than LSH_BUCKET_CAP before a pair join
+    (module docstring, "Scale stance").  The oversized relation is a
+    handful of bands at most — broadcast anti-join, no extra exchange of
+    the big side; the count agg is map-side combinable."""
+    oversized = (bands.groupBy("band")
+                 .agg(F.count(F.lit(1)).alias("__bc"))
+                 .filter(F.col("__bc") > LSH_BUCKET_CAP)
+                 .select("band"))
+    return bands.join(F.broadcast(oversized), "band", "left_anti")
+
+
 def _build_lsh_candidate_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     # Small corpora arrive as one parquet split; spread the md5-heavy
@@ -117,6 +152,7 @@ def _build_lsh_candidate_pairs(spark, sf_dir):
                 .persist())
     bands.count()   # materialize so the self-join reads the cache, not
     # two fresh runs of the shingle->signature pipeline
+    bands = _cap_buckets(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -770,6 +806,7 @@ def dedup_cross_corpus(spark, sf_dir):
                         F.explode(F.expr(_spark_bands())).alias("band"))
                 .persist())
     bands.count()
+    bands = _cap_buckets(bands)   # bucket size over BOTH sources
     new = bands.filter(F.col("source") != "src0") \
                .select(F.col("doc_id").alias("a_doc"), "band")
     corp = bands.filter(F.col("source") == "src0") \
@@ -812,7 +849,10 @@ sh AS (SELECT doc_id, source, {_duck_shingles()} AS shs FROM docs),
 sig AS (SELECT doc_id, source,
                [{", ".join(_duck_sig(j) for j in range(K_HASHES))}] AS sig
         FROM sh),
-bands AS (SELECT doc_id, source, unnest({_duck_bands()}) AS band FROM sig),
+bands0 AS (SELECT doc_id, source, unnest({_duck_bands()}) AS band FROM sig),
+bands AS (SELECT doc_id, source, band FROM bands0
+          WHERE band NOT IN (SELECT band FROM bands0
+                             GROUP BY band HAVING COUNT(*) > {LSH_BUCKET_CAP})),
 pairs AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
           FROM bands a JOIN bands b ON a.band = b.band
           WHERE a.source != 'src0' AND b.source = 'src0'),
@@ -1415,7 +1455,11 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
         shard_docs.repartition(n_parts)).persist()
     shard_bands.count()   # materialize: referenced on both join sides
     a = shard_bands.alias("a")
-    b = store_bands.unionByName(shard_bands).alias("b")
+    # bucket sizes are defined over the FULL (store + shard) relation —
+    # capping the b side alone removes every pair of an oversized band
+    # (the join needs the band on both sides), byte-matching the batch
+    # CTE's rule restricted to shard-touching pairs
+    b = _cap_buckets(store_bands.unionByName(shard_bands)).alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") != F.col("b.doc_id")))
             .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
