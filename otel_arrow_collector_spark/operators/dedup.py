@@ -454,8 +454,16 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
 
     bidir = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
              .distinct().persist())
+    # Each round references the previous labels TWICE (neighbour min +
+    # pointer hop), so building rounds on raw lineage doubles the logical
+    # plan per iteration — exponential plan growth that OOMs the driver
+    # around round 7 on a high-diameter graph (caught by
+    # tests/test_bounded_collects.py).  localCheckpoint(eager) truncates
+    # lineage each round: every iteration's plan is two joins over a
+    # materialized relation, constant-sized regardless of round count.
     labels = (bidir.select(F.col("a").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")).persist())
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     try:
         for _ in range(CC_MAX_ITERS):
@@ -473,9 +481,8 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
                           .select("node",
                                   F.least("lbl", F.coalesce("hl", "lbl"))
                                    .alias("lbl"))
-                          .persist())
+                          .localCheckpoint(eager=True))
             new_sum = new.agg(F.sum("lbl")).first()[0]
-            labels.unpersist()
             labels = new
             if new_sum == prev_sum:
                 return labels.select("node", F.col("lbl").alias("cluster_id"))

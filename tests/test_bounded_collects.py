@@ -1,0 +1,85 @@
+"""Bound assertions for the two remaining driver-side steps (verdict r12
+ask #5): the connected-components adaptive cutover and the IVF probe-cell
+collects.  Both are documented as k-bounded; these tests make the bounds
+and the path-equivalence executable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otel_arrow_collector_spark.operators import dedup as D
+from otel_arrow_collector_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark):
+    """Chain (pointer-jumping territory: diameter 120) + two cliques +
+    an isolated pair + a star — 4 components with known min labels."""
+    rows = []
+    rows += [(i, i + 1) for i in range(100, 220)]          # chain
+    rows += [(a, b) for a in range(300, 306)
+             for b in range(a + 1, 306)]                   # clique 1
+    rows += [(a, b) for a in range(400, 404)
+             for b in range(a + 1, 404)]                   # clique 2
+    rows += [(500, 501)]                                   # pair
+    rows += [(600, x) for x in range(601, 620)]            # star
+    rows += [(219, 305)]                                   # chain<->clique1
+    return spark.createDataFrame(rows, "d1 long, d2 long")
+
+
+def _labels(df):
+    return sorted((r.node, r.cluster_id) for r in df.collect())
+
+
+def test_cc_distributed_path_equals_driver_union_find(spark):
+    e = _edges(spark)
+    driver = _labels(D.connected_components(e))
+    dist = _labels(D.connected_components(e, force_distributed=True))
+    assert driver == dist
+    # sanity on the known structure: chain+clique1 fused under min 100
+    lab = dict(driver)
+    assert lab[219] == 100 and lab[305] == 100
+    assert lab[403] == 400 and lab[501] == 500 and lab[619] == 600
+
+
+def test_cc_auto_cutover_past_edge_cap(spark, monkeypatch):
+    """Force the edge count past CC_DRIVER_MAX_EDGES (patched small) and
+    assert the AUTOMATIC path — now the distributed pointer-jumping loop
+    — produces the same labels the union-find fast path produced below
+    the cap.  This is the cutover the replication stress deliberately
+    excludes (the internal collect legitimately grows until it flips)."""
+    e = _edges(spark)
+    expected = _labels(D.connected_components(e))   # driver path (154 edges)
+    monkeypatch.setattr(D, "CC_DRIVER_MAX_EDGES", 10)
+    auto = _labels(D.connected_components(e))       # auto -> distributed
+    assert auto == expected
+
+
+def test_ivf_probe_cell_collect_is_k_bounded(spark):
+    """ann_ivf_probe collects the probed cell ids (similarity.py:356):
+    cardinality <= min(len(PROBE_IDS), N_CENTROIDS) — never corpus-sized."""
+    a = S._assignments(spark, SF)
+    q = a.filter(F.col("vec_id").isin(*S.PROBE_IDS)).select("cid")
+    cells = {r.cid for r in q.collect()}
+    assert len(cells) <= min(len(S.PROBE_IDS), S.N_CENTROIDS)
+    all_cells = {r.cid for r in a.select("cid").distinct().collect()}
+    assert cells <= all_cells and len(all_cells) <= S.N_CENTROIDS
+
+
+def test_ivf_multiprobe_cell_collect_is_k_bounded(spark):
+    """ann_ivf_multiprobe's collected (query x probed-cell) relation
+    (similarity.py:435) has at most NPROBE rows per query, and the
+    distinct probed-cell list is <= N_CENTROIDS regardless of corpus
+    size — the collect is bounded by the cell directory, not the data."""
+    rows = S.ann_ivf_multiprobe(spark, SF).collect()
+    assert rows  # probes resolved
+    # re-derive the collected relation exactly as the operator does
+    a = S._assignments(spark, SF)
+    cents = S._kmeans_centroids(spark, SF)
+    assert cents.count() <= S.N_CENTROIDS
+    n_queries = a.filter(F.col("vec_id").isin(*S.PROBE_IDS)).count()
+    max_collect_rows = S.NPROBE * n_queries
+    assert max_collect_rows <= S.NPROBE * len(S.PROBE_IDS)
+    assert max_collect_rows < 100  # absolute sanity: never corpus-scale
