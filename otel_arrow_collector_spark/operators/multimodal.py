@@ -88,8 +88,8 @@ def multimodal_binary_meta(spark, sf_dir):
 QUERIES["multimodal_binary_meta"] = multimodal_binary_meta
 ORACLES["multimodal_binary_meta"] = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       substr(hex(encode(text)), 1, 8) AS magic,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       substr(hex(encode(coalesce(text, ''))), 1, 8) AS magic,
        md5(text) AS content_hash
 FROM documents ORDER BY doc_id LIMIT 200
 """
@@ -164,11 +164,11 @@ def multimodal_decode_stub(spark, sf_dir):
 
 QUERIES["multimodal_decode_stub"] = multimodal_decode_stub
 # DuckDB twin of _fake_decode: byte values recovered from hex() pairs via
-# strpos on the hex alphabet (payload == encode(text) here)
+# strpos on the hex alphabet (payload == encode(coalesce(text, '')) here)
 ORACLES["multimodal_decode_stub"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS n
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
   FROM documents ORDER BY doc_id LIMIT 200
 ),
 b AS (
@@ -820,7 +820,7 @@ def synthesize_media(df):
         for pdf in batches:
             rows = {"doc_id": [], "payload": [], "mime": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 kind = doc_id % 3
                 if kind == 0:
                     need = 3 * 8 * 8
@@ -932,8 +932,8 @@ QUERIES["multimodal_decode_real"] = multimodal_decode_real
 # over 64 samples (decode_bmp/decode_png/decode_wav above)
 ORACLES["multimodal_decode_real"] = """
 WITH docs AS (
-  SELECT doc_id, doc_id % 3 AS kind, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, doc_id % 3 AS kind, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 400
 ),
 b AS (  -- seed-cycled byte stream: hex() pairs -> integer byte values
@@ -1311,8 +1311,8 @@ def multimodal_audio_windows(spark, sf_dir):
 QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
 ORACLES["multimodal_audio_windows"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS n
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
   FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 120),
 samples AS (
   SELECT d.doc_id, g.i,
@@ -1345,7 +1345,7 @@ def synthesize_gifs(df):
         for pdf in batches:
             rows = {"doc_id": [], "payload": [], "mime": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 need = 3 * 8 * 8
                 pix = (seed * (need // len(seed) + 1))[:need]
                 rows["doc_id"].append(doc_id)
@@ -1375,8 +1375,8 @@ def multimodal_gif_decode(spark, sf_dir):
 QUERIES["multimodal_gif_decode"] = multimodal_gif_decode
 ORACLES["multimodal_gif_decode"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 400
 ),
 b AS (
@@ -1427,7 +1427,7 @@ def multimodal_g711_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 b = np.frombuffer(
                     (seed * (64 // len(seed) + 1))[:64], np.uint8)
                 x = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
@@ -1497,8 +1497,8 @@ amap AS (  -- A-law: 13-bit domain, 1s-compl negatives, exp at 2^(4+e)
             FROM bytes)))
 ),
 docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 400
 ),
 samples AS (
@@ -1554,7 +1554,7 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 b = np.frombuffer(
                     (seed * (64 // len(seed) + 1))[:64], np.uint8)
                 x = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
@@ -1579,8 +1579,8 @@ QUERIES["multimodal_adpcm_roundtrip"] = multimodal_adpcm_roundtrip
 # encoder's clamped prediction after consuming sample i.
 ORACLES["multimodal_adpcm_roundtrip"] = """
 WITH RECURSIVE docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 300
 ),
 samples AS (
@@ -1682,7 +1682,7 @@ def multimodal_qoi_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 raw = np.frombuffer(
                     (seed * (768 // len(seed) + 1))[:768], np.uint8)
                 img = raw.reshape(16, 16, 3)
@@ -1706,8 +1706,8 @@ QUERIES["multimodal_qoi_roundtrip"] = multimodal_qoi_roundtrip
 # of byte j is j % 3.  lossless == 1 is part of the gated contract.
 ORACLES["multimodal_qoi_roundtrip"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 300
 ),
 bytes AS (
@@ -1754,7 +1754,7 @@ def multimodal_netpbm_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 raw = np.frombuffer(
                     (seed * (768 // len(seed) + 1))[:768], np.uint8)
                 gray = raw[:256].reshape(16, 16)
@@ -1778,8 +1778,8 @@ def multimodal_netpbm_roundtrip(spark, sf_dir):
 QUERIES["multimodal_netpbm_roundtrip"] = multimodal_netpbm_roundtrip
 ORACLES["multimodal_netpbm_roundtrip"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 300
 ),
 bytes AS (
@@ -1827,7 +1827,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 raw = np.frombuffer(
                     (seed * (768 // len(seed) + 1))[:768], np.uint8)
                 gray = raw[:256].reshape(16, 16)
@@ -1855,8 +1855,8 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
 QUERIES["multimodal_tiff_roundtrip"] = multimodal_tiff_roundtrip
 ORACLES["multimodal_tiff_roundtrip"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 300
 ),
 bytes AS (
@@ -1935,8 +1935,8 @@ QUERIES["warc_extract"] = warc_extract
 # body_len/sum_body use BYTE length of the utf-8 encoding.
 ORACLES["warc_extract"] = """
 WITH docs AS (
-  SELECT doc_id, text, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS blen
+  SELECT doc_id, text, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS blen
   FROM documents ORDER BY doc_id LIMIT 300
 )
 SELECT doc_id,
@@ -2004,8 +2004,8 @@ def tar_extract(spark, sf_dir):
 QUERIES["tar_extract"] = tar_extract
 ORACLES["tar_extract"] = """
 WITH docs AS (
-  SELECT doc_id, doc_id // 4 AS bundle, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS blen
+  SELECT doc_id, doc_id // 4 AS bundle, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS blen
   FROM documents ORDER BY doc_id LIMIT 300
 )
 SELECT doc_id, CAST(bundle AS BIGINT) AS bundle,
@@ -2061,8 +2061,8 @@ def snappy_roundtrip(spark, sf_dir):
 QUERIES["snappy_roundtrip"] = snappy_roundtrip
 ORACLES["snappy_roundtrip"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS blen
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS blen
   FROM documents ORDER BY doc_id LIMIT 300
 )
 SELECT doc_id, CAST(blen AS BIGINT) AS body_len,
@@ -2271,8 +2271,8 @@ def multimodal_decode_quarantine(spark, sf_dir):
 QUERIES["multimodal_decode_quarantine"] = multimodal_decode_quarantine
 ORACLES["multimodal_decode_quarantine"] = """
 WITH docs AS (
-  SELECT doc_id, doc_id % 3 AS kind, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, doc_id % 3 AS kind, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 400
 ),
 b AS (
@@ -2345,7 +2345,7 @@ def multimodal_resample(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 samples = [(seed[i % len(seed)] - 128) * 256
                            for i in range(64)]
                 wav = encode_wav(samples, 8000)
@@ -2377,8 +2377,8 @@ def multimodal_resample(spark, sf_dir):
 QUERIES["multimodal_resample"] = multimodal_resample
 ORACLES["multimodal_resample"] = """
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS n
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS n
   FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 150),
 samples AS (
   SELECT d.doc_id, g.i,
@@ -2503,8 +2503,8 @@ def multimodal_phash_dedup(spark, sf_dir):
 QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
 ORACLES["multimodal_phash_dedup"] = f"""
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS n
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS n
   FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 200),
 -- decoded top-down pixel i = synth bottom-up pixel p = (7-i//8)*8+i%8;
 -- luma = (byte(3p)+byte(3p+1)+byte(3p+2)) // 3 from seed-cycled bytes
@@ -2844,7 +2844,7 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = text.encode("utf-8") or b"\x00"
+                seed = (text or "").encode("utf-8") or b"\x00"
                 raw = (seed * (n_bytes // len(seed) + 1))[:n_bytes]
                 bmp = encode_bmp(raw, BMP_RT_W, BMP_RT_H)
                 w, h, px = _bmp_raster(bmp)
@@ -2871,8 +2871,8 @@ QUERIES["multimodal_bmp_roundtrip"] = multimodal_bmp_roundtrip
 # of byte j is j % 3 (B, G, R).  lossless == 1 is part of the contract.
 ORACLES["multimodal_bmp_roundtrip"] = f"""
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx,
-         greatest(octet_length(encode(text)), 1) AS len
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS len
   FROM documents ORDER BY doc_id LIMIT 300
 ),
 bytes AS (

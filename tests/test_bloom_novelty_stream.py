@@ -3,7 +3,6 @@ distinct-trigram count, fixed state size, idempotent re-delivery."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -54,7 +53,10 @@ def _run(spark, d, ckpt):
          .outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(240)
+    try:
+        assert q.awaitTermination(240), "stream did not terminate in 240s"
+    finally:
+        q.stop()
     return latest
 
 
@@ -64,7 +66,7 @@ def test_one_sided_error_and_bounded_state(spark, tmp_path):
     stays under 2% at the 2^20-bit geometry, and the fill never
     approaches capacity."""
     rows = _trigrams(spark)
-    d = tempfile.mkdtemp(prefix="bloom_nov_")
+    d = str(tmp_path / "bloom_nov")
     per = (len(rows) + 3) // 4
     for b in range(4):
         spark.createDataFrame(rows[b * per:(b + 1) * per], SCHEMA) \
@@ -85,11 +87,11 @@ def test_redelivery_is_idempotent(spark, tmp_path):
     """Delivering the whole corpus TWICE leaves the cumulative novelty
     count and the fill exactly where one delivery left them."""
     rows = _trigrams(spark)
-    d = tempfile.mkdtemp(prefix="bloom_nov_dup_")
+    d = str(tmp_path / "bloom_nov_dup")
     for _ in range(2):
         spark.createDataFrame(rows, SCHEMA).coalesce(1) \
              .write.mode("append").parquet(d)
-    once_d = tempfile.mkdtemp(prefix="bloom_nov_once_")
+    once_d = str(tmp_path / "bloom_nov_once")
     spark.createDataFrame(rows, SCHEMA).coalesce(1) \
          .write.mode("append").parquet(once_d)
     twice = _run(spark, d, str(tmp_path / "ck2"))

@@ -5,7 +5,6 @@ revenue vector."""
 from __future__ import annotations
 
 import random
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -53,7 +52,10 @@ def _run(spark, d, ckpt):
          .outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
+    finally:
+        q.stop()
     return latest
 
 
@@ -63,7 +65,7 @@ def test_stream_equals_batch_exactly(spark, tmp_path):
     splits invisible, including the floor-bp share arithmetic."""
     rows = _rows(spark)
     random.Random(41).shuffle(rows)
-    d = tempfile.mkdtemp(prefix="hhi_stream_")
+    d = str(tmp_path / "hhi_stream")
     per = (len(rows) + 4) // 5
     for b in range(5):
         spark.createDataFrame(rows[b * per:(b + 1) * per], SCHEMA) \
@@ -76,7 +78,7 @@ def test_restart_from_checkpoint_resumes_vector(spark, tmp_path):
     checkpoint: exactly-once delivery makes the resumed totals equal
     the batch answer (the additive-delta contract)."""
     rows = _rows(spark)
-    d = tempfile.mkdtemp(prefix="hhi_restart_")
+    d = str(tmp_path / "hhi_restart")
     ck = str(tmp_path / "ck2")
     half = len(rows) // 2
     spark.createDataFrame(rows[:half], SCHEMA).coalesce(1) \

@@ -6,7 +6,6 @@ island state cap refuses unmergeable keys loudly."""
 from __future__ import annotations
 
 import random
-import tempfile
 
 import pytest
 
@@ -64,7 +63,10 @@ def _run(spark, d, ckpt):
          .outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
+    finally:
+        q.stop()
     return latest
 
 
@@ -76,7 +78,7 @@ def test_stream_equals_batch_sweep(spark, tmp_path):
     rng = random.Random(23)
     rows = rows + rng.sample(rows, k=len(rows) // 4)
     rng.shuffle(rows)
-    d = tempfile.mkdtemp(prefix="interval_union_stream_")
+    d = str(tmp_path / "interval_union_stream")
     per = (len(rows) + 3) // 4
     for b in range(4):
         spark.createDataFrame(rows[b * per:(b + 1) * per], SCHEMA) \
@@ -88,11 +90,11 @@ def test_stream_equals_batch_sweep(spark, tmp_path):
 def test_batch_split_invariant(spark, tmp_path):
     """1 batch vs 7 batches: identical final state."""
     rows = _events(spark)
-    d1 = tempfile.mkdtemp(prefix="iu_one_")
+    d1 = str(tmp_path / "iu_one")
     spark.createDataFrame(rows, SCHEMA).coalesce(1) \
          .write.mode("append").parquet(d1)
     one = _run(spark, d1, str(tmp_path / "ck_one"))
-    d7 = tempfile.mkdtemp(prefix="iu_seven_")
+    d7 = str(tmp_path / "iu_seven")
     per = (len(rows) + 6) // 7
     for b in range(7):
         spark.createDataFrame(rows[b * per:(b + 1) * per], SCHEMA) \
@@ -114,7 +116,7 @@ def test_merge_micro():
 def test_island_state_cap(spark, tmp_path):
     """A key emitting only disjoint leases must hit the cap loudly."""
     rows = [("t", 1, i * 10 * LEASE_US) for i in range(25)]
-    d = tempfile.mkdtemp(prefix="iu_cap_")
+    d = str(tmp_path / "iu_cap")
     spark.createDataFrame(rows, SCHEMA).coalesce(1) \
          .write.mode("append").parquet(d)
     stream = (spark.readStream.schema(SCHEMA)
@@ -124,18 +126,25 @@ def test_island_state_cap(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ck_cap"))
          .trigger(availableNow=True).start())
-    with pytest.raises(Exception) as ei:
-        q.awaitTermination(180)
-        if q.exception() is not None:
-            raise q.exception()
-    assert "IslandStateOverflowError" in str(ei.value) or \
-        isinstance(ei.value, IslandStateOverflowError)
+    try:
+        finished = q.awaitTermination(180)
+    except Exception as e:          # the expected failure path
+        assert "IslandStateOverflowError" in str(e)
+    else:
+        q.stop()
+        if not finished:
+            pytest.fail("query did not terminate in 180s")
+        exc = q.exception()
+        if exc is None:
+            pytest.fail("query finished cleanly; expected "
+                        "IslandStateOverflowError")
+        assert "IslandStateOverflowError" in str(exc)
 
 
 def test_bounded_key_passes_cap(spark, tmp_path):
     """Overlapping leases merge to ONE island and sail under the cap."""
     rows = [("t", 1, i * (LEASE_US // 2)) for i in range(50)]
-    d = tempfile.mkdtemp(prefix="iu_ok_")
+    d = str(tmp_path / "iu_ok")
     spark.createDataFrame(rows, SCHEMA).coalesce(1) \
          .write.mode("append").parquet(d)
     got = {}
@@ -151,5 +160,8 @@ def test_bounded_key_passes_cap(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ck_ok"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
+    finally:
+        q.stop()
     assert got == {("t", 1): (1, 49 * (LEASE_US // 2) + LEASE_US)}

@@ -5,7 +5,6 @@ batch splits, shuffled out-of-order arrival, duplication, and restart."""
 from __future__ import annotations
 
 import random
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -55,7 +54,10 @@ def _run(spark, d, ckpt):
          .outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
+    finally:
+        q.stop()
     return latest
 
 
@@ -66,7 +68,7 @@ def test_stream_equals_batch_runs(spark, tmp_path):
     rng = random.Random(31)
     rows = rows + rng.sample(rows, k=len(rows) // 3)
     rng.shuffle(rows)
-    d = tempfile.mkdtemp(prefix="streaks_stream_")
+    d = str(tmp_path / "streaks_stream")
     per = (len(rows) + 4) // 5
     for b in range(5):
         spark.createDataFrame(rows[b * per:(b + 1) * per], SCHEMA) \
@@ -79,7 +81,7 @@ def test_restart_from_checkpoint_resumes_state(spark, tmp_path):
     checkpoint: the resumed run must converge to the full answer
     (state survives the restart)."""
     rows = sorted(_days(spark))
-    d = tempfile.mkdtemp(prefix="streaks_restart_")
+    d = str(tmp_path / "streaks_restart")
     ck = str(tmp_path / "ck2")
     half = len(rows) // 2
     spark.createDataFrame(rows[:half], SCHEMA).coalesce(1) \
