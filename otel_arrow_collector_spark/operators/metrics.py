@@ -94,6 +94,15 @@ def merge_histograms(points: DataFrame,
     """Roll up histogram datapoints per series: bucket-wise addition with
     identical bounds + min/max/sum/count merge
     (HistogramDataPoint semantics, generated_histogramdatapoint.go:102-107).
+
+    Plan shape (100 TB stance, r13): bucket addition runs as
+    posexplode -> SUM per (series, bucket-index) — a PARTIAL-AGGREGABLE
+    hash agg, so mappers pre-combine and the shuffle carries per-mapper
+    partial sums bounded by |series| x |buckets|, never the point rows.
+    (The previous collect_list-of-arrays form pushed every point's array
+    through the exchange: ObjectHashAggregate partials concatenate, they
+    don't reduce.)  Scalars merge in their own combinable agg; the two
+    halves join back on the series key.
     """
     df = _with_series_key(points).filter(F.col("metric_type") == 3)
     if check_bounds:
@@ -105,23 +114,26 @@ def merge_histograms(points: DataFrame,
             raise BoundsMismatchError(
                 f"{n_bounds} series mix differing explicit_bounds; "
                 f"re-bucket before merging")
-    merged = (df.groupBy("metric_name", "__attrs_fp", "__res_fp")
-                .agg(F.first("attributes").alias("attributes"),
-                     F.first("resource_attributes").alias("resource_attributes"),
-                     F.min("start_time_unix_nano").alias("start_time_unix_nano"),
-                     F.max("time_unix_nano").alias("time_unix_nano"),
-                     F.sum("count").alias("count"),
-                     F.sum("sum").alias("sum"),
-                     F.min("min").alias("min"),
-                     F.max("max").alias("max"),
-                     F.first("explicit_bounds").alias("explicit_bounds"),
-                     # bucket-wise addition: reduce the per-point arrays
-                     F.reduce(
-                         F.collect_list("bucket_counts"),
-                         F.expr("CAST(array() AS ARRAY<BIGINT>)"),
-                         lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
-                             F.zip_with(acc, x, lambda a, b: a + b)))
-                      .alias("bucket_counts")))
+    scalars = (df.groupBy(*SERIES_KEY)
+               .agg(F.first("attributes").alias("attributes"),
+                    F.first("resource_attributes").alias("resource_attributes"),
+                    F.min("start_time_unix_nano").alias("start_time_unix_nano"),
+                    F.max("time_unix_nano").alias("time_unix_nano"),
+                    F.sum("count").alias("count"),
+                    F.sum("sum").alias("sum"),
+                    F.min("min").alias("min"),
+                    F.max("max").alias("max"),
+                    F.first("explicit_bounds").alias("explicit_bounds")))
+    buckets = (df.select(*SERIES_KEY,
+                         F.posexplode("bucket_counts").alias("i", "c"))
+               .groupBy(*SERIES_KEY, "i").agg(F.sum("c").alias("c"))
+               .groupBy(*SERIES_KEY)
+               .agg(F.expr("transform(array_sort(collect_list(struct(i, c))),"
+                           " e -> e.c)").alias("bucket_counts")))
+    merged = (scalars.join(buckets, SERIES_KEY, "left")
+              .withColumn("bucket_counts",
+                          F.coalesce("bucket_counts",
+                                     F.expr("CAST(array() AS ARRAY<BIGINT>)"))))
     return merged.drop("__attrs_fp", "__res_fp")
 
 
@@ -148,28 +160,6 @@ def _downscale_sql(off: str, counts: str, shift: str) -> str:
     END"""
 
 
-#: pairwise merge of two equal-scale bucket sets (offset-aligned addition)
-_BUCKET_MERGE_SQL = """
-aggregate(
-  {lst},
-  CAST(named_struct('off', 0, 'counts', array()) AS
-       STRUCT<off: INT, counts: ARRAY<BIGINT>>),
-  (acc, x) -> CASE
-    WHEN size(acc.counts) = 0 THEN x
-    WHEN size(x.counts) = 0 THEN acc
-    ELSE named_struct(
-      'off', least(acc.off, x.off),
-      'counts', transform(
-        sequence(least(acc.off, x.off),
-                 greatest(acc.off + size(acc.counts),
-                          x.off + size(x.counts)) - 1),
-        j -> IF(j >= acc.off AND j < acc.off + size(acc.counts),
-                element_at(acc.counts, j - acc.off + 1), CAST(0 AS BIGINT))
-           + IF(j >= x.off AND j < x.off + size(x.counts),
-                element_at(x.counts, j - x.off + 1), CAST(0 AS BIGINT))))
-  END)"""
-
-
 def merge_exp_histograms(points: DataFrame) -> DataFrame:
     """Roll up exponential-histogram datapoints (metric_type == 4) per
     series with base-2 scale renegotiation
@@ -178,10 +168,12 @@ def merge_exp_histograms(points: DataFrame) -> DataFrame:
     bucket-wise (index >> shift) before offset-aligned addition; zero
     counts and count/sum/min/max accumulate.
 
-    Plan shape (100 TB stance): one window min for the target scale, one
-    narrow per-row downscale projection, one hash aggregation — each point
-    is downscaled exactly once (no per-pair re-downscaling inside the
-    reduce), everything whole-stage-codegen SQL.
+    Plan shape (100 TB stance, r13): target scale = combinable groupBy
+    joined back (no window over the series key); each point downscaled
+    exactly once in a narrow projection; bucket addition = posexplode ->
+    partial-aggregable SUM per (series, absolute index), so every shuffle
+    carries pre-combined partials, never point-level arrays; everything
+    whole-stage-codegen SQL.
     """
     df = _with_series_key(points).filter(F.col("metric_type") == 4)
     # Target scale per series = COARSEST scale.  Computed as a partial-
@@ -202,30 +194,60 @@ def merge_exp_histograms(points: DataFrame) -> DataFrame:
             .withColumn("__neg", F.expr(_downscale_sql(
                 "coalesce(negative_offset, 0)",
                 f"coalesce(negative_bucket_counts, {empty})", "__shift"))))
-    merged = (df.groupBy("metric_name", "__attrs_fp", "__res_fp")
-                .agg(F.first("attributes").alias("attributes"),
-                     F.first("resource_attributes").alias("resource_attributes"),
-                     F.min("start_time_unix_nano").alias("start_time_unix_nano"),
-                     F.max("time_unix_nano").alias("time_unix_nano"),
-                     F.first("__ts").alias("scale"),
-                     F.sum("zero_count").alias("zero_count"),
-                     F.sum("count").alias("count"),
-                     F.sum("sum").alias("sum"),
-                     F.min("min").alias("min"),
-                     F.max("max").alias("max"),
-                     F.collect_list("__pos").alias("__plist"),
-                     F.collect_list("__neg").alias("__nlist")))
-    for side, lst in (("positive", "__plist"), ("negative", "__nlist")):
-        merged = merged.withColumn(
-            f"__{side}", F.expr(_BUCKET_MERGE_SQL.format(lst=lst)))
+    scalars = (df.groupBy(*SERIES_KEY)
+               .agg(F.first("attributes").alias("attributes"),
+                    F.first("resource_attributes").alias("resource_attributes"),
+                    F.min("start_time_unix_nano").alias("start_time_unix_nano"),
+                    F.max("time_unix_nano").alias("time_unix_nano"),
+                    F.first("__ts").alias("scale"),
+                    F.sum("zero_count").alias("zero_count"),
+                    F.sum("count").alias("count"),
+                    F.sum("sum").alias("sum"),
+                    F.min("min").alias("min"),
+                    F.max("max").alias("max")))
+
+    # Offset-aligned bucket addition as posexplode -> SUM per
+    # (series, absolute index): partial-aggregable, so the shuffle is
+    # per-mapper partials bounded by |series| x bucket-span — the
+    # previous collect_list of per-point structs shipped every point.
+    # Zero-valued entries INSIDE a point's array still explode to rows,
+    # so the merged span (min..max exploded index) matches the pairwise
+    # fold's least(off)..greatest(end) exactly.
+    def _side(col: str):
+        rows = (df.select(*SERIES_KEY,
+                          F.col(f"{col}.off").alias("o"),
+                          F.posexplode(f"{col}.counts").alias("i", "c"))
+                .select(*SERIES_KEY, (F.col("o") + F.col("i")).alias("idx"),
+                        "c"))
+        per_idx = (rows.groupBy(*SERIES_KEY, "idx")
+                   .agg(F.sum("c").alias("c")))
+        return (per_idx.groupBy(*SERIES_KEY)
+                .agg(F.min("idx").alias(f"{col}_off"),
+                     F.max("idx").alias(f"{col}_mx"),
+                     F.map_from_entries(
+                         F.collect_list(F.struct("idx", "c")))
+                      .alias(f"{col}_m"))
+                .withColumn(
+                    f"{col}_counts",
+                    F.expr(f"transform(sequence({col}_off, {col}_mx), "
+                           f"j -> coalesce(element_at({col}_m, j), "
+                           f"CAST(0 AS BIGINT)))"))
+                .drop(f"{col}_mx", f"{col}_m"))
+
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    merged = (scalars
+              .join(_side("__pos"), SERIES_KEY, "left")
+              .join(_side("__neg"), SERIES_KEY, "left"))
     return (merged.select(
         "metric_name", "attributes", "resource_attributes",
         "start_time_unix_nano", "time_unix_nano", "scale", "zero_count",
         "count", "sum", "min", "max",
-        F.col("__positive.off").alias("positive_offset"),
-        F.col("__positive.counts").alias("positive_bucket_counts"),
-        F.col("__negative.off").alias("negative_offset"),
-        F.col("__negative.counts").alias("negative_bucket_counts")))
+        F.coalesce("__pos_off", F.lit(0)).alias("positive_offset"),
+        F.coalesce("__pos_counts", F.expr(empty))
+         .alias("positive_bucket_counts"),
+        F.coalesce("__neg_off", F.lit(0)).alias("negative_offset"),
+        F.coalesce("__neg_counts", F.expr(empty))
+         .alias("negative_bucket_counts")))
 
 
 def explode_exemplars(points: DataFrame) -> DataFrame:
