@@ -234,6 +234,58 @@ SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 500
 """
 
 
+def dedup_bucket_cap_audit(spark, sf_dir):
+    """LSH band-bucket health report — the operator form of the
+    LSH_BUCKET_CAP mitigation (module docstring / STRESS_SKEW_r13): the
+    bucket-size distribution BEFORE capping, each size class's pair-join
+    cost (n_buckets * sz*(sz-1)/2 — the quadratic term the cap bounds)
+    and whether the cap drops it.  On a healthy corpus every class sits
+    far below the cap (dropped = 0 everywhere); a boilerplate-skewed
+    corpus shows its mega-bucket here before it ever reaches a join —
+    the capacity-planning read a 100 TB operator runs FIRST.
+
+    Plan: two combinable hash aggs over the band relation (band -> size,
+    size -> class stats); no joins, no window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bands = (d.select("doc_id", F.split("text", " ").alias("ws"))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
+             .select("doc_id", F.array(*[F.expr(_spark_sig(j))
+                                         for j in range(K_HASHES)])
+                      .alias("sig"))
+             .select("doc_id", F.explode(F.expr(_spark_bands()))
+                      .alias("band")))
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_buckets"))
+            .select(F.col("sz").alias("bucket_docs"),
+                    F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.expr("n_buckets * sz * (sz - 1) div 2")
+                     .cast("long").alias("pair_cost"),
+                    F.when(F.col("sz") > LSH_BUCKET_CAP,
+                           F.col("n_buckets")).otherwise(F.lit(0))
+                     .cast("long").alias("dropped_by_cap"))
+            .orderBy("bucket_docs"))
+
+
+QUERIES["dedup_bucket_cap_audit"] = dedup_bucket_cap_audit
+ORACLES["dedup_bucket_cap_audit"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (SELECT doc_id, {{_sh}} AS shs FROM docs),
+sig AS (SELECT doc_id, [{{_sig}}] AS sig FROM sh),
+bands AS (SELECT doc_id, unnest({{_bands}}) AS band FROM sig),
+sizes AS (SELECT band, COUNT(*) AS sz FROM bands GROUP BY band)
+SELECT sz AS bucket_docs, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) * sz * (sz - 1) // 2 AS BIGINT) AS pair_cost,
+       CAST(CASE WHEN sz > {LSH_BUCKET_CAP} THEN COUNT(*) ELSE 0 END
+            AS BIGINT) AS dropped_by_cap
+FROM sizes GROUP BY sz ORDER BY bucket_docs
+""".format(_sh=_duck_shingles(),
+           _sig=", ".join(_duck_sig(j) for j in range(K_HASHES)),
+           _bands=_duck_bands())
+
+
 def _jaccard_verified(spark, sf_dir):
     """(d1, d2, n_common, j): exact 3-gram Jaccard over LSH candidates —
     the standard two-stage plan (cheap recall stage, exact precision stage
