@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     # FIRST: round-13 additions (commit-checklist rule: every new query
     # gets a slot here).
-    "dedup_bucket_cap_audit",
+    "dedup_bucket_cap_audit", "dedup_prefix_cost_model",
     # THEN the 26 stalest driver rows (verdict r12 ask #2 — newest
     # driver evidence r05/r06; all pass the r12 263/263 local parity
     # sweep, but the driver's own ledger is 6+ rounds old):

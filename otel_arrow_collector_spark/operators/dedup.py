@@ -1402,6 +1402,80 @@ def dedup_allpairs_prefix(spark, sf_dir):
             .orderBy("d1", "d2").limit(500))
 
 
+def dedup_prefix_cost_model(spark, sf_dir):
+    """Capacity model for the exact prefix-filter join — the measurable
+    form of dedup_allpairs_prefix's scale claim ("candidate count
+    bounded by sum-over-prefix-tokens of df^2, rarest-first ordering
+    keeps df small"): publishes the PREFIX-relation size, the per-token
+    pair bound sum(pdf*(pdf-1)/2) over prefix occurrences, and the
+    ACTUAL distinct candidate count, which must sit at or under the
+    bound.  At 100 TB this one row is what decides whether tau must
+    rise before the join is launched (STRESS_SKEW_r13 ran exactly this
+    arithmetic by hand; now it is an operator).
+
+    Plan: the allpairs ranking pipeline up through the prefix relation
+    (one df agg, one doc-keyed rank window), one combinable per-token
+    agg for the bound, and the same equality self-join for the actual
+    count — no new join shapes.
+    """
+    from pyspark.sql import Window
+
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref = (shd.join(df, "sh")
+            .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
+            .join(sizes, "doc_id")
+            .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+            .select("doc_id", "sh"))
+    bound = (pref.groupBy("sh").agg(F.count(F.lit(1)).alias("pdf"))
+             .agg(F.count(F.lit(1)).alias("n_prefix_tokens"),
+                  F.sum(F.expr("pdf * (pdf - 1) div 2"))
+                   .alias("candidate_bound")))
+    actual = (pref.alias("a").join(pref.alias("b"), "sh")
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+              .distinct()
+              .agg(F.count(F.lit(1)).alias("n_candidates")))
+    n_pref = pref.agg(F.count(F.lit(1)).alias("n_prefix_rows"))
+    return (n_pref.crossJoin(bound).crossJoin(actual)
+            .select(F.col("n_prefix_rows").cast("long"),
+                    F.col("n_prefix_tokens").cast("long"),
+                    F.col("candidate_bound").cast("long"),
+                    F.col("n_candidates").cast("long")))
+
+
+QUERIES["dedup_prefix_cost_model"] = dedup_prefix_cost_model
+ORACLES["dedup_prefix_cost_model"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, {{_sh}} AS shs FROM docs),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM shd GROUP BY sh),
+ranked AS (
+  SELECT shd.doc_id, shd.sh,
+         ROW_NUMBER() OVER (PARTITION BY shd.doc_id
+                            ORDER BY df.df, shd.sh) AS rn,
+         z.n_sh
+  FROM shd JOIN df ON df.sh = shd.sh
+  JOIN sizes z ON z.doc_id = shd.doc_id),
+pref AS (SELECT doc_id, sh FROM ranked WHERE rn <= n_sh // 2 + 1),
+bound AS (SELECT COUNT(*) AS n_prefix_tokens,
+                 SUM(pdf * (pdf - 1) // 2) AS candidate_bound
+          FROM (SELECT sh, COUNT(*) AS pdf FROM pref GROUP BY sh)),
+actual AS (SELECT COUNT(*) AS n_candidates FROM (
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id))
+SELECT CAST((SELECT COUNT(*) FROM pref) AS BIGINT) AS n_prefix_rows,
+       CAST(n_prefix_tokens AS BIGINT) AS n_prefix_tokens,
+       CAST(candidate_bound AS BIGINT) AS candidate_bound,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM bound, actual
+""".format(_sh=_duck_shingles())
+
+
 QUERIES["dedup_allpairs_prefix"] = dedup_allpairs_prefix
 ORACLES["dedup_allpairs_prefix"] = f"""
 WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
