@@ -142,7 +142,18 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # the Morton-interleave map + two hash aggs (key
                    # re-spreading widens the min/max frame; the
                    # normalization adapts — pure linear map work)
-                   "q116_zorder_pruning"]
+                   "q116_zorder_pruning",
+                   # round-13: the LSH bucket-health audit — two
+                   # combinable hash aggs over the band relation; its
+                   # RUNTIME is linear in bands regardless of how the
+                   # bucket-size distribution shifts under replication
+                   # (the distribution itself legitimately changes: the
+                   # replicated identical texts collide)
+                   "dedup_bucket_cap_audit"]
+# dedup_prefix_cost_model is EXCLUDED for the dedup_allpairs_prefix
+# reason: replication makes every cross-copy pair a real candidate, so
+# its actual-candidate count (and join time) legitimately grows ~k^2;
+# its adversarial-df behavior is covered by tools/stress_skew.py.
 # q117_fuzzy_name_match is EXCLUDED: part replication deliberately
 # keeps p_brand and p_name FIXED (the market-basket bounded-brand
 # contract), so a k-times part table has k-times-larger brand blocks

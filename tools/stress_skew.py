@@ -101,7 +101,8 @@ def main() -> int:
     spark = get_spark("stress-skew")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect_registry()
-    names = ["dedup_allpairs_prefix", "dedup_minhash_lsh"]
+    names = ["dedup_allpairs_prefix", "dedup_minhash_lsh",
+             "dedup_bucket_cap_audit", "dedup_prefix_cost_model"]
 
     # Warm the JVM/codegen paths on a dedicated small corpus so the first
     # timed scale doesn't absorb one-time costs (observed: 11.3s vs 4.4s
@@ -139,6 +140,11 @@ def main() -> int:
             rows = queries[name](spark, wd).collect()
             rec[name] = {"sec": round(time.perf_counter() - t0, 3),
                          "rows": len(rows)}
+            if name == "dedup_prefix_cost_model":
+                rec[name]["out"] = rows[0].asDict()
+            elif name == "dedup_bucket_cap_audit":
+                rec[name]["dropped_classes"] = [
+                    r.asDict() for r in rows if r.dropped_by_cap]
         rec["lsh"] = lsh_diagnostics(spark, wd)
         results["scales"][str(k)] = rec
         spark.catalog.clearCache()
