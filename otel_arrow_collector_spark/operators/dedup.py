@@ -1382,18 +1382,26 @@ def dedup_allpairs_prefix(spark, sf_dir):
             .select(F.col("a.doc_id").alias("d1"),
                     F.col("b.doc_id").alias("d2"))
             .distinct())
+    # Bayardo LENGTH filter before the expensive verify join: J >= tau
+    # needs min(n1,n2) >= (n1+n2)/(1+1/tau), i.e. at tau=1/2
+    # greatest <= 2*least — size-incompatible candidates can never
+    # qualify, so dropping them here is output-invariant (the oracle
+    # needs no mirror: it only removes pairs the final threshold would
+    # discard anyway).
+    z1 = sizes.select(F.col("doc_id").alias("d1"),
+                      F.col("n_sh").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"),
+                      F.col("n_sh").alias("n2"))
+    cand = (cand.join(z1, "d1").join(z2, "d2")
+            .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2")))
     common = (cand
               .join(shd.select(F.col("doc_id").alias("d1"),
                                F.col("sh")), "d1")
               .join(shd.select(F.col("doc_id").alias("d2"),
                                F.col("sh")), ["d2", "sh"])
-              .groupBy("d1", "d2")
+              .groupBy("d1", "d2", "n1", "n2")
               .agg(F.count(F.lit(1)).alias("n_common")))
-    z1 = sizes.select(F.col("doc_id").alias("d1"),
-                      F.col("n_sh").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("d2"),
-                      F.col("n_sh").alias("n2"))
-    j = (common.join(z1, "d1").join(z2, "d2")
+    j = (common
          .withColumn("j", F.col("n_common")
                      / (F.col("n1") + F.col("n2") - F.col("n_common"))))
     return (j.filter(F.col("j") >= JACCARD_THRESHOLD)
