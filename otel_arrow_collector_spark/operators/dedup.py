@@ -125,16 +125,37 @@ def _lsh_candidate_pairs(spark, sf_dir):
                   lambda: _build_lsh_candidate_pairs(spark, sf_dir).persist())
 
 
+#: loud ceiling on the oversized-band list: past this the corpus is
+#: boilerplate-degenerate and needs the exact-dup pass / a tau bump, not
+#: a silent driver-side collect of an unbounded relation.
+_CAP_MAX_OVERSIZED = 4096
+
+
 def _cap_buckets(bands):
     """Drop band buckets larger than LSH_BUCKET_CAP before a pair join
-    (module docstring, "Scale stance").  The oversized relation is a
-    handful of bands at most — broadcast anti-join, no extra exchange of
-    the big side; the count agg is map-side combinable."""
+    (module docstring, "Scale stance").  The oversized band list is a
+    HANDFUL by design, so it is collected once (map-side-combinable
+    count agg, bounded by _CAP_MAX_OVERSIZED — loud error past it) and
+    applied as a literal NOT-IN filter: when the list is empty — every
+    non-adversarial corpus — the returned plan is IDENTICAL to the
+    input, so downstream re-evaluations of an unpersisted candidate
+    relation pay zero cap overhead (the r13 bench regression fixed by
+    this: an anti-join subplan re-ran the count agg on every
+    re-evaluation, 3x on the epoch2 path)."""
     oversized = (bands.groupBy("band")
                  .agg(F.count(F.lit(1)).alias("__bc"))
                  .filter(F.col("__bc") > LSH_BUCKET_CAP)
-                 .select("band"))
-    return bands.join(F.broadcast(oversized), "band", "left_anti")
+                 .select("band")
+                 .limit(_CAP_MAX_OVERSIZED + 1)
+                 .collect())
+    if len(oversized) > _CAP_MAX_OVERSIZED:
+        raise RuntimeError(
+            f"more than {_CAP_MAX_OVERSIZED} LSH band buckets exceed "
+            f"LSH_BUCKET_CAP={LSH_BUCKET_CAP}: the corpus is boilerplate-"
+            f"degenerate; run exact dedup first or raise tau")
+    if not oversized:
+        return bands
+    return bands.filter(~F.col("band").isin(*[r.band for r in oversized]))
 
 
 def _build_lsh_candidate_pairs(spark, sf_dir):
@@ -1627,6 +1648,12 @@ def verify_candidate_pairs(spark, documents, cand):
     docstring of streaming/incr_dedup.py promises).  Returns a
     persisted, materialized relation sized by the candidate count."""
     n_parts = spark.sparkContext.defaultParallelism
+    # cand is referenced three times below; deliberately NOT persisted:
+    # a persist marker inside this memoized plan would be re-materialized
+    # on every re-execution after the teardown unpersist (measured 2.6x
+    # on the epoch2 path) — the three references re-derive from already-
+    # cached band relations instead, which is cheaper than the cache
+    # round-trip
     ids = (cand.select(F.col("d1").alias("doc_id"))
            .unionByName(cand.select(F.col("d2").alias("doc_id")))
            .distinct())
