@@ -1385,18 +1385,11 @@ def dedup_allpairs_prefix(spark, sf_dir):
     exact-dedup discipline (candidate count bounded by
     sum-over-rare-tokens of df^2, tunable via tau).
     """
-    from pyspark.sql import Window
-
     shd = _doc_shingle_sets(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    ranked = (shd.join(df, "sh")
-              .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
-              .join(sizes, "doc_id")
-              # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2)
-              .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-              .select("doc_id", "sh"))
+    # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2); the
+    # ranked prefix relation is shared with dedup_prefix_cost_model
+    ranked = _prefix_relation(spark, sf_dir)
     cand = (ranked.alias("a")
             .join(ranked.alias("b"), "sh")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1431,6 +1424,31 @@ def dedup_allpairs_prefix(spark, sf_dir):
             .orderBy("d1", "d2").limit(500))
 
 
+def _prefix_relation(spark, sf_dir):
+    """The df-ascending ranked PREFIX relation (doc_id, sh) shared by
+    dedup_allpairs_prefix and dedup_prefix_cost_model — persisted via
+    the bounded cache registry because both consumers reference it
+    multiple times in one plan (the cost model three times) and the
+    ranking pipeline (df agg + doc-keyed rank window) is the expensive
+    half of the exact path."""
+    from pyspark.sql import Window
+
+    def build():
+        shd = _doc_shingle_sets(spark, sf_dir)
+        sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "sh")
+        pref = (shd.join(df, "sh")
+                .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
+                .join(sizes, "doc_id")
+                .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+                .select("doc_id", "sh")
+                .persist())
+        pref.count()
+        return pref
+    return cached("dedup.prefix_rel", spark, sf_dir, build)
+
+
 def dedup_prefix_cost_model(spark, sf_dir):
     """Capacity model for the exact prefix-filter join — the measurable
     form of dedup_allpairs_prefix's scale claim ("candidate count
@@ -1447,17 +1465,7 @@ def dedup_prefix_cost_model(spark, sf_dir):
     agg for the bound, and the same equality self-join for the actual
     count — no new join shapes.
     """
-    from pyspark.sql import Window
-
-    shd = _doc_shingle_sets(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    pref = (shd.join(df, "sh")
-            .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
-            .join(sizes, "doc_id")
-            .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-            .select("doc_id", "sh"))
+    pref = _prefix_relation(spark, sf_dir)
     bound = (pref.groupBy("sh").agg(F.count(F.lit(1)).alias("pdf"))
              .agg(F.count(F.lit(1)).alias("n_prefix_tokens"),
                   F.sum(F.expr("pdf * (pdf - 1) div 2"))
