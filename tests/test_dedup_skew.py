@@ -106,3 +106,18 @@ def test_prefix_join_guarantee_survives_skew(spark, skew_dir):
     empty set (all pairwise J ~0.31 < 0.5)."""
     out = D.QUERIES["dedup_allpairs_prefix"](spark, skew_dir).collect()
     assert out == []
+
+
+def test_prefix_relation_is_shared_and_cached(spark):
+    """dedup_allpairs_prefix and dedup_prefix_cost_model read the SAME
+    session-memoized ranked prefix relation (r13 refactor): the ranking
+    pipeline — the expensive half of the exact path — builds once per
+    (session, dir)."""
+    sf = "/root/testdata/sf0.001"
+    a = D._prefix_relation(spark, sf)
+    b = D._prefix_relation(spark, sf)
+    assert a is b
+    assert "Memory" in str(a.storageLevel)
+    D.QUERIES["dedup_prefix_cost_model"](spark, sf).collect()
+    out = D.QUERIES["dedup_allpairs_prefix"](spark, sf).collect()
+    assert out  # sf0.001 has near-dup pairs
