@@ -1403,3 +1403,17 @@ def test_exp_histogram_merge_has_no_window(spark):
             assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_histogram_merge_bucket_sum_is_partial_aggregable(spark):
+    """q41 (merge_histograms): the bucket addition is a plain
+    partial_sum over exploded (series, index, c) rows — mappers
+    pre-combine, so the exchange carries per-mapper partials bounded by
+    |series| x |buckets|, never the point rows.  The only
+    ObjectHashAggregates left are the post-merge array rebuild and the
+    tiny scalar firsts (r13 rewrite; the old collect_list-of-arrays form
+    shipped every point's array through the shuffle)."""
+    plan = _plan(spark, "q41_histogram_merge")
+    assert "partial_sum(c" in plan            # combinable bucket sum
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
