@@ -57,32 +57,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: round-13 additions (commit-checklist rule: every new query
-    # gets a slot here).
-    "dedup_bucket_cap_audit", "dedup_prefix_cost_model",
-    # THEN the 26 stalest driver rows (verdict r12 ask #2 — newest
-    # driver evidence r05/r06; all pass the r12 263/263 local parity
-    # sweep, but the driver's own ledger is 6+ rounds old):
-    "dedup_semantic", "multimodal_mp4_meta", "multimodal_video_frames",
-    "text_tfidf_search", "dedup_keep_best", "dedup_substring",
-    "embedding_outliers", "embedding_quantize_int8",
-    "heavy_hitter_events", "multimodal_audio_windows", "pack_sequences",
-    "sample_split", "sample_stratified", "shuffle_shards",
-    "sketch_cms_counters", "sketch_cms_join_size", "sketch_hll_by_group",
-    "sketch_hll_registers", "temperature_mix", "text_bigram_lm",
-    "text_bm25_search", "text_bpe_tokens", "text_df_topterms",
-    "text_pii_scrub", "text_quality_classifier",
-    # — the next-stalest (r07) band —
-    "ann_cosine_topk", "ann_ivf_probe", "dedup_ngram_jaccard",
-    "dedup_simhash", "text_langid", "text_quality_score",
-    # The histogram-merge family re-timed/re-planned in r13
-    # (HIST_PROFILE_r13.json) — fresh driver rows wanted:
+    # FIRST: round-14 additions (commit-checklist rule: every new query
+    # gets a slot here) — prepended as they land.
+    # THEN the 28 stalest driver rows (verdict r13 ask #1 — newest
+    # driver evidence r06-r08; all green in the full 265-query
+    # PARITY_r13 sweeps, but the driver's own ledger should rotate):
+    "text_repetition", "sketch_hll_estimate", "sketch_cms_point",
+    "sketch_quantile_sampled", "graph_triangle_count", "graph_pagerank",
+    "ann_pq_codes", "embedding_mrl_energy", "dedup_cross_corpus",
+    "bloom_screen", "sample_weighted", "cc_pipeline",
+    "text_gopher_rules", "text_html_extract", "text_url_domains",
+    "ann_lsh_buckets", "ann_ivf_assign", "text_token_stats",
+    "text_fingerprint", "multimodal_binary_meta", "ann_knn_graph",
+    "multimodal_gif_decode", "q91_rate_limit", "cc_pipeline_warc",
+    "sketch_hll_union", "sketch_quantile_binned",
+    "multimodal_decode_quarantine", "ann_ivf_cell_quality",
+    # Queries whose plans were touched this round (verdict asks #2-#6 +
+    # ADVICE fixes) — fresh driver rows wanted on the changed code:
+    "text_bpe_merge", "text_bpe_tokens", "sample_bootstrap",
+    "text_dedup_spans", "q110_corr_screen",
     "q36_exp_histogram_merge", "q41_histogram_merge",
     "q42_histogram_quantile", "q48_exp_histogram_quantile",
-    # Round-12 additions keep a toe-hold; everything else follows in
-    # registry order (all have green driver rows r08-r12).
-    "q116_zorder_pruning", "q117_fuzzy_name_match",
-    "dedup_incremental_epoch2", "dedup_incremental_epoch2_delta",
+    "multimodal_audio_windows", "dedup_incremental_epoch2_delta",
+    "dedup_allpairs_prefix", "dedup_prefix_cost_model",
 ]
 
 
