@@ -31,10 +31,18 @@ SERIES_KEY = ["metric_name", "__attrs_fp", "__res_fp"]
 
 
 def _with_series_key(df: DataFrame) -> DataFrame:
-    return (df.withColumn("__attrs_fp", F.expr(
-                "to_json(array_sort(map_entries(attributes)))"))
-              .withColumn("__res_fp", F.expr(
-                "to_json(array_sort(map_entries(resource_attributes)))")))
+    # to_json(..) of a NULL map is NULL, and NULL keys never match in an
+    # equi-join — the merge plans join sub-aggregations back on SERIES_KEY,
+    # so a NULL fingerprint would silently drop NULL-attribute series.
+    # Coalesce to a sentinel that cannot collide with a real fingerprint
+    # (real to_json output always starts with '['); groupBy semantics are
+    # unchanged (NULLs already formed a single group).
+    return (df.withColumn("__attrs_fp", F.coalesce(F.expr(
+                "to_json(array_sort(map_entries(attributes)))"),
+                F.lit("<null>")))
+              .withColumn("__res_fp", F.coalesce(F.expr(
+                "to_json(array_sort(map_entries(resource_attributes)))"),
+                F.lit("<null>"))))
 
 
 def delta_to_cumulative(points: DataFrame) -> DataFrame:

@@ -216,3 +216,47 @@ def test_exp_histogram_merge_zero_only_accumulates(spark):
     assert r.zero_count == 12 and r["count"] == 12 and r.scale == 3
     assert list(r.positive_bucket_counts) == []
     assert r["min"] == 0.0 and r["max"] == 0.0
+
+
+def test_exp_histogram_merge_null_attribute_map(spark):
+    """NULL attribute maps form ONE series and survive the merge: the
+    series-key fingerprints are join keys (target-scale equi-join), and a
+    raw to_json(NULL) fingerprint would never match itself — the sentinel
+    coalesce in _with_series_key keeps NULL-keyed series intact."""
+    from otel_arrow_collector_spark.operators.metrics import \
+        merge_exp_histograms
+    pts = [_exp_point(t=1010, scale=2, zero=1, pos=(0, [1, 2]), count=4),
+           _exp_point(t=1020, scale=2, zero=2, pos=(2, [3]), count=6)]
+    for p in pts:
+        p["attributes"] = None
+        p["resource_attributes"] = None
+    rows = merge_exp_histograms(_exp_df(spark, pts)).collect()
+    assert len(rows) == 1                       # not dropped, one series
+    r = rows[0]
+    assert r["count"] == 10 and r.zero_count == 3
+    assert list(r.positive_bucket_counts) == [1, 2, 3]
+
+
+def test_histogram_merge_null_attribute_map(spark):
+    """Same NULL-series guarantee on the explicit-bounds path: the bucket
+    sub-aggregation joins back on the fingerprints, so NULL-attribute
+    datapoints must keep their bucket sums (not NULL them out)."""
+    base = dict(
+        metric_name="h", description="", unit="1", metric_type=3,
+        aggregation_temporality=1, is_monotonic=None,
+        start_time_unix_nano=1000, attributes=None, value_int=None,
+        value_double=None, min=None, max=None, scale=None, zero_count=None,
+        positive_offset=None, positive_bucket_counts=None,
+        negative_offset=None, negative_bucket_counts=None,
+        quantile_values=None, exemplars=None, flags=0,
+        resource_attributes=None, scope_name="", scope_version="")
+    rows = [dict(base, time_unix_nano=1010, count=3, sum=6.0,
+                 bucket_counts=[1, 2], explicit_bounds=[1.0]),
+            dict(base, time_unix_nano=1020, count=5, sum=9.0,
+                 bucket_counts=[4, 1], explicit_bounds=[1.0])]
+    df = spark.createDataFrame(rows, METRIC_POINT_SCHEMA)
+    out = merge_histograms(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["count"] == 8 and r["sum"] == 15.0
+    assert list(r.bucket_counts) == [5, 3]      # joined back, not NULLed
