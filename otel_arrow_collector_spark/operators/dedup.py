@@ -131,19 +131,20 @@ def _lsh_candidate_pairs(spark, sf_dir):
 _CAP_MAX_OVERSIZED = 4096
 
 
-def _cap_buckets(bands):
-    """Drop band buckets larger than LSH_BUCKET_CAP before a pair join
-    (module docstring, "Scale stance").  The oversized band list is a
-    HANDFUL by design, so it is collected once (map-side-combinable
-    count agg, bounded by _CAP_MAX_OVERSIZED — loud error past it) and
-    applied as a literal NOT-IN filter: when the list is empty — every
-    non-adversarial corpus — the returned plan is IDENTICAL to the
-    input, so downstream re-evaluations of an unpersisted candidate
-    relation pay zero cap overhead (the r13 bench regression fixed by
-    this: an anti-join subplan re-ran the count agg on every
-    re-evaluation, 3x on the epoch2 path)."""
-    oversized = (bands.groupBy("band")
-                 .agg(F.count(F.lit(1)).alias("__bc"))
+def _band_counts(bands):
+    """Per-band row counts (band, __bc) — map-side-combinable hash agg.
+    The STORE side of the incremental path computes this once per store
+    version and reuses it across micro-batches (see incremental_pairs)."""
+    return bands.groupBy("band").agg(F.count(F.lit(1)).alias("__bc"))
+
+
+def _oversized_list(counts) -> list:
+    """Literal list of band values whose TOTAL count exceeds
+    LSH_BUCKET_CAP.  ``counts`` may union several per-side count
+    relations (duplicate band keys sum).  Bounded driver collect:
+    loud error past _CAP_MAX_OVERSIZED."""
+    oversized = (counts.groupBy("band")
+                 .agg(F.sum("__bc").alias("__bc"))
                  .filter(F.col("__bc") > LSH_BUCKET_CAP)
                  .select("band")
                  .limit(_CAP_MAX_OVERSIZED + 1)
@@ -153,9 +154,27 @@ def _cap_buckets(bands):
             f"more than {_CAP_MAX_OVERSIZED} LSH band buckets exceed "
             f"LSH_BUCKET_CAP={LSH_BUCKET_CAP}: the corpus is boilerplate-"
             f"degenerate; run exact dedup first or raise tau")
+    return [r.band for r in oversized]
+
+
+def _apply_band_cap(bands, oversized: list):
+    """NOT-IN literal filter form: an EMPTY list returns the input plan
+    IDENTICALLY, so downstream re-evaluations of an unpersisted
+    candidate relation pay zero cap overhead (the r13 bench regression
+    fixed by this: an anti-join subplan re-ran the count agg on every
+    re-evaluation, 3x on the epoch2 path)."""
     if not oversized:
         return bands
-    return bands.filter(~F.col("band").isin(*[r.band for r in oversized]))
+    return bands.filter(~F.col("band").isin(*oversized))
+
+
+def _cap_buckets(bands):
+    """Drop band buckets larger than LSH_BUCKET_CAP before a pair join
+    (module docstring, "Scale stance").  The oversized band list is a
+    HANDFUL by design, so it is collected once (map-side-combinable
+    count agg, bounded by _CAP_MAX_OVERSIZED — loud error past it) and
+    applied as a literal NOT-IN filter."""
+    return _apply_band_cap(bands, _oversized_list(_band_counts(bands)))
 
 
 def _build_lsh_candidate_pairs(spark, sf_dir):
@@ -479,6 +498,22 @@ CC_MAX_ITERS = 20
 CC_DRIVER_MAX_EDGES = 1_000_000
 
 
+def _free_local_checkpoint(df) -> None:
+    """Eagerly release the storage blocks behind a localCheckpoint'd
+    DataFrame.  ``localCheckpoint`` stores its partitions through the
+    block manager and only the ContextCleaner's GC hook ever drops them,
+    so an iterative loop accumulates one materialized relation per round
+    unless superseded rounds are freed by hand.  The checkpointed RDD is
+    the one wrapped by the plan's LogicalRDD node; the DataFrame must
+    never be evaluated again afterwards (the truncated lineage cannot
+    recompute).  Best-effort: internal-API shape changes degrade to the
+    old ContextCleaner behavior, never to a failure."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(edges, src: str = "d1", dst: str = "d2",
                          force_distributed: bool = False):
     """Deterministic connected components over an undirected edge set:
@@ -534,6 +569,13 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
     # tests/test_bounded_collects.py).  localCheckpoint(eager) truncates
     # lineage each round: every iteration's plan is two joins over a
     # materialized relation, constant-sized regardless of round count.
+    # Each superseded round's checkpoint blocks are freed EAGERLY below
+    # (_free_local_checkpoint) — relying on the ContextCleaner would let
+    # up to CC_MAX_ITERS materialized label relations pile up in executor
+    # storage.  100 TB stance: localCheckpoint is non-reliable (executor
+    # loss mid-loop fails the job — Spark reports it with an explicit
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error); on a real cluster set a
+    # checkpoint dir and swap in reliable .checkpoint() for long loops.
     labels = (bidir.select(F.col("a").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint(eager=True))
@@ -556,6 +598,10 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
                                    .alias("lbl"))
                           .localCheckpoint(eager=True))
             new_sum = new.agg(F.sum("lbl")).first()[0]
+            # `new` is materialized, so the previous round's relation is
+            # dead — free its blocks now (NEVER the live one: a freed
+            # localCheckpoint cannot be recomputed).
+            _free_local_checkpoint(labels)
             labels = new
             if new_sum == prev_sum:
                 return labels.select("node", F.col("lbl").alias("cluster_id"))
@@ -1605,7 +1651,8 @@ def build_signature_store(docs):
                     F.explode(F.expr(_spark_bands())).alias("band")))
 
 
-def incremental_pairs(spark, documents, store_bands, shard_docs):
+def incremental_pairs(spark, documents, store_bands, shard_docs,
+                      store_band_counts=None):
     """Verified near-dup pairs TOUCHING the new shard, without ever
     re-signing the corpus: shingle+sign ONLY ``shard_docs``, band-join
     the shard bands against ``store_bands`` (corpus) plus themselves
@@ -1619,6 +1666,12 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
 
     Magnitude at 100x: no BIGINT products — n_common <= shingles/doc
     (~1e3) and all counts <= corpus rows (1e12 << 2^63).
+
+    ``store_band_counts``: optional precomputed (band, __bc) counts of
+    ``store_bands`` (one _band_counts pass per STORE VERSION, persisted
+    by the caller).  Without it the cap aggregation re-scans the store
+    band relation on every invocation — one full extra scan per
+    micro-batch even when no bucket is ever oversized.
     """
     n_parts = spark.sparkContext.defaultParallelism
     shard_bands = build_signature_store(
@@ -1628,8 +1681,16 @@ def incremental_pairs(spark, documents, store_bands, shard_docs):
     # bucket sizes are defined over the FULL (store + shard) relation —
     # capping the b side alone removes every pair of an oversized band
     # (the join needs the band on both sides), byte-matching the batch
-    # CTE's rule restricted to shard-touching pairs
-    b = _cap_buckets(store_bands.unionByName(shard_bands)).alias("b")
+    # CTE's rule restricted to shard-touching pairs.  Per-side counts
+    # sum to the union's counts, so a caller-supplied store count
+    # relation replaces the per-batch store scan; the shard side counts
+    # read the just-materialized shard cache (tiny).
+    if store_band_counts is None:
+        store_band_counts = _band_counts(store_bands)
+    over = _oversized_list(
+        store_band_counts.unionByName(_band_counts(shard_bands)))
+    b = _apply_band_cap(
+        store_bands.unionByName(shard_bands), over).alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") != F.col("b.doc_id")))
             .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
@@ -1707,16 +1768,31 @@ def _incr_store(spark, sf_dir):
     return cached("dedup.incr_store", spark, sf_dir, build)
 
 
+def _store_band_counts(spark, sf_dir, cache_key, store):
+    """Memoized (band, __bc) counts for a persisted signature store —
+    one counting pass per STORE VERSION, shared by every micro-batch's
+    bucket-cap check (ADVICE r13: _cap_buckets re-scanned the raw
+    store+shard union on every incremental_pairs call)."""
+    def build():
+        c = _band_counts(store).persist()
+        c.count()
+        return c
+    return cached(cache_key, spark, sf_dir, build)
+
+
 def _incr_verified(spark, sf_dir):
     """Verified shard-touching pairs (d1, d2, n_common, j), memoized —
     shared by dedup_incremental (the pair report) and
     dedup_incremental_delta (the store append)."""
     def build():
         d = load_table(spark, sf_dir, "documents")
+        st = _incr_store(spark, sf_dir)
         # incremental_pairs returns an already-persisted, materialized
         # relation; cached() registration owns its unpersist-on-evict
-        return incremental_pairs(spark, d, _incr_store(spark, sf_dir),
-                                 d.filter(F.expr(_SPARK_SHARD)))
+        return incremental_pairs(
+            spark, d, st, d.filter(F.expr(_SPARK_SHARD)),
+            store_band_counts=_store_band_counts(
+                spark, sf_dir, "dedup.incr_store_counts", st))
     return cached("dedup.incr_verified", spark, sf_dir, build)
 
 
@@ -1847,8 +1923,11 @@ def _incr2_verified_a(spark, sf_dir):
     by the epoch-A delta and (transitively) everything epoch-B."""
     def build():
         d = load_table(spark, sf_dir, "documents")
-        return incremental_pairs(spark, d, _incr2_store0(spark, sf_dir),
-                                 d.filter(F.expr(_SPARK_SHARD)))
+        st0 = _incr2_store0(spark, sf_dir)
+        return incremental_pairs(
+            spark, d, st0, d.filter(F.expr(_SPARK_SHARD)),
+            store_band_counts=_store_band_counts(
+                spark, sf_dir, "dedup.incr2_store0_counts", st0))
     return cached("dedup.incr2_verifiedA", spark, sf_dir, build)
 
 
@@ -1885,8 +1964,11 @@ def _incr2_verified_b(spark, sf_dir):
     past its own epoch), exact-Jaccard verified over candidates only."""
     def build():
         d = load_table(spark, sf_dir, "documents")
-        return incremental_pairs(spark, d, _incr2_store1(spark, sf_dir),
-                                 d.filter(F.expr(_SPARK_SHARD_B)))
+        st1 = _incr2_store1(spark, sf_dir)
+        return incremental_pairs(
+            spark, d, st1, d.filter(F.expr(_SPARK_SHARD_B)),
+            store_band_counts=_store_band_counts(
+                spark, sf_dir, "dedup.incr2_store1_counts", st1))
     return cached("dedup.incr2_verifiedB", spark, sf_dir, build)
 
 

@@ -60,9 +60,12 @@ ORACLES: dict = {}
 def _binary_docs(spark, sf_dir):
     """documents with an opaque binary payload column + typed metadata."""
     d = load_table(spark, sf_dir, "documents")
+    # coalesce BEFORE encode: a NULL text must become an empty payload
+    # (matching the oracles' coalesce(text,'')), not a NULL binary that
+    # NULLs n_bytes/magic and crashes downstream decodes.
     return d.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.col("lang").alias("meta_lang"),
     )
@@ -90,7 +93,7 @@ ORACLES["multimodal_binary_meta"] = """
 SELECT doc_id,
        octet_length(encode(coalesce(text, ''))) AS n_bytes,
        substr(hex(encode(coalesce(text, ''))), 1, 8) AS magic,
-       md5(text) AS content_hash
+       md5(coalesce(text, '')) AS content_hash
 FROM documents ORDER BY doc_id LIMIT 200
 """
 
@@ -137,7 +140,8 @@ def decode_features(df):
     """mapInPandas decode: Arrow-batched, payload-agnostic plumbing."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [_fake_decode(bytes(p) if p is not None else b"")
+                     for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out[[f.name for f in DECODED_SCHEMA.fields]]
@@ -1312,7 +1316,7 @@ QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
 ORACLES["multimodal_audio_windows"] = """
 WITH docs AS (
   SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
-         octet_length(encode(coalesce(text, ''))) AS n
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS n
   FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 120),
 samples AS (
   SELECT d.doc_id, g.i,
