@@ -72,47 +72,79 @@ def _symbols(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
+#: Standard BPE vocabulary floor: words rarer than this cannot win a
+#: merge on their own and only add explode rows — dropping them is the
+#: min_frequency knob every production trainer exposes.
+BPE_MIN_FREQ = 2
+
+#: Loud ceiling on the distinct-word vocabulary the per-round explode
+#: carries.  Heaps' law keeps real corpora far under it, but a
+#: boilerplate-free 100 TB crawl sampled too wide can exceed it — past
+#: this, raise sample_mod or min_freq instead of letting every training
+#: round shuffle a corpus-sized "vocabulary".
+BPE_VOCAB_MAX = 10_000_000
+
+
 def train_bpe(spark, sf_dir: str, n_merges: int = 20,
-              sample_mod: int = 10) -> list[tuple[str, str]]:
+              sample_mod: int = 10,
+              min_freq: int = BPE_MIN_FREQ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules.  Per round: ONE distributed
     pair-count aggregation over the vocabulary (weighted by word freq),
     a driver-side argmax with a total-order tie-break, and a new merge
-    rule appended to the model."""
-    vocab = [(r.word, int(r.freq))
-             for r in word_frequencies(spark, sf_dir, sample_mod).collect()]
-    words = spark.createDataFrame(
-        [(w, f) for w, f in vocab], "word string, freq long")
+    rule appended to the model.
+
+    The vocabulary stays a PERSISTED DataFrame on the executors — it is
+    never collected to the driver (the pre-r14 collect+createDataFrame
+    round-trip pushed tens of millions of distinct tokens through the
+    driver at crawl scale).  Only the per-round argmax row crosses to
+    the driver.  Cardinality is audited against BPE_VOCAB_MAX (the
+    text_bpe_capacity query publishes the same bound as a report)."""
+    words = (word_frequencies(spark, sf_dir, sample_mod)
+             .filter(F.col("freq") >= min_freq)
+             .persist())
+    n_vocab = words.count()   # materialize the cache + capacity audit
+    if n_vocab > BPE_VOCAB_MAX:
+        words.unpersist(False)
+        raise RuntimeError(
+            f"BPE vocabulary {n_vocab} exceeds BPE_VOCAB_MAX="
+            f"{BPE_VOCAB_MAX}: raise sample_mod or min_freq "
+            f"(see text_bpe_capacity)")
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        mlist = list(merges)
+    try:
+        for _ in range(n_merges):
+            mlist = list(merges)
 
-        def toks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = {"a": [], "b": [], "freq": []}
-                for w, f in zip(pdf["word"], pdf["freq"]):
-                    syms = _symbols(w, mlist)
-                    for i in range(len(syms) - 1):
-                        rows["a"].append(syms[i])
-                        rows["b"].append(syms[i + 1])
-                        rows["freq"].append(int(f))
-                yield pd.DataFrame(rows)
+            def toks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    rows = {"a": [], "b": [], "freq": []}
+                    for w, f in zip(pdf["word"], pdf["freq"]):
+                        syms = _symbols(w, mlist)
+                        for i in range(len(syms) - 1):
+                            rows["a"].append(syms[i])
+                            rows["b"].append(syms[i + 1])
+                            rows["freq"].append(int(f))
+                    yield pd.DataFrame(rows)
 
-        pairs = (words.mapInPandas(toks, StructType([
-                    StructField("a", StringType()),
-                    StructField("b", StringType()),
-                    StructField("freq", LongType())]))
-                 .groupBy("a", "b").agg(F.sum("freq").alias("n"))
-                 .orderBy(F.col("n").desc(), "a", "b").limit(1).collect())
-        if not pairs or pairs[0].n < 2:
-            break
-        merges.append((pairs[0].a, pairs[0].b))
+            pairs = (words.mapInPandas(toks, StructType([
+                        StructField("a", StringType()),
+                        StructField("b", StringType()),
+                        StructField("freq", LongType())]))
+                     .groupBy("a", "b").agg(F.sum("freq").alias("n"))
+                     .orderBy(F.col("n").desc(), "a", "b").limit(1).collect())
+            if not pairs or pairs[0].n < 2:
+                break
+            merges.append((pairs[0].a, pairs[0].b))
+    finally:
+        words.unpersist(False)
     return merges
 
 
 def train_bpe_reference(vocab: list[tuple[str, int]],
-                        n_merges: int) -> list[tuple[str, str]]:
+                        n_merges: int,
+                        min_freq: int = BPE_MIN_FREQ) -> list[tuple[str, str]]:
     """Pure-Python reference trainer (the textbook algorithm) used to
     pin the distributed trainer's output exactly."""
+    vocab = [(w, f) for w, f in vocab if f >= min_freq]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}

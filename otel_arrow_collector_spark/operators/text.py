@@ -1447,6 +1447,53 @@ def text_bpe_merge(spark, sf_dir):
             .limit(BPE_TOP_MERGES))
 
 
+def text_bpe_capacity(spark, sf_dir):
+    """Vocab-cardinality capacity audit for the distributed BPE trainer
+    (the dedup_prefix_cost_model pattern: the scale claim as a QUERY).
+    train_bpe's per-round cost is O(|vocab|) — this publishes exactly
+    that vocabulary: the distinct-word count of the training sample, the
+    raw token mass it summarizes (the Heaps-law compression the trainer
+    rides on), the floored vocab that actually trains (freq >=
+    BPE_MIN_FREQ), and whether it sits under the trainer's loud
+    BPE_VOCAB_MAX ceiling.  At 100 TB this one row decides sample_mod /
+    min_freq before a 20-round training loop is launched.
+
+    Plan: ONE map-side-combinable hash agg over the sampled-doc word
+    explode; the report agg is a single reduced row."""
+    from .bpe import BPE_MIN_FREQ, BPE_VOCAB_MAX, word_frequencies
+    wf = word_frequencies(spark, sf_dir, sample_mod=10)
+    floored = F.sum(F.when(F.col("freq") >= BPE_MIN_FREQ, 1)
+                    .otherwise(0)).cast("long")
+    return wf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum("freq").cast("long").alias("n_sample_tokens"),
+        floored.alias("n_trained_vocab"),
+        F.max("freq").cast("long").alias("max_word_freq"),
+        F.lit(BPE_VOCAB_MAX).cast("long").alias("vocab_ceiling"),
+        (floored <= F.lit(BPE_VOCAB_MAX)).cast("long")
+         .alias("within_ceiling"))
+
+
+QUERIES["text_bpe_capacity"] = text_bpe_capacity
+ORACLES["text_bpe_capacity"] = """
+WITH wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents WHERE doc_id % 10 = 0) t
+  WHERE w != '' GROUP BY w)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+       CAST(SUM(freq) AS BIGINT) AS n_sample_tokens,
+       CAST(SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_trained_vocab,
+       CAST(MAX(freq) AS BIGINT) AS max_word_freq,
+       CAST(10000000 AS BIGINT) AS vocab_ceiling,
+       CAST(CASE WHEN SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
+                 <= 10000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS within_ceiling
+FROM wf
+"""
+
+
 QUERIES["text_bpe_merge"] = text_bpe_merge
 ORACLES["text_bpe_merge"] = f"""
 WITH vocab AS (

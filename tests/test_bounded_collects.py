@@ -83,3 +83,24 @@ def test_ivf_multiprobe_cell_collect_is_k_bounded(spark):
     max_collect_rows = S.NPROBE * n_queries
     assert max_collect_rows <= S.NPROBE * len(S.PROBE_IDS)
     assert max_collect_rows < 100  # absolute sanity: never corpus-scale
+
+
+def test_bpe_vocab_ceiling_is_loud(spark, monkeypatch):
+    """train_bpe audits vocabulary cardinality BEFORE training: past
+    BPE_VOCAB_MAX (patched tiny) it refuses loudly instead of carrying
+    a corpus-sized vocab through 20 rounds; under the ceiling it trains
+    off a persisted DataFrame (no vocab collect to the driver — the
+    only driver crossings are the one-row per-round argmaxes)."""
+    import pytest as _pytest
+
+    from otel_arrow_collector_spark.operators import bpe as B
+    monkeypatch.setattr(B, "BPE_VOCAB_MAX", 3)
+    with _pytest.raises(RuntimeError, match="BPE_VOCAB_MAX"):
+        B.train_bpe(spark, SF, n_merges=2)
+    monkeypatch.setattr(B, "BPE_VOCAB_MAX", 10_000_000)
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    merges = B.train_bpe(spark, SF, n_merges=2)
+    assert len(merges) == 2
+    # the stage-local vocab persist is released on the way out
+    assert len(jsc.getRDDStorageInfo()) - before <= 0

@@ -149,7 +149,13 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # bucket-size distribution shifts under replication
                    # (the distribution itself legitimately changes: the
                    # replicated identical texts collide)
-                   "dedup_bucket_cap_audit"]
+                   "dedup_bucket_cap_audit",
+                   # round-14: the BPE vocab capacity audit — one
+                   # map-side-combinable word-count agg + a one-row
+                   # report; replication grows token mass linearly while
+                   # the distinct vocab stays flat (verbatim copies), so
+                   # runtime must stay linear in the scan
+                   "text_bpe_capacity"]
 # dedup_prefix_cost_model is EXCLUDED for the dedup_allpairs_prefix
 # reason: replication makes every cross-copy pair a real candidate, so
 # its actual-candidate count (and join time) legitimately grows ~k^2;
