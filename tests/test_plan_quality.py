@@ -1417,3 +1417,20 @@ def test_histogram_merge_bucket_sum_is_partial_aggregable(spark):
     assert "partial_sum(c" in plan            # combinable bucket sum
     assert "windowspecdefinition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q110_corr_screen_is_single_agg(spark):
+    """q110 (exact Pearson screen): ONE map-side-combinable 7-moment
+    hash agg over the fact scan, then per-row arithmetic — no join, no
+    window, no Python, exactly one shuffle (the 3-group exchange).  The
+    r13 local-bench "5.8s regression" was host-band adjacency
+    (CORR_PROFILE_r14.json); this pin makes a REAL plan regression loud
+    instead of leaving the family to timing archaeology."""
+    plan = _plan(spark, "q110_corr_screen")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    # two physical exchanges: the 3-group agg + the final ORDER BY
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
