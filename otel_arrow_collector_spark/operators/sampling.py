@@ -111,12 +111,23 @@ def _hexint_sql(h_expr: str, nchars: int, substr_fn: str) -> str:
     """Integer value of the first ``nchars`` hex chars of ``h_expr`` as
     pure strpos/substr arithmetic — identical semantics in Spark SQL
     (substring) and DuckDB (substr), neither of which shares a native
-    hex-parse function with the other."""
+    hex-parse function with the other.  ORACLE-side form; the Spark
+    side uses _hexint_spark (same value, native parse)."""
     terms = [
         f"(instr('{_HEX16}', {substr_fn}({h_expr}, {i + 1}, 1)) - 1)"
         f" * {16 ** (nchars - 1 - i)}"
         for i in range(nchars)]
     return "(" + " + ".join(terms) + ")"
+
+
+def _hexint_spark(h_expr: str, nchars: int) -> str:
+    """Spark-side fast path for the same integer: ``conv(hex, 16, 10)``
+    is one native parse instead of nchars instr+substring string ops —
+    BOOT_PROFILE_r14 measured the instr form costing ~1.5x the whole
+    bootstrap query at 16 hashes/row.  Value-identical to _hexint_sql
+    (both parse the same leading hex window; parity-gated)."""
+    return (f"CAST(conv(substring({h_expr}, 1, {nchars}), 16, 10)"
+            f" AS BIGINT)")
 
 
 def sample_weighted(spark, sf_dir):
@@ -134,8 +145,7 @@ def sample_weighted(spark, sf_dir):
     """
     from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
-    hv = _hexint_sql("md5('wgt:' || CAST(doc_id AS STRING))", 7,
-                     "substring")
+    hv = _hexint_spark("md5('wgt:' || CAST(doc_id AS STRING))", 7)
     pri = F.expr(f"CAST({hv} DIV greatest(n_chars, 1) AS BIGINT)")
     w = Window.partitionBy("lang").orderBy("priority", "doc_id")
     return (d.select("lang", "doc_id",
@@ -209,9 +219,9 @@ def sample_bootstrap(spark, sf_dir):
     """
     o = load_table(spark, sf_dir, "orders")
     ts = _poisson1_thresholds()
-    h = _hexint_sql(
+    h = _hexint_spark(
         "md5(concat('boot:', CAST(b AS STRING), ':',"
-        " CAST(o_orderkey AS STRING)))", 7, "substring")
+        " CAST(o_orderkey AS STRING)))", 7)
     w_expr = " + ".join(
         f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)" for t in ts)
     return (o.select(F.round(F.col("o_totalprice") * 100).cast("long")
@@ -282,8 +292,7 @@ def sample_reservoir(spark, sf_dir):
     """
     from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
-    hv = _hexint_sql("md5('rsv:' || CAST(doc_id AS STRING))", 7,
-                     "substring")
+    hv = _hexint_spark("md5('rsv:' || CAST(doc_id AS STRING))", 7)
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (d.select("lang", "doc_id",
                      F.expr(f"CAST({hv} AS BIGINT)").alias("hkey"))
