@@ -1320,6 +1320,39 @@ SPAN_TOKENS = 4
 BOILER_DF = 3
 
 
+def _span_relation(spark, sf_dir):
+    """(doc_id, i, txt, w, h) exact spans, derived ONCE and persisted
+    PRE-PARTITIONED on the span hash — the prefix-relation treatment
+    (dedup.py _prefix_relation, the r13 dedup_allpairs_prefix win)
+    applied at span grain: the consumer references the relation on BOTH
+    sides of its df join, and without the shared substrate each side
+    re-ran the whole split/slice/array_join/md5 pipeline and paid its
+    own exchange.  Partitioned by h, the df aggregation AND the join
+    are exchange-free (hashpartitioning(h) satisfies both)."""
+    from .cache_registry import cached
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        n = F.size(toks)
+        W = SPAN_TOKENS
+        t = (d.select("doc_id", toks.alias("ts"), n.alias("n"),
+                      F.explode(F.sequence(
+                          F.lit(0).cast("long"),
+                          F.ceil(n / F.lit(float(W))).cast("long") - 1))
+                      .alias("i"))
+             .filter(F.col("i") * W < F.col("n")))
+        span = F.slice("ts", F.col("i").cast("int") * W + 1, W)
+        sp = t.select("doc_id", "i",
+                      F.array_join(span, " ").alias("txt"),
+                      F.size(span).cast("long").alias("w"))
+        sp = (sp.withColumn("h", F.md5("txt"))
+                .repartition("h").persist())
+        sp.count()
+        return sp
+    return cached("text.span_rel", spark, sf_dir, build)
+
+
 def text_dedup_spans(spark, sf_dir):
     """Boilerplate-span removal — the paragraph-dedup stage every CC
     pipeline runs (repeated nav/footer/disclaimer text is struck from
@@ -1331,27 +1364,14 @@ def text_dedup_spans(spark, sf_dir):
     text (so a reassembly-order bug breaks the value hash).
 
     Scale shape: the span explode is a constant-factor flatMap before
-    any shuffle; the document-frequency relation groups on the span
-    hash (near-uniform md5 keys — no skew), and the one join back runs
-    hash-to-hash; reassembly is a per-doc hash aggregate
-    (collect_list + array_sort, bounded by document length).  No
-    Python, no window over the corpus, no driver state.
+    any shuffle; the shared span relation (_span_relation) is derived
+    once and persisted partitioned on the span hash (near-uniform md5
+    keys — no skew), so the document-frequency aggregation and the
+    join back are BOTH exchange-free; reassembly is a per-doc hash
+    aggregate (collect_list + array_sort, bounded by document length).
+    No Python, no window over the corpus, no driver state.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    W = SPAN_TOKENS
-    t = (d.select("doc_id", toks.alias("ts"), n.alias("n"),
-                  F.explode(F.sequence(
-                      F.lit(0).cast("long"),
-                      F.ceil(n / F.lit(float(W))).cast("long") - 1))
-                  .alias("i"))
-         .filter(F.col("i") * W < F.col("n")))
-    span = F.slice("ts", F.col("i").cast("int") * W + 1, W)
-    sp = t.select("doc_id", "i",
-                  F.array_join(span, " ").alias("txt"),
-                  F.size(span).cast("long").alias("w"))
-    sp = sp.withColumn("h", F.md5("txt"))
+    sp = _span_relation(spark, sf_dir)
     dfr = sp.groupBy("h").agg(
         F.countDistinct("doc_id").alias("span_df"))
     j = sp.join(dfr, "h")

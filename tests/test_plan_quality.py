@@ -1434,3 +1434,18 @@ def test_q110_corr_screen_is_single_agg(spark):
     # two physical exchanges: the 3-group agg + the final ORDER BY
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_text_dedup_spans_shares_span_relation(spark):
+    """text_dedup_spans (r14, the prefix-relation treatment at span
+    grain): ONE parquet scan total — the span pipeline is derived once
+    into the h-partitioned cached substrate (_span_relation), both join
+    sides read the InMemoryRelation, the document-frequency aggregate
+    runs exchange-free on the preserved hashpartitioning(h), and the
+    small df side joins broadcast, never sort-merge."""
+    plan = _plan(spark, "text_dedup_spans")
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, scans
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
