@@ -31,6 +31,10 @@ _ENTRIES: OrderedDict = OrderedDict()
 
 
 def _release(val) -> None:
+    if isinstance(val, (tuple, list)):
+        for v in val:                 # multi-relation artifacts
+            _release(v)
+        return
     unpersist = getattr(val, "unpersist", None)
     if callable(unpersist):
         try:

@@ -2090,6 +2090,185 @@ ORDER BY doc_id, band LIMIT 500
 
 
 # ---------------------------------------------------------------------------
+# incremental EXACT near-dup: prefix filter against a frozen-order store
+# (the batch/stream closure of dedup_allpairs_prefix, verdict r13 ask #7)
+# ---------------------------------------------------------------------------
+
+def build_prefix_store(docs):
+    """(shd, sizes, dfr, pref) — the persistable signature store of the
+    EXACT dedup path (the allpairs analogue of build_signature_store):
+    distinct 3-gram shingles per doc, per-doc set sizes, the global
+    document-frequency relation, and the df-ascending ranked PREFIX
+    relation (n div 2 + 1 rarest shingles per doc at tau=1/2).
+
+    The df relation IS the store's FROZEN token order (df asc, ties by
+    shingle): every later arrival ranks its prefixes under this order,
+    never re-ranking the corpus.  Production shape: built once over the
+    corpus, written to parquet, appended per epoch; re-versioned when
+    the accumulated unseen-token mass makes df=1 prefixes too common.
+    """
+    from pyspark.sql import Window
+    shd = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+           .select("doc_id",
+                   F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                    .alias("sh")))
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfr = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref = (shd.join(dfr, "sh")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+            .select("doc_id", "sh"))
+    return shd, sizes, dfr, pref
+
+
+def prefix_incremental_pairs(spark, documents, store, shard_docs):
+    """Exact verified near-dup pairs TOUCHING the new shard, without
+    re-ranking the corpus: the shard is shingled alone and its prefixes
+    ranked under the store's FROZEN token order (store df ascending,
+    ties by shingle; tokens the store never saw rank rarest at df=1).
+    Any FIXED total order satisfies the Bayardo/PPJoin prefix lemma —
+    df-ascending is only the performance choice — and store docs'
+    prefixes are unchanged under the extended order (their tokens all
+    carry store dfs), so exactness is unconditional: every pair with
+    Jaccard >= JACCARD_THRESHOLD and >= 1 shard endpoint is found.
+
+    Candidates = shard-prefix x store-prefix (shingle equality) plus
+    the intra-shard prefix self-join; the Bayardo length filter and the
+    exact set-intersection verify are the batch operator's, so values
+    are bit-identical to the from-scratch recompute (pytest-pinned and
+    oracle-gated).
+
+    ``store``: (shd, sizes, dfr, pref) from build_prefix_store,
+    persisted by the caller.  Scale shape: the shard ranking window
+    partitions by shard doc_id (shard-sized); the candidate joins run
+    prefix-to-prefix (the df^2-over-rare-tokens bound of
+    dedup_prefix_cost_model applies verbatim); corpus text is re-read
+    only for docs in a candidate (verify_candidate_pairs semi-join).
+    """
+    from pyspark.sql import Window
+    n_parts = spark.sparkContext.defaultParallelism
+    _st_shd, st_sizes, st_dfr, st_pref = store
+    s_shd = (shard_docs.repartition(n_parts)
+             .select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id",
+                     F.explode(F.array_distinct(F.expr(_spark_shingles())))
+                      .alias("sh"))
+             .persist())
+    s_shd.count()   # materialize: referenced by sizes, ranking and verify
+    s_sizes = s_shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    s_pref = (s_shd.join(st_dfr, "sh", "left")
+              .withColumn("df", F.coalesce("df", F.lit(1)))
+              .withColumn("rn", F.row_number().over(w))
+              .join(s_sizes, "doc_id")
+              .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+              .select("doc_id", "sh"))
+    cross = (s_pref.alias("a")
+             .join(st_pref.alias("b"), "sh")
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                     F.greatest("a.doc_id", "b.doc_id").alias("d2")))
+    intra = (s_pref.alias("a").join(s_pref.alias("b"), "sh")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2")))
+    cand = cross.unionByName(intra).distinct()
+    # Bayardo length filter (output-invariant at tau=1/2, see
+    # dedup_allpairs_prefix)
+    sizes_all = st_sizes.unionByName(s_sizes)
+    z1 = sizes_all.select(F.col("doc_id").alias("d1"),
+                          F.col("n_sh").alias("n1"))
+    z2 = sizes_all.select(F.col("doc_id").alias("d2"),
+                          F.col("n_sh").alias("n2"))
+    cand = (cand.join(z1, "d1").join(z2, "d2")
+            .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2"))
+            .select("d1", "d2"))
+    res = verify_candidate_pairs(spark, documents, cand)
+    s_shd.unpersist(False)
+    return res
+
+
+def _prefix_store(spark, sf_dir):
+    """Session-memoized frozen-order prefix store over the corpus
+    (documents minus the shard slice), all four relations persisted —
+    the production analogue is the parquet store build_prefix_store
+    documents."""
+    def build():
+        d = (load_table(spark, sf_dir, "documents")
+             .filter(~F.expr(_SPARK_SHARD))
+             .repartition(spark.sparkContext.defaultParallelism))
+        rels = tuple(r.persist() for r in build_prefix_store(d))
+        for r in rels:
+            r.count()
+        return rels
+    return cached("dedup.prefix_store", spark, sf_dir, build)
+
+
+def dedup_incremental_prefix(spark, sf_dir):
+    """Incremental EXACT corpus dedup — dedup_allpairs_prefix's
+    incremental-arrival form, closing the batch/stream asymmetry of the
+    exact path (the LSH path has dedup_incremental + the streaming
+    twin; this is the deterministic-guarantee sibling): a new shard
+    (doc_id % 10 = 7) arrives, is shingled and prefix-ranked alone
+    under the store's frozen token order, and prefix-joins against the
+    PERSISTED corpus prefix relation; every pair with 3-gram Jaccard >=
+    JACCARD_THRESHOLD touching the shard is found — guaranteed, no LSH
+    misses.
+
+    The oracle recomputes the exact all-pairs join from scratch over
+    the WHOLE corpus and restricts to shard-touching pairs: candidate
+    sets differ between the two prefix orders (global vs frozen), but
+    both algorithms are exact, so the verified outputs are identical —
+    that identity is precisely the store-reuse correctness claim.
+
+    Scale shape: see prefix_incremental_pairs; streaming twin in
+    streaming/incr_prefix.py rides the same store.
+    """
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        # prefix_incremental_pairs returns an already-persisted,
+        # materialized relation; cached() owns its unpersist-on-evict
+        return prefix_incremental_pairs(
+            spark, d, _prefix_store(spark, sf_dir),
+            d.filter(F.expr(_SPARK_SHARD)))
+    ver = cached("dedup.prefix_incr_verified", spark, sf_dir, build)
+    return (ver.filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("d1", "d2", "n_common",
+                    F.round("j", 4).alias("jaccard"))
+            .orderBy("d1", "d2").limit(500))
+
+
+QUERIES["dedup_incremental_prefix"] = dedup_incremental_prefix
+ORACLES["dedup_incremental_prefix"] = f"""
+WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, {{_sh}} AS shs FROM docs),
+shd AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+     OR b.doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}),
+common AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shd s1 ON s1.doc_id = c.d1
+  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (z1.n_sh + z2.n_sh - n_common), 4) AS jaccard
+FROM common JOIN sizes z1 ON z1.doc_id = d1
+JOIN sizes z2 ON z2.doc_id = d2
+WHERE CAST(n_common AS DOUBLE)
+      / (z1.n_sh + z2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2 LIMIT 500
+""".replace("{_sh}", _duck_shingles())
+
+
+# ---------------------------------------------------------------------------
 # asymmetric containment (excerpt / quote detection)
 # ---------------------------------------------------------------------------
 

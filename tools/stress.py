@@ -183,10 +183,10 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
 # candidate-bounded shape is pinned by the LeftSemi plan test instead
 # (curation_ingest_funnel scales on the shard axis in
 # tools/stress_incremental.py, where content IS re-spread per copy).
-# dedup_incremental / dedup_incremental_delta scale on the SHARD axis
-# (corpus fixed) — tools/stress_incremental.py covers them; whole-table
-# replication would scale the corpus side too and measure the store
-# rebuild, not the ingest step.
+# dedup_incremental / dedup_incremental_delta / dedup_incremental_prefix
+# scale on the SHARD axis (corpus fixed) — tools/stress_incremental.py
+# covers them; whole-table replication would scale the corpus side too
+# and measure the store rebuild, not the ingest step.
 # dedup_allpairs_prefix is EXCLUDED like the IVF-cell family:
 # unionAll content replication makes every cross-copy document
 # pair a REAL near-duplicate (identical text), so the exact

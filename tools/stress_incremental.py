@@ -94,7 +94,11 @@ def main() -> int:
     # being a fixed, already-materialized relation.
     axes = {"dedup_incremental": None, "dedup_incremental_delta": None,
             "curation_ingest_funnel": None,
-            "dedup_incremental_epoch2": _SPARK_SHARD_B}
+            "dedup_incremental_epoch2": _SPARK_SHARD_B,
+            # r14: the EXACT path's incremental form — same claim as
+            # dedup_incremental (cost tracks the shard, corpus prefix
+            # relation fixed), PPJoin bounds instead of LSH bands
+            "dedup_incremental_prefix": None}
     for name, axis_expr in axes.items():
         fn = queries[name]
         per_scale = {}
