@@ -562,15 +562,25 @@ def _bloom_pos_exprs(sh_col: str, substr_fn: str) -> list[str]:
     All K positions slice ONE md5 digest (hex chars 1-4, 5-8, 9-12) —
     the standard one-hash Bloom construction: a 128-bit digest carries
     K independent 16-bit indexes, so the probe costs one hash instead
-    of K salted ones (3x fewer md5 calls per corpus shingle)."""
+    of K salted ones (3x fewer md5 calls per corpus shingle).
+
+    Spark dialect (substring) parses each 4-hex window with native
+    conv() — one call instead of 4 instr+substring string ops, the
+    BOOT_PROFILE_r14 finding; the DuckDB dialect (substr) keeps the
+    portable strpos arithmetic.  Values identical (parity-gated)."""
     h = f"md5({sh_col})"
     out = []
     for i in range(BLOOM_K):
-        val = " + ".join(
-            f"(instr('{_BHEX}', {substr_fn}({h},"
-            f" {i * BLOOM_HEXCHARS + j + 1}, 1)) - 1)"
-            f" * {16 ** (BLOOM_HEXCHARS - 1 - j)}"
-            for j in range(BLOOM_HEXCHARS))
+        if substr_fn == "substring":      # Spark: native hex parse
+            val = (f"CAST(conv(substring({h}, "
+                   f"{i * BLOOM_HEXCHARS + 1}, {BLOOM_HEXCHARS}), "
+                   f"16, 10) AS BIGINT)")
+        else:
+            val = " + ".join(
+                f"(instr('{_BHEX}', {substr_fn}({h},"
+                f" {i * BLOOM_HEXCHARS + j + 1}, 1)) - 1)"
+                f" * {16 ** (BLOOM_HEXCHARS - 1 - j)}"
+                for j in range(BLOOM_HEXCHARS))
         out.append(f"({val})")
     return out
 
