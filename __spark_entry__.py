@@ -60,6 +60,7 @@ _NEWEST_FIRST = [
     # FIRST: round-14 additions (commit-checklist rule: every new query
     # gets a slot here) — prepended as they land.
     "text_bpe_capacity", "dedup_incremental_prefix",
+    "embedding_pca_covariance",
     # THEN the 28 stalest driver rows (verdict r13 ask #1 — newest
     # driver evidence r06-r08; all green in the full 265-query
     # PARITY_r13 sweeps, but the driver's own ledger should rotate):

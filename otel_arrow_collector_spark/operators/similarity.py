@@ -1681,3 +1681,130 @@ SELECT CAST(cid AS BIGINT) AS cid, vec_id, CAST(rk AS BIGINT) AS rk,
 FROM ranked WHERE rk <= {DIVERSITY_M}
 ORDER BY cid, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-integer PCA substrate (whitening / decorrelation of the store)
+# ---------------------------------------------------------------------------
+
+#: leading MRL block the PCA runs on (embedding_mrl_energy's ppm_16 is
+#: the read that says how much energy this block carries)
+PCA_DIMS = 16
+#: fixed global quantization grid (steps per unit) — one shared literal,
+#: NOT per-vector scales, so second moments are comparable across rows
+PCA_Q = 64
+
+
+def embedding_pca_covariance(spark, sf_dir):
+    """EXACT second-moment / covariance relation over the PCA_DIMS
+    leading embedding block — the substrate of PCA whitening and
+    decorrelation (the standard preprocessing before IVF/PQ codebooks:
+    Jegou et al. 2011 observe PQ quality depends on balanced variance
+    across subspaces).  Components are quantized once onto a FIXED
+    global grid (floor(x*Q + 0.5), half-up — identical in both
+    engines), so every moment is an INTEGER and the relation is
+    bit-stable cross-engine: float covariance sums are merge-order-
+    dependent, integer sums are not (the embedding_quantize_int8
+    stance extended to second moments).
+
+    Publishes per (i <= j): n, the dim sums s_i/s_j, the product sum
+    s_ij, and the scaled covariance numerator n*s_ij - s_i*s_j.  The
+    eigendecomposition itself is a MODEL step on the D x D driver-side
+    matrix (pca_components below — the kmeans-centroid pattern); this
+    query is the only data-sized pass.
+
+    Scale shape: one flatMap-style explode of the D*(D+1)/2 pair
+    structs per row (a constant 136x factor before any shuffle — the
+    explode-beats-wide-projection finding of BOOT_PROFILE_r14) into ONE
+    map-side-combinable hash agg on 136 keys; both first moments ride
+    the pair structs (each vector contributes one row per group, so the
+    in-group sums ARE the dim sums — no join back, one scan total,
+    plan-pinned).  Overflow discipline:
+    |q| <= Q (unit-normalized store), so s_ij <= Q^2 * n ~ 4e15 at
+    n = 1e12, and the cov numerator n*s_ij ~ 4e27 — past int64, inside
+    decimal(38)/HUGEINT (the q110 staging rule).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    qv = (f"transform(slice(embedding, 1, {PCA_DIMS}), x -> "
+          f"CAST(floor(CAST(x AS DOUBLE) * {PCA_Q} + 0.5D) AS BIGINT))")
+    # BOTH first moments ride each (i, j) pair struct: every vector
+    # contributes exactly one row per group, so sum(qi)/sum(qj) within
+    # the group ARE the dim sums — the whole relation is ONE scan into
+    # ONE combinable hash agg on 136 keys, no join back at all
+    pair_structs = (
+        f"flatten(transform(sequence(0, {PCA_DIMS - 1}), i -> "
+        f"transform(sequence(i, {PCA_DIMS - 1}), j -> "
+        f"struct(i, j, element_at(qv, i + 1) * element_at(qv, j + 1)"
+        f" AS p, element_at(qv, i + 1) AS qi,"
+        f" element_at(qv, j + 1) AS qj))))")
+    pairs = (e.select(F.expr(qv).alias("qv"))
+             .select(F.explode(F.expr(pair_structs)).alias("s"))
+             .select("s.i", "s.j", "s.p", "s.qi", "s.qj")
+             .groupBy("i", "j")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("qi").cast("long").alias("s_i"),
+                  F.sum("qj").cast("long").alias("s_j"),
+                  F.sum("p").cast("long").alias("s_ij")))
+    return (pairs
+            .select(F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"),
+                    "n", "s_i", "s_j", "s_ij",
+                    (F.col("n").cast(dec) * F.col("s_ij").cast(dec)
+                     - F.col("s_i").cast(dec) * F.col("s_j").cast(dec))
+                    .cast("long").alias("cov_num"))
+            .orderBy("i", "j"))
+
+
+QUERIES["embedding_pca_covariance"] = embedding_pca_covariance
+ORACLES["embedding_pca_covariance"] = f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{PCA_DIMS}], x ->
+           CAST(floor(CAST(x AS DOUBLE) * {PCA_Q} + 0.5) AS BIGINT))
+           AS qv
+  FROM embeddings),
+dims AS (
+  SELECT g.i AS i, qv[g.i + 1] AS qx, rowid
+  FROM (SELECT qv, row_number() OVER () AS rowid FROM q),
+       generate_series(0, {PCA_DIMS - 1}) AS g(i)),
+dimsum AS (SELECT i, SUM(qx) AS s FROM dims GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n, SUM(a.qx * b.qx) AS s_ij
+  FROM dims a JOIN dims b ON a.rowid = b.rowid AND b.i >= a.i
+  GROUP BY a.i, b.i)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(d1.s AS BIGINT) AS s_i, CAST(d2.s AS BIGINT) AS s_j,
+       CAST(p.s_ij AS BIGINT) AS s_ij,
+       CAST(CAST(p.n AS HUGEINT) * p.s_ij
+            - CAST(d1.s AS HUGEINT) * d2.s AS BIGINT) AS cov_num
+FROM pairs p JOIN dimsum d1 ON d1.i = p.i JOIN dimsum d2 ON d2.i = p.j
+ORDER BY i, j
+"""
+
+
+def pca_components(spark, sf_dir, k: int = 4):
+    """Driver-side PCA model step over the exact integer covariance
+    (the kmeans-centroid pattern: the MODEL is D x D = tiny, the DATA
+    pass is the one distributed covariance agg above).  Returns
+    (eigenvalues desc, components) for the top ``k`` principal axes of
+    the PCA_DIMS leading block, deterministic because the input matrix
+    is integer-exact and numpy's symmetric eigensolver is deterministic
+    on identical bytes.  Signs are normalized (largest-|.| coordinate
+    positive) so downstream projections are rerun-stable."""
+    import numpy as np
+    rows = embedding_pca_covariance(spark, sf_dir).collect()
+    n = rows[0].n
+    cov = np.zeros((PCA_DIMS, PCA_DIMS))
+    for r in rows:
+        c = r.cov_num / (float(n) * n * PCA_Q * PCA_Q)
+        cov[r.i][r.j] = cov[r.j][r.i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    return [float(vals[i]) for i in order], comps

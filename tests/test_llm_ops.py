@@ -1045,3 +1045,33 @@ def test_allpairs_prefix_is_exact_and_contains_lsh(spark):
               .filter(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
                       >= dedup.JACCARD_THRESHOLD)).collect()}
     assert exact == brute
+
+
+def test_pca_components_match_numpy_direct(spark):
+    """pca_components (the driver-side model step over the distributed
+    exact-integer covariance) must match a brute-force numpy PCA on the
+    same quantized block: same eigenvalues, same axes (up to sign,
+    which the operator normalizes), and projecting the data onto the
+    top component must reproduce its eigenvalue as the variance."""
+    import numpy as np
+
+    from otel_arrow_collector_spark.operators.similarity import (
+        PCA_DIMS, PCA_Q, pca_components)
+    from otel_arrow_collector_spark.sources.tables import load_table
+
+    vals, comps = pca_components(spark, SF_SMALL, k=3)
+    raw = np.array([r.embedding[:PCA_DIMS] for r in
+                    load_table(spark, SF_SMALL, "embeddings").collect()])
+    q = np.floor(raw.astype(np.float64) * PCA_Q + 0.5) / PCA_Q
+    cov = np.cov(q, rowvar=False, bias=True)        # population cov
+    dvals, dvecs = np.linalg.eigh(cov)
+    order = np.argsort(dvals)[::-1][:3]
+    for k_i, idx in enumerate(order):
+        assert abs(vals[k_i] - dvals[idx]) < 1e-9
+        # same axis up to sign
+        assert abs(abs(float(np.dot(comps[k_i], dvecs[:, idx]))) - 1.0) \
+            < 1e-9
+    # projection variance onto the top axis == its eigenvalue
+    proj = q @ np.array(comps[0])
+    assert abs(proj.var() - vals[0]) < 1e-9
+    assert vals[0] >= vals[1] >= vals[2] > 0

@@ -1449,3 +1449,17 @@ def test_text_dedup_spans_shares_span_relation(spark):
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pca_covariance_is_single_scan_single_agg(spark):
+    """embedding_pca_covariance (r14): ONE parquet scan into ONE
+    map-side-combinable hash agg on the D*(D+1)/2 pair keys — both
+    first moments ride the pair structs, so there is no dim-sum join
+    back (a second corpus scan at 100 TB), no window, no Python."""
+    plan = _plan(spark, "embedding_pca_covariance")
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 2

@@ -155,7 +155,11 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # report; replication grows token mass linearly while
                    # the distinct vocab stays flat (verbatim copies), so
                    # runtime must stay linear in the scan
-                   "text_bpe_capacity"]
+                   "text_bpe_capacity",
+                   # round-14: exact-integer PCA covariance — one scan
+                   # into one combinable agg on a constant 136-key
+                   # space; output is 136 rows at every scale
+                   "embedding_pca_covariance"]
 # dedup_prefix_cost_model is EXCLUDED for the dedup_allpairs_prefix
 # reason: replication makes every cross-copy pair a real candidate, so
 # its actual-candidate count (and join time) legitimately grows ~k^2;
