@@ -38,7 +38,13 @@ def main() -> None:
     from otel_arrow_collector_spark.operators import collect_registry
     from otel_arrow_collector_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # -Xlog:disable: under memory pressure the JVM's unified logging
+    # writes [warning][gc,alloc] lines to STDOUT (not stderr), and this
+    # process's stdout contract is ONE parseable JSON line — a GC-warning
+    # burst interleaving with the final print corrupts the record (seen
+    # once in the r14 stress run).
+    spark = get_spark("bench", extra_conf={
+        "spark.driver.extraJavaOptions": "-Xlog:disable"})
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect_registry()
 

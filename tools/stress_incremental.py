@@ -79,7 +79,8 @@ def main() -> int:
 
     from otel_arrow_collector_spark.operators import collect_registry
     from otel_arrow_collector_spark.session import get_spark
-    spark = get_spark("stress-incremental")
+    spark = get_spark("stress-incremental", extra_conf={
+        "spark.driver.extraJavaOptions": "-Xlog:disable"})
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect_registry()
 

@@ -98,7 +98,8 @@ def main() -> int:
 
     from otel_arrow_collector_spark.operators import collect_registry
     from otel_arrow_collector_spark.session import get_spark
-    spark = get_spark("stress-skew")
+    spark = get_spark("stress-skew", extra_conf={
+        "spark.driver.extraJavaOptions": "-Xlog:disable"})
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect_registry()
     names = ["dedup_allpairs_prefix", "dedup_minhash_lsh",
