@@ -12,7 +12,8 @@
 3. connected_components frees each superseded localCheckpoint eagerly —
    storage-level audit below (one outstanding relation, not one per round).
 4. incremental_pairs derives the bucket cap without re-scanning the raw
-   band union per micro-batch — job-count audit below.
+   band union per micro-batch — pinned below via the precomputed-counts
+   equality and the per-side count-summation semantics.
 """
 
 from __future__ import annotations
