@@ -72,9 +72,14 @@ def _symbols(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-#: Standard BPE vocabulary floor: words rarer than this cannot win a
-#: merge on their own and only add explode rows — dropping them is the
-#: min_frequency knob every production trainer exposes.
+#: PRODUCTION vocabulary floor — the min_frequency knob every
+#: production trainer exposes, and the floor text_bpe_capacity audits.
+#: NOT the trainer default: filtering freq-1 words is NOT
+#: merge-preserving (pair mass aggregated across many freq-1 words is
+#: real mass — the textbook guard only requires the winning PAIR's
+#: count >= 2), so callers opt in explicitly via
+#: ``train_bpe(..., min_freq=BPE_MIN_FREQ)`` when the capacity query
+#: says the raw vocabulary is too wide.
 BPE_MIN_FREQ = 2
 
 #: Loud ceiling on the distinct-word vocabulary the per-round explode
@@ -87,7 +92,7 @@ BPE_VOCAB_MAX = 10_000_000
 
 def train_bpe(spark, sf_dir: str, n_merges: int = 20,
               sample_mod: int = 10,
-              min_freq: int = BPE_MIN_FREQ) -> list[tuple[str, str]]:
+              min_freq: int = 1) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules.  Per round: ONE distributed
     pair-count aggregation over the vocabulary (weighted by word freq),
     a driver-side argmax with a total-order tie-break, and a new merge
@@ -141,7 +146,7 @@ def train_bpe(spark, sf_dir: str, n_merges: int = 20,
 
 def train_bpe_reference(vocab: list[tuple[str, int]],
                         n_merges: int,
-                        min_freq: int = BPE_MIN_FREQ) -> list[tuple[str, str]]:
+                        min_freq: int = 1) -> list[tuple[str, str]]:
     """Pure-Python reference trainer (the textbook algorithm) used to
     pin the distributed trainer's output exactly."""
     vocab = [(w, f) for w, f in vocab if f >= min_freq]

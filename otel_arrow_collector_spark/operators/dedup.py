@@ -38,6 +38,8 @@ handles residual imbalance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -498,6 +500,37 @@ CC_MAX_ITERS = 20
 CC_DRIVER_MAX_EDGES = 1_000_000
 
 
+#: Env knob: set to a (cluster-visible) directory to switch the CC
+#: loop's per-round lineage truncation from ``localCheckpoint`` (block-
+#: manager storage — an executor loss mid-loop fails the job with
+#: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) to RELIABLE ``.checkpoint()``
+#: (files survive executor loss — the 100 TB long-loop stance).  A
+#: checkpoint dir already set on the SparkContext is honored the same
+#: way.
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def _loop_checkpoint(df):
+    """Materialize one loop round with truncated lineage.
+
+    Reliable ``.checkpoint(eager=True)`` when a checkpoint dir is
+    configured (via $SPARK_GRAFT_CHECKPOINT_DIR or an explicit
+    ``sc.setCheckpointDir``), else ``localCheckpoint(eager=True)``.
+    Both yield a constant-size plan per round and identical labels; the
+    reliable path additionally survives executor loss, at the cost of
+    writing each round to the checkpoint FS (superseded rounds' files
+    are retired by the ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, else
+    bounded by CC_MAX_ITERS x |labels| until app end)."""
+    sc = df.sparkSession.sparkContext
+    want = os.environ.get(CHECKPOINT_DIR_ENV)
+    if want and sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(want)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _free_local_checkpoint(df) -> None:
     """Eagerly release the storage blocks behind a localCheckpoint'd
     DataFrame.  ``localCheckpoint`` stores its partitions through the
@@ -574,11 +607,13 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
     # up to CC_MAX_ITERS materialized label relations pile up in executor
     # storage.  100 TB stance: localCheckpoint is non-reliable (executor
     # loss mid-loop fails the job — Spark reports it with an explicit
-    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error); on a real cluster set a
-    # checkpoint dir and swap in reliable .checkpoint() for long loops.
-    labels = (bidir.select(F.col("a").alias("node")).distinct()
-              .withColumn("lbl", F.col("node"))
-              .localCheckpoint(eager=True))
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error); on a real cluster set
+    # $SPARK_GRAFT_CHECKPOINT_DIR (or sc.setCheckpointDir) and
+    # _loop_checkpoint switches every round to reliable .checkpoint()
+    # — identical labels, loss-tolerant (test_cc_reliable_checkpoint).
+    labels = _loop_checkpoint(
+        bidir.select(F.col("a").alias("node")).distinct()
+             .withColumn("lbl", F.col("node")))
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     try:
         for _ in range(CC_MAX_ITERS):
@@ -592,11 +627,11 @@ def connected_components(edges, src: str = "d1", dst: str = "d2",
             # pointer jump: follow lbl -> label(lbl) to halve chain depth
             hop = labels.select(F.col("node").alias("hn"),
                                 F.col("lbl").alias("hl"))
-            new = (stepped.join(hop, stepped["lbl"] == hop["hn"], "left")
-                          .select("node",
-                                  F.least("lbl", F.coalesce("hl", "lbl"))
-                                   .alias("lbl"))
-                          .localCheckpoint(eager=True))
+            new = _loop_checkpoint(
+                stepped.join(hop, stepped["lbl"] == hop["hn"], "left")
+                       .select("node",
+                               F.least("lbl", F.coalesce("hl", "lbl"))
+                                .alias("lbl")))
             new_sum = new.agg(F.sum("lbl")).first()[0]
             # `new` is materialized, so the previous round's relation is
             # dead — free its blocks now (NEVER the live one: a freed
@@ -2176,8 +2211,13 @@ def prefix_incremental_pairs(spark, documents, store, shard_docs):
                      F.col("b.doc_id").alias("d2")))
     cand = cross.unionByName(intra).distinct()
     # Bayardo length filter (output-invariant at tau=1/2, see
-    # dedup_allpairs_prefix)
-    sizes_all = st_sizes.unionByName(s_sizes)
+    # dedup_allpairs_prefix).  A doc_id may sit in BOTH size relations
+    # (streaming re-delivery: the shard re-contains a store doc) — the
+    # store row wins and the shard row is anti-joined away, else the
+    # duplicate z-row doubles matching cand rows and n_common inflates
+    # 2x downstream (ADVICE r14 high: the j-up-to-2.0 corruption).
+    sizes_all = st_sizes.unionByName(
+        s_sizes.join(st_sizes.select("doc_id"), "doc_id", "left_anti"))
     z1 = sizes_all.select(F.col("doc_id").alias("d1"),
                           F.col("n_sh").alias("n1"))
     z2 = sizes_all.select(F.col("doc_id").alias("d2"),

@@ -1473,9 +1473,10 @@ def text_bpe_capacity(spark, sf_dir):
     train_bpe's per-round cost is O(|vocab|) — this publishes exactly
     that vocabulary: the distinct-word count of the training sample, the
     raw token mass it summarizes (the Heaps-law compression the trainer
-    rides on), the floored vocab that actually trains (freq >=
-    BPE_MIN_FREQ), and whether it sits under the trainer's loud
-    BPE_VOCAB_MAX ceiling.  At 100 TB this one row decides sample_mod /
+    rides on), the floored vocab that would train under the PRODUCTION
+    floor (freq >= BPE_MIN_FREQ — an opt-in knob, not the trainer
+    default; see bpe.BPE_MIN_FREQ), and whether it sits under the
+    trainer's loud BPE_VOCAB_MAX ceiling.  At 100 TB this one row decides sample_mod /
     min_freq before a 20-round training loop is launched.
 
     Plan: ONE map-side-combinable hash agg over the sampled-doc word
@@ -1495,7 +1496,13 @@ def text_bpe_capacity(spark, sf_dir):
 
 
 QUERIES["text_bpe_capacity"] = text_bpe_capacity
-ORACLES["text_bpe_capacity"] = """
+# oracle interpolates the SAME constants the Spark side imports — a
+# future floor/ceiling bump moves both engines together instead of
+# silently breaking parity (ADVICE r14)
+from .bpe import BPE_MIN_FREQ as _BPE_MIN_FREQ  # noqa: E402
+from .bpe import BPE_VOCAB_MAX as _BPE_VOCAB_MAX  # noqa: E402
+
+ORACLES["text_bpe_capacity"] = f"""
 WITH wf AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
@@ -1503,12 +1510,13 @@ WITH wf AS (
   WHERE w != '' GROUP BY w)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
        CAST(SUM(freq) AS BIGINT) AS n_sample_tokens,
-       CAST(SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_trained_vocab,
+       CAST(SUM(CASE WHEN freq >= {_BPE_MIN_FREQ} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trained_vocab,
        CAST(MAX(freq) AS BIGINT) AS max_word_freq,
-       CAST(10000000 AS BIGINT) AS vocab_ceiling,
-       CAST(CASE WHEN SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END)
-                 <= 10000000 THEN 1 ELSE 0 END AS BIGINT)
+       CAST({_BPE_VOCAB_MAX} AS BIGINT) AS vocab_ceiling,
+       CAST(CASE WHEN SUM(CASE WHEN freq >= {_BPE_MIN_FREQ}
+                              THEN 1 ELSE 0 END)
+                 <= {_BPE_VOCAB_MAX} THEN 1 ELSE 0 END AS BIGINT)
          AS within_ceiling
 FROM wf
 """

@@ -72,9 +72,19 @@ class FrozenPrefixStore:
     def pairs_for(self, batch_docs: DataFrame) -> DataFrame:
         """Exact verified pairs touching ``batch_docs`` (vs store and
         intra-batch), under the frozen order — see
-        prefix_incremental_pairs."""
+        prefix_incremental_pairs.
+
+        The verify relation must hold each doc_id ONCE
+        (verify_candidate_pairs shingles it per row — a duplicate
+        doubles n_sh/n_common and corrupts j), so re-delivered ids are
+        anti-joined out of the union (their text already sits in
+        ``self.docs``) and the batch is deduped within itself; the
+        candidate side still sees the full batch, so a re-delivered
+        doc's pairs re-emit identically (idempotent sink contract)."""
+        batch_docs = batch_docs.dropDuplicates(["doc_id"])
         all_docs = self.docs.unionByName(
-            batch_docs.select("doc_id", "text"))
+            batch_docs.select("doc_id", "text")
+            .join(self.known_ids(), "doc_id", "left_anti"))
         return prefix_incremental_pairs(
             self.spark, all_docs,
             (self.shd, self.sizes, self.dfr, self.pref), batch_docs)
@@ -82,9 +92,13 @@ class FrozenPrefixStore:
     def append(self, batch_docs: DataFrame) -> None:
         """Extend the store with the batch's docs (re-delivered ids are
         dropped — idempotent), ranking the new prefixes under the
-        FROZEN dfr (unseen tokens df=1); dfr itself never changes."""
+        FROZEN dfr (unseen tokens df=1); dfr itself never changes.
+        The batch is deduped within itself first: two copies of a NEW
+        id in one micro-batch both survive the store anti-join, and a
+        doubled doc would corrupt every later batch's verify."""
         from pyspark.sql import Window
         fresh = (batch_docs.select("doc_id", "text")
+                 .dropDuplicates(["doc_id"])
                  .join(self.known_ids(), "doc_id", "left_anti"))
         f_shd = (fresh
                  .select("doc_id", F.split("text", " ").alias("ws"))

@@ -931,15 +931,33 @@ def test_theta_difference_plan_mirrors_intersection(spark):
 
 
 def test_ivf_pq_prunes_cells_and_stays_codegen(spark):
-    """ann_ivf_pq: candidates come from the cell-partitioned store
-    with a LITERAL cid filter (partition pruning, not runtime DPP);
-    the PQ fold is codegen (no Python); the per-query rank windows on
-    q_id; no corpus-sized cartesian."""
+    """ann_ivf_pq: candidates come from the cell-partitioned store with
+    a Dynamic Partition Pruning directory filter derived from the
+    broadcast (query, cell) join — JVM-side prune, zero per-query
+    driver collects (verdict r14 ask #3); the PQ fold is codegen (no
+    Python); the per-query rank windows on q_id; no corpus-sized
+    cartesian and no full-store shuffle (the store side joins
+    broadcast, never sort-merge)."""
     plan = _plan(spark, "ann_ivf_pq")
-    assert re.search(r"PartitionFilters: \[[^\]]*cid", plan)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*cid", plan)
+    assert "SortMergeJoin" not in plan
     assert "windowspecdefinition(q_id" in plan
     assert "mapInPandas" not in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_and_multiprobe_prune_via_dpp(spark):
+    """ann_ivf_probe / ann_ivf_multiprobe: same DPP stance — the
+    broadcast query side supplies the cell prune as
+    dynamicpruningexpression on the store scan; no sort-merge join
+    anywhere near the store."""
+    for name in ("ann_ivf_probe", "ann_ivf_multiprobe"):
+        plan = _plan(spark, name)
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*cid", plan), name
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_k_core_result_is_node_sized(spark):
@@ -1137,15 +1155,16 @@ def test_market_basket_joins_on_order_key(spark):
 
 
 def test_range_search_prunes_cells_and_has_no_result_window(spark):
-    """ann_range_search: the cell store scan carries the LITERAL
-    ``cid IN (...)`` partition filter (static directory pruning), and
+    """ann_range_search: the cell store scan carries a Dynamic
+    Partition Pruning cid filter derived from the broadcast (query,
+    cell) join (JVM-side directory pruning — verdict r14 ask #3), and
     the only window in the plan is the |queries| x |centroids| probe
     ranking (windowspecdefinition(q_id..., one node printed twice by
     formatted explain) — the candidate/result side has NO window:
     threshold filtering is map-side."""
     plan = _plan(spark, "ann_range_search")
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and any("cid" in ln and " IN (" in ln for ln in pf)
+    assert pf and any("cid" in ln and "dynamicpruning" in ln for ln in pf)
     assert plan.count("windowspecdefinition") == plan.count(
         "windowspecdefinition(q_id")
     assert "CartesianProduct" not in plan
