@@ -57,31 +57,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: round-14 additions (commit-checklist rule: every new query
+    # FIRST: round-15 additions (commit-checklist rule: every new query
     # gets a slot here) — prepended as they land.
-    "text_bpe_capacity", "dedup_incremental_prefix",
-    "embedding_pca_covariance",
-    # THEN the 28 stalest driver rows (verdict r13 ask #1 — newest
-    # driver evidence r06-r08; all green in the full 265-query
-    # PARITY_r13 sweeps, but the driver's own ledger should rotate):
-    "text_repetition", "sketch_hll_estimate", "sketch_cms_point",
-    "sketch_quantile_sampled", "graph_triangle_count", "graph_pagerank",
-    "ann_pq_codes", "embedding_mrl_energy", "dedup_cross_corpus",
-    "bloom_screen", "sample_weighted", "cc_pipeline",
-    "text_gopher_rules", "text_html_extract", "text_url_domains",
-    "ann_lsh_buckets", "ann_ivf_assign", "text_token_stats",
-    "text_fingerprint", "multimodal_binary_meta", "ann_knn_graph",
-    "multimodal_gif_decode", "q91_rate_limit", "cc_pipeline_warc",
-    "sketch_hll_union", "sketch_quantile_binned",
-    "multimodal_decode_quarantine", "ann_ivf_cell_quality",
-    # Queries whose plans were touched this round (verdict asks #2-#6 +
-    # ADVICE fixes) — fresh driver rows wanted on the changed code:
-    "text_bpe_merge", "text_bpe_tokens", "sample_bootstrap",
-    "text_dedup_spans", "q110_corr_screen",
-    "q36_exp_histogram_merge", "q41_histogram_merge",
-    "q42_histogram_quantile", "q48_exp_histogram_quantile",
-    "multimodal_audio_windows", "dedup_incremental_epoch2_delta",
-    "dedup_allpairs_prefix", "dedup_prefix_cost_model",
+    "dedup_semantic_keep", "dedup_semantic_cell_audit",
+    "dedup_cc_incremental",
+    # THEN queries whose code paths changed this round (verdict r14
+    # asks #1-#4 + ADVICE fixes) — fresh driver rows on the new code:
+    "dedup_semantic", "dedup_incremental_prefix", "ann_ivf_probe",
+    "ann_ivf_multiprobe", "ann_ivf_pq", "ann_range_search",
+    "embedding_pca_covariance", "text_bpe_capacity", "dedup_cc_labels",
+    "dedup_cc_keep", "dedup_keep_best", "dedup_allpairs_prefix",
+    # THEN the 25 stalest driver rows (verdict r14 ask #5 — newest
+    # driver evidence r09; all green in the committed PARITY_r14
+    # sweeps, but the driver's own ledger should keep cycling):
+    "ann_loo_accuracy", "ann_pq_adc_topk", "ann_pq_recall",
+    "curation_budget_waterfill", "curation_dataset_card",
+    "curation_length_buckets", "curation_snapshot_diff",
+    "dedup_contamination", "dedup_embedding_cosine",
+    "dedup_er_blocking", "dedup_er_canonical", "dedup_er_clusters",
+    "dedup_exact_groups", "dedup_exact_stats", "dedup_minhash_keep",
+    "dedup_minhash_lsh", "dedup_source_overlap", "embedding_drift",
+    "graph_label_propagation", "multimodal_data_uri",
+    "multimodal_exif_audit", "multimodal_phash_dedup",
+    "multimodal_resample", "q35_tracestate", "q37_asof_join",
 ]
 
 

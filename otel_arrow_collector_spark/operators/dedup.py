@@ -802,6 +802,65 @@ ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 200
 
 SEMANTIC_COS = 0.3
 
+#: Cell-size cap before the within-cell pair join — the semantic twin of
+#: LSH_BUCKET_CAP (module docstring, "Scale stance"): a cell of size s
+#: costs s^2/2 cosine pairs, so one degenerate cell (an embedding-space
+#: boilerplate cluster: empty docs, a template page) can dominate the
+#: whole join.  Cells above the cap are EXCLUDED from pairing in both
+#: engines (literal NOT-IN on the Spark side, HAVING mirror in the
+#: oracle).  The oversized list is bounded by the number of cells
+#: (N_CENTROIDS here; nlist ~ sqrt(corpus) in production IVF sizing, so
+#: the collect stays model-sized at 100 TB).
+SEM_CELL_CAP = 2048
+
+
+def _semantic_pairs(spark, sf_dir):
+    """Within-cell semantic near-dup pairs (cid, v1, v2), cos >=
+    SEMANTIC_COS, over cells no larger than SEM_CELL_CAP — the shared
+    candidate relation of the SemDeDup family (funnel accounting +
+    keep-first canonicalization), session-memoized so the two queries
+    cannot desynchronize and the n²/k-per-cell join runs once."""
+    from .similarity import _assignments, _s_dot
+
+    def build():
+        a = _assignments(spark, sf_dir)
+        counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("__cc"))
+        oversized = [r.cid for r in
+                     counts.filter(F.col("__cc") > SEM_CELL_CAP).collect()]
+        if oversized:
+            a = a.filter(~F.col("cid").isin(*oversized))
+        left = a.select(F.col("vec_id").alias("v1"),
+                        F.col("embedding").alias("e1"),
+                        F.col("v_nrm").alias("n1"), "cid")
+        right = a.select(F.col("vec_id").alias("v2"),
+                         F.col("embedding").alias("e2"),
+                         F.col("v_nrm").alias("n2"),
+                         F.col("cid").alias("cid2"))
+        cos = F.expr(_s_dot("e1", "e2")) / (F.col("n1") * F.col("n2"))
+        pairs = (left.join(right, (F.col("cid") == F.col("cid2"))
+                           & (F.col("v1") < F.col("v2")))
+                     .withColumn("cos_raw", cos)
+                     .filter(F.col("cos_raw") >= SEMANTIC_COS)
+                     .select("cid", "v1", "v2")
+                     .persist())
+        pairs.count()
+        return pairs
+    return cached("dedup.semantic_pairs", spark, sf_dir, build)
+
+
+#: oracle mirror of the SEM_CELL_CAP exclusion + threshold pair join
+def _duck_semantic_pairs_cte() -> str:
+    from .similarity import _d_cos
+    return f"""
+keepcells AS (SELECT cid FROM assign GROUP BY cid
+              HAVING COUNT(*) <= {SEM_CELL_CAP}),
+pairs AS (
+  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.cid IN (SELECT cid FROM keepcells)
+    AND {_d_cos("a.embedding", "b.embedding")} >= {SEMANTIC_COS})"""
+
 
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup accounting: block the corpus by the
@@ -816,24 +875,14 @@ def dedup_semantic(spark, sf_dir):
     used when near-dups don't hash together.
 
     Scale: the pair scan is n²/k per cell on cell-local data (never
-    all-pairs); the funnel is integer aggregation of the pair set.  The
-    k-means model is sample-trained, driver round-trips are model
-    parameters only.
+    all-pairs; SEM_CELL_CAP excludes a degenerate cell); the funnel is
+    integer aggregation of the shared memoized pair set
+    (_semantic_pairs).  The k-means model is sample-trained, driver
+    round-trips are model parameters only.
     """
-    from .similarity import _assignments, _s_dot
+    from .similarity import _assignments
     a = _assignments(spark, sf_dir)
-    left = a.select(F.col("vec_id").alias("v1"),
-                    F.col("embedding").alias("e1"),
-                    F.col("v_nrm").alias("n1"), "cid")
-    right = a.select(F.col("vec_id").alias("v2"),
-                     F.col("embedding").alias("e2"),
-                     F.col("v_nrm").alias("n2"),
-                     F.col("cid").alias("cid2"))
-    cos = F.expr(_s_dot("e1", "e2")) / (F.col("n1") * F.col("n2"))
-    pairs = (left.join(right, (F.col("cid") == F.col("cid2"))
-                       & (F.col("v1") < F.col("v2")))
-                 .withColumn("cos_raw", cos)
-                 .filter(F.col("cos_raw") >= SEMANTIC_COS))
+    pairs = _semantic_pairs(spark, sf_dir)
     per_cell = (pairs.groupBy("cid")
                      .agg(F.count(F.lit(1)).alias("n_pairs"),
                           F.countDistinct("v2").alias("n_dropped")))
@@ -847,13 +896,8 @@ def dedup_semantic(spark, sf_dir):
 
 
 def _semantic_oracle() -> str:
-    from .similarity import _DUCK_ASSIGN_CTE, _d_cos
-    return _DUCK_ASSIGN_CTE + f""",
-pairs AS (
-  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2
-  FROM assign a JOIN assign b
-    ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {_d_cos("a.embedding", "b.embedding")} >= {SEMANTIC_COS}),
+    from .similarity import _DUCK_ASSIGN_CTE
+    return _DUCK_ASSIGN_CTE + "," + _duck_semantic_pairs_cte() + """,
 per_cell AS (
   SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          CAST(COUNT(DISTINCT v2) AS BIGINT) AS n_dropped
@@ -869,6 +913,113 @@ ORDER BY v.cid
 
 QUERIES["dedup_semantic"] = dedup_semantic
 ORACLES["dedup_semantic"] = _semantic_oracle()
+
+
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup keep-first canonicalization (verdict r14 ask #1): the
+    embedding-space leg of the dedup family's canonical-assignment
+    trio (exact-token CC -> dedup_cc_labels, LSH greedy ->
+    dedup_minhash_keep, THIS = semantic).  Within-cell cosine pairs
+    (>= SEMANTIC_COS, cells capped at SEM_CELL_CAP — Abbas et al. 2023
+    cluster-then-prune) feed ``connected_components``; every clustered
+    vector is labelled with its canonical (MIN-id reachable) vec_id and
+    a keep bit, i.e. exactly the drop list a training-data pipeline
+    applies before tokenization.
+
+    Transitivity note: edges exist only within a cell, so a component
+    never crosses cells — the closure inherits the blocking (same
+    containment SemDeDup accepts; recall lost to cell boundaries is the
+    blocking trade, audited by ann_ivf_cell_quality).
+
+    Scale: pairs are the shared memoized _semantic_pairs relation
+    (n²/k per cell, cap-bounded); components run on the pair set —
+    candidate-bounded, orders of magnitude under corpus size, so the
+    adaptive CC takes the single-pass driver union-find path in
+    practice (distributed pointer-jumping with reliable-checkpoint knob
+    past CC_DRIVER_MAX_EDGES).  Output is clustered-vector-sized.
+    """
+    pairs = _semantic_pairs(spark, sf_dir)
+    labels = connected_components(pairs, src="v1", dst="v2")
+    return (labels
+            .select(F.col("node").alias("vec_id"),
+                    F.col("cluster_id").alias("canon_id"),
+                    (F.col("node") == F.col("cluster_id"))
+                    .cast("long").alias("keep"))
+            .orderBy("vec_id"))
+
+
+def _semantic_keep_oracle() -> str:
+    from .similarity import _DUCK_ASSIGN_CTE
+    return (_DUCK_ASSIGN_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+            + "," + _duck_semantic_pairs_cte() + """,
+bidir AS (SELECT v1 AS a, v2 AS b FROM pairs
+          UNION SELECT v2, v1 FROM pairs),
+walk(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) t
+    UNION
+    SELECT e.b, w.r FROM walk w JOIN bidir e ON e.a = w.node
+),
+cc AS (SELECT node AS vec_id, MIN(r) AS canon_id FROM walk GROUP BY node)
+SELECT vec_id, canon_id,
+       CAST(CASE WHEN vec_id = canon_id THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM cc ORDER BY vec_id
+""")
+
+
+QUERIES["dedup_semantic_keep"] = dedup_semantic_keep
+ORACLES["dedup_semantic_keep"] = _semantic_keep_oracle()
+
+
+def dedup_semantic_cell_audit(spark, sf_dir):
+    """Capacity read for the SemDeDup family — the cell-side twin of
+    ``dedup_bucket_cap_audit``: per-corpus one-row report of the cell
+    population, the quadratic pair bound the within-cell join is
+    allowed to cost (sum s*(s-1)/2 — the semantic analogue of
+    dedup_prefix_cost_model's candidate bound), the largest cell, and
+    how many cells SEM_CELL_CAP would exclude.  At 100 TB this row
+    decides whether nlist must grow (cells ~ sqrt(corpus), the
+    standard IVF sizing) BEFORE the n²/k join is launched.
+
+    Plan: one scan of the persisted assignments into one combinable
+    hash agg on cid, then a one-row rollup — linear in the corpus at
+    every scale (the stress-harness row for the family; the pair join
+    itself is cell-quadratic by contract and excluded for the
+    ann_knn_graph reason, tools/stress.py comment)."""
+    from .similarity import _assignments
+    cells = (_assignments(spark, sf_dir)
+             .groupBy("cid").agg(F.count(F.lit(1)).alias("sz")))
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("sz").cast("long").alias("n_vecs"),
+        F.max("sz").cast("long").alias("max_cell"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long")
+         .alias("pair_bound"),
+        F.sum(F.when(F.col("sz") > SEM_CELL_CAP, 1).otherwise(0))
+         .cast("long").alias("n_over_cap"),
+        F.sum(F.when(F.col("sz") > SEM_CELL_CAP,
+                     F.expr("sz * (sz - 1) div 2")).otherwise(0))
+         .cast("long").alias("excluded_pairs"))
+
+
+def _semantic_cell_audit_oracle() -> str:
+    from .similarity import _DUCK_ASSIGN_CTE
+    return _DUCK_ASSIGN_CTE + f""",
+cells AS (SELECT cid, COUNT(*) AS sz FROM assign GROUP BY cid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(sz) AS BIGINT) AS n_vecs,
+       CAST(MAX(sz) AS BIGINT) AS max_cell,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_bound,
+       CAST(SUM(CASE WHEN sz > {SEM_CELL_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_over_cap,
+       CAST(SUM(CASE WHEN sz > {SEM_CELL_CAP} THEN sz * (sz - 1) // 2
+                     ELSE 0 END) AS BIGINT) AS excluded_pairs
+FROM cells
+"""
+
+
+QUERIES["dedup_semantic_cell_audit"] = dedup_semantic_cell_audit
+ORACLES["dedup_semantic_cell_audit"] = _semantic_cell_audit_oracle()
 
 
 def dedup_keep_best(spark, sf_dir):
@@ -2313,6 +2464,75 @@ ORDER BY d1, d2 LIMIT 500
 # ---------------------------------------------------------------------------
 
 CONTAINMENT_PERMILLE = 700
+
+
+def dedup_cc_incremental(spark, sf_dir):
+    """Incremental connected-components canonicalization (verdict r14
+    ask #7, batch form of ``streaming/incr_cc.py`` — the SAME
+    IncrementalCCStore, so stream and batch cannot diverge): the
+    corpus-only verified near-dup edges (neither endpoint in the
+    arriving shard, doc_id % 10 = 7) build a persisted label
+    store, the shard-touching edges arrive as a batch, and the store
+    merges them via the contracted-quotient-graph relabel.  Output is
+    the DELTA — (node, cluster_id) labels that changed or appeared —
+    i.e. exactly what an ingest pipeline writes back per epoch.
+
+    The oracle recomputes BOTH closures from scratch (full edge set and
+    corpus-only edge set, two recursive walks) and diffs them — the
+    quotient-graph exactness claim is therefore the thing gated, not
+    assumed.
+
+    Scale shape: per-batch cost = contracted CC over batch-bounded
+    edges + ONE broadcast relabel join over the store; the store is
+    never re-shuffled against edges.  Rides the shard axis in
+    tools/stress_incremental.py.
+    """
+    edges = (_jaccard_verified(spark, sf_dir)
+             .filter(F.col("j") >= JACCARD_THRESHOLD)
+             .select("d1", "d2"))
+    m, r = INCR_SHARD_MOD, INCR_SHARD_REM
+    touch = (F.col("d1") % m == r) | (F.col("d2") % m == r)
+
+    def build():
+        from ..streaming.incr_cc import IncrementalCCStore
+        store = IncrementalCCStore(spark, edges.filter(~touch))
+        delta = store.apply_batch(edges.filter(touch))
+        store.release()
+        return delta                   # checkpoint-materialized
+    return (cached("dedup.cc_incr", spark, sf_dir, build)
+            .orderBy("node"))
+
+
+def _cc_incremental_oracle() -> str:
+    m, r = INCR_SHARD_MOD, INCR_SHARD_REM
+    walk = """
+{b} AS (SELECT d1 AS a, d2 AS b FROM {src}
+        UNION SELECT d2, d1 FROM {src}),
+{w}(node, rt) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM {b}) t
+    UNION
+    SELECT e.b, w.rt FROM {w} w JOIN {b} e ON e.a = w.node
+),
+{cc} AS (SELECT node, MIN(rt) AS cluster_id FROM {w} GROUP BY node)"""
+    return (_DUCK_VERIFIED_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
+            + ","
+            + walk.format(b="bidir_a", w="walk_a", cc="cc_all",
+                          src="verified")
+            + f""",
+cverified AS (SELECT d1, d2 FROM verified
+              WHERE d1 % {m} != {r} AND d2 % {m} != {r}),"""
+            + walk.format(b="bidir_c", w="walk_c", cc="cc_corpus",
+                          src="cverified").lstrip(",\n")
+            + """
+SELECT a.node, a.cluster_id
+FROM cc_all a LEFT JOIN cc_corpus c ON c.node = a.node
+WHERE c.node IS NULL OR c.cluster_id != a.cluster_id
+ORDER BY a.node
+""")
+
+
+QUERIES["dedup_cc_incremental"] = dedup_cc_incremental
+ORACLES["dedup_cc_incremental"] = _cc_incremental_oracle()
 
 
 def dedup_containment(spark, sf_dir):

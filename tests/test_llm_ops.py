@@ -463,6 +463,50 @@ def test_connected_components_multiple_components(spark, force_distributed):
                    (20, 20), (21, 20), (30, 30), (31, 30)}
 
 
+def test_semantic_keep_matches_brute_force_components(spark):
+    """dedup_semantic_keep (r15): labels equal an independent pure-
+    Python union-find over the same within-cell pair set, keep bit is
+    exactly vec_id == canonical, and every canonical is kept."""
+    pairs = [(r.v1, r.v2) for r in
+             dedup._semantic_pairs(spark, SF_SMALL).collect()]
+    assert pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n), 1 if n == find(n) else 0) for n in nodes}
+    got = {(r.vec_id, r.canon_id, r.keep) for r in
+           dedup.dedup_semantic_keep(spark, SF_SMALL).collect()}
+    assert got == expected
+    kept = {c for _, c, k in got if k == 1}
+    assert kept == {c for _, c, _ in got}        # every canonical kept
+
+
+def test_semantic_keep_consistent_with_funnel(spark):
+    """The keep-first component count can only be <= the greedy
+    funnel's kept estimate per cell (transitive closure merges), and
+    both consume the SAME pair relation."""
+    keep = dedup.dedup_semantic_keep(spark, SF_SMALL).collect()
+    funnel = dedup.dedup_semantic(spark, SF_SMALL).collect()
+    n_clustered = len(keep)
+    n_pairs_cells = sum(r.n_pairs for r in funnel)
+    assert n_pairs_cells > 0 and n_clustered > 0
+    # greedy drops count distinct v2 per cell; CC drops = clustered - components
+    cc_drops = n_clustered - len({r.canon_id for r in keep})
+    greedy_drops = sum(r.n_dropped for r in funnel)
+    assert cc_drops >= greedy_drops
+
+
 def test_cc_transitive_vs_greedy_keep(spark):
     # every clustered doc except one representative per cluster is dropped;
     # transitive closure can only merge clusters vs the greedy pair drop

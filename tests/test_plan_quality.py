@@ -242,6 +242,28 @@ def test_dedup_semantic_blocks_by_cell_no_all_pairs(spark):
     assert re.search(r"\bcid\b", plan)
 
 
+def test_dedup_semantic_keep_is_pair_bounded(spark):
+    """dedup_semantic_keep (r15): consumes the memoized cid-keyed pair
+    relation (cache/table scan, no corpus re-join in the query plan)
+    and its CC labels — candidate-bounded, no cartesian."""
+    plan = _plan(spark, "dedup_semantic_keep")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan \
+        or "LocalTableScan" in plan
+
+
+def test_dedup_semantic_cell_audit_is_one_agg(spark):
+    """dedup_semantic_cell_audit: two stacked hash aggs (cid, then the
+    one-row rollup) over the assignments — no window, no corpus-corpus
+    join, linear at every scale (the stress row's contract).  The only
+    join the un-cached lineage may show is the assignment stage's 8-row
+    centroid broadcast (the ann_knn_graph adjudication)."""
+    plan = _plan(spark, "dedup_semantic_cell_audit")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_q69_pure_scan_aggregate_no_join_no_window(spark):
     """q69 (TPC-H Q6 shape): the canonical scan-filter-agg — every
     predicate pushes into the parquet scan, no join/window anywhere, and

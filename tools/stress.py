@@ -159,7 +159,21 @@ DEFAULT_QUERIES = ["bloom_screen", "ann_pq_codes", "q83_intransit_peak",
                    # round-14: exact-integer PCA covariance — one scan
                    # into one combinable agg on a constant 136-key
                    # space; output is 136 rows at every scale
-                   "embedding_pca_covariance"]
+                   "embedding_pca_covariance",
+                   # round-15: the SemDeDup cell-capacity audit — one
+                   # combinable hash agg on cid + a one-row rollup,
+                   # linear in the corpus.  dedup_semantic /
+                   # dedup_semantic_keep themselves are EXCLUDED for
+                   # the ann_knn_graph reason: their within-cell pair
+                   # join is quadratic in CELL size and the test model
+                   # pins N_CENTROIDS=8 for oracle parity, so corpus
+                   # replication under a fixed cell count measures the
+                   # model's miscalibration, not the operator; the
+                   # contract bound (pairs <= sum(cell^2)/2, cells
+                   # capped at SEM_CELL_CAP) is exactly what THIS audit
+                   # publishes, and the cid-keyed join shape is
+                   # plan-pinned in tests/test_plan_quality.py
+                   "dedup_semantic_cell_audit"]
 # dedup_prefix_cost_model is EXCLUDED for the dedup_allpairs_prefix
 # reason: replication makes every cross-copy pair a real candidate, so
 # its actual-candidate count (and join time) legitimately grows ~k^2;

@@ -99,7 +99,13 @@ def main() -> int:
             # r14: the EXACT path's incremental form — same claim as
             # dedup_incremental (cost tracks the shard, corpus prefix
             # relation fixed), PPJoin bounds instead of LSH bands
-            "dedup_incremental_prefix": None}
+            "dedup_incremental_prefix": None,
+            # r15: incremental CC canonicalization — store built from
+            # corpus-only edges (fixed), shard-touching edges merge via
+            # the contracted-quotient relabel; copies share no shingles
+            # (content re-spreading), so edges and delta scale with the
+            # shard, never shard^2
+            "dedup_cc_incremental": None}
     for name, axis_expr in axes.items():
         fn = queries[name]
         per_scale = {}
