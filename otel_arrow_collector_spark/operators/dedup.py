@@ -1622,12 +1622,19 @@ def dedup_allpairs_prefix(spark, sf_dir):
     # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2); the
     # ranked prefix relation is shared with dedup_prefix_cost_model
     ranked = _prefix_relation(spark, sf_dir)
+    # the dedup that .distinct() used to do happens in this groupBy;
+    # min(ra) and min(rb) land on the SAME token — the globally
+    # smallest common prefix token (doc-local rank order is the global
+    # (df, sh) order restricted to the doc)
     cand = (ranked.alias("a")
             .join(ranked.alias("b"), "sh")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"))
-            .distinct())
+                    F.col("b.doc_id").alias("d2"),
+                    F.col("a.rn").alias("ra"),
+                    F.col("b.rn").alias("rb"))
+            .groupBy("d1", "d2")
+            .agg(F.min("ra").alias("ra"), F.min("rb").alias("rb")))
     # Bayardo LENGTH filter before the expensive verify join: J >= tau
     # needs min(n1,n2) >= (n1+n2)/(1+1/tau), i.e. at tau=1/2
     # greatest <= 2*least — size-incompatible candidates can never
@@ -1639,7 +1646,15 @@ def dedup_allpairs_prefix(spark, sf_dir):
     z2 = sizes.select(F.col("doc_id").alias("d2"),
                       F.col("n_sh").alias("n2"))
     cand = (cand.join(z1, "d1").join(z2, "d2")
-            .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2")))
+            .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2"))
+            # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), also
+            # output-invariant: at the first common token (positions
+            # ra/rb in the shared global order) no earlier common token
+            # exists, so overlap <= 1 + min(n1-ra, n2-rb); J >= 1/2
+            # needs overlap >= ceil((n1+n2)/3) — integer cross-multiplied
+            .filter(3 * (1 + F.least(F.col("n1") - F.col("ra"),
+                                     F.col("n2") - F.col("rb")))
+                    >= F.col("n1") + F.col("n2")))
     common = (cand
               .join(shd.select(F.col("doc_id").alias("d1"),
                                F.col("sh")), "d1")
@@ -1670,11 +1685,13 @@ def _prefix_relation(spark, sf_dir):
         sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         w = Window.partitionBy("doc_id").orderBy("df", "sh")
+        # rn (the token's position in the doc's full df-ascending
+        # order) rides along for PPJoin positional filtering
         pref = (shd.join(df, "sh")
                 .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
                 .join(sizes, "doc_id")
                 .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-                .select("doc_id", "sh")
+                .select("doc_id", "sh", "rn")
                 .persist())
         pref.count()
         return pref

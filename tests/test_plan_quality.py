@@ -1068,11 +1068,14 @@ def test_pareto_ntile_runs_on_aggregated_relation(spark):
 def test_allpairs_prefix_no_cartesian_docwise_window(spark):
     """dedup_allpairs_prefix: the rank window partitions by doc_id (a
     per-doc sort, never a global one); candidates come from the prefix
-    equality self-join — no cartesian anywhere, no Python."""
+    equality self-join — no cartesian anywhere, no Python; the PPJoin
+    positional filter (r15 floor hunt, PREFIX_PROFILE_r15) sits in the
+    plan so the 60% verify-input cut cannot silently regress."""
     plan = _plan(spark, "dedup_allpairs_prefix")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(doc_id" in plan
     assert "BatchEvalPython" not in plan
+    assert "least(" in plan and "greatest(" in plan
 
 
 def test_ewma_hop_explosion_not_range_join(spark):
