@@ -1855,7 +1855,7 @@ def build_signature_store(docs):
 
 
 def incremental_pairs(spark, documents, store_bands, shard_docs,
-                      store_band_counts=None):
+                      store_band_counts=None, shard_bands=None):
     """Verified near-dup pairs TOUCHING the new shard, without ever
     re-signing the corpus: shingle+sign ONLY ``shard_docs``, band-join
     the shard bands against ``store_bands`` (corpus) plus themselves
@@ -1875,11 +1875,21 @@ def incremental_pairs(spark, documents, store_bands, shard_docs,
     by the caller).  Without it the cap aggregation re-scans the store
     band relation on every invocation — one full extra scan per
     micro-batch even when no bucket is ever oversized.
+
+    ``shard_bands``: optional pre-signed, persisted+materialized band
+    relation of ``shard_docs`` (r15: the DELTA operators append the
+    same shard's bands the verify path joins, so signing the shard
+    once per slice — _shard_bands — removes a whole shingle+minhash
+    pass per epoch).  Ownership follows the argument: a caller-provided
+    relation is left pinned (its cache registration owns the
+    unpersist); a locally-built one is released before return.
     """
     n_parts = spark.sparkContext.defaultParallelism
-    shard_bands = build_signature_store(
-        shard_docs.repartition(n_parts)).persist()
-    shard_bands.count()   # materialize: referenced on both join sides
+    owns_shard_bands = shard_bands is None
+    if owns_shard_bands:
+        shard_bands = build_signature_store(
+            shard_docs.repartition(n_parts)).persist()
+        shard_bands.count()   # materialize: referenced on both join sides
     a = shard_bands.alias("a")
     # bucket sizes are defined over the FULL (store + shard) relation —
     # capping the b side alone removes every pair of an oversized band
@@ -1904,8 +1914,10 @@ def incremental_pairs(spark, documents, store_bands, shard_docs,
     # band relation is NOT registry-tracked, and leaving it pinned
     # would leak executor storage across repeated cache-cold runs —
     # stress runs clear_caches() between scales and would re-pin new
-    # copies)
-    shard_bands.unpersist(False)
+    # copies).  Caller-provided shard bands stay pinned: the cache
+    # registry that memoized them owns their lifetime.
+    if owns_shard_bands:
+        shard_bands.unpersist(False)
     return res
 
 
@@ -1971,6 +1983,23 @@ def _incr_store(spark, sf_dir):
     return cached("dedup.incr_store", spark, sf_dir, build)
 
 
+def _shard_bands(spark, sf_dir, rem: int):
+    """Persisted signature bands of the ``doc_id % MOD = rem`` shard
+    slice, session-memoized — bands depend only on the shard's text, so
+    ONE sign pass per slice serves every operator that touches it: the
+    verify join side (incremental_pairs) AND the delta append, in both
+    the single-epoch and two-epoch forms (the single-epoch shard and
+    epoch-A are the same rem=7 slice)."""
+    def build():
+        d = (load_table(spark, sf_dir, "documents")
+             .filter(F.expr(f"pmod(doc_id, {INCR_SHARD_MOD}) = {rem}"))
+             .repartition(spark.sparkContext.defaultParallelism))
+        st = build_signature_store(d).persist()
+        st.count()
+        return st
+    return cached(f"dedup.shard_bands_{rem}", spark, sf_dir, build)
+
+
 def _store_band_counts(spark, sf_dir, cache_key, store):
     """Memoized (band, __bc) counts for a persisted signature store —
     one counting pass per STORE VERSION, shared by every micro-batch's
@@ -1995,7 +2024,8 @@ def _incr_verified(spark, sf_dir):
         return incremental_pairs(
             spark, d, st, d.filter(F.expr(_SPARK_SHARD)),
             store_band_counts=_store_band_counts(
-                spark, sf_dir, "dedup.incr_store_counts", st))
+                spark, sf_dir, "dedup.incr_store_counts", st),
+            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM))
     return cached("dedup.incr_verified", spark, sf_dir, build)
 
 
@@ -2057,9 +2087,6 @@ def dedup_incremental_delta(spark, sf_dir):
     rebuild over the deduped corpus — the invariant that makes the next
     shard's join correct.
     """
-    shard = (load_table(spark, sf_dir, "documents")
-             .filter(F.expr(_SPARK_SHARD))
-             .repartition(spark.sparkContext.defaultParallelism))
     verified = (_incr_verified(spark, sf_dir)
                 .filter(F.col("j") >= JACCARD_THRESHOLD))
     dropped = keepfirst_dropped(verified, _SPARK_SHARD_PRED)
@@ -2067,7 +2094,7 @@ def dedup_incremental_delta(spark, sf_dir):
     # NULLS FIRST by default while DuckDB sorts NULLS LAST, so under
     # the LIMIT the two engines could select different rows on data
     # containing tiny docs (ADVICE r11)
-    return (build_signature_store(shard)
+    return (_shard_bands(spark, sf_dir, INCR_SHARD_REM)
             .join(dropped, "doc_id", "left_anti")
             .orderBy("doc_id", F.asc_nulls_last("band")).limit(500))
 
@@ -2130,7 +2157,8 @@ def _incr2_verified_a(spark, sf_dir):
         return incremental_pairs(
             spark, d, st0, d.filter(F.expr(_SPARK_SHARD)),
             store_band_counts=_store_band_counts(
-                spark, sf_dir, "dedup.incr2_store0_counts", st0))
+                spark, sf_dir, "dedup.incr2_store0_counts", st0),
+            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM))
     return cached("dedup.incr2_verifiedA", spark, sf_dir, build)
 
 
@@ -2138,13 +2166,10 @@ def incr2_delta_a(spark, sf_dir):
     """Epoch-A store delta: band rows of every shard-A doc surviving
     keep-first dedup against the epoch-0 store (same rule as
     dedup_incremental_delta, restricted to the two-epoch corpus)."""
-    shard_a = (load_table(spark, sf_dir, "documents")
-               .filter(F.expr(_SPARK_SHARD))
-               .repartition(spark.sparkContext.defaultParallelism))
     dropped_a = keepfirst_dropped(
         _incr2_verified_a(spark, sf_dir)
         .filter(F.col("j") >= JACCARD_THRESHOLD), _SPARK_SHARD_PRED)
-    return (build_signature_store(shard_a)
+    return (_shard_bands(spark, sf_dir, INCR_SHARD_REM)
             .join(dropped_a, "doc_id", "left_anti"))
 
 
@@ -2171,7 +2196,8 @@ def _incr2_verified_b(spark, sf_dir):
         return incremental_pairs(
             spark, d, st1, d.filter(F.expr(_SPARK_SHARD_B)),
             store_band_counts=_store_band_counts(
-                spark, sf_dir, "dedup.incr2_store1_counts", st1))
+                spark, sf_dir, "dedup.incr2_store1_counts", st1),
+            shard_bands=_shard_bands(spark, sf_dir, INCR2_REM_B))
     return cached("dedup.incr2_verifiedB", spark, sf_dir, build)
 
 
@@ -2265,15 +2291,12 @@ def dedup_incremental_epoch2_delta(spark, sf_dir):
     rows per surviving shard doc; the anti-join's right side is the
     dropped set (bounded by verified pairs, not corpus).
     """
-    shard_b = (load_table(spark, sf_dir, "documents")
-               .filter(F.expr(_SPARK_SHARD_B))
-               .repartition(spark.sparkContext.defaultParallelism))
     dropped_b = keepfirst_dropped(
         _incr2_verified_b(spark, sf_dir)
         .filter(F.col("j") >= JACCARD_THRESHOLD), _SPARK_SHARD_B_PRED)
     # asc_nulls_last: engine-independent ordering under the LIMIT on
     # data containing <3-word docs (NULL bands) — ADVICE r11
-    return (build_signature_store(shard_b)
+    return (_shard_bands(spark, sf_dir, INCR2_REM_B)
             .join(dropped_b, "doc_id", "left_anti")
             .orderBy("doc_id", F.asc_nulls_last("band")).limit(500))
 
