@@ -24,7 +24,52 @@ import threading
 from collections import OrderedDict
 
 #: bound on live memoized artifacts; evictions unpersist DataFrames.
-MAX_ENTRIES = 24
+#: Overridable for long sweeps (the full bench touches ~36 distinct keys;
+#: evicting mid-sweep forces rebuilds of still-hot stores).
+MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_CACHE_ENTRIES", "48"))
+
+#: same knob as the CC loop (operators/dedup.py): a checkpoint dir makes
+#: every plan-truncating materialization a RELIABLE .checkpoint().
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def plan_checkpoint(df):
+    """Materialize ``df`` with TRUNCATED lineage (constant-size plan).
+
+    Why not persist()+count(): a cache marker keeps the full logical
+    plan underneath it, and Catalyst re-analyzes/re-optimizes that whole
+    tree on EVERY downstream action before the InMemoryRelation
+    substitution applies.  Measured on the two-epoch dedup chain
+    (guide-§1 probe, r15): the memoized relation's plan printed 110k
+    lines and each dependent collect() paid ~4.2 s of single-threaded
+    driver planning vs 0.1 s against a truncated copy.  Checkpointing
+    rewrites the plan to a scan of the materialized partitions, so
+    dependents pay plan cost proportional to THEIR OWN operators only.
+
+    Reliable ``.checkpoint(eager=True)`` when $SPARK_GRAFT_CHECKPOINT_DIR
+    is set (or the context already has a checkpoint dir) — the 100 TB
+    executor-loss stance shared with the CC loop; else
+    ``localCheckpoint(eager=True)`` (single-box default, block-manager
+    storage)."""
+    sc = df.sparkSession.sparkContext
+    want = os.environ.get(CHECKPOINT_DIR_ENV)
+    if want and sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(want)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def materialized(df):
+    """``plan_checkpoint`` for memoized relations: truncate + release the
+    input's now-redundant cache marker (the checkpoint holds its own
+    blocks, so a persisted input would otherwise pin two copies)."""
+    ck = plan_checkpoint(df)
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass
+    return ck
 
 _LOCK = threading.RLock()
 _ENTRIES: OrderedDict = OrderedDict()

@@ -43,7 +43,8 @@ import os
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .cache_registry import cached
+from .cache_registry import CHECKPOINT_DIR_ENV as cache_registry_checkpoint_env
+from .cache_registry import cached, materialized, plan_checkpoint
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -118,13 +119,23 @@ pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 def _lsh_candidate_pairs(spark, sf_dir):
     """Spark side of _DUCK_PAIR_CTE: distinct LSH-bucket-sharing pairs.
 
-    The pair set is persisted per (session, dir): it is tiny (candidates,
-    not corpus — safe at any scale) and three downstream operators (lsh /
-    jaccard / keep) reuse it, so persisting removes two recomputations of
-    the shingle->signature->band pipeline.
+    The pair set is materialized per (session, dir) with truncated
+    lineage (cache_registry.materialized): it is tiny (candidates, not
+    corpus — safe at any scale) and three downstream operators (lsh /
+    jaccard / keep) reuse it, so materializing removes two
+    recomputations of the shingle->signature->band pipeline AND caps
+    every consumer's plan at its own operators (r15: persist-only
+    memoization left the full lineage under the cache marker, which
+    Catalyst re-optimized on every dependent action).
     """
-    return cached("dedup.pairs", spark, sf_dir,
-                  lambda: _build_lsh_candidate_pairs(spark, sf_dir).persist())
+    def build():
+        pairs, bands = _build_lsh_candidate_pairs(spark, sf_dir)
+        out = materialized(pairs)
+        # the stage-local band relation fed both join sides; once the
+        # pair set is materialized it is dead weight in executor storage
+        bands.unpersist(False)
+        return out
+    return cached("dedup.pairs", spark, sf_dir, build)
 
 
 #: loud ceiling on the oversized-band list: past this the corpus is
@@ -189,12 +200,12 @@ def _build_lsh_candidate_pairs(spark, sf_dir):
              .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
              .select("doc_id", F.array(*[F.expr(_spark_sig(j))
                                          for j in range(K_HASHES)]).alias("sig")))
-    bands = (sig.select("doc_id",
-                        F.explode(F.expr(_spark_bands())).alias("band"))
-                .persist())
-    bands.count()   # materialize so the self-join reads the cache, not
-    # two fresh runs of the shingle->signature pipeline
-    bands = _cap_buckets(bands)
+    bands_raw = (sig.select("doc_id",
+                            F.explode(F.expr(_spark_bands())).alias("band"))
+                 .persist())
+    bands_raw.count()   # materialize so the self-join reads the cache,
+    # not two fresh runs of the shingle->signature pipeline
+    bands = _cap_buckets(bands_raw)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -202,7 +213,7 @@ def _build_lsh_candidate_pairs(spark, sf_dir):
               .select(F.col("a.doc_id").alias("d1"),
                       F.col("b.doc_id").alias("d2"))
               .distinct())
-    return pairs
+    return pairs, bands_raw
 
 
 def _doc_shingle_sets(spark, sf_dir):
@@ -215,10 +226,8 @@ def _doc_shingle_sets(spark, sf_dir):
                 .repartition(spark.sparkContext.defaultParallelism)
                 .select("doc_id",
                         F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                         .alias("sh"))
-                .persist())
-        shd.count()   # materialize before the multi-reference join
-        return shd
+                         .alias("sh")))
+        return materialized(shd)   # truncated plan, multi-reference safe
     return cached("dedup.shingles", spark, sf_dir, build)
 
 
@@ -334,7 +343,8 @@ def _jaccard_verified(spark, sf_dir):
     bounded by candidate count, never n^2).  Persisted per (session, dir):
     bounded by candidate count and reused by jaccard + keep operators."""
     return cached("dedup.jaccard", spark, sf_dir,
-                  lambda: _build_jaccard_verified(spark, sf_dir).persist())
+                  lambda: materialized(
+                      _build_jaccard_verified(spark, sf_dir)))
 
 
 def _build_jaccard_verified(spark, sf_dir):
@@ -506,8 +516,9 @@ CC_DRIVER_MAX_EDGES = 1_000_000
 #: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) to RELIABLE ``.checkpoint()``
 #: (files survive executor loss — the 100 TB long-loop stance).  A
 #: checkpoint dir already set on the SparkContext is honored the same
-#: way.
-CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+#: way.  (Shared implementation: cache_registry.plan_checkpoint — the
+#: same knob also hardens every memoized-store materialization.)
+CHECKPOINT_DIR_ENV = cache_registry_checkpoint_env
 
 
 def _loop_checkpoint(df):
@@ -522,13 +533,7 @@ def _loop_checkpoint(df):
     are retired by the ContextCleaner when
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, else
     bounded by CC_MAX_ITERS x |labels| until app end)."""
-    sc = df.sparkSession.sparkContext
-    want = os.environ.get(CHECKPOINT_DIR_ENV)
-    if want and sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(want)
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return plan_checkpoint(df)
 
 
 def _free_local_checkpoint(df) -> None:
@@ -682,7 +687,7 @@ def _cc_labels(spark, sf_dir):
     def build():
         edges = (_jaccard_verified(spark, sf_dir)
                  .filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2"))
-        return connected_components(edges).persist()
+        return materialized(connected_components(edges))
     return cached("dedup.cc", spark, sf_dir, build)
 
 
@@ -841,10 +846,8 @@ def _semantic_pairs(spark, sf_dir):
                            & (F.col("v1") < F.col("v2")))
                      .withColumn("cos_raw", cos)
                      .filter(F.col("cos_raw") >= SEMANTIC_COS)
-                     .select("cid", "v1", "v2")
-                     .persist())
-        pairs.count()
-        return pairs
+                     .select("cid", "v1", "v2"))
+        return materialized(pairs)
     return cached("dedup.semantic_pairs", spark, sf_dir, build)
 
 
@@ -1416,9 +1419,7 @@ def _er_candidates_cached(spark, sf_dir):
     memoization discipline).  Candidate count is bounded by
     sum(block^2), tiny next to the corpus."""
     def build():
-        pairs = _er_candidates(_er_customers(spark, sf_dir)).persist()
-        pairs.count()       # materialize before multi-consumer reuse
-        return pairs
+        return materialized(_er_candidates(_er_customers(spark, sf_dir)))
     return cached("dedup.er_pairs", spark, sf_dir, build)
 
 
@@ -1678,24 +1679,27 @@ def _prefix_relation(spark, sf_dir):
     multiple times in one plan (the cost model three times) and the
     ranking pipeline (df agg + doc-keyed rank window) is the expensive
     half of the exact path."""
-    from pyspark.sql import Window
+    return cached("dedup.prefix_rel", spark, sf_dir,
+                  lambda: materialized(
+                      _build_prefix_relation(spark, sf_dir)))
 
-    def build():
-        shd = _doc_shingle_sets(spark, sf_dir)
-        sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("doc_id").orderBy("df", "sh")
-        # rn (the token's position in the doc's full df-ascending
-        # order) rides along for PPJoin positional filtering
-        pref = (shd.join(df, "sh")
-                .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
-                .join(sizes, "doc_id")
-                .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-                .select("doc_id", "sh", "rn")
-                .persist())
-        pref.count()
-        return pref
-    return cached("dedup.prefix_rel", spark, sf_dir, build)
+
+def _build_prefix_relation(spark, sf_dir):
+    """Raw (pre-materialization) plan of the ranked prefix relation —
+    split out so plan-quality tests can pin the rank-window shape that
+    the truncated memoized relation no longer exposes."""
+    from pyspark.sql import Window
+    shd = _doc_shingle_sets(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # rn (the token's position in the doc's full df-ascending
+    # order) rides along for PPJoin positional filtering
+    return (shd.join(df, "sh")
+            .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
+            .join(sizes, "doc_id")
+            .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
+            .select("doc_id", "sh", "rn"))
 
 
 def dedup_prefix_cost_model(spark, sf_dir):
@@ -1977,9 +1981,7 @@ def _incr_store(spark, sf_dir):
         d = (load_table(spark, sf_dir, "documents")
              .filter(~F.expr(_SPARK_SHARD))
              .repartition(spark.sparkContext.defaultParallelism))
-        st = build_signature_store(d).persist()
-        st.count()
-        return st
+        return materialized(build_signature_store(d))
     return cached("dedup.incr_store", spark, sf_dir, build)
 
 
@@ -1994,9 +1996,7 @@ def _shard_bands(spark, sf_dir, rem: int):
         d = (load_table(spark, sf_dir, "documents")
              .filter(F.expr(f"pmod(doc_id, {INCR_SHARD_MOD}) = {rem}"))
              .repartition(spark.sparkContext.defaultParallelism))
-        st = build_signature_store(d).persist()
-        st.count()
-        return st
+        return materialized(build_signature_store(d))
     return cached(f"dedup.shard_bands_{rem}", spark, sf_dir, build)
 
 
@@ -2006,9 +2006,7 @@ def _store_band_counts(spark, sf_dir, cache_key, store):
     bucket-cap check (ADVICE r13: _cap_buckets re-scanned the raw
     store+shard union on every incremental_pairs call)."""
     def build():
-        c = _band_counts(store).persist()
-        c.count()
-        return c
+        return materialized(_band_counts(store))
     return cached(cache_key, spark, sf_dir, build)
 
 
@@ -2019,13 +2017,13 @@ def _incr_verified(spark, sf_dir):
     def build():
         d = load_table(spark, sf_dir, "documents")
         st = _incr_store(spark, sf_dir)
-        # incremental_pairs returns an already-persisted, materialized
-        # relation; cached() registration owns its unpersist-on-evict
-        return incremental_pairs(
+        # materialized(): truncate the verify chain's lineage at the memo
+        # boundary so the pair/delta consumers re-plan only their own tail
+        return materialized(incremental_pairs(
             spark, d, st, d.filter(F.expr(_SPARK_SHARD)),
             store_band_counts=_store_band_counts(
                 spark, sf_dir, "dedup.incr_store_counts", st),
-            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM))
+            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM)))
     return cached("dedup.incr_verified", spark, sf_dir, build)
 
 
@@ -2141,9 +2139,7 @@ def _incr2_store0(spark, sf_dir):
         d = (load_table(spark, sf_dir, "documents")
              .filter(F.expr(_SPARK_CORPUS0))
              .repartition(spark.sparkContext.defaultParallelism))
-        st = build_signature_store(d).persist()
-        st.count()
-        return st
+        return materialized(build_signature_store(d))
     return cached("dedup.incr2_store0", spark, sf_dir, build)
 
 
@@ -2154,11 +2150,11 @@ def _incr2_verified_a(spark, sf_dir):
     def build():
         d = load_table(spark, sf_dir, "documents")
         st0 = _incr2_store0(spark, sf_dir)
-        return incremental_pairs(
+        return materialized(incremental_pairs(
             spark, d, st0, d.filter(F.expr(_SPARK_SHARD)),
             store_band_counts=_store_band_counts(
                 spark, sf_dir, "dedup.incr2_store0_counts", st0),
-            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM))
+            shard_bands=_shard_bands(spark, sf_dir, INCR_SHARD_REM)))
     return cached("dedup.incr2_verifiedA", spark, sf_dir, build)
 
 
@@ -2179,10 +2175,8 @@ def _incr2_store1(spark, sf_dir):
     oracle proves: if the delta append lost or invented any band row,
     epoch B's pairs would diverge from the from-scratch recompute."""
     def build():
-        st = apply_store_delta(_incr2_store0(spark, sf_dir),
-                               incr2_delta_a(spark, sf_dir)).persist()
-        st.count()
-        return st
+        return materialized(apply_store_delta(
+            _incr2_store0(spark, sf_dir), incr2_delta_a(spark, sf_dir)))
     return cached("dedup.incr2_store1", spark, sf_dir, build)
 
 
@@ -2193,11 +2187,11 @@ def _incr2_verified_b(spark, sf_dir):
     def build():
         d = load_table(spark, sf_dir, "documents")
         st1 = _incr2_store1(spark, sf_dir)
-        return incremental_pairs(
+        return materialized(incremental_pairs(
             spark, d, st1, d.filter(F.expr(_SPARK_SHARD_B)),
             store_band_counts=_store_band_counts(
                 spark, sf_dir, "dedup.incr2_store1_counts", st1),
-            shard_bands=_shard_bands(spark, sf_dir, INCR2_REM_B))
+            shard_bands=_shard_bands(spark, sf_dir, INCR2_REM_B)))
     return cached("dedup.incr2_verifiedB", spark, sf_dir, build)
 
 
@@ -2430,10 +2424,7 @@ def _prefix_store(spark, sf_dir):
         d = (load_table(spark, sf_dir, "documents")
              .filter(~F.expr(_SPARK_SHARD))
              .repartition(spark.sparkContext.defaultParallelism))
-        rels = tuple(r.persist() for r in build_prefix_store(d))
-        for r in rels:
-            r.count()
-        return rels
+        return tuple(materialized(r) for r in build_prefix_store(d))
     return cached("dedup.prefix_store", spark, sf_dir, build)
 
 
@@ -2459,11 +2450,9 @@ def dedup_incremental_prefix(spark, sf_dir):
     """
     def build():
         d = load_table(spark, sf_dir, "documents")
-        # prefix_incremental_pairs returns an already-persisted,
-        # materialized relation; cached() owns its unpersist-on-evict
-        return prefix_incremental_pairs(
+        return materialized(prefix_incremental_pairs(
             spark, d, _prefix_store(spark, sf_dir),
-            d.filter(F.expr(_SPARK_SHARD)))
+            d.filter(F.expr(_SPARK_SHARD))))
     ver = cached("dedup.prefix_incr_verified", spark, sf_dir, build)
     return (ver.filter(F.col("j") >= JACCARD_THRESHOLD)
             .select("d1", "d2", "n_common",
@@ -2956,8 +2945,8 @@ def _geo_pairs(spark, sf_dir):
                  .select(F.col("a.r").alias("r"),
                          F.col("a.doc_id").alias("d1"),
                          F.col("b.doc_id").alias("d2"))
-                 .distinct().persist())
-        pairs.count()
+                 .distinct())
+        pairs = materialized(pairs)
         sig.unpersist(False)
         return pairs
     return cached("dedup.band_geo_pairs", spark, sf_dir, build)
@@ -2988,13 +2977,12 @@ def dedup_band_sensitivity(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = _geo_pairs(spark, sf_dir)
-    # verify_candidate_pairs returns a persisted, materialized relation;
-    # memoizing it hands ownership to the cache registry (unpersist on
-    # evict) instead of re-pinning a fresh copy per cache-cold run
+    # materialized(): truncated-lineage memo of the verify relation —
+    # the registry owns the blocks; consumers re-plan only their tail
     truth = cached(
         "dedup.band_truth", spark, sf_dir,
-        lambda: verify_candidate_pairs(
-            spark, d, pairs.filter(F.col("r") == 1).select("d1", "d2"))
+        lambda: materialized(verify_candidate_pairs(
+            spark, d, pairs.filter(F.col("r") == 1).select("d1", "d2")))
     ).filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2")
     n_true = truth.count()
     caught = (pairs.join(truth, ["d1", "d2"], "semi")

@@ -110,9 +110,9 @@ def graph_triangle_count(spark, sf_dir):
     is memoized persisted via the shared cache registry — one
     derivation instead of three, the LSH-candidate-pairs precedent."""
     li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: copurchase_edges(li).persist())
+                   lambda: materialized(copurchase_edges(li)))
     return (triangle_participation(edges)
             .select(F.col("node").cast("long").alias("node"),
                     F.col("tri_cnt").cast("long").alias("tri_cnt"))
@@ -314,9 +314,9 @@ def _lpa_labels(spark, sf_dir):
     graph_modularity through the cache registry so assignment and
     evaluation cannot desynchronize (the theta-scaffold discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     e = cached("copurchase_edges", spark, sf_dir,
-               lambda: copurchase_edges(li).persist())
+               lambda: materialized(copurchase_edges(li)))
     edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(e.select(F.col("v").alias("src"),
                                 F.col("u").alias("dst"))))
@@ -336,9 +336,7 @@ def _lpa_labels(spark, sf_dir):
             labels = (neigh.withColumn("rk", F.row_number().over(w))
                       .filter(F.col("rk") == 1)
                       .select("node", "label"))
-        out = labels.persist()
-        out.count()
-        return out
+        return materialized(labels)
 
     return e, edges, cached("graph.lpa_labels", spark, sf_dir, build)
 
@@ -441,9 +439,9 @@ def graph_k_core(spark, sf_dir):
     nothing edge-sized is ever re-materialized.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     e = cached("copurchase_edges", spark, sf_dir,
-               lambda: copurchase_edges(li).persist())
+               lambda: materialized(copurchase_edges(li)))
     edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(e.select(F.col("v").alias("src"),
                                 F.col("u").alias("dst"))))
@@ -485,9 +483,9 @@ def graph_k_core(spark, sf_dir):
             if alive is not None:
                 alive.unpersist()
             alive = nxt
-        return (induced_deg(alive)
-                .select(F.col("src").alias("node"),
-                        F.col("deg")).persist())
+        return materialized(
+            induced_deg(alive)
+            .select(F.col("src").alias("node"), F.col("deg")))
 
     core = cached("graph.kcore_deg", spark, sf_dir, build)
     return (core.select(F.col("node").cast("long").alias("node"),
@@ -564,9 +562,9 @@ def graph_link_prediction(spark, sf_dir):
     Reference analogue: none (engine-added scale operator).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: copurchase_edges(li).persist())
+                   lambda: materialized(copurchase_edges(li)))
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b"))))
@@ -764,10 +762,10 @@ deg AS (SELECT node, COUNT(*) AS d FROM (
 def _edge_degrees(spark, sf_dir):
     """(edges, deg) over the memoized co-purchase edge substrate —
     degree is the endpoint count over both orientations."""
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     li = load_table(spark, sf_dir, "lineitem")
     edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: copurchase_edges(li).persist())
+                   lambda: materialized(copurchase_edges(li)))
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -947,9 +945,9 @@ def graph_two_hop_reach(spark, sf_dir):
     reference has no graph surface).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: copurchase_edges(li).persist())
+                   lambda: materialized(copurchase_edges(li)))
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b"))))

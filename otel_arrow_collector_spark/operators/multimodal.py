@@ -2476,13 +2476,13 @@ def multimodal_phash_dedup(spark, sf_dir):
         docs = (load_table(spark, sf_dir, "documents")
                 .filter(F.col("doc_id") % 3 == 0)
                 .orderBy("doc_id").limit(200))
-        return (synthesize_media(docs)
-                .select("doc_id", "payload")
-                .mapInPandas(run, PHASH_SCHEMA).persist())
+        return materialized(synthesize_media(docs)
+                            .select("doc_id", "payload")
+                            .mapInPandas(run, PHASH_SCHEMA))
     # the hash relation feeds FOUR plan sites (two candidate sides, two
     # verify sides): memoized like the kNN edge list so the Python
     # decode+hash stage runs once, not four times
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     hashes = cached("mm.phash", spark, sf_dir, build)
     bands = hashes.select(
         "doc_id", F.explode(F.expr(

@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .cache_registry import cached
+from .cache_registry import cached, materialized
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -143,9 +143,9 @@ def bucketed_embeddings(spark, sf_dir):
             f"THEN {1 << j} ELSE 0 END)"
             for j, p in enumerate(_planes()))
         norm = F.expr(f"sqrt({_s_dot('embedding', 'embedding')})")
-        return (e.select("vec_id", "embedding",
-                         F.expr(bucket).alias("bucket"), norm.alias("nrm"))
-                 .persist())
+        return materialized(
+            e.select("vec_id", "embedding",
+                     F.expr(bucket).alias("bucket"), norm.alias("nrm")))
     return cached("sim.bucketed", spark, sf_dir, build)
 
 
@@ -180,7 +180,7 @@ def _assignments(spark, sf_dir):
     Persisted per (session, dir): the assign histogram and the probe both
     consume it (probe references it twice)."""
     return cached("sim.assign", spark, sf_dir,
-                  lambda: _build_assignments(spark, sf_dir).persist())
+                  lambda: materialized(_build_assignments(spark, sf_dir)))
 
 
 def _nearest_centroid(vecs, cents):
@@ -415,8 +415,8 @@ def ann_ivf_multiprobe(spark, sf_dir):
     audit metric never re-runs the probe.
     """
     return cached("sim.multiprobe", spark, sf_dir,
-                  lambda: _ann_ivf_multiprobe_build(spark, sf_dir)
-                  .persist())
+                  lambda: materialized(
+                      _ann_ivf_multiprobe_build(spark, sf_dir)))
 
 
 def _ann_ivf_multiprobe_build(spark, sf_dir):
@@ -798,14 +798,14 @@ def _knn_edges(spark, sf_dir):
                / (F.col("s_nrm") * F.col("d_nrm")))
         w = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(),
                                               F.col("dst"))
-        return (lhs.join(rhs, "cid")
+        out = (lhs.join(rhs, "cid")
                    .where(F.col("src") != F.col("dst"))
                    .select("src", "dst", cos.alias("cos_raw"))
                    .withColumn("rk", F.row_number().over(w))
                    .filter(F.col("rk") <= KNN_K)
                    .select("src", "dst", "cos_raw",
-                           F.col("rk").cast("long").alias("rk"))
-                   .persist())
+                           F.col("rk").cast("long").alias("rk")))
+        return materialized(out)
     return cached("sim.knn_edges", spark, sf_dir, build)
 
 

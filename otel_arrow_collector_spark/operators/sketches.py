@@ -1078,11 +1078,9 @@ def _theta_base(spark, sf_dir):
             F.row_number().over(w).alias("rk"),
             F.count(F.lit(1)).over(
                 Window.partitionBy("event_type")).alias("n"))
-        kept = rk.filter(F.col("rk") <= THETA_K).persist()
-        kept.count()
-        return kept
+        return materialized(rk.filter(F.col("rk") <= THETA_K))
 
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
     return dist, cached("sketches.theta_kept", spark, sf_dir, build)
 
 

@@ -1329,7 +1329,7 @@ def _span_relation(spark, sf_dir):
     re-ran the whole split/slice/array_join/md5 pipeline and paid its
     own exchange.  Partitioned by h, the df aggregation AND the join
     are exchange-free (hashpartitioning(h) satisfies both)."""
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
 
     def build():
         d = load_table(spark, sf_dir, "documents")
@@ -1346,10 +1346,10 @@ def _span_relation(spark, sf_dir):
         sp = t.select("doc_id", "i",
                       F.array_join(span, " ").alias("txt"),
                       F.size(span).cast("long").alias("w"))
-        sp = (sp.withColumn("h", F.md5("txt"))
-                .repartition("h").persist())
-        sp.count()
-        return sp
+        sp = sp.withColumn("h", F.md5("txt")).repartition("h")
+        # materialized() keeps the hash partitioning (checkpoint carries
+        # outputPartitioning into the LogicalRDD) and truncates the plan
+        return materialized(sp)
     return cached("text.span_rel", spark, sf_dir, build)
 
 
@@ -2242,15 +2242,14 @@ ORDER BY tot.lang
 def _source_vocab(spark, sf_dir):
     """DISTINCT (source, token) — the vocab substrate, memoized per
     (session, dir): four branches of the overlap query consume it."""
-    from .cache_registry import cached
+    from .cache_registry import cached, materialized
 
     def build():
         d = load_table(spark, sf_dir, "documents")
         v = (d.select("source", F.explode(_words()).alias("token"))
              .filter(F.col("token") != "")
-             .distinct().persist())
-        v.count()
-        return v
+             .distinct())
+        return materialized(v)
     return cached("text.source_vocab", spark, sf_dir, build)
 
 

@@ -1083,12 +1083,41 @@ def test_allpairs_prefix_no_cartesian_docwise_window(spark):
     per-doc sort, never a global one); candidates come from the prefix
     equality self-join — no cartesian anywhere, no Python; the PPJoin
     positional filter (r15 floor hunt, PREFIX_PROFILE_r15) sits in the
-    plan so the 60% verify-input cut cannot silently regress."""
+    plan so the 60% verify-input cut cannot silently regress.
+
+    r15 opt round: the memoized prefix relation is materialized with a
+    TRUNCATED plan (cache_registry.materialized), so the rank-window
+    claim is asserted on the builder's pre-truncation plan and the
+    join/filter claims on the query plan built on top of it."""
     plan = _plan(spark, "dedup_allpairs_prefix")
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(doc_id" in plan
     assert "BatchEvalPython" not in plan
     assert "least(" in plan and "greatest(" in plan
+    from otel_arrow_collector_spark.operators import dedup as dd
+    pref = dd._build_prefix_relation(spark, SF_SMALL)
+    bplan = pref._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "windowspecdefinition(doc_id" in bplan
+    assert "CartesianProduct" not in bplan
+
+
+def test_memoized_relations_have_truncated_plans(spark):
+    """r15 optimization-round pin: relations memoized through
+    cache_registry.materialized() must present a TRUNCATED plan to
+    consumers (a scan of the materialized partitions), not their full
+    build lineage.  Before the fix the two-epoch incremental chain's
+    plan printed ~110k lines and every dependent action paid ~4 s of
+    single-threaded Catalyst re-optimization (guide §3.3 / §7.3 —
+    planning time as the bottleneck); truncated, the steady-state
+    collect is ~0.1 s.  Guard: the steady-state physical plan of the
+    epoch-2 consumer stays scan-shaped and small."""
+    plan = _plan(spark, "dedup_incremental_epoch2")
+    assert "Scan ExistingRDD" in plan
+    assert len(plan.splitlines()) < 120
+    plan2 = _plan(spark, "dedup_minhash_lsh")
+    assert "Scan ExistingRDD" in plan2
+    assert len(plan2.splitlines()) < 120
 
 
 def test_ewma_hop_explosion_not_range_join(spark):
@@ -1162,12 +1191,30 @@ def test_incremental_dedup_semi_joins_touched_docs_only(spark):
     re-read via a SEMI join on the candidate id set (bounded by
     candidates, never the corpus); the band join is an equality hash
     join on uniform md5 keys — no cartesian, no Python, no global
-    window."""
+    window.
+
+    r15 opt round: the memoized verified relation is plan-truncated, so
+    the semi-join claim is pinned on the UN-memoized verify chain (the
+    plan the builder materializes once per session)."""
     plan = _plan(spark, "dedup_incremental")
-    assert re.search(r"LeftSemi", plan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "windowspecdefinition" not in plan
+    from pyspark.sql import functions as F
+
+    from otel_arrow_collector_spark.operators import dedup as dd
+    from otel_arrow_collector_spark.sources.tables import load_table
+    d = load_table(spark, SF_SMALL, "documents")
+    ver = dd.incremental_pairs(
+        spark, d, dd._incr_store(spark, SF_SMALL),
+        d.filter(F.expr(dd._SPARK_SHARD)))
+    bplan = ver._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"LeftSemi", bplan)
+    assert "CartesianProduct" not in bplan
+    assert "BatchEvalPython" not in bplan
+    assert "windowspecdefinition" not in bplan
 
 
 def test_skyline_window_runs_on_collapsed_prices(spark):
