@@ -61,10 +61,19 @@ def plan_checkpoint(df):
 
 
 def materialized(df):
-    """``plan_checkpoint`` for memoized relations: truncate + release the
-    input's now-redundant cache marker (the checkpoint holds its own
-    blocks, so a persisted input would otherwise pin two copies)."""
-    ck = plan_checkpoint(df)
+    """``plan_checkpoint`` for memoized relations, re-persisted on top.
+
+    The checkpoint truncates the plan; the persist()+count() ON TOP of
+    the truncated scan restores accurate size statistics (a bare
+    LogicalRDD reports defaultSizeInBytes = huge, which silently
+    downgraded every join against a memoized relation — cross joins to
+    CartesianProduct, equi-joins to sort-merge — caught by the plan
+    pins).  Net plan: InMemoryTableScan -> InMemoryRelation -> Scan
+    ExistingRDD, constant-sized, with real cache stats.  The input's
+    own cache marker (if any) is released — the checkpoint holds the
+    blocks."""
+    ck = plan_checkpoint(df).persist()
+    ck.count()
     try:
         df.unpersist(False)
     except Exception:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -124,7 +124,10 @@ def contamination_screen(spark, sf_dir):
     """
     from .dedup import _spark_shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan-out: shingle explosion + BLOOM_K md5 probes per shingle are
+    # the scan-stage compute; a single-split documents scan serialized
+    # the whole pass on one core (guide §2.5)
+    d = parallel_table(spark, sf_dir, "documents")
     sh = (d.select("doc_id", "source",
                    F.split("text", " ").alias("ws"))
             .select("doc_id", "source",
@@ -604,7 +607,10 @@ def bloom_screen(spark, sf_dir):
     """
     from .dedup import _spark_shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan-out: shingle explosion + BLOOM_K md5 probes per shingle are
+    # the scan-stage compute; a single-split documents scan serialized
+    # the whole pass on one core (guide §2.5)
+    d = parallel_table(spark, sf_dir, "documents")
     sh = (d.select("doc_id", "source",
                    F.split("text", " ").alias("ws"))
             .select("doc_id", "source",

@@ -1425,11 +1425,16 @@ def _er_candidates_cached(spark, sf_dir):
 
 def _er_labels(spark, sf_dir):
     """Entity labels: verified match pairs -> connected components —
-    the shared step of dedup_er_clusters and dedup_er_canonical."""
-    pairs = (_er_candidates_cached(spark, sf_dir)
-             .filter(F.col("dist") <= ER_MAX_DIST)
-             .select("d1", "d2"))
-    return connected_components(pairs)
+    the shared step of dedup_er_clusters and dedup_er_canonical.
+    Memoized (r15): both consumers re-ran the driver union-find
+    (bounded collect + createDataFrame) on every invocation; one label
+    relation per (session, dir) serves both."""
+    def build():
+        pairs = (_er_candidates_cached(spark, sf_dir)
+                 .filter(F.col("dist") <= ER_MAX_DIST)
+                 .select("d1", "d2"))
+        return materialized(connected_components(pairs))
+    return cached("dedup.er_labels", spark, sf_dir, build)
 
 
 def dedup_er_blocking(spark, sf_dir):

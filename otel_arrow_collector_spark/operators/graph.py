@@ -85,6 +85,23 @@ def copurchase_edges(lineitem: DataFrame,
     return pairs.select("e.u", "e.v").distinct()
 
 
+def _edges_cached(spark, sf_dir):
+    """Session-memoized co-purchase edge substrate, shared by the six
+    graph operators.  Spread across defaultParallelism partitions BEFORE
+    materializing: the wedge joins broadcast one side and STREAM this
+    relation through the pair-explosion probe, so its partition count is
+    the probe stage's parallelism (a 1-partition AQE-coalesced edge list
+    serialized the whole wedge expansion onto one core — guide §2.5).
+    The repartition is scale-adaptive (defaultParallelism) and costs one
+    tiny shuffle of (u, v) longs at materialization time."""
+    from .cache_registry import cached, materialized
+    li = load_table(spark, sf_dir, "lineitem")
+    return cached(
+        "copurchase_edges", spark, sf_dir,
+        lambda: materialized(copurchase_edges(li).repartition(
+            spark.sparkContext.defaultParallelism)))
+
+
 def triangle_participation(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts via the oriented wedge join: wedges
     (a-b, b-c) with a<b<c close into triangles iff edge (a, c) exists.
@@ -109,10 +126,7 @@ def graph_triangle_count(spark, sf_dir):
     referenced THREE times by the oriented wedge join (e1/e2/e3), so it
     is memoized persisted via the shared cache registry — one
     derivation instead of three, the LSH-candidate-pairs precedent."""
-    li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached, materialized
-    edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: materialized(copurchase_edges(li)))
+    edges = _edges_cached(spark, sf_dir)
     return (triangle_participation(edges)
             .select(F.col("node").cast("long").alias("node"),
                     F.col("tri_cnt").cast("long").alias("tri_cnt"))
@@ -313,32 +327,35 @@ def _lpa_labels(spark, sf_dir):
     (node, label) relation — shared by graph_label_propagation and
     graph_modularity through the cache registry so assignment and
     evaluation cannot desynchronize (the theta-scaffold discipline)."""
-    li = load_table(spark, sf_dir, "lineitem")
     from .cache_registry import cached, materialized
-    e = cached("copurchase_edges", spark, sf_dir,
-               lambda: materialized(copurchase_edges(li)))
+    e = _edges_cached(spark, sf_dir)
     edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(e.select(F.col("v").alias("src"),
                                 F.col("u").alias("dst"))))
+    return e, edges, cached(
+        "graph.lpa_labels", spark, sf_dir,
+        lambda: materialized(_build_lpa_labels(edges)))
 
-    def build():
-        labels = (edges.select(F.col("src").alias("node")).distinct()
-                  .select("node", F.col("node").alias("label")))
-        w = Window.partitionBy("node").orderBy(
-            F.col("cnt").desc(), F.col("label").asc())
-        for _ in range(LPA_ITERS):
-            neigh = (edges.join(
-                        F.broadcast(labels.withColumnRenamed("node",
-                                                             "dst")),
-                        "dst")
-                     .groupBy(F.col("src").alias("node"), "label")
-                     .agg(F.count(F.lit(1)).alias("cnt")))
-            labels = (neigh.withColumn("rk", F.row_number().over(w))
-                      .filter(F.col("rk") == 1)
-                      .select("node", "label"))
-        return materialized(labels)
 
-    return e, edges, cached("graph.lpa_labels", spark, sf_dir, build)
+def _build_lpa_labels(edges):
+    """Raw (pre-materialization) LPA label plan — split out so the
+    plan-quality pin (broadcast label joins, per-node rank windows)
+    stays assertable after the memo truncation."""
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(LPA_ITERS):
+        neigh = (edges.join(
+                    F.broadcast(labels.withColumnRenamed("node",
+                                                         "dst")),
+                    "dst")
+                 .groupBy(F.col("src").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (neigh.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label"))
+    return labels
 
 
 def graph_label_propagation(spark, sf_dir):
@@ -438,10 +455,8 @@ def graph_k_core(spark, sf_dir):
     Per round: two broadcast semi-joins + one |nodes|-row hash agg;
     nothing edge-sized is ever re-materialized.
     """
-    li = load_table(spark, sf_dir, "lineitem")
     from .cache_registry import cached, materialized
-    e = cached("copurchase_edges", spark, sf_dir,
-               lambda: materialized(copurchase_edges(li)))
+    e = _edges_cached(spark, sf_dir)
     edges = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(e.select(F.col("v").alias("src"),
                                 F.col("u").alias("dst"))))
@@ -561,10 +576,7 @@ def graph_link_prediction(spark, sf_dir):
 
     Reference analogue: none (engine-added scale operator).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached, materialized
-    edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: materialized(copurchase_edges(li)))
+    edges = _edges_cached(spark, sf_dir)
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b"))))
@@ -762,10 +774,7 @@ deg AS (SELECT node, COUNT(*) AS d FROM (
 def _edge_degrees(spark, sf_dir):
     """(edges, deg) over the memoized co-purchase edge substrate —
     degree is the endpoint count over both orientations."""
-    from .cache_registry import cached, materialized
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: materialized(copurchase_edges(li)))
+    edges = _edges_cached(spark, sf_dir)
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -944,10 +953,7 @@ def graph_two_hop_reach(spark, sf_dir):
     Reference analogue: none (engine-added scale operator; the
     reference has no graph surface).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    from .cache_registry import cached, materialized
-    edges = cached("copurchase_edges", spark, sf_dir,
-                   lambda: materialized(copurchase_edges(li)))
+    edges = _edges_cached(spark, sf_dir)
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b"))))

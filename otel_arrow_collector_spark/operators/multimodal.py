@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 from .jpeg import fenced_decoder
 
 QUERIES: dict = {}
@@ -2169,7 +2169,9 @@ def cc_pipeline_warc(spark, sf_dir):
                              "html": body.decode("utf-8")})
             yield pd.DataFrame(rows)
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out: the WARC gzip roundtrip (Python) plus the regex chain are
+    # all downstream of a single-split scan otherwise (guide §2.5/§4)
+    docs = parallel_table(spark, sf_dir, "documents")
     pages = docs.select("doc_id", "lang", "text") \
                 .mapInPandas(run, CC_WARC_SCHEMA)
     txt = html_to_text_col(F.col("html"))

@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 
 Q = Callable[[SparkSession, str], DataFrame]
 
@@ -2987,7 +2987,10 @@ def q83(spark, sf_dir):
     partitioned by suppkey — every stage keyed, nothing quadratic, no
     range join.
     """
-    li = (_t(spark, sf_dir, "lineitem")
+    # fan-out: the broadcast-join probe + boundary explode + partial agg
+    # otherwise runs inside the single-split lineitem scan stage on one
+    # core (guide §2.5); no-op at real scale (parallel_table)
+    li = (parallel_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(_t(spark, sf_dir, "orders")
                 .select("o_orderkey", "o_orderdate"),
@@ -4331,6 +4334,11 @@ def q105(spark, sf_dir):
     two broadcastable brand-count joins, and a 1-row broadcast total;
     no windows, nothing driver-side.
     """
+    # (fan-out tried and REVERTED r15: a pre-join repartition ships the
+    # whole fact through an extra round-robin exchange and defers the
+    # map-side partial-distinct that shrinks rows before the key
+    # shuffle — measured 1.7s -> 4.9s.  The scan-stage work here is a
+    # cheap broadcast probe + agg insert, not md5-class compute.)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (li.join(F.broadcast(pt),

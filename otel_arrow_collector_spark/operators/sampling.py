@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -217,7 +217,9 @@ def sample_bootstrap(spark, sf_dir):
     column arithmetic (9 comparisons against literal thresholds); no
     joins, no windows, no driver state.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # fan-out: the B-way explode + per-row md5 otherwise runs inside a
+    # single-split scan stage on one core (guide §2.5)
+    o = parallel_table(spark, sf_dir, "orders")
     ts = _poisson1_thresholds()
     h = _hexint_spark(
         "md5(concat('boot:', CAST(b AS STRING), ':',"

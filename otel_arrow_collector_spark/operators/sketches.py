@@ -1064,24 +1064,29 @@ def _theta_base(spark, sf_dir):
     so union/intersection/difference see ONE sketch state per
     (session, dir) — the ER-trio desynchronization discipline."""
     events = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
     dist = events.select("event_type", "user_id").distinct()
-
-    def build():
-        h = dist.select(
-            "event_type",
-            F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
-             .alias("hv"))
-        w = Window.partitionBy("event_type").orderBy("hv")
-        rk = h.select(
-            "event_type", "hv",
-            F.row_number().over(w).alias("rk"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy("event_type")).alias("n"))
-        return materialized(rk.filter(F.col("rk") <= THETA_K))
-
     from .cache_registry import cached, materialized
-    return dist, cached("sketches.theta_kept", spark, sf_dir, build)
+    return dist, cached(
+        "sketches.theta_kept", spark, sf_dir,
+        lambda: materialized(_build_theta_kept(dist)))
+
+
+def _build_theta_kept(dist):
+    """Raw (pre-materialization) plan of the per-set bottom-K sketch —
+    split out so plan-quality tests can pin the set-keyed rank window
+    the truncated memoized relation no longer exposes."""
+    from pyspark.sql import Window
+    h = dist.select(
+        "event_type",
+        F.expr(_theta_hash_sql("user_id", "STRING")).cast("long")
+         .alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    return rk.filter(F.col("rk") <= THETA_K)
 
 
 def _theta_stats(kept):

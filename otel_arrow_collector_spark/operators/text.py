@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -938,7 +938,9 @@ def cc_pipeline(spark, sf_dir):
     Everything is JVM-side column work (no Python anywhere), one hash
     aggregation at the end; the DuckDB twin composes the identical
     regex/lexicon/gate chain, so the whole funnel is value-gated."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan-out: the whole HTML-synth + regex-strip + lexicon chain is
+    # scan-stage compute; a single-split scan serializes it (guide §2.5)
+    d = parallel_table(spark, sf_dir, "documents")
     txt = html_to_text_col(_synth_html_col())
     ws = F.split(txt, " ")
     def hits(lex):

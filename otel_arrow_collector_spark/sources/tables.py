@@ -87,6 +87,34 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * 1000).cast("long"))
 
 
+def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + a fan-out repartition when the parquet file is too
+    small to split across the session's cores.
+
+    Why: a single-row-group parquet file yields ONE scan task no matter
+    the config, so any compute-dense projection in the scan stage (md5
+    signatures, shingle explosions, per-row hashes feeding a partial
+    agg) serializes on one core (guide §2.5 input skew / §6 split
+    sizing).  Scale-adaptive: when the file already yields at least
+    defaultParallelism/2 splits under spark.sql.files.maxPartitionBytes
+    (every real-scale table), this is a no-op — no extra shuffle is ever
+    added on a big scan.  The repartition is deterministic-output-safe
+    for the hash-agg/window consumers here (pinned by the determinism
+    sweep across shuffle-partition settings)."""
+    df = load_table(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728"))
+    digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
+    n = spark.sparkContext.defaultParallelism
+    if size / int(digits) >= n / 2:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every synthetic table present under ``sf_dir``."""
     out: dict[str, DataFrame] = {}
