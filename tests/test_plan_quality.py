@@ -749,12 +749,13 @@ def test_adc_topk_is_map_plus_take_ordered(spark):
     plan = _plan(spark, "ann_pq_adc_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    # r15 LUT form: candidates join the per-query distance TABLE by
-    # (s, code) as a broadcast hash join; the only nested-loop joins
-    # are the 1-row query broadcasts (codes filter + LUT build)
-    assert "BroadcastHashJoin" in plan
+    # r15 array-LUT form: the 64-entry distance table collapses to ONE
+    # broadcast row and scoring is pure codegen subscripts — the only
+    # joins are 1-row nested-loop broadcasts (query-id filter + LUT),
+    # no per-row hash join, no explode, no re-aggregation
     nested = plan.count("BroadcastNestedLoopJoin") // 2
-    assert nested <= 2
+    assert nested <= 3
+    assert "Generate" not in plan            # no code explode
     assert "SortMergeJoin" not in plan
 
 
