@@ -60,6 +60,16 @@ def plan_checkpoint(df):
     return df.localCheckpoint(eager=True)
 
 
+def _ckpt_jrdd(df):
+    """The JVM RDD behind a checkpointed DataFrame's ``LogicalRDD`` (the
+    RDD whose blocks ``localCheckpoint`` pinned), or None when the plan
+    is not a LogicalRDD / the session is gone."""
+    try:
+        return df._jdf.queryExecution().logical().rdd()
+    except Exception:
+        return None
+
+
 def materialized(df):
     """``plan_checkpoint`` for memoized relations, re-persisted on top.
 
@@ -69,11 +79,26 @@ def materialized(df):
     downgraded every join against a memoized relation — cross joins to
     CartesianProduct, equi-joins to sort-merge — caught by the plan
     pins).  Net plan: InMemoryTableScan -> InMemoryRelation -> Scan
-    ExistingRDD, constant-sized, with real cache stats.  The input's
-    own cache marker (if any) is released — the checkpoint holds the
-    blocks."""
+    ExistingRDD, constant-sized, with real cache stats.
+
+    Storage discipline: once the columnar cache on top is built, the
+    checkpoint RDD's own blocks are released — otherwise every memo
+    holds the data TWICE (localCheckpoint row blocks + InMemoryRelation
+    buffers) and eviction leaked the checkpoint copy forever
+    (test_cache_registry_bounded_eviction counts the persistent-RDD
+    census).  The MEMORY_AND_DISK cache copy spills rather than drops,
+    so the truncated lineage is never recomputed short of process death
+    (local mode) — and under $SPARK_GRAFT_CHECKPOINT_DIR a recompute
+    reads the reliable checkpoint files anyway.  The input's own cache
+    marker (if any) is released too."""
     ck = plan_checkpoint(df).persist()
     ck.count()
+    jrdd = _ckpt_jrdd(ck)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
     try:
         df.unpersist(False)
     except Exception:
@@ -95,6 +120,12 @@ def _release(val) -> None:
             unpersist(False)          # async release; no blocking eviction
         except Exception:
             pass                      # session already stopped
+        jrdd = _ckpt_jrdd(val)        # defensive: a checkpoint whose
+        if jrdd is not None:          # blocks were not already freed
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
 
 
 def cached(kind: str, spark, sf_dir: str, build, extra: tuple = ()):

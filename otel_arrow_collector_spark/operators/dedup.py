@@ -129,12 +129,9 @@ def _lsh_candidate_pairs(spark, sf_dir):
     Catalyst re-optimized on every dependent action).
     """
     def build():
-        pairs, bands = _build_lsh_candidate_pairs(spark, sf_dir)
-        out = materialized(pairs)
-        # the stage-local band relation fed both join sides; once the
-        # pair set is materialized it is dead weight in executor storage
-        bands.unpersist(False)
-        return out
+        # both join sides read the shared memoized band relation
+        # (_banded_docs), whose blocks the registry owns
+        return materialized(_build_lsh_candidate_pairs(spark, sf_dir))
     return cached("dedup.pairs", spark, sf_dir, build)
 
 
@@ -190,22 +187,40 @@ def _cap_buckets(bands):
     return _apply_band_cap(bands, _oversized_list(_band_counts(bands)))
 
 
+def _banded_docs(spark, sf_dir):
+    """(raw, capped) MinHash band relations (doc_id, source, band),
+    memoized per (session, dir): ONE shingle -> signature -> band pass
+    serves the LSH pair generator, the cross-corpus screen and the
+    bucket-cap audit (r15: each of the three re-ran the md5-heavy
+    signature pipeline — and cross_corpus re-persisted it — on every
+    invocation).  ``raw`` is the materialized uncapped relation (the
+    audit reports the full bucket distribution); ``capped`` applies the
+    LSH_BUCKET_CAP literal NOT-IN filter, its oversized list collected
+    once here from the materialized store."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        # Small corpora arrive as one parquet split; spread the
+        # md5-heavy signature map across cores (at real scale the scan
+        # is already split).
+        n_parts = spark.sparkContext.defaultParallelism
+        sig = (d.select("doc_id", "source",
+                        F.split("text", " ").alias("ws"))
+               .repartition(n_parts)
+               .select("doc_id", "source",
+                       F.expr(_spark_shingles()).alias("shs"))
+               .select("doc_id", "source",
+                       F.array(*[F.expr(_spark_sig(j))
+                                 for j in range(K_HASHES)]).alias("sig")))
+        raw = materialized(
+            sig.select("doc_id", "source",
+                       F.explode(F.expr(_spark_bands())).alias("band")))
+        capped = _apply_band_cap(raw, _oversized_list(_band_counts(raw)))
+        return raw, capped
+    return cached("dedup.bands", spark, sf_dir, build)
+
+
 def _build_lsh_candidate_pairs(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    # Small corpora arrive as one parquet split; spread the md5-heavy
-    # signature map across cores (at real scale the scan is already split).
-    n_parts = spark.sparkContext.defaultParallelism
-    sig = (d.select("doc_id", F.split("text", " ").alias("ws"))
-             .repartition(n_parts)
-             .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
-             .select("doc_id", F.array(*[F.expr(_spark_sig(j))
-                                         for j in range(K_HASHES)]).alias("sig")))
-    bands_raw = (sig.select("doc_id",
-                            F.explode(F.expr(_spark_bands())).alias("band"))
-                 .persist())
-    bands_raw.count()   # materialize so the self-join reads the cache,
-    # not two fresh runs of the shingle->signature pipeline
-    bands = _cap_buckets(bands_raw)
+    _, bands = _banded_docs(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -213,7 +228,7 @@ def _build_lsh_candidate_pairs(spark, sf_dir):
               .select(F.col("a.doc_id").alias("d1"),
                       F.col("b.doc_id").alias("d2"))
               .distinct())
-    return pairs, bands_raw
+    return pairs
 
 
 def _doc_shingle_sets(spark, sf_dir):
@@ -298,15 +313,9 @@ def dedup_bucket_cap_audit(spark, sf_dir):
     Plan: two combinable hash aggs over the band relation (band -> size,
     size -> class stats); no joins, no window.
     """
-    d = load_table(spark, sf_dir, "documents")
-    bands = (d.select("doc_id", F.split("text", " ").alias("ws"))
-             .repartition(spark.sparkContext.defaultParallelism)
-             .select("doc_id", F.expr(_spark_shingles()).alias("shs"))
-             .select("doc_id", F.array(*[F.expr(_spark_sig(j))
-                                         for j in range(K_HASHES)])
-                      .alias("sig"))
-             .select("doc_id", F.explode(F.expr(_spark_bands()))
-                      .alias("band")))
+    # UNCAPPED shared band relation — the audit reports the bucket
+    # distribution the cap would act on, so it must see every bucket
+    bands, _ = _banded_docs(spark, sf_dir)
     sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("sz"))
     return (sizes.groupBy("sz")
             .agg(F.count(F.lit(1)).alias("n_buckets"))
@@ -1107,21 +1116,9 @@ def dedup_cross_corpus(spark, sf_dir):
     just its best corpus match (integer-key argmin via row_number: the
     cross-multiplied jaccard in millis, ties to the lowest corpus id).
     """
-    d = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    sig = (d.select("doc_id", "source",
-                    F.split("text", " ").alias("ws"))
-             .repartition(n_parts)
-             .select("doc_id", "source",
-                     F.expr(_spark_shingles()).alias("shs"))
-             .select("doc_id", "source",
-                     F.array(*[F.expr(_spark_sig(j))
-                               for j in range(K_HASHES)]).alias("sig")))
-    bands = (sig.select("doc_id", "source",
-                        F.explode(F.expr(_spark_bands())).alias("band"))
-                .persist())
-    bands.count()
-    bands = _cap_buckets(bands)   # bucket size over BOTH sources
+    # shared memoized band relation; its cap counts BOTH sources, which
+    # is exactly this screen's "bucket size over the union" semantics
+    _, bands = _banded_docs(spark, sf_dir)
     new = bands.filter(F.col("source") != "src0") \
                .select(F.col("doc_id").alias("a_doc"), "band")
     corp = bands.filter(F.col("source") == "src0") \

@@ -450,11 +450,17 @@ def test_cms_counters_single_aggregation(spark):
 
 def test_triangle_count_no_cartesian(spark):
     """Wedge-join triangle counting must stay a pair of equi-joins on
-    the (capped) edge list — never a cartesian/BNLJ expansion."""
+    the (capped) edge list — never a cartesian/BNLJ expansion.  r15:
+    the wedge join lives in the memoized _tri_counts builder, so the
+    equi-join pin reads the raw builder plan."""
     plan = _plan(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan        # top-20, no full sort
+    from otel_arrow_collector_spark.operators import graph as g
+    bplan = _df_plan(spark, g.triangle_participation(
+        g._edges_cached(spark, SF_SMALL)))
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
 
 
 def test_pagerank_scan_once_iterate_local(spark):
