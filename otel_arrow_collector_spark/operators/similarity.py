@@ -1069,10 +1069,9 @@ _DT_D = (f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
          f"(a, i) -> a + (qe[s * {PQ_DSUB} + i - 1] - ce[i - 1]) "
          f"* (qe[s * {PQ_DSUB} + i - 1] - ce[i - 1]))")
 
-#: s-ascending left-assoc re-sum of the 8 subspace terms — the same +
-#: chain (and the oracle's list(d ORDER BY s) reduce), 0.0 + t0 == t0
-_ADC_SUM = ("aggregate(array_sort(collect_list(struct(s, d))), "
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)")
+#: (the s-ascending left-assoc + chain over the array LUT used by both
+#: ADC searches matches the oracle's list(d ORDER BY s) reduce exactly:
+#: 0.0 + t0 == t0, so the chain and the seeded fold are bit-identical)
 
 
 def ann_pq_adc_topk(spark, sf_dir):
@@ -1563,13 +1562,22 @@ def ann_ivf_pq(spark, sf_dir):
            .withColumn("prk", F.row_number().over(wc))
            .filter(F.col("prk") <= NPROBE)
            .select("q_id", "cid"))
-    # per-query ADC distance TABLE (|queries| x 64 rows) + broadcast
-    # LUT join replacing the literal-codebook fold (_pq_grid docstring)
+    # per-query ADC distance TABLE (|queries| x 64 rows), collapsed to
+    # ONE 64-element array row PER QUERY (the ann_pq_adc_topk array-LUT
+    # form, r15): the candidate scan pays a broadcast hash join on q_id
+    # plus pure codegen subscripts — no 8x code explode, no
+    # (q_id, s, code) hash join, no re-aggregation exchange.  The
+    # s-ascending left-assoc + chain below is the exact fold order of
+    # the previous collect_list/aggregate form (0.0 + d0 == d0), so
+    # every distance double is bit-identical.
     dt = (q.select("q_id",
                    F.expr("transform(q_emb, x -> CAST(x AS DOUBLE))")
                     .alias("qe"))
            .crossJoin(F.broadcast(_pq_grid(spark, sf_dir)))
            .select("q_id", "s", "code", F.expr(_DT_D).alias("d")))
+    lut = dt.groupBy("q_id").agg(F.expr(
+        f"transform(array_sort(collect_list("
+        f"struct(s * {PQ_M} + code AS k, d))), x -> x.d)").alias("lutd"))
     cand = (load_pq_codes(spark, sf_dir)
             .select("cid", "vec_id",
                     *[f"c{s}" for s in range(PQ_M)]))
@@ -1578,16 +1586,10 @@ def ann_ivf_pq(spark, sf_dir):
                     & (F.col("q_id") != cand.vec_id))
               .select("q_id", "vec_id",
                       *[f"c{s}" for s in range(PQ_M)]))
-    cexp = (folded.select("q_id", F.explode(F.array(*[
-        F.struct(F.lit(s).cast("int").alias("s"),
-                 F.col(f"c{s}").cast("int").alias("code"))
-        for s in range(PQ_M)])).alias("sc"), "vec_id")
-        .select("q_id", "vec_id", "sc.s", "sc.code"))
-    scored = (cexp.join(F.broadcast(dt), ["q_id", "s", "code"])
-              .groupBy("q_id", "vec_id")
-              .agg(F.expr(_ADC_SUM).alias("tot"))
+    total = " + ".join(f"lutd[{s} * {PQ_M} + c{s}]" for s in range(PQ_M))
+    scored = (folded.join(F.broadcast(lut), "q_id")
               .select("q_id", "vec_id",
-                      F.expr("CAST(floor(tot * 1e9) AS BIGINT)")
+                      F.expr(f"CAST(floor(({total}) * 1e9) AS BIGINT)")
                        .alias("adc_nano")))
     w = Window.partitionBy("q_id").orderBy("adc_nano", "vec_id")
     return (scored.withColumn("rk", F.row_number().over(w))

@@ -235,6 +235,7 @@ class Collector:
                       resource=self.telemetry.resource)
 
     def shutdown(self) -> None:
+        from ..operators import clear_plan_memo
         from ..operators.cache_registry import clear_caches
         self.state = State.CLOSED
         self.plan = None
@@ -250,3 +251,4 @@ class Collector:
             self._prom_server.close()
             self._prom_server = None
         clear_caches()      # release memoized persisted DataFrames
+        clear_plan_memo()   # drop memoized query-plan objects

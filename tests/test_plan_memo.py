@@ -1,0 +1,115 @@
+"""Plan-object memoization (operators.__init__._plan_memoized).
+
+The registry returned by ``collect_registry`` memoizes each query's
+ANALYZED PLAN — a lazy logical plan — per (query, application, sf_dir),
+so a repeated invocation skips the py4j plan-construction round-trips
+(measured r15: 27.5 s of the 271-query sf0.1 sweep was Python-side plan
+RE-construction).  This is plan caching, never result caching:
+
+- every call returns a fresh ``select("*")`` wrapper, never the
+  memoized DataFrame object itself — re-collecting the SAME object
+  would let Spark reuse its shuffle files (skipped stages), which would
+  silently cache computation across invocations (measured: 12-stage
+  query re-ran with 1 stage).  The stage-count pin below is the
+  anti-regression proof that every invocation re-executes fully.
+- builders that run Spark jobs / driver-side model fits at construction
+  time (``PLAN_MEMO_EXCLUDED``) are never memoized, because their
+  DataFrame can embed data-derived values.  The zero-jobs pin is the
+  completeness proof for that list.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from otel_arrow_collector_spark.operators import (PLAN_MEMO_EXCLUDED,
+                                                  _PLAN_MEMO,
+                                                  clear_plan_memo,
+                                                  collect_registry)
+from tests.conftest import SF_SMALL
+
+
+def test_pure_builders_reuse_the_memoized_plan(spark):
+    queries, _ = collect_registry()
+    clear_plan_memo()
+    df1 = queries["q01_scan_project"](spark, SF_SMALL)
+    assert len(_PLAN_MEMO) == 1
+    df2 = queries["q01_scan_project"](spark, SF_SMALL)
+    assert len(_PLAN_MEMO) == 1          # hit, not a second build
+    assert df1 is not df2                # ...but never the same object
+    # keyed by sf_dir
+    queries["q01_scan_project"](spark, "/root/testdata/sf0.01")
+    assert len(_PLAN_MEMO) == 2
+
+
+def test_excluded_builders_are_never_memoized(spark):
+    queries, _ = collect_registry()
+    clear_plan_memo()
+    name = "sketch_quantile_sampled"      # collects its rank thresholds
+    assert name in PLAN_MEMO_EXCLUDED
+    queries[name](spark, SF_SMALL)
+    assert len(_PLAN_MEMO) == 0
+
+
+def test_every_invocation_reexecutes_all_stages(spark):
+    """The anti-result-caching pin: two registry invocations of a
+    multi-stage shuffle query run the SAME number of stages with tasks
+    — no skipped-stage shuffle reuse between bench runs."""
+    queries, _ = collect_registry()
+    clear_plan_memo()
+    name = "q13_star_join"
+    queries[name](spark, SF_SMALL).collect()    # memo + shuffle files hot
+    jt = spark.sparkContext._jsc.sc().statusTracker()
+
+    def run_stages():
+        n0 = len(jt.getJobIdsForGroup(None))
+        queries[name](spark, SF_SMALL).collect()
+        ids = jt.getJobIdsForGroup(None)
+        tot = tasks = 0
+        for jid in ids[n0:]:
+            ji = jt.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.get().stageIds():
+                si = jt.getStageInfo(sid)
+                tot += 1
+                if si is not None:
+                    tasks += si.get().numTasks()
+        return tot, tasks
+
+    s1, t1 = run_stages()
+    s2, t2 = run_stages()
+    assert s1 == s2 and t1 == t2 and s1 >= 2
+
+
+def test_memoized_plan_still_recomputes_from_storage(spark):
+    """collect() twice through the registry returns identical rows (the
+    wrapper is a lazy plan, not a materialized result)."""
+    queries, _ = collect_registry()
+    df = queries["q05_groupby"](spark, SF_SMALL)
+    r1 = df.collect()
+    r2 = queries["q05_groupby"](spark, SF_SMALL).collect()
+    assert r1 == r2 and len(r1) > 0
+
+
+@pytest.mark.slow
+def test_exclusion_list_is_complete_zero_jobs_at_construction(spark):
+    """With all session memos hot, constructing any non-excluded query
+    launches ZERO Spark jobs — the proof that nothing data-dependent is
+    baked into a memoized plan object."""
+    queries, _ = collect_registry()
+    # pass 1: build every session memo (and the plan memos)
+    for name in sorted(queries):
+        queries[name](spark, SF_SMALL)
+    clear_plan_memo()                     # force re-construction below
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    offenders = []
+    for name in sorted(queries):
+        if name in PLAN_MEMO_EXCLUDED:
+            continue
+        n0 = len(tracker.getJobIdsForGroup(None))
+        queries[name](spark, SF_SMALL)
+        n1 = len(tracker.getJobIdsForGroup(None))
+        if n1 != n0:
+            offenders.append(name)
+    assert offenders == []
