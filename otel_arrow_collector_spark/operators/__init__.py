@@ -44,11 +44,15 @@ from pyspark.sql import DataFrame, SparkSession
 #: the 271-query sweep was Python-side plan re-construction; execution is
 #: unchanged — every collect() still computes from the parquet inputs).
 PLAN_MEMO_EXCLUDED = frozenset({
-    "ann_ivf_probe", "ann_range_search", "dedup_band_sensitivity",
-    "dedup_semantic_keep", "graph_pagerank", "heavy_hitter_events",
-    "q76_timeseries_similarity", "sketch_quantile_sampled",
-    "temperature_mix", "text_bigram_lm", "text_bm25_search",
-    "text_tfidf_search",
+    # both COMPUTE their result driver-side at construction (collected
+    # edge list -> local fixed point / union-find), so their DataFrame
+    # IS the result — memoizing it would cache the computation.  Every
+    # other builder that used to collect at construction now reads a
+    # memoized model scalar from the cache registry (bm25/tfidf corpus
+    # stats, bigram vocab, mix normalizer, q76 query energy, the
+    # rank-select bucket cuts, the band-truth count), which makes it a
+    # pure plan constructor.
+    "dedup_semantic_keep", "graph_pagerank",
 })
 
 #: bound on memoized plan objects (per-process; keys include the Spark

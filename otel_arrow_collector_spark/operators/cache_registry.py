@@ -24,9 +24,11 @@ import threading
 from collections import OrderedDict
 
 #: bound on live memoized artifacts; evictions unpersist DataFrames.
-#: Overridable for long sweeps (the full bench touches ~36 distinct keys;
-#: evicting mid-sweep forces rebuilds of still-hot stores).
-MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_CACHE_ENTRIES", "48"))
+#: Overridable for long sweeps (the full bench touches ~45 distinct keys
+#: per sf_dir — relations AND model scalars — and a session iterating
+#: two dirs doubles that; evicting mid-sweep forces rebuilds of
+#: still-hot stores, r15's zero-jobs pin caught exactly that at 48).
+MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_CACHE_ENTRIES", "128"))
 
 #: same knob as the CC loop (operators/dedup.py): a checkpoint dir makes
 #: every plan-truncating materialization a RELIABLE .checkpoint().

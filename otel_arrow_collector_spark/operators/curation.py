@@ -510,7 +510,11 @@ def temperature_mix(spark, sf_dir):
     w_nano = F.floor(F.pow(F.col("tokens") / F.col("total"),
                            F.lit(MIX_TEMPERATURE)) * 1e9).cast("long")
     j = j.withColumn("w_nano", w_nano)
-    wsum = int(j.agg(F.sum("w_nano")).first()[0])
+    # the normalization constant is a model parameter — memoized per
+    # (session, dir), so repeat invocations build the plan job-free
+    from .cache_registry import cached
+    wsum = cached("curation.mix_wsum", spark, sf_dir,
+                  lambda: int(j.agg(F.sum("w_nano")).first()[0]))
     budget = 1_000_000      # training-token target for the mix table
     return (j.select(
                 "lang", "docs", "tokens",

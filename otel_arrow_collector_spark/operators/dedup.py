@@ -2986,7 +2986,9 @@ def dedup_band_sensitivity(spark, sf_dir):
         lambda: materialized(verify_candidate_pairs(
             spark, d, pairs.filter(F.col("r") == 1).select("d1", "d2")))
     ).filter(F.col("j") >= JACCARD_THRESHOLD).select("d1", "d2")
-    n_true = truth.count()
+    # memoized scalar next to the memoized truth relation it counts,
+    # so repeat invocations build the plan without a Spark job
+    n_true = cached("dedup.band_truth_n", spark, sf_dir, truth.count)
     caught = (pairs.join(truth, ["d1", "d2"], "semi")
               .groupBy("r").agg(F.count(F.lit(1)).alias("n_caught")))
     out = (pairs.groupBy("r")

