@@ -628,23 +628,29 @@ def bloom_screen(spark, sf_dir):
     bits = (bench.select(F.explode(F.array(
                 *[F.expr(p) for p in pos])).alias("bit"))
             .distinct())
-    # ONE corpus pass: per-shingle bit probes -> maybe candidates via a
-    # broadcast join on the (<= 2^16-row) bit relation.  (Tried and
-    # rejected: collecting the bitset into a 64 KiB literal string and
-    # probing with substring — Spark re-materializes the giant literal
-    # per row, 25x slower than the broadcast-hash probe.)  The exact
-    # membership rides along on the SAME candidates because a Bloom
-    # filter has no false negatives (every bench shingle set all its
-    # bits), so exact hits ⊆ maybe hits
+    # ONE corpus pass: per-shingle bit probes -> maybe candidates via
+    # BLOOM_K successive semi-joins against the SAME broadcast bit
+    # relation (the exchange is built once and reused) — "all K bits
+    # present" expressed as K pipelined codegen probes on the shingle
+    # row itself, so the K-way explode, its 8x join input, and the
+    # (doc_id, sh) count-of-hits re-aggregation exchange all disappear
+    # (guide §2.4; identical survivor set: nbits == BLOOM_K iff every
+    # position's bit is in the filter).  (Tried and rejected earlier:
+    # collecting the bitset into a 64 KiB literal string and probing
+    # with substring — Spark re-materializes the giant literal per row,
+    # 25x slower than the broadcast-hash probe.)  The exact membership
+    # rides along on the SAME candidates because a Bloom filter has no
+    # false negatives (every bench shingle set all its bits), so exact
+    # hits ⊆ maybe hits
     corpus = sh.filter(F.col("source") != "src0")
-    cand = (corpus.select(
-                "doc_id", "sh",
-                F.explode(F.array(*[F.expr(p) for p in pos]))
-                .alias("bit"))
-            .join(F.broadcast(bits), "bit")
-            .groupBy("doc_id", "sh")
-            .agg(F.count(F.lit(1)).alias("nbits"))
-            .filter(F.col("nbits") == BLOOM_K))
+    cand = corpus.select("doc_id", "sh", F.md5("sh").alias("h"))
+    for i in range(BLOOM_K):
+        p = (f"CAST(conv(substring(h, {i * BLOOM_HEXCHARS + 1}, "
+             f"{BLOOM_HEXCHARS}), 16, 10) AS BIGINT)")
+        b = bits.alias(f"bb{i}")
+        cand = cand.join(F.broadcast(b),
+                         F.expr(p) == F.col(f"bb{i}.bit"), "semi")
+    cand = cand.select("doc_id", "sh")
     return (cand.join(F.broadcast(bench.withColumn("inb", F.lit(1))),
                       "sh", "left")
             .groupBy("doc_id")
@@ -1046,11 +1052,16 @@ def sketch_bloom_fpr(spark, sf_dir):
     probes = (sh.filter(F.col("source") != "src0")
               .select("sh").distinct()
               .join(bench, "sh", "left_anti"))
-    fp = (probes.select(
-        "sh", F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit"))
-        .join(F.broadcast(bits), "bit")
-        .groupBy("sh").agg(F.count(F.lit(1)).alias("nbits"))
-        .filter(F.col("nbits") == BLOOM_K))
+    # all-K-bits-present as BLOOM_K pipelined semi-joins against the one
+    # reused broadcast bit relation (bloom_screen's r15 probe shape):
+    # no K-way explode, no per-shingle count-of-hits exchange
+    fp = probes.select("sh", F.md5("sh").alias("h"))
+    for i in range(BLOOM_K):
+        p = (f"CAST(conv(substring(h, {i * BLOOM_HEXCHARS + 1}, "
+             f"{BLOOM_HEXCHARS}), 16, 10) AS BIGINT)")
+        b = bits.alias(f"fb{i}")
+        fp = fp.join(F.broadcast(b),
+                     F.expr(p) == F.col(f"fb{i}.bit"), "semi")
     m_bits = 16 ** BLOOM_HEXCHARS
     stats = (bench.agg(F.count(F.lit(1)).alias("n_inserted"))
              .crossJoin(bits.agg(F.count(F.lit(1)).alias("bits_set")))

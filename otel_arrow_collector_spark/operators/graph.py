@@ -566,6 +566,27 @@ RA_SCALE = 1_000_000
 LINKPRED_TOPN = 20
 
 
+def _nbr_arrays(spark, sf_dir):
+    """Session-memoized adjacency-array relation over the co-purchase
+    graph: one row per node with its sorted DISTINCT neighbor set
+    (|nodes| rows — edges are distinct u < v pairs, so the set size IS
+    the node degree).  Shared by two-hop reach and link prediction,
+    which previously each re-derived the neighbor sets (or paid a wedge
+    self-join) per invocation."""
+    from .cache_registry import cached, materialized
+
+    def build():
+        edges = _edges_cached(spark, sf_dir)
+        bidir = (edges.select(F.col("u").alias("a"),
+                              F.col("v").alias("b"))
+                 .unionAll(edges.select(F.col("v").alias("a"),
+                                        F.col("u").alias("b"))))
+        return materialized(
+            bidir.groupBy(F.col("a").alias("n"))
+            .agg(F.sort_array(F.collect_set("b")).alias("nb")))
+    return cached("graph.nbr_arrays", spark, sf_dir, build)
+
+
 def graph_link_prediction(spark, sf_dir):
     """Declared query: top-20 NON-adjacent part pairs most likely to
     co-occur next, scored by the resource-allocation index
@@ -575,36 +596,38 @@ def graph_link_prediction(spark, sf_dir):
     term) so the oracle gates exact values.  Ties break by common-
     neighbor count, then pair key.
 
-    Scale shape: the same oriented wedge join as triangle counting —
-    wedges (u-w, w-v) with u < v enumerate each candidate pair once per
-    common neighbor, bounded by the MAX_BASKET hub guard; existing
-    edges leave via one broadcast-able anti-join on the (u, v) key; the
-    node-degree relation is |nodes| rows and joins broadcast onto the
-    wedge stream.  Nothing pair-squared is ever materialized — the
+    Scale shape (r15): candidate pairs explode straight out of the
+    memoized adjacency-array relation — for node w every u < v pair of
+    its sorted neighbor set is one wedge, the same codegen
+    higher-order-function expansion copurchase_edges uses, so the wedge
+    self-join's w-keyed exchange of the full O(sum deg^2) stream
+    disappears.  The RA term RA_SCALE div deg(w) is CONSTANT per
+    exploded row (deg(w) == size of w's distinct neighbor set), so the
+    degree relation and its broadcast join disappear too.  Existing
+    edges leave via one broadcast-able anti-join on the (u, v) key,
+    now placed AFTER the pair aggregation (key-identical filter, far
+    fewer rows).  Nothing pair-squared is ever materialized — the
     candidate set IS the wedge set, exactly like the LSH-band candidate
-    discipline in dedup.  At 100x the wedge join degrades to a shuffle
-    hash join on w; the degree broadcast stays node-sized.
+    discipline in dedup; the hub guard (MAX_BASKET) bounds per-node
+    fan-out at the edge-building stage.
 
     Reference analogue: none (engine-added scale operator).
     """
+    nbr = _nbr_arrays(spark, sf_dir)
     edges = _edges_cached(spark, sf_dir)
-    bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-             .unionAll(edges.select(F.col("v").alias("a"),
-                                    F.col("u").alias("b"))))
-    deg = bidir.groupBy(F.col("a").alias("w")) \
-               .agg(F.count(F.lit(1)).alias("deg"))
-    # wedges u-w-v with u < v: candidate pair (u, v) via common neighbor w
-    wedge = (bidir.select(F.col("a").alias("u"), F.col("b").alias("w"))
-             .join(bidir.select(F.col("a").alias("w"),
-                                F.col("b").alias("v")), "w")
-             .filter(F.col("u") < F.col("v")))
-    cand = wedge.join(edges, (wedge["u"] == edges["u"])
-                      & (wedge["v"] == edges["v"]), "left_anti")
-    scored = (cand.join(F.broadcast(deg), "w")
-              .groupBy("u", "v")
-              .agg(F.sum(F.expr(f"{RA_SCALE} div deg")).alias("ra_micro"),
+    pairs = nbr.select(
+        F.expr(f"{RA_SCALE} div CAST(size(nb) AS BIGINT)")
+        .alias("contrib"),
+        F.explode(F.expr(
+            "flatten(transform(nb, (x, i) ->"
+            " transform(slice(nb, i + 2, size(nb)),"
+            " y -> struct(x AS u, y AS v))))")).alias("e"))
+    scored = (pairs.groupBy(F.col("e.u").alias("u"),
+                            F.col("e.v").alias("v"))
+              .agg(F.sum("contrib").alias("ra_micro"),
                    F.count(F.lit(1)).alias("common_neighbors")))
-    return (scored.select(F.col("u").cast("long").alias("u"),
+    cand = scored.join(edges, ["u", "v"], "left_anti")
+    return (cand.select(F.col("u").cast("long").alias("u"),
                           F.col("v").cast("long").alias("v"),
                           F.col("ra_micro").cast("long").alias("ra_micro"),
                           F.col("common_neighbors").cast("long")
@@ -984,9 +1007,10 @@ def graph_two_hop_reach(spark, sf_dir):
     # a itself always sits in the flattened sets (a in N(b) for every
     # neighbor b), never in its own set (no self-loops) — subtracting 1
     # reproduces the exact (N(a) ∪ N²(a)) \ {a} count.  Measured
-    # steady-state 4.3s -> 2.7s, identical rows.
-    nbr = (bidir.groupBy(F.col("a").alias("n"))
-           .agg(F.collect_set("b").alias("nb")))
+    # steady-state 4.3s -> 2.7s, identical rows.  The neighbor-set
+    # relation is the memoized substrate shared with link prediction
+    # (set contents identical; array_distinct/size are order-blind).
+    nbr = _nbr_arrays(spark, sf_dir)
     merged = (bidir.join(
                 nbr.select(F.col("n").alias("b"), "nb"), "b")
               .groupBy("a")

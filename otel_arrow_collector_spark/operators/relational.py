@@ -4366,18 +4366,22 @@ def q105(spark, sf_dir):
     two broadcastable brand-count joins, and a 1-row broadcast total;
     no windows, nothing driver-side.
     """
-    # (fan-out tried and REVERTED r15: a pre-join repartition ships the
-    # whole fact through an extra round-robin exchange and defers the
-    # map-side partial-distinct that shrinks rows before the key
-    # shuffle — measured 1.7s -> 4.9s.  The scan-stage work here is a
-    # cheap broadcast probe + agg insert, not md5-class compute.)
+    # (round-robin fan-out tried and REVERTED r15: an UNKEYED pre-join
+    # repartition ships the whole fact through an extra exchange and
+    # defers the map-side partial-distinct — measured 1.7s -> 4.9s.
+    # The KEYED form below is different: repartition("o") is the ONLY
+    # exchange the (o, b) relation ever pays — HashPartitioning(o)
+    # satisfies the distinct's ClusteredDistribution(o, b) AND both
+    # sides of the o-keyed self-join, so the distinct's own (o, b)
+    # exchange and the join's re-exchange both disappear, guide §2.4.)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (li.join(F.broadcast(pt),
                   li.l_partkey == pt.p_partkey)
           .select(F.col("l_orderkey").alias("o"),
                   F.col("p_brand").alias("b"))
-          .distinct())
+          .repartition("o")
+          .dropDuplicates(["o", "b"]))
     # N = |orders| (every order carries >= 1 line item, so the basket
     # universe IS the orders table) — a plain global count whose plan
     # is volume-stable, where a distinct-count over the fact expands

@@ -184,11 +184,13 @@ HLL_ALPHA_DEN = 1_000_000
 _HEX = "0123456789abcdef"
 
 
-def _hll_bucket_rho(df: DataFrame, key_col) -> DataFrame:
+def _hll_bucket_rho(df: DataFrame, key_col, keep: tuple = ()) -> DataFrame:
     """(bucket, rho) per input row, derived purely from md5 hex text so
-    the SQL oracle can reproduce it character for character."""
+    the SQL oracle can reproduce it character for character.  ``keep``
+    names extra columns carried through unchanged (side tags for
+    multi-sketch single-pass builds)."""
     h = F.md5(F.col(key_col).cast("string"))
-    df = df.select(h.alias("h"))
+    df = df.select(h.alias("h"), *[F.col(c) for c in keep])
     df = df.withColumn("bucket",
                        F.expr(f"(instr('{_HEX}', substring(h, 1, 1)) - 1) * 16"
                               f" + (instr('{_HEX}', substring(h, 2, 1)) - 1)"))
@@ -203,7 +205,8 @@ def _hll_bucket_rho(df: DataFrame, key_col) -> DataFrame:
                       f"WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2 ELSE 3 END) + 1,"
                       f" {HLL_RHO_CAP}) END"))
     return df.select(F.col("bucket").cast("long").alias("bucket"),
-                     F.col("rho").cast("long").alias("rho"))
+                     F.col("rho").cast("long").alias("rho"),
+                     *[F.col(c) for c in keep])
 
 
 def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
@@ -216,7 +219,9 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def sketch_hll_registers(spark, sf_dir):
-    """Declared query: the 256-register HLL state over events.user_id."""
+    """Declared query: the 256-register HLL state over events.user_id.
+    (Stays a direct one-pass map-side-combinable aggregate — its only
+    exchange is <= 256 register rows, already the 100 TB shape.)"""
     events = load_table(spark, sf_dir, "events")
     return hll_registers(events, "user_id")
 
@@ -225,10 +230,16 @@ def sketch_hll_estimate(spark, sf_dir):
     """Declared query: scaled-integer HLL raw estimate vs the exact
     distinct count of events.user_id, plus the zero-register count V the
     small-range (linear counting) branch would consume.  err_permille is
-    the integer |est - exact| * 1000 // exact."""
-    events = load_table(spark, sf_dir, "events")
-    regs = hll_registers(events, "user_id")
-    full = (events.sparkSession.range(HLL_M)
+    the integer |est - exact| * 1000 // exact.
+
+    Single-pass form (r15): the distinct-user relation (off the
+    memoized (type, user) substrate) feeds BOTH the register build (MAX
+    over distinct users == MAX over events) and the exact audit (a row
+    count instead of a second full-events countDistinct pass)."""
+    users = (_dist_type_user(spark, sf_dir)
+             .select("user_id").distinct())
+    regs = hll_registers(users, "user_id")
+    full = (spark.range(HLL_M)
             .select(F.col("id").alias("bucket"))
             .join(regs, "bucket", "left")
             .select(F.coalesce("max_rho", F.lit(0)).alias("m_rho")))
@@ -243,8 +254,8 @@ def sketch_hll_estimate(spark, sf_dir):
     est = agg.select(
         F.floor(num / den).cast("long").alias("est_raw"),
         F.col("zero_registers").cast("long").alias("zero_registers"))
-    exact = events.agg(
-        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    exact = users.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"))
     return (est.crossJoin(exact)
             .select("est_raw", "zero_registers", "exact_distinct",
                     F.expr("abs(est_raw - exact_distinct) * 1000"
@@ -348,28 +359,55 @@ def sketch_hll_union(spark, sf_dir):
     merges, never a re-scan of either relation.  Exact audit: one
     grouped both-parities pass for the intersection, COUNT(DISTINCT)
     for the union (A∪B = all users here, since every user has some
-    event of one parity)."""
+    event of one parity).
+
+    Single-pass form (r15): ONE scan of events builds the per-user
+    parity membership (the distinct-user relation), the md5/rho
+    derivation runs once per USER (the hash depends only on user_id, so
+    a side's register MAX over events equals the MAX over its member
+    users), and all three register states fall out of one 256-group
+    aggregation with side-tagged MAXes — register-wise identical to the
+    two-sketch build, so every estimate integer is bit-equal.  The
+    exact audit reads the same per-user relation.  Was: four scans of
+    events, two full-relation md5 passes, six independent aggregation
+    pipelines cross-joined."""
     events = load_table(spark, sf_dir, "events")
-    a = events.filter(F.col("event_id") % 2 == 0)
-    b = events.filter(F.col("event_id") % 2 == 1)
-    ra = hll_registers(a, "user_id")
-    rb = hll_registers(b, "user_id")
-    ru = (ra.unionAll(rb).groupBy("bucket")
-          .agg(F.max("max_rho").alias("max_rho")))
-    est = (_hll_estimate_df(ra, "est_a")
-           .crossJoin(_hll_estimate_df(rb, "est_b"))
-           .crossJoin(_hll_estimate_df(ru, "est_union")))
-    exact_u = events.agg(
-        F.countDistinct("user_id").cast("long").alias("exact_union"))
     both = (events.groupBy("user_id")
             .agg(F.max(((F.col("event_id") % 2) == 0).cast("int"))
                  .alias("in_a"),
                  F.max(((F.col("event_id") % 2) == 1).cast("int"))
                  .alias("in_b")))
-    exact_i = (both.filter((F.col("in_a") == 1) & (F.col("in_b") == 1))
-               .agg(F.count(F.lit(1)).cast("long")
-                    .alias("exact_intersection")))
-    return (est.crossJoin(exact_u).crossJoin(exact_i)
+    regs = (_hll_bucket_rho(both, "user_id", keep=("in_a", "in_b"))
+            .groupBy("bucket")
+            .agg(F.max(F.when(F.col("in_a") == 1, F.col("rho")))
+                 .alias("ra"),
+                 F.max(F.when(F.col("in_b") == 1, F.col("rho")))
+                 .alias("rb")))
+    full = (spark.range(HLL_M).select(F.col("id").alias("bucket"))
+            .join(regs, "bucket", "left")
+            .select(F.coalesce("ra", F.lit(0)).alias("ma"),
+                    F.coalesce("rb", F.lit(0)).alias("mb"),
+                    F.coalesce(F.greatest("ra", "rb"), F.lit(0))
+                    .alias("mu")))
+    shl = (f"shiftleft(CAST(1 AS BIGINT), "
+           f"CAST({HLL_RHO_CAP} - {{m}} AS INT))")
+    agg = full.agg(
+        F.sum(F.expr(shl.format(m="ma"))).alias("sa"),
+        F.sum(F.expr(shl.format(m="mb"))).alias("sb"),
+        F.sum(F.expr(shl.format(m="mu"))).alias("su"))
+    num = (F.lit(HLL_ALPHA_NUM).cast("decimal(38,0)")
+           * F.lit(HLL_M * HLL_M) * F.lit(1 << HLL_RHO_CAP))
+    den = F.lit(HLL_ALPHA_DEN).cast("decimal(38,0)")
+    est = agg.select(
+        F.floor(num / (den * F.col("sa"))).cast("long").alias("est_a"),
+        F.floor(num / (den * F.col("sb"))).cast("long").alias("est_b"),
+        F.floor(num / (den * F.col("su"))).cast("long")
+        .alias("est_union"))
+    exact = both.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+        .cast("long").alias("exact_intersection"))
+    return (est.crossJoin(exact)
             .select("est_a", "est_b", "est_union",
                     F.greatest(F.lit(0), F.col("est_a") + F.col("est_b")
                                - F.col("est_union")).cast("long")
@@ -566,10 +604,16 @@ def sketch_hll_by_group(spark, sf_dir):
     pipeline stores per-tenant/per-day distinct counts: 256 small ints
     per group, mergeable with MAX, no re-scan to combine periods).
     Same integer estimator as sketch_hll_estimate, per group, with the
-    exact distinct count and integer err_permille alongside."""
-    events = load_table(spark, sf_dir, "events")
-    # _hll_bucket_rho drops non-key columns, so derive inline per group
-    keyed = events.select(
+    exact distinct count and integer err_permille alongside.
+
+    Reads the memoized distinct (event_type, user_id) substrate (r15):
+    a group's register MAX over events equals the MAX over its DISTINCT
+    member users (the hash depends only on user_id), so both the md5
+    pass and the exact audit run over |types| x |users| rows at most,
+    and the per-group exact count is a plain row count of the same
+    relation — one scan family instead of two full-events passes."""
+    dist = _dist_type_user(spark, sf_dir)
+    keyed = dist.select(
         F.col("event_type").alias("grp"),
         F.md5(F.col("user_id").cast("string")).alias("h"))
     keyed = keyed.withColumn(
@@ -591,7 +635,7 @@ def sketch_hll_by_group(spark, sf_dir):
             .agg(F.max("rho").alias("max_rho")))
     grps = regs.select("grp").distinct()
     dense = (grps.crossJoin(
-                events.sparkSession.range(HLL_M)
+                spark.range(HLL_M)
                 .select(F.col("id").alias("bucket")))
              .join(regs, ["grp", "bucket"], "left")
              .select("grp", F.coalesce("max_rho", F.lit(0)).alias("m_rho")))
@@ -602,8 +646,8 @@ def sketch_hll_by_group(spark, sf_dir):
            * F.lit(HLL_M * HLL_M) * F.lit(1 << HLL_RHO_CAP))
     den = (F.lit(HLL_ALPHA_DEN).cast("decimal(38,0)") * F.col("s"))
     est = agg.select("grp", F.floor(num / den).cast("long").alias("est"))
-    exact = (events.groupBy(F.col("event_type").alias("grp"))
-             .agg(F.countDistinct("user_id").cast("long").alias("exact")))
+    exact = (dist.groupBy(F.col("event_type").alias("grp"))
+             .agg(F.count(F.lit(1)).cast("long").alias("exact")))
     return (est.join(exact, "grp")
             .select(F.col("grp").alias("event_type"), "est", "exact",
                     F.expr("abs(est - exact) * 1000 div exact")
@@ -943,20 +987,37 @@ def sketch_cms_join_size(spark, sf_dir):
     integers each, mergeable across partitions, and the estimate costs
     a 1024-cell join instead of touching either relation again.
     Published next to the exact join size (one aggregation per side +
-    a key-level product sum — the audit cost), all integer-exact."""
+    a key-level product sum — the audit cost), all integer-exact.
+
+    Single-pass form (r15): ONE scan of events folds into per-user
+    side counts (na, nb); the d md5 cell indexes are computed once per
+    USER (the hash depends only on the key), each cell aggregating
+    SUM(na)/SUM(nb) — exactly the per-side counters, since a side's
+    cell count is the sum of its member users' event counts.  Cells
+    where either side is zero are filtered before the per-row dot,
+    reproducing the two-sketch inner join bit for bit; the exact audit
+    reads the same per-user relation (na>0 AND nb>0 == the key join).
+    Was: four scans, two per-EVENT md5 cell explosions, two cell-keyed
+    exchanges plus a user-keyed exchange per side."""
     events = load_table(spark, sf_dir, "events")
-    a = events.filter(F.col("event_id") % 2 == 0)
-    b = events.filter(F.col("event_id") % 2 == 1)
-    ca = cms_counters(a, "user_id")
-    cb = cms_counters(b, "user_id")
-    est = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"),
-                   ["row_id", "col"])
+    per_user = (events
+                .select(F.col("user_id").cast("string").alias("key"),
+                        (F.col("event_id") % 2 == 0).cast("int")
+                        .alias("is_a"))
+                .groupBy("key")
+                .agg(F.sum("is_a").cast("long").alias("na"),
+                     F.sum(1 - F.col("is_a")).cast("long").alias("nb")))
+    cells = per_user.select("na", "nb", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row_id"),
+                 F.expr(_cms_col_expr(i, "key")).alias("col"))
+        for i in range(CMS_DEPTH)])).alias("cell"))
+    cc = (cells.groupBy("cell.row_id", "cell.col")
+          .agg(F.sum("na").alias("cnt"), F.sum("nb").alias("cnt_b")))
+    est = (cc.filter((F.col("cnt") > 0) & (F.col("cnt_b") > 0))
            .groupBy("row_id")
            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
            .agg(F.min("dot").cast("long").alias("est_join_size")))
-    ka = (a.groupBy("user_id").agg(F.count(F.lit(1)).alias("na")))
-    kb = (b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")))
-    exact = (ka.join(kb, "user_id")
+    exact = (per_user.filter((F.col("na") > 0) & (F.col("nb") > 0))
              .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
                   .alias("exact_join_size")))
     return (est.crossJoin(exact)
@@ -1095,16 +1156,28 @@ def _theta_hash_sql(key_sql: str, cast: str) -> str:
         for j in range(12))
 
 
+def _dist_type_user(spark, sf_dir):
+    """Session-memoized distinct (event_type, user_id) relation —
+    |types| x |users| rows at most, the exact-audit substrate shared by
+    the theta family and the per-group HLL (each previously re-ran the
+    distinct hash-agg over the full events relation per invocation)."""
+    from .cache_registry import cached, materialized
+    return cached(
+        "sketches.dist_type_user", spark, sf_dir,
+        lambda: materialized(
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "user_id").distinct()))
+
+
 def _theta_base(spark, sf_dir):
     """The scaffold shared by the three theta queries: ``dist`` (the
     corpus-distinct (event_type, user_id) relation the exact audits
     re-derive from) and ``kept`` (the bottom-THETA_K 48-bit hashes per
-    set, with rank ``rk`` and set size ``n``).  ``kept`` is
-    K * |types| rows and is memoized through the shared cache registry
-    so union/intersection/difference see ONE sketch state per
-    (session, dir) — the ER-trio desynchronization discipline."""
-    events = load_table(spark, sf_dir, "events")
-    dist = events.select("event_type", "user_id").distinct()
+    set, with rank ``rk`` and set size ``n``).  Both are memoized
+    through the shared cache registry so union/intersection/difference
+    see ONE sketch state per (session, dir) — the ER-trio
+    desynchronization discipline."""
+    dist = _dist_type_user(spark, sf_dir)
     from .cache_registry import cached, materialized
     return dist, cached(
         "sketches.theta_kept", spark, sf_dir,
