@@ -59,14 +59,23 @@ def test_every_invocation_reexecutes_all_stages(spark):
     clear_plan_memo()
     name = "q13_star_join"
     queries[name](spark, SF_SMALL).collect()    # memo + shuffle files hot
-    jt = spark.sparkContext._jsc.sc().statusTracker()
+    sc = spark.sparkContext
+    jt = sc._jsc.sc().statusTracker()
 
-    def run_stages():
-        n0 = len(jt.getJobIdsForGroup(None))
-        queries[name](spark, SF_SMALL).collect()
-        ids = jt.getJobIdsForGroup(None)
+    def run_stages(tag):
+        # each measured run gets its OWN job group: indexing the global
+        # job-id list is wrong once spark.ui.retainedJobs eviction kicks
+        # in mid-suite (the list shrinks between the two reads and the
+        # [n0:] slice misses/misreads jobs — observed as a flaky failure
+        # after ~800 tests); group-scoped ids are the newest jobs and
+        # immune to other jobs' eviction
+        sc.setJobGroup(tag, tag)
+        try:
+            queries[name](spark, SF_SMALL).collect()
+        finally:
+            sc._jsc.clearJobGroup()
         tot = tasks = 0
-        for jid in ids[n0:]:
+        for jid in jt.getJobIdsForGroup(tag):
             ji = jt.getJobInfo(jid)
             if ji is None:
                 continue
@@ -77,8 +86,8 @@ def test_every_invocation_reexecutes_all_stages(spark):
                     tasks += si.get().numTasks()
         return tot, tasks
 
-    s1, t1 = run_stages()
-    s2, t2 = run_stages()
+    s1, t1 = run_stages("plan-memo-pin-run1")
+    s2, t2 = run_stages("plan-memo-pin-run2")
     assert s1 == s2 and t1 == t2 and s1 >= 2
 
 
