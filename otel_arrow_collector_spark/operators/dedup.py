@@ -1681,19 +1681,25 @@ def dedup_allpairs_prefix(spark, sf_dir):
                     >= F.col("n1") + F.col("n2")))
     # exact verify as a codegen set intersection per surviving pair
     # (the _doc_shingle_arrays rationale: no pair-x-shingle explode, no
-    # re-aggregation exchange — each doc's set ships once per pair)
-    common = cand.select(
-        "d1", "d2", "n1", "n2",
-        F.size(F.array_intersect("s1", "s2")).cast("long")
-         .alias("n_common"))
-    j = (common
-         .filter(F.col("n_common") > 0)
-         .withColumn("j", F.col("n_common")
-                     / (F.col("n1") + F.col("n2") - F.col("n_common"))))
-    return (j.filter(F.col("j") >= JACCARD_THRESHOLD)
-            .select("d1", "d2", "n_common",
-                    F.round("j", 4).alias("jaccard"))
-            .orderBy("d1", "d2").limit(500))
+    # re-aggregation exchange — each doc's set ships once per pair).
+    # The threshold runs in its EXACT integer form: at tau=1/2,
+    # c/(n1+n2-c) >= 1/2  <=>  3c >= n1+n2 (which also implies c > 0);
+    # the float comparison cannot disagree — c, n1, n2 are exact ints
+    # far below 2^53 and the nearest-double rounding of c/(n1+n2-c) is
+    # ~1e-16, while the gap to the boundary is at least 1/(n1+n2-c).
+    # This keeps array_intersect to ONE evaluation inside the join
+    # condition (the double-form filter fused into the broadcast join
+    # as THREE separate array_intersect calls — measured 2.8-3.5 s vs
+    # 1.5-1.8 s steady); n_common and jaccard are projected AFTER the
+    # orderBy/limit, so TakeOrderedAndProject evaluates them on the 500
+    # published rows only.
+    cand = cand.filter(3 * F.size(F.array_intersect("s1", "s2"))
+                       >= F.col("n1") + F.col("n2"))
+    top = cand.orderBy("d1", "d2").limit(500)
+    c = F.size(F.array_intersect("s1", "s2")).cast("long")
+    return top.select(
+        "d1", "d2", c.alias("n_common"),
+        F.round(c / (F.col("n1") + F.col("n2") - c), 4).alias("jaccard"))
 
 
 def _prefix_relation(spark, sf_dir):
