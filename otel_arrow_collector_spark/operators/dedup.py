@@ -52,6 +52,20 @@ ORACLES: dict = {}
 K_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (r = K_HASHES / N_BANDS = 2)
 JACCARD_THRESHOLD = 0.5
+#: Exact rational form of JACCARD_THRESHOLD.  The integer-threshold
+#: algebra in dedup_allpairs_prefix (length filter, PPJoin positional
+#: filter, exact verify) cross-multiplies with these so the comparisons
+#: FOLLOW the constant instead of hardcoding tau=1/2:
+#:   J >= tau  <=>  c * (den + num) >= num * (n1 + n2).
+#: The prefix length in _build_prefix_relation (n div 2 + 1) and the
+#: milli-thresholds below are still written for tau=1/2 — guard that.
+from fractions import Fraction as _Fraction  # noqa: E402
+
+_TAU = _Fraction(JACCARD_THRESHOLD)
+TAU_NUM, TAU_DEN = _TAU.numerator, _TAU.denominator
+assert (TAU_NUM, TAU_DEN) == (1, 2), (
+    "prefix length n div 2 + 1 in _build_prefix_relation and its oracle "
+    "twins assume tau = 1/2; rederive n - ceil(tau*n) + 1 before moving it")
 SIMHASH_BITS = 16
 #: Band buckets larger than this are dropped before the pair join (module
 #: docstring, "Scale stance"): they arise from shared boilerplate
@@ -1670,20 +1684,27 @@ def dedup_allpairs_prefix(spark, sf_dir):
     z2 = arrs.select(F.col("doc_id").alias("d2"),
                      F.col("shs").alias("s2"), F.col("n_sh").alias("n2"))
     cand = (cand.join(z1, "d1").join(z2, "d2")
-            .filter(F.greatest("n1", "n2") <= 2 * F.least("n1", "n2"))
+            # length filter, J >= tau needs (num+den)*min >= num*(n1+n2)
+            # (equivalently greatest <= least/tau) — derived from the
+            # rational threshold, not hardcoded
+            .filter((TAU_DEN + TAU_NUM) * F.least("n1", "n2")
+                    >= TAU_NUM * (F.col("n1") + F.col("n2")))
             # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), also
             # output-invariant: at the first common token (positions
             # ra/rb in the shared global order) no earlier common token
-            # exists, so overlap <= 1 + min(n1-ra, n2-rb); J >= 1/2
-            # needs overlap >= ceil((n1+n2)/3) — integer cross-multiplied
-            .filter(3 * (1 + F.least(F.col("n1") - F.col("ra"),
-                                     F.col("n2") - F.col("rb")))
-                    >= F.col("n1") + F.col("n2")))
+            # exists, so overlap <= 1 + min(n1-ra, n2-rb); J >= tau
+            # needs overlap*(num+den) >= num*(n1+n2) — integer
+            # cross-multiplied from the rational threshold
+            .filter((TAU_DEN + TAU_NUM)
+                    * (1 + F.least(F.col("n1") - F.col("ra"),
+                                   F.col("n2") - F.col("rb")))
+                    >= TAU_NUM * (F.col("n1") + F.col("n2"))))
     # exact verify as a codegen set intersection per surviving pair
     # (the _doc_shingle_arrays rationale: no pair-x-shingle explode, no
     # re-aggregation exchange — each doc's set ships once per pair).
-    # The threshold runs in its EXACT integer form: at tau=1/2,
-    # c/(n1+n2-c) >= 1/2  <=>  3c >= n1+n2 (which also implies c > 0);
+    # The threshold runs in its EXACT integer form:
+    # c/(n1+n2-c) >= num/den  <=>  (den+num)*c >= num*(n1+n2)
+    # (at tau=1/2: 3c >= n1+n2, which also implies c > 0);
     # the float comparison cannot disagree — c, n1, n2 are exact ints
     # far below 2^53 and the nearest-double rounding of c/(n1+n2-c) is
     # ~1e-16, while the gap to the boundary is at least 1/(n1+n2-c).
@@ -1693,8 +1714,9 @@ def dedup_allpairs_prefix(spark, sf_dir):
     # 1.5-1.8 s steady); n_common and jaccard are projected AFTER the
     # orderBy/limit, so TakeOrderedAndProject evaluates them on the 500
     # published rows only.
-    cand = cand.filter(3 * F.size(F.array_intersect("s1", "s2"))
-                       >= F.col("n1") + F.col("n2"))
+    cand = cand.filter((TAU_DEN + TAU_NUM)
+                       * F.size(F.array_intersect("s1", "s2"))
+                       >= TAU_NUM * (F.col("n1") + F.col("n2")))
     top = cand.orderBy("d1", "d2").limit(500)
     c = F.size(F.array_intersect("s1", "s2")).cast("long")
     return top.select(

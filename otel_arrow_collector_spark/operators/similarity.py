@@ -1846,13 +1846,20 @@ def embedding_pca_covariance(spark, sf_dir):
             .select(F.col("i").cast("long").alias("i"),
                     F.col("j").cast("long").alias("j"),
                     "n", "s_i", "s_j", "s_ij",
-                    # published AS decimal(38,0): n*s_ij ~ 4e27 at
-                    # n = 1e12 is past int64, so a long cast would wrap
-                    # (non-ANSI) or throw (ANSI) at the claimed scale —
-                    # the output schema must honor the staging rule
+                    # staged through decimal(38,0) so the arithmetic
+                    # itself never wraps, then published AS BIGINT: the
+                    # driver's value hash is width/type-sensitive and
+                    # BIGINT is the only representation both engines
+                    # hash identically (decimal(38,0) vs HUGEINT broke
+                    # the r15 driver hash the same way q34 broke in
+                    # r01).  100 TB caveat: n*s_ij ~ 4e27 at n = 1e12
+                    # exceeds int64 — at that scale consumers must read
+                    # the decimal STAGING value (or a hi/lo long split)
+                    # instead of this published column; pca_components
+                    # divides by n^2*Q^2 first, so its doubles survive
                     (F.col("n").cast(dec) * F.col("s_ij").cast(dec)
                      - F.col("s_i").cast(dec) * F.col("s_j").cast(dec))
-                    .alias("cov_num"))
+                    .cast("long").alias("cov_num"))
             .orderBy("i", "j"))
 
 
@@ -1877,7 +1884,7 @@ SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
        CAST(d1.s AS BIGINT) AS s_i, CAST(d2.s AS BIGINT) AS s_j,
        CAST(p.s_ij AS BIGINT) AS s_ij,
        CAST(CAST(p.n AS HUGEINT) * p.s_ij
-            - CAST(d1.s AS HUGEINT) * d2.s AS DECIMAL(38,0)) AS cov_num
+            - CAST(d1.s AS HUGEINT) * d2.s AS BIGINT) AS cov_num
 FROM pairs p JOIN dimsum d1 ON d1.i = p.i JOIN dimsum d2 ON d2.i = p.j
 ORDER BY i, j
 """

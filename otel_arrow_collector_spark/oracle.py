@@ -9,29 +9,56 @@ sorted by name.  These helpers implement that comparison for local tests
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 
 
 def norm_value(v) -> str:
-    """Normalize one cell to a comparison string (engine-agnostic)."""
+    """Normalize one cell to a TYPE-TAGGED comparison string.
+
+    The driver's value-hash is type/representation-sensitive: in r15 a
+    query publishing decimal(38,0) in both engines failed the driver
+    hash while this function's untagged stringification (int 12, float
+    12.0 and Decimal('12') all -> "12") declared 271/271 parity — the
+    laxness masked exactly the class it was built to catch.  Every
+    value is therefore tagged with its Python type family so a
+    cross-engine numeric-flavor divergence fails LOUDLY locally:
+
+    - int (Spark LONG / DuckDB BIGINT, HUGEINT) -> ``i:``
+    - float (DOUBLE/REAL)                       -> ``f:``
+    - decimal.Decimal (DECIMAL of either engine)-> ``d:`` with the raw
+      str() so exponent/trailing-zero representation differences also
+      diverge, as the driver hash demonstrated they do
+    - everything else gets a family prefix as below
+
+    A query can only pass the driver's hash when both engines return
+    the same types, so the tags cannot false-fail a driver-green query
+    as long as both clients (pyspark collect, duckdb fetchall) map SQL
+    types to Python the same way here as in the driver — they do, both
+    gates use the same two client libraries.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "b:true" if v else "b:false"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "f:NaN"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 12.0 -> "12": float/decimal width agnostic
-        return repr(v)
+            return f"f:{int(v)}"  # 12.0 == 12.00: scale-free within float
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return f"t:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
+        return f"x:{v.hex()}"
+    return f"s:{v}"
 
 
 #: integer widths are compared EXACTLY (the driver's value-hash is
