@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, parallel_table
+from ..sources.tables import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -112,29 +112,61 @@ FROM c GROUP BY shard ORDER BY shard
 # benchmark contamination screen
 # ---------------------------------------------------------------------------
 
+def _src_shingles(spark, sf_dir):
+    """(doc_id, sh, source): the dedup battery's MATERIALIZED per-doc
+    distinct-shingle relation (dedup._doc_shingle_sets — one explode per
+    session, parallel by construction) with each document's source
+    attached via a broadcast join (documents is dim-sized next to its
+    own shingles).  Shared by the contamination screens and the bloom
+    pair, which previously each re-ran the full documents scan + split
+    + shingle explode per BRANCH per invocation (r16 stage profile:
+    sketch_bloom_fpr alone ran five serial explode passes)."""
+    from .dedup import _doc_shingle_sets
+    shd = _doc_shingle_sets(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return shd.join(F.broadcast(src), "doc_id")
+
+
+def _bench_shingles(spark, sf_dir):
+    """Distinct benchmark (source = 'src0') shingles, memoized through
+    the bounded cache registry — the screen/bloom-family build side
+    (four consumers: both screens, both bloom queries)."""
+    from .cache_registry import cached, materialized
+    return cached(
+        "curation.bench_shingles", spark, sf_dir,
+        lambda: materialized(
+            _src_shingles(spark, sf_dir)
+            .filter(F.col("source") == "src0").select("sh").distinct()))
+
+
+def _bloom_bits(spark, sf_dir):
+    """The Bloom filter's DISTINCT set-bit relation (<= 2^16 rows) over
+    the benchmark shingles, memoized: the broadcastable thing both
+    bloom queries probe (BLOOM_K positions per inserted shingle)."""
+    from .cache_registry import cached, materialized
+    pos = _bloom_pos_exprs("sh", "substring")
+    return cached(
+        "curation.bloom_bits", spark, sf_dir,
+        lambda: materialized(
+            _bench_shingles(spark, sf_dir)
+            .select(F.explode(F.array(*[F.expr(p) for p in pos]))
+                    .alias("bit"))
+            .distinct()))
+
+
 def contamination_screen(spark, sf_dir):
     """Eval-set contamination screen: treating `source = 'src0'` documents
     as the held-out benchmark, flag corpus documents whose distinct 3-gram
     shingles overlap the benchmark shingle set above CONTAM_THRESHOLD.
 
     Plan: the benchmark's distinct shingle set is broadcast (eval suites
-    are tiny vs the corpus); the corpus side explodes shingles once and
-    hash-aggregates matches per doc — one shuffle on doc_id, candidate
-    work bounded by corpus size x shingle count, never pairwise.
+    are tiny vs the corpus); the corpus side reads the shared shingle
+    substrate once and hash-aggregates matches per doc — one shuffle on
+    doc_id, candidate work bounded by corpus size x shingle count, never
+    pairwise.
     """
-    from .dedup import _spark_shingles
-
-    # fan-out: shingle explosion + BLOOM_K md5 probes per shingle are
-    # the scan-stage compute; a single-split documents scan serialized
-    # the whole pass on one core (guide §2.5)
-    d = parallel_table(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", "source",
-                   F.split("text", " ").alias("ws"))
-            .select("doc_id", "source",
-                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                     .alias("sh")))
-    bench = (sh.filter(F.col("source") == "src0")
-               .select("sh").distinct())
+    sh = _src_shingles(spark, sf_dir)
+    bench = _bench_shingles(spark, sf_dir)
     corpus = sh.filter(F.col("source") != "src0")
     sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (corpus.join(F.broadcast(bench), "sh")
@@ -216,14 +248,8 @@ def _contaminated_ids(spark, sf_dir):
     """doc_ids failing the benchmark-overlap screen (integer-compare form
     of contamination_screen's threshold: 2*n_hit >= n_sh <=> ratio >=
     CONTAM_THRESHOLD=0.5 — no float boundary anywhere)."""
-    from .dedup import _spark_shingles
-
-    d = load_table(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", "source", F.split("text", " ").alias("ws"))
-            .select("doc_id", "source",
-                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                     .alias("sh")))
-    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    sh = _src_shingles(spark, sf_dir)
+    bench = _bench_shingles(spark, sf_dir)
     corpus = sh.filter(F.col("source") != "src0")
     sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (corpus.join(F.broadcast(bench), "sh")
@@ -609,25 +635,13 @@ def bloom_screen(spark, sf_dir):
     shingle count.  Everything md5-derived and integer-exact, so the
     DuckDB twin re-derives filter and probe bit for bit.
     """
-    from .dedup import _spark_shingles
-
-    # fan-out: shingle explosion + BLOOM_K md5 probes per shingle are
-    # the scan-stage compute; a single-split documents scan serialized
-    # the whole pass on one core (guide §2.5)
-    d = parallel_table(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", "source",
-                   F.split("text", " ").alias("ws"))
-            .select("doc_id", "source",
-                    F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                     .alias("sh")))
-    pos = _bloom_pos_exprs("sh", "substring")
-    # ONE src0 pass: the distinct benchmark shingles; the filter's bits
-    # derive from that (already-distinct) set
-    bench = (sh.filter(F.col("source") == "src0")
-             .select("sh").distinct())
-    bits = (bench.select(F.explode(F.array(
-                *[F.expr(p) for p in pos])).alias("bit"))
-            .distinct())
+    # shared substrates: the memoized shingle relation (one explode per
+    # session — the per-query parallel_table fan-out explode this
+    # replaced re-ran the whole documents scan per branch) and the
+    # memoized benchmark set / bit relation
+    sh = _src_shingles(spark, sf_dir)
+    bench = _bench_shingles(spark, sf_dir)
+    bits = _bloom_bits(spark, sf_dir)
     # ONE corpus pass: per-shingle bit probes -> maybe candidates via
     # BLOOM_K successive semi-joins against the SAME broadcast bit
     # relation (the exchange is built once and reused) — "all K bits
@@ -1036,37 +1050,41 @@ def sketch_bloom_fpr(spark, sf_dir):
     (the filter is the broadcastable thing by design), all finals are
     single-row global aggregates.
     """
-    from .dedup import _spark_shingles
-
-    d = load_table(spark, sf_dir, "documents")
-    sh = (d.select("source", F.split("text", " ").alias("ws"))
-          .select("source",
-                  F.explode(F.array_distinct(F.expr(_spark_shingles())))
-                  .alias("sh")))
-    pos = _bloom_pos_exprs("sh", "substring")
-    bench = (sh.filter(F.col("source") == "src0")
-             .select("sh").distinct())
-    bits = (bench.select(F.explode(F.array(
-        *[F.expr(p) for p in pos])).alias("bit"))
-        .distinct())
+    # shared substrates (one shingle explode per session, memoized
+    # bench set + bit relation — see _src_shingles/_bench_shingles)
+    sh = _src_shingles(spark, sf_dir)
+    bench = _bench_shingles(spark, sf_dir)
+    bits = _bloom_bits(spark, sf_dir)
     probes = (sh.filter(F.col("source") != "src0")
               .select("sh").distinct()
               .join(bench, "sh", "left_anti"))
-    # all-K-bits-present as BLOOM_K pipelined semi-joins against the one
-    # reused broadcast bit relation (bloom_screen's r15 probe shape):
-    # no K-way explode, no per-shingle count-of-hits exchange
+    # ONE probe pass serving BOTH probe statistics: the r15 form
+    # consumed `probes` twice (a count branch and a 3-semi-join
+    # false-positive branch), re-running the corpus distinct + anti
+    # join per branch.  Flag-joins instead of semi-joins (the bit
+    # relation is DISTINCT, so each broadcast left join matches at most
+    # once and preserves row counts) let a single aggregate emit
+    # n_probes AND n_false_pos from one pipeline (guide §2.4; this is
+    # the r15 driver-measured regression re-adjudicated — r16 item 5).
     fp = probes.select("sh", F.md5("sh").alias("h"))
+    hitcols = []
     for i in range(BLOOM_K):
         p = (f"CAST(conv(substring(h, {i * BLOOM_HEXCHARS + 1}, "
              f"{BLOOM_HEXCHARS}), 16, 10) AS BIGINT)")
-        b = bits.alias(f"fb{i}")
-        fp = fp.join(F.broadcast(b),
-                     F.expr(p) == F.col(f"fb{i}.bit"), "semi")
+        b = bits.select(F.col("bit").alias(f"b{i}"),
+                        F.lit(1).alias(f"hit{i}"))
+        fp = (fp.join(F.broadcast(b), F.expr(p) == F.col(f"b{i}"), "left")
+                .drop(f"b{i}"))
+        hitcols.append(f"hit{i}")
+    all_hit = F.when(
+        sum(F.coalesce(F.col(c), F.lit(0)) for c in hitcols) == BLOOM_K,
+        F.lit(1)).otherwise(F.lit(0))
+    probe_stats = fp.agg(F.count(F.lit(1)).alias("n_probes"),
+                         F.sum(all_hit).alias("n_false_pos"))
     m_bits = 16 ** BLOOM_HEXCHARS
     stats = (bench.agg(F.count(F.lit(1)).alias("n_inserted"))
              .crossJoin(bits.agg(F.count(F.lit(1)).alias("bits_set")))
-             .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probes")))
-             .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_false_pos"))))
+             .crossJoin(probe_stats))
     return stats.select(
         F.lit(m_bits).cast("long").alias("m_bits"),
         F.lit(BLOOM_K).cast("long").alias("k_hashes"),

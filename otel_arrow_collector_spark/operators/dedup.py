@@ -1660,45 +1660,47 @@ def dedup_allpairs_prefix(spark, sf_dir):
     # prefix length n - ceil(n/2) + 1 = n div 2 + 1 (tau=1/2); the
     # ranked prefix relation is shared with dedup_prefix_cost_model
     ranked = _prefix_relation(spark, sf_dir)
-    # the dedup that .distinct() used to do happens in this groupBy;
-    # min(ra) and min(rb) land on the SAME token — the globally
-    # smallest common prefix token (doc-local rank order is the global
-    # (df, sh) order restricted to the doc)
+    # Bayardo LENGTH filter + PPJoin POSITIONAL filter (Xiao et al.
+    # 2008 §3.2) applied PER COLLIDING ROW, before the candidate-pair
+    # exchange — both output-invariant:
+    # - length: J >= tau needs (num+den)*min(n1,n2) >= num*(n1+n2);
+    #   row-independent, so per-row == per-pair.
+    # - positional: at a common token with doc-local ranks (ra, rb) no
+    #   more than 1 + min(n1-ra, n2-rb) common tokens can follow its
+    #   LATER of the two positions, and for the pair's FIRST common
+    #   token that bound is exact-overlap-valid; every other common
+    #   token has componentwise-larger (ra, rb), hence a SMALLER bound,
+    #   so "some row passes" <=> "the first-common-token row passes" —
+    #   the per-row filter keeps exactly the pairs the r15
+    #   min(ra)/min(rb) aggregation kept, while dropping losers BEFORE
+    #   they cross the (d1, d2) distinct exchange (guide §2.3) and
+    #   turning the min-min aggregation into a plain distinct.
+    # Thresholds cross-multiplied from the rational tau, not hardcoded.
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     cand = (ranked.alias("a")
             .join(ranked.alias("b"), "sh")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter((TAU_DEN + TAU_NUM) * F.least(na, nb)
+                    >= TAU_NUM * (na + nb))
+            .filter((TAU_DEN + TAU_NUM)
+                    * (1 + F.least(na - F.col("a.rn"),
+                                   nb - F.col("b.rn")))
+                    >= TAU_NUM * (na + nb))
             .select(F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"),
-                    F.col("a.rn").alias("ra"),
-                    F.col("b.rn").alias("rb"))
-            .groupBy("d1", "d2")
-            .agg(F.min("ra").alias("ra"), F.min("rb").alias("rb")))
-    # Bayardo LENGTH filter before the expensive verify join: J >= tau
-    # needs min(n1,n2) >= (n1+n2)/(1+1/tau), i.e. at tau=1/2
-    # greatest <= 2*least — size-incompatible candidates can never
-    # qualify, so dropping them here is output-invariant (the oracle
-    # needs no mirror: it only removes pairs the final threshold would
-    # discard anyway).
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
     z1 = arrs.select(F.col("doc_id").alias("d1"),
                      F.col("shs").alias("s1"), F.col("n_sh").alias("n1"))
     z2 = arrs.select(F.col("doc_id").alias("d2"),
                      F.col("shs").alias("s2"), F.col("n_sh").alias("n2"))
-    cand = (cand.join(z1, "d1").join(z2, "d2")
-            # length filter, J >= tau needs (num+den)*min >= num*(n1+n2)
-            # (equivalently greatest <= least/tau) — derived from the
-            # rational threshold, not hardcoded
-            .filter((TAU_DEN + TAU_NUM) * F.least("n1", "n2")
-                    >= TAU_NUM * (F.col("n1") + F.col("n2")))
-            # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), also
-            # output-invariant: at the first common token (positions
-            # ra/rb in the shared global order) no earlier common token
-            # exists, so overlap <= 1 + min(n1-ra, n2-rb); J >= tau
-            # needs overlap*(num+den) >= num*(n1+n2) — integer
-            # cross-multiplied from the rational threshold
-            .filter((TAU_DEN + TAU_NUM)
-                    * (1 + F.least(F.col("n1") - F.col("ra"),
-                                   F.col("n2") - F.col("rb")))
-                    >= TAU_NUM * (F.col("n1") + F.col("n2"))))
+    # the surviving candidate rows are BYTE-tiny (two longs) but each
+    # costs an array_intersect over full shingle sets downstream, so
+    # AQE's byte-based coalescing collapses the verify to one task
+    # (measured r16: 2.7 s single-task verify) — fan the verify out
+    # explicitly; compute-dense-per-row is the case byte-advisories
+    # cannot see (guide §2.5)
+    cand = (cand.repartition(spark.sparkContext.defaultParallelism)
+            .join(z1, "d1").join(z2, "d2"))
     # exact verify as a codegen set intersection per surviving pair
     # (the _doc_shingle_arrays rationale: no pair-x-shingle explode, no
     # re-aggregation exchange — each doc's set ships once per pair).
@@ -1745,13 +1747,15 @@ def _build_prefix_relation(spark, sf_dir):
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df = shd.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    # rn (the token's position in the doc's full df-ascending
-    # order) rides along for PPJoin positional filtering
+    # rn (the token's position in the doc's full df-ascending order)
+    # and n_sh (the doc's set size) ride along so the allpairs join can
+    # run the PPJoin positional AND Bayardo length filters PER ROW,
+    # before the candidate-pair exchange (see dedup_allpairs_prefix)
     return (shd.join(df, "sh")
             .select("doc_id", "sh", F.row_number().over(w).alias("rn"))
             .join(sizes, "doc_id")
             .filter(F.col("rn") <= F.expr("n_sh div 2 + 1"))
-            .select("doc_id", "sh", "rn"))
+            .select("doc_id", "sh", "rn", "n_sh"))
 
 
 def dedup_prefix_cost_model(spark, sf_dir):

@@ -623,7 +623,13 @@ def graph_link_prediction(spark, sf_dir):
     # pipelined codegen Generate operators with only the O(deg) slice
     # live at a time.  Same rows, same values — measured 2.9-4.2 s ->
     # 2.0-2.4 s steady on the full query.
-    pairs = (nbr.select(
+    # node rows are byte-tiny but each explodes into C(deg, 2) wedge
+    # rows, so the materialized substrate's few build partitions leave
+    # the wedge stream on a handful of cores (AQE sizes by bytes, not
+    # by downstream fan-out — the dedup_allpairs verify finding):
+    # spread the node rows first, one exchange of |nodes| array rows
+    pairs = (nbr.repartition(spark.sparkContext.defaultParallelism)
+             .select(
                 F.expr(f"{RA_SCALE} div CAST(size(nb) AS BIGINT)")
                  .alias("contrib"),
                 "nb",

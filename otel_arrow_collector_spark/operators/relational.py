@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 
 Q = Callable[[SparkSession, str], DataFrame]
 
@@ -45,6 +45,52 @@ def _register(name: str, oracle: str | None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _half_up(e) -> "F.Column":
+    """``floor(e + 0.5)`` (LONG) — value-identical to
+    ``F.round(e).cast("long")`` for every money/quantity magnitude this
+    module feeds it, and ~10x cheaper per row: Spark's ``Round`` on
+    DOUBLE allocates a ``BigDecimal`` from the double's shortest decimal
+    string per call (measured r16: the three per-row rounds were 0.45 s
+    of q51's 0.75 s steady-state — floor is plain codegen arithmetic).
+
+    Equivalence (pinned row-by-row across sf0.001/0.01/0.1 for every
+    feeding expression in tests/test_half_up_round.py):
+
+    - both are exact-integer for v whose true decimal value has <= 0
+      fractional digits after the *100 scaling (2-decimal money), and
+      the corpus generators emit only 2-decimal money/rates;
+    - for non-tie fractional v they agree by definition (same nearest
+      integer; the shortest-decimal BigDecimal detour cannot cross an
+      integer boundary floor(v + 0.5) doesn't cross);
+    - they could differ only at EXACT .5 ties on NEGATIVE values
+      (HALF_UP rounds away from zero, floor+0.5 rounds up) — ties
+      cannot arise from 2-decimal inputs scaled by 100, and the only
+      negative money column (acctbal) is pinned tie-free by the test.
+    """
+    return F.floor(e + F.lit(0.5))
+
+
+def _report_sort(*cols):
+    """Final presentation sort for a REPORT-SIZED result (cardinality
+    bounded by a dimension/group/entity count, never by the fact) —
+    use as ``.transform(_report_sort("a", "b"))`` in place of a final
+    ``.orderBy("a", "b")``.
+
+    A plain ``orderBy`` plans a range exchange whose partition-bounds
+    SAMPLING job re-executes everything above the last shuffle
+    boundary; for the window-tail queries that is the entire window
+    pipeline, run TWICE per action (measured r16 on q83: 1.57 s ->
+    1.03 s steady just from removing the sampling pass).  Sorting the
+    report in ONE post-shuffle partition instead costs one hash
+    exchange of report-sized rows and no sampling, with the same total
+    order.  Scale stance: these consumers are bounded reports
+    (per-supplier / per-nation / per-type rollups), so the single
+    final partition stays report-sized at any fact scale."""
+    def apply(df: DataFrame) -> DataFrame:
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return apply
 
 
 # ---------------------------------------------------------------------------
@@ -1147,8 +1193,8 @@ def q43(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
-    cents = F.round(F.col("l_extendedprice")
-                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    cents = _half_up(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1196,8 +1242,8 @@ def q44(spark, sf_dir):
                 .join(F.broadcast(region),
                       nation.n_regionkey == region.r_regionkey)
                 .select("c_custkey", "c_nationkey", "n_name"))
-    cents = F.round(F.col("l_extendedprice")
-                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    cents = _half_up(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
               .join(F.broadcast(sup),
@@ -1501,8 +1547,8 @@ def q50(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice")
-                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    cents = _half_up(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
     market = (cust.join(F.broadcast(n1),
                         cust.c_nationkey == F.col("n1.n_nationkey"))
                   .join(F.broadcast(region),
@@ -1559,7 +1605,7 @@ def q51(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
-    c = lambda e: F.round(e * 100).cast("long")  # noqa: E731
+    c = lambda e: _half_up(e * 100)  # noqa: E731
     l = li.select(
         "l_returnflag", "l_linestatus", "l_quantity",
         c(F.col("l_extendedprice")).alias("price_c"),
@@ -1607,8 +1653,8 @@ def q52(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    cents = F.round(F.col("l_extendedprice")
-                    * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    cents = _half_up(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")) * 100)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nation),
@@ -1777,7 +1823,7 @@ def q57(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
-    cents = F.round(F.col("l_extendedprice")
+    cents = _half_up(F.col("l_extendedprice")
                     * (F.lit(1) - F.col("l_discount")) * 100)
     return (li.join(part, li.l_partkey == part.p_partkey)
               .agg(F.sum(F.when(F.col("p_type") == "PROMO", cents)
@@ -1840,7 +1886,7 @@ def q59(spark, sf_dir):
     return (li.join(pa, "l_partkey")
               .join(part, li.l_partkey == part.p_partkey)
               .filter(F.col("l_quantity") < F.col("lim"))
-              .agg(F.sum(F.round(F.col("l_extendedprice") * 100))
+              .agg(F.sum(_half_up(F.col("l_extendedprice") * 100))
                     .cast("long").alias("cents"),
                    F.count(F.lit(1)).alias("n")))
 
@@ -1875,7 +1921,7 @@ def q60(spark, sf_dir):
            & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30)))
-    cents = F.round(F.col("l_extendedprice")
+    cents = _half_up(F.col("l_extendedprice")
                     * (F.lit(1) - F.col("l_discount")) * 100)
     return (j.filter(cond)
              .agg(F.sum(cents).cast("long").alias("revenue_c"),
@@ -1907,7 +1953,7 @@ def q61(spark, sf_dir):
     orders = (_t(spark, sf_dir, "orders")
               .filter(F.col("o_orderpriority") == "1-URGENT")
               .select("o_custkey"))
-    cents = F.round(F.col("c_acctbal") * 100)
+    cents = _half_up(F.col("c_acctbal") * 100)
     ab = (cust.filter(F.col("c_acctbal") > 0)
               .agg(F.avg(cents).alias("ab_cents")))
     return (cust.join(orders, cust.c_custkey == orders.o_custkey,
@@ -1963,7 +2009,7 @@ def q63(spark, sf_dir):
                     F.col("n_name").alias("supp_nation"))
     n2 = nat.select(F.col("n_nationkey").alias("cn_key"),
                     F.col("n_name").alias("cust_nation"))
-    cents = F.round(F.col("l_extendedprice")
+    cents = _half_up(F.col("l_extendedprice")
                     * (F.lit(1) - F.col("l_discount")) * 100)
     pair = ((F.col("supp_nation") == "NATION_12")
             & (F.col("cust_nation") == "NATION_10")) | \
@@ -2011,7 +2057,7 @@ def q64(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("l_extendedprice")
+    cents = _half_up(F.col("l_extendedprice")
                     * (F.lit(1) - F.col("l_discount")) * 100)
     return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
               .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -2055,11 +2101,15 @@ def q65(spark, sf_dir):
                .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
                .select("p_type", "s_suppkey", "s_name", "s_acctbal")
                .distinct())
-    mins = pairs.groupBy(F.col("p_type").alias("m_type")).agg(
-        F.min("s_acctbal").alias("mn"))
-    return (pairs.join(F.broadcast(mins),
-                       (pairs.p_type == mins.m_type)
-                       & (pairs.s_acctbal == mins.mn))
+    # argmin via a per-type window MIN over the distinct pair set
+    # instead of groupBy + join-back: Catalyst rewrote the grouped-MIN
+    # branch to skip the distinct (MIN is multiplicity-insensitive), so
+    # the join-back form ran the li⋈part⋈sup pass TWICE — the window
+    # form keeps ONE fact pass plus a dim-sized exchange on p_type
+    # (r16 measurement; same extremal rows, ties included either way)
+    mn = F.min("s_acctbal").over(Window.partitionBy("p_type"))
+    return (pairs.withColumn("mn", mn)
+                 .filter(F.col("s_acctbal") == F.col("mn"))
                  .select("p_type", "s_suppkey", "s_name",
                          F.round("s_acctbal", 2).alias("acctbal"))
                  .orderBy("p_type", "s_suppkey"))
@@ -2098,8 +2148,19 @@ def q66(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    cents = F.round(F.col("l_quantity") * F.col("l_extendedprice") * 100)
-    val = (li.groupBy("l_partkey")
+    cents = _half_up(F.col("l_quantity") * F.col("l_extendedprice") * 100)
+    # (scan fan-out via parallel_table measured here and REJECTED: the
+    # keyless repartition pays sortBeforeRepartition + an exchange of
+    # the whole fact for ~the arithmetic it parallelizes — 1.06 ->
+    # 1.20 stage-sec; the single-row-group decode is the serial floor.)
+    # explicit NOT NULL on the group key (never null in this schema, so
+    # output-invariant): the part join infers IsNotNull(l_partkey) into
+    # ITS branch's scan only, which de-canonicalizes the two otherwise
+    # identical val subtrees and made Spark scan+aggregate lineitem
+    # TWICE (no ReusedExchange).  With both branches filtered alike the
+    # per-part agg exchange is built once and reused (guide §2.4).
+    val = (li.filter(F.col("l_partkey").isNotNull())
+             .groupBy("l_partkey")
              .agg(F.sum(cents).cast("long").alias("val_c")))
     tot = val.agg(F.sum("val_c").cast("long").alias("total_c"),
                   F.count(F.lit(1)).alias("n_parts"))
@@ -2149,8 +2210,13 @@ def q67(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    qc = F.round(F.col("l_quantity") * 100)
-    sp = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qc = _half_up(F.col("l_quantity") * 100)
+    # explicit NOT NULL on the supplier key (never null here): the
+    # supplier join infers IsNotNull(l_suppkey) into its sp copy only,
+    # de-canonicalizing sp's two branches — the filtered fact agg ran
+    # twice (once for the probe, once inside tot)
+    sp = (li.filter(F.col("l_suppkey").isNotNull())
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("l_suppkey", "l_partkey")
             .agg(F.sum(qc).cast("long").alias("qty_c")))
     tot = (sp.groupBy(F.col("l_partkey").alias("t_partkey"))
@@ -2205,14 +2271,30 @@ def q68(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_shipdate")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     f = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-           .withColumn("late_supp_or_null", F.when(
+           .withColumn("late", F.when(
                F.col("l_shipdate")
                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
-               F.col("l_suppkey"))))
-    per_order = (f.groupBy("l_orderkey")
-                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                        F.countDistinct("late_supp_or_null").alias("n_late"),
-                        F.max("late_supp_or_null").alias("late_supp")))
+               F.lit(1)).otherwise(F.lit(0))))
+    # Expand-free distinct counting: the two COUNT(DISTINCT)s over the
+    # same grouping used to plan as an Expand that DOUBLES the joined
+    # fact before its shuffle.  Instead collapse to (order, supplier)
+    # grain first — max(late) flags a supplier with ANY late line —
+    # then roll up: count(*) of suppliers == COUNT(DISTINCT l_suppkey),
+    # sum(flag) == COUNT(DISTINCT late supplier), max(when(flag)) == the
+    # unique late supplier when n_late = 1.  The up-front orderkey
+    # repartition is the ONLY exchange: hashpartitioning(l_orderkey)
+    # satisfies both rollups (subset rule), so the fact crosses the
+    # wire once at 1x width (guide §2.3/§2.4; same rows, pinned by the
+    # oracle twin which still spells COUNT(DISTINCT ...)).
+    pairs = (f.select("l_orderkey", "l_suppkey", "late")
+              .repartition("l_orderkey")
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("late").alias("late")))
+    per_order = (pairs.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum("late").alias("n_late"),
+                      F.max(F.when(F.col("late") == 1, F.col("l_suppkey")))
+                       .alias("late_supp")))
     return (per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
                      .join(F.broadcast(sup),
                            per_order.late_supp == sup.s_suppkey)
@@ -2246,9 +2328,14 @@ def q62(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
-    cents = F.round(F.col("l_extendedprice")
+    cents = _half_up(F.col("l_extendedprice")
                     * (F.lit(1) - F.col("l_discount")) * 100)
-    rev = (li.groupBy("l_suppkey")
+    # explicit NOT NULL on the group key (never null in this schema):
+    # the supplier join infers IsNotNull(l_suppkey) into its rev copy
+    # only, de-canonicalizing the two branches — lineitem was scanned
+    # and aggregated twice (once for MAX, once for the probe)
+    rev = (li.filter(F.col("l_suppkey").isNotNull())
+             .groupBy("l_suppkey")
              .agg(F.sum(cents).cast("long").alias("total_c")))
     mx = rev.agg(F.max("total_c").alias("mx"))
     return (sup.join(rev, sup.s_suppkey == rev.l_suppkey)
@@ -2289,9 +2376,9 @@ def q69(spark, sf_dir):
     return (li.filter(
                 (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-                & F.round(F.col("l_discount") * 100).between(5, 7)
+                & _half_up(F.col("l_discount") * 100).between(5, 7)
                 & (F.col("l_quantity") < 24))
-              .agg(F.sum(F.round(F.col("l_extendedprice")
+              .agg(F.sum(_half_up(F.col("l_extendedprice")
                                  * F.col("l_discount") * 100))
                     .cast("long").alias("revenue_c"),
                    F.count(F.lit(1)).alias("n")))
@@ -2337,9 +2424,9 @@ def q70(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("n_outliers"),
                        F.round(F.min("value") * 1000000).cast("long")
                         .alias("p95_micro"),
-                       F.sum(F.round(F.col("value") * 1000000)).cast("long")
+                       F.sum(_half_up(F.col("value") * 1000000)).cast("long")
                         .alias("outlier_sum_micro"))
-                  .orderBy("event_type"))
+                  .transform(_report_sort("event_type")))
 
 
 @_register("q71_conversion_funnel", """
@@ -2507,7 +2594,7 @@ def q74(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.unix_timestamp("ts").alias("sec"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"))
+        _half_up(F.col("value") * 100).alias("cents"))
     w = (Window.partitionBy("user_id").orderBy("sec")
                .rangeBetween(-3600, 0))
     return (ev.select(
@@ -2627,7 +2714,7 @@ def q76(spark, sf_dir):
             "user_id",
             (F.floor(F.unix_timestamp("ts") / 3600)).cast("long")
              .alias("bucket"))
-           .agg(F.sum(F.round(F.col("value") * 100)).cast("long")
+           .agg(F.sum(_half_up(F.col("value") * 100)).cast("long")
                  .alias("c")))
     q = s.filter(F.col("user_id") == 0).select("bucket",
                                                F.col("c").alias("qc"))
@@ -2697,7 +2784,7 @@ def q77(spark, sf_dir):
     rfm = (ev.groupBy("user_id")
              .agg(F.max("ts").alias("last_ts"),
                   F.count(F.lit(1)).alias("frequency"),
-                  F.sum(F.round(F.col("value") * 100)).cast("long")
+                  F.sum(_half_up(F.col("value") * 100)).cast("long")
                    .alias("monetary_cents"))
              .crossJoin(F.broadcast(tmax))
              .select("user_id",
@@ -2748,7 +2835,7 @@ def q78(spark, sf_dir):
     band = (F.col("user_id") % 4).cast("string")
     return (ev.cube(F.col("event_type"), band.alias("user_band"))
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum(F.round(F.col("value") * 100)).cast("long")
+                   F.sum(_half_up(F.col("value") * 100)).cast("long")
                     .alias("cents"))
               .select(F.coalesce("event_type", F.lit("<all>"))
                        .alias("event_type"),
@@ -2787,7 +2874,7 @@ def q79(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     v = ev.select(
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        _half_up(F.col("value") * 100).alias("cents"),
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("event_type"))
          .alias("n"))
@@ -2798,7 +2885,7 @@ def q79(spark, sf_dir):
              .agg(F.sum(F.when(pick, F.col("cents")).otherwise(0))
                    .cast("long").alias("median_x2_cents"),
                   F.max("n").cast("long").alias("n"))
-             .orderBy("event_type"))
+             .transform(_report_sort("event_type")))
 
 
 # ---------------------------------------------------------------------------
@@ -2862,7 +2949,7 @@ def q80(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  F.max("n_events").alias("longest_session_events"),
                  F.sum("dur_sec").cast("long").alias("total_session_sec"))
-            .orderBy("user_id"))
+            .transform(_report_sort("user_id")))
 
 
 @_register("q81_event_transitions", """
@@ -2895,7 +2982,7 @@ def q81(spark, sf_dir):
     return (p.where(F.col("next_type").isNotNull())
              .groupBy("event_type", "next_type")
              .agg(F.count(F.lit(1)).alias("n"))
-             .orderBy("event_type", "next_type"))
+             .transform(_report_sort("event_type", "next_type")))
 
 
 @_register("q82_anomaly_days", """
@@ -3029,7 +3116,7 @@ def q83(spark, sf_dir):
                        F.col("peak").cast("long")
                         .alias("peak_in_transit"),
                        "first_peak_day")
-               .orderBy("suppkey"))
+               .transform(_report_sort("suppkey")))
 
 
 @_register("q84_brand_growth", """
@@ -3067,9 +3154,9 @@ def q84(spark, sf_dir):
              .groupBy("p_brand",
                       (F.year("l_shipdate") * 100
                        + F.month("l_shipdate")).cast("int").alias("ym"))
-             .agg(F.sum(F.round(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount")) * 100)
-                        .cast("long")).alias("cents")))
+             .agg(F.sum(_half_up(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")) * 100))
+                  .alias("cents")))
     w = Window.partitionBy("p_brand").orderBy("ym")
     g = rev.withColumn("prev", F.lag("cents").over(w))
     return (g.where(F.col("prev").isNotNull() & (F.col("prev") > 0))
@@ -3078,7 +3165,7 @@ def q84(spark, sf_dir):
                      F.floor(F.col("cents").cast("decimal(38,0)") * 10000
                              / F.col("prev")).cast("long")
                       .alias("growth_bp"))
-             .orderBy("p_brand", "ym"))
+             .transform(_report_sort("p_brand", "ym")))
 
 
 @_register("q85_revenue_percentiles", """
@@ -3106,9 +3193,9 @@ def q85(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
-             .agg(F.sum(F.round(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount")) * 100)
-                        .cast("long")).alias("cents")))
+             .agg(F.sum(_half_up(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")) * 100))
+                  .alias("cents")))
     w = Window.orderBy("cents")
     return (rev.select("suppkey", "cents",
                        F.percent_rank().over(w).alias("pct_rank"),
@@ -3224,7 +3311,7 @@ def q87(spark, sf_dir):
                   .cast("long").alias("n_unfilled"),
                  F.sum(F.coalesce("xf", F.lit(0))).cast("long")
                   .alias("filled_sum"))
-            .orderBy("user_id"))
+            .transform(_report_sort("user_id")))
 
 
 @_register("q88_dq_expectations", """
@@ -3344,7 +3431,7 @@ def q89(spark, sf_dir):
     keep the merged sums bit-equal to the recompute.
     """
     li = _t(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = _half_up(F.col("l_extendedprice") * 100)
     half = li.select(
         "l_returnflag", "l_linestatus",
         (F.col("l_orderkey") % 2).cast("int").alias("h"),
@@ -3859,8 +3946,8 @@ def _rf_cents(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return materialized(
             li.select(F.col("l_returnflag").alias("grp"),
-                      F.round(F.col("l_extendedprice") * 100)
-                       .cast("long").alias("cents"),
+                      _half_up(F.col("l_extendedprice") * 100)
+                      .alias("cents"),
                       F.col("l_quantity").cast("long").alias("w"),
                       "l_orderkey", "l_linenumber")
               .repartition(spark.sparkContext.defaultParallelism))
@@ -3919,7 +4006,7 @@ def q98(spark, sf_dir):
             .agg(F.min("cents").cast("long")
                   .alias("weighted_median_cents"),
                  F.min("tot").cast("long").alias("total_weight"))
-            .orderBy("grp"))
+            .transform(_report_sort("grp")))
 
 
 @_register("q99_revenue_gini", """
@@ -3966,7 +4053,7 @@ def q99(spark, sf_dir):
                    F.col("c_custkey") == F.col("o_custkey"))
             .groupBy(F.col("c_nationkey").alias("nation"),
                      "o_custkey")
-            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+            .agg(F.sum(_half_up(F.col("o_totalprice") * 100)
                        .cast("long")).alias("cents")))
     wr = Window.partitionBy("nation").orderBy("cents", "o_custkey")
     wn = Window.partitionBy("nation")
@@ -4024,7 +4111,7 @@ def q100(spark, sf_dir):
     """
     o = _t(spark, sf_dir, "orders")
     cust = (o.groupBy("o_custkey")
-            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+            .agg(F.sum(_half_up(F.col("o_totalprice") * 100)
                        .cast("long")).alias("cents")))
     dec = cust.select(
         "cents",
@@ -4099,7 +4186,7 @@ def q101(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderpriority").alias("pr"),
                        F.col("o_orderdate").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+             .agg(F.sum(_half_up(F.col("o_totalprice") * 100)
                         .cast("long")).alias("cents")))
     hops = (daily
             .select("pr", "d", "cents",
@@ -4120,7 +4207,7 @@ def q101(spark, sf_dir):
                     F.col("cents").cast("long").alias("revenue_cents"),
                     F.expr(f"num div {4 ** EWMA_W}").cast("long")
                     .alias("ewma_scaled"))
-            .orderBy("pr", "day"))
+            .transform(_report_sort("pr", "day")))
 
 
 @_register("q102_time_to_convert", """
@@ -4223,7 +4310,7 @@ def q102(spark, sf_dir):
                  .alias("median_x2_s"),
                 F.coalesce("p90_s", F.lit(0)).cast("long")
                  .alias("p90_s"))
-            .orderBy("week"))
+            .transform(_report_sort("week")))
 
 
 @_register("q103_path_trigrams", """
@@ -4313,7 +4400,7 @@ def q104(spark, sf_dir):
     """
     p = (_t(spark, sf_dir, "part")
          .select("p_partkey", "p_brand",
-                 F.round(F.col("p_retailprice") * 100).cast("long")
+                 _half_up(F.col("p_retailprice") * 100)
                   .alias("price_cents"),
                  F.col("p_size").cast("long").alias("p_size")))
     pp = p.groupBy("price_cents").agg(F.max("p_size").alias("mx"))
@@ -4376,10 +4463,18 @@ def q105(spark, sf_dir):
     # exchange and the join's re-exchange both disappear, guide §2.4.)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # explicit NOT NULL on both columns (never null here; no published
+    # row could carry one anyway — the self-join needs o, every output
+    # path joins on b): the pair self-join infers IsNotNull(o, b) into
+    # its two ob copies while the na branches infer only IsNotNull(b),
+    # which de-canonicalized the four subtrees — Spark was running the
+    # lineitem⋈part scan and the o-repartition FOUR times (r16 finding,
+    # 4 scans -> 1 with all branches filtered alike, guide §2.4)
     ob = (li.join(F.broadcast(pt),
                   li.l_partkey == pt.p_partkey)
           .select(F.col("l_orderkey").alias("o"),
                   F.col("p_brand").alias("b"))
+          .filter(F.col("o").isNotNull() & F.col("b").isNotNull())
           .repartition("o")
           .dropDuplicates(["o", "b"]))
     # N = |orders| (every order carries >= 1 line item, so the basket
@@ -4480,7 +4575,7 @@ def q106(spark, sf_dir):
     relation broadcast onto the fact.
     """
     o = _t(spark, sf_dir, "orders").select(
-        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")
+        "o_custkey", _half_up(F.col("o_totalprice") * 100)
         .alias("cents"))
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -4489,9 +4584,16 @@ def q106(spark, sf_dir):
     # exchange subtree, so AQE's exchange reuse runs the scan+joins+
     # shuffle once and both Sorts inherit the partitioning (the q83
     # single-exchange discipline; measured 1.9-2.4 -> 1.4-1.8 s).
+    # the explicit NOT NULL below is what actually lets that reuse
+    # happen: the deviation branch's join with med infers
+    # IsNotNull(n_name) into ITS copy of x only, de-canonicalizing the
+    # two subtrees (r16 finding — the r15 shared exchange was being
+    # scanned twice); output-invariant because a null n_name row could
+    # never survive the dev join that produces the published rows
     x = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
          .select("n_name", "cents")
+         .filter(F.col("n_name").isNotNull())
          .repartition("n_name"))
     wr = Window.partitionBy("n_name").orderBy("cents")
     wn = Window.partitionBy("n_name")
@@ -4520,7 +4622,7 @@ def q106(spark, sf_dir):
                   + F.sum(F.when(F.expr("rn = (n + 2) div 2"),
                                  F.col("d")).otherwise(F.lit(0))))
                  .cast("long").alias("mad_cents_x4"))
-            .orderBy("n_name"))
+            .transform(_report_sort("n_name")))
 
 
 #: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's law first-digit
@@ -4763,7 +4865,7 @@ def q110(spark, sf_dir):
     v = li.select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast(dec).alias("x"),
-        F.round(F.col("l_discount") * 10000).cast(dec).alias("y"))
+        _half_up(F.col("l_discount") * 10000).cast(dec).alias("y"))
     m = (v.groupBy("grp")
          .agg(F.count(F.lit(1)).cast(dec).alias("n"),
               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
@@ -4842,7 +4944,7 @@ def q111(spark, sf_dir):
         F.expr("ts_ns div 1000 div 86400000000").cast("long")
         .alias("day"),
         F.expr("ts_ns div 1000").cast("long").alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        _half_up(F.col("value") * 100).alias("v_cents"),
         "event_id")
     w = Window.partitionBy("event_type", "day").orderBy("ts_us",
                                                         "event_id")
@@ -4967,7 +5069,7 @@ def q112(spark, sf_dir):
                  F.expr(f"CAST(1000 * SUM(CAST(en - st AS {dec}))"
                         f" div (60000000 * SUM(CAST(n_ev AS {dec})))"
                         " AS BIGINT)").alias("coverage_permille"))
-            .orderBy("event_type"))
+            .transform(_report_sort("event_type")))
 
 
 @_register("q113_autocorrelation", """
@@ -5098,7 +5200,7 @@ def q114(spark, sf_dir):
     sup = (li.join(F.broadcast(su),
                    F.col("s_suppkey") == F.col("l_suppkey"))
            .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
-           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+           .agg(F.sum(_half_up(F.col("l_extendedprice") * 100)
                       .cast("long")).alias("cents")))
     tot = (sup.groupBy("nation")
            .agg(F.sum(F.col("cents").cast(dec)).alias("total_cents"),
@@ -5208,7 +5310,7 @@ def q115(spark, sf_dir):
                     F.col("p95_cents").cast("long").alias("p95_cents"),
                     "mean_cents", "wins_mean_cents",
                     "n_clipped_low", "n_clipped_high")
-            .orderBy("grp"))
+            .transform(_report_sort("grp")))
 
 
 @_register("q116_zorder_pruning", """

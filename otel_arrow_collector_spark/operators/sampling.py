@@ -226,7 +226,9 @@ def sample_bootstrap(spark, sf_dir):
         " CAST(o_orderkey AS STRING)))", 7)
     w_expr = " + ".join(
         f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)" for t in ts)
-    return (o.select(F.round(F.col("o_totalprice") * 100).cast("long")
+    # floor(v + 0.5): value-identical to round for 2-decimal money
+    # (relational._half_up rationale; pinned in test_half_up_round)
+    return (o.select(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                      .alias("cents"),
                      "o_orderkey",
                      F.explode(F.expr(

@@ -1130,7 +1130,11 @@ def test_allpairs_prefix_no_cartesian_docwise_window(spark):
     plan = _plan(spark, "dedup_allpairs_prefix")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "least(" in plan and "greatest(" in plan
+    # r16: both PPJoin filters run per colliding row BEFORE the
+    # candidate distinct (the length filter's greatest<=2*least form
+    # became the equivalent 3*least >= n1+n2 cross-multiplication, so
+    # only least() appears)
+    assert "least(" in plan
     from otel_arrow_collector_spark.operators import dedup as dd
     pref = dd._build_prefix_relation(spark, SF_SMALL)
     bplan = pref._jdf.queryExecution().explainString(
