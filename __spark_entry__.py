@@ -57,29 +57,42 @@ def entry(spark: SparkSession) -> DataFrame:
 #: added queries first gets each of them a driver-recorded row at least
 #: once (older entries retain committed PARITY_r{N}.txt evidence).
 _NEWEST_FIRST = [
-    # FIRST: round-15 additions (commit-checklist rule: every new query
-    # gets a slot here) — prepended as they land.
-    "dedup_semantic_keep", "dedup_semantic_cell_audit",
-    "dedup_cc_incremental",
-    # THEN queries whose code paths changed this round (verdict r14
-    # asks #1-#4 + ADVICE fixes) — fresh driver rows on the new code:
-    "dedup_semantic", "dedup_incremental_prefix", "ann_ivf_probe",
-    "ann_ivf_multiprobe", "ann_ivf_pq", "ann_range_search",
-    "embedding_pca_covariance", "text_bpe_capacity", "dedup_cc_labels",
-    "dedup_cc_keep", "dedup_keep_best", "dedup_allpairs_prefix",
-    # THEN the 25 stalest driver rows (verdict r14 ask #5 — newest
-    # driver evidence r09; all green in the committed PARITY_r14
-    # sweeps, but the driver's own ledger should keep cycling):
-    "ann_loo_accuracy", "ann_pq_adc_topk", "ann_pq_recall",
-    "curation_budget_waterfill", "curation_dataset_card",
-    "curation_length_buckets", "curation_snapshot_diff",
-    "dedup_contamination", "dedup_embedding_cosine",
-    "dedup_er_blocking", "dedup_er_canonical", "dedup_er_clusters",
-    "dedup_exact_groups", "dedup_exact_stats", "dedup_minhash_keep",
-    "dedup_minhash_lsh", "dedup_source_overlap", "embedding_drift",
-    "graph_label_propagation", "multimodal_data_uri",
-    "multimodal_exif_audit", "multimodal_phash_dedup",
-    "multimodal_resample", "q35_tracestate", "q37_asof_join",
+    # FIRST: the r15 correctness casualty, re-fixed this round (cov_num
+    # republished BIGINT) — the driver must re-sample it (VERDICT r15
+    # item 1).
+    "embedding_pca_covariance",
+    # THEN every query whose plan was restructured this round (r16
+    # optimization: duplicate-subtree elimination, Expand-free distinct
+    # counts, _half_up cents, report sorts, shared substrates) — fresh
+    # driver rows on the new code:
+    "q66_important_parts", "q65_min_acctbal_supplier",
+    "q62_top_supplier", "q67_dominant_suppliers", "q105_market_basket",
+    "q106_mad_dispersion", "q68_waiting_suppliers", "q83_intransit_peak",
+    "q110_corr_screen", "q115_winsorize", "q51_pricing_summary",
+    "dedup_allpairs_prefix", "dedup_prefix_cost_model",
+    "dedup_containment", "dedup_minhash_estimate_error",
+    "dedup_substring", "graph_link_prediction", "ann_ivf_cell_quality",
+    "sketch_bloom_fpr", "bloom_screen", "contamination_screen",
+    "curation_pipeline", "sketch_theta_jaccard",
+    "sketch_theta_intersection", "sketch_theta_difference",
+    "sketch_theta_union", "text_bigram_lm", "sample_bootstrap",
+    "q79_exact_median", "q98_weighted_median",
+    "q70_tail_latency_outliers", "q80_sessionization",
+    "q81_event_transitions", "q84_brand_growth", "q87_forward_fill",
+    "q101_ewma_smoothing", "q102_time_to_convert",
+    "q112_interval_coverage", "q74_range_frame_moving_sum",
+    "q69_forecast_revenue", "q61_dormant_rich_customers",
+    "q59_small_quantity_revenue", "q57_promo_revenue",
+    "q50_market_share", "q63_volume_shipping", "q64_product_profit",
+    # THEN the stalest driver rows (newest driver evidence r09; green
+    # in every committed PARITY sweep — the driver ledger keeps
+    # cycling, verdict r15 item 10):
+    "q40_rate", "q45_salted_hot_key_join", "q46_retention_cohorts",
+    "q47_hopping_window", "q92_slo_burn", "q93_scd2_merge",
+    "q94_attribution", "q95_cdc_apply", "q96_changepoint",
+    "q97_seasonal_spike", "text_classifier_calibration",
+    "text_cooccur_lift", "text_keywords", "text_mojibake",
+    "text_url_canonicalize",
 ]
 
 

@@ -42,7 +42,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallel_table
 from .cache_registry import CHECKPOINT_DIR_ENV as cache_registry_checkpoint_env
 from .cache_registry import cached, materialized, plan_checkpoint
 
@@ -815,16 +815,27 @@ def dedup_substring(spark, sf_dir):
     final top-k.  Reference analogue: the persistent queue's idempotent
     redelivery (persistent_storage.go:278-345) extended to content level.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # fan-out: the window explode (a PASSAGE_LEN-word slice+join per
+    # window position) is the scan-stage compute; the single-split
+    # documents scan serialized it on one core (guide §2.5)
+    d = parallel_table(spark, sf_dir, "documents")
     p = (d.select("doc_id", F.split("text", " ").alias("ws"))
            .filter(F.size("ws") >= PASSAGE_LEN)
            .select("doc_id", F.explode(F.expr(
                f"transform(sequence(0, size(ws)-{PASSAGE_LEN}), "
                f"i -> array_join(slice(ws, i+1, {PASSAGE_LEN}), ' '))"))
                .alias("passage")))
-    return (p.groupBy("passage")
-             .agg(F.countDistinct("doc_id").alias("n_docs"),
-                  F.count(F.lit(1)).alias("n_occ"))
+    # Expand-free distinct count (the q68 rewrite): collapse to
+    # (passage, doc) grain first — combinable, 1x-width shuffle — then
+    # roll up; COUNT(DISTINCT doc_id) == count of per-doc groups,
+    # COUNT(*) == sum of their occurrence counts.  The mixed
+    # distinct/plain aggregate planned an Expand that DOUBLED the
+    # passage stream before its shuffle.
+    per_doc = (p.groupBy("passage", "doc_id")
+                .agg(F.count(F.lit(1)).alias("occ")))
+    return (per_doc.groupBy("passage")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("occ").alias("n_occ"))
              .filter(F.col("n_docs") >= 2)
              .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
                       "passage")
@@ -1161,18 +1172,24 @@ def dedup_cross_corpus(spark, sf_dir):
                 .select(F.col("doc_id").alias("b_doc"), "band")
     pairs = new.join(corp, "band").select("a_doc", "b_doc").distinct()
 
-    shd = _doc_shingle_sets(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    s1 = shd.select(F.col("doc_id").alias("a_doc"), "sh")
-    s2 = shd.select(F.col("doc_id").alias("b_doc"), "sh")
-    common = (pairs.join(s1, "a_doc").join(s2, ["b_doc", "sh"])
-              .groupBy("a_doc", "b_doc")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    za = sizes.select(F.col("doc_id").alias("a_doc"),
-                      F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("b_doc"),
-                      F.col("n_sh").alias("nb"))
-    j = (common.join(za, "a_doc").join(zb, "b_doc")
+    # verify on the materialized ARRAY relation (one codegen
+    # array_intersect per candidate, n_sh precomputed) instead of the
+    # exploded double-join + two size-aggregate joins — the four
+    # consumptions of the exploded substrate each re-executed per run
+    # (cached-relation subtrees never stage-reuse, the r16 finding;
+    # same rewrite as dedup_containment).  A zero-overlap candidate now
+    # carries jac_milli = 0 where the sh-equality join dropped it: it
+    # ranks below every positive pair and the JACCARD_THRESHOLD filter
+    # discards it either way — output-identical.
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    za = arrs.select(F.col("doc_id").alias("a_doc"),
+                     F.col("shs").alias("sa"), F.col("n_sh").alias("na"))
+    zb = arrs.select(F.col("doc_id").alias("b_doc"),
+                     F.col("shs").alias("sb"), F.col("n_sh").alias("nb"))
+    c = F.size(F.array_intersect("sa", "sb")).cast("long")
+    j = (pairs.join(F.broadcast(za), "a_doc")
+         .join(F.broadcast(zb), "b_doc")
+         .select("a_doc", "b_doc", c.alias("n_common"), "na", "nb")
          .select("a_doc", "b_doc", "n_common",
                  F.expr("n_common * 1000 div (na + nb - n_common)")
                  .cast("long").alias("jac_milli")))
@@ -2652,22 +2669,29 @@ def dedup_containment(spark, sf_dir):
     (bounded by candidates, never n^2); two broadcastable size joins.
     """
     pairs = _lsh_candidate_pairs(spark, sf_dir)
-    shd = _doc_shingle_sets(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (pairs
-              .join(shd.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-              .join(shd.alias("s2"), (F.col("d2") == F.col("s2.doc_id"))
-                    & (F.col("s1.sh") == F.col("s2.sh")))
-              .groupBy("d1", "d2")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    return (common
-            .join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
-            .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+    # verify on the materialized ARRAY relation (n_sh precomputed, one
+    # codegen array_intersect per candidate) instead of the exploded
+    # double-join + two size-aggregate joins: the four consumptions of
+    # the exploded substrate each re-executed (AQE stage reuse skips
+    # cached-relation subtrees — the minhash_estimate_error finding),
+    # costing three 32-task aggregate passes per run.  A zero-overlap
+    # candidate publishes n_common = 0 here where the sh-equality join
+    # dropped it — identical output either way, the containment
+    # threshold discards it (CONTAINMENT_PERMILLE > 0).
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    z1 = arrs.select(F.col("doc_id").alias("d1"),
+                     F.col("shs").alias("s1"), F.col("n_sh").alias("n1"))
+    z2 = arrs.select(F.col("doc_id").alias("d2"),
+                     F.col("shs").alias("s2"), F.col("n_sh").alias("n2"))
+    c = F.size(F.array_intersect("s1", "s2")).cast("long")
+    return (pairs
+            .join(F.broadcast(z1), "d1").join(F.broadcast(z2), "d2")
+            .select("d1", "d2", c.alias("n_common"),
+                    "n1", "n2")
             .select("d1", "d2", "n_common",
-                    F.expr("1000 * n_common div least(z1.n_sh, z2.n_sh)")
+                    F.expr("1000 * n_common div least(n1, n2)")
                      .cast("long").alias("cont_permille"),
-                    F.expr("1000 * n_common div "
-                           "(z1.n_sh + z2.n_sh - n_common)")
+                    F.expr("1000 * n_common div (n1 + n2 - n_common)")
                      .cast("long").alias("jaccard_permille"))
             .filter(F.col("cont_permille") >= CONTAINMENT_PERMILLE)
             .orderBy("d1", "d2").limit(500))
@@ -2890,17 +2914,36 @@ def dedup_minhash_estimate_error(spark, sf_dir):
            .select("doc_id",
                    F.array(*[F.expr(_spark_sig(j))
                              for j in range(K_HASHES)]).alias("sig")))
-    est = (pairs
-           .join(sig.select(F.col("doc_id").alias("d1"),
-                            F.col("sig").alias("sig1")), "d1")
-           .join(sig.select(F.col("doc_id").alias("d2"),
-                            F.col("sig").alias("sig2")), "d2")
-           .select("d1", "d2",
-                   F.expr("aggregate(zip_with(sig1, sig2, (a, b) -> "
-                          "CASE WHEN a = b THEN 1 ELSE 0 END), 0, "
-                          "(acc, x) -> acc + x)").alias("n_match")))
-    shd = _doc_shingle_sets(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sig is consumed ONCE, via melt + pivot-back: the natural two-
+    # broadcast-lookup form re-executed the whole semi-join + signature
+    # pipeline per side — AQE's stage-reuse cache refuses to dedupe
+    # subtrees that contain a cached relation (TableCacheQueryStage),
+    # even though the two copies are sameResult (r16 finding; a
+    # cache-free minimal repro DOES print ReusedExchange).  Melting the
+    # pair to one row per (pair, member) makes one broadcast join serve
+    # both sides; the pivot-back aggregate runs on pair-count rows
+    # (d1 < d2 always, so the WHEN routing is unambiguous, and each
+    # group has exactly its two member rows — max picks the non-null).
+    side = pairs.select(
+        "d1", "d2",
+        F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
+    both = (side.join(F.broadcast(sig), "doc_id")
+            .groupBy("d1", "d2")
+            .agg(F.max(F.when(F.col("doc_id") == F.col("d1"),
+                              F.col("sig"))).alias("sig1"),
+                 F.max(F.when(F.col("doc_id") == F.col("d2"),
+                              F.col("sig"))).alias("sig2")))
+    n_match = F.aggregate(
+        F.zip_with(F.col("sig1"), F.col("sig2"),
+                   lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    est = both.select("d1", "d2", n_match.alias("n_match"))
+    # per-doc set sizes come precomputed off the materialized array
+    # relation instead of a groupBy over the exploded substrate: the
+    # aggregate was consumed twice (z1/z2) and, sitting on a cached
+    # relation, never stage-reused — each run paid two full 32-task
+    # aggregations for a column _doc_shingle_arrays already carries
+    sizes = _doc_shingle_arrays(spark, sf_dir).select("doc_id", "n_sh")
     exact = (_jaccard_verified(spark, sf_dir)
              .join(sizes.alias("z1"),
                    F.col("d1") == F.col("z1.doc_id"))

@@ -4862,16 +4862,25 @@ def q110(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(38,0)"
+    # per-row moment arithmetic runs in LONG (x <= 50, y <= 1e4, so
+    # every per-row product fits trivially) — the decimal(38,0) per-row
+    # multiplies this replaces were ~0.5 s of BigDecimal work per scan
+    # at bench scale.  Overflow stays governed at the ACCUMULATOR:
+    # sum(x) <= 5e13, sum(y) <= 1e16, sum(xy) <= 5e17, sum(xx) <=
+    # 2.5e15 at n = 1e12 — inside int64; only sum(y*y) <= 1e20 passes
+    # it, so that one sum accumulates in decimal via a per-row cast of
+    # the (long) product.  The 3-row t-stage stays all-decimal.
     v = li.select(
         F.col("l_returnflag").alias("grp"),
-        F.col("l_quantity").cast(dec).alias("x"),
-        _half_up(F.col("l_discount") * 10000).cast(dec).alias("y"))
+        F.col("l_quantity").cast("long").alias("x"),
+        _half_up(F.col("l_discount") * 10000).alias("y"))
     m = (v.groupBy("grp")
          .agg(F.count(F.lit(1)).cast(dec).alias("n"),
-              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-              F.sum(F.col("x") * F.col("x")).alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).alias("syy"),
-              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+              F.sum("x").cast(dec).alias("sx"),
+              F.sum("y").cast(dec).alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+              F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy")))
     t = m.select(
         "grp", "n",
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
@@ -5291,7 +5300,11 @@ def q115(spark, sf_dir):
                             " div 100) THEN cents END"))
                .alias("p95_cents")))
     dec = "decimal(38,0)"
-    return (v.select("grp", "cents")
+    # the clip side reads (grp, cents) only, which the window pass adds
+    # nothing to — joining the BASE avoids re-running the rank window
+    # for its own input (cached-relation subtrees never stage-reuse,
+    # the minhash_estimate_error finding: v was executed twice per run)
+    return (base.select("grp", "cents")
             .join(F.broadcast(th), "grp")
             .groupBy("grp", "n", "p05_cents", "p95_cents")
             .agg(F.expr(f"CAST(SUM(CAST(cents AS {dec})) div n"

@@ -1411,9 +1411,14 @@ def ann_ivf_cell_quality(spark, sf_dir):
              .agg(F.count(F.lit(1)).cast("long").alias("n"),
                   F.sum("cos_u").cast("long").alias("cohesion_u"),
                   F.round(F.min("cos_raw"), 6).alias("min_cos")))
-    tot = stats.select(F.sum("n").alias("total"),
-                       F.count(F.lit(1)).alias("cells"))
-    return (stats.crossJoin(F.broadcast(tot))
+    # the global (total, cells) frame rides a window over the
+    # |cells|-row stats relation instead of an agg + crossJoin: the
+    # two-branch form re-ran the whole cosine pass per branch (cached
+    # relations never stage-reuse — the minhash_estimate_error finding)
+    w = Window.partitionBy(F.lit(1))
+    return (stats
+            .withColumn("total", F.sum("n").over(w))
+            .withColumn("cells", F.count(F.lit(1)).over(w))
             .select("cid", "n",
                     F.expr("1000 * n * cells div total").cast("long")
                      .alias("balance_permille"),

@@ -1169,6 +1169,32 @@ def _dist_type_user(spark, sf_dir):
             .select("event_type", "user_id").distinct()))
 
 
+def _theta_exact(spark, sf_dir):
+    """Memoized exact-audit relations shared across the theta family
+    (4 consumers of the pairwise intersection, 3 of the set sizes —
+    each previously re-ran the distinct self-join / size aggregate per
+    query per invocation; AQE never stage-reuses subtrees over cached
+    relations, the r16 finding).  The intersection is kept in ORDERED
+    (type_a != type_b) form — unordered consumers filter type_a <
+    type_b, which halves it to the same rows they derived before."""
+    from .cache_registry import cached, materialized
+    dist = _dist_type_user(spark, sf_dir)
+    sizes = cached(
+        "sketches.theta_sizes", spark, sf_dir,
+        lambda: materialized(
+            dist.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_set"))))
+    inter = cached(
+        "sketches.theta_exact_inter", spark, sf_dir,
+        lambda: materialized(
+            dist.alias("x").join(dist.alias("y"), "user_id")
+            .filter(F.col("x.event_type") != F.col("y.event_type"))
+            .groupBy(F.col("x.event_type").alias("type_a"),
+                     F.col("y.event_type").alias("type_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))))
+    return sizes, inter
+
+
 def _theta_base(spark, sf_dir):
     """The scaffold shared by the three theta queries: ``dist`` (the
     corpus-distinct (event_type, user_id) relation the exact audits
@@ -1261,11 +1287,10 @@ def sketch_theta_intersection(spark, sf_dir):
                    ["type_a", "type_b"], "left")
              .withColumn("n_common",
                          F.coalesce("n_common", F.lit(0))))
-    exact = (dist.alias("x").join(dist.alias("y"), "user_id")
-             .filter(F.col("x.event_type") < F.col("y.event_type"))
-             .groupBy(F.col("x.event_type").alias("type_a"),
-                      F.col("y.event_type").alias("type_b"))
-             .agg(F.count(F.lit(1)).alias("exact_intersection")))
+    _, _xinter = _theta_exact(spark, sf_dir)
+    exact = (_xinter.filter(F.col("type_a") < F.col("type_b"))
+             .select("type_a", "type_b",
+                     F.col("n_inter").alias("exact_intersection")))
     return (pairs.join(exact, ["type_a", "type_b"], "left")
             .select(
                 "type_a", "type_b",
@@ -1376,13 +1401,7 @@ def sketch_theta_difference(spark, sf_dir):
               .groupBy("type_a", "type_b")
               .agg(F.count(F.lit(1)).alias("n_diff")))
     # exact |A \ B| = |A| - |A n B| (one equality self-join)
-    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
-             .filter(F.col("x.event_type") != F.col("y.event_type"))
-             .groupBy(F.col("x.event_type").alias("type_a"),
-                      F.col("y.event_type").alias("type_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = dist.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_set"))
+    sizes, inter = _theta_exact(spark, sf_dir)
     return (th_pairs
             .join(n_diff, ["type_a", "type_b"], "left")
             .join(F.broadcast(sizes.select(
@@ -1507,13 +1526,8 @@ def sketch_theta_union(spark, sf_dir):
              .agg(F.max("n_u").alias("n_u"),
                   F.max(F.when(F.col("urk") == THETA_K, F.col("hv")))
                    .alias("kth")))
-    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
-             .filter(F.col("x.event_type") < F.col("y.event_type"))
-             .groupBy(F.col("x.event_type").alias("type_a"),
-                      F.col("y.event_type").alias("type_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sizes = dist.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_set"))
+    sizes, _xinter = _theta_exact(spark, sf_dir)
+    inter = _xinter.filter(F.col("type_a") < F.col("type_b"))
     return (pairs
             .join(stats, ["type_a", "type_b"], "left")
             .join(F.broadcast(sizes.select(
@@ -1646,13 +1660,8 @@ def sketch_theta_jaccard(spark, sf_dir):
           .filter(F.col("hv") < F.col("th"))
           .groupBy("type_a", "type_b")
           .agg(F.count(F.lit(1)).alias("n_inter_kept")))
-    sizes = dist.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_set"))
-    inter = (dist.alias("x").join(dist.alias("y"), "user_id")
-             .filter(F.col("x.event_type") < F.col("y.event_type"))
-             .groupBy(F.col("x.event_type").alias("type_a"),
-                      F.col("y.event_type").alias("type_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes, _xinter = _theta_exact(spark, sf_dir)
+    inter = _xinter.filter(F.col("type_a") < F.col("type_b"))
     return (pairs
             .join(nu, ["type_a", "type_b"], "left")
             .join(ni, ["type_a", "type_b"], "left")

@@ -354,7 +354,10 @@ def text_bigram_lm(spark, sf_dir):
             .select("doc_id", "pos", "bg.w1", "bg.w2"))
     train = bi.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
     c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1,.) folds out of the bigram counts — c1 = sum_w2 c2(w1, w2)
+    # exactly — so the model build is ONE pass over the train explode,
+    # not two (the two copies never stage-reused anyway: r16 finding)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # V is a model parameter (like the k-means centroids): one scalar
     # driver round-trip, not a data path — memoized per (session, dir)
     # so repeat invocations build the plan without a Spark job.
