@@ -1218,13 +1218,18 @@ def text_cooccur_lift(spark, sf_dir):
     dfc = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfc.orderBy(F.col("df").desc(), "word").limit(COOC_TOP_W)
     dv = dw.join(F.broadcast(vocab), "word")
-    a = dv.select("doc_id", F.col("word").alias("word_a"),
-                  F.col("df").alias("df_a"))
-    b = dv.select("doc_id", F.col("word").alias("word_b"),
-                  F.col("df").alias("df_b"))
-    pairs = (a.join(b, "doc_id")
-             .filter(F.col("word_a") < F.col("word_b"))
-             .groupBy("word_a", "word_b", "df_a", "df_b")
+    # the self-join references dv via ALIASES with the renames applied
+    # ABOVE the join: the word_a/word_b rename-projections used to sit
+    # below each side's doc_id exchange, de-canonicalizing two
+    # otherwise identical subtrees so the explode + vocab probe ran
+    # once PER SIDE (the r16 de-canonicalization family) — with bare
+    # aliases one exchange is built and the other side runtime-reuses
+    pairs = (dv.alias("a").join(dv.alias("b"), "doc_id")
+             .filter(F.col("a.word") < F.col("b.word"))
+             .groupBy(F.col("a.word").alias("word_a"),
+                      F.col("b.word").alias("word_b"),
+                      F.col("a.df").alias("df_a"),
+                      F.col("b.df").alias("df_b"))
              .agg(F.count(F.lit(1)).cast("long").alias("c_ab")))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     return (pairs.crossJoin(F.broadcast(n_docs))
@@ -1288,7 +1293,17 @@ def text_keywords(spark, sf_dir):
              .filter(F.col("word") != ""))
     tf = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("tf"))
-    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df counts rows with tf >= 1 — every row, so the value equals the
+    # plain row count, but the predicate REFERENCES tf: with count(1)
+    # (or count(tf), which the optimizer rewrites away) the planner
+    # pruned tf's count off this branch's partial aggregate,
+    # de-canonicalizing it from the scored branch's, and the corpus
+    # explode + (doc, word) aggregation executed TWICE per run; with
+    # identical pruning the exchange is built once and runtime-reused
+    # (guide §2.4, the r16 de-canonicalization family)
+    dfc = (tf.groupBy("word")
+           .agg(F.sum(F.when(F.col("tf") >= 1, 1).otherwise(0))
+                .alias("df")))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(dfc, "word")
               .crossJoin(F.broadcast(n_docs))
@@ -2042,17 +2057,23 @@ def text_source_drift(spark, sf_dir):
         F.explode(F.filter(
             F.split(F.lower("text"), "[^a-z0-9]+"),
             lambda x: x != "")).alias("token"))
-    corp = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # ONE tokenize pass: every statistic folds out of the finest
+    # (source, token) grain, so the four branches (corpus counts, total,
+    # per-source totals, per-source-term counts) share the single
+    # explode + exchange instead of re-tokenizing the corpus per branch
+    # (only exchanges are runtime-reusable; the explode itself re-ran
+    # four times in the r15 form)
+    src_cnt = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n_st"))
+    corp = src_cnt.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    n_total = src_cnt.agg(F.sum("n_st").alias("n_corpus"))
     # TakeOrdered top-N, never a rank window over the full vocabulary
     # (the text_zipf discipline — vocab is ~1e8 at 100x)
     top = (corp.orderBy(F.col("n_t").desc(), "token")
            .limit(DRIFT_TOP_TERMS)
            .select("token", "n_t"))
-    src_tot = toks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_s"))
-    src_cnt = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("n_st"))
+    src_tot = src_cnt.groupBy("source").agg(
+        F.sum("n_st").alias("n_s"))
     dec = "decimal(38,0)"
     frame = (src_tot.crossJoin(F.broadcast(top))
              .join(src_cnt, ["source", "token"], "left")
