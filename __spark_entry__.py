@@ -71,7 +71,8 @@ _NEWEST_FIRST = [
     "q110_corr_screen", "q115_winsorize", "q51_pricing_summary",
     "dedup_allpairs_prefix", "dedup_prefix_cost_model",
     "dedup_containment", "dedup_minhash_estimate_error",
-    "dedup_substring", "graph_link_prediction", "ann_ivf_cell_quality",
+    "dedup_substring", "graph_link_prediction", "graph_modularity",
+    "ann_ivf_cell_quality",
     "sketch_bloom_fpr", "bloom_screen", "contamination_screen",
     "curation_pipeline", "sketch_theta_jaccard",
     "sketch_theta_intersection", "sketch_theta_difference",

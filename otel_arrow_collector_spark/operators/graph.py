@@ -720,17 +720,24 @@ def graph_modularity(spark, sf_dir):
                              F.col("label").alias("lu")), "u")
             .join(la.select(F.col("node").alias("v"),
                             F.col("label").alias("lv")), "v"))
-    intra = (both.filter(F.col("lu") == F.col("lv"))
-             .groupBy(F.col("lu").alias("label"))
-             .agg(F.count(F.lit(1)).alias("intra_edges")))
-    deg = (edges.join(la.select(F.col("node").alias("src"), "label"),
-                      "src")
-           .groupBy("label")
-           .agg(F.count(F.lit(1)).alias("degree_sum")))
+    # ONE endpoint-exploded pass serves BOTH per-community sums (the
+    # separate deg branch re-ran an edges⋈labels pass per invocation —
+    # cached subtrees never stage-reuse, the r16 finding): every
+    # undirected edge contributes its two endpoint labels, so
+    # count(endpoints) per label IS the degree sum, and an intra edge
+    # contributes exactly TWO intra-flagged endpoints with the same
+    # label, so intra_edges = intra_endpoints div 2 — exact integers.
+    ends = both.select(
+        (F.col("lu") == F.col("lv")).alias("is_intra"),
+        F.explode(F.array(F.col("lu"), F.col("lv"))).alias("label"))
+    sums = (ends.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("degree_sum"),
+                 F.floor(F.sum(F.when(F.col("is_intra"), 1)
+                               .otherwise(0)) / 2)
+                 .cast("long").alias("intra_edges")))
     nn = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
     m_tot = e.agg(F.count(F.lit(1)).alias("m"))
-    return (nn.join(deg, "label", "left")
-            .join(intra, "label", "left")
+    return (nn.join(sums, "label", "left")
             .crossJoin(F.broadcast(m_tot))
             .select(
                 F.col("label").cast("long").alias("label"),
